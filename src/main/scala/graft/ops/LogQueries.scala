@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity query surface (SURVEY.md §2.1-§2.6, §3 entry point 1).
+  *
+  * The reference's data plane is one fixed-schema log table with
+  * conjunctive pushdown filters, an inclusive time-range filter, counts,
+  * and summaries (reader.py:30-86, 457-473, 548-577). The driver's test
+  * corpus has no log table, so these queries derive the reference's
+  * LOG_SCHEMA shape from `events`:
+  *   timestamp←ts, level←event_type, message←props,
+  *   container←'c'+(user_id%4), session←'s'+user_id
+  * — the same derivation is declared in the DuckDB oracle SQL, so the
+  * parity semantics (inclusive bounds, AND-only conjunction, filtered
+  * count vs unfiltered summary) are what's actually checked.
+  */
+object LogQueries {
+
+  /** events → the reference's 5-column log shape (schema.py:4-10). */
+  def logsView(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("ts").as("timestamp"),
+      col("event_type").as("level"),
+      col("props").as("message"),
+      concat(lit("c"), (col("user_id") % 4).cast("string")).as("container"),
+      concat(lit("s"), col("user_id").cast("string")).as("session"))
+
+  private val rangeStart = "2024-01-08 00:00:00"
+  private val rangeEnd   = "2024-01-15 23:59:59"
+
+  /** F3: inclusive time-range read — `start <= ts <= end`, both bounds
+    * inclusive (reader.py:457-473). Pushed to parquet row-group stats. */
+  def logTimeRange(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .filter(col("timestamp") >= lit(rangeStart).cast("timestamp") &&
+              col("timestamp") <= lit(rangeEnd).cast("timestamp"))
+      .orderBy(col("timestamp"), col("session"), col("message"))
+
+  /** F1/F2/F4: conjunctive (AND-only) filter chain over ==, >=, != ops —
+    * the reference's entire predicate algebra (reader.py:39-59). */
+  def logFilterConjunction(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .filter(col("level") === "error" &&
+              col("container") =!= "c0" &&
+              col("timestamp") >= lit(rangeStart).cast("timestamp"))
+      .orderBy(col("timestamp"), col("session"), col("message"))
+
+  /** A1-A3: filtered count (reader.py:181-206, 348-386, 548-558). */
+  def logCount(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .filter(col("level") === "error" &&
+              col("timestamp") >= lit(rangeStart).cast("timestamp") &&
+              col("timestamp") <= lit(rangeEnd).cast("timestamp"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A4-A6: summary — total_rows is UNFILTERED (the reference's
+    * documented quirk: get_summary scans with no filter, reader.py:227-231)
+    * plus per-tier-style breakdowns by container. */
+  def logSummary(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .groupBy(col("container"))
+      .agg(count(lit(1)).as("total_rows"),
+           countDistinct(col("session")).as("n_sessions"),
+           min(col("timestamp")).as("min_ts"),
+           max(col("timestamp")).as("max_ts"))
+      .orderBy(col("container"))
+
+  /** S10/O2-style partition-pruned read: one (container, session) slice.
+    * Against the partitioned LogStore layout this prunes to one
+    * directory; here it exercises the same predicate shape. */
+  def logPartitionSlice(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .filter(col("container") === "c1" && col("session") === "s5")
+      .select(col("timestamp"), col("level"), col("message"))
+      .orderBy(col("timestamp"), col("message"))
+}

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator library over the TPC-H-ish test tables.
+  *
+  * Design rules (see SURVEY.md §2.3-§2.6 and §7):
+  *  - Declarative DataFrame plans only — Catalyst does pushdown/pruning,
+  *    AQE picks shuffle counts at runtime.
+  *  - Dimension joins are explicitly `broadcast()` so the 100 TB plan is
+  *    a broadcast-hash join per dimension, never a shuffled fact table.
+  *  - Money arithmetic goes through DECIMAL(18,2) so sums are exact and
+  *    order-independent (a double sum is order-dependent across engines),
+  *    then the final value is cast back to DOUBLE for a stable oracle
+  *    comparison with DuckDB.
+  */
+object RelationalQueries {
+
+  /** Exact money arithmetic: cast to decimal before aggregating. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** TPC-H Q1-style pricing summary (ref has only counts — SURVEY §2.4;
+    * this is the superset group-by aggregate). One shuffle on the two
+    * low-cardinality group keys; partial aggregation makes the map side
+    * do nearly all the work at scale. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + projection scan — exercises parquet predicate pushdown and
+    * column pruning (SURVEY §2.2 F1/F5). The scan must read only the five
+    * referenced columns and skip row groups via min/max stats. */
+  def q2FilterPushdown(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+              col("l_returnflag") === "R" &&
+              col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_shipdate"))
+  }
+
+  /** Star join: revenue per nation/region. Fact table (lineitem) joins
+    * orders (fact-fact: shuffled sort-merge under AQE), then broadcasts
+    * customer/nation/region dimensions — at 100 TB the only big shuffle
+    * is lineitem⋈orders on orderkey. */
+  def q3StarJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-k with deterministic tiebreak: top 10 customers by total order
+    * value. groupBy-then-limit: the sort after aggregation is tiny. */
+  def q4TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Window function: top-3 parts by revenue within each brand
+    * (SURVEY §2.5 — absent in ref, core superset op). Deterministic
+    * tiebreak on partkey. */
+  def q5WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    val rev = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("part_rev"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("part_rev").desc, col("p_partkey"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("part_rev"), col("rk"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** Distinct aggregation per market segment (SURVEY §2.4 superset:
+    * count distinct). Exact distinct — a two-phase shuffle; at 100 TB
+    * swap to approx_count_distinct when tolerance allows. */
+  def q6DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("segment_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Two-branch UNION ALL (bag semantics — SURVEY §2.6 U1). */
+  def q7UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errors  = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val bigBuys = e.filter(col("event_type") === "purchase" && col("value") > 150)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    errors.unionAll(bigBuys)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Left anti join: customers with no high-value order (dedup-style
+    * filter, SURVEY §2.3). The anti side is pre-filtered + distinct so
+    * only a small key set shuffles at scale. */
+  def q8AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o.filter(col("o_totalprice") > 300000).select(col("o_custkey")).distinct(),
+           col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left semi join (EXISTS): orders that contain a high-quantity line. */
+  def q10SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li.filter(col("l_quantity") >= 49).select(col("l_orderkey")),
+           col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** ROLLUP aggregate (SURVEY §2.4 superset: grouping sets). */
+  def q9Rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n"), col("total"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  /** Event-time bucketing: per-day per-type counts (SURVEY §2.8 T7 —
+    * absent in ref; the superset windowed aggregate). */
+  def q11TimeBucket(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * one window pass (lag + running sum), no self-join. */
+  def q12Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = e.withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+    withGap
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"))).cast("double").as("sess_value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           max(col("n_events")).as("max_session_events"),
+           sum(dec(col("sess_value"))).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-user argmax: the event carrying each user's max value, with a
+    * deterministic event_id tiebreak (row_number, not max_by, so the
+    * DuckDB oracle agrees on ties). */
+  def q13ArgMax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join via composed built-ins (SURVEY guide: compose before
+    * custom plans): for each purchase, the most recent prior error by
+    * the same user. Single sort per user partition — no range cross
+    * join, scales linearly in events. */
+  def q14AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("last_error_ts",
+        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("last_error_ts"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from <verifyOutDir>/oracle_sql.json in
+DuckDB over the same parquet tables, sorts columns by name and rows by
+value, and reports per-query match status. Dev-only tool — the shipped
+library is pure Scala/Spark.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_fail += 1
+            continue
+        # dtype check (schema match)
+        dt_mismatch = [(c, str(got[c].dtype), str(want[c].dtype))
+                       for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        eq = got.equals(want)
+        if not eq:
+            # show first differing cell
+            diff = None
+            for c in got.columns:
+                neq = got[c].astype(object) != want[c].astype(object)
+                both_nan = got[c].isna() & want[c].isna()
+                neq = neq & ~both_nan
+                if neq.any():
+                    i = neq.idxmax()
+                    diff = (c, i, got[c][i], want[c][i])
+                    break
+            print(f"FAIL {name}: value diff {diff} (dtypes {dt_mismatch})")
+            n_fail += 1
+        else:
+            note = f" (dtype note: {dt_mismatch})" if dt_mismatch else ""
+            print(f"PASS {name} ({len(got)} rows){note}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
