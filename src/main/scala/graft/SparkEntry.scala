@@ -39,7 +39,44 @@ object SparkEntry {
     "log_count"           -> (LogQueries.logCount _),
     "log_summary"         -> (LogQueries.logSummary _),
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
+    // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
+    "dedup_exact_summary"  -> (Dedup.exactSummary _),
+    "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
+    "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
+    "dedup_simhash"        -> (Dedup.simhash _),
+    "dedup_simhash_buckets" -> (Dedup.simhashBuckets _),
+    "dedup_embedding"      -> (Similarity.embeddingNearDup _),
+    // Similarity search
+    "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    // Text analysis + multimodal metadata
+    "text_quality"     -> (TextAnalysis.quality _),
+    "text_langid"      -> (TextAnalysis.langId _),
+    "text_tokens"      -> (TextAnalysis.tokenStats _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "mm_binary_meta"   -> (TextAnalysis.binaryMeta _),
   )
+
+  // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
+  // indexing in DuckDB vs 0-based in Spark — same shingles).
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      |       UNNEST(range(1, len(w)-1)) AS u(i)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  // Shared DuckDB CTE: double-cast vectors with precomputed norms —
+  // the same fold Spark runs (sequential sum in double).
+  private val vectorsCte =
+    """vn AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm
+      |  FROM (SELECT vec_id, label,
+      |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings) t
+      |)""".stripMargin
 
   // DuckDB shared view of the reference's log shape, derived from events
   // exactly as LogQueries.logsView does.
@@ -210,5 +247,186 @@ object SparkEntry {
          |SELECT "timestamp", level, message FROM logs
          |WHERE container = 'c1' AND session = 's5'
          |ORDER BY "timestamp", message""".stripMargin,
+    "dedup_exact_summary" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_unique_texts,
+        |  COUNT(DISTINCT lower(trim(text))) AS n_unique_norm,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_exact_keepers" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text HAVING COUNT(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 AS jaccard
+         |FROM common JOIN sizes x ON doc_a = x.doc_id
+         |            JOIN sizes y ON doc_b = y.doc_id
+         |WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
+         |    MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3,
+         |    MIN(md5('4|' || s)) AS mh4, MIN(md5('5|' || s)) AS mh5
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, mh0 || mh1 AS b0, mh2 || mh3 AS b1, mh4 || mh5 AS b2 FROM sig),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS c
+         |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |            JOIN sh y ON cand.doc_b = y.doc_id AND x.s = y.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  floor(CAST(c AS DOUBLE) / (sx.n + sy.n - c) * 1000000) / 1000000 AS jaccard
+         |FROM common JOIN sizes sx ON doc_a = sx.doc_id
+         |            JOIN sizes sy ON doc_b = sy.doc_id
+         |WHERE floor(CAST(c AS DOUBLE) / (sx.n + sy.n - c) * 1000000) / 1000000 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |vocab AS (SELECT DISTINCT tok FROM toks),
+        |bits AS (
+        |  SELECT tok, j,
+        |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
+        |     >> (3 - (j % 4))) & 1 AS bit
+        |  FROM vocab, UNNEST(range(0, 16)) AS u(j)),
+        |weights AS (
+        |  SELECT t.doc_id, b.j, SUM((b.bit * 2 - 1) * t.cnt) AS w
+        |  FROM toks t JOIN bits b ON t.tok = b.tok
+        |  GROUP BY t.doc_id, b.j)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM weights GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |vocab AS (SELECT DISTINCT tok FROM toks),
+        |bits AS (
+        |  SELECT tok, j,
+        |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
+        |     >> (3 - (j % 4))) & 1 AS bit
+        |  FROM vocab, UNNEST(range(0, 16)) AS u(j)),
+        |weights AS (
+        |  SELECT t.doc_id, b.j, SUM((b.bit * 2 - 1) * t.cnt) AS w
+        |  FROM toks t JOIN bits b ON t.tok = b.tok
+        |  GROUP BY t.doc_id, b.j),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM weights GROUP BY doc_id)
+        |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        |FROM sh GROUP BY simhash HAVING COUNT(*) > 1
+        |ORDER BY simhash""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $vectorsCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         |  floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000) / 1000000 AS cos
+         |FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH $vectorsCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, vn.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, vn.v) / (q.qnorm * vn.norm) AS cos
+         |  FROM vn JOIN q ON vn.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $vectorsCte,
+         |vb AS (
+         |  SELECT *, CAST(CASE WHEN v[1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
+         |       + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+         |  FROM vn),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket FROM vb WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, vb.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, vb.v) / (q.qnorm * vb.norm) AS cos
+         |  FROM vb JOIN q ON vb.bucket = q.qbucket AND vb.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop
+        |  FROM base)
+        |SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+        |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - stop_ratio) * 0.3
+        |      + least(avg_token_len / 8.0, 1.0) * 0.3) * 1000000) / 1000000 AS quality_score
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    floor(CAST(sum_len AS DOUBLE) / n_tokens * 1000000) / 1000000 AS avg_token_len,
+        |    floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000 AS stop_ratio
+        |  FROM m) mm ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT) AS n_en
+        |  FROM base)
+        |SELECT doc_id, lang AS lang_label,
+        |  CASE WHEN floor(CAST(n_en AS DOUBLE) / n_tokens * 1000000) / 1000000 >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred,
+        |  floor(CAST(n_en AS DOUBLE) / n_tokens * 1000000) / 1000000 AS en_ratio, n_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+        |  MAX(ws_tokens) AS max_ws_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        |FROM documents
+        |GROUP BY 1 ORDER BY fp""".stripMargin,
+    "mm_binary_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |         lower(hex(encode(text))) AS hh
+        |  FROM documents)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+        |  substring(hh, 1, 16) AS head_hex,
+        |  substring(hh, length(hh) - 7, 8) AS tail_hex,
+        |  md5(text) AS content_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Cosine is computed with an explicit fold — `aggregate(zip_with(...))`
+  * — in double precision, the exact formula the DuckDB oracle replays
+  * (dot/(norm_a*norm_b), sequential summation), so scores are
+  * bit-comparable after rounding.
+  *
+  * Scale path: brute force is the correctness baseline (O(Q·N) with Q
+  * small); the LSH variant buckets vectors by sign-bit signature so the
+  * pairwise work happens inside hash-partitioned buckets — a co-located
+  * equi-join at 100 TB, not a cross join.
+  */
+object Similarity {
+
+  /** Cross-engine-stable 6-decimal truncation (see Dedup.trunc6). */
+  private def trunc6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
+
+  /** Vectors cast to double with a precomputed L2 norm. */
+  private[ops] def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Brute-force cosine top-k: first `nQueries` vec_ids are the query
+    * set; rank all others by cosine (desc, vec_id tiebreak). The query
+    * side is broadcast, so the big side streams once with no shuffle
+    * until the per-query top-k aggregation. */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val vs = vectors(s, dir)
+    val q = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    vs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot("qv", "v") / (col("qnorm") * col("norm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+              trunc6(col("cos")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Sign-bit LSH bucket: 4-bit signature from the signs of dims 0-3.
+    * Deterministic (no RNG) so the oracle derives the same buckets. */
+  private[ops] def bucketed(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).withColumn("bucket", expr(
+      "CAST(CASE WHEN v[0] > 0 THEN 8 ELSE 0 END + CASE WHEN v[1] > 0 THEN 4 ELSE 0 END + " +
+      "CASE WHEN v[2] > 0 THEN 2 ELSE 0 END + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT)"))
+
+  /** LSH-bucketed ANN: same query set, but candidates are restricted to
+    * the query's bucket — the 100 TB path (each bucket is one shuffle
+    * partition group; recall trades against bucket count). */
+  def lshTopK(s: SparkSession, dir: String,
+              nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val vs = bucketed(s, dir)
+    val q = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("norm").as("qnorm"), col("bucket").as("qbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    vs.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot("qv", "v") / (col("qnorm") * col("norm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+              trunc6(col("cos")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding near-dup pairs: same-label vectors with cosine ≥ 0.4
+    * (the corpus max is ~0.51 — 0.8-style thresholds would be vacuous).
+    * Label acts as the blocking key, keeping the pair space linear-ish. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val a = vs.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"), col("norm").as("na"))
+    val b = vs.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("label"), trunc6(col("cos")).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: language ID heuristic,
+  * quality scoring, token counting, fingerprinting, and the
+  * binary/multimodal metadata path. All single-pass, codegen-friendly
+  * column expressions — no UDFs — so they run at scan speed and are
+  * exactly replayable by the SQL oracle.
+  */
+object TextAnalysis {
+
+  /** Cross-engine-stable 6-decimal truncation (see Dedup.trunc6). */
+  private def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1000000.0) / 1000000.0
+
+  /** Per-doc quality metrics + composite score. One projection over the
+    * scan; every metric is a pure column expression. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT)"))
+      .withColumn("avg_token_len",
+        trunc6(col("sum_len").cast("double") / col("n_tokens")))
+      .withColumn("stop_ratio",
+        trunc6(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("quality_score", trunc6(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - col("stop_ratio")) * 0.3 +
+        least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+              col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram-heuristic language ID: marker-token ratios decide the
+    * predicted language; emitted next to the labeled `lang` so
+    * downstream can measure agreement. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_en", expr(
+        "CAST(size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT)"))
+      .withColumn("en_ratio", trunc6(col("n_en").cast("double") / col("n_tokens")))
+      .withColumn("lang_pred",
+        when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("unknown")))
+      .select(col("doc_id"), col("lang").as("lang_label"), col("lang_pred"),
+              col("en_ratio"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting per source: whitespace tokens vs a BPE-ish
+    * word/number regex, aggregated map-side then one small shuffle. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws_tokens")).as("total_ws_tokens"),
+           sum(col("re_tokens")).as("total_re_tokens"),
+           max(col("ws_tokens")).as("max_ws_tokens"))
+      .orderBy(col("source"))
+
+  /** Document fingerprint: md5 over the sorted token multiset — a
+    * shuffle-free canonical hash that collapses word-order permutations;
+    * grouped to expose collision clusters (near-dup candidates). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("fp", md5(array_join(array_sort(split(col("text"), " ")), " ")))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("fp"))
+
+  /** Multimodal metadata path: treat the payload as an opaque binary
+    * column (here utf-8 bytes of text stand in for image/audio bytes —
+    * the container has no media codecs) and compute typed metadata:
+    * byte length, head/tail hex, content hash. The Spark-side plumbing
+    * (binary column + per-row metadata projection) is the real pattern;
+    * a decoder would slot in as mapPartitions over the same relation
+    * (see graft.ops.Multimodal). */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+      .withColumn("hh", lower(hex(col("blob"))))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        substring(col("hh"), 1, 16).as("head_hex"),
+        expr("substring(hh, length(hh) - 7, 8)").as("tail_hex"),
+        md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+}
