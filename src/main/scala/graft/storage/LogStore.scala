@@ -1,0 +1,143 @@
+package graft.storage
+
+import java.util.UUID
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.LogSchema
+
+/** Two-tier partitioned Parquet log store (SURVEY §1.5, §7.1).
+  *
+  * Layout on one root:
+  * {{{
+  *   <root>/hot/container=<c>/session=<s>/*.parquet   // small append files
+  *   <root>/cold/container=<c>/session=<s>/*.parquet  // compacted archives
+  * }}}
+  *
+  * Design vs the reference (writer.py, reader.py):
+  *  - The reference's hot tier is Arrow IPC stream files rotated at
+  *    10 MiB; here the hot tier is small Parquet files — one columnar
+  *    format end-to-end, and both tiers are a single `spark.read` with
+  *    directory-partition pruning on (container, session) replacing the
+  *    SQLite file catalog (metadata.py:44-53).
+  *  - Reads union cold + hot (reader.py:488-510 bag semantics) and are
+  *    read-your-writes: an append is visible to the next read.
+  *  - Compaction rewrites a session's hot files into sized cold files and
+  *    then retires exactly the input files — fixing the reference's
+  *    double-count-on-restart bug (writer.py:181-231, SURVEY §7.4.1).
+  *
+  * Scale notes: partition dirs bound fan-out to (container, session);
+  * appends coalesce to one file per batch to limit small-file pressure;
+  * compaction sizes output by bytes (targetFileBytes) so cold files stay
+  * scan-friendly at 100 TB.
+  */
+final class LogStore(spark: SparkSession, root: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024) {
+
+  private val hotDir = s"$root/hot"
+  private val coldDir = s"$root/cold"
+
+  private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Append a batch for one (container, session). Synchronous — ack means
+    * rows are durable in the hot tier (reference main.py:330-337 semantics:
+    * 201 = buffered, not archived). */
+  def append(df: DataFrame, container: String, session: String): Unit = {
+    require(LogSchema.isValidId(container), s"invalid container id: $container")
+    require(LogSchema.isValidId(session), s"invalid session id: $session")
+    df.select("timestamp", "level", "message")
+      .coalesce(1)
+      .write.mode(SaveMode.Append)
+      .parquet(s"$hotDir/container=$container/session=$session")
+  }
+
+  private def tierDf(dir: String): Option[DataFrame] =
+    if (fs.exists(new Path(dir)))
+      Some(spark.read.schema(LogSchema.schema)
+        .option("basePath", dir).parquet(dir)
+        .select(LogSchema.schema.fieldNames.map(col): _*))
+    else None
+
+  /** Unified view over both tiers (UNION ALL bag semantics, duplicates
+    * preserved — reader.py:488-510). With container/session predicates
+    * Catalyst prunes to the matching directories. */
+  def read(): DataFrame = {
+    val tiers = Seq(tierDf(coldDir), tierDf(hotDir)).flatten
+    if (tiers.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema.schema)
+    else tiers.reduce(_ unionAll _)
+  }
+
+  def read(container: String, session: String): DataFrame =
+    read().filter(col("container") === container && col("session") === session)
+
+  private def listFiles(dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+      }
+      buf.result()
+    }
+  }
+
+  /** Per-tier file stats for summaries (SURVEY §2.4 A4-A6) — file counts
+    * and bytes come from the file index, not a data scan. */
+  def tierStats(container: String, session: String): (Long, Long, Long, Long) = {
+    def stats(dir: String): (Long, Long) = {
+      val files = listFiles(s"$dir/container=$container/session=$session")
+      (files.size.toLong, files.map(p => fs.getFileStatus(p).getLen).sum)
+    }
+    val (cf, cb) = stats(coldDir)
+    val (hf, hb) = stats(hotDir)
+    (cf, cb, hf, hb)
+  }
+
+  def hotBytes(container: String, session: String): Long =
+    tierStats(container, session)._4
+
+  /** Compact one session: rewrite the *current snapshot* of hot files
+    * into sized cold files, then delete exactly that snapshot. Appends
+    * that land mid-compaction stay in the hot tier untouched, so the
+    * row multiset is preserved exactly once (fixes SURVEY §1.5). */
+  def compact(container: String, session: String): Long = {
+    val snapshot = listFiles(s"$hotDir/container=$container/session=$session")
+    if (snapshot.isEmpty) return 0L
+    val bytes = snapshot.map(p => fs.getFileStatus(p).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.schema(LogSchema.fileSchema)
+      .parquet(snapshot.map(_.toString): _*)
+    val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+    val target = new Path(s"$coldDir/container=$container/session=$session")
+    fs.mkdirs(target)
+    val moved = listFiles(staging.toString).map { p =>
+      val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
+      fs.rename(p, dst)
+      dst
+    }
+    fs.delete(staging, true)
+    snapshot.foreach(p => fs.delete(p, false))
+    moved.size.toLong
+  }
+
+  /** Containers/sessions present in storage (directory listing — the
+    * moral equivalent of the reference's SQLite catalog scan). */
+  def sessions(): Seq[(String, String)] = {
+    def list(dir: String): Seq[(String, String)] = {
+      val base = new Path(dir)
+      if (!fs.exists(base)) Seq.empty
+      else for {
+        c <- fs.listStatus(base).toSeq if c.isDirectory && c.getPath.getName.startsWith("container=")
+        s <- fs.listStatus(c.getPath).toSeq if s.isDirectory && s.getPath.getName.startsWith("session=")
+      } yield (c.getPath.getName.stripPrefix("container="), s.getPath.getName.stripPrefix("session="))
+    }
+    (list(coldDir) ++ list(hotDir)).distinct.sorted
+  }
+}
