@@ -10,8 +10,8 @@ import graft.model.LogSchema
   *
   * Layout on one root:
   * {{{
-  *   <root>/hot/container=<c>/session=<s>/*.parquet   // small append files
-  *   <root>/cold/container=<c>/session=<s>/*.parquet  // compacted archives
+  *   <root>/hot/container=<c>/session=<s>/<uuid>.parquet   // small append files
+  *   <root>/cold/container=<c>/session=<s>/<uuid>.parquet  // compacted archives
   * }}}
   *
   * Design vs the reference (writer.py, reader.py):
@@ -117,9 +117,17 @@ final class LogStore(spark: SparkSession, root: String,
 
     val target = new Path(s"$coldDir/container=$container/session=$session")
     fs.mkdirs(target)
-    val moved = listFiles(staging.toString).map { p =>
+    // Rename every staged file before retiring any hot input; a failed rename
+    // aborts with the hot snapshot intact (no loss, worst case a re-compaction
+    // re-reads the same snapshot). Only after all renames succeed do we delete
+    // the inputs — the crash window between rename-all and delete-all leaves
+    // duplicates, never loss, and the duplicates are the exact snapshot files
+    // (idempotent to re-compact).
+    val staged = listFiles(staging.toString)
+    val moved = staged.map { p =>
       val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
-      fs.rename(p, dst)
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"compact: rename $p -> $dst failed; hot snapshot retained")
       dst
     }
     fs.delete(staging, true)
