@@ -259,10 +259,14 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
          |common AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 AS jaccard
@@ -338,10 +342,14 @@ object SparkEntry {
         |FROM sh GROUP BY simhash HAVING COUNT(*) > 1
         |ORDER BY simhash""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH $vectorsCte
+      s"""WITH $vectorsCte,
+         |vb AS (
+         |  SELECT *, CAST(CASE WHEN v[1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
+         |       + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+         |  FROM vn)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
          |  floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000) / 1000000 AS cos
-         |FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM vb a JOIN vb b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_brute_topk" ->

@@ -53,11 +53,28 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** All-pairs n-gram Jaccard near-dup: candidate pairs come from a
-    * shuffle join on the shingle relation (docs sharing ≥1 shingle),
-    * so cost is proportional to real overlap, not n². */
+  /** Shingle relation with a document-frequency cap: shingles present in
+    * more than 20% of the corpus ("of the and"-style stop-shingles) are
+    * dropped BEFORE pair generation — a hot shingle key makes the
+    * candidate equi-join quadratic in its document frequency, the one
+    * scale-killer in shingle-join dedup. The dropped shingles carry no
+    * near-dup signal (they match everything), and the cap is relative to
+    * corpus size so the plan behaves identically at 100× the data. The
+    * hot set is tiny by construction → broadcast anti-join, no shuffle. */
+  private[ops] def cappedShingles(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(s, dir).count() // parquet metadata count, no scan
+    val cap = math.max(2L, (0.2 * nDocs).toLong)
+    val sh = shingles(s, dir)
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("s"))
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs come from a shuffle join
+    * on the DF-capped shingle relation (docs sharing ≥1 informative
+    * shingle), so cost is proportional to real overlap, not n². */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = cappedShingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -75,10 +92,10 @@ object Dedup {
 
   private val K = 6 // minhash functions; banded 2-per-band → 3 bands
 
-  /** MinHash signatures: k=6 hash functions simulated as
-    * min(md5(seed || '|' || shingle)) — portable to the oracle. */
-  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** MinHash signatures over a shingle relation: k=6 hash functions
+    * simulated as min(md5(seed || '|' || shingle)) — portable to the
+    * oracle. */
+  private[ops] def minhashSignatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -86,9 +103,13 @@ object Dedup {
   /** MinHash+LSH near-dup: band the signature (3 bands × 2 rows),
     * bucket-join per band for candidates, union+distinct, then verify
     * candidates with true Jaccard ≥ 0.5. At scale each band join is a
-    * hash-partitioned equi-join on the band key — no cross join. */
+    * hash-partitioned equi-join on the band key — no cross join. The
+    * shingle relation is built ONCE and cached; both the signature pass
+    * and the verify pass read it (round-1 bench showed the duplicate
+    * derivation as the slowest query's main cost). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+    val sh = shingles(s, dir).cache()
+    val sig = minhashSignatures(sh)
       .withColumn("b0", concat(col("mh0"), col("mh1")))
       .withColumn("b1", concat(col("mh2"), col("mh3")))
       .withColumn("b2", concat(col("mh4"), col("mh5")))
@@ -100,7 +121,6 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     }.reduce(_ unionAll _).distinct()
 
-    val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
@@ -118,28 +138,27 @@ object Dedup {
   }
 
   /** 16-bit SimHash per document, frequency-weighted over tokens.
-    * The per-token bit vector is computed once on the (tiny) distinct
-    * vocabulary and broadcast back — the heavy relation only carries
-    * (doc_id, token, cnt). Bits come from the first 4 hex chars of
-    * md5(token), so the oracle derives identical hashes. */
+    * Bit j of each token is a pure function of md5(token) (hex char
+    * j/4, bit 3-j%4), so it is computed INLINE on the (doc_id, token,
+    * cnt) row — no distinct-vocabulary relation and no broadcast (the
+    * round-1 design broadcast the vocabulary, which at 100 TB is
+    * billions of tokens → OOM). One shuffle: groupBy(doc_id) with 16
+    * map-side-combined signed sums, then the bits assemble in the
+    * projection. The oracle derives identical hashes from md5. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val vocabBits = toks.select(col("tok")).distinct()
       .withColumn("h", md5(col("tok")))
-      .select(col("tok"), explode(expr(
-        """transform(sequence(0, 15), j -> named_struct(
-          |  'j', j,
-          |  'bit', ((instr('0123456789abcdef', substr(h, CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
-          |          >> (3 - (j % 4))) & 1))""".stripMargin)).as("jb"))
-      .select(col("tok"), col("jb.j").as("j"), col("jb.bit").as("bit"))
-    toks.join(broadcast(vocabBits), "tok")
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum((col("bit") * 2 - 1) * col("cnt")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("simhash"))
+    // bit j: hex digit j/4 of md5, bit (3 - j%4) of that digit — all
+    // positions constant-folded per j, so the whole row stays codegen'd.
+    def bit(j: Int) = expr(
+      s"((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - (j % 4)}) & 1")
+    val weights = (0 until 16).map(j => sum((bit(j) * 2 - 1) * col("cnt")).as(s"w$j"))
+    toks.groupBy(col("doc_id")).agg(weights.head, weights.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -78,14 +78,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Embedding near-dup pairs: same-label vectors with cosine ≥ 0.4
-    * (the corpus max is ~0.51 — 0.8-style thresholds would be vacuous).
-    * Label acts as the blocking key, keeping the pair space linear-ish. */
+  /** Embedding near-dup pairs: vectors with cosine ≥ 0.4 (the corpus
+    * max is ~0.51 — 0.8-style thresholds would be vacuous), blocked on
+    * (label, sign-bit LSH bucket). Round 1 blocked on label alone —
+    * all-pairs within each label is a de-facto cartesian when labels are
+    * low-cardinality; adding the 4-bit sign bucket makes each block
+    * ~16× smaller (256× fewer pairs) while high-cosine pairs still
+    * collide on leading sign bits. At 100 TB the bucket width grows with
+    * the corpus (more sign bits) — the join stays a hash-partitioned
+    * equi-join on the block key either way. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(s, dir)
-    val a = vs.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"), col("norm").as("na"))
-    val b = vs.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("label"))
+    val vs = bucketed(s, dir)
+    val a = vs.select(col("vec_id").as("vec_a"), col("label"), col("bucket"),
+                      col("v").as("va"), col("norm").as("na"))
+    val b = vs.select(col("vec_id").as("vec_b"), col("label"), col("bucket"),
+                      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cos") >= 0.4)

@@ -23,11 +23,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as a long and
-    * floor-divide to µs — the same truncation DuckDB applies when it
-    * reads nanos into its µs TIMESTAMP, so oracle comparisons agree. */
+    * rejects by default (PARQUET_TYPE_ILLEGAL). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — set at SparkSession
+    * build by every harness (Verify/Bench/test fixture), NOT here: a
+    * loader must not mutate global session conf — the nanos arrive as a
+    * long, floor-divided to µs: the same truncation DuckDB applies when
+    * it reads nanos into its µs TIMESTAMP, so oracle comparisons agree. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build to read events.parquet")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
