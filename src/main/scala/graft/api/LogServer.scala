@@ -1,0 +1,348 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Paths
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.concurrent.Executors
+import scala.util.matching.Regex
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.catalog.CatalogService
+import graft.engine.{Compactor, QueryEngine}
+import graft.ingest.JsonIngest
+import graft.model.LogSchema
+import graft.storage.LogStore
+
+/** The reference's HTTP surface (main.py:51-347, P1-P10) over the Spark
+  * engine: token auth, container/session CRUD with ownership, and
+  * GET/POST log endpoints wired to [[QueryEngine]]/[[LogStore]], with the
+  * same status-code contract — 400 validation, 401 authN, 403 authZ,
+  * 409 conflict, 500 fallback — and the same response shapes (README.md:
+  * 106-299). Runs on the JDK's built-in HttpServer: the service layer is
+  * control flow, not dataflow; every data operation is a Spark plan.
+  *
+  * Scale note: the server is a thin driver-side gateway. Reads stream
+  * via `toLocalIterator` (one partition resident at a time) and writes
+  * land as hot-tier appends with size-triggered async compaction
+  * ([[Compactor]]), so the HTTP layer never materializes a dataset.
+  */
+final class LogServer(spark: SparkSession, root: String, port: Int = 0,
+                      bufferSizeLimit: Long = 10L * 1024 * 1024) extends AutoCloseable {
+
+  val catalog = new CatalogService(Some(Paths.get(root, "catalog")))
+  val store = new LogStore(spark, s"$root/data")
+  val engine = new QueryEngine(store)
+  val compactor = new Compactor(store, bufferSizeLimit)
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  http.setExecutor(Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
+  http.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): LogServer = { http.start(); this }
+  def boundPort: Int = http.getAddress.getPort
+
+  /** Graceful shutdown: stop accepting, drain compactions, final flush
+    * (reference cleanup_handler, main.py:350-365). */
+  override def close(): Unit = { http.stop(0); compactor.close() }
+
+  // ---- routing ----
+
+  private val LogsPath: Regex = "/api/logs/([^/]+)/([^/]+)".r
+  private val SessionsPath: Regex = "/api/containers/([^/]+)/sessions".r
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("POST", "/api/auth/login")       => login(ex)
+        case ("POST", "/api/auth/logout")      => authed(ex)((u, t) => logout(ex, u, t))
+        case ("POST", "/api/containers")       => authed(ex)((u, _) => createContainer(ex, u))
+        case ("GET",  "/api/containers")       => authed(ex)((u, _) => listContainers(ex, u))
+        case ("POST", SessionsPath(c))         => authed(ex)((u, _) => createSession(ex, u, c))
+        case ("GET",  SessionsPath(c))         => authed(ex)((u, _) => listSessions(ex, u, c))
+        case ("GET",  LogsPath(c, s))          => authed(ex)((u, _) => getLogs(ex, u, c, s))
+        case ("POST", LogsPath(c, s))          => authed(ex)((u, _) => postLogs(ex, u, c, s))
+        case _ => error(ex, 404, "Not found")
+      }
+    } catch {
+      case e: Exception => try error(ex, 500, String.valueOf(e.getMessage)) catch { case _: Exception => () }
+    } finally ex.close()
+  }
+
+  /** Bearer authN (auth.py:257-283): 401 on missing header, bad format,
+    * or invalid/expired token; otherwise the handler gets (user, token). */
+  private def authed(ex: HttpExchange)(f: (String, String) => Unit): Unit = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    header match {
+      case None => error(ex, 401, "No authorization header provided")
+      case Some(h) =>
+        h.split("\\s+").filter(_.nonEmpty) match {
+          case Array(scheme, token) if scheme.equalsIgnoreCase("bearer") =>
+            catalog.verifyToken(token) match {
+              case Some(user) => f(user, token)
+              case None => error(ex, 401, "Invalid or expired token")
+            }
+          case _ => error(ex, 401, "Invalid authorization header format. Use: Bearer <token>")
+        }
+    }
+  }
+
+  // ---- auth endpoints (P1-P2, main.py:51-92) ----
+
+  private def login(ex: HttpExchange): Unit = {
+    val body = readJson(ex)
+    val user = body.flatMap(textField(_, "username"))
+    val pass = body.flatMap(textField(_, "password"))
+    (user, pass) match {
+      case (Some(u), Some(p)) =>
+        if (!catalog.verifyPassword(u, p)) error(ex, 401, "Invalid credentials")
+        else {
+          val o = mapper.createObjectNode()
+          o.put("token", catalog.createToken(u, 24))
+          o.put("user_id", u)
+          o.put("expires_in_hours", 24)
+          respond(ex, 200, o)
+        }
+      case _ => error(ex, 400, "Missing username or password")
+    }
+  }
+
+  private def logout(ex: HttpExchange, user: String, token: String): Unit = {
+    catalog.revokeToken(token)
+    val o = mapper.createObjectNode()
+    o.put("message", "Logged out successfully")
+    respond(ex, 200, o)
+  }
+
+  // ---- container endpoints (P4-P5, main.py:97-143) ----
+
+  private def createContainer(ex: HttpExchange, user: String): Unit =
+    readJson(ex).flatMap(textField(_, "container_id")) match {
+      case None => error(ex, 400, "Missing container_id")
+      case Some(cid) if !LogSchema.isValidId(cid) =>
+        error(ex, 400, "Invalid container_id format. Use alphanumeric, hyphens, or underscores")
+      case Some(cid) =>
+        if (!catalog.createContainer(user, cid)) error(ex, 409, "Container already exists")
+        else {
+          val o = mapper.createObjectNode()
+          o.put("container_id", cid); o.put("user_id", user)
+          o.put("message", "Container created successfully")
+          respond(ex, 201, o)
+        }
+    }
+
+  private def listContainers(ex: HttpExchange, user: String): Unit = {
+    val cs = catalog.userContainers(user)
+    val o = mapper.createObjectNode()
+    o.put("user_id", user)
+    val arr = o.putArray("containers")
+    cs.foreach { case (cid, at) =>
+      val n = mapper.createObjectNode()
+      n.put("container_id", cid); n.put("created_at", sqlTs(at)); arr.add(n)
+    }
+    o.put("count", cs.size)
+    respond(ex, 200, o)
+  }
+
+  // ---- session endpoints (P6-P7, main.py:148-217) ----
+  // Catalog stores the namespaced id `<container>_<session>` (main.py:168);
+  // list strips the prefix back off (main.py:198-206).
+
+  private def createSession(ex: HttpExchange, user: String, cid: String): Unit = {
+    if (!catalog.verifyContainerAccess(user, cid))
+      return error(ex, 403, "Container not found or access denied")
+    readJson(ex).flatMap(textField(_, "session_id")) match {
+      case None => error(ex, 400, "Missing session_id")
+      case Some(sid) if !LogSchema.isValidId(sid) =>
+        error(ex, 400, "Invalid session_id format. Use alphanumeric, hyphens, or underscores")
+      case Some(sid) =>
+        if (!catalog.createSession(user, cid, s"${cid}_$sid"))
+          error(ex, 409, "Session already exists or container not found")
+        else {
+          val o = mapper.createObjectNode()
+          o.put("session_id", sid); o.put("container_id", cid); o.put("user_id", user)
+          o.put("message", "Session created successfully")
+          respond(ex, 201, o)
+        }
+    }
+  }
+
+  private def listSessions(ex: HttpExchange, user: String, cid: String): Unit = {
+    if (!catalog.verifyContainerAccess(user, cid))
+      return error(ex, 403, "Container not found or access denied")
+    val ss = catalog.containerSessions(user, cid)
+    val o = mapper.createObjectNode()
+    o.put("container_id", cid); o.put("user_id", user)
+    val arr = o.putArray("sessions")
+    ss.foreach { case (sid, at) =>
+      val n = mapper.createObjectNode()
+      n.put("session_id", sid.stripPrefix(s"${cid}_")); n.put("created_at", sqlTs(at)); arr.add(n)
+    }
+    o.put("count", ss.size)
+    respond(ex, 200, o)
+  }
+
+  // ---- log endpoints (P8-P9, main.py:222-347) ----
+
+  private def getLogs(ex: HttpExchange, user: String, c: String, s: String): Unit = {
+    if (!catalog.verifySessionAccess(user, s"${c}_$s"))
+      return error(ex, 403, "Session not found or access denied")
+    val params = queryParams(ex)
+    val startRaw = params.get("start_ts")
+    val endRaw = params.get("end_ts")
+    val streaming = params.get("stream").exists(_.equalsIgnoreCase("true"))
+
+    val (start, end) =
+      try (startRaw.map(parseParamTs), endRaw.map(parseParamTs))
+      catch { case e: IllegalArgumentException =>
+        return error(ex, 400, s"Invalid timestamp format: ${e.getMessage}")
+      }
+
+    // Empty short-circuit before any scan (main.py:256-263).
+    val (cf, _, hf, _) = store.tierStats(c, s)
+    val filesScanned = cf + hf
+    if (filesScanned == 0) {
+      val o = mapper.createObjectNode()
+      o.put("container", c); o.put("session", s)
+      o.putArray("logs"); o.put("total_rows", 0); o.put("files_scanned", 0)
+      return respond(ex, 200, o)
+    }
+
+    if (streaming) {
+      // Chunked emission, one JSON log object at a time (main.py:266-274).
+      // The view lock is held across the whole streamed scan — shared with
+      // other readers, excluding only compaction's publish flips.
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      def w(str: String): Unit = out.write(str.getBytes(StandardCharsets.UTF_8))
+      w(s"""{"container":${mapper.writeValueAsString(c)},"session":${mapper.writeValueAsString(s)},"logs":[""")
+      var first = true
+      store.withViewLock(c, s) {
+        engine.streamJson(c, s, start, end).foreach { json =>
+          if (!first) w(",")
+          first = false
+          w(json)
+        }
+      }
+      w(s"""],"files_scanned":$filesScanned}""")
+      out.close()
+    } else {
+      val rows = store.withViewLock(c, s) { engine.readLogs(c, s, start, end).collect() }
+      val o = mapper.createObjectNode()
+      o.put("container", c); o.put("session", s)
+      val arr = o.putArray("logs")
+      rows.foreach(r => arr.add(mapper.readTree(QueryEngine.rowToJson(r))))
+      o.put("total_rows", rows.length)
+      o.put("files_scanned", filesScanned)
+      val f = o.putObject("filter")
+      startRaw.fold(f.putNull("start_ts"))(v => { f.put("start_ts", v); f })
+      endRaw.fold(f.putNull("end_ts"))(v => { f.put("end_ts", v); f })
+      respond(ex, 200, o)
+    }
+  }
+
+  private def postLogs(ex: HttpExchange, user: String, c: String, s: String): Unit = {
+    if (!catalog.verifySessionAccess(user, s"${c}_$s"))
+      return error(ex, 403, "Session not found or access denied")
+    val body = readJson(ex)
+    if (body.isEmpty || !body.get.has("logs"))
+      return error(ex, 400, "Missing \"logs\" field in request body")
+    val logs = body.get.get("logs")
+    if (!logs.isArray) return error(ex, 400, "\"logs\" must be an array")
+    if (logs.isEmpty) return error(ex, 400, "\"logs\" array cannot be empty")
+    val rows =
+      try JsonIngest.toRows(logs)
+      catch { case e: JsonIngest.IngestValidationException =>
+        return error(ex, 400, e.getMessage)
+      }
+    store.append(JsonIngest.toDataFrame(spark, rows), c, s)
+    compactor.maybeCompact(c, s)
+    val o = mapper.createObjectNode()
+    o.put("container", c); o.put("session", s)
+    o.put("message", "Logs received"); o.put("count", rows.size)
+    respond(ex, 201, o)
+  }
+
+  // ---- helpers ----
+
+  private def readJson(ex: HttpExchange): Option[JsonNode] =
+    try {
+      val bytes = ex.getRequestBody.readAllBytes()
+      if (bytes.isEmpty) None
+      else Option(mapper.readTree(bytes)).filter(n => !n.isNull && n.isObject)
+    } catch { case _: Exception => None }
+
+  private def textField(n: JsonNode, name: String): Option[String] =
+    Option(n.get(name)).filter(_.isTextual).map(_.asText)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) { q =>
+      q.split("&").filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(urlDecode(k) -> urlDecode(v))
+          case Array(k) => Some(urlDecode(k) -> "")
+          case _ => None
+        }
+      }.toMap
+    }
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** `Z` → offset, then ISO parse; naive datetimes are UTC
+    * (main.py:243-247's fromisoformat semantics). */
+  private def parseParamTs(s: String): Instant =
+    try {
+      val t = s.replace("Z", "+00:00")
+      if (t.matches(".*[+-]\\d\\d:\\d\\d$")) java.time.OffsetDateTime.parse(t).toInstant
+      else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+    } catch { case _: Exception => throw new IllegalArgumentException(s"'$s'") }
+
+  /** created_at in listings: SQLite CURRENT_TIMESTAMP shape (UTC,
+    * second precision, space separator). */
+  private val sqlTsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+  private def sqlTs(i: Instant): String = sqlTsFmt.format(i)
+
+  private def respond(ex: HttpExchange, code: Int, body: ObjectNode): Unit = {
+    val bytes = mapper.writeValueAsString(body).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+
+  private def error(ex: HttpExchange, code: Int, msg: String): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("error", msg)
+    respond(ex, code, o)
+  }
+}
+
+/** Standalone entry point: `runMain graft.api.ServerMain [root] [port]`. */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft-server")
+    val port = args.lift(1).map(_.toInt).getOrElse(5123)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-log-server")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = new LogServer(spark, root, port).start()
+    println(s"graft log server listening on port ${server.boundPort}, root=$root")
+    sys.addShutdownHook { server.close(); spark.stop() }
+    Thread.currentThread.join()
+  }
+}

@@ -1,0 +1,219 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.{MessageDigest, SecureRandom}
+import java.time.{Clock, Instant}
+import java.util.Base64
+import scala.collection.mutable
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Control-plane catalog: users, tokens, containers, sessions — the Spark
+  * engine's counterpart of the reference's SQLite auth DB (auth.py:25-84).
+  * Same semantics:
+  *
+  *  - passwords hashed SHA-256 (auth.py:103-105); default `admin`/`admin`
+  *    user created on first start (auth.py:91-101)
+  *  - tokens are 32 random url-safe bytes (auth.py:124), expire after 24 h,
+  *    and expired tokens are deleted lazily on verification (auth.py:135-155)
+  *  - containers/sessions are owned; creation of a duplicate fails
+  *    (conflict), session creation requires container ownership
+  *    (auth.py:170-203); access checks compare owner ids (auth.py:205-223)
+  *  - list endpoints order by created_at DESC (auth.py:225-249)
+  *
+  * This is deliberately NOT a Spark dataflow: a catalog is point lookups
+  * and single-row upserts, the exact opposite of a scan-oriented engine —
+  * at 100 TB of *log data* the catalog is still tiny (thousands of rows)
+  * and lives in memory with write-through JSON persistence, the same
+  * availability model as the reference's WAL SQLite file. State is
+  * persisted atomically (tmp + move) on every mutation and reloaded on
+  * construction, so a restart keeps users/containers/sessions (tokens are
+  * persisted too, matching the reference's durable token table).
+  */
+object CatalogService {
+  final case class User(userId: String, passwordHash: String, createdAt: Instant)
+  final case class Token(token: String, userId: String, createdAt: Instant, expiresAt: Instant)
+  final case class Container(containerId: String, userId: String, createdAt: Instant)
+  final case class Session(sessionId: String, containerId: String, userId: String, createdAt: Instant)
+}
+
+final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.systemUTC()) {
+  import CatalogService._
+
+  private val users = mutable.LinkedHashMap[String, User]()
+  private val tokens = mutable.LinkedHashMap[String, Token]()
+  private val containers = mutable.LinkedHashMap[String, Container]()
+  private val sessions = mutable.LinkedHashMap[String, Session]()
+  private val rng = new SecureRandom()
+  private val mapper = new ObjectMapper()
+  // Monotonic tiebreaker: created_at DESC listings must be stable even when
+  // two rows share a wall-clock microsecond (SQLite got this from rowid).
+  private var seq = 0L
+  private val seqOf = mutable.HashMap[(String, String), Long]()
+
+  load()
+  if (!users.contains("admin")) {
+    users("admin") = User("admin", sha256Hex("admin"), clock.instant())
+    persist()
+  }
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  // ---- users / tokens (auth.py:103-167) ----
+
+  def createUser(userId: String, password: String): Boolean = synchronized {
+    if (users.contains(userId)) false
+    else { users(userId) = User(userId, sha256Hex(password), clock.instant()); persist(); true }
+  }
+
+  def verifyPassword(userId: String, password: String): Boolean = synchronized {
+    users.get(userId).exists(_.passwordHash == sha256Hex(password))
+  }
+
+  def createToken(userId: String, expiresInHours: Int = 24): String = synchronized {
+    val bytes = new Array[Byte](32)
+    rng.nextBytes(bytes)
+    val tok = Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+    val now = clock.instant()
+    tokens(tok) = Token(tok, userId, now, now.plusSeconds(expiresInHours.toLong * 3600))
+    persist()
+    tok
+  }
+
+  /** Some(userId) if the token exists and is unexpired; expired tokens are
+    * deleted on the spot (lazy expiry, auth.py:147-153). */
+  def verifyToken(token: String): Option[String] = synchronized {
+    tokens.get(token) match {
+      case Some(t) if t.expiresAt.isBefore(clock.instant()) =>
+        tokens.remove(token); persist(); None
+      case Some(t) => Some(t.userId)
+      case None => None
+    }
+  }
+
+  def revokeToken(token: String): Unit = synchronized {
+    if (tokens.remove(token).isDefined) persist()
+  }
+
+  def cleanupExpiredTokens(): Unit = synchronized {
+    val now = clock.instant()
+    val dead = tokens.collect { case (k, t) if t.expiresAt.isBefore(now) => k }
+    if (dead.nonEmpty) { dead.foreach(tokens.remove); persist() }
+  }
+
+  // ---- containers / sessions (auth.py:170-249) ----
+
+  def createContainer(userId: String, containerId: String): Boolean = synchronized {
+    if (containers.contains(containerId)) false
+    else {
+      containers(containerId) = Container(containerId, userId, clock.instant())
+      seq += 1; seqOf(("c", containerId)) = seq
+      persist(); true
+    }
+  }
+
+  /** Creation requires container ownership AND a fresh session id — both
+    * failure modes collapse to `false` (→ 409), matching auth.py:183-203. */
+  def createSession(userId: String, containerId: String, sessionId: String): Boolean = synchronized {
+    val owned = containers.get(containerId).exists(_.userId == userId)
+    if (!owned || sessions.contains(sessionId)) false
+    else {
+      sessions(sessionId) = Session(sessionId, containerId, userId, clock.instant())
+      seq += 1; seqOf(("s", sessionId)) = seq
+      persist(); true
+    }
+  }
+
+  def verifyContainerAccess(userId: String, containerId: String): Boolean = synchronized {
+    containers.get(containerId).exists(_.userId == userId)
+  }
+
+  def verifySessionAccess(userId: String, sessionId: String): Boolean = synchronized {
+    sessions.get(sessionId).exists(_.userId == userId)
+  }
+
+  /** (container_id, created_at) owned by the user, newest first. */
+  def userContainers(userId: String): Seq[(String, Instant)] = synchronized {
+    containers.values.filter(_.userId == userId).toSeq
+      .sortBy(c => (-c.createdAt.toEpochMilli, -seqOf.getOrElse(("c", c.containerId), 0L)))
+      .map(c => (c.containerId, c.createdAt))
+  }
+
+  /** (session_id, created_at) in the container, newest first; empty when
+    * the user does not own the container (auth.py:234-243). */
+  def containerSessions(userId: String, containerId: String): Seq[(String, Instant)] = synchronized {
+    if (!containers.get(containerId).exists(_.userId == userId)) Seq.empty
+    else sessions.values.filter(_.containerId == containerId).toSeq
+      .sortBy(s => (-s.createdAt.toEpochMilli, -seqOf.getOrElse(("s", s.sessionId), 0L)))
+      .map(s => (s.sessionId, s.createdAt))
+  }
+
+  // ---- persistence ----
+
+  private def catalogFile: Option[Path] = root.map(_.resolve("catalog.json"))
+
+  private def persist(): Unit = catalogFile.foreach { f =>
+    val o = mapper.createObjectNode()
+    def put(name: String, rows: Iterable[ObjectNode]): Unit = {
+      val arr = o.putArray(name)
+      rows.foreach(arr.add)
+    }
+    put("users", users.values.map { u =>
+      val n = mapper.createObjectNode()
+      n.put("user_id", u.userId); n.put("password_hash", u.passwordHash)
+      n.put("created_at", u.createdAt.toString); n
+    })
+    put("tokens", tokens.values.map { t =>
+      val n = mapper.createObjectNode()
+      n.put("token", t.token); n.put("user_id", t.userId)
+      n.put("created_at", t.createdAt.toString); n.put("expires_at", t.expiresAt.toString); n
+    })
+    put("containers", containers.values.map { c =>
+      val n = mapper.createObjectNode()
+      n.put("container_id", c.containerId); n.put("user_id", c.userId)
+      n.put("created_at", c.createdAt.toString); n.put("seq", seqOf.getOrElse(("c", c.containerId), 0L)); n
+    })
+    put("sessions", sessions.values.map { s =>
+      val n = mapper.createObjectNode()
+      n.put("session_id", s.sessionId); n.put("container_id", s.containerId)
+      n.put("user_id", s.userId); n.put("created_at", s.createdAt.toString)
+      n.put("seq", seqOf.getOrElse(("s", s.sessionId), 0L)); n
+    })
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(o))
+    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def load(): Unit = catalogFile.filter(Files.exists(_)).foreach { f =>
+    val o = mapper.readTree(Files.readString(f))
+    def arr(name: String): Iterator[ObjectNode] = o.path(name) match {
+      case a: ArrayNode => Iterator.range(0, a.size()).map(a.get(_).asInstanceOf[ObjectNode])
+      case _ => Iterator.empty
+    }
+    arr("users").foreach { n =>
+      users(n.get("user_id").asText) = User(n.get("user_id").asText,
+        n.get("password_hash").asText, Instant.parse(n.get("created_at").asText))
+    }
+    arr("tokens").foreach { n =>
+      tokens(n.get("token").asText) = Token(n.get("token").asText, n.get("user_id").asText,
+        Instant.parse(n.get("created_at").asText), Instant.parse(n.get("expires_at").asText))
+    }
+    arr("containers").foreach { n =>
+      containers(n.get("container_id").asText) = Container(n.get("container_id").asText,
+        n.get("user_id").asText, Instant.parse(n.get("created_at").asText))
+      val sq = n.path("seq").asLong(0L)
+      seqOf(("c", n.get("container_id").asText)) = sq; seq = math.max(seq, sq)
+    }
+    arr("sessions").foreach { n =>
+      sessions(n.get("session_id").asText) = Session(n.get("session_id").asText,
+        n.get("container_id").asText, n.get("user_id").asText,
+        Instant.parse(n.get("created_at").asText))
+      val sq = n.path("seq").asLong(0L)
+      seqOf(("s", n.get("session_id").asText)) = sq; seq = math.max(seq, sq)
+    }
+  }
+}

@@ -47,16 +47,41 @@ final class QueryEngine(store: LogStore) {
     predicates.foldLeft(base)(_ filter _)
   }
 
+  /** Batched streaming read (S3/S5, §2.5 pagination): rows arrive
+    * partition-at-a-time on the driver via `toLocalIterator` — the
+    * Spark counterpart of the reference's `scanner.to_batches(
+    * batch_size=1000)` generator pipeline (reader.py:148-179, 512-528) —
+    * then regrouped into fixed-size pages. Nothing is fully
+    * materialized driver-side: memory is one partition + one page. */
+  def stream(container: String, session: String,
+             start: Option[Instant] = None, end: Option[Instant] = None,
+             filters: Seq[(String, String, Any)] = Seq.empty,
+             batchSize: Int = 1000): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    import scala.jdk.CollectionConverters._
+    readLogs(container, session, start, end, filters)
+      .toLocalIterator().asScala.grouped(batchSize)
+  }
+
+  /** Streamed JSON emission (S9, reader.py:530-546): each element is one
+    * JSON-encoded log row, timestamp in the reference's isoformat. */
+  def streamJson(container: String, session: String,
+                 start: Option[Instant] = None, end: Option[Instant] = None,
+                 batchSize: Int = 1000): Iterator[String] =
+    stream(container, session, start, end, Seq.empty, batchSize)
+      .flatten.map(QueryEngine.rowToJson)
+
   /** Filtered count (A1-A3: reader.py:181-206, 348-386, 548-558). */
   def count(container: String, session: String,
             start: Option[Instant] = None, end: Option[Instant] = None,
             filters: Seq[(String, String, Any)] = Seq.empty): Long =
-    readLogs(container, session, start, end, filters).count()
+    store.withViewLock(container, session) {
+      readLogs(container, session, start, end, filters).count()
+    }
 
   /** Summary (A4-A6): total_rows is UNFILTERED by design — the
     * reference's get_summary scans with no filter (reader.py:227-231) —
     * while file/byte counts come from the file index, not a scan. */
-  def summary(container: String, session: String): LogSummary = {
+  def summary(container: String, session: String): LogSummary = store.withViewLock(container, session) {
     val (coldFiles, coldBytes, hotFiles, hotBytes) = store.tierStats(container, session)
     val totalRows = store.read(container, session).count()
     LogSummary(
@@ -65,6 +90,24 @@ final class QueryEngine(store: LogStore) {
       totalSizeBytes = coldBytes + hotBytes,
       archiveFiles = coldFiles,
       bufferFiles = hotFiles)
+  }
+}
+
+object QueryEngine {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  private val mapper = new ObjectMapper()
+
+  /** One log row → the reference's response-log JSON object shape:
+    * 5 keys, timestamp in Python-isoformat with +00:00 offset
+    * (reader.py:139-141, README.md:205-215). */
+  def rowToJson(r: org.apache.spark.sql.Row): String = {
+    val n = mapper.createObjectNode()
+    n.put("timestamp", graft.model.LogSchema.formatIso(r.getTimestamp(0).toInstant))
+    n.put("level", r.getString(1))
+    n.put("message", r.getString(2))
+    n.put("container", r.getString(3))
+    n.put("session", r.getString(4))
+    mapper.writeValueAsString(n)
   }
 }
 

@@ -35,9 +35,15 @@ object LogSchema {
     * Arrow's string→timestamp cast; main.py:243-247 rewrites Z→+00:00). */
   def parseIso(s: String): Instant = Instant.parse(if (s.matches(".*[+-]\\d\\d:\\d\\d$")) s else s)
 
-  /** ISO output with explicit offset, matching the reference's
-    * `isoformat()` emission (reader.py:139-141, README.md:212). */
-  private val outFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")
+  /** ISO output with explicit `+00:00` offset, matching the reference's
+    * Python `isoformat()` emission exactly (reader.py:139-141,
+    * README.md:212): fractional seconds appear only when non-zero, and
+    * then always as 6 digits. */
+  private val secFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
     .withZone(java.time.ZoneOffset.UTC)
-  def formatIso(i: Instant): String = outFmt.format(i)
+  def formatIso(i: Instant): String = {
+    val micros = i.getNano / 1000
+    val frac = if (micros == 0) "" else f".$micros%06d"
+    s"${secFmt.format(i)}$frac+00:00"
+  }
 }

@@ -71,26 +71,33 @@ final class LogStore(spark: SparkSession, root: String,
   def read(container: String, session: String): DataFrame =
     read().filter(col("container") === container && col("session") === session)
 
-  private def listFiles(dir: String): Seq[Path] = {
+  /** Recursive parquet-file walk that is safe against concurrent writers:
+    * hidden dirs (`_temporary`, `.`-prefixed) are skipped, lengths come
+    * from the listing itself (no second stat call to race), and a subtree
+    * that vanishes mid-walk (an append commit cleaning `_temporary`, a
+    * compaction retiring its snapshot) reads as absent instead of
+    * throwing. */
+  private def walkFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def go(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) go(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val p = new Path(dir)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val it = fs.listFiles(p, true)
-      val buf = Seq.newBuilder[Path]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
-      }
-      buf.result()
-    }
+    if (!fs.exists(p)) Seq.empty else go(p)
   }
+
+  private def listFiles(dir: String): Seq[Path] = walkFiles(dir).map(_.getPath)
 
   /** Per-tier file stats for summaries (SURVEY §2.4 A4-A6) — file counts
     * and bytes come from the file index, not a data scan. */
   def tierStats(container: String, session: String): (Long, Long, Long, Long) = {
     def stats(dir: String): (Long, Long) = {
-      val files = listFiles(s"$dir/container=$container/session=$session")
-      (files.size.toLong, files.map(p => fs.getFileStatus(p).getLen).sum)
+      val files = walkFiles(s"$dir/container=$container/session=$session")
+      (files.size.toLong, files.map(_.getLen).sum)
     }
     val (cf, cb) = stats(coldDir)
     val (hf, hb) = stats(hotDir)
@@ -100,14 +107,47 @@ final class LogStore(spark: SparkSession, root: String,
   def hotBytes(container: String, session: String): Long =
     tierStats(container, session)._4
 
+  // One lock per (container, session): two concurrent compactions of the
+  // same session would both claim the same snapshot files (the reference
+  // holds a per-session lock for the same reason, writer.py:238).
+  private val compactLocks = new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+
+  // Reader-visibility lock per session: compaction's PUBLISH phase (rename
+  // staged files cold + retire the hot snapshot — pure file ops, no Spark
+  // job) takes the write side; query materialization takes the read side.
+  // Without it a scan that listed hot files just before they were retired
+  // dies with FILE_NOT_EXIST mid-read (the reference has the same race and
+  // silently returns partial data, reader.py:297-302 — we exclude it
+  // instead; the heavy parquet rewrite stays outside the lock so readers
+  // only ever wait for a few renames). On a multi-node deployment this
+  // becomes a manifest/snapshot swap; the single-JVM lock is the local
+  // stand-in for that atomic visibility flip.
+  private val viewLocks = new java.util.concurrent.ConcurrentHashMap[(String, String), java.util.concurrent.locks.ReentrantReadWriteLock]()
+
+  private def viewLock(container: String, session: String) =
+    viewLocks.computeIfAbsent((container, session), _ => new java.util.concurrent.locks.ReentrantReadWriteLock)
+
+  /** Run `f` (typically a DataFrame action) with compaction publishes for
+    * this session excluded, so the file set it scans stays live. */
+  def withViewLock[T](container: String, session: String)(f: => T): T = {
+    val l = viewLock(container, session).readLock
+    l.lock(); try f finally l.unlock()
+  }
+
   /** Compact one session: rewrite the *current snapshot* of hot files
     * into sized cold files, then delete exactly that snapshot. Appends
     * that land mid-compaction stay in the hot tier untouched, so the
     * row multiset is preserved exactly once (fixes SURVEY §1.5). */
-  def compact(container: String, session: String): Long = {
-    val snapshot = listFiles(s"$hotDir/container=$container/session=$session")
-    if (snapshot.isEmpty) return 0L
-    val bytes = snapshot.map(p => fs.getFileStatus(p).getLen).sum
+  def compact(container: String, session: String): Long =
+    compactLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
+      compactLocked(container, session)
+    }
+
+  private def compactLocked(container: String, session: String): Long = {
+    val snapshotStatus = walkFiles(s"$hotDir/container=$container/session=$session")
+    if (snapshotStatus.isEmpty) return 0L
+    val snapshot = snapshotStatus.map(_.getPath)
+    val bytes = snapshotStatus.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.schema(LogSchema.fileSchema)
@@ -117,22 +157,27 @@ final class LogStore(spark: SparkSession, root: String,
 
     val target = new Path(s"$coldDir/container=$container/session=$session")
     fs.mkdirs(target)
-    // Rename every staged file before retiring any hot input; a failed rename
-    // aborts with the hot snapshot intact (no loss, worst case a re-compaction
-    // re-reads the same snapshot). Only after all renames succeed do we delete
-    // the inputs — the crash window between rename-all and delete-all leaves
-    // duplicates, never loss, and the duplicates are the exact snapshot files
-    // (idempotent to re-compact).
-    val staged = listFiles(staging.toString)
-    val moved = staged.map { p =>
-      val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
-      if (!fs.rename(p, dst))
-        throw new java.io.IOException(s"compact: rename $p -> $dst failed; hot snapshot retained")
-      dst
-    }
-    fs.delete(staging, true)
-    snapshot.foreach(p => fs.delete(p, false))
-    moved.size.toLong
+    // PUBLISH phase, under the session's view write-lock (readers excluded
+    // for the duration of a few renames only — the parquet rewrite above
+    // ran lock-free). Rename every staged file before retiring any hot
+    // input; a failed rename aborts with the hot snapshot intact (no loss,
+    // worst case a re-compaction re-reads the same snapshot). Only after
+    // all renames succeed do we delete the inputs — the crash window
+    // between rename-all and delete-all leaves duplicates, never loss.
+    val wl = viewLock(container, session).writeLock
+    wl.lock()
+    try {
+      val staged = listFiles(staging.toString)
+      val moved = staged.map { p =>
+        val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dst))
+          throw new java.io.IOException(s"compact: rename $p -> $dst failed; hot snapshot retained")
+        dst
+      }
+      fs.delete(staging, true)
+      snapshot.foreach(p => fs.delete(p, false))
+      moved.size.toLong
+    } finally wl.unlock()
   }
 
   /** Containers/sessions present in storage (directory listing — the

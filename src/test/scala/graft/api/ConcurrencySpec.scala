@@ -1,0 +1,87 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.util.concurrent.atomic.AtomicInteger
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.BeforeAndAfterAll
+import graft.SparkSuite
+
+/** The reference's only concurrency artifact is the threaded
+  * writer+reader demo (client.py:307-458): one thread appending, one
+  * reading, asserting reads never fail and eventually see all writes.
+  * Port of that as a real test, with the buffer threshold forced low so
+  * rotation+async compaction happen mid-traffic (writer.py:252-259). */
+class ConcurrencySpec extends SparkSuite with BeforeAndAfterAll {
+
+  private var server: LogServer = _
+  private def base = s"http://localhost:${server.boundPort}"
+  private val mapper = new ObjectMapper()
+
+  override def beforeAll(): Unit = {
+    // ~1 KiB threshold: every few appends trigger an async compaction.
+    server = new LogServer(spark, tempDir("conc"), bufferSizeLimit = 1024).start()
+  }
+  override def afterAll(): Unit = server.close()
+
+  test("concurrent writer and reader: read-your-writes holds across rotation and compaction") {
+    val client = HttpClient.newHttpClient()
+    def send(method: String, path: String, body: Option[String], token: Option[String]): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+        b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), BodyHandlers.ofString())
+    }
+    val token = mapper.readTree(send("POST", "/api/auth/login",
+      Some("""{"username":"admin","password":"admin"}"""), None).body).get("token").asText
+    send("POST", "/api/containers", Some("""{"container_id":"conc"}"""), Some(token))
+    send("POST", "/api/containers/conc/sessions", Some("""{"session_id":"race"}"""), Some(token))
+
+    val nBatches = 10
+    val rowsPerBatch = 5
+    val written = new AtomicInteger(0)
+    val readerErrors = new AtomicInteger(0)
+    @volatile var monotonic = true
+    @volatile var lastSeen = 0
+
+    val writer = new Thread(() => {
+      for (b <- 1 to nBatches) {
+        val logs = (1 to rowsPerBatch).map(i =>
+          s"""{"level":"INFO","message":"b$b-r$i","timestamp":"2025-01-01T00:0${b % 10}:0${i % 10}Z"}""")
+          .mkString("[", ",", "]")
+        val r = send("POST", "/api/logs/conc/race", Some(s"""{"logs":$logs}"""), Some(token))
+        if (r.statusCode == 201) written.addAndGet(rowsPerBatch)
+      }
+    }, "writer")
+
+    val reader = new Thread(() => {
+      while (written.get < nBatches * rowsPerBatch) {
+        val r = send("GET", "/api/logs/conc/race", None, Some(token))
+        if (r.statusCode != 200) {
+          readerErrors.incrementAndGet()
+          System.err.println(s"[conctest] read failed: ${r.statusCode} ${r.body.take(500)}")
+        }
+        else {
+          val n = mapper.readTree(r.body).get("total_rows").asInt
+          // visible row count must never go backwards (no double counts,
+          // no lost rows mid-compaction)
+          if (n < lastSeen) monotonic = false
+          lastSeen = n
+        }
+      }
+    }, "reader")
+
+    writer.start(); reader.start()
+    writer.join(120000); reader.join(120000)
+
+    assert(readerErrors.get === 0, "reads failed during concurrent writes")
+    assert(monotonic, "visible row count went backwards during compaction")
+    assert(written.get === nBatches * rowsPerBatch)
+    // final read sees every row exactly once
+    val fin = send("GET", "/api/logs/conc/race", None, Some(token))
+    assert(mapper.readTree(fin.body).get("total_rows").asInt === nBatches * rowsPerBatch)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.engine
+
+import java.sql.Timestamp
+import java.time.Instant
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.Row
+import graft.SparkSuite
+import graft.model.LogSchema
+import graft.storage.LogStore
+
+class CompactorSpec extends SparkSuite {
+
+  private def append(store: LogStore, n: Int, c: String = "c", s: String = "s"): Unit =
+    store.append(spark.createDataFrame(
+      (1 to n).map(i => Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", s"row$i")).asJava,
+      LogSchema.fileSchema), c, s)
+
+  test("size-triggered rotation: hot drains to cold once the threshold is crossed, counts identical") {
+    val store = new LogStore(spark, tempDir("compactor"))
+    val compactor = new Compactor(store, thresholdBytes = 1) // any append triggers
+    try {
+      append(store, 10)
+      compactor.maybeCompact("c", "s")
+      // async: wait for the background compaction to land
+      val deadline = System.currentTimeMillis + 60000
+      while (store.hotBytes("c", "s") > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
+      val (coldFiles, _, hotFiles, _) = store.tierStats("c", "s")
+      assert(coldFiles > 0 && hotFiles === 0, "hot tier should have drained to cold")
+      assert(store.read("c", "s").count() === 10)
+    } finally compactor.close()
+  }
+
+  test("below threshold: no compaction queued") {
+    val store = new LogStore(spark, tempDir("compactor"))
+    val compactor = new Compactor(store, thresholdBytes = Long.MaxValue)
+    try {
+      append(store, 3)
+      compactor.maybeCompact("c", "s")
+      Thread.sleep(300)
+      val (coldFiles, _, hotFiles, _) = store.tierStats("c", "s")
+      assert(coldFiles === 0 && hotFiles === 1)
+    } finally compactor.close()
+  }
+
+  test("close() performs the shutdown flush (T5): all hot sessions compacted synchronously") {
+    val store = new LogStore(spark, tempDir("compactor"))
+    val compactor = new Compactor(store, thresholdBytes = Long.MaxValue)
+    append(store, 2, "c1", "s1")
+    append(store, 2, "c2", "s2")
+    compactor.close()
+    assert(store.hotBytes("c1", "s1") === 0 && store.hotBytes("c2", "s2") === 0)
+    assert(store.read("c1", "s1").count() === 2)
+    assert(store.read("c2", "s2").count() === 2)
+  }
+}

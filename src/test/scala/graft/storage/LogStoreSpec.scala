@@ -1,0 +1,106 @@
+package graft.storage
+
+import java.sql.Timestamp
+import java.time.Instant
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.SparkSuite
+import graft.model.LogSchema
+
+class LogStoreSpec extends SparkSuite {
+
+  private def batch(rows: (String, String, String)*): DataFrame =
+    spark.createDataFrame(
+      rows.map { case (ts, lvl, msg) =>
+        Row(Timestamp.from(Instant.parse(ts)), lvl, msg)
+      }.asJava,
+      LogSchema.fileSchema)
+
+  private def contents(df: DataFrame): Seq[(String, String, String, String, String)] =
+    df.collect().toSeq.map(r => (r.getTimestamp(0).toInstant.toString,
+      r.getString(1), r.getString(2), r.getString(3), r.getString(4))).sorted
+
+  test("append then read is read-your-writes with partition columns recovered") {
+    val store = new LogStore(spark, tempDir("store"))
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a"),
+                       ("2024-01-01T10:01:00Z", "ERROR", "b")), "app", "run1")
+    assert(contents(store.read("app", "run1")) === Seq(
+      ("2024-01-01T10:00:00Z", "INFO", "a", "app", "run1"),
+      ("2024-01-01T10:01:00Z", "ERROR", "b", "app", "run1")))
+  }
+
+  test("reads are isolated per (container, session) and union both tiers") {
+    val store = new LogStore(spark, tempDir("store"))
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "x")), "app", "run1")
+    store.append(batch(("2024-01-01T11:00:00Z", "INFO", "y")), "app", "run2")
+    store.append(batch(("2024-01-01T12:00:00Z", "INFO", "z")), "other", "run1")
+    store.compact("app", "run1") // run1 rows now cold
+    store.append(batch(("2024-01-01T13:00:00Z", "WARN", "w")), "app", "run1") // hot again
+    assert(contents(store.read("app", "run1")).map(_._3) === Seq("x", "w")) // sorted by timestamp
+    assert(contents(store.read("app", "run2")).map(_._3) === Seq("y"))
+    assert(store.read().count() === 4)
+  }
+
+  test("duplicates are preserved (bag semantics, reader.py:488-510)") {
+    val store = new LogStore(spark, tempDir("store"))
+    val b = batch(("2024-01-01T10:00:00Z", "INFO", "same"))
+    store.append(b, "c", "s")
+    store.append(b, "c", "s")
+    assert(store.read("c", "s").count() === 2)
+  }
+
+  test("compact preserves the row multiset exactly once — the reference's restart double-count bug must not exist") {
+    val store = new LogStore(spark, tempDir("store"))
+    // Random-ish workload: interleave appends and compactions, including
+    // duplicate rows, then verify the multiset is intact.
+    val rnd = new scala.util.Random(42)
+    var expected = Vector.empty[String]
+    for (i <- 1 to 6) {
+      val msgs = (1 to rnd.between(1, 4)).map(j => s"m$i-$j")
+      expected ++= msgs
+      store.append(batch(msgs.map(m => ("2024-01-01T10:00:00Z", "INFO", m)): _*), "c", "s")
+      if (i % 2 == 0) store.compact("c", "s")
+    }
+    store.compact("c", "s")
+    store.compact("c", "s") // second compact of drained hot tier is a no-op
+    val got = store.read("c", "s").collect().map(_.getString(2)).sorted.toVector
+    assert(got === expected.sorted)
+    // everything must have moved cold
+    val (coldFiles, _, hotFiles, _) = store.tierStats("c", "s")
+    assert(hotFiles === 0 && coldFiles > 0)
+  }
+
+  test("tierStats counts files and bytes per tier from the file index") {
+    val store = new LogStore(spark, tempDir("store"))
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c", "s")
+    val (cf0, cb0, hf0, hb0) = store.tierStats("c", "s")
+    assert((cf0, cb0) === (0L, 0L) && hf0 === 1L && hb0 > 0)
+    store.compact("c", "s")
+    val (cf1, cb1, hf1, hb1) = store.tierStats("c", "s")
+    assert(cf1 === 1L && cb1 > 0 && (hf1, hb1) === (0L, 0L))
+  }
+
+  test("sessions() lists namespaces across both tiers") {
+    val store = new LogStore(spark, tempDir("store"))
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c1", "s1")
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "b")), "c2", "s2")
+    store.compact("c1", "s1")
+    assert(store.sessions() === Seq(("c1", "s1"), ("c2", "s2")))
+  }
+
+  test("append rejects invalid ids") {
+    val store = new LogStore(spark, tempDir("store"))
+    intercept[IllegalArgumentException] {
+      store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "bad/id", "s")
+    }
+  }
+
+  test("compact sizes output files by targetFileBytes") {
+    val store = new LogStore(spark, tempDir("store"), targetFileBytes = 1L) // force 1 file per byte-bucket
+    store.append(batch((1 to 50).map(i => ("2024-01-01T10:00:00Z", "INFO", s"m$i")): _*), "c", "s")
+    store.compact("c", "s")
+    val (coldFiles, _, _, _) = store.tierStats("c", "s")
+    assert(coldFiles > 1) // tiny target ⇒ multiple sized outputs
+    assert(store.read("c", "s").count() === 50)
+  }
+}
