@@ -39,6 +39,7 @@ object SparkEntry {
     "log_count"           -> (LogQueries.logCount _),
     "log_summary"         -> (LogQueries.logSummary _),
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
+    "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -247,6 +248,13 @@ object SparkEntry {
          |SELECT "timestamp", level, message FROM logs
          |WHERE container = 'c1' AND session = 's5'
          |ORDER BY "timestamp", message""".stripMargin,
+    "log_store_roundtrip" ->
+      s"""$logsCte
+         |SELECT * FROM logs
+         |WHERE session IN ('s1', 's5', 's9')
+         |  AND "timestamp" >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND "timestamp" <= TIMESTAMP '2024-01-28 23:59:59'
+         |ORDER BY "timestamp", session, message""".stripMargin,
     "dedup_exact_summary" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT text) AS n_unique_texts,

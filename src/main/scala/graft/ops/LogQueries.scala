@@ -75,4 +75,49 @@ object LogQueries {
       .filter(col("container") === "c1" && col("session") === "s5")
       .select(col("timestamp"), col("level"), col("message"))
       .orderBy(col("timestamp"), col("message"))
+
+  /** The storage engine itself under the oracle (S1/S4/S7/S8/T4/U1): rows
+    * for three sessions are physically written through
+    * [[graft.storage.LogStore.append]] into a fresh two-tier store, one
+    * session is compacted hot→cold, one is left hot, one is split across
+    * BOTH tiers by appending again after compaction — then everything is
+    * read back through [[graft.engine.QueryEngine.readLogs]] with an
+    * inclusive time filter. The DuckDB oracle computes the same rows
+    * straight from `events`, so any multiset deviation in the
+    * append/compact/union-read path (lost rows, double counts, timestamp
+    * corruption) turns this CORRECTNESS row red. */
+  def logStoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.QueryEngine
+    import graft.storage.LogStore
+    val root = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+    val store = new LogStore(s, root)
+    val src = logsView(s, dir)
+      .filter(col("session").isin("s1", "s5", "s9"))
+      .select(col("timestamp"), col("level"), col("message"), col("container"), col("session"))
+      .cache()
+    val sessions = src.select(col("container"), col("session")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    sessions.foreach { case (c, sess) =>
+      val rows = src.filter(col("container") === c && col("session") === sess)
+        .select(col("timestamp"), col("level"), col("message"))
+      sess match {
+        case "s1" => // fully cold
+          store.append(rows, c, sess); store.compact(c, sess)
+        case "s5" => // split across tiers: half compacted, half hot
+          val mid = rows.filter(col("message") < lit("m"))
+          store.append(mid, c, sess); store.compact(c, sess)
+          store.append(rows.filter(!(col("message") < lit("m"))), c, sess)
+        case _ => // fully hot
+          store.append(rows, c, sess)
+      }
+    }
+    val engine = new QueryEngine(store)
+    val reads = sessions.map { case (c, sess) =>
+      engine.readLogs(c, sess,
+        start = Some(java.time.Instant.parse("2024-01-03T00:00:00Z")),
+        end = Some(java.time.Instant.parse("2024-01-28T23:59:59Z")))
+    }
+    reads.reduce(_ unionAll _)
+      .orderBy(col("timestamp"), col("session"), col("message"))
+  }
 }
