@@ -115,6 +115,13 @@ object Dedup {
       .withColumn("b2", concat(col("mh4"), col("mh5")))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"))
       .cache()
+    // NOTE on join strategy: sig/cand/sizes are per-doc (or per-pair)
+    // relations. At sf0.1 they are broadcast-small and AQE converts these
+    // joins to broadcast-hash at runtime; at 100 TB they are NOT
+    // broadcastable (billions of docs), and the same plan degrades
+    // gracefully to hash-partitioned equi-joins. Hard broadcast() hints
+    // here would be a toy-scale optimization that OOMs at scale — leave
+    // the choice to AQE.
     val cand = (0 until 3).map { b =>
       sig.as("a").join(sig.as("b"),
           col(s"a.b$b") === col(s"b.b$b") && col("a.doc_id") < col("b.doc_id"))
@@ -122,8 +129,8 @@ object Dedup {
     }.reduce(_ unionAll _).distinct()
 
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+    val common = sh.as("x")
+      .join(cand, col("doc_a") === col("x.doc_id"))
       .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))

@@ -106,16 +106,22 @@ object RelationalQueries {
   }
 
   /** Distinct aggregation per market segment (SURVEY §2.4 superset:
-    * count distinct). Exact distinct — a two-phase shuffle; at 100 TB
-    * swap to approx_count_distinct when tolerance allows. */
+    * count distinct). Written as an explicit two-phase aggregate —
+    * partial by (segment, custkey), then rollup to segment — instead of
+    * `countDistinct`, whose expand-based plan re-shuffles every row per
+    * distinct column; this shape is two plain map-side-combined hash
+    * aggregations and produces identical exact results. At 100 TB swap
+    * the first phase to approx_count_distinct when tolerance allows. */
   def q6DistinctAgg(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("tot"))
       .groupBy(col("c_mktsegment"))
-      .agg(countDistinct(col("o_custkey")).as("n_customers"),
-           count(lit(1)).as("n_orders"),
-           sum(dec(col("o_totalprice"))).cast("double").as("segment_value"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("cnt")).as("n_orders"),
+           sum(col("tot")).cast("double").as("segment_value"))
       .orderBy(col("c_mktsegment"))
   }
 
