@@ -51,6 +51,32 @@ final class LogStore(spark: SparkSession, root: String,
       .parquet(s"$hotDir/container=$container/session=$session")
   }
 
+  /** Append with a caller-supplied idempotency tag: the batch lands as a
+    * single `<tag>.parquet` file, and a replay of the same tag is a
+    * no-op. This is the exactly-once hook for Structured Streaming's
+    * `foreachBatch` (tag = batch id): a micro-batch that reruns after a
+    * crash finds its file already published and skips. Single output
+    * file ⇒ the publish rename is atomic ⇒ no partial-batch window. */
+  def appendIdempotent(df: DataFrame, container: String, session: String, tag: String): Boolean = {
+    require(LogSchema.isValidId(container), s"invalid container id: $container")
+    require(LogSchema.isValidId(session), s"invalid session id: $session")
+    val target = new Path(s"$hotDir/container=$container/session=$session")
+    val dst = new Path(target, s"$tag.parquet")
+    if (fs.exists(dst)) return false // replay — already committed
+    val staging = new Path(s"$root/.staging-$tag-$container-$session")
+    df.select("timestamp", "level", "message")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val staged = listFiles(staging.toString)
+    fs.mkdirs(target)
+    staged.headOption.foreach { p =>
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"appendIdempotent: rename $p -> $dst failed")
+    }
+    fs.delete(staging, true)
+    true
+  }
+
   private def tierDf(dir: String): Option[DataFrame] =
     if (fs.exists(new Path(dir)))
       Some(spark.read.schema(LogSchema.schema)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.engine.Compactor
+import graft.storage.LogStore
+
+/** Continuous ingest as Structured Streaming (SURVEY §2.8): the
+  * reference's micro-batch append loop (writer.py:233-259) re-expressed
+  * as `readStream` over a drop directory of JSON-lines files →
+  * validation/cast transform → `foreachBatch` publishing into the
+  * two-tier [[LogStore]].
+  *
+  * Semantics:
+  *  - each input line is `{"timestamp","level","message","container",
+  *    "session"}` — the denormalized 5-column shape (schema.py:4-10);
+  *  - timestamps are ISO-8601 (`Z`/offset accepted) cast to
+  *    timestamp(µs, UTC); rows that fail the cast, miss a required
+  *    field, or carry an invalid namespace id are routed to a
+  *    `rejects/` dead-letter dir as JSON instead of poisoning the batch
+  *    (a stream cannot return HTTP 400 — the dead letter IS the
+  *    validation surface);
+  *  - publishing uses [[LogStore.appendIdempotent]] keyed on
+  *    (batchId): with the file-source checkpoint this makes ingest
+  *    exactly-once end-to-end — a replayed micro-batch finds its file
+  *    already published and skips;
+  *  - every publish pokes the [[Compactor]], so size-triggered rotation
+  *    runs exactly as in the HTTP path.
+  *
+  * Scale: the per-batch loop over (container, session) groups is
+  * driver-side but bounded by active-session count (same shape as the
+  * reference's per-session buffer map); the data path — parse, cast,
+  * partition write — is distributed.
+  */
+final class StreamingIngest(spark: SparkSession, store: LogStore,
+                            compactor: Compactor, inputDir: String,
+                            checkpointDir: String, rejectsDir: String) {
+
+  private val inputSchema = StructType(Seq(
+    StructField("timestamp", StringType), StructField("level", StringType),
+    StructField("message", StringType), StructField("container", StringType),
+    StructField("session", StringType)))
+
+  private val idRe = "^[A-Za-z0-9_-]+$"
+
+  /** Start the ingest stream. `Trigger.AvailableNow` drains what exists
+    * and stops (good for tests/backfill); pass a processing-time trigger
+    * for continuous tailing. */
+  def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(inputSchema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) => publish(batch, batchId) }
+      .start()
+
+  private def publish(batch: DataFrame, batchId: Long): Unit = {
+    val typed = batch
+      // try_to_timestamp: malformed input → NULL → dead-letter, instead of
+      // the ANSI cast error that would kill the whole stream.
+      .withColumn("ts", try_to_timestamp(col("timestamp")))
+      .withColumn("valid",
+        col("ts").isNotNull && col("level").isNotNull && col("message").isNotNull &&
+        col("container").isNotNull && col("session").isNotNull &&
+        col("container").rlike(idRe) && col("session").rlike(idRe))
+      .cache()
+    try {
+      val rejects = typed.filter(!col("valid"))
+        .select(col("timestamp"), col("level"), col("message"), col("container"), col("session"))
+      if (!rejects.isEmpty)
+        rejects.write.mode("append").json(s"$rejectsDir/batch=$batchId")
+
+      val good = typed.filter(col("valid"))
+        .select(col("ts").as("timestamp"), col("level"), col("message"),
+                col("container"), col("session"))
+      val keys = good.select(col("container"), col("session")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      keys.foreach { case (c, s) =>
+        store.appendIdempotent(
+          good.filter(col("container") === c && col("session") === s)
+            .select(col("timestamp"), col("level"), col("message")),
+          c, s, s"stream-$batchId")
+        compactor.maybeCompact(c, s)
+      }
+    } finally typed.unpersist()
+  }
+}
