@@ -51,12 +51,15 @@ object SparkEntry {
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "mm_binary_meta"   -> (TextAnalysis.binaryMeta _),
+    "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_frame_sample"    -> (Multimodal.frameSample _),
   )
 
   // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
@@ -388,6 +391,56 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id, v AS n_v, norm AS n_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id, v AS q_v, norm AS q_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
+         |scored AS (
+         |  SELECT p.q_id AS query_id, a.n_id AS neighbor_id,
+         |    list_dot_product(p.q_v, a.n_v) / (p.q_norm * a.n_norm) AS cos
+         |  FROM probes p JOIN assign a ON p.list_id = a.list_id AND p.q_id <> a.n_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "mm_decode_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb, md5(text) AS h FROM documents),
+        |hx AS (
+        |  SELECT doc_id, nb,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS hv1,
+        |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS hv3,
+        |    (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS hv5,
+        |    (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS hv7
+        |  FROM b)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(16 + hv1 AS BIGINT) AS width,
+        |  CAST(16 + hv3 AS BIGINT) AS height,
+        |  CAST(1 + hv5 % 3 AS BIGINT) AS channels,
+        |  CASE hv7 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+        |FROM hx ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hh FROM documents),
+        |f AS (SELECT doc_id, hh, length(hh) // 32 AS n_frames FROM b)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  md5(substring(hh, CAST(i AS INT) * 32 + 1, 32)) AS frame_md5
+        |FROM f, UNNEST(range(0, n_frames, 4)) AS u(i)
+        |WHERE n_frames > 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "text_quality" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

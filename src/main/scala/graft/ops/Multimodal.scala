@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (builder-prompt requirement): image/audio/
+  * video payloads ride as opaque `binary` columns with typed metadata.
+  * The container has no media codecs, so the DECODE step is a
+  * deliberate, clearly-marked deterministic stub — a pure function of
+  * the payload bytes (md5-derived pseudo width/height/channels/format) —
+  * while everything around it is the real production pattern:
+  *
+  *  - the payload is a true `BinaryType` column ([[blobs]]);
+  *  - feature extraction runs as `mapPartitions` over a typed Dataset —
+  *    the JVM analogue of `mapInPandas` — with the expensive
+  *    decoder/model initialized ONCE PER PARTITION (the per-batch
+  *    amortization that makes media decode viable at 100 TB), not per
+  *    row;
+  *  - frame sampling is declarative explode/stride arithmetic, so
+  *    Catalyst parallelizes it like any other generator.
+  *
+  * The stub being a pure byte-function is what lets the DuckDB oracle
+  * replay it exactly; a real decoder swaps into [[Multimodal.decodeStub]]
+  * without touching the plumbing.
+  */
+object Multimodal {
+
+  final case class BlobRow(doc_id: Long, blob: Array[Byte])
+  final case class MmFeatures(doc_id: Long, n_bytes: Long, width: Long,
+                              height: Long, channels: Long, fmt: String)
+
+  /** documents.text's utf-8 bytes standing in for media payloads. */
+  private[ops] def blobs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+
+  /** THE STUB — replace with a real codec. Deterministic pseudo-decode:
+    * metadata derived from the md5 of the payload, so the oracle can
+    * derive identical values. `md` is the per-partition "decoder". */
+  private def decodeStub(md: MessageDigest, docId: Long, blob: Array[Byte]): MmFeatures = {
+    md.reset()
+    val h = md.digest(blob).map("%02x".format(_)).mkString
+    def hexVal(pos: Int): Long = // value of 2 hex digits at 1-based pos
+      java.lang.Long.parseLong(h.substring(pos - 1, pos + 1), 16)
+    MmFeatures(
+      doc_id = docId,
+      n_bytes = blob.length.toLong,
+      width = 16 + hexVal(1),
+      height = 16 + hexVal(3),
+      channels = 1 + hexVal(5) % 3,
+      fmt = (hexVal(7) % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" })
+  }
+
+  /** Feature extraction over binary payloads via mapPartitions: decoder
+    * initialized once per partition, rows streamed through it. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    blobs(s, dir).as[BlobRow]
+      .mapPartitions { rows =>
+        val decoder = MessageDigest.getInstance("MD5") // per-partition init
+        rows.map(r => decodeStub(decoder, r.doc_id, r.blob))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: treat the payload as a sequence of 16-byte frames
+    * and keep every 4th, emitting (doc_id, frame_no, frame hash). Pure
+    * explode + stride arithmetic — the scan parallelizes per row group
+    * and the generator never materializes unsampled frames. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir)
+      .withColumn("hh", lower(hex(col("blob"))))
+      .withColumn("n_frames", expr("CAST(length(hh) div 32 AS BIGINT)")) // 16 bytes = 32 hex chars
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("hh"), col("n_frames"),
+        explode(expr("sequence(0, CAST(n_frames - 1 AS INT), 4)")).as("frame_no"))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(expr("substring(hh, CAST(frame_no AS INT) * 32 + 1, 32)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+}

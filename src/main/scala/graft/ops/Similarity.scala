@@ -78,6 +78,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN — the scale path beyond hash bucketing:
+    * a small deterministic centroid set (vectors 100..107 as the 8
+    * "trained" centroids — no RNG, so the oracle replays it), every
+    * vector assigned to its nearest centroid (one broadcast pass over N),
+    * and each query probing its `nprobe`=2 closest inverted lists. The
+    * centroid table is the ONLY broadcast relation — at 100 TB nlist is
+    * thousands while N is billions, so assignment stays a single streamed
+    * map and candidate generation is an equi-join on list_id. */
+  def ivfTopK(s: SparkSession, dir: String,
+              nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, dir)
+    val cents = vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    def nearest(rel: DataFrame, keep: Int, outPrefix: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+      rel.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .select(col("vec_id").as(s"${outPrefix}_id"), col("cent_id").as("list_id"),
+                col("v").as(s"${outPrefix}_v"), col("norm").as(s"${outPrefix}_norm"))
+    }
+    val assigned = nearest(vs, 1, "n") // every vector in exactly one list
+    val probes = nearest(vs.filter(col("vec_id") < nQueries), nprobe, "q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot("q_v", "n_v") / (col("q_norm") * col("n_norm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"), col("rk"),
+              trunc6(col("cos")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding near-dup pairs: vectors with cosine ≥ 0.4 (the corpus
     * max is ~0.51 — 0.8-style thresholds would be vacuous), blocked on
     * (label, sign-bit LSH bucket). Round 1 blocked on label alone —
