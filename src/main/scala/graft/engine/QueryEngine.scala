@@ -35,16 +35,21 @@ final class QueryEngine(store: LogStore) {
       fn(col(name), value)
   }
 
-  /** Filtered read over both tiers; AND-only conjunction. */
+  /** Filtered read over both tiers; AND-only conjunction. `columns`
+    * projects the output (F5 — the reference always returns all five
+    * columns, reader.py:134-142; projection is the strict superset, and
+    * Catalyst prunes the parquet scan down to exactly what's named). */
   def readLogs(container: String, session: String,
                start: Option[Instant] = None, end: Option[Instant] = None,
-               filters: Seq[(String, String, Any)] = Seq.empty): DataFrame = {
+               filters: Seq[(String, String, Any)] = Seq.empty,
+               columns: Seq[String] = Seq.empty): DataFrame = {
     val base = store.read(container, session)
     val timeFilters =
       start.map(ts => col("timestamp") >= java.sql.Timestamp.from(ts)).toSeq ++
       end.map(ts => col("timestamp") <= java.sql.Timestamp.from(ts)).toSeq
     val predicates = timeFilters ++ filters.map(toCol)
-    predicates.foldLeft(base)(_ filter _)
+    val filtered = predicates.foldLeft(base)(_ filter _)
+    if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
   }
 
   /** Batched streaming read (S3/S5, §2.5 pagination): rows arrive

@@ -206,6 +206,16 @@ final class LogStore(spark: SparkSession, root: String,
     } finally wl.unlock()
   }
 
+  /** Youngest cold archive of a session (A8: the reference's
+    * `ORDER BY created_at DESC LIMIT 1` over its SQLite catalog,
+    * metadata.py:55-66) — served from the file index's modification
+    * times, no manifest table needed. */
+  def youngestArchive(container: String, session: String): Option[(String, Long, Long)] =
+    walkFiles(s"$coldDir/container=$container/session=$session")
+      .sortBy(st => (-st.getModificationTime, st.getPath.getName))
+      .headOption
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+
   /** Containers/sessions present in storage (directory listing — the
     * moral equivalent of the reference's SQLite catalog scan). */
   def sessions(): Seq[(String, String)] = {

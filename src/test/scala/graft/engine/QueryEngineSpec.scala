@@ -55,6 +55,13 @@ class QueryEngineSpec extends SparkSuite {
     assert(e.getMessage.contains("unsupported filter operator"))
   }
 
+  test("projection prunes output columns (F5 superset; default stays SELECT *)") {
+    val (_, eng) = seeded()
+    val cols = eng.readLogs("c", "s", columns = Seq("timestamp", "message")).columns
+    assert(cols === Array("timestamp", "message"))
+    assert(eng.readLogs("c", "s").columns.length === 5)
+  }
+
   test("summary.total_rows ignores filters by design; file stats from index (reader.py:227-231)") {
     val (store, eng) = seeded()
     store.compact("c", "s")

@@ -95,6 +95,36 @@ class LogStoreSpec extends SparkSuite {
     }
   }
 
+  test("reopen after restart preserves the row multiset exactly once (T6)") {
+    val root = tempDir("reopen")
+    val store1 = new LogStore(spark, root)
+    store1.append(batch(("2024-01-01T10:00:00Z", "INFO", "cold-row")), "c", "s")
+    store1.compact("c", "s")
+    store1.append(batch(("2024-01-01T11:00:00Z", "INFO", "hot-row")), "c", "s")
+    // "restart": a fresh store instance over the same root — no reload
+    // step exists to double-count (the reference's writer.py:181-231 bug)
+    val store2 = new LogStore(spark, root)
+    assert(store2.read("c", "s").count() === 2)
+    store2.compact("c", "s")
+    assert(store2.read("c", "s").count() === 2)
+    val store3 = new LogStore(spark, root)
+    assert(store3.read("c", "s").count() === 2)
+  }
+
+  test("youngestArchive returns the most recent cold file (A8)") {
+    val store = new LogStore(spark, tempDir("young"))
+    assert(store.youngestArchive("c", "s").isEmpty)
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c", "s")
+    store.compact("c", "s")
+    val first = store.youngestArchive("c", "s")
+    assert(first.isDefined && first.get._2 > 0)
+    Thread.sleep(1100) // mtime granularity
+    store.append(batch(("2024-01-01T11:00:00Z", "INFO", "b")), "c", "s")
+    store.compact("c", "s")
+    val second = store.youngestArchive("c", "s")
+    assert(second.isDefined && second.get._1 != first.get._1)
+  }
+
   test("compact sizes output files by targetFileBytes") {
     val store = new LogStore(spark, tempDir("store"), targetFileBytes = 1L) // force 1 file per byte-bucket
     store.append(batch((1 to 50).map(i => ("2024-01-01T10:00:00Z", "INFO", s"m$i")): _*), "c", "s")
