@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time queries (3 rounds) or dump formatted plans.
+  * `runMain graft.Prof q1 q2` times; `runMain graft.Prof -explain q2` plans. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,12 +12,19 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = args.toSeq
-    for (_ <- 1 to 3; n <- names) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"$n: ${(System.nanoTime()-t0)/1e9}%.2f s")
-    }
+    val explain = args.headOption.contains("-explain")
+    val names = if (explain) args.drop(1).toSeq else args.toSeq
+    if (explain)
+      names.foreach { n =>
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+    else
+      for (round <- 1 to 3; n <- names) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"[$round] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     spark.stop()
   }
 }

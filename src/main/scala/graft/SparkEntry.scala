@@ -33,6 +33,7 @@ object SparkEntry {
     "q12_sessionize"     -> (RelationalQueries.q12Sessionize _),
     "q13_argmax"         -> (RelationalQueries.q13ArgMax _),
     "q14_asof_join"      -> (RelationalQueries.q14AsOfJoin _),
+    "q15_json_extract"   -> (RelationalQueries.q15JsonExtract _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -222,6 +223,12 @@ object SparkEntry {
         |  FROM events) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "log_time_range" ->
       s"""$logsCte
          |SELECT * FROM logs

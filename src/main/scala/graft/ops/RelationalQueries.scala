@@ -221,6 +221,21 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** JSON scalar functions in-plan (SURVEY §2.7 C9 superset): extract a
+    * typed value from the JSON `props` payload and aggregate it. The
+    * extraction is a codegen'd path expression over the scan — no UDF,
+    * no intermediate parse tree materialized. */
+  def q15JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** As-of join via composed built-ins (SURVEY guide: compose before
     * custom plans): for each purchase, the most recent prior error by
     * the same user. Single sort per user partition — no range cross
