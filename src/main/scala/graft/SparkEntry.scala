@@ -34,6 +34,7 @@ object SparkEntry {
     "q13_argmax"         -> (RelationalQueries.q13ArgMax _),
     "q14_asof_join"      -> (RelationalQueries.q14AsOfJoin _),
     "q15_json_extract"   -> (RelationalQueries.q15JsonExtract _),
+    "q16_salted_agg"     -> (RelationalQueries.q16SaltedAgg _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId _),
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_rolling_hash" -> (TextAnalysis.rollingHash _),
     "mm_binary_meta"   -> (TextAnalysis.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample"    -> (Multimodal.frameSample _),
@@ -229,6 +231,18 @@ object SparkEntry {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q16_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "log_time_range" ->
       s"""$logsCte
          |SELECT * FROM logs

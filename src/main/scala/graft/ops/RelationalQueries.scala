@@ -236,6 +236,25 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Salted two-phase aggregation — the skew-mitigation pattern for a
+    * hot grouping key: phase 1 aggregates on (key, salt) so a skewed
+    * key's rows spread across `nSalts` reducers, phase 2 merges the
+    * partials per key. The result is identical to a direct groupBy (the
+    * oracle runs the plain form); only the shuffle distribution differs.
+    * At 100 TB this is the manual fallback when AQE's skew handling
+    * can't apply (e.g. skewed aggregation rather than join). */
+  def q16SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val nSalts = 16
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(crc32(col("event_id").cast("string")), lit(nSalts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("tot"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+           sum(col("tot")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** As-of join via composed built-ins (SURVEY guide: compose before
     * custom plans): for each purchase, the most recent prior error by
     * the same user. Single sort per user partition — no range cross

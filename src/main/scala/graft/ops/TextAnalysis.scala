@@ -77,6 +77,22 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("fp"))
 
+  /** Order-sensitive document fingerprint: a polynomial rolling hash
+    * over the token SEQUENCE (vs [[fingerprint]]'s order-free sorted
+    * multiset) — `h = fold(tokens, (acc, t) -> (acc*31 + v(t)) mod 1e9+7)`
+    * with v(t) the first 16 bits of md5(t). Detects exact sequence
+    * reuse (boilerplate, templated spam) that multiset hashing misses.
+    * Pure fold inside `aggregate` — single pass, codegen'd, and the
+    * modulus keeps every intermediate in BIGINT range on both engines. */
+  def rollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("vals", expr(
+        "transform(split(text, ' '), t -> CAST(conv(substr(md5(t), 1, 4), 16, 10) AS BIGINT))"))
+      .withColumn("roll_hash", expr(
+        "aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"))
+      .select(col("doc_id"), col("roll_hash"))
+      .orderBy(col("doc_id"))
+
   /** Multimodal metadata path: treat the payload as an opaque binary
     * column (here utf-8 bytes of text stand in for image/audio bytes —
     * the container has no media codecs) and compute typed metadata:
