@@ -12,6 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: touch every table once so session-wide one-time costs
+    // (Hadoop FS init, parquet footer reads, codegen infrastructure) land
+    // outside the per-query timings — the first timed query otherwise
+    // absorbs several seconds that have nothing to do with its plan.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try graft.ops.Tables.load(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => () }
+    }
     // (name, seconds, succeeded) — a crashing query must NOT hide inside a
     // plausible-looking timing (round-1 verdict: failures were masked).
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>

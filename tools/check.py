@@ -59,11 +59,14 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
             continue
-        # dtype check (schema match)
+        # dtype first: got.equals() requires identical dtypes, so a dtype
+        # mismatch IS the failure reason even when object-level values agree
         dt_mismatch = [(c, str(got[c].dtype), str(want[c].dtype))
                        for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
-        eq = got.equals(want)
-        if not eq:
+        if dt_mismatch:
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}")
+            n_fail += 1
+        elif not got.equals(want):
             # show first differing cell
             diff = None
             for c in got.columns:
@@ -74,11 +77,10 @@ def main():
                     i = neq.idxmax()
                     diff = (c, i, got[c][i], want[c][i])
                     break
-            print(f"FAIL {name}: value diff {diff} (dtypes {dt_mismatch})")
+            print(f"FAIL {name}: value diff {diff}")
             n_fail += 1
         else:
-            note = f" (dtype note: {dt_mismatch})" if dt_mismatch else ""
-            print(f"PASS {name} ({len(got)} rows){note}")
+            print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
