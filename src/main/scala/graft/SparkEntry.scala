@@ -35,6 +35,7 @@ object SparkEntry {
     "q14_asof_join"      -> (RelationalQueries.q14AsOfJoin _),
     "q15_json_extract"   -> (RelationalQueries.q15JsonExtract _),
     "q16_salted_agg"     -> (RelationalQueries.q16SaltedAgg _),
+    "q17_bucketed_join"  -> (RelationalQueries.q17BucketedJoin _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -235,6 +236,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -122,11 +122,23 @@ object Dedup {
     // gracefully to hash-partitioned equi-joins. Hard broadcast() hints
     // here would be a toy-scale optimization that OOMs at scale — leave
     // the choice to AQE.
-    val cand = (0 until 3).map { b =>
-      sig.as("a").join(sig.as("b"),
-          col(s"a.b$b") === col(s"b.b$b") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    }.reduce(_ unionAll _).distinct()
+    //
+    // Candidate generation: bands unpivot to (doc_id, band_idx, band_key)
+    // and candidates come from ONE self-join on the composite band key —
+    // equivalent to unioning three per-band joins but a single shuffle,
+    // and the hash partitioning on (band_idx, band_key) spreads identical-
+    // doc clusters across 3× more keys than any single band would.
+    val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("bi"), col("b0").as("bk")),
+        struct(lit(1).as("bi"), col("b1").as("bk")),
+        struct(lit(2).as("bi"), col("b2").as("bk")))).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bk").as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
 
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("x")

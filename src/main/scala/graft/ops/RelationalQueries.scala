@@ -255,6 +255,54 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Bucketed co-located join (SURVEY §2.3 / builder prompt: "bucketing
+    * for co-located joins"): both sides are written `bucketBy(orderkey)`
+    * into session-catalog tables, and the subsequent join reads matching
+    * buckets with NO shuffle on either side. This is the 100 TB pattern
+    * for a fact-fact join that recurs across a pipeline: pay the
+    * partitioned write once, join shuffle-free forever after. At test
+    * scale AQE (correctly) prefers broadcasting the small side, so the
+    * exchange-free sort-merge plan is asserted in `BucketedJoinSpec`
+    * with broadcast disabled. The oracle runs the plain join — results
+    * are identical, only the physical plan differs. */
+  /** Write lineitem/orders as bucketed session-catalog tables (8 buckets
+    * on the join key, sorted within buckets); idempotent per (session,
+    * sfDir). Returns the table names. */
+  private[graft] def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val buckets = 8
+    val tag = math.abs(dir.hashCode).toString
+    val (liT, oT) = (s"li_bkt_$tag", s"o_bkt_$tag")
+    if (!s.catalog.tableExists(liT)) {
+      // The in-memory catalog resets per JVM but spark-warehouse persists
+      // on disk — drop any stale location from a previous run before
+      // saveAsTable, or it fails with LOCATION_ALREADY_EXISTS.
+      val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(liT, oT).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(warehouse, t)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(oT)
+    }
+    (liT, oT)
+  }
+
+  def q17BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (liT, oT) = ensureBucketed(s, dir)
+    s.table(liT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** As-of join via composed built-ins (SURVEY guide: compose before
     * custom plans): for each purchase, the most recent prior error by
     * the same user. Single sort per user partition — no range cross
