@@ -17,12 +17,22 @@ import graft.storage.LogStore
   */
 final class QueryEngine(store: LogStore) {
 
-  /** Supported pushdown operators (reader.py:39-59). */
+  /** Supported pushdown operators (reader.py:39-59), plus `in` as a
+    * strict superset (still pushdown-friendly: Catalyst emits an In
+    * filter the parquet reader evaluates against dictionaries/stats). */
   private val ops: Map[String, (Column, Any) => Column] = Map(
     "==" -> ((c, v) => c === v), "=" -> ((c, v) => c === v),
     "!=" -> ((c, v) => c =!= v),
     ">=" -> ((c, v) => c >= v), "<=" -> ((c, v) => c <= v),
-    ">"  -> ((c, v) => c > v),  "<"  -> ((c, v) => c < v))
+    ">"  -> ((c, v) => c > v),  "<"  -> ((c, v) => c < v),
+    "in" -> ((c, v) => v match {
+      case vs: Seq[_] => c.isin(vs.map {
+        case i: Instant => java.sql.Timestamp.from(i)
+        case other => other
+      }: _*)
+      case other => throw new IllegalArgumentException(
+        s"'in' requires a Seq of values, got: $other")
+    }))
 
   private def toCol(f: (String, String, Any)): Column = f match {
     case (name, op, v) =>

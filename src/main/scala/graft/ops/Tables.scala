@@ -27,8 +27,12 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong=true` — set at SparkSession
     * build by every harness (Verify/Bench/test fixture), NOT here: a
     * loader must not mutate global session conf — the nanos arrive as a
-    * long, floor-divided to µs: the same truncation DuckDB applies when
-    * it reads nanos into its µs TIMESTAMP, so oracle comparisons agree. */
+    * long, floor-divided to µs. DuckDB reads the same column as
+    * TIMESTAMP_NS without truncating; the driver's test data is
+    * µs-aligned (sub-µs components are zero), so the floor-divide is
+    * lossless and both engines see identical instants. If a future
+    * generator emitted sub-µs precision, the oracle side would need an
+    * explicit µs truncation to keep boundary predicates in agreement. */
   def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build to read events.parquet")

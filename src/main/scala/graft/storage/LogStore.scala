@@ -39,6 +39,20 @@ final class LogStore(spark: SparkSession, root: String,
 
   private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Crash recovery: a compaction that died between its staging write and
+  // publish leaves an orphaned .staging-* dir; its hot snapshot was never
+  // retired, so the data is intact — the orphan is garbage. One store
+  // instance owns a root at a time (single-writer, like the reference's
+  // per-process buffer manager), so construction is a safe point to sweep.
+  locally {
+    val rootPath = new Path(root)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
   /** Append a batch for one (container, session). Synchronous — ack means
     * rows are durable in the hot tier (reference main.py:330-337 semantics:
     * 201 = buffered, not archived). */

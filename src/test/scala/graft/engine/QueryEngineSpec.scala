@@ -47,6 +47,14 @@ class QueryEngineSpec extends SparkSuite {
       filters = Seq(("level", "==", "INFO"), ("message", ">", "mid"))) === 2)
   }
 
+  test("'in' filter superset: set membership, still one conjunctive plan") {
+    val (_, eng) = seeded()
+    assert(eng.count("c", "s", filters = Seq(("level", "in", Seq("ERROR", "WARN")))) === 2)
+    intercept[IllegalArgumentException] {
+      eng.readLogs("c", "s", filters = Seq(("level", "in", "notaseq"))).count()
+    }
+  }
+
   test("unknown filter operator is REJECTED (SURVEY §7.4.4 deviation from silent skip)") {
     val (_, eng) = seeded()
     val e = intercept[IllegalArgumentException] {
