@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native fused dot product over two `array<double>` columns, exposed as
+  * the SQL function `graft_dot(a, b)`.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x,y) -> x*y), 0d,
+  * (acc,x) -> acc+x)` — is semantically right but materializes a zipped
+  * intermediate array per row before folding it. In the ANN hot path
+  * (every query×candidate pair evaluates a dot product) that allocation
+  * dominates. This expression generates one fused loop — no
+  * intermediate, stays inside whole-stage codegen — the (b) tier of the
+  * builder guideline: a custom Catalyst `Expression` with `doGenCode`,
+  * used only where built-ins can't express the fused evaluation.
+  *
+  * Summation is sequential in index order, so results are bit-identical
+  * to the composable form and to DuckDB's `list_dot_product` (both fold
+  * left-to-right in double) — oracle comparisons are unaffected. Null
+  * ELEMENTS contribute 0 (the corpus has none; documented for safety); a
+  * null ARRAY yields null via `nullSafeEval`. Lengths may differ: the
+  * fold stops at the shorter side.
+  */
+final case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  val name = "graft_dot"
+
+  /** Idempotent per-session registration of `graft_dot` in the function
+    * registry — the supported extension point when the session isn't
+    * built through SparkSessionExtensions. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+}

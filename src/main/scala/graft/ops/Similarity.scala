@@ -20,16 +20,20 @@ object Similarity {
   /** Cross-engine-stable 6-decimal truncation (see Dedup.trunc6). */
   private def trunc6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
 
-  /** Vectors cast to double with a precomputed L2 norm. */
-  private[ops] def vectors(s: SparkSession, dir: String): DataFrame =
+  /** Vectors cast to double with a precomputed L2 norm. The dot product
+    * is the native fused [[graft.functions.DotProduct]] expression —
+    * same left-to-right double fold as the composable
+    * aggregate(zip_with(...)) form and DuckDB's list_dot_product, so
+    * scores are bit-identical, but with no per-row intermediate array. */
+  private[ops] def vectors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  }
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** Brute-force cosine top-k: first `nQueries` vec_ids are the query
     * set; rank all others by cosine (desc, vec_id tiebreak). The query
