@@ -55,23 +55,30 @@ final class LogStore(spark: SparkSession, root: String,
 
   /** Append a batch for one (container, session). Synchronous — ack means
     * rows are durable in the hot tier (reference main.py:330-337 semantics:
-    * 201 = buffered, not archived). */
+    * 201 = buffered, not archived).
+    *
+    * Writes go through a per-call UNIQUE staging dir and publish with one
+    * atomic rename: concurrent appends to the same session never share a
+    * committer `_temporary` dir (direct `SaveMode.Append` writers racing
+    * in one directory can clobber each other's temp files — the reference
+    * serializes appends per session for the same reason, writer.py:238),
+    * and a batch is never partially visible to readers. */
   def append(df: DataFrame, container: String, session: String): Unit = {
-    require(LogSchema.isValidId(container), s"invalid container id: $container")
-    require(LogSchema.isValidId(session), s"invalid session id: $session")
-    df.select("timestamp", "level", "message")
-      .coalesce(1)
-      .write.mode(SaveMode.Append)
-      .parquet(s"$hotDir/container=$container/session=$session")
+    stagedAppend(df, container, session, s"append-${UUID.randomUUID()}")
+    ()
   }
 
   /** Append with a caller-supplied idempotency tag: the batch lands as a
     * single `<tag>.parquet` file, and a replay of the same tag is a
     * no-op. This is the exactly-once hook for Structured Streaming's
     * `foreachBatch` (tag = batch id): a micro-batch that reruns after a
-    * crash finds its file already published and skips. Single output
-    * file ⇒ the publish rename is atomic ⇒ no partial-batch window. */
-  def appendIdempotent(df: DataFrame, container: String, session: String, tag: String): Boolean = {
+    * crash finds its file already published and skips. */
+  def appendIdempotent(df: DataFrame, container: String, session: String, tag: String): Boolean =
+    stagedAppend(df, container, session, tag)
+
+  /** Stage to a unique dir, publish as `<tag>.parquet` with one atomic
+    * rename; false if the tag already exists (idempotent replay). */
+  private def stagedAppend(df: DataFrame, container: String, session: String, tag: String): Boolean = {
     require(LogSchema.isValidId(container), s"invalid container id: $container")
     require(LogSchema.isValidId(session), s"invalid session id: $session")
     val target = new Path(s"$hotDir/container=$container/session=$session")
@@ -85,7 +92,7 @@ final class LogStore(spark: SparkSession, root: String,
     fs.mkdirs(target)
     staged.headOption.foreach { p =>
       if (!fs.rename(p, dst))
-        throw new java.io.IOException(s"appendIdempotent: rename $p -> $dst failed")
+        throw new java.io.IOException(s"append: rename $p -> $dst failed")
     }
     fs.delete(staging, true)
     true

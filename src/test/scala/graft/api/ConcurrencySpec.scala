@@ -84,4 +84,41 @@ class ConcurrencySpec extends SparkSuite with BeforeAndAfterAll {
     val fin = send("GET", "/api/logs/conc/race", None, Some(token))
     assert(mapper.readTree(fin.body).get("total_rows").asInt === nBatches * rowsPerBatch)
   }
+
+  test("multiple concurrent writers to ONE session: no lost or duplicated batches") {
+    val client = HttpClient.newHttpClient()
+    def send(method: String, path: String, body: Option[String], token: Option[String]): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+        b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), BodyHandlers.ofString())
+    }
+    val token = mapper.readTree(send("POST", "/api/auth/login",
+      Some("""{"username":"admin","password":"admin"}"""), None).body).get("token").asText
+    send("POST", "/api/containers", Some("""{"container_id":"multi"}"""), Some(token))
+    send("POST", "/api/containers/multi/sessions", Some("""{"session_id":"shared"}"""), Some(token))
+
+    val nWriters = 4
+    val batchesPerWriter = 5
+    val ok = new AtomicInteger(0)
+    val writers = (1 to nWriters).map { w =>
+      new Thread(() => {
+        for (b <- 1 to batchesPerWriter) {
+          val r = send("POST", "/api/logs/multi/shared",
+            Some(s"""{"logs":[{"level":"INFO","message":"w$w-b$b","timestamp":"2025-01-01T00:00:00Z"}]}"""),
+            Some(token))
+          if (r.statusCode == 201) ok.incrementAndGet()
+        }
+      }, s"writer-$w")
+    }
+    writers.foreach(_.start()); writers.foreach(_.join(120000))
+    assert(ok.get === nWriters * batchesPerWriter, "some appends failed")
+
+    val fin = send("GET", "/api/logs/multi/shared", None, Some(token))
+    val logs = mapper.readTree(fin.body).get("logs")
+    val msgs = (0 until logs.size).map(i => logs.get(i).get("message").asText).sorted
+    val expected = (for (w <- 1 to nWriters; b <- 1 to batchesPerWriter) yield s"w$w-b$b").sorted
+    assert(msgs === expected) // every batch exactly once, none clobbered
+  }
 }
