@@ -36,6 +36,10 @@ object SparkEntry {
     "q15_json_extract"   -> (RelationalQueries.q15JsonExtract _),
     "q16_salted_agg"     -> (RelationalQueries.q16SaltedAgg _),
     "q17_bucketed_join"  -> (RelationalQueries.q17BucketedJoin _),
+    "q18_cube"           -> (RelationalQueries.q18Cube _),
+    "q19_pivot"          -> (RelationalQueries.q19Pivot _),
+    "q20_array_agg"      -> (RelationalQueries.q20ArrayAgg _),
+    "q21_approx_distinct" -> (RelationalQueries.q21ApproxDistinct _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -50,6 +54,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
     "dedup_simhash"        -> (Dedup.simhash _),
     "dedup_simhash_buckets" -> (Dedup.simhashBuckets _),
+    "dedup_fuzzy_edit"   -> ((s: SparkSession, d: String) => Dedup.fuzzyEditDistance(s, d)),
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -85,6 +90,28 @@ object SparkEntry {
       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |        FROM embeddings) t
       |)""".stripMargin
+
+  // Shared DuckDB CTE chain ending in shash(doc_id, simhash) — the same
+  // 16-bit frequency-weighted SimHash the Spark side derives from md5.
+  private val simhashCte =
+    """toks AS (
+      |  SELECT doc_id, tok, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY doc_id, tok),
+      |vocab AS (SELECT DISTINCT tok FROM toks),
+      |bits AS (
+      |  SELECT tok, j,
+      |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
+      |     >> (3 - (j % 4))) & 1 AS bit
+      |  FROM vocab, UNNEST(range(0, 16)) AS u(j)),
+      |weights AS (
+      |  SELECT t.doc_id, b.j, SUM((b.bit * 2 - 1) * t.cnt) AS w
+      |  FROM toks t JOIN bits b ON t.tok = b.tok
+      |  GROUP BY t.doc_id, b.j),
+      |shash AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM weights GROUP BY doc_id)""".stripMargin
 
   // DuckDB shared view of the reference's log shape, derived from events
   // exactly as LogQueries.logsView does.
@@ -236,6 +263,27 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q17_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -340,45 +388,23 @@ object SparkEntry {
          |WHERE floor(CAST(c AS DOUBLE) / (sx.n + sy.n - c) * 1000000) / 1000000 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, tok, COUNT(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-        |  GROUP BY doc_id, tok),
-        |vocab AS (SELECT DISTINCT tok FROM toks),
-        |bits AS (
-        |  SELECT tok, j,
-        |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
-        |     >> (3 - (j % 4))) & 1 AS bit
-        |  FROM vocab, UNNEST(range(0, 16)) AS u(j)),
-        |weights AS (
-        |  SELECT t.doc_id, b.j, SUM((b.bit * 2 - 1) * t.cnt) AS w
-        |  FROM toks t JOIN bits b ON t.tok = b.tok
-        |  GROUP BY t.doc_id, b.j)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM weights GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM shash ORDER BY doc_id""".stripMargin,
     "dedup_simhash_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, tok, COUNT(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-        |  GROUP BY doc_id, tok),
-        |vocab AS (SELECT DISTINCT tok FROM toks),
-        |bits AS (
-        |  SELECT tok, j,
-        |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
-        |     >> (3 - (j % 4))) & 1 AS bit
-        |  FROM vocab, UNNEST(range(0, 16)) AS u(j)),
-        |weights AS (
-        |  SELECT t.doc_id, b.j, SUM((b.bit * 2 - 1) * t.cnt) AS w
-        |  FROM toks t JOIN bits b ON t.tok = b.tok
-        |  GROUP BY t.doc_id, b.j),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM weights GROUP BY doc_id)
-        |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
-        |FROM sh GROUP BY simhash HAVING COUNT(*) > 1
-        |ORDER BY simhash""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+         |FROM shash GROUP BY simhash HAVING COUNT(*) > 1
+         |ORDER BY simhash""".stripMargin,
+    "dedup_fuzzy_edit" ->
+      s"""WITH $simhashCte,
+         |p AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(x.prefix, y.prefix) AS BIGINT) AS dist
+         |FROM shash a JOIN shash b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+         |JOIN p x ON a.doc_id = x.doc_id
+         |JOIN p y ON b.doc_id = y.doc_id
+         |WHERE levenshtein(x.prefix, y.prefix) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vectorsCte,
          |vb AS (

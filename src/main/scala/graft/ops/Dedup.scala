@@ -181,6 +181,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy near-dup via edit distance, blocked on SimHash: candidate
+    * pairs share an exact 16-bit SimHash (a bucketed equi-join — the
+    * quadratic Levenshtein only runs inside tiny hash blocks, never
+    * all-pairs), then verify with Levenshtein over the 40-char prefix.
+    * The standard two-stage shape: cheap hash blocking, expensive edit
+    * distance on survivors only. */
+  def fuzzyEditDistance(s: SparkSession, dir: String, maxDist: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    val sh = simhash(s, dir)
+    val blocked = sh.as("a").join(sh.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    blocked
+      .join(docs.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(docs.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =

@@ -303,6 +303,52 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CUBE grouping sets (all four subtotal combinations). */
+  def q18Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n"), col("total"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  /** Pivot (wide conditional aggregation): per-user value totals by event
+    * type. The pivot value list is explicit, so the output schema is
+    * static — the oracle expresses the same thing as CASE aggregates. */
+  def q19Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(sum(dec(col("value"))).cast("double"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic array aggregation: each user's sorted distinct event
+    * types, serialized to one string so the oracle compare stays on flat
+    * scalar columns. collect_set order is nondeterministic; sort_array
+    * canonicalizes before joining. */
+  def q20ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Approximate distinct (HLL sketch) — the 100 TB substitute for exact
+    * countDistinct when tolerance allows. Sketches differ across engines,
+    * so this query carries NO oracle SQL (driver runs the weaker
+    * rows-present check); the exact twin q6 is the correctness anchor. */
+  def q21ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   /** As-of join via composed built-ins (SURVEY guide: compose before
     * custom plans): for each purchase, the most recent prior error by
     * the same user. Single sort per user partition — no range cross
