@@ -263,8 +263,8 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       catch { case e: JsonIngest.IngestValidationException =>
         return error(ex, 400, e.getMessage)
       }
-    store.append(JsonIngest.toDataFrame(spark, rows), c, s)
-    compactor.maybeCompact(c, s)
+    val bytes = store.append(JsonIngest.toDataFrame(spark, rows), c, s)
+    compactor.noteAppend(c, s, bytes)
     val o = mapper.createObjectNode()
     o.put("container", c); o.put("session", s)
     o.put("message", "Logs received"); o.put("count", rows.size)

@@ -31,13 +31,43 @@ final class Compactor(store: LogStore,
   })
   // Sessions queued-or-running: collapses repeated triggers into one run.
   private val inFlight = ConcurrentHashMap.newKeySet[(String, String)]()
+  // In-memory hot-bytes accounting per session (writer.py:246-249): the
+  // trigger check is a counter read, not a directory walk per append.
+  // Lazily seeded from the file index on first touch (covers restarts
+  // with pre-existing hot data), then maintained from append sizes.
+  private val hotCounters = new ConcurrentHashMap[(String, String), java.util.concurrent.atomic.AtomicLong]()
   @volatile private var closed = false
 
-  /** Call after every append: queue compaction when the hot tier crossed
-    * the rotation threshold (writer.py:252-259 semantics). */
-  def maybeCompact(container: String, session: String): Unit = {
-    if (!closed && store.hotBytes(container, session) >= thresholdBytes &&
-        inFlight.add((container, session))) {
+  /** Record an append's published byte count (LogStore.append's return)
+    * and queue compaction when the accumulated hot size crosses the
+    * rotation threshold (writer.py:252-259 semantics). The very first
+    * touch of a session seeds the counter from the file index — that
+    * listing already includes the append being reported, so the seed
+    * call does NOT also add `bytes` (it would double-count). */
+  def noteAppend(container: String, session: String, bytes: Long): Unit = {
+    if (closed || bytes <= 0) return
+    var seeded = false
+    val cnt = hotCounters.computeIfAbsent((container, session), _ => {
+      seeded = true
+      new java.util.concurrent.atomic.AtomicLong(store.hotBytes(container, session))
+    })
+    val total = if (seeded) cnt.get else cnt.addAndGet(bytes)
+    if (total >= thresholdBytes) trigger(container, session, cnt)
+  }
+
+  /** Listing-based trigger check — for callers without byte accounting. */
+  def maybeCompact(container: String, session: String): Unit =
+    if (!closed) {
+      val cnt = hotCounters.computeIfAbsent((container, session),
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      cnt.set(store.hotBytes(container, session))
+      if (cnt.get >= thresholdBytes) trigger(container, session, cnt)
+    }
+
+  private def trigger(container: String, session: String,
+                      cnt: java.util.concurrent.atomic.AtomicLong): Unit =
+    if (inFlight.add((container, session))) {
+      cnt.set(0L) // appends landing mid-compaction re-accumulate
       pool.submit(new Runnable {
         def run(): Unit =
           try store.compact(container, session)
@@ -46,7 +76,6 @@ final class Compactor(store: LogStore,
           } finally inFlight.remove((container, session))
       })
     }
-  }
 
   /** Synchronously compact every session with hot data (shutdown flush). */
   def flushAll(): Unit =

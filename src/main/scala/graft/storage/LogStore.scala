@@ -62,40 +62,45 @@ final class LogStore(spark: SparkSession, root: String,
     * committer `_temporary` dir (direct `SaveMode.Append` writers racing
     * in one directory can clobber each other's temp files — the reference
     * serializes appends per session for the same reason, writer.py:238),
-    * and a batch is never partially visible to readers. */
-  def append(df: DataFrame, container: String, session: String): Unit = {
+    * and a batch is never partially visible to readers.
+    *
+    * Returns the published file's size in bytes — callers feed it to
+    * [[graft.engine.Compactor.noteAppend]] so rotation triggers from an
+    * in-memory counter (the reference's size accounting, writer.py:
+    * 246-249) instead of re-listing the directory on every append. */
+  def append(df: DataFrame, container: String, session: String): Long =
     stagedAppend(df, container, session, s"append-${UUID.randomUUID()}")
-    ()
-  }
 
   /** Append with a caller-supplied idempotency tag: the batch lands as a
     * single `<tag>.parquet` file, and a replay of the same tag is a
-    * no-op. This is the exactly-once hook for Structured Streaming's
-    * `foreachBatch` (tag = batch id): a micro-batch that reruns after a
-    * crash finds its file already published and skips. */
-  def appendIdempotent(df: DataFrame, container: String, session: String, tag: String): Boolean =
+    * no-op (returns -1). This is the exactly-once hook for Structured
+    * Streaming's `foreachBatch` (tag = batch id): a micro-batch that
+    * reruns after a crash finds its file already published and skips. */
+  def appendIdempotent(df: DataFrame, container: String, session: String, tag: String): Long =
     stagedAppend(df, container, session, tag)
 
   /** Stage to a unique dir, publish as `<tag>.parquet` with one atomic
-    * rename; false if the tag already exists (idempotent replay). */
-  private def stagedAppend(df: DataFrame, container: String, session: String, tag: String): Boolean = {
+    * rename; -1 if the tag already exists (idempotent replay), else the
+    * published byte count. */
+  private def stagedAppend(df: DataFrame, container: String, session: String, tag: String): Long = {
     require(LogSchema.isValidId(container), s"invalid container id: $container")
     require(LogSchema.isValidId(session), s"invalid session id: $session")
     val target = new Path(s"$hotDir/container=$container/session=$session")
     val dst = new Path(target, s"$tag.parquet")
-    if (fs.exists(dst)) return false // replay — already committed
+    if (fs.exists(dst)) return -1L // replay — already committed
     val staging = new Path(s"$root/.staging-$tag-$container-$session")
     df.select("timestamp", "level", "message")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val staged = listFiles(staging.toString)
+    val staged = walkFiles(staging.toString)
     fs.mkdirs(target)
-    staged.headOption.foreach { p =>
-      if (!fs.rename(p, dst))
-        throw new java.io.IOException(s"append: rename $p -> $dst failed")
-    }
+    val bytes = staged.headOption.map { st =>
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
+      st.getLen
+    }.getOrElse(0L)
     fs.delete(staging, true)
-    true
+    bytes
   }
 
   private def tierDf(dir: String): Option[DataFrame] =

@@ -80,11 +80,11 @@ final class StreamingIngest(spark: SparkSession, store: LogStore,
       val keys = good.select(col("container"), col("session")).distinct()
         .collect().map(r => (r.getString(0), r.getString(1)))
       keys.foreach { case (c, s) =>
-        store.appendIdempotent(
+        val bytes = store.appendIdempotent(
           good.filter(col("container") === c && col("session") === s)
             .select(col("timestamp"), col("level"), col("message")),
           c, s, s"stream-$batchId")
-        compactor.maybeCompact(c, s)
+        compactor.noteAppend(c, s, bytes)
       }
     } finally typed.unpersist()
   }

@@ -42,6 +42,28 @@ class CompactorSpec extends SparkSuite {
     } finally compactor.close()
   }
 
+  test("noteAppend: counter-based rotation triggers only once the accumulated bytes cross the threshold") {
+    val store = new LogStore(spark, tempDir("compactor"))
+    append(store, 3)
+    val firstBytes = store.hotBytes("c", "s")
+    // threshold just above one batch: the first noteAppend must NOT
+    // trigger, the second (accumulated) must
+    val compactor = new Compactor(store, thresholdBytes = firstBytes + 1)
+    try {
+      compactor.noteAppend("c", "s", firstBytes)
+      Thread.sleep(300)
+      assert(store.tierStats("c", "s")._1 === 0, "compacted below threshold")
+      val more = store.append(spark.createDataFrame(
+        Seq(Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", "extra")).asJava,
+        LogSchema.fileSchema), "c", "s")
+      compactor.noteAppend("c", "s", more)
+      val deadline = System.currentTimeMillis + 60000
+      while (store.hotBytes("c", "s") > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(store.hotBytes("c", "s") === 0, "accumulated bytes should have triggered rotation")
+      assert(store.read("c", "s").count() === 4)
+    } finally compactor.close()
+  }
+
   test("close() performs the shutdown flush (T5): all hot sessions compacted synchronously") {
     val store = new LogStore(spark, tempDir("compactor"))
     val compactor = new Compactor(store, thresholdBytes = Long.MaxValue)

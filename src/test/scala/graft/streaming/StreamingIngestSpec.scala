@@ -54,8 +54,8 @@ class StreamingIngestSpec extends SparkSuite {
     val df = spark.createDataFrame(Seq(
       Row(Timestamp.from(Instant.parse("2025-03-01T10:00:00Z")), "INFO", "once")).asJava,
       graft.model.LogSchema.fileSchema)
-    assert(store.appendIdempotent(df, "c", "s", "stream-42"))
-    assert(!store.appendIdempotent(df, "c", "s", "stream-42")) // replay skipped
+    assert(store.appendIdempotent(df, "c", "s", "stream-42") > 0)
+    assert(store.appendIdempotent(df, "c", "s", "stream-42") === -1L) // replay skipped
     assert(store.read("c", "s").count() === 1)
   }
 }
