@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -439,6 +440,25 @@ object SparkEntry {
          |  SELECT q.query_id, vb.vec_id AS neighbor_id,
          |    list_dot_product(q.qv, vb.v) / (q.qnorm * vb.norm) AS cos
          |  FROM vb JOIN q ON vb.bucket = q.qbucket AND vb.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      s"""WITH $vectorsCte,
+         |vb AS (
+         |  SELECT *, CAST(CASE WHEN v[1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
+         |       + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+         |  FROM vn),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, u.pbucket
+         |  FROM vb, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS u(pbucket)
+         |  WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, vb.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, vb.v) / (q.qnorm * vb.norm) AS cos
+         |  FROM vb JOIN q ON vb.bucket = q.pbucket AND vb.vec_id <> q.query_id),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM scored)

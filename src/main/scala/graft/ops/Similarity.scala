@@ -82,6 +82,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the
+    * four buckets at Hamming distance 1 (one sign bit flipped) — the
+    * standard recall/latency knob for LSH (probe count trades scan width
+    * for recall without growing the index). Probes explode query-side
+    * only (5 rows per query), so the big side still streams once through
+    * a bucket equi-join; each vector lives in exactly one bucket, so no
+    * candidate dedup is needed. */
+  def lshMultiProbeTopK(s: SparkSession, dir: String,
+                        nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val vs = bucketed(s, dir)
+    val q = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("norm").as("qnorm"), col("bucket").as("qbucket"))
+      .withColumn("pbucket", explode(array(
+        col("qbucket"),
+        expr("CAST(qbucket ^ 1 AS BIGINT)"), expr("CAST(qbucket ^ 2 AS BIGINT)"),
+        expr("CAST(qbucket ^ 4 AS BIGINT)"), expr("CAST(qbucket ^ 8 AS BIGINT)"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    vs.join(broadcast(q), col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot("qv", "v") / (col("qnorm") * col("norm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+              trunc6(col("cos")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** IVF (inverted-file) ANN — the scale path beyond hash bucketing:
     * a small deterministic centroid set (vectors 100..107 as the 8
     * "trained" centroids — no RNG, so the oracle replays it), every

@@ -232,6 +232,49 @@ final class LogStore(spark: SparkSession, root: String,
     } finally wl.unlock()
   }
 
+  /** Retention sweep: delete cold files whose entire contents predate
+    * `cutoff`, decided from each file's parquet FOOTER max-timestamp
+    * statistic — file-level TTL with no data scan, the same min/max
+    * stats the reference's writer emits for pruning (writer.py:314-315).
+    * Requires INT64 timestamp output (`spark.sql.parquet.
+    * outputTimestampType=TIMESTAMP_MICROS`, set by the server session) —
+    * INT96 files carry no usable stats and are conservatively KEPT.
+    * A file with any row at/after the cutoff is kept whole (file-level
+    * granularity; compaction will naturally age it out later). Deletes
+    * run under the session's view write-lock so concurrent readers never
+    * lose a listed file. Returns the number of files deleted. */
+  def retentionSweep(container: String, session: String, cutoff: java.time.Instant): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val files = walkFiles(s"$coldDir/container=$container/session=$session")
+    val cutoffMicros = cutoff.getEpochSecond * 1000000L + cutoff.getNano / 1000L
+    val expired = files.filter { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(st, spark.sparkContext.hadoopConfiguration))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        // every row group's timestamp max must be below the cutoff
+        var allBelow = blocks.size() > 0
+        var i = 0
+        while (allBelow && i < blocks.size()) {
+          val colChunk = blocks.get(i).getColumns.get(0) // timestamp is field 0
+          val stats = colChunk.getStatistics
+          allBelow = stats != null && stats.hasNonNullValue &&
+            stats.genericGetMax.asInstanceOf[java.lang.Long] < cutoffMicros
+          i += 1
+        }
+        allBelow
+      } finally reader.close()
+    }
+    if (expired.isEmpty) 0L
+    else {
+      val wl = viewLock(container, session).writeLock
+      wl.lock()
+      try { expired.foreach(st => fs.delete(st.getPath, false)); expired.size.toLong }
+      finally wl.unlock()
+    }
+  }
+
   /** Youngest cold archive of a session (A8: the reference's
     * `ORDER BY created_at DESC LIMIT 1` over its SQLite catalog,
     * metadata.py:55-66) — served from the file index's modification

@@ -125,6 +125,24 @@ class LogStoreSpec extends SparkSuite {
     assert(second.isDefined && second.get._1 != first.get._1)
   }
 
+  test("retentionSweep deletes cold files entirely below the cutoff via footer stats, no scan") {
+    val store = new LogStore(spark, tempDir("retention"))
+    // two separately-compacted cold files: one all-old, one mixed
+    store.append(batch(("2023-01-01T00:00:00Z", "INFO", "old1"),
+                       ("2023-06-01T00:00:00Z", "INFO", "old2")), "c", "s")
+    store.compact("c", "s")
+    store.append(batch(("2023-12-01T00:00:00Z", "INFO", "borderline"),
+                       ("2024-06-01T00:00:00Z", "INFO", "fresh")), "c", "s")
+    store.compact("c", "s")
+    assert(store.tierStats("c", "s")._1 === 2)
+    val deleted = store.retentionSweep("c", "s", java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(deleted === 1) // only the all-old file goes; the mixed file stays whole
+    val remaining = store.read("c", "s").collect().map(_.getString(2)).sorted
+    assert(remaining === Array("borderline", "fresh"))
+    // idempotent: nothing else is below the cutoff
+    assert(store.retentionSweep("c", "s", java.time.Instant.parse("2024-01-01T00:00:00Z")) === 0)
+  }
+
   test("compact sizes output files by targetFileBytes") {
     val store = new LogStore(spark, tempDir("store"), targetFileBytes = 1L) // force 1 file per byte-bucket
     store.append(batch((1 to 50).map(i => ("2024-01-01T10:00:00Z", "INFO", s"m$i")): _*), "c", "s")
