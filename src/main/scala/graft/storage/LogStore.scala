@@ -93,14 +93,16 @@ final class LogStore(spark: SparkSession, root: String,
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val staged = walkFiles(staging.toString)
+    // A successful write always produces exactly one file (even for an
+    // empty batch); an empty listing means the listing itself failed —
+    // abort loudly rather than silently dropping an acked batch.
+    val st = staged.headOption.getOrElse(
+      throw new java.io.IOException(s"append: staging $staging produced no visible file"))
     fs.mkdirs(target)
-    val bytes = staged.headOption.map { st =>
-      if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
-      st.getLen
-    }.getOrElse(0L)
+    if (!fs.rename(st.getPath, dst))
+      throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
     fs.delete(staging, true)
-    bytes
+    st.getLen
   }
 
   private def tierDf(dir: String): Option[DataFrame] =
@@ -220,6 +222,12 @@ final class LogStore(spark: SparkSession, root: String,
     wl.lock()
     try {
       val staged = listFiles(staging.toString)
+      // The rewrite of a non-empty snapshot always produces ≥1 file; an
+      // empty listing means the listing failed — retiring the snapshot
+      // against it would LOSE the session's hot data. Abort instead.
+      if (staged.isEmpty)
+        throw new java.io.IOException(
+          s"compact: staging $staging lists no files for a non-empty snapshot; hot snapshot retained")
       val moved = staged.map { p =>
         val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
         if (!fs.rename(p, dst))
@@ -244,6 +252,7 @@ final class LogStore(spark: SparkSession, root: String,
     * run under the session's view write-lock so concurrent readers never
     * lose a listed file. Returns the number of files deleted. */
   def retentionSweep(container: String, session: String, cutoff: java.time.Instant): Long = {
+    import scala.jdk.CollectionConverters._
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val files = walkFiles(s"$coldDir/container=$container/session=$session")
@@ -257,10 +266,15 @@ final class LogStore(spark: SparkSession, root: String,
         var allBelow = blocks.size() > 0
         var i = 0
         while (allBelow && i < blocks.size()) {
-          val colChunk = blocks.get(i).getColumns.get(0) // timestamp is field 0
-          val stats = colChunk.getStatistics
+          // look the chunk up by column path, not position
+          val tsChunk = blocks.get(i).getColumns.asScala
+            .find(_.getPath.toDotString == "timestamp").orNull
+          val stats = if (tsChunk == null) null else tsChunk.getStatistics
           allBelow = stats != null && stats.hasNonNullValue &&
-            stats.genericGetMax.asInstanceOf[java.lang.Long] < cutoffMicros
+            (stats.genericGetMax match {
+              case l: java.lang.Long => l < cutoffMicros
+              case _ => false // INT96 or unexpected physical type → keep
+            })
           i += 1
         }
         allBelow
