@@ -48,6 +48,20 @@ class DotProductSpec extends SparkSuite {
     }
   }
 
+  test("GraftExtensions injector applies cleanly and its builder produces a working expression") {
+    // We can't build a second SparkSession in this JVM; verify the
+    // injector applies without error and the registered builder works.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = GraftExtensions.dotProductBuilder(Seq(
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType))))
+    assert(e.eval(null) === 11.0)
+    intercept[IllegalArgumentException](GraftExtensions.dotProductBuilder(Seq.empty))
+  }
+
   test("type check rejects non-array arguments with a clear message") {
     DotProduct.register(spark)
     val e = intercept[Exception] {
