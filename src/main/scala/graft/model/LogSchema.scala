@@ -31,9 +31,10 @@ object LogSchema {
   private val IdRe = "^[A-Za-z0-9_-]+$".r
   def isValidId(id: String): Boolean = id != null && IdRe.matches(id)
 
-  /** ISO-8601 parse accepting a Z suffix (reference writer.py:64-67 via
-    * Arrow's string→timestamp cast; main.py:243-247 rewrites Z→+00:00). */
-  def parseIso(s: String): Instant = Instant.parse(if (s.matches(".*[+-]\\d\\d:\\d\\d$")) s else s)
+  /** ISO-8601 parse accepting a Z suffix or an explicit offset (reference
+    * writer.py:64-67 via Arrow's string→timestamp cast; main.py:243-247
+    * rewrites Z→+00:00 — JDK 17's ISO_INSTANT handles both directly). */
+  def parseIso(s: String): Instant = Instant.parse(s)
 
   /** ISO output with explicit `+00:00` offset, matching the reference's
     * Python `isoformat()` emission exactly (reader.py:139-141,

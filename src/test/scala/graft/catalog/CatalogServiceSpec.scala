@@ -89,6 +89,26 @@ class CatalogServiceSpec extends AnyFunSuite {
     assert(c.containerSessions("alice", "app1") === Seq.empty) // not the owner → empty
   }
 
+  test("cleanupExpiredTokens removes only the expired ones") {
+    val clock = new FakeClock(Instant.parse("2026-01-01T00:00:00Z"))
+    val c = new CatalogService(clock = clock)
+    val shortLived = c.createToken("admin", expiresInHours = 1)
+    val longLived = c.createToken("admin", expiresInHours = 48)
+    clock.now = clock.now.plus(Duration.ofHours(2))
+    c.cleanupExpiredTokens()
+    assert(c.verifyToken(shortLived) === None)
+    assert(c.verifyToken(longLived) === Some("admin"))
+  }
+
+  test("createUser rejects duplicates; tokens are url-safe and unique") {
+    val c = new CatalogService()
+    assert(c.createUser("dana", "pw"))
+    assert(!c.createUser("dana", "other"))
+    val tokens = (1 to 20).map(_ => c.createToken("dana"))
+    assert(tokens.distinct.size === 20)
+    assert(tokens.forall(_.matches("^[A-Za-z0-9_-]+$"))) // url-safe base64, no padding
+  }
+
   test("state survives restart via catalog.json (tokens included)") {
     val dir = Files.createTempDirectory("catalog")
     val c1 = new CatalogService(Some(dir))

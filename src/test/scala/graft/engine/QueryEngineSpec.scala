@@ -104,4 +104,12 @@ class QueryEngineSpec extends SparkSuite {
     assert(LogSchema.formatIso(Instant.parse("2024-01-02T00:00:00.123456Z")) === "2024-01-02T00:00:00.123456+00:00")
     assert(LogSchema.formatIso(Instant.parse("2024-01-02T00:00:00.000001Z")) === "2024-01-02T00:00:00.000001+00:00")
   }
+
+  test("parseIso and isValidId cover the reference's edge semantics") {
+    assert(LogSchema.parseIso("2024-01-02T03:04:05Z") === Instant.parse("2024-01-02T03:04:05Z"))
+    assert(LogSchema.parseIso("2024-01-02T03:04:05+00:00") === Instant.parse("2024-01-02T03:04:05Z"))
+    assert(LogSchema.isValidId("abc-123_X"))
+    assert(!LogSchema.isValidId("") && !LogSchema.isValidId(null) &&
+           !LogSchema.isValidId("a/b") && !LogSchema.isValidId("a b"))
+  }
 }
