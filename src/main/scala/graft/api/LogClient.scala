@@ -90,12 +90,15 @@ final class LogClient(baseUrl: String) {
     request("POST", s"/api/logs/$container/$session", Some(n))
   }
 
-  /** GET /api/logs with optional inclusive time range and stream mode. */
+  /** GET /api/logs with optional inclusive time range and stream mode.
+    * Values are URL-encoded — a '+' in an offset timestamp would
+    * otherwise decode to a space server-side. */
   def readLogs(container: String, session: String,
                startTs: Option[String] = None, endTs: Option[String] = None,
                stream: Boolean = false): JsonNode = {
-    val params = startTs.map(s => s"start_ts=$s").toSeq ++
-      endTs.map(e => s"end_ts=$e").toSeq ++
+    def enc(v: String) = java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
+    val params = startTs.map(s => s"start_ts=${enc(s)}").toSeq ++
+      endTs.map(e => s"end_ts=${enc(e)}").toSeq ++
       (if (stream) Seq("stream=true") else Seq.empty)
     val qs = if (params.isEmpty) "" else params.mkString("?", "&", "")
     request("GET", s"/api/logs/$container/$session$qs", None)

@@ -152,8 +152,12 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   }
 
   // ---- session endpoints (P6-P7, main.py:148-217) ----
-  // Catalog stores the namespaced id `<container>_<session>` (main.py:168);
-  // list strips the prefix back off (main.py:198-206).
+  // Catalog stores a namespaced id; the reference uses `<container>_<session>`
+  // (main.py:168), but '_' is a legal id character, so containers "a"/"a_b"
+  // with sessions "b_c"/"c" would collide. We namespace with '/', which can
+  // never appear in a valid id — purely internal, responses are unchanged
+  // (list strips the prefix back off, main.py:198-206).
+  private def nsKey(container: String, session: String) = s"$container/$session"
 
   private def createSession(ex: HttpExchange, user: String, cid: String): Unit = {
     if (!catalog.verifyContainerAccess(user, cid))
@@ -163,7 +167,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       case Some(sid) if !LogSchema.isValidId(sid) =>
         error(ex, 400, "Invalid session_id format. Use alphanumeric, hyphens, or underscores")
       case Some(sid) =>
-        if (!catalog.createSession(user, cid, s"${cid}_$sid"))
+        if (!catalog.createSession(user, cid, nsKey(cid, sid)))
           error(ex, 409, "Session already exists or container not found")
         else {
           val o = mapper.createObjectNode()
@@ -183,7 +187,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     val arr = o.putArray("sessions")
     ss.foreach { case (sid, at) =>
       val n = mapper.createObjectNode()
-      n.put("session_id", sid.stripPrefix(s"${cid}_")); n.put("created_at", sqlTs(at)); arr.add(n)
+      n.put("session_id", sid.stripPrefix(s"$cid/")); n.put("created_at", sqlTs(at)); arr.add(n)
     }
     o.put("count", ss.size)
     respond(ex, 200, o)
@@ -192,7 +196,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   // ---- log endpoints (P8-P9, main.py:222-347) ----
 
   private def getLogs(ex: HttpExchange, user: String, c: String, s: String): Unit = {
-    if (!catalog.verifySessionAccess(user, s"${c}_$s"))
+    if (!catalog.verifySessionAccess(user, nsKey(c, s)))
       return error(ex, 403, "Session not found or access denied")
     val params = queryParams(ex)
     val startRaw = params.get("start_ts")
@@ -217,19 +221,32 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 
     if (streaming) {
       // Chunked emission, one JSON log object at a time (main.py:266-274).
-      // The view lock is held across the whole streamed scan — shared with
-      // other readers, excluding only compaction's publish flips.
+      // The view read-lock is taken PER ELEMENT (each fetch of the lazy
+      // partition iterator), never across client writes — a slow client
+      // paces its own response but cannot wedge compaction or other
+      // readers behind a queued writer. If compaction retires scanned
+      // files between fetches, the stream terminates cleanly with the
+      // rows emitted so far (the reference returns partial data on
+      // mid-read errors too, reader.py:297-302).
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
       def w(str: String): Unit = out.write(str.getBytes(StandardCharsets.UTF_8))
       w(s"""{"container":${mapper.writeValueAsString(c)},"session":${mapper.writeValueAsString(s)},"logs":[""")
+      val it = engine.streamJson(c, s, start, end)
       var first = true
-      store.withViewLock(c, s) {
-        engine.streamJson(c, s, start, end).foreach { json =>
-          if (!first) w(",")
-          first = false
-          w(json)
+      var more = true
+      while (more) {
+        val next = store.withViewLock(c, s) {
+          try if (it.hasNext) Some(it.next()) else None
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        next match {
+          case Some(json) =>
+            if (!first) w(",")
+            first = false
+            w(json)
+          case None => more = false
         }
       }
       w(s"""],"files_scanned":$filesScanned}""")
@@ -250,16 +267,16 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   }
 
   private def postLogs(ex: HttpExchange, user: String, c: String, s: String): Unit = {
-    if (!catalog.verifySessionAccess(user, s"${c}_$s"))
+    if (!catalog.verifySessionAccess(user, nsKey(c, s)))
       return error(ex, 403, "Session not found or access denied")
     val body = readJson(ex)
     if (body.isEmpty || !body.get.has("logs"))
       return error(ex, 400, "Missing \"logs\" field in request body")
-    val logs = body.get.get("logs")
-    if (!logs.isArray) return error(ex, 400, "\"logs\" must be an array")
-    if (logs.isEmpty) return error(ex, 400, "\"logs\" array cannot be empty")
+    // Shape + content validation live in ONE place (JsonIngest.toRows —
+    // not-an-array / empty / non-object / missing-field / bad-timestamp);
+    // every failure maps to 400 with the validator's message.
     val rows =
-      try JsonIngest.toRows(logs)
+      try JsonIngest.toRows(body.get.get("logs"))
       catch { case e: JsonIngest.IngestValidationException =>
         return error(ex, 400, e.getMessage)
       }
@@ -297,11 +314,13 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** `Z` → offset, then ISO parse; naive datetimes are UTC
-    * (main.py:243-247's fromisoformat semantics). */
+  /** `Z` → offset, space → `T`, then ISO parse; naive datetimes are UTC
+    * (main.py:243-247's fromisoformat semantics — which also accepts the
+    * space separator, so the format that wrote rows can query them). */
   private def parseParamTs(s: String): Instant =
     try {
-      val t = s.replace("Z", "+00:00")
+      val withT = if (s.length > 10 && s.charAt(10) == ' ') s.updated(10, 'T') else s
+      val t = withT.replace("Z", "+00:00")
       if (t.matches(".*[+-]\\d\\d:\\d\\d$")) java.time.OffsetDateTime.parse(t).toInstant
       else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
     } catch { case _: Exception => throw new IllegalArgumentException(s"'$s'") }

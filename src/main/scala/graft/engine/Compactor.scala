@@ -33,26 +33,25 @@ final class Compactor(store: LogStore,
   private val inFlight = ConcurrentHashMap.newKeySet[(String, String)]()
   // In-memory hot-bytes accounting per session (writer.py:246-249): the
   // trigger check is a counter read, not a directory walk per append.
-  // Lazily seeded from the file index on first touch (covers restarts
-  // with pre-existing hot data), then maintained from append sizes.
+  // Seeded EAGERLY at construction for every session already on disk
+  // (covers restarts with pre-existing hot data); sessions born after
+  // construction start at 0 and accumulate purely from append sizes —
+  // no lazy-seed race that could double-count a concurrent first append.
   private val hotCounters = new ConcurrentHashMap[(String, String), java.util.concurrent.atomic.AtomicLong]()
+  store.sessions().foreach { case (c, s) =>
+    val hot = store.hotBytes(c, s)
+    if (hot > 0) hotCounters.put((c, s), new java.util.concurrent.atomic.AtomicLong(hot))
+  }
   @volatile private var closed = false
 
   /** Record an append's published byte count (LogStore.append's return)
     * and queue compaction when the accumulated hot size crosses the
-    * rotation threshold (writer.py:252-259 semantics). The very first
-    * touch of a session seeds the counter from the file index — that
-    * listing already includes the append being reported, so the seed
-    * call does NOT also add `bytes` (it would double-count). */
+    * rotation threshold (writer.py:252-259 semantics). */
   def noteAppend(container: String, session: String, bytes: Long): Unit = {
     if (closed || bytes <= 0) return
-    var seeded = false
-    val cnt = hotCounters.computeIfAbsent((container, session), _ => {
-      seeded = true
-      new java.util.concurrent.atomic.AtomicLong(store.hotBytes(container, session))
-    })
-    val total = if (seeded) cnt.get else cnt.addAndGet(bytes)
-    if (total >= thresholdBytes) trigger(container, session, cnt)
+    val cnt = hotCounters.computeIfAbsent((container, session),
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+    if (cnt.addAndGet(bytes) >= thresholdBytes) trigger(container, session, cnt)
   }
 
   /** Listing-based trigger check — for callers without byte accounting. */

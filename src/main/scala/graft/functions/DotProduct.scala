@@ -79,8 +79,10 @@ object DotProduct {
 
   /** Idempotent per-session registration of `graft_dot` in the function
     * registry — the supported extension point when the session isn't
-    * built through SparkSessionExtensions. */
+    * built through SparkSessionExtensions. Uses the same arity-checked
+    * builder as [[GraftExtensions]], so both registration paths fail a
+    * bad call identically. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      name, GraftExtensions.dotProductBuilder, "built-in")
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,7 +118,17 @@ object LogQueries {
         start = Some(java.time.Instant.parse("2024-01-03T00:00:00Z")),
         end = Some(java.time.Instant.parse("2024-01-28T23:59:59Z")))
     }
-    reads.reduce(_ unionAll _)
+    // Materialize before cleanup: the result set is three sessions' worth
+    // of rows (control-plane-sized), and collecting lets us delete the
+    // temp store and release the cache instead of leaking one tmp dir +
+    // one pinned cache entry per invocation (Verify + Bench + Prof runs).
+    val rows = reads.reduce(_ unionAll _)
       .orderBy(col("timestamp"), col("session"), col("message"))
+      .collect().toSeq
+    src.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      graft.model.LogSchema.schema)
   }
 }

@@ -71,8 +71,11 @@ final class StreamingIngest(spark: SparkSession, store: LogStore,
     try {
       val rejects = typed.filter(!col("valid"))
         .select(col("timestamp"), col("level"), col("message"), col("container"), col("session"))
+      // Overwrite the batch-deterministic path: a replayed micro-batch
+      // rewrites the same dead-letter dir instead of appending duplicates
+      // (exactly-once for rejects too, not just published data).
       if (!rejects.isEmpty)
-        rejects.write.mode("append").json(s"$rejectsDir/batch=$batchId")
+        rejects.write.mode("overwrite").json(s"$rejectsDir/batch=$batchId")
 
       val good = typed.filter(col("valid"))
         .select(col("ts").as("timestamp"), col("level"), col("message"),

@@ -33,6 +33,14 @@ class LogClientSpec extends SparkSuite with BeforeAndAfterAll {
       startTs = Some("2025-06-01T08:30:00Z"), endTs = Some("2025-06-01T09:00:00Z"))
     assert(ranged.get("total_rows").asInt === 1)
     assert(ranged.get("logs").get(0).get("message").asText === "down")
+    // explicit-offset timestamps survive URL encoding ('+' must not
+    // decode to a space server-side)
+    val offset = c.readLogs("sdk-app", "run1",
+      startTs = Some("2025-06-01T09:30:00+01:00"), endTs = Some("2025-06-01T10:00:00+01:00"))
+    assert(offset.get("total_rows").asInt === 1)
+    // space-separated naive datetimes (the same form POST accepts) work too
+    val spaced = c.readLogs("sdk-app", "run1", startTs = Some("2025-06-01 08:30:00"))
+    assert(spaced.get("total_rows").asInt === 1)
     val streamed = c.readLogs("sdk-app", "run1", stream = true)
     assert(streamed.get("logs").size === 2)
 

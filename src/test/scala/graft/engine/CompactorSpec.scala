@@ -43,24 +43,29 @@ class CompactorSpec extends SparkSuite {
   }
 
   test("noteAppend: counter-based rotation triggers only once the accumulated bytes cross the threshold") {
+    // probe: measure the size of one batch file, then start clean
+    val probeStore = new LogStore(spark, tempDir("compactor-probe"))
+    val oneBatch = probeStore.append(spark.createDataFrame(
+      (1 to 3).map(i => Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", s"row$i")).asJava,
+      LogSchema.fileSchema), "c", "s")
+    assert(oneBatch > 0)
+
     val store = new LogStore(spark, tempDir("compactor"))
-    append(store, 3)
-    val firstBytes = store.hotBytes("c", "s")
     // threshold just above one batch: the first noteAppend must NOT
     // trigger, the second (accumulated) must
-    val compactor = new Compactor(store, thresholdBytes = firstBytes + 1)
+    val compactor = new Compactor(store, thresholdBytes = oneBatch + 1)
     try {
-      compactor.noteAppend("c", "s", firstBytes)
+      def appendBatch(): Long = store.append(spark.createDataFrame(
+        (1 to 3).map(i => Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", s"row$i")).asJava,
+        LogSchema.fileSchema), "c", "s")
+      compactor.noteAppend("c", "s", appendBatch())
       Thread.sleep(300)
       assert(store.tierStats("c", "s")._1 === 0, "compacted below threshold")
-      val more = store.append(spark.createDataFrame(
-        Seq(Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", "extra")).asJava,
-        LogSchema.fileSchema), "c", "s")
-      compactor.noteAppend("c", "s", more)
+      compactor.noteAppend("c", "s", appendBatch())
       val deadline = System.currentTimeMillis + 60000
       while (store.hotBytes("c", "s") > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
       assert(store.hotBytes("c", "s") === 0, "accumulated bytes should have triggered rotation")
-      assert(store.read("c", "s").count() === 4)
+      assert(store.read("c", "s").count() === 6)
     } finally compactor.close()
   }
 
