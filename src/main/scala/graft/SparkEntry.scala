@@ -408,14 +408,19 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vectorsCte,
-         |vb AS (
-         |  SELECT *, CAST(CASE WHEN v[1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
-         |       + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
-         |  FROM vn)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-         |  floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000) / 1000000 AS cos
-         |FROM vb a JOIN vb b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+         |bands AS (
+         |  SELECT vec_id, label, bi,
+         |    CAST(CASE WHEN v[4*bi+1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[4*bi+2] > 0 THEN 4 ELSE 0 END
+         |       + CASE WHEN v[4*bi+3] > 0 THEN 2 ELSE 0 END + CASE WHEN v[4*bi+4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bk
+         |  FROM vn, UNNEST(range(0, 16)) AS u(bi)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+         |  FROM bands a JOIN bands b
+         |    ON a.label = b.label AND a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b, c.label,
+         |  floor(list_dot_product(x.v, y.v) / (x.norm * y.norm) * 1000000) / 1000000 AS cos
+         |FROM cand c JOIN vn x ON c.vec_a = x.vec_id JOIN vn y ON c.vec_b = y.vec_id
+         |WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $vectorsCte,

@@ -33,7 +33,11 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   */
 object CatalogService {
   final case class User(userId: String, passwordHash: String, createdAt: Instant)
-  final case class Token(token: String, userId: String, createdAt: Instant, expiresAt: Instant)
+  /** `tokenHash` is the SHA-256 of the bearer token — the raw token is
+    * returned to the caller once at creation and never persisted, so
+    * reading catalog.json does not yield usable credentials (round-2
+    * advice; the file is also written owner-only). */
+  final case class Token(tokenHash: String, userId: String, createdAt: Instant, expiresAt: Instant)
   final case class Container(containerId: String, userId: String, createdAt: Instant)
   final case class Session(sessionId: String, containerId: String, userId: String, createdAt: Instant)
 }
@@ -78,24 +82,27 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
     rng.nextBytes(bytes)
     val tok = Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
     val now = clock.instant()
-    tokens(tok) = Token(tok, userId, now, now.plusSeconds(expiresInHours.toLong * 3600))
+    val h = sha256Hex(tok)
+    tokens(h) = Token(h, userId, now, now.plusSeconds(expiresInHours.toLong * 3600))
     persist()
     tok
   }
 
   /** Some(userId) if the token exists and is unexpired; expired tokens are
-    * deleted on the spot (lazy expiry, auth.py:147-153). */
+    * deleted on the spot (lazy expiry, auth.py:147-153). Lookup is by
+    * token digest — the store never holds the raw token. */
   def verifyToken(token: String): Option[String] = synchronized {
-    tokens.get(token) match {
+    val h = sha256Hex(token)
+    tokens.get(h) match {
       case Some(t) if t.expiresAt.isBefore(clock.instant()) =>
-        tokens.remove(token); persist(); None
+        tokens.remove(h); persist(); None
       case Some(t) => Some(t.userId)
       case None => None
     }
   }
 
   def revokeToken(token: String): Unit = synchronized {
-    if (tokens.remove(token).isDefined) persist()
+    if (tokens.remove(sha256Hex(token)).isDefined) persist()
   }
 
   def cleanupExpiredTokens(): Unit = synchronized {
@@ -168,7 +175,7 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
     })
     put("tokens", tokens.values.map { t =>
       val n = mapper.createObjectNode()
-      n.put("token", t.token); n.put("user_id", t.userId)
+      n.put("token_hash", t.tokenHash); n.put("user_id", t.userId)
       n.put("created_at", t.createdAt.toString); n.put("expires_at", t.expiresAt.toString); n
     })
     put("containers", containers.values.map { c =>
@@ -185,6 +192,12 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
     Files.createDirectories(f.getParent)
     val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
     Files.writeString(tmp, mapper.writeValueAsString(o))
+    // Owner-only before the file becomes visible under its real name:
+    // catalog.json carries password hashes and token digests.
+    try Files.setPosixFilePermissions(tmp, java.util.EnumSet.of(
+      java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+      java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+    catch { case _: UnsupportedOperationException => () } // non-POSIX FS
     Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -199,7 +212,11 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
         n.get("password_hash").asText, Instant.parse(n.get("created_at").asText))
     }
     arr("tokens").foreach { n =>
-      tokens(n.get("token").asText) = Token(n.get("token").asText, n.get("user_id").asText,
+      // Legacy catalogs (pre-digest) persisted the raw token; hash it on
+      // load so those sessions stay valid across the upgrade.
+      val h = if (n.has("token_hash")) n.get("token_hash").asText
+              else sha256Hex(n.get("token").asText)
+      tokens(h) = Token(h, n.get("user_id").asText,
         Instant.parse(n.get("created_at").asText), Instant.parse(n.get("expires_at").asText))
     }
     arr("containers").foreach { n =>

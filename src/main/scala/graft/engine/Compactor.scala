@@ -54,23 +54,34 @@ final class Compactor(store: LogStore,
     if (cnt.addAndGet(bytes) >= thresholdBytes) trigger(container, session, cnt)
   }
 
-  /** Listing-based trigger check — for callers without byte accounting. */
+  /** Listing-based trigger check — for callers without byte accounting.
+    * The refresh is a single compare-and-set from the observed counter
+    * value: if a concurrent [[noteAppend]] bumps the counter between the
+    * read and the CAS, the CAS fails and the increment wins — an absolute
+    * `set` here would silently erase those bytes and delay the next
+    * rotation (round-2 advice). */
   def maybeCompact(container: String, session: String): Unit =
     if (!closed) {
       val cnt = hotCounters.computeIfAbsent((container, session),
         _ => new java.util.concurrent.atomic.AtomicLong(0L))
-      cnt.set(store.hotBytes(container, session))
+      val observed = cnt.get
+      cnt.compareAndSet(observed, store.hotBytes(container, session))
       if (cnt.get >= thresholdBytes) trigger(container, session, cnt)
     }
 
   private def trigger(container: String, session: String,
                       cnt: java.util.concurrent.atomic.AtomicLong): Unit =
     if (inFlight.add((container, session))) {
-      cnt.set(0L) // appends landing mid-compaction re-accumulate
       pool.submit(new Runnable {
         def run(): Unit =
-          try store.compact(container, session)
-          catch { case e: Exception =>
+          // Subtract exactly the bytes the compaction retired (its hot
+          // snapshot), never `set(0)`: appends landing mid-compaction
+          // stay counted and re-trigger naturally once this run's
+          // inFlight slot frees.
+          try {
+            val retired = store.compact(container, session)
+            cnt.updateAndGet(v => math.max(0L, v - retired))
+          } catch { case e: Exception =>
             System.err.println(s"[compactor] $container/$session failed: ${e.getMessage}")
           } finally inFlight.remove((container, session))
       })

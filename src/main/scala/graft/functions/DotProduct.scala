@@ -82,7 +82,13 @@ object DotProduct {
     * built through SparkSessionExtensions. Uses the same arity-checked
     * builder as [[GraftExtensions]], so both registration paths fail a
     * bad call identically. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, GraftExtensions.dotProductBuilder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    // Idempotent: re-registering an already-present function makes Spark
+    // log a "replaced a previously registered function" warning per call
+    // (noisy in bench/verify output, where register runs once per query).
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, GraftExtensions.dotProductBuilder, "built-in")
+  }
 }

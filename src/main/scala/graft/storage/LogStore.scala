@@ -69,25 +69,40 @@ final class LogStore(spark: SparkSession, root: String,
     * in-memory counter (the reference's size accounting, writer.py:
     * 246-249) instead of re-listing the directory on every append. */
   def append(df: DataFrame, container: String, session: String): Long =
-    stagedAppend(df, container, session, s"append-${UUID.randomUUID()}")
+    stagedAppend(df, container, session, None)
 
   /** Append with a caller-supplied idempotency tag: the batch lands as a
-    * single `<tag>.parquet` file, and a replay of the same tag is a
-    * no-op (returns -1). This is the exactly-once hook for Structured
-    * Streaming's `foreachBatch` (tag = batch id): a micro-batch that
-    * reruns after a crash finds its file already published and skips. */
+    * single `<tag>.parquet` file plus a durable commit marker under
+    * `<root>/tags/`, and a replay of the same tag is a no-op (returns
+    * -1). This is the exactly-once hook for Structured Streaming's
+    * `foreachBatch` (tag = batch id).
+    *
+    * The marker — not the hot file — is the replay check: compaction
+    * moves hot files to cold (destroying a file-existence marker, the
+    * round-2 exactly-once hole), but never touches `tags/`. A crash
+    * after publish therefore still skips the replayed batch even when
+    * the batch's file has already been compacted away. */
   def appendIdempotent(df: DataFrame, container: String, session: String, tag: String): Long =
-    stagedAppend(df, container, session, tag)
+    stagedAppend(df, container, session, Some(tag))
+
+  private def tagMarker(container: String, session: String, tag: String): Path =
+    new Path(s"$root/tags/container=$container/session=$session/$tag")
 
   /** Stage to a unique dir, publish as `<tag>.parquet` with one atomic
-    * rename; -1 if the tag already exists (idempotent replay), else the
-    * published byte count. */
-  private def stagedAppend(df: DataFrame, container: String, session: String, tag: String): Long = {
+    * rename; -1 if the tag was already committed (idempotent replay),
+    * else the published byte count. */
+  private def stagedAppend(df: DataFrame, container: String, session: String,
+                           idemTag: Option[String]): Long = {
     require(LogSchema.isValidId(container), s"invalid container id: $container")
     require(LogSchema.isValidId(session), s"invalid session id: $session")
+    val tag = idemTag.getOrElse(s"append-${UUID.randomUUID()}")
     val target = new Path(s"$hotDir/container=$container/session=$session")
     val dst = new Path(target, s"$tag.parquet")
-    if (fs.exists(dst)) return -1L // replay — already committed
+    // Replay check: durable marker first (survives compaction), hot file
+    // second (covers the publish-then-crash-before-marker window while
+    // the file is still hot).
+    if (idemTag.isDefined && fs.exists(tagMarker(container, session, tag))) return -1L
+    if (fs.exists(dst)) return -1L
     val staging = new Path(s"$root/.staging-$tag-$container-$session")
     df.select("timestamp", "level", "message")
       .coalesce(1)
@@ -99,8 +114,20 @@ final class LogStore(spark: SparkSession, root: String,
     val st = staged.headOption.getOrElse(
       throw new java.io.IOException(s"append: staging $staging produced no visible file"))
     fs.mkdirs(target)
-    if (!fs.rename(st.getPath, dst))
-      throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
+    // Publish + marker under the session's view read-lock: compaction
+    // retires hot files only under the write side, so it cannot observe
+    // the new file and delete it before the marker exists — the replay
+    // check above is never caught between "file compacted away" and
+    // "marker not yet written".
+    withViewLock(container, session) {
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
+      idemTag.foreach { t =>
+        val m = tagMarker(container, session, t)
+        fs.mkdirs(m.getParent)
+        fs.create(m, true).close()
+      }
+    }
     fs.delete(staging, true)
     st.getLen
   }
@@ -128,9 +155,13 @@ final class LogStore(spark: SparkSession, root: String,
   /** Recursive parquet-file walk that is safe against concurrent writers:
     * hidden dirs (`_temporary`, `.`-prefixed) are skipped, lengths come
     * from the listing itself (no second stat call to race), and a subtree
-    * that vanishes mid-walk (an append commit cleaning `_temporary`, a
-    * compaction retiring its snapshot) reads as absent instead of
-    * throwing. */
+    * that VANISHES mid-walk (an append commit cleaning `_temporary`, a
+    * compaction retiring its snapshot) reads as absent. Only
+    * FileNotFoundException is swallowed — any other listing failure (a
+    * transient FS error, a permission problem) propagates, so a broken
+    * filesystem reads as an error, not as an empty session (round-2
+    * advice: a 200-with-zero-logs on an IO failure also silently
+    * disabled size-based rotation). */
   private def walkFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     def go(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       try fs.listStatus(d).toSeq.flatMap { st =>
@@ -139,7 +170,7 @@ final class LogStore(spark: SparkSession, root: String,
         else if (st.isDirectory) go(st.getPath)
         else if (name.endsWith(".parquet")) Seq(st)
         else Seq.empty
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
     val p = new Path(dir)
     if (!fs.exists(p)) Seq.empty else go(p)
   }
@@ -191,7 +222,11 @@ final class LogStore(spark: SparkSession, root: String,
   /** Compact one session: rewrite the *current snapshot* of hot files
     * into sized cold files, then delete exactly that snapshot. Appends
     * that land mid-compaction stay in the hot tier untouched, so the
-    * row multiset is preserved exactly once (fixes SURVEY §1.5). */
+    * row multiset is preserved exactly once (fixes SURVEY §1.5).
+    * Returns the byte size of the retired hot snapshot — callers doing
+    * size accounting ([[graft.engine.Compactor]]) subtract exactly what
+    * was compacted instead of zeroing a counter that concurrent appends
+    * may have bumped mid-compaction. */
   def compact(container: String, session: String): Long =
     compactLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
       compactLocked(container, session)
@@ -228,15 +263,14 @@ final class LogStore(spark: SparkSession, root: String,
       if (staged.isEmpty)
         throw new java.io.IOException(
           s"compact: staging $staging lists no files for a non-empty snapshot; hot snapshot retained")
-      val moved = staged.map { p =>
+      staged.foreach { p =>
         val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
         if (!fs.rename(p, dst))
           throw new java.io.IOException(s"compact: rename $p -> $dst failed; hot snapshot retained")
-        dst
       }
       fs.delete(staging, true)
       snapshot.foreach(p => fs.delete(p, false))
-      moved.size.toLong
+      bytes
     } finally wl.unlock()
   }
 

@@ -24,8 +24,10 @@ import graft.storage.LogStore
   *    validation surface);
   *  - publishing uses [[LogStore.appendIdempotent]] keyed on
   *    (batchId): with the file-source checkpoint this makes ingest
-  *    exactly-once end-to-end — a replayed micro-batch finds its file
-  *    already published and skips;
+  *    exactly-once end-to-end — a replayed micro-batch finds the tag's
+  *    durable commit marker (under `<root>/tags/`, untouched by
+  *    compaction — the marker, not the hot file, is the replay check)
+  *    and skips;
   *  - every publish pokes the [[Compactor]], so size-triggered rotation
   *    runs exactly as in the HTTP path.
   *

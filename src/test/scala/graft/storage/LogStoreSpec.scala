@@ -143,6 +143,27 @@ class LogStoreSpec extends SparkSuite {
     assert(store.retentionSweep("c", "s", java.time.Instant.parse("2024-01-01T00:00:00Z")) === 0)
   }
 
+  test("idempotent replay is still a no-op AFTER compaction moved the batch cold (round-2 exactly-once hole)") {
+    val store = new LogStore(spark, tempDir("idem"))
+    val b = batch(("2024-01-01T10:00:00Z", "INFO", "once"))
+    assert(store.appendIdempotent(b, "c", "s", "stream-7") > 0)
+    store.compact("c", "s") // hot file stream-7.parquet is gone; marker must survive
+    assert(store.tierStats("c", "s")._3 === 0, "hot tier drained")
+    assert(store.appendIdempotent(b, "c", "s", "stream-7") === -1L, "replay must skip")
+    assert(store.read("c", "s").count() === 1)
+  }
+
+  test("idempotent replay skips across a store restart") {
+    val root = tempDir("idem-restart")
+    val b = batch(("2024-01-01T10:00:00Z", "INFO", "once"))
+    val store1 = new LogStore(spark, root)
+    assert(store1.appendIdempotent(b, "c", "s", "stream-3") > 0)
+    store1.compact("c", "s")
+    val store2 = new LogStore(spark, root)
+    assert(store2.appendIdempotent(b, "c", "s", "stream-3") === -1L)
+    assert(store2.read("c", "s").count() === 1)
+  }
+
   test("compact sizes output files by targetFileBytes") {
     val store = new LogStore(spark, tempDir("store"), targetFileBytes = 1L) // force 1 file per byte-bucket
     store.append(batch((1 to 50).map(i => ("2024-01-01T10:00:00Z", "INFO", s"m$i")): _*), "c", "s")
