@@ -56,11 +56,13 @@ object SparkEntry {
     "dedup_simhash_buckets" -> (Dedup.simhashBuckets _),
     "dedup_fuzzy_edit"   -> ((s: SparkSession, d: String) => Dedup.fuzzyEditDistance(s, d)),
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
+    "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
+    "emb_centroid_update" -> (Similarity.centroidUpdate _),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -70,6 +72,10 @@ object SparkEntry {
     "mm_binary_meta"   -> (TextAnalysis.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample"    -> (Multimodal.frameSample _),
+    "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
+    // Pipeline composition (curation stages chained in one plan)
+    "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
+    "pipe_training_set"      -> (Pipeline.trainingSet _),
   )
 
   // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
@@ -388,6 +394,30 @@ object SparkEntry {
          |            JOIN sizes sy ON doc_b = sy.doc_id
          |WHERE floor(CAST(c AS DOUBLE) / (sx.n + sy.n - c) * 1000000) / 1000000 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM common JOIN sizes x ON doc_a = x.doc_id
+         |              JOIN sizes y ON doc_b = y.doc_id
+         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS doc_id, MIN(dst) AS comp_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM shash ORDER BY doc_id""".stripMargin,
@@ -494,6 +524,70 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "emb_centroid_update" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT cent_id AS list_id, v FROM (
+         |    SELECT c.cent_id, vn.v,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |el AS (
+         |  SELECT list_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM assign, UNNEST(range(1, 65)) AS u(i))
+         |SELECT list_id, pos, COUNT(*) AS n_members,
+         |  FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |FROM el GROUP BY list_id, pos ORDER BY list_id, pos""".stripMargin,
+    "text_bigram_rarity" ->
+      """WITH bg AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2),
+        |dfreq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  floor(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS rarity
+        |FROM bg b JOIN dfreq d ON b.bg = d.bg
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM b
+        |WHERE bucket < CASE WHEN source = 'src0' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_training_set" ->
+      """WITH base AS (SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, source,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT) AS n_en
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, text, source, n_tokens,
+        |    floor(CAST(sum_len AS DOUBLE) / n_tokens * 1000000) / 1000000 AS avg_token_len,
+        |    floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000 AS stop_ratio,
+        |    floor(CAST(n_en AS DOUBLE) / n_tokens * 1000000) / 1000000 AS en_ratio
+        |  FROM m),
+        |q AS (
+        |  SELECT *,
+        |    floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |        + (1.0 - stop_ratio) * 0.3
+        |        + least(avg_token_len / 8.0, 1.0) * 0.3) * 1000000) / 1000000 AS quality_score,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |  FROM r)
+        |SELECT doc_id, source, n_tokens, quality_score
+        |FROM q
+        |WHERE en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id AND bucket < 50
+        |ORDER BY doc_id""".stripMargin,
     "mm_decode_features" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS nb, md5(text) AS h FROM documents),

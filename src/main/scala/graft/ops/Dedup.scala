@@ -203,6 +203,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-cluster connected components: near-dup PAIRS (the
+    * [[ngramJaccard]] output) promoted to CLUSTERS via iterative
+    * min-label propagation — every doc in a connected component gets the
+    * component's minimum doc_id as its cluster id, the thing a real
+    * dedup pipeline needs (keep one doc per cluster, not per pair: pair
+    * output alone would keep B when A~B and B~C but drop nothing
+    * transitively).
+    *
+    * Each iteration is one equi-join + min-aggregation (comp := min of
+    * own and neighbors' labels) with `localCheckpoint` cutting the plan
+    * lineage so the loop doesn't stack ever-deeper DAGs. Convergence is
+    * checked with a count of changed labels; near-dup components are
+    * shallow (star-like), so rounds ≈ cluster diameter, small. At 100 TB
+    * the same loop holds (each round is a shuffle join on doc_id); for
+    * adversarially long chains the standard upgrade is large-star/
+    * small-star (O(log n) rounds) — same join shape, different
+    * neighbor set. The oracle replays the fixpoint as a recursive CTE:
+    * both converge to the true component minimum, so results match
+    * without mirroring the iteration count. */
+  def dupComponents(s: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min}
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").cache()
+    var comp = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("comp_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNbr = edges.join(comp, edges("v") === comp("doc_id"))
+        .select(edges("u").as("doc_id"), col("comp_id"))
+      val next = comp.unionByName(viaNbr)
+        .groupBy("doc_id").agg(min("comp_id").as("comp_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(comp.as("o"), "doc_id")
+        .filter(col("n.comp_id") =!= col("o.comp_id")).count()
+      comp = next
+      iter += 1
+    }
+    edges.unpersist()
+    comp.orderBy("doc_id")
+  }
+
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline composition over `documents` — the stages a
+  * 100 TB curation job chains: language filter → quality gate → exact
+  * dedup (keep the minimum doc_id per identical text) → deterministic
+  * stratified sampling. Every stage is a declarative DataFrame
+  * transform, so Catalyst fuses the whole pipeline into a handful of
+  * shuffles, and every decision is a pure function of the row (hash
+  * sampling, not rand()) so reruns are reproducible and the oracle can
+  * replay them exactly.
+  */
+object Pipeline {
+
+  private def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1000000.0) / 1000000.0
+
+  /** Deterministic per-doc sampling bucket in [0, 100): first 16 bits of
+    * md5(doc_id) mod 100. Hash-derived, not rand(): the same doc lands
+    * in the same bucket on every run, every engine, every partitioning —
+    * the property that makes sampled pipelines debuggable and resumable
+    * at scale. */
+  private def sampleBucket: org.apache.spark.sql.Column =
+    expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+
+  /** Stratified sample: per-source rates (oversample the small/curated
+    * stratum, downsample the crawl-style bulk — here src0 at 50%, the
+    * rest at 10%). One scan, no shuffle: the predicate is a pure
+    * projection, so at 100 TB this is scan-rate sampling with exact
+    * per-stratum control. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", sampleBucket)
+      .filter(col("bucket") <
+        when(col("source") === "src0", lit(50L)).otherwise(lit(10L)))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** The composed curation pipeline, one DataFrame plan:
+    *
+    *  1. language gate: n-gram heuristic says English
+    *     ([[TextAnalysis.langId]] semantics inline);
+    *  2. quality gate: composite score ≥ 0.6
+    *     ([[TextAnalysis.quality]] semantics inline);
+    *  3. exact dedup: keep only the minimum doc_id of each identical
+    *     text (one window over the text hash — at scale, group on
+    *     md5(text) so the shuffle key is 32 bytes, not the document);
+    *  4. deterministic 50% sample of the survivors.
+    *
+    * Output is the final training-set manifest (doc_id, source,
+    * n_tokens, quality_score). The gates are ANDed predicates over ONE
+    * scan's derived columns + one window — Catalyst runs this as
+    * scan → project → window → filter, no join chain. */
+  def trainingSet(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("wds", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("wds")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(wds, x -> length(x)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(wds, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT)"))
+      .withColumn("n_en", expr(
+        "CAST(size(filter(wds, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT)"))
+      .withColumn("avg_token_len",
+        trunc6(col("sum_len").cast("double") / col("n_tokens")))
+      .withColumn("stop_ratio",
+        trunc6(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("en_ratio", trunc6(col("n_en").cast("double") / col("n_tokens")))
+      .withColumn("quality_score", trunc6(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - col("stop_ratio")) * 0.3 +
+        least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("bucket", sampleBucket)
+      .filter(col("en_ratio") >= 0.05 &&
+              col("quality_score") >= 0.6 &&
+              col("doc_id") === col("keep_id") &&
+              col("bucket") < 50)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+}

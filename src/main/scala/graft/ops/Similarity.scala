@@ -147,6 +147,42 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** K-means centroid-update step — the shuffle pattern of distributed
+    * Lloyd's: assign every vector to its nearest centroid (one streamed
+    * pass over N with the tiny centroid table broadcast — at 100 TB
+    * nlist is thousands, N billions, so this broadcast is the correct
+    * one), then recompute each centroid dimension as the mean of its
+    * members — a single groupBy(list_id, pos) with map-side partial
+    * aggregation, 8×64 output rows regardless of N.
+    *
+    * Determinism: element values are quantized to micro-units
+    * (floor(x·1e6) as BIGINT) BEFORE summation, so the aggregation is
+    * exact integer arithmetic — order-independent on any engine — and
+    * the mean is one final double division + floor. A raw double sum
+    * would be summation-order-dependent and could never hash-match the
+    * oracle (or itself, across partitionings). */
+  def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val cents = vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("cent_id").as("list_id"), col("v"))
+    assigned
+      .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("list_id"), col("pos").cast("long").as("pos"),
+              floor(col("x") * 1000000.0).cast("long").as("xq"))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("xq")).as("sum_q"))
+      .withColumn("mean", floor(col("sum_q").cast("double") / col("n_members")) / 1000000.0)
+      .select(col("list_id"), col("pos"), col("n_members"), col("mean"))
+      .orderBy(col("list_id"), col("pos"))
+  }
+
   /** 4-bit sign key of dims [4i, 4i+3] — one LSH band. */
   private def bandKey(i: Int): Column = expr(
     s"CAST(CASE WHEN v[${4 * i}] > 0 THEN 8 ELSE 0 END + CASE WHEN v[${4 * i + 1}] > 0 THEN 4 ELSE 0 END + " +

@@ -93,6 +93,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("roll_hash"))
       .orderBy(col("doc_id"))
 
+  /** Bigram-rarity quality signal — the hash-stable core of a language-
+    * model-style perplexity score: a document whose word SEQUENCES never
+    * recur in the corpus is likely noise/garble, one whose bigrams are
+    * all corpus-common is likely boilerplate. Two passes over a
+    * (doc_id, bigram) relation: corpus document frequency per bigram,
+    * then per-doc counts of hapax bigrams (df = 1). All metrics are
+    * INTEGER until the final single division (then trunc6), so the
+    * result is order-independent and exactly replayable by the oracle —
+    * a float log-prob average would be summation-order-dependent.
+    * Scale: same shape as shingle dedup — the df pass is a map-side-
+    * combined groupBy on the bigram, the join back is hash-partitioned. */
+  def bigramRarity(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
+      .distinct()
+    val dfreq = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bg.join(dfreq, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("rarity", trunc6(col("n_hapax").cast("double") / col("n_bigrams")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata path: treat the payload as an opaque binary
     * column (here utf-8 bytes of text stand in for image/audio bytes —
     * the container has no media codecs) and compute typed metadata:
