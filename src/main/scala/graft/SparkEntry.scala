@@ -40,6 +40,8 @@ object SparkEntry {
     "q19_pivot"          -> (RelationalQueries.q19Pivot _),
     "q20_array_agg"      -> (RelationalQueries.q20ArrayAgg _),
     "q21_approx_distinct" -> (RelationalQueries.q21ApproxDistinct _),
+    "q22_range_join"     -> (RelationalQueries.q22RangeJoin _),
+    "q23_grouping_sets"  -> (RelationalQueries.q23GroupingSets _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -296,6 +298,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q22_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_part('epoch', ts) AS ts_sec,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(SUM(is_err) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |      RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_recent_errors
+        |  FROM e)
+        |SELECT event_id, user_id, n_recent_errors FROM w
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -363,4 +363,41 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("last_error_ts"))
       .orderBy(col("event_id"))
   }
+
+  /** Interval range join done scale-safely: for each purchase, how many
+    * errors the same user logged in the preceding 30 minutes. The naive
+    * form is a non-equi self-join (`e2.ts BETWEEN e1.ts - 30m AND
+    * e1.ts`) — a per-user cross join that explodes on hot users; here it
+    * is ONE window pass with a RANGE frame over epoch seconds (sort each
+    * user partition once, slide the frame), linear in events and
+    * identical in result. The window-over-union-tag trick is the
+    * standard Spark answer to bounded-interval joins when one side can
+    * be folded into the other's ordering. */
+  def q22RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast("long"))
+      .withColumn("is_err", when(col("event_type") === "error", 1L).otherwise(0L))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-1800, 0)
+    e.withColumn("n_recent_errors", sum(col("is_err")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("n_recent_errors"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize
+    * (q9/q18): per-priority totals, per-status totals, and the grand
+    * total in ONE pass (Spark expands to a single Expand + one shuffle,
+    * not three scans). */
+  def q23GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+              col("n"), col("total"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
 }
