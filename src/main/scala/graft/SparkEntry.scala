@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_fuzzy_edit"   -> ((s: SparkSession, d: String) => Dedup.fuzzyEditDistance(s, d)),
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
+    "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -458,6 +459,21 @@ object SparkEntry {
          |JOIN p x ON a.doc_id = x.doc_id
          |JOIN p y ON b.doc_id = y.doc_id
          |WHERE levenshtein(x.prefix, y.prefix) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_hamming" ->
+      s"""WITH $simhashCte,
+         |chunks AS (
+         |  SELECT doc_id, simhash, j, CAST((simhash >> (4 * CAST(j AS INT))) & 15 AS BIGINT) AS ck
+         |  FROM shash, UNNEST(range(0, 4)) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS ha, b.simhash AS hb
+         |  FROM chunks a JOIN chunks b
+         |    ON a.j = b.j AND a.ck = b.ck AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vectorsCte,

@@ -203,6 +203,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hamming near-dup over the 16-bit SimHash with PIGEONHOLE blocking:
+    * split the signature into 4 chunks of 4 bits — any pair within
+    * Hamming distance 3 must agree exactly on at least one chunk (3
+    * differing bits can dirty at most 3 of the 4 chunks), so candidates
+    * come from 4 chunk-equality equi-joins (one exploded composite-key
+    * join here, same single-shuffle trick as MinHash banding) and only
+    * candidates pay the exact `bit_count(xor)` verify. This finds
+    * near-dups that [[fuzzyEditDistance]]'s identical-simhash blocking
+    * misses (flipped bits from small edits) while staying linear in
+    * real collisions — never all-pairs. The 4-chunk blocking is exact
+    * for any maxDist ≤ 3; the default verify threshold is 2 because at
+    * 16 bits dist-3 collisions are mostly noise. At wider signatures
+    * (64/128-bit at corpus scale) the same scheme holds with
+    * ⌈bits/(maxDist+1)⌉ chunks. */
+  def hammingNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val sh = simhash(s, dir)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), expr(s"CAST((simhash >> ${4 * j}) & 15 AS BIGINT)").as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.ck").as("ck"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Duplicate-cluster connected components: near-dup PAIRS (the
     * [[ngramJaccard]] output) promoted to CLUSTERS via iterative
     * min-label propagation — every doc in a connected component gets the

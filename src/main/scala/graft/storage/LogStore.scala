@@ -242,7 +242,19 @@ final class LogStore(spark: SparkSession, root: String,
     val df = spark.read.schema(LogSchema.fileSchema)
       .parquet(snapshot.map(_.toString): _*)
     val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
-    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // Range-cluster by timestamp (not hash-repartition): each cold file
+    // covers a tight, mostly non-overlapping time slice, so its parquet
+    // footer min/max actually prunes — time-range reads skip whole files
+    // and retentionSweep's file-level TTL retires files promptly instead
+    // of being pinned by one straggler row. Same row multiset either way;
+    // this is purely a layout choice, and at 100 TB layout IS the read
+    // path (the reference gets this for free only because each buffer
+    // flush is one contiguous ingest slice, writer.py:300-335).
+    // (message as range tiebreak: a snapshot whose rows share one
+    // timestamp must still split into nOut sized files)
+    df.repartitionByRange(nOut, col("timestamp"), col("message"))
+      .sortWithinPartitions(col("timestamp"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
 
     val target = new Path(s"$coldDir/container=$container/session=$session")
     fs.mkdirs(target)
