@@ -76,6 +76,7 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample"    -> (Multimodal.frameSample _),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
+    "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
@@ -592,6 +593,18 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS rarity
         |FROM bg b JOIN dfreq d ON b.bg = d.bg
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df, t.tok) AS rk
+        |  FROM toks t JOIN dfreq d ON t.tok = d.tok)
+        |SELECT doc_id, tok, tf, df, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "pipe_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -93,6 +93,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("roll_hash"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF-style distinctive terms: each document's top-3 tokens ranked
+    * by (term frequency DESC, corpus document frequency ASC, token) —
+    * the highest-tf, lowest-df terms are what characterizes a doc
+    * against the corpus. Ranking on INTEGERS only (no float idf), so the
+    * result is exactly replayable: tf·log(N/df) would rank identically
+    * for fixed tf but is summation/libm-dependent across engines.
+    * Two aggregations (per-doc tf, corpus df — both map-side combined)
+    * + one window; at 100 TB df is the only corpus-wide shuffle and it
+    * is keyed on the token, the same partitioning dedup already uses. */
+  def topTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("df"), col("tok"))
+    toks.join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Bigram-rarity quality signal — the hash-stable core of a language-
     * model-style perplexity score: a document whose word SEQUENCES never
     * recur in the corpus is likely noise/garble, one whose bigrams are

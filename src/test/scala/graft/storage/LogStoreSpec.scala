@@ -164,6 +164,43 @@ class LogStoreSpec extends SparkSuite {
     assert(store2.read("c", "s").count() === 1)
   }
 
+  test("compact range-clusters by timestamp: cold files cover disjoint time slices (footer-prunable)") {
+    val root = tempDir("cluster")
+    val store = new LogStore(spark, root, targetFileBytes = 1L)
+    // 40 rows over 40 distinct minutes, appended in SHUFFLED order —
+    // clustering must come from compaction, not ingest order
+    val rows = new scala.util.Random(7).shuffle((0 until 40).toVector)
+      .map(i => (f"2024-01-01T10:$i%02d:00Z", "INFO", s"m$i"))
+    store.append(batch(rows: _*), "c", "s")
+    store.compact("c", "s")
+    // read each cold file's timestamp min/max from its parquet footer
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val coldFiles = new java.io.File(s"$root/cold/container=c/session=s")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(coldFiles.size > 1, "tiny target ⇒ multiple cold files")
+    val ranges = coldFiles.map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val stats = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "timestamp"))
+          .map(_.getStatistics)
+        val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        (mins.min, maxs.max)
+      } finally r.close()
+    }.sortBy(_._1)
+    // consecutive files must not interleave: each file's max < next file's min
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file time ranges overlap: $ranges")
+      case _ => ()
+    }
+  }
+
   test("compact sizes output files by targetFileBytes") {
     val store = new LogStore(spark, tempDir("store"), targetFileBytes = 1L) // force 1 file per byte-bucket
     store.append(batch((1 to 50).map(i => ("2024-01-01T10:00:00Z", "INFO", s"m$i")): _*), "c", "s")
