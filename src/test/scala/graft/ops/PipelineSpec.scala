@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Determinism guards for the curation pipeline: sampling decisions must
+  * be pure functions of the row — identical across partitionings and
+  * reruns — or a resumed/retried 100 TB job silently samples a
+  * different corpus. */
+class PipelineSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/documents.parquet").isFile
+
+  test("stratified sample picks the same docs regardless of partitioning") {
+    assume(hasTestData)
+    val base = Pipeline.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(base.nonEmpty, "sample must not be vacuous at test scale")
+    // same query over a repartitioned scan — decisions must not move
+    val shuffled = Pipeline.stratifiedSample(spark, sf)
+      .repartition(7).collect().map(_.getLong(0)).toSet
+    assert(shuffled === base)
+    // and a rerun is bit-identical
+    assert(Pipeline.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet === base)
+  }
+
+  test("training set output respects every gate") {
+    assume(hasTestData)
+    val ts = Pipeline.trainingSet(spark, sf).collect()
+    assert(ts.nonEmpty, "pipeline must not be vacuous at test scale")
+    ts.foreach { r =>
+      assert(r.getDouble(3) >= 0.6, s"quality gate leaked: $r")
+    }
+    // sampled subset of the gated set: every kept doc is a dedup keeper
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val minByText = texts.groupBy(_._2).map { case (_, m) => m.keys.min }.toSet
+    ts.foreach(r => assert(minByText.contains(r.getLong(0)),
+      s"non-keeper doc ${r.getLong(0)} survived dedup gate"))
+  }
+}
