@@ -164,6 +164,20 @@ class LogStoreSpec extends SparkSuite {
     assert(store2.read("c", "s").count() === 1)
   }
 
+  test("partition pruning reaches the scan: (container, session) predicates become PartitionFilters") {
+    val store = new LogStore(spark, tempDir("prune"))
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c1", "s1")
+    store.append(batch(("2024-01-01T10:00:00Z", "INFO", "b")), "c2", "s2")
+    store.compact("c1", "s1")
+    val plan = store.read("c1", "s1").queryExecution.executedPlan.toString
+    // the namespace predicate must prune DIRECTORIES (PartitionFilters on
+    // the scan), not run as a post-scan row filter — this is what replaces
+    // the reference's SQLite file catalog lookup (metadata.py:44-53)
+    assert(raw"PartitionFilters: \[[^\]]*container[^\]]*c1".r.findFirstIn(plan).isDefined,
+      s"container predicate not pushed to partition pruning:\n${plan.take(2000)}")
+    assert(raw"PartitionFilters: \[[^\]]*session[^\]]*s1".r.findFirstIn(plan).isDefined)
+  }
+
   test("compact range-clusters by timestamp: cold files cover disjoint time slices (footer-prunable)") {
     val root = tempDir("cluster")
     val store = new LogStore(spark, root, targetFileBytes = 1L)
