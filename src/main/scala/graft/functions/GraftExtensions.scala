@@ -23,6 +23,9 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProduct.name),
       new ExpressionInfo(classOf[DotProduct].getName, DotProduct.name),
       GraftExtensions.dotProductBuilder))
+    // Rewrite the composable aggregate(zip_with(...)) dot-product idiom
+    // to the fused expression wherever it is provably equivalent.
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }
 
