@@ -25,7 +25,9 @@ object Bench {
     }
     // (name, seconds, succeeded) — a crashing query must NOT hide inside a
     // plausible-looking timing (round-1 verdict: failures were masked).
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Sorted by name so per-query timings are comparable across rounds
+    // (Map iteration order is an implementation detail).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
