@@ -75,6 +75,7 @@ object SparkEntry {
     "mm_binary_meta"   -> (TextAnalysis.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample"    -> (Multimodal.frameSample _),
+    "mm_resize_stub"     -> ((s: SparkSession, d: String) => Multimodal.resizeStub(s, d)),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     // Pipeline composition (curation stages chained in one plan)
@@ -656,6 +657,20 @@ object SparkEntry {
         |  CAST(1 + hv5 % 3 AS BIGINT) AS channels,
         |  CASE hv7 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
         |FROM hx ORDER BY doc_id""".stripMargin,
+    "mm_resize_stub" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hh,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |s AS (SELECT *, CAST(n_bytes // 64 AS INT) AS stride FROM b WHERE n_bytes >= 64),
+        |px AS (
+        |  SELECT doc_id, n_bytes, i,
+        |         substr(hh, CAST(i AS INT) * stride * 2 + 1, 2) AS byte_hex
+        |  FROM s, UNNEST(range(0, 64)) AS u(i))
+        |SELECT doc_id, n_bytes, CAST(64 AS BIGINT) AS out_px,
+        |       md5(string_agg(byte_hex, '' ORDER BY i)) AS resized_md5
+        |FROM px GROUP BY doc_id, n_bytes
+        |ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lower(hex(encode(text))) AS hh FROM documents),

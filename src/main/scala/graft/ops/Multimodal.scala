@@ -65,6 +65,25 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Resize stub: nearest-neighbor downsampling IS stride subsampling,
+    * so the stub subsamples the payload to `outPx` bytes at a uniform
+    * stride and hashes the result — a pure byte function (oracle-
+    * replayable) with the real resize's data-flow shape: one projection
+    * over the scan, output size fixed at `outPx` regardless of input
+    * size, no shuffle, no UDF. A real image resize swaps the transform
+    * for a codec call inside [[decodeFeatures]]'s mapPartitions. */
+  def resizeStub(s: SparkSession, dir: String, outPx: Int = 64): DataFrame =
+    blobs(s, dir)
+      .withColumn("hh", lower(hex(col("blob"))))
+      .withColumn("n_bytes", length(col("blob")).cast("long"))
+      .filter(col("n_bytes") >= outPx)
+      .withColumn("stride", expr(s"CAST(n_bytes div $outPx AS INT)"))
+      .withColumn("resized_md5", md5(expr(
+        s"array_join(transform(sequence(0, ${outPx - 1}), i -> substring(hh, i * stride * 2 + 1, 2)), '')")))
+      .select(col("doc_id"), col("n_bytes"), lit(outPx.toLong).as("out_px"),
+              col("resized_md5"))
+      .orderBy(col("doc_id"))
+
   /** Frame sampling: treat the payload as a sequence of 16-byte frames
     * and keep every 4th, emitting (doc_id, frame_no, frame hash). Pure
     * explode + stride arithmetic — the scan parallelizes per row group
