@@ -335,6 +335,22 @@ final class LogStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Prune idempotency markers older than `olderThan` (file mtime).
+    * Markers accumulate one tiny file per streamed micro-batch; once the
+    * stream's checkpoint has advanced past a batch, that batch can never
+    * replay, so its marker is dead weight. Safe retention horizon =
+    * anything comfortably beyond the checkpoint's replay window (hours),
+    * swept on the same cadence as [[retentionSweep]]. Returns the number
+    * of markers deleted. */
+  def tagSweep(container: String, session: String, olderThan: java.time.Instant): Long = {
+    val dir = new Path(s"$root/tags/container=$container/session=$session")
+    if (!fs.exists(dir)) return 0L
+    val cutoff = olderThan.toEpochMilli
+    val dead = fs.listStatus(dir).filter(st => st.isFile && st.getModificationTime < cutoff)
+    dead.foreach(st => fs.delete(st.getPath, false))
+    dead.length.toLong
+  }
+
   /** Youngest cold archive of a session (A8: the reference's
     * `ORDER BY created_at DESC LIMIT 1` over its SQLite catalog,
     * metadata.py:55-66) — served from the file index's modification

@@ -153,6 +153,20 @@ class LogStoreSpec extends SparkSuite {
     assert(store.read("c", "s").count() === 1)
   }
 
+  test("tagSweep prunes old idempotency markers; fresh ones keep guarding replays") {
+    val store = new LogStore(spark, tempDir("tagsweep"))
+    val b = batch(("2024-01-01T10:00:00Z", "INFO", "x"))
+    store.appendIdempotent(b, "c", "s", "stream-1")
+    store.appendIdempotent(b, "c", "s", "stream-2")
+    // future cutoff: every marker is "old"
+    assert(store.tagSweep("c", "s", java.time.Instant.now.plusSeconds(3600)) === 2)
+    assert(store.tagSweep("c", "s", java.time.Instant.now.plusSeconds(3600)) === 0)
+    // past cutoff: nothing swept, marker still blocks the replay
+    store.appendIdempotent(b, "c", "s", "stream-3")
+    assert(store.tagSweep("c", "s", java.time.Instant.now.minusSeconds(3600)) === 0)
+    assert(store.appendIdempotent(b, "c", "s", "stream-3") === -1L)
+  }
+
   test("idempotent replay skips across a store restart") {
     val root = tempDir("idem-restart")
     val b = batch(("2024-01-01T10:00:00Z", "INFO", "once"))
