@@ -236,49 +236,78 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Duplicate-cluster connected components: near-dup PAIRS (the
-    * [[ngramJaccard]] output) promoted to CLUSTERS via iterative
-    * min-label propagation — every doc in a connected component gets the
-    * component's minimum doc_id as its cluster id, the thing a real
-    * dedup pipeline needs (keep one doc per cluster, not per pair: pair
-    * output alone would keep B when A~B and B~C but drop nothing
-    * transitively).
+  /** Connected components over an undirected pair list via alternating
+    * LARGE-STAR / SMALL-STAR rounds (the MapReduce-era algorithm from
+    * Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * public literature): converges in O(log n) rounds on ANY graph,
+    * where plain min-label propagation needs O(diameter) rounds and
+    * dies on long chains. Each round is two groupBy(min)+equi-join
+    * passes, hash-partitioned on node id — the same shuffle shape at
+    * 100 TB, just more of them in parallel. `localCheckpoint` cuts plan
+    * lineage per round; convergence = edge set unchanged.
     *
-    * Each iteration is one equi-join + min-aggregation (comp := min of
-    * own and neighbors' labels) with `localCheckpoint` cutting the plan
-    * lineage so the loop doesn't stack ever-deeper DAGs. Convergence is
-    * checked with a count of changed labels; near-dup components are
-    * shallow (star-like), so rounds ≈ cluster diameter, small. At 100 TB
-    * the same loop holds (each round is a shuffle join on doc_id); for
-    * adversarially long chains the standard upgrade is large-star/
-    * small-star (O(log n) rounds) — same join shape, different
-    * neighbor set. The oracle replays the fixpoint as a recursive CTE:
-    * both converge to the true component minimum, so results match
-    * without mirroring the iteration count. */
-  def dupComponents(s: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min}
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v").cache()
-    var comp = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("comp_id", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (star-collapses tall subtrees);
+    *  - small-star: with edges directed large→small, every node and its
+    *    smaller neighbors point at the neighborhood minimum.
+    *
+    * At the fixpoint every edge is (node, component-minimum); the
+    * assignment reads straight off the edge list. Input pairs must have
+    * doc_a ≠ doc_b; output is (doc_id, comp_id) for every node that
+    * appears in a pair. */
+  private[ops] def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // canonical large→small direction from the start (small-star output
+    // form), so an already-converged input is detected in one round
+    var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val viaNbr = edges.join(comp, edges("v") === comp("doc_id"))
-        .select(edges("u").as("doc_id"), col("comp_id"))
-      val next = comp.unionByName(viaNbr)
-        .groupBy("doc_id").agg(min("comp_id").as("comp_id"))
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetrized neighborhood
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over large→small directed edges
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+                             least(col("u"), col("v")).as("v")).distinct()
+      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = dir.join(mins2, Seq("u"))
+      val small = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      changed = next.as("n").join(comp.as("o"), "doc_id")
-        .filter(col("n.comp_id") =!= col("o.comp_id")).count()
-      comp = next
+      // both sides are distinct sets, so equal cardinality + empty
+      // one-way difference ⇒ set equality (saves the second exceptAll job)
+      converged = small.count() == edges.count() && small.exceptAll(edges).isEmpty
+      edges = small
       iter += 1
     }
-    edges.unpersist()
-    comp.orderBy("doc_id")
+    // fixpoint edges are (node, component min); roots map to themselves
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")), Seq("v"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("comp_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("comp_id"))
+      .union(roots).distinct()
   }
+
+  /** Duplicate-cluster connected components: near-dup PAIRS (the
+    * [[ngramJaccard]] output) promoted to CLUSTERS — every doc in a
+    * connected component gets the component's minimum doc_id as its
+    * cluster id, the thing a real dedup pipeline needs (keep one doc per
+    * cluster, not per pair: pair output alone would keep B when A~B and
+    * B~C but drop nothing transitively). Runs [[connectedComponents]]
+    * (large-star/small-star, O(log n) rounds). The oracle replays the
+    * fixpoint as a recursive CTE: both converge to the true component
+    * minimum, so results match without mirroring the iteration count. */
+  def dupComponents(s: SparkSession, dir: String, maxIters: Int = 30): DataFrame =
+    connectedComponents(
+      ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")), maxIters)
+      .orderBy(col("doc_id"))
 
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */

@@ -6,35 +6,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.SparkSuite
 
-/** Property test for the min-label-propagation loop at the heart of
+/** Property test for the large-star/small-star loop at the heart of
   * [[Dedup.dupComponents]]: on random edge sets the fixpoint must equal
-  * brute-force BFS connected components — including long chains, which
-  * stress the iteration-to-diameter behavior that shallow near-dup
-  * clusters never exercise. */
+  * brute-force BFS connected components — including long chains, where
+  * the O(log n) round bound (vs propagation's O(diameter)) actually
+  * matters. */
 class DupComponentsSpec extends SparkSuite {
 
-  /** The same propagation loop dupComponents runs, over explicit edges. */
+  /** Run the production algorithm over an explicit edge list. */
   private def propagate(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    import org.apache.spark.sql.functions._
-    val schema = StructType(Seq(StructField("u", LongType), StructField("v", LongType)))
-    val sym = edges.flatMap { case (a, b) => Seq(Row(a, b), Row(b, a)) }
-    val e = spark.createDataFrame(sym.asJava, schema).cache()
-    var comp = e.select(col("u").as("doc_id")).distinct()
-      .withColumn("comp_id", col("doc_id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val viaNbr = e.join(comp, e("v") === comp("doc_id"))
-        .select(e("u").as("doc_id"), col("comp_id"))
-      val next = comp.unionByName(viaNbr)
-        .groupBy("doc_id").agg(min("comp_id").as("comp_id")).localCheckpoint()
-      changed = next.as("n").join(comp.as("o"), "doc_id")
-        .filter(col("n.comp_id") =!= col("o.comp_id")).count()
-      comp = next
-      iter += 1
-    }
-    e.unpersist()
-    comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val schema = StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val df = spark.createDataFrame(edges.map { case (a, b) => Row(a, b) }.asJava, schema)
+    Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
