@@ -81,6 +81,7 @@ object SparkEntry {
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
+    "pipe_funnel"            -> (Pipeline.funnel _),
   )
 
   // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
@@ -124,6 +125,34 @@ object SparkEntry {
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM weights GROUP BY doc_id)""".stripMargin
+
+  // Shared DuckDB CTE chain ending in q(doc_id, source, n_tokens,
+  // quality_score, en_ratio, keep_id, bucket) — the curation-gate
+  // derivation Pipeline.gated runs (language/quality/dedup/sample
+  // signals per document).
+  private val curationCte =
+    """base AS (SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents),
+      |m AS (
+      |  SELECT doc_id, text, source,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT) AS n_en
+      |  FROM base),
+      |r AS (
+      |  SELECT doc_id, text, source, n_tokens,
+      |    floor(CAST(sum_len AS DOUBLE) / n_tokens * 1000000) / 1000000 AS avg_token_len,
+      |    floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000 AS stop_ratio,
+      |    floor(CAST(n_en AS DOUBLE) / n_tokens * 1000000) / 1000000 AS en_ratio
+      |  FROM m),
+      |q AS (
+      |  SELECT *,
+      |    floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+      |        + (1.0 - stop_ratio) * 0.3
+      |        + least(avg_token_len / 8.0, 1.0) * 0.3) * 1000000) / 1000000 AS quality_score,
+      |    MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+      |  FROM r)""".stripMargin
 
   // DuckDB shared view of the reference's log shape, derived from events
   // exactly as LogQueries.logsView does.
@@ -615,32 +644,21 @@ object SparkEntry {
         |WHERE bucket < CASE WHEN source = 'src0' THEN 50 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
     "pipe_training_set" ->
-      """WITH base AS (SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents),
-        |m AS (
-        |  SELECT doc_id, text, source,
-        |    CAST(len(w) AS BIGINT) AS n_tokens,
-        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
-        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop,
-        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT) AS n_en
-        |  FROM base),
-        |r AS (
-        |  SELECT doc_id, text, source, n_tokens,
-        |    floor(CAST(sum_len AS DOUBLE) / n_tokens * 1000000) / 1000000 AS avg_token_len,
-        |    floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000 AS stop_ratio,
-        |    floor(CAST(n_en AS DOUBLE) / n_tokens * 1000000) / 1000000 AS en_ratio
-        |  FROM m),
-        |q AS (
-        |  SELECT *,
-        |    floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-        |        + (1.0 - stop_ratio) * 0.3
-        |        + least(avg_token_len / 8.0, 1.0) * 0.3) * 1000000) / 1000000 AS quality_score,
-        |    MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
-        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
-        |  FROM r)
-        |SELECT doc_id, source, n_tokens, quality_score
-        |FROM q
-        |WHERE en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id AND bucket < 50
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $curationCte
+         |SELECT doc_id, source, n_tokens, quality_score
+         |FROM q
+         |WHERE en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id AND bucket < 50
+         |ORDER BY doc_id""".stripMargin,
+    "pipe_funnel" ->
+      s"""WITH $curationCte
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN en_ratio >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(SUM(CASE WHEN en_ratio >= 0.05 AND quality_score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |  CAST(SUM(CASE WHEN en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id
+         |       AND bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "mm_decode_features" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS nb, md5(text) AS h FROM documents),

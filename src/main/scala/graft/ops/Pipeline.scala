@@ -39,22 +39,10 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
 
-  /** The composed curation pipeline, one DataFrame plan:
-    *
-    *  1. language gate: n-gram heuristic says English
-    *     ([[TextAnalysis.langId]] semantics inline);
-    *  2. quality gate: composite score ≥ 0.6
-    *     ([[TextAnalysis.quality]] semantics inline);
-    *  3. exact dedup: keep only the minimum doc_id of each identical
-    *     text (one window over the text hash — at scale, group on
-    *     md5(text) so the shuffle key is 32 bytes, not the document);
-    *  4. deterministic 50% sample of the survivors.
-    *
-    * Output is the final training-set manifest (doc_id, source,
-    * n_tokens, quality_score). The gates are ANDed predicates over ONE
-    * scan's derived columns + one window — Catalyst runs this as
-    * scan → project → window → filter, no join chain. */
-  def trainingSet(s: SparkSession, dir: String): DataFrame = {
+  /** The documents relation annotated with every curation-gate signal —
+    * shared derivation for [[trainingSet]] (the output manifest) and
+    * [[funnel]] (the observability report), so the two can never drift. */
+  private def gated(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("text"))
     Tables.documents(s, dir)
       .withColumn("wds", split(col("text"), " "))
@@ -76,11 +64,50 @@ object Pipeline {
         least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3))
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .withColumn("bucket", sampleBucket)
-      .filter(col("en_ratio") >= 0.05 &&
-              col("quality_score") >= 0.6 &&
-              col("doc_id") === col("keep_id") &&
-              col("bucket") < 50)
+      .withColumn("pass_lang", col("en_ratio") >= 0.05)
+      .withColumn("pass_quality", col("quality_score") >= 0.6)
+      .withColumn("pass_dedup", col("doc_id") === col("keep_id"))
+      .withColumn("pass_sample", col("bucket") < 50)
+  }
+
+  /** The composed curation pipeline, one DataFrame plan:
+    *
+    *  1. language gate: n-gram heuristic says English
+    *     ([[TextAnalysis.langId]] semantics inline);
+    *  2. quality gate: composite score ≥ 0.6
+    *     ([[TextAnalysis.quality]] semantics inline);
+    *  3. exact dedup: keep only the minimum doc_id of each identical
+    *     text (one window over the text hash — at scale, group on
+    *     md5(text) so the shuffle key is 32 bytes, not the document);
+    *  4. deterministic 50% sample of the survivors.
+    *
+    * Output is the final training-set manifest (doc_id, source,
+    * n_tokens, quality_score). The gates are ANDed predicates over ONE
+    * scan's derived columns + one window — Catalyst runs this as
+    * scan → project → window → filter, no join chain. */
+  def trainingSet(s: SparkSession, dir: String): DataFrame =
+    gated(s, dir)
+      .filter(col("pass_lang") && col("pass_quality") &&
+              col("pass_dedup") && col("pass_sample"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"))
       .orderBy(col("doc_id"))
+
+  /** Curation funnel report: per-source document counts surviving each
+    * successive gate — the observability view a 100 TB curation run
+    * ships with its output manifest (how much did each stage drop, per
+    * stratum?). Same gate derivation as [[trainingSet]], aggregated with
+    * map-side-combined conditional integer sums: one report scan, no
+    * extra pipeline run. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    gated(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           cnt(col("pass_lang")).as("n_lang"),
+           cnt(col("pass_lang") && col("pass_quality")).as("n_quality"),
+           cnt(col("pass_lang") && col("pass_quality") && col("pass_dedup")).as("n_dedup"),
+           cnt(col("pass_lang") && col("pass_quality") && col("pass_dedup") &&
+               col("pass_sample")).as("n_sampled"))
+      .orderBy(col("source"))
   }
 }
