@@ -82,6 +82,7 @@ object SparkEntry {
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
     "pipe_funnel"            -> (Pipeline.funnel _),
+    "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
   )
 
   // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
@@ -675,6 +676,19 @@ object SparkEntry {
         |  CAST(1 + hv5 % 3 AS BIGINT) AS channels,
         |  CASE hv7 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
         |FROM hx ORDER BY doc_id""".stripMargin,
+    "pipe_balanced_mixture" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source, CAST(100 * ((SELECT MIN(cnt) FROM counts) // 2) // cnt AS BIGINT) AS rate
+        |  FROM counts),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.source, b.bucket, r.rate
+        |FROM b JOIN rates r ON b.source = r.source
+        |WHERE b.bucket < r.rate
+        |ORDER BY doc_id""".stripMargin,
     "mm_resize_stub" ->
       """WITH b AS (
         |  SELECT doc_id, lower(hex(encode(text))) AS hh,

@@ -92,6 +92,31 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"))
       .orderBy(col("doc_id"))
 
+  /** Balanced source mixing — the canonical data-mixing op: pick a
+    * per-source target budget (half the smallest source, so sampling
+    * bites even on an already-balanced corpus) and derive each source's
+    * sampling rate as rate_s = ⌊100·target/count_s⌋ percent — INTEGER
+    * arithmetic throughout, so both engines derive identical rates —
+    * then keep docs whose md5 bucket clears their source's rate.
+    * Two-pass shape at any scale: a tiny per-source count aggregate
+    * (map-side combined, rows = #sources), joined back broadcast-style
+    * onto one scan. The sampled manifest is deterministic: reruns and
+    * retries pick the same docs. */
+  def balancedMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .withColumn("rate", expr("CAST(100 * (min_cnt div 2) div cnt AS BIGINT)"))
+      .select(col("source"), col("rate"))
+    docs
+      .withColumn("bucket", sampleBucket)
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curation funnel report: per-source document counts surviving each
     * successive gate — the observability view a 100 TB curation run
     * ships with its output manifest (how much did each stage drop, per

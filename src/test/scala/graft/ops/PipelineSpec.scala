@@ -24,6 +24,31 @@ class PipelineSpec extends SparkSuite {
     assert(Pipeline.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet === base)
   }
 
+  test("funnel counts are monotone per source and consistent with the training set") {
+    assume(hasTestData)
+    val rows = Pipeline.funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(n, lang, qual, dedup, samp) = (1 to 5).map(r.getLong)
+      assert(n >= lang && lang >= qual && qual >= dedup && dedup >= samp,
+        s"funnel not monotone for ${r.getString(0)}: $r")
+    }
+    val totalSampled = rows.map(_.getLong(5)).sum
+    assert(totalSampled === Pipeline.trainingSet(spark, sf).count(),
+      "funnel's final stage must equal the training-set manifest size")
+  }
+
+  test("balanced mixture equalizes source contributions (within integer-rate rounding)") {
+    assume(hasTestData)
+    val perSource = Pipeline.balancedMixture(spark, sf)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perSource.nonEmpty)
+    // each source contributes ~min_count docs; hash-bucket granularity
+    // means some spread, but no source may dominate by more than 3x
+    assert(perSource.max <= 3 * math.max(1L, perSource.min),
+      s"mixture skew too high: ${perSource.toSeq.sorted}")
+  }
+
   test("training set output respects every gate") {
     assume(hasTestData)
     val ts = Pipeline.trainingSet(spark, sf).collect()
