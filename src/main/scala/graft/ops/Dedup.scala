@@ -287,6 +287,9 @@ object Dedup {
       edges = small
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[dedup] connectedComponents hit maxIters=$maxIters before " +
+        "convergence — component ids may be coarser than the true minimum")
     // fixpoint edges are (node, component min); roots map to themselves
     val roots = edges.select(col("v")).distinct()
       .join(edges.select(col("u").as("v")), Seq("v"), "left_anti")
