@@ -66,6 +66,7 @@ object SparkEntry {
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
+    "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -660,6 +661,47 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id
          |       AND bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "ann_ivf_refined" ->
+      s"""WITH $vectorsCte,
+         |cents0 AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |           WHERE vec_id >= 100 AND vec_id < 108),
+         |assign0 AS (
+         |  SELECT cent_id AS list_id, v FROM (
+         |    SELECT c.cent_id, vn.v,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents0 c) t WHERE crk = 1),
+         |el AS (
+         |  SELECT list_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM assign0, UNNEST(range(1, 65)) AS u(i)),
+         |refined AS (
+         |  SELECT list_id, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY list_id, pos),
+         |centsn AS (
+         |  SELECT list_id AS cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT list_id, list(mean ORDER BY pos) AS cv FROM refined GROUP BY list_id) t),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id, v AS n_v, norm AS n_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN centsn c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id, v AS q_v, norm AS q_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN centsn c WHERE vn.vec_id < 8) t WHERE crk <= 2),
+         |scored AS (
+         |  SELECT p.q_id AS query_id, a.n_id AS neighbor_id,
+         |    list_dot_product(p.q_v, a.n_v) / (p.q_norm * a.n_norm) AS cos
+         |  FROM probes p JOIN assign a ON p.list_id = a.list_id AND p.q_id <> a.n_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "mm_decode_features" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS nb, md5(text) AS h FROM documents),

@@ -121,8 +121,19 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String,
               nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val vs = vectors(s, dir)
-    val cents = vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+    ivfSearch(vs, seedCentroids(vs), nQueries, k, nprobe)
+  }
+
+  /** The deterministic "trained" seed set: vectors 100..107 (no RNG, so
+    * the oracle replays it). */
+  private def seedCentroids(vs: DataFrame): DataFrame =
+    vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+
+  /** Assignment + nprobe search against an arbitrary centroid relation
+    * ((cent_id, cv, cnorm), broadcast-small). */
+  private def ivfSearch(vs: DataFrame, cents: DataFrame,
+                        nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     def nearest(rel: DataFrame, keep: Int, outPrefix: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
@@ -145,6 +156,26 @@ object Similarity {
       .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"), col("rk"),
               trunc6(col("cos")).as("cos"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVF over REFINED centroids — the full train → index → query
+    * pipeline in one plan: deterministic seed set → one Lloyd update
+    * ([[centroidUpdate]]'s micro-quantized means, reassembled into
+    * centroid vectors) → assignment and nprobe search against the
+    * refined lists. At scale this is exactly how an IVF index is built:
+    * the training loop's per-iteration cost is one broadcast-assign pass
+    * over N plus a fixed-size aggregate, and the refined centroid table
+    * stays the ONLY broadcast relation. Quantized means keep every stage
+    * exactly replayable by the oracle. */
+  def ivfRefinedTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, dir)
+    val refined = centroidUpdate(s, dir)
+      .groupBy(col("list_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("cv"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+      .select(col("list_id").as("cent_id"), col("cv"), col("cnorm"))
+    ivfSearch(vs, refined, nQueries, k, nprobe)
   }
 
   /** K-means centroid-update step — the shuffle pattern of distributed
