@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan regression guard over the ENTIRE declared query surface:
+  * no query may plan a CartesianProduct, and BroadcastNestedLoopJoin is
+  * allowed only where it is the intended shape (ANN's broadcast query
+  * set / the 8-row centroid table in IVF and the k-means update — tiny
+  * build sides with non-equi or cross semantics by design). A refactor
+  * that silently turns an equi-join into an all-pairs join fails here,
+  * not in a 100 TB incident. Plans are built (analysis + physical
+  * planning), not executed — construction-heavy queries that run Spark
+  * jobs while BUILDING their DataFrame are skipped and covered by their
+  * own specs. */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // these run real work (storage writes / convergence loops) during
+  // DataFrame construction — audited in LogStoreSpec / DupComponentsSpec
+  private val constructive = Set("log_store_roundtrip", "dedup_components")
+
+  // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
+  // non-equi (ANN query set) or cross semantics (8-row centroid table;
+  // the 1-row global-min aggregate in the mixture sampler)
+  private val intendedBnlj = Set(
+    "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
+    "pipe_balanced_mixture")
+
+  test("no declared query plans a cartesian product or unintended nested-loop join") {
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!constructive(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+        if (!intendedBnlj(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans an unintended BroadcastNestedLoopJoin")
+      }
+    }
+  }
+}
