@@ -49,6 +49,7 @@ object SparkEntry {
     "log_summary"         -> (LogQueries.logSummary _),
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
     "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
+    "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -335,7 +336,7 @@ object SparkEntry {
     "q22_range_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,
-        |    date_part('epoch', ts) AS ts_sec,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS ts_sec,
         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
         |  FROM events),
         |w AS (
@@ -397,6 +398,21 @@ object SparkEntry {
          |  AND "timestamp" >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND "timestamp" <= TIMESTAMP '2024-01-28 23:59:59'
          |ORDER BY "timestamp", session, message""".stripMargin,
+    "log_dedup_bursts" ->
+      s"""$logsCte,
+         |flagged AS (
+         |  SELECT container,
+         |    CASE WHEN prev_ts IS NULL
+         |         OR CAST(FLOOR(date_part('epoch', "timestamp")) AS BIGINT)
+         |          - CAST(FLOOR(date_part('epoch', prev_ts)) AS BIGINT) > 60
+         |         THEN 1 ELSE 0 END AS kept
+         |  FROM (
+         |    SELECT container, "timestamp",
+         |      LAG("timestamp") OVER (PARTITION BY session, message ORDER BY "timestamp") AS prev_ts
+         |    FROM logs) t)
+         |SELECT container, COUNT(*) AS n_total,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept
+         |FROM flagged GROUP BY container ORDER BY container""".stripMargin,
     "dedup_exact_summary" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT text) AS n_unique_texts,

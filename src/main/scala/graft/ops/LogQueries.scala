@@ -77,6 +77,28 @@ object LogQueries {
       .select(col("timestamp"), col("level"), col("message"))
       .orderBy(col("timestamp"), col("message"))
 
+  /** Log retransmission dedup: a client that retries keeps re-sending
+    * the same message into the same session; keep only the first of
+    * each burst (an identical (session, message) within 60 s of its
+    * predecessor is a retransmission, not a new event) and report
+    * per-container totals vs kept. One window per (session, message)
+    * group — the log-domain counterpart of the document dedup family,
+    * linear in rows, no self-join. Counts are integers, so the oracle
+    * match is exact. */
+  def logDedupBursts(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session"), col("message")).orderBy(col("timestamp"))
+    logsView(s, dir)
+      .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+      .withColumn("kept",
+        col("prev_ts").isNull ||
+        col("timestamp").cast("long") - col("prev_ts").cast("long") > 60)
+      .groupBy(col("container"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("container"))
+  }
+
   /** The storage engine itself under the oracle (S1/S4/S7/S8/T4/U1): rows
     * for three sessions are physically written through
     * [[graft.storage.LogStore.append]] into a fresh two-tier store, one
