@@ -55,17 +55,22 @@ final class Compactor(store: LogStore,
   }
 
   /** Listing-based trigger check — for callers without byte accounting.
-    * The refresh is a single compare-and-set from the observed counter
-    * value: if a concurrent [[noteAppend]] bumps the counter between the
-    * read and the CAS, the CAS fails and the increment wins — an absolute
-    * `set` here would silently erase those bytes and delay the next
-    * rotation (round-2 advice). */
+    * The refresh only ever RAISES the counter (CAS from the observed
+    * value, and only when the listing is larger): the counter's failure
+    * mode is undercounting (seed gaps, missed noteAppend), which delays
+    * rotation — that is what the listing corrects. Lowering it here
+    * could combine with a concurrent trigger's retired-bytes subtraction
+    * into a double-subtract that erases live mid-compaction appends
+    * (listing taken after the snapshot delete, subtraction applied after
+    * the refresh); over-counting, by contrast, costs at most one no-op
+    * compaction. */
   def maybeCompact(container: String, session: String): Unit =
     if (!closed) {
       val cnt = hotCounters.computeIfAbsent((container, session),
         _ => new java.util.concurrent.atomic.AtomicLong(0L))
       val observed = cnt.get
-      cnt.compareAndSet(observed, store.hotBytes(container, session))
+      val actual = store.hotBytes(container, session)
+      if (actual > observed) cnt.compareAndSet(observed, actual)
       if (cnt.get >= thresholdBytes) trigger(container, session, cnt)
     }
 

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *    `x * y` over the bound lambda variables (either argument order);
   *  - the finish lambda is the identity.
   *
+  * Array LENGTH is a runtime property no static gate can prove equal, and
+  * the two forms differ there: `zip_with` null-pads the shorter array
+  * (→ the fold returns NULL) while the fused loop stops at the shorter
+  * side (→ a partial sum). The rewrite therefore emits a guarded
+  * expression — `IF(size(a) = size(b), graft_dot(a, b), NULL)` — whose
+  * equal-length fast path is the fused loop and whose mismatch path
+  * reproduces the composable form's NULL exactly (including null input
+  * arrays: the IF condition goes NULL → else branch → NULL).
+  *
   * Registered via [[GraftExtensions]] (`injectOptimizerRule`) or
   * `spark.experimental.extraOptimizations`.
   */
@@ -63,6 +72,8 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           finish)
         if isZeroD(zero) && isNonNullDoubleArray(a) && isNonNullDoubleArray(b) &&
            usesVars(mx, my, zx, zy) && usesVars(ax, ay, acc, el) && isIdentity(finish) =>
-      DotProduct(a, b)
+      If(EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false)),
+         DotProduct(a, b),
+         Literal(null, DoubleType))
   }
 }

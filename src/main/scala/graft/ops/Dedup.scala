@@ -16,11 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Truncate to 6 decimals: floor(x*1e6)/1e6. Unlike round(), this is
-    * bit-identical across engines for the same double input (half-way
-    * rounding modes differ between Spark and DuckDB). */
-  private def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * 1000000.0) / 1000000.0
+  import Tables.trunc6
 
   /** (doc_id, s): distinct 3-word shingles per document. */
   private[ops] def shingles(s: SparkSession, dir: String): DataFrame =

@@ -15,8 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * 1000000.0) / 1000000.0
+  import Tables.trunc6
 
   /** Deterministic per-doc sampling bucket in [0, 100): first 16 bits of
     * md5(doc_id) mod 100. Hash-derived, not rand(): the same doc lands

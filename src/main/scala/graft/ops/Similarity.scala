@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cross-engine-stable 6-decimal truncation (see Dedup.trunc6). */
-  private def trunc6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
+  import Tables.trunc6
 
   /** Vectors cast to double with a precomputed L2 norm. The dot product
     * is the native fused [[graft.functions.DotProduct]] expression —
@@ -130,22 +129,28 @@ object Similarity {
     vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
 
+  /** Top-`keep` nearest centroids per vector: the ONE assignment block
+    * every IVF stage (index assignment, query probing, k-means update)
+    * shares — the (ccos DESC, cent_id) tiebreak is oracle contract and
+    * must be identical everywhere, so it lives in exactly one place. */
+  private def nearestCentroids(rel: DataFrame, cents: DataFrame,
+                               keep: Int, outPrefix: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    rel.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= keep)
+      .select(col("vec_id").as(s"${outPrefix}_id"), col("cent_id").as("list_id"),
+              col("v").as(s"${outPrefix}_v"), col("norm").as(s"${outPrefix}_norm"))
+  }
+
   /** Assignment + nprobe search against an arbitrary centroid relation
     * ((cent_id, cv, cnorm), broadcast-small). */
   private def ivfSearch(vs: DataFrame, cents: DataFrame,
                         nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    def nearest(rel: DataFrame, keep: Int, outPrefix: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-      rel.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .select(col("vec_id").as(s"${outPrefix}_id"), col("cent_id").as("list_id"),
-                col("v").as(s"${outPrefix}_v"), col("norm").as(s"${outPrefix}_norm"))
-    }
-    val assigned = nearest(vs, 1, "n") // every vector in exactly one list
-    val probes = nearest(vs.filter(col("vec_id") < nQueries), nprobe, "q")
+    val assigned = nearestCentroids(vs, cents, 1, "n") // every vector in exactly one list
+    val probes = nearestCentroids(vs.filter(col("vec_id") < nQueries), cents, nprobe, "q")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     probes.join(assigned, Seq("list_id"))
@@ -194,15 +199,8 @@ object Similarity {
     * oracle (or itself, across partitionings). */
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
-    val cents = vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = vs.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
-      .select(col("cent_id").as("list_id"), col("v"))
+    val assigned = nearestCentroids(vs, seedCentroids(vs), 1, "n")
+      .select(col("list_id"), col("n_v").as("v"))
     assigned
       .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .select(col("list_id"), col("pos").cast("long").as("pos"),

@@ -12,6 +12,14 @@ object Tables {
   private val names = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Cross-engine-stable 6-decimal truncation: floor(x·1e6)/1e6. Unlike
+    * round(), bit-identical across Spark and DuckDB for the same double
+    * input (half-way rounding modes differ between engines). ONE shared
+    * definition for every ops module — the truncation scheme is oracle
+    * contract, and four drifting private copies was a review finding. */
+  private[ops] def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.floor(c * 1000000.0) / 1000000.0
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -11,9 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Cross-engine-stable 6-decimal truncation (see Dedup.trunc6). */
-  private def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * 1000000.0) / 1000000.0
+  import Tables.trunc6
 
   /** Per-doc quality metrics + composite score. One projection over the
     * scan; every metric is a pure column expression. */

@@ -100,9 +100,19 @@ final class LogStore(spark: SparkSession, root: String,
     val dst = new Path(target, s"$tag.parquet")
     // Replay check: durable marker first (survives compaction), hot file
     // second (covers the publish-then-crash-before-marker window while
-    // the file is still hot).
+    // the file is still hot). When the hot file exists but the marker is
+    // missing (that crash window), BACKFILL the marker before skipping —
+    // otherwise compaction later retires the file and a second replay
+    // finds neither marker nor file and re-publishes (duplicate rows).
     if (idemTag.isDefined && fs.exists(tagMarker(container, session, tag))) return -1L
-    if (fs.exists(dst)) return -1L
+    if (fs.exists(dst)) {
+      idemTag.foreach { t =>
+        val m = tagMarker(container, session, t)
+        fs.mkdirs(m.getParent)
+        if (!fs.exists(m)) fs.create(m, true).close()
+      }
+      return -1L
+    }
     val staging = new Path(s"$root/.staging-$tag-$container-$session")
     df.select("timestamp", "level", "message")
       .coalesce(1)

@@ -26,6 +26,17 @@ class DotProductRewriteSpec extends SparkSuite {
     }
   }
 
+  test("rewritten form preserves NULL for runtime length mismatch (zip_with null-pads)") {
+    withRule {
+      val df = spark.range(1).selectExpr(
+        "array(1.0D, 2.0D) AS a", "array(3.0D) AS b")
+        .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS dot")
+      assert(hasFused(df), "length guard keeps the fused fast path in the plan")
+      assert(df.collect().head.isNullAt(0),
+        "unequal lengths must yield NULL, exactly like the un-rewritten form")
+    }
+  }
+
   test("no rewrite when elements are nullable (fused form would change NULL semantics)") {
     withRule {
       // array(...) with a null literal element ⇒ containsNull = true
