@@ -98,9 +98,46 @@ final class Compactor(store: LogStore,
       if (store.hotBytes(c, s) > 0) store.compact(c, s)
     }
 
+  private var maintenance: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /** Background maintenance loop — the operational completeness around
+    * rotation: every `period`, each known session gets a listing-based
+    * rotation check ([[maybeCompact]], catching sessions whose appends
+    * bypassed byte accounting), an idempotency-marker sweep past the
+    * streaming replay horizon ([[graft.storage.LogStore.tagSweep]]), and,
+    * when `retention` is set, a footer-stats file-level TTL sweep
+    * ([[graft.storage.LogStore.retentionSweep]]). One scheduler thread;
+    * each tick's work is driver-cheap (listings) plus at most the
+    * compactions it queues on the bounded pool. Idempotent to call once;
+    * stopped by [[close]]. */
+  def startMaintenance(period: java.time.Duration,
+                       retention: Option[java.time.Duration] = None,
+                       tagHorizon: java.time.Duration = java.time.Duration.ofHours(24)): Unit =
+    synchronized {
+      if (closed || maintenance.isDefined) return
+      val sched = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+      })
+      sched.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit =
+          try {
+            val now = java.time.Instant.now()
+            store.sessions().foreach { case (c, s) =>
+              maybeCompact(c, s)
+              store.tagSweep(c, s, now.minus(tagHorizon))
+              retention.foreach(r => store.retentionSweep(c, s, now.minus(r)))
+            }
+          } catch { case e: Exception =>
+            System.err.println(s"[compactor] maintenance tick failed: ${e.getMessage}")
+          }
+      }, period.toMillis, period.toMillis, TimeUnit.MILLISECONDS)
+      maintenance = Some(sched)
+    }
+
   /** Drain pending work, then final flush (reference cleanup_handler). */
   override def close(): Unit = {
     closed = true
+    synchronized { maintenance.foreach(_.shutdownNow()); maintenance = None }
     pool.shutdown()
     pool.awaitTermination(60, TimeUnit.SECONDS)
     flushAll()

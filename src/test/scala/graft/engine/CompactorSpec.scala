@@ -69,6 +69,32 @@ class CompactorSpec extends SparkSuite {
     } finally compactor.close()
   }
 
+  test("maintenance loop rotates hot sessions and sweeps expired idempotency markers") {
+    val store = new LogStore(spark, tempDir("maint"))
+    val compactor = new Compactor(store, thresholdBytes = 1) // any hot byte rotates
+    try {
+      val b = spark.createDataFrame(
+        Seq(Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", "x")).asJava,
+        LogSchema.fileSchema)
+      // appended WITHOUT noteAppend — only the maintenance listing can see it
+      store.appendIdempotent(b, "c", "s", "stream-old")
+      compactor.startMaintenance(java.time.Duration.ofMillis(100),
+        tagHorizon = java.time.Duration.ZERO) // markers expire immediately
+      // rotation + marker sweep both observed once a replay of the old tag
+      // is ACCEPTED again (hot file compacted away, marker swept)
+      val deadline = System.currentTimeMillis + 30000
+      var replayed = -1L
+      while (replayed < 0 && System.currentTimeMillis < deadline) {
+        Thread.sleep(200)
+        if (store.tierStats("c", "s")._3 == 0)
+          replayed = store.appendIdempotent(b, "c", "s", "stream-old")
+      }
+      assert(replayed > 0, "maintenance should have rotated the session and swept the marker")
+      assert(store.tierStats("c", "s")._1 > 0, "rows landed cold")
+      assert(store.read("c", "s").count() === 2) // original + accepted replay
+    } finally compactor.close()
+  }
+
   test("close() performs the shutdown flush (T5): all hot sessions compacted synchronously") {
     val store = new LogStore(spark, tempDir("compactor"))
     val compactor = new Compactor(store, thresholdBytes = Long.MaxValue)
