@@ -361,8 +361,9 @@ object ServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val server = new LogServer(spark, root, port).start()
-    // periodic rotation check + idempotency-marker sweep (file TTL is
-    // opt-in via retentionSweep; not enabled by default on a log server)
+    // periodic rotation check; marker and TTL sweeps stay opt-in — a
+    // time-based marker sweep can break streaming exactly-once when an
+    // outage outlasts the horizon, and retention deletes data
     server.compactor.startMaintenance(java.time.Duration.ofSeconds(60))
     println(s"graft log server listening on port ${server.boundPort}, root=$root")
     sys.addShutdownHook { server.close(); spark.stop() }

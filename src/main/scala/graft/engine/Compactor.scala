@@ -55,22 +55,23 @@ final class Compactor(store: LogStore,
   }
 
   /** Listing-based trigger check — for callers without byte accounting.
-    * The refresh only ever RAISES the counter (CAS from the observed
-    * value, and only when the listing is larger): the counter's failure
-    * mode is undercounting (seed gaps, missed noteAppend), which delays
-    * rotation — that is what the listing corrects. Lowering it here
-    * could combine with a concurrent trigger's retired-bytes subtraction
-    * into a double-subtract that erases live mid-compaction appends
-    * (listing taken after the snapshot delete, subtraction applied after
-    * the refresh); over-counting, by contrast, costs at most one no-op
-    * compaction. */
+    * The counter reconciles to the directory listing ONLY while no
+    * compaction for the session is in flight (the worker clears inFlight
+    * after its retired-bytes subtraction, so reconcile and subtraction
+    * can never double-apply the same compaction), and via CAS from the
+    * observed value so a concurrent noteAppend increment wins over a
+    * stale refresh. Reconciling in both directions matters: raise-only
+    * would let a listing that races a caller's noteAppend (file visible
+    * before the increment) inflate the counter by phantom bytes that
+    * nothing ever drains — per-append spurious rotations forever. */
   def maybeCompact(container: String, session: String): Unit =
     if (!closed) {
       val cnt = hotCounters.computeIfAbsent((container, session),
         _ => new java.util.concurrent.atomic.AtomicLong(0L))
-      val observed = cnt.get
-      val actual = store.hotBytes(container, session)
-      if (actual > observed) cnt.compareAndSet(observed, actual)
+      if (!inFlight.contains((container, session))) {
+        val observed = cnt.get
+        cnt.compareAndSet(observed, store.hotBytes(container, session))
+      }
       if (cnt.get >= thresholdBytes) trigger(container, session, cnt)
     }
 
@@ -103,31 +104,46 @@ final class Compactor(store: LogStore,
   /** Background maintenance loop — the operational completeness around
     * rotation: every `period`, each known session gets a listing-based
     * rotation check ([[maybeCompact]], catching sessions whose appends
-    * bypassed byte accounting), an idempotency-marker sweep past the
-    * streaming replay horizon ([[graft.storage.LogStore.tagSweep]]), and,
-    * when `retention` is set, a footer-stats file-level TTL sweep
-    * ([[graft.storage.LogStore.retentionSweep]]). One scheduler thread;
-    * each tick's work is driver-cheap (listings) plus at most the
-    * compactions it queues on the bounded pool. Idempotent to call once;
-    * stopped by [[close]]. */
+    * bypassed byte accounting), and, when enabled, marker / TTL sweeps.
+    *
+    * BOTH sweeps are opt-in:
+    *  - `tagHorizon` ([[graft.storage.LogStore.tagSweep]]): a streaming
+    *    micro-batch can replay at ANY wall-clock distance — Structured
+    *    Streaming reruns the last uncommitted batch however long the
+    *    stream was down — so a time-based marker sweep is only safe when
+    *    the operator can bound outage length; it is never on by default.
+    *  - `retention` ([[graft.storage.LogStore.retentionSweep]]): deletes
+    *    data (file-level TTL), inherently a policy decision.
+    *
+    * Failures are contained per session per operation: one corrupt
+    * footer or unlistable directory must not starve every other session
+    * of its rotation check. One scheduler thread; each tick is
+    * driver-cheap listings plus whatever compactions it queues on the
+    * bounded pool. Idempotent to call once; stopped by [[close]]. */
   def startMaintenance(period: java.time.Duration,
                        retention: Option[java.time.Duration] = None,
-                       tagHorizon: java.time.Duration = java.time.Duration.ofHours(24)): Unit =
+                       tagHorizon: Option[java.time.Duration] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
       val sched = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
       })
+      def guarded(what: String, c: String, s: String)(op: => Unit): Unit =
+        try op catch { case e: Exception =>
+          System.err.println(s"[compactor] maintenance $what for $c/$s failed: ${e.getMessage}")
+        }
       sched.scheduleWithFixedDelay(new Runnable {
         def run(): Unit =
           try {
             val now = java.time.Instant.now()
             store.sessions().foreach { case (c, s) =>
-              maybeCompact(c, s)
-              store.tagSweep(c, s, now.minus(tagHorizon))
-              retention.foreach(r => store.retentionSweep(c, s, now.minus(r)))
+              guarded("rotation", c, s)(maybeCompact(c, s))
+              tagHorizon.foreach(h =>
+                guarded("tag sweep", c, s)(store.tagSweep(c, s, now.minus(h))))
+              retention.foreach(r =>
+                guarded("retention", c, s)(store.retentionSweep(c, s, now.minus(r))))
             }
-          } catch { case e: Exception =>
+          } catch { case e: Exception => // sessions() listing itself failed
             System.err.println(s"[compactor] maintenance tick failed: ${e.getMessage}")
           }
       }, period.toMillis, period.toMillis, TimeUnit.MILLISECONDS)

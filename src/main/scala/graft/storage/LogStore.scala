@@ -101,18 +101,25 @@ final class LogStore(spark: SparkSession, root: String,
     // Replay check: durable marker first (survives compaction), hot file
     // second (covers the publish-then-crash-before-marker window while
     // the file is still hot). When the hot file exists but the marker is
-    // missing (that crash window), BACKFILL the marker before skipping —
-    // otherwise compaction later retires the file and a second replay
-    // finds neither marker nor file and re-publishes (duplicate rows).
-    if (idemTag.isDefined && fs.exists(tagMarker(container, session, tag))) return -1L
-    if (fs.exists(dst)) {
-      idemTag.foreach { t =>
-        val m = tagMarker(container, session, t)
-        fs.mkdirs(m.getParent)
-        if (!fs.exists(m)) fs.create(m, true).close()
-      }
-      return -1L
+    // missing (that crash window), BACKFILL the marker before skipping.
+    // The check+backfill runs under the session view READ lock so it can
+    // never interleave with compaction's write-locked retire phase
+    // (marker-absent → file-retired → file-check-fails → re-publish);
+    // compaction additionally writes markers for every tagged hot file
+    // it retires, so the crash-window file is marker-covered no matter
+    // which of replay or compaction reaches it first.
+    val alreadyCommitted = withViewLock(container, session) {
+      if (idemTag.isDefined && fs.exists(tagMarker(container, session, tag))) true
+      else if (fs.exists(dst)) {
+        idemTag.foreach { t =>
+          val m = tagMarker(container, session, t)
+          fs.mkdirs(m.getParent)
+          if (!fs.exists(m)) fs.create(m, true).close()
+        }
+        true
+      } else false
     }
+    if (alreadyCommitted) return -1L
     val staging = new Path(s"$root/.staging-$tag-$container-$session")
     df.select("timestamp", "level", "message")
       .coalesce(1)
@@ -291,7 +298,19 @@ final class LogStore(spark: SparkSession, root: String,
           throw new java.io.IOException(s"compact: rename $p -> $dst failed; hot snapshot retained")
       }
       fs.delete(staging, true)
-      snapshot.foreach(p => fs.delete(p, false))
+      snapshot.foreach { p =>
+        // Idempotency tags publish as <tag>.parquet (anything not the
+        // plain append-<uuid> prefix): make sure the tag's durable marker
+        // exists BEFORE the hot file disappears, so a replay after a
+        // crash-between-publish-and-marker still skips (T6).
+        val name = p.getName.stripSuffix(".parquet")
+        if (!name.startsWith("append-")) {
+          val m = tagMarker(container, session, name)
+          fs.mkdirs(m.getParent)
+          if (!fs.exists(m)) fs.create(m, true).close()
+        }
+        fs.delete(p, false)
+      }
       bytes
     } finally wl.unlock()
   }

@@ -79,7 +79,7 @@ class CompactorSpec extends SparkSuite {
       // appended WITHOUT noteAppend — only the maintenance listing can see it
       store.appendIdempotent(b, "c", "s", "stream-old")
       compactor.startMaintenance(java.time.Duration.ofMillis(100),
-        tagHorizon = java.time.Duration.ZERO) // markers expire immediately
+        tagHorizon = Some(java.time.Duration.ZERO)) // opt-in: markers expire immediately
       // rotation + marker sweep both observed once a replay of the old tag
       // is ACCEPTED again (hot file compacted away, marker swept)
       val deadline = System.currentTimeMillis + 30000
