@@ -80,6 +80,7 @@ object SparkEntry {
     "mm_resize_stub"     -> ((s: SparkSession, d: String) => Multimodal.resizeStub(s, d)),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
+    "text_length_hist"   -> (TextAnalysis.lengthHistogram _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
@@ -653,6 +654,12 @@ object SparkEntry {
         |  FROM toks t JOIN dfreq d ON t.tok = d.tok)
         |SELECT doc_id, tok, tf, df, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_length_hist" ->
+      """SELECT source, LEAST(n_chars // 100, 9) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY source, LEAST(n_chars // 100, 9)
+        |ORDER BY source, bucket""".stripMargin,
     "pipe_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -141,6 +141,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Document-length histogram per source: 100-char buckets capped at
+    * 900+ — the size-distribution profile a curation run reports next to
+    * its quality gates (truncation candidates, empty-doc rates). Pure
+    * integer bucketing (div + least), one map-side-combined aggregate. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", least(expr("n_chars div 100"), lit(9L)))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("bucket"))
+
   /** Multimodal metadata path: treat the payload as an opaque binary
     * column (here utf-8 bytes of text stand in for image/audio bytes —
     * the container has no media codecs) and compute typed metadata:
