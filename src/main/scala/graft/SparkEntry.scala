@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
+    "emb_label_cohesion" -> (Similarity.labelCohesion _),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -684,6 +685,26 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN en_ratio >= 0.05 AND quality_score >= 0.6 AND doc_id = keep_id
          |       AND bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "emb_label_cohesion" ->
+      s"""WITH $vectorsCte,
+         |el AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+         |cm AS (
+         |  SELECT label, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY label, pos),
+         |cn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM cm GROUP BY label) t),
+         |scored AS (
+         |  SELECT vn.label,
+         |    CAST(FLOOR(list_dot_product(cn.cv, vn.v) / (cn.cnorm * vn.norm) * 1000000) AS BIGINT) AS cosq
+         |  FROM vn JOIN cn ON vn.label = cn.label)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  FLOOR(CAST(SUM(cosq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_cos,
+         |  CAST(MIN(cosq) AS DOUBLE) / 1000000 AS min_cos
+         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
     "ann_ivf_refined" ->
       s"""WITH $vectorsCte,
          |cents0 AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -212,6 +212,35 @@ object Similarity {
       .orderBy(col("list_id"), col("pos"))
   }
 
+  /** Per-label cluster cohesion — the embedding-quality report a
+    * curation run ships next to its near-dup stats: each label's
+    * centroid (micro-quantized means, same determinism contract as
+    * [[centroidUpdate]]) and the distribution of member-to-centroid
+    * cosines (mean via integer sums of micro-quantized cosines, min as
+    * the worst member). Labels with low cohesion are mislabeled or
+    * heterogeneous buckets. Two aggregates + one broadcast join; the
+    * centroid relation is #labels rows regardless of N. */
+  def labelCohesion(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val el = vs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+              floor(col("x") * 1000000.0).cast("long").as("xq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+      .withColumn("mean", floor(col("sq").cast("double") / col("n")) / 1000000.0)
+    val cents = el.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("cv"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+    vs.join(broadcast(cents), Seq("label"))
+      .withColumn("cosq",
+        floor(dot("cv", "v") / (col("cnorm") * col("norm")) * 1000000.0).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           (floor(sum(col("cosq")).cast("double") / count(lit(1))) / 1000000.0).as("mean_cos"),
+           (min(col("cosq")).cast("double") / 1000000.0).as("min_cos"))
+      .orderBy(col("label"))
+  }
+
   /** 4-bit sign key of dims [4i, 4i+3] — one LSH band. */
   private def bandKey(i: Int): Column = expr(
     s"CAST(CASE WHEN v[${4 * i}] > 0 THEN 8 ELSE 0 END + CASE WHEN v[${4 * i + 1}] > 0 THEN 4 ELSE 0 END + " +
