@@ -42,6 +42,8 @@ object SparkEntry {
     "q21_approx_distinct" -> (RelationalQueries.q21ApproxDistinct _),
     "q22_range_join"     -> (RelationalQueries.q22RangeJoin _),
     "q23_grouping_sets"  -> (RelationalQueries.q23GroupingSets _),
+    "q24_left_join"      -> (RelationalQueries.q24LeftJoin _),
+    "q25_set_ops"        -> (RelationalQueries.q25SetOps _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -356,6 +358,23 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q24_left_join" ->
+      """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN big.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_big_items
+        |FROM orders LEFT JOIN big ON o_orderkey = big.l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q25_set_ops" ->
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150),
+        |errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150),
+        |tagged AS (
+        |  SELECT user_id, 'both' AS set_op FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errorers) t
+        |  UNION ALL
+        |  SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errorers) t
+        |  UNION ALL
+        |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
+        |SELECT set_op, COUNT(*) AS n_users FROM tagged
+        |GROUP BY set_op ORDER BY set_op""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -385,6 +385,42 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** LEFT OUTER join with null-probe aggregation: orders that have NO
+    * high-quantity line items (the "find the absences" query shape anti
+    * join can't express when you also need the present side's counts).
+    * Shuffle on orderkey; null-side counting is a conditional integer
+    * sum, map-side combined. */
+  def q24LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_without_big_items"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** INTERSECT / EXCEPT set algebra (absent from the reference, SURVEY
+    * §2.6): purchase-users vs error-users partitioned into both /
+    * purchase-only / error-only. Set semantics (distinct) on both
+    * engines; each leg is a hash-partitioned set operation on user_id. */
+  def q25SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // value > 150 keeps the sets sparse enough that all three partitions
+    // are non-empty at test scale (unfiltered, every user has every type)
+    val buyers = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+      .select(col("user_id")).distinct()
+    val errorers = ev.filter(col("event_type") === "error" && col("value") > 150)
+      .select(col("user_id")).distinct()
+    buyers.intersect(errorers).withColumn("set_op", lit("both"))
+      .union(buyers.except(errorers).withColumn("set_op", lit("purchase_only")))
+      .union(errorers.except(buyers).withColumn("set_op", lit("error_only")))
+      .groupBy(col("set_op")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("set_op"))
+  }
+
   /** Explicit GROUPING SETS — the general form rollup/cube specialize
     * (q9/q18): per-priority totals, per-status totals, and the grand
     * total in ONE pass (Spark expands to a single Expand + one shuffle,

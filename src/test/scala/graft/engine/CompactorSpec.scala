@@ -81,8 +81,10 @@ class CompactorSpec extends SparkSuite {
       compactor.startMaintenance(java.time.Duration.ofMillis(100),
         tagHorizon = Some(java.time.Duration.ZERO)) // opt-in: markers expire immediately
       // rotation + marker sweep both observed once a replay of the old tag
-      // is ACCEPTED again (hot file compacted away, marker swept)
-      val deadline = System.currentTimeMillis + 30000
+      // is ACCEPTED again (hot file compacted away, marker swept).
+      // Generous deadline: compactions are Spark jobs on the shared test
+      // session and queue behind other suites' work under full-suite load.
+      val deadline = System.currentTimeMillis + 90000
       var replayed = -1L
       while (replayed < 0 && System.currentTimeMillis < deadline) {
         Thread.sleep(200)
