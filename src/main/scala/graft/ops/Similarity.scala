@@ -175,10 +175,7 @@ object Similarity {
   def ivfRefinedTopK(s: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val vs = vectors(s, dir)
-    val refined = centroidUpdate(s, dir)
-      .groupBy(col("list_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("cv"))
-      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+    val refined = assembleCentroids(centroidUpdate(s, dir), "list_id")
       .select(col("list_id").as("cent_id"), col("cv"), col("cnorm"))
     ivfSearch(vs, refined, nQueries, k, nprobe)
   }
@@ -197,17 +194,30 @@ object Similarity {
     * the mean is one final double division + floor. A raw double sum
     * would be summation-order-dependent and could never hash-match the
     * oracle (or itself, across partitionings). */
+  /** Micro-quantized per-(key, dim) means over a (key, v) relation —
+    * THE deterministic-mean block (floor(x·1e6) → integer sum →
+    * floor-div), shared by every centroid computation so the oracle-
+    * contract quantization scheme exists exactly once. */
+  private def quantizedMeans(rel: DataFrame, key: String): DataFrame =
+    rel.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col(key), col("pos").cast("long").as("pos"),
+              floor(col("x") * 1000000.0).cast("long").as("xq"))
+      .groupBy(col(key), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("xq")).as("sum_q"))
+      .withColumn("mean", floor(col("sum_q").cast("double") / col("n_members")) / 1000000.0)
+
+  /** Reassemble exploded (key, pos, mean) rows into centroid vectors
+    * with norms — the other half of the shared centroid contract. */
+  private def assembleCentroids(means: DataFrame, key: String): DataFrame =
+    means.groupBy(col(key))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("cv"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
     val assigned = nearestCentroids(vs, seedCentroids(vs), 1, "n")
       .select(col("list_id"), col("n_v").as("v"))
-    assigned
-      .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("list_id"), col("pos").cast("long").as("pos"),
-              floor(col("x") * 1000000.0).cast("long").as("xq"))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(count(lit(1)).as("n_members"), sum(col("xq")).as("sum_q"))
-      .withColumn("mean", floor(col("sum_q").cast("double") / col("n_members")) / 1000000.0)
+    quantizedMeans(assigned, "list_id")
       .select(col("list_id"), col("pos"), col("n_members"), col("mean"))
       .orderBy(col("list_id"), col("pos"))
   }
@@ -222,15 +232,8 @@ object Similarity {
     * centroid relation is #labels rows regardless of N. */
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
-    val el = vs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("label"), col("pos"),
-              floor(col("x") * 1000000.0).cast("long").as("xq"))
-      .groupBy(col("label"), col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
-      .withColumn("mean", floor(col("sq").cast("double") / col("n")) / 1000000.0)
-    val cents = el.groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("cv"))
-      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+    val cents = assembleCentroids(
+      quantizedMeans(vs.select(col("label"), col("v")), "label"), "label")
     vs.join(broadcast(cents), Seq("label"))
       .withColumn("cosq",
         floor(dot("cv", "v") / (col("cnorm") * col("norm")) * 1000000.0).cast("long"))
