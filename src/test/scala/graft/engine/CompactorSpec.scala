@@ -82,9 +82,11 @@ class CompactorSpec extends SparkSuite {
         tagHorizon = Some(java.time.Duration.ZERO)) // opt-in: markers expire immediately
       // rotation + marker sweep both observed once a replay of the old tag
       // is ACCEPTED again (hot file compacted away, marker swept).
-      // Generous deadline: compactions are Spark jobs on the shared test
-      // session and queue behind other suites' work under full-suite load.
-      val deadline = System.currentTimeMillis + 90000
+      // Deliberately huge deadline: suites run in parallel on ONE shared
+      // SparkSession, so this test's compaction job can be starved for
+      // minutes behind other suites' FIFO-queued jobs; the common case
+      // exits in a few seconds.
+      val deadline = System.currentTimeMillis + 240000
       var replayed = -1L
       while (replayed < 0 && System.currentTimeMillis < deadline) {
         Thread.sleep(200)
