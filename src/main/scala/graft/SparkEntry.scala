@@ -84,11 +84,15 @@ object SparkEntry {
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "text_length_hist"   -> (TextAnalysis.lengthHistogram _),
+    "text_repetition"    -> (TextAnalysis.repetition _),
+    "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
     "pipe_funnel"            -> (Pipeline.funnel _),
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
+    "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
+    "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
   )
 
   // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
@@ -674,6 +678,64 @@ object SparkEntry {
         |  FROM toks t JOIN dfreq d ON t.tok = d.tok)
         |SELECT doc_id, tok, tf, df, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+        |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+        |  FROM t WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_uniq_bigrams,
+        |    CAST(len(tg) AS BIGINT) AS n_trigrams,
+        |    CAST(len(list_distinct(tg)) AS BIGINT) AS n_uniq_trigrams
+        |  FROM g)
+        |SELECT doc_id, n_bigrams, n_uniq_bigrams, n_trigrams, n_uniq_trigrams,
+        |  floor((1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams) * 1000000) / 1000000 AS rep2,
+        |  floor((1.0 - CAST(n_uniq_trigrams AS DOUBLE) / n_trigrams) * 1000000) / 1000000 AS rep3
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_length_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MIN(CASE WHEN rk = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+        |  MIN(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90,
+        |  MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+    "emb_quantize_int8" ->
+      s"""WITH $vectorsCte,
+         |m AS (
+         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM vn),
+         |q AS (
+         |  SELECT vec_id, v, maxabs,
+         |    list_transform(v, x -> CAST(floor(x * CAST(127 AS DOUBLE) / maxabs) AS BIGINT)) AS qc
+         |  FROM m WHERE maxabs > 0)
+         |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+         |  floor(maxabs / 127.0 * 1000000) / 1000000 AS scale,
+         |  CAST(list_aggregate(qc, 'sum') AS BIGINT) AS q_sum,
+         |  CAST(list_aggregate(list_transform(qc, x -> x * x), 'sum') AS BIGINT) AS q_norm2,
+         |  CAST(len(list_filter(qc, x -> x > 0)) AS BIGINT) AS n_pos
+         |FROM q ORDER BY vec_id""".stripMargin,
     "text_length_hist" ->
       """SELECT source, LEAST(n_chars // 100, 9) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

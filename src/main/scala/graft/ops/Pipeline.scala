@@ -116,6 +116,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence-packing shard manifest — the step between a curated corpus
+    * and a training run: walk each source's documents in doc_id order,
+    * accumulate token counts, and cut a new shard every `budget` tokens
+    * (a doc belongs to the shard its cumulative count STARTS in, so
+    * shards overflow by at most one document — the standard greedy
+    * packing). Emitted per (source, shard): doc/token counts and the
+    * doc_id range, i.e. the manifest a trainer reads to fetch shard k.
+    *
+    * Scale shape: the running sum is a window partitioned BY SOURCE —
+    * never a global cumsum (a single global ordering would serialize the
+    * whole corpus through one partition); sources pack independently and
+    * in parallel, and within a source the window is one sort of that
+    * partition. Deterministic: doc_id order, integer arithmetic. */
+  def tokenShards(s: SparkSession, dir: String, budget: Long = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("shard_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   /** Curation funnel report: per-source document counts surviving each
     * successive gate — the observability view a 100 TB curation run
     * ships with its output manifest (how much did each stage drop, per

@@ -284,4 +284,32 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("label"), trunc6(col("cos")).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Symmetric int8 quantization manifest — the storage-compression step
+    * an embedding pipeline runs before writing an ANN index (4 bytes →
+    * 1 byte per dim): per-vector scale = max|v_i|/127, code_i =
+    * floor(v_i/scale) ∈ [-127, 127]. Emitted as a verification manifest
+    * (scale + integer checksums over the code array: sum, squared norm,
+    * positive count) rather than raw code arrays — exactly what a
+    * backfill job checkpoints to detect quantization drift. Everything
+    * after the scale division is INTEGER, so the report is order-
+    * independent and exactly replayable; the whole op is one projection
+    * over the scan (array expressions, no explode, no shuffle — scan
+    * rate at 100 TB). Zero vectors carry no quantizable signal and are
+    * excluded (scale would be 0/undefined). */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir)
+      .withColumn("maxabs",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("q",
+        expr("transform(v, x -> CAST(floor(x * CAST(127 AS DOUBLE) / maxabs) AS BIGINT))"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        trunc6(col("maxabs") / 127.0).as("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("q_norm2"),
+        expr("CAST(size(filter(q, x -> x > 0)) AS BIGINT)").as("n_pos"))
+      .orderBy(col("vec_id"))
 }

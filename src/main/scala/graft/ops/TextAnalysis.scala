@@ -154,6 +154,54 @@ object TextAnalysis {
            max(col("n_chars")).as("max_chars"))
       .orderBy(col("source"), col("bucket"))
 
+  /** Internal-repetition quality signal (the Gopher/C4-style "repeated
+    * n-gram fraction"): a document that keeps repeating its own bigrams/
+    * trigrams is templated spam or a generation loop, and curation gates
+    * drop it before training. rep_n = 1 - distinct_ngrams/total_ngrams,
+    * computed entirely with array expressions (transform + array_distinct)
+    * inside ONE projection — no explode, no shuffle, scan-rate at any
+    * scale. Ratios go through trunc6 so the oracle replays them exactly. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("bg", expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+      .withColumn("tg", expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"),
+        size(col("tg")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tg"))).cast("long").as("n_uniq_trigrams"))
+      .withColumn("rep2", trunc6(lit(1.0) -
+        col("n_uniq_bigrams").cast("double") / col("n_bigrams")))
+      .withColumn("rep3", trunc6(lit(1.0) -
+        col("n_uniq_trigrams").cast("double") / col("n_trigrams")))
+      .orderBy(col("doc_id"))
+
+  /** Exact per-source length quantiles (p50/p90/p99 of n_chars) as a
+    * TYPE-1 (lower, non-interpolated) quantile: the value at rank
+    * ⌈(k/100)·n⌉ under (n_chars, doc_id) order, with the ceiling done
+    * as INTEGER division `(k*n + 99) div 100` — no float in the rank
+    * math at all (a double `ceil(0.9*n)` rounds differently from a
+    * decimal one on exact multiples), so any engine derives the
+    * identical report. One window rank + one map-side-combined
+    * aggregate; at 100 TB the window partitions by source, which is
+    * exactly how the report is consumed. */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    def q(k: Int, name: String) =
+      min(when(col("rk") === expr(s"($k * n + 99) div 100"), col("n_chars"))).as(name)
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), q(50, "p50"), q(90, "p90"), q(99, "p99"))
+      .orderBy(col("source"))
+  }
+
   /** Multimodal metadata path: treat the payload as an opaque binary
     * column (here utf-8 bytes of text stand in for image/audio bytes —
     * the container has no media codecs) and compute typed metadata:

@@ -64,4 +64,28 @@ class PipelineSpec extends SparkSuite {
     ts.foreach(r => assert(minByText.contains(r.getLong(0)),
       s"non-keeper doc ${r.getLong(0)} survived dedup gate"))
   }
+
+  test("token shards conserve tokens, stay contiguous per source, and are deterministic") {
+    assume(hasTestData)
+    val rows = Pipeline.tokenShards(spark, sf).collect()
+    assert(rows.nonEmpty, "shard manifest must not be vacuous at test scale")
+    // conservation: shard token sums add up to the corpus token count
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(3)).sum === totalTokens, "tokens lost or duplicated across shards")
+    // shard ids are contiguous 0..max within each source, doc ranges don't interleave
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byId = rs.sortBy(_.getLong(1))
+      assert(byId.map(_.getLong(1)).toSeq === (0L until byId.length).toSeq,
+        s"$src shard ids not contiguous: ${byId.map(_.getLong(1)).toSeq}")
+      byId.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          s"$src shards ${a.getLong(1)}/${b.getLong(1)} doc ranges interleave")
+        case _ =>
+      }
+    }
+    // packing decisions are pure functions of the data, not the partitioning
+    val again = Pipeline.tokenShards(spark, sf).collect()
+    assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+  }
 }

@@ -44,4 +44,21 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.length === 4)
     assert(rows.forall(_.getLong(1) === 3L))
   }
+
+  test("int8 quantization manifest covers every non-zero vector with codes in range") {
+    assume(hasTestData)
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.quantizeInt8(spark, sf).collect()
+    assert(rows.length.toLong === n,
+      "synthetic embeddings have no zero vectors — manifest must cover all of them")
+    rows.foreach { r =>
+      val (dims, scale) = (r.getLong(1), r.getDouble(2))
+      val (qSum, qNorm2, nPos) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(dims === 64L && scale > 0)
+      assert(math.abs(qSum) <= 127L * dims, s"code sum out of int8 range: $r")
+      assert(qNorm2 > 0 && qNorm2 <= 127L * 127L * dims, s"code norm out of range: $r")
+      assert(nPos > 0 && nPos < dims,
+        s"degenerate sign distribution (all-positive or all-negative codes): $r")
+    }
+  }
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Invariant guards for the text-analysis report operators over the real
+  * sf0.001 testdata — the checks the hash-match oracle can't make
+  * (it mirrors the same formulas, so a degenerate signal still matches). */
+class TextAnalysisSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/documents.parquet").isFile
+
+  test("repetition signal is bounded, consistent, and not degenerate") {
+    assume(hasTestData)
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).count())
+    rows.foreach { r =>
+      val (t2, u2, t3, u3) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(t2 === t3 + 1, s"bigram/trigram counts inconsistent: $r")
+      assert(u2 >= 1 && u2 <= t2 && u3 >= 1 && u3 <= t3, s"distinct counts out of range: $r")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // the synthetic small-vocab corpus must show SOME internal repetition,
+    // or the signal is vacuous at test scale
+    assert(rows.exists(_.getDouble(5) > 0.0), "no document shows bigram repetition")
+  }
+
+  test("length quantiles are ordered, within observed range, and complete") {
+    assume(hasTestData)
+    val rows = TextAnalysis.lengthQuantiles(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length.toLong === nSources)
+    val (lo, hi) = {
+      val mm = Tables.documents(spark, sf)
+        .agg(min(col("n_chars")), max(col("n_chars"))).head()
+      (mm.getLong(0), mm.getLong(1))
+    }
+    rows.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4),
+        s"a quantile rank missed every row (ceil formula off-by-one): $r")
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99, s"quantiles not monotone: $r")
+      assert(p50 >= lo && p99 <= hi, s"quantile outside observed range: $r")
+    }
+  }
+}
