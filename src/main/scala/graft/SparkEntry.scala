@@ -44,6 +44,8 @@ object SparkEntry {
     "q23_grouping_sets"  -> (RelationalQueries.q23GroupingSets _),
     "q24_left_join"      -> (RelationalQueries.q24LeftJoin _),
     "q25_set_ops"        -> (RelationalQueries.q25SetOps _),
+    "q26_distribution_rank" -> (RelationalQueries.q26DistributionRank _),
+    "q27_corr_subquery"  -> (RelationalQueries.q27CorrSubquery _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -52,6 +54,7 @@ object SparkEntry {
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
     "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
     "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
+    "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -71,6 +74,7 @@ object SparkEntry {
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     "emb_label_cohesion" -> (Similarity.labelCohesion _),
+    "emb_label_separation" -> (Similarity.labelSeparation _),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -379,6 +383,57 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q26_distribution_rank" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey)
+        |SELECT c_mktsegment, c_custkey, total_spent,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  floor(PERCENT_RANK() OVER w * 1000000) / 1000000 AS pct_rank,
+        |  floor(CUME_DIST() OVER w * 1000000) / 1000000 AS cume
+        |FROM spend
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spent, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q27_corr_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_above
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "log_volume_anomaly" ->
+      s"""$logsCte,
+         |daily AS (
+         |  SELECT container, date_trunc('day', "timestamp") AS day, COUNT(*) AS n
+         |  FROM logs GROUP BY 1, 2),
+         |st AS (
+         |  SELECT *, CAST(SUM(n) OVER (PARTITION BY container)
+         |            // COUNT(n) OVER (PARTITION BY container) AS BIGINT) AS mean_n
+         |  FROM daily)
+         |SELECT container, day, n, mean_n,
+         |  CAST(n - mean_n AS BIGINT) AS dev,
+         |  CAST(CASE WHEN n > 2 * mean_n THEN 1 ELSE 0 END AS BIGINT) AS spike
+         |FROM st ORDER BY container, day""".stripMargin,
+    "emb_label_separation" ->
+      s"""WITH $vectorsCte,
+         |el AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+         |cm AS (
+         |  SELECT label, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY label, pos),
+         |cn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM cm GROUP BY label) t)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  floor(list_dot_product(a.cv, b.cv) / (a.cnorm * b.cnorm) * 1000000) / 1000000 AS cos
+         |FROM cn a JOIN cn b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -99,6 +99,25 @@ object LogQueries {
       .orderBy(col("container"))
   }
 
+  /** Per-container daily-volume anomaly report — the ops-side query a
+    * log platform runs continuously: daily counts vs the container's own
+    * typical day, spike-flagged when a day exceeds 2× the mean. The mean
+    * is INTEGER-floored (total div n_days), so every derived column is
+    * exact integer arithmetic — no float variance/stddev whose summation
+    * order differs across engines. Two tiny aggregations: daily counts
+    * (one shuffle on (container, day) — at 100 TB this is the same
+    * partitioning the ingest already writes), then a per-container
+    * window over #days rows. */
+  def logVolumeAnomaly(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .groupBy(col("container"), date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mean_n", expr("sum(n) OVER (PARTITION BY container) div count(n) OVER (PARTITION BY container)"))
+      .withColumn("dev", col("n") - col("mean_n"))
+      .withColumn("spike", when(col("n") > lit(2) * col("mean_n"), 1L).otherwise(0L))
+      .select(col("container"), col("day"), col("n"), col("mean_n"), col("dev"), col("spike"))
+      .orderBy(col("container"), col("day"))
+
   /** The storage engine itself under the oracle (S1/S4/S7/S8/T4/U1): rows
     * for three sessions are physically written through
     * [[graft.storage.LogStore.append]] into a fresh two-tier store, one

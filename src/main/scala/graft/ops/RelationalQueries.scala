@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RelationalQueries {
 
+  import Tables.trunc6
+
   /** Exact money arithmetic: cast to decimal before aggregating. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
@@ -419,6 +421,48 @@ object RelationalQueries {
       .union(errorers.except(buyers).withColumn("set_op", lit("error_only")))
       .groupBy(col("set_op")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("set_op"))
+  }
+
+  /** Window distribution functions (SURVEY §2.5 superset): quartile
+    * assignment (ntile), percent_rank, and cume_dist of each customer's
+    * spend WITHIN its market segment — partitioned windows, so at 100 TB
+    * each segment ranks in parallel; a global ORDER BY window would
+    * serialize the corpus through one partition. Rank inputs are exact
+    * (DECIMAL-summed spend, custkey tiebreak); the rank→ratio math is
+    * integer-derived on both engines, trunc6 for the hash. */
+  def q26DistributionRank(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_spent"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("total_spent"), col("c_custkey"))
+    spend
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", trunc6(percent_rank().over(w)))
+      .withColumn("cume", trunc6(cume_dist().over(w)))
+      .select(col("c_mktsegment"), col("c_custkey"), col("total_spent"),
+              col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Correlated scalar subquery semantics (SURVEY §2.3 superset):
+    * orders strictly above their own customer's average order value.
+    * Expressed as windowed per-customer sums — the decorrelated plan
+    * Catalyst would produce anyway, one shuffle on the correlation key
+    * instead of a per-row subquery. The comparison is division-free
+    * cross-multiplication in DECIMAL (price·n > Σprice): exact integer-
+    * style arithmetic, no float average to diverge between engines. */
+  def q27CorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, dir)
+      .withColumn("cust_total", sum(dec(col("o_totalprice"))).over(w))
+      .withColumn("cust_n", count(lit(1)).over(w))
+      .filter(dec(col("o_totalprice")) * col("cust_n") > col("cust_total"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total_above"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** Explicit GROUPING SETS — the general form rollup/cube specialize

@@ -244,6 +244,25 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Inter-label centroid separation — the counterpart report to
+    * [[labelCohesion]]: pairwise cosine between label centroids. High
+    * cohesion + low separation means two labels are really one cluster
+    * (merge candidates for a taxonomy cleanup); the pair matrix is
+    * #labels² rows regardless of N, so the pairwise join runs on a
+    * broadcast-tiny relation (an intended nested-loop over ~10 rows)
+    * while the only N-sized work is the same micro-quantized mean
+    * aggregation the cohesion report shares. */
+  def labelSeparation(s: SparkSession, dir: String): DataFrame = {
+    val cents = assembleCentroids(
+      quantizedMeans(vectors(s, dir).select(col("label"), col("v")), "label"), "label")
+    val a = cents.select(col("label").as("label_a"), col("cv").as("ca"), col("cnorm").as("na"))
+    val b = cents.select(col("label").as("label_b"), col("cv").as("cb"), col("cnorm").as("nb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("cos", dot("ca", "cb") / (col("na") * col("nb")))
+      .select(col("label_a"), col("label_b"), trunc6(col("cos")).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** 4-bit sign key of dims [4i, 4i+3] — one LSH band. */
   private def bandKey(i: Int): Column = expr(
     s"CAST(CASE WHEN v[${4 * i}] > 0 THEN 8 ELSE 0 END + CASE WHEN v[${4 * i + 1}] > 0 THEN 4 ELSE 0 END + " +

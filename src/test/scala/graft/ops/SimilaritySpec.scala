@@ -45,6 +45,18 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.forall(_.getLong(1) === 3L))
   }
 
+  test("label separation reports every label pair exactly once, cosines in [-1,1]") {
+    assume(hasTestData)
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    val rows = Similarity.labelSeparation(spark, sf).collect()
+    assert(rows.length.toLong === nLabels * (nLabels - 1) / 2,
+      s"expected C($nLabels,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), s"pair not canonicalized: $r")
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, s"cosine out of range: $r")
+    }
+  }
+
   test("int8 quantization manifest covers every non-zero vector with codes in range") {
     assume(hasTestData)
     val n = Tables.embeddings(spark, sf).count()
