@@ -75,6 +75,7 @@ object SparkEntry {
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     "emb_label_cohesion" -> (Similarity.labelCohesion _),
     "emb_label_separation" -> (Similarity.labelSeparation _),
+    "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -418,6 +419,46 @@ object SparkEntry {
          |  CAST(n - mean_n AS BIGINT) AS dev,
          |  CAST(CASE WHEN n > 2 * mean_n THEN 1 ELSE 0 END AS BIGINT) AS spike
          |FROM st ORDER BY container, day""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH $vectorsCte,
+         |subs AS (
+         |  SELECT vec_id, m, list_slice(v, CAST(m AS INT) * 8 + 1, CAST(m AS INT) * 8 + 8) AS sv
+         |  FROM vn, UNNEST(range(0, 8)) AS u(m)),
+         |cw AS (
+         |  SELECT m, CAST(vec_id - 100 AS BIGINT) AS code_id, sv AS cw,
+         |         list_dot_product(sv, sv) AS cn2
+         |  FROM subs WHERE vec_id >= 100 AND vec_id < 104),
+         |codes AS (
+         |  SELECT vec_id, m, code_id FROM (
+         |    SELECT s.vec_id, s.m, c.code_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_dot_product(s.sv, c.cw) - c.cn2 / 2 DESC, c.code_id) AS crk
+         |    FROM subs s JOIN cw c ON s.m = c.m) t WHERE crk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code_id,
+         |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1000000) AS BIGINT) AS pq
+         |  FROM subs s JOIN cw c ON s.m = c.m WHERE s.vec_id < 8),
+         |scored AS (
+         |  SELECT l.query_id, co.vec_id AS neighbor_id, CAST(SUM(l.pq) AS BIGINT) AS iscore
+         |  FROM codes co JOIN lut l ON co.m = l.m AND co.code_id = l.code_id
+         |  WHERE co.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS srk
+         |    FROM scored) t WHERE srk <= 100),
+         |rerank AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos
+         |  FROM short sh
+         |  JOIN vn q ON sh.query_id = q.vec_id
+         |  JOIN vn n ON sh.neighbor_id = n.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM rerank)
+         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+         |  floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "emb_label_separation" ->
       s"""WITH $vectorsCte,
          |el AS (

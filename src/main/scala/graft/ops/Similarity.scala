@@ -244,6 +244,76 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Product-quantization ANN (ADC scan) — the compression path a
+    * 100 TB vector store actually ships: each 64-dim float vector is
+    * encoded as 8 one-byte codes (one per 8-dim subspace, nearest of 4
+    * codewords by L2, via the dot identity argmin‖x−c‖² =
+    * argmax(x·c − ‖c‖²/2)), and queries score candidates by summing 8
+    * lookup-table entries instead of a 64-float dot — a 32× memory cut
+    * on the scan side. Codewords come from the deterministic seed
+    * vectors 100..103 (no RNG, oracle-replayable), like IVF's seeds.
+    *
+    * Two stages, because coarse PQ scores are a SHORTLIST device, not a
+    * ranking: the ADC scan keeps the top `shortlist` candidates per
+    * query (measured: direct ADC top-5 finds only ~8% of the true top-5
+    * on this clusterless corpus, while a 100-deep shortlist holds ~65% —
+    * so ranking directly by ADC would be a vacuous operator), then the
+    * exact-cosine RERANK touches only the shortlist — the standard
+    * scan-compressed/rerank-exact split, with the expensive float dot
+    * running on `shortlist` rows per query instead of N.
+    *
+    * Determinism contract: per-subspace LUT partials are micro-quantized
+    * (floor(dot·1e6) as BIGINT) BEFORE the 8-way sum, so scoring is
+    * exact integer arithmetic — order-independent on any engine; a raw
+    * double sum of partials could never hash-match. Scale shape: codes
+    * are one row_number over a broadcast-codebook join (at 100 TB this
+    * becomes mapPartitions-with-broadcast, same semantics); the ADC scan
+    * is codes ⋈ broadcast(LUT) + one integer aggregation — no N×N work
+    * anywhere. */
+  def pqTopK(s: SparkSession, dir: String,
+             nQueries: Int = 8, k: Int = 5, shortlist: Int = 100): DataFrame = {
+    val M = 8; val subDim = 8; val nCodes = 4
+    val vs = vectors(s, dir)
+    val subs = vs.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $subDim + 1, $subDim) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cw = subs.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCodes)
+      .select(col("m"), (col("vec_id") - 100).as("code_id"), col("sv").as("cw"))
+      .withColumn("cn2", expr("graft_dot(cw, cw)"))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("score").desc, col("code_id"))
+    val codes = subs.join(broadcast(cw), Seq("m"))
+      .withColumn("score", dot("sv", "cw") - col("cn2") / 2)
+      .withColumn("crk", row_number().over(wEnc))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("m"), col("code_id"))
+    val lut = subs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cw), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code_id"),
+              floor(dot("sv", "cw") * 1000000.0).cast("long").as("pq"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("iscore").desc, col("neighbor_id"))
+    val cands = codes.join(broadcast(lut), Seq("m", "code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pq")).as("iscore"))
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val nv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("norm").as("nnorm"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .withColumn("cos", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+              trunc6(col("cos")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Inter-label centroid separation — the counterpart report to
     * [[labelCohesion]]: pairwise cosine between label centroids. High
     * cohesion + low separation means two labels are really one cluster

@@ -45,6 +45,20 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.forall(_.getLong(1) === 3L))
   }
 
+  test("PQ shortlist+rerank recovers most of the true top-k (not vacuous)") {
+    assume(hasTestData)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5))
+    val found = pairs(Similarity.pqTopK(spark, sf, nQueries = 8, k = 5))
+    assert(found.nonEmpty)
+    // reranked cosines are exact, so found∩truth must agree on ranking;
+    // the shortlist bounds recall — direct ADC ranking would be ~8% here
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"PQ recall $recall too low: the shortlist stage is not working")
+  }
+
   test("label separation reports every label pair exactly once, cosines in [-1,1]") {
     assume(hasTestData)
     val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
