@@ -46,6 +46,7 @@ object SparkEntry {
     "q25_set_ops"        -> (RelationalQueries.q25SetOps _),
     "q26_distribution_rank" -> (RelationalQueries.q26DistributionRank _),
     "q27_corr_subquery"  -> (RelationalQueries.q27CorrSubquery _),
+    "q28_topk_agg"       -> ((s: SparkSession, d: String) => RelationalQueries.q28TopKAgg(s, d)),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -384,6 +385,17 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q28_topk_agg" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY part_rev DESC, p_partkey) AS rk
+        |  FROM rev)
+        |SELECT p_brand, p_partkey, part_rev, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
     "q26_distribution_rank" ->
       """WITH spend AS (
         |  SELECT c_mktsegment, c_custkey,

@@ -23,6 +23,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProduct.name),
       new ExpressionInfo(classOf[DotProduct].getName, DotProduct.name),
       GraftExtensions.dotProductBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(TopKPairs.name),
+      new ExpressionInfo(classOf[TopKPairs].getName, TopKPairs.name),
+      TopKPairs.builder))
     // Rewrite the composable aggregate(zip_with(...)) dot-product idiom
     // to the fused expression wherever it is provably equivalent.
     ext.injectOptimizerRule(_ => DotProductRewrite)

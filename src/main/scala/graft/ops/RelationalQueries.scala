@@ -107,6 +107,29 @@ object RelationalQueries {
       .orderBy(col("p_brand"), col("rk"))
   }
 
+  /** q5's top-3-per-brand computed with the native bounded top-k
+    * AGGREGATE ([[graft.functions.TopKPairs]], `graft_topk`) instead of
+    * a window: the window plan shuffles every (brand, partkey) row and
+    * sorts each brand's full set just to discard all but 3, while the
+    * aggregate keeps a k-pair buffer per brand, combines map-side, and
+    * ships ≤k pairs per brand into the shuffle. Same rows as q5 (the
+    * oracle is the same row_number SQL; `TopKAggSpec` asserts plan-level
+    * that no Window/Sort appears and results match q5 exactly). */
+  def q28TopKAgg(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("part_rev"))
+      .groupBy(col("p_brand"))
+      .agg(expr(s"graft_topk(part_rev, p_partkey, $k)").as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("p_brand"), col("e.payload").as("p_partkey"),
+              col("e.score").as("part_rev"), (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
   /** Distinct aggregation per market segment (SURVEY §2.4 superset:
     * count distinct). Written as an explicit two-phase aggregate —
     * partial by (segment, custkey), then rollup to segment — instead of

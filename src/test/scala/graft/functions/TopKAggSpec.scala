@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.ops.RelationalQueries
+import org.apache.spark.sql.functions._
+
+/** The native bounded top-k aggregate must be a drop-in replacement for
+  * the row_number window idiom — same rows, different (cheaper) physical
+  * shape — and deterministic under any partitioning/merge order. */
+class TopKAggSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/lineitem.parquet").isFile
+
+  test("graft_topk reproduces the window-rank query exactly") {
+    assume(hasTestData)
+    val viaWindow = RelationalQueries.q5WindowRank(spark, sf).collect().map(_.toSeq).toSet
+    val viaAgg = RelationalQueries.q28TopKAgg(spark, sf).collect().map(_.toSeq).toSet
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg === viaWindow)
+  }
+
+  test("the aggregate plan has no Window and combines map-side") {
+    assume(hasTestData)
+    val plan = RelationalQueries.q28TopKAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "top-k aggregate still plans a window")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_topk"),
+      "graft_topk is not partially aggregated map-side")
+  }
+
+  test("determinism: duplicates kept, ties broken by payload, any partitioning") {
+    TopKPairs.register(spark)
+    val sess = spark
+    import sess.implicits._
+    // two identical (score, payload) rows: both must be kept (a set-based
+    // buffer would collapse them); score ties break by payload ascending
+    val rows = Seq((1.0, 10L), (1.0, 10L), (1.0, 5L), (0.5, 1L), (2.0, 7L))
+    (1 to 7).foreach { parts =>
+      val out = rows.toDF("s", "p").repartition(parts)
+        .agg(expr("graft_topk(s, p, 3)").as("top"))
+        .selectExpr("inline(top)").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      assert(out === Seq((2.0, 7L), (1.0, 5L), (1.0, 10L)), s"parts=$parts: $out")
+    }
+  }
+
+  test("k larger than the group returns the whole group, ordered") {
+    TopKPairs.register(spark)
+    val sess = spark
+    import sess.implicits._
+    val out = Seq((3.0, 1L), (1.0, 2L)).toDF("s", "p")
+      .agg(expr("graft_topk(s, p, 10)").as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out === Seq((3.0, 1L), (1.0, 2L)))
+  }
+}
