@@ -34,24 +34,43 @@ object Similarity {
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Shared top-k finisher for every ANN variant: per-query best-k
+    * neighbors by (cos DESC, neighbor_id) from a scored candidate
+    * relation (query_id, neighbor_id, cos). Uses the native bounded
+    * aggregate [[graft.functions.TopKPairs]] instead of a row_number
+    * window: the window shuffles every candidate row to its query's
+    * partition and SORTS the full candidate list just to keep k, while
+    * the aggregate combines map-side and ships ≤k pairs per query —
+    * at 100 TB candidate lists are millions of rows per query and this
+    * is the difference between shuffling the candidate set and shuffling
+    * k·Q rows. Identical output contract to the window form (the DuckDB
+    * oracles still rank with row_number — result equality is re-proven
+    * on every CORRECTNESS run). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKPairs.register(scored.sparkSession)
+    scored
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, neighbor_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.payload").as("neighbor_id"),
+              (col("pos") + 1).cast("long").as("rk"),
+              trunc6(col("e.score")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Brute-force cosine top-k: first `nQueries` vec_ids are the query
     * set; rank all others by cosine (desc, vec_id tiebreak). The query
-    * side is broadcast, so the big side streams once with no shuffle
-    * until the per-query top-k aggregation. */
+    * side is broadcast, so the big side streams once with no shuffle —
+    * and the [[topK]] finisher aggregates map-side, so the only shuffled
+    * rows are k pairs per query, never the N scored candidates. */
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
     val vs = vectors(s, dir)
     val q = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    vs.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot("qv", "v") / (col("qnorm") * col("norm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
-              trunc6(col("cos")).as("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    topK(vs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
 
   /** Sign-bit LSH bucket: 4-bit signature from the signs of dims 0-3.
@@ -70,15 +89,9 @@ object Similarity {
     val q = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("norm").as("qnorm"), col("bucket").as("qbucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    vs.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot("qv", "v") / (col("qnorm") * col("norm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
-              trunc6(col("cos")).as("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    topK(vs.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
 
   /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the
@@ -98,15 +111,9 @@ object Similarity {
         col("qbucket"),
         expr("CAST(qbucket ^ 1 AS BIGINT)"), expr("CAST(qbucket ^ 2 AS BIGINT)"),
         expr("CAST(qbucket ^ 4 AS BIGINT)"), expr("CAST(qbucket ^ 8 AS BIGINT)"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    vs.join(broadcast(q), col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot("qv", "v") / (col("qnorm") * col("norm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
-              trunc6(col("cos")).as("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    topK(vs.join(broadcast(q), col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
 
   /** IVF (inverted-file) ANN — the scale path beyond hash bucketing:
@@ -151,16 +158,10 @@ object Similarity {
                         nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val assigned = nearestCentroids(vs, cents, 1, "n") // every vector in exactly one list
     val probes = nearestCentroids(vs.filter(col("vec_id") < nQueries), cents, nprobe, "q")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    probes.join(assigned, Seq("list_id"))
+    topK(probes.join(assigned, Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot("q_v", "n_v") / (col("q_norm") * col("n_norm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"), col("rk"),
-              trunc6(col("cos")).as("cos"))
-      .orderBy(col("query_id"), col("rk"))
+      .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"),
+              (dot("q_v", "n_v") / (col("q_norm") * col("n_norm"))).as("cos")), k)
   }
 
   /** IVF over REFINED centroids — the full train → index → query
@@ -303,15 +304,9 @@ object Similarity {
     val qv = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val nv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("norm").as("nnorm"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cands.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
-      .withColumn("cos", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"),
-              trunc6(col("cos")).as("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    topK(cands.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              (dot("qv", "nv") / (col("qnorm") * col("nnorm"))).as("cos")), k)
   }
 
   /** Inter-label centroid separation — the counterpart report to
