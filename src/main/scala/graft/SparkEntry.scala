@@ -98,6 +98,7 @@ object SparkEntry {
     "pipe_funnel"            -> (Pipeline.funnel _),
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
+    "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
   )
 
@@ -816,6 +817,24 @@ object SparkEntry {
         |  MIN(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90,
         |  MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_temperature_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |counts AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS mass FROM d GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(FLOOR(100.0 * sqrt(CAST((SELECT MIN(mass) FROM counts) AS DOUBLE) / mass)) AS BIGINT) AS rate
+        |  FROM counts),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |  FROM d)
+        |SELECT b.doc_id, b.source, b.bucket, r.rate
+        |FROM b JOIN rates r ON b.source = r.source
+        |WHERE b.bucket < r.rate
+        |ORDER BY doc_id""".stripMargin,
     "pipe_token_shards" ->
       """WITH t AS (
         |  SELECT doc_id, source,

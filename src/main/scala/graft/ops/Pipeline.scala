@@ -116,6 +116,34 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-flattened source mixing (α = 0.5) — the standard
+    * multilingual/multi-source rebalancing: sampling each source at
+    * rate ∝ mass^(α−1) flattens the natural distribution toward
+    * p_s ∝ mass_s^α, keeping heavy sources from drowning the tail
+    * without fully equalizing ([[balancedMixture]] is the α→0 limit).
+    * Mass is TOKENS, not documents — mixing budgets are token budgets.
+    * rate_s = ⌊100·√(min_mass/mass_s)⌋: one IEEE sqrt per SOURCE (a
+    * handful of rows — exactly reproducible on any engine, and the only
+    * non-integer step), then the same deterministic md5-bucket keep
+    * decision every sampler here uses. Two-pass shape at any scale:
+    * tiny per-source aggregate joined back broadcast onto one scan. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val counts = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("mass"))
+    val minMass = counts.agg(min(col("mass")).as("min_mass"))
+    val rates = counts.crossJoin(broadcast(minMass))
+      .withColumn("rate",
+        floor(lit(100.0) * sqrt(col("min_mass").cast("double") / col("mass"))).cast("long"))
+      .select(col("source"), col("rate"))
+    docs
+      .withColumn("bucket", sampleBucket)
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence-packing shard manifest — the step between a curated corpus
     * and a training run: walk each source's documents in doc_id order,
     * accumulate token counts, and cut a new shard every `budget` tokens

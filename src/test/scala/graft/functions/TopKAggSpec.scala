@@ -44,6 +44,27 @@ class TopKAggSpec extends SparkSuite {
     }
   }
 
+  test("property: random inserts under any merge split match brute-force top-k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genPairs = Gen.listOf(for {
+      s <- Gen.choose(-5, 5).map(_.toDouble) // narrow range to force score ties
+      p <- Gen.choose(0L, 20L)
+    } yield (s, p))
+    val prop = Prop.forAll(genPairs, Gen.choose(1, 6), Gen.choose(0, 100)) {
+      (pairs: List[(Double, Long)], k: Int, cut: Int) =>
+        // split at an arbitrary point and merge partial buffers, like a
+        // map-side combine would; result must equal the global sort
+        val (l, r) = pairs.splitAt(cut % (pairs.length + 1))
+        val bl = new TopKPairsBuffer(k); l.foreach { case (s, p) => bl.insert(s, p) }
+        val br = new TopKPairsBuffer(k); r.foreach { case (s, p) => br.insert(s, p) }
+        bl.mergeIn(br)
+        val expected = pairs.sortBy { case (s, p) => (-s, p) }.take(k)
+        bl.result == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("k larger than the group returns the whole group, ordered") {
     TopKPairs.register(spark)
     val sess = spark

@@ -65,6 +65,23 @@ class PipelineSpec extends SparkSuite {
       s"non-keeper doc ${r.getLong(0)} survived dedup gate"))
   }
 
+  test("temperature mixture flattens toward the tail without inverting order") {
+    assume(hasTestData)
+    val rows = Pipeline.temperatureMixture(spark, sf)
+      .select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(r => r >= 1 && r <= 100))
+    assert(rows.values.max === 100L, "the lightest source must be kept in full")
+    // heavier source → lower-or-equal rate (α<1 flattens, never inverts)
+    val mass = Tables.documents(spark, sf)
+      .groupBy("source").agg(sum(size(split(col("text"), " ")).cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.keys.toSeq.combinations(2).foreach { case Seq(a, b) =>
+      if (mass(a) < mass(b)) assert(rows(a) >= rows(b), s"rate order inverted for $a/$b")
+    }
+  }
+
   test("token shards conserve tokens, stay contiguous per source, and are deterministic") {
     assume(hasTestData)
     val rows = Pipeline.tokenShards(spark, sf).collect()
