@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_distribution_rank" -> (RelationalQueries.q26DistributionRank _),
     "q27_corr_subquery"  -> (RelationalQueries.q27CorrSubquery _),
     "q28_topk_agg"       -> ((s: SparkSession, d: String) => RelationalQueries.q28TopKAgg(s, d)),
+    "q29_sql_interface"  -> (RelationalQueries.q29SqlInterface _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -168,7 +169,7 @@ object SparkEntry {
       |    floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
       |        + (1.0 - stop_ratio) * 0.3
       |        + least(avg_token_len / 8.0, 1.0) * 0.3) * 1000000) / 1000000 AS quality_score,
-      |    MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
       |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
       |  FROM r)""".stripMargin
 
@@ -386,6 +387,16 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q29_sql_interface" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(li.n_items) AS BIGINT) AS total_items,
+        |  CAST(SUM(li.rev) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, COUNT(*) AS n_items,
+        |             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |  ON o.o_orderkey = li.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q28_topk_agg" ->
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,
@@ -549,13 +560,13 @@ object SparkEntry {
          |FROM flagged GROUP BY container ORDER BY container""".stripMargin,
     "dedup_exact_summary" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT text) AS n_unique_texts,
-        |  COUNT(DISTINCT lower(trim(text))) AS n_unique_norm,
-        |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+        |  COUNT(DISTINCT md5(text)) AS n_unique_texts,
+        |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique_norm,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact_keepers" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text HAVING COUNT(*) > 1
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
         |ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,

