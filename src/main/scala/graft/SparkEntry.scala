@@ -88,6 +88,7 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample"    -> (Multimodal.frameSample _),
     "mm_resize_stub"     -> ((s: SparkSession, d: String) => Multimodal.resizeStub(s, d)),
+    "mm_audio_energy"    -> (Multimodal.audioEnergy _),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "text_length_hist"   -> (TextAnalysis.lengthHistogram _),
@@ -1008,6 +1009,25 @@ object SparkEntry {
         |       md5(string_agg(byte_hex, '' ORDER BY i)) AS resized_md5
         |FROM px GROUP BY doc_id, n_bytes
         |ORDER BY doc_id""".stripMargin,
+    "mm_audio_energy" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hh FROM documents),
+        |f AS (SELECT doc_id, hh, length(hh) // 16 AS n_frames FROM b),
+        |fr AS (
+        |  SELECT doc_id, i,
+        |    CAST(list_aggregate(list_transform(range(0, 8),
+        |      j -> CAST(CAST('0x' || substr(hh, (CAST(i AS INT) * 8 + CAST(j AS INT)) * 2 + 1, 2) AS INTEGER) AS BIGINT)),
+        |      'sum') AS BIGINT) AS e
+        |  FROM f, UNNEST(range(0, n_frames)) AS u(i)
+        |  WHERE n_frames > 0),
+        |w AS (
+        |  SELECT *, CAST(SUM(e) OVER (PARTITION BY doc_id)
+        |            // COUNT(e) OVER (PARTITION BY doc_id) AS BIGINT) AS mean_e
+        |  FROM fr)
+        |SELECT doc_id, COUNT(*) AS n_frames, MIN(mean_e) AS mean_energy,
+        |  MAX(e) AS max_energy,
+        |  CAST(SUM(CASE WHEN e > 2 * mean_e THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lower(hex(encode(text))) AS hh FROM documents),

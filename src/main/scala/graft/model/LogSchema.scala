@@ -10,6 +10,17 @@ import org.apache.spark.sql.types._
   * session (reference writer.py:72-74). In the store layout container and
   * session are directory partition columns, recovered free on read.
   */
+/** Typed row for the `Dataset[LogRecord]` facade — field names and order
+  * mirror [[LogSchema.schema]] exactly, so `df.as[LogRecord]` binds by
+  * name with no plan change (the Encoder only swaps the edge
+  * deserializer; pushdown/pruning are untouched). */
+final case class LogRecord(
+    timestamp: java.sql.Timestamp,
+    level: String,
+    message: String,
+    container: String,
+    session: String)
+
 object LogSchema {
 
   val dataFields: Seq[StructField] = Seq(

@@ -98,4 +98,37 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
         md5(expr("substring(hh, CAST(frame_no AS INT) * 32 + 1, 32)")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Audio-feature shape: treat the payload as 8-byte frames, compute an
+    * integer per-frame energy (sum of unsigned byte values), and report
+    * the per-document energy profile — frame count, mean (integer-
+    * floored), max, and peak count (frames above 2× the mean), i.e. the
+    * onset-detection summary an audio curation pass stores. Frame energy
+    * is a pure fold over hex pairs (one projection, codegen'd); the
+    * per-doc mean needs one window over the doc's frames — at 100 TB the
+    * window partitions by doc_id, which is how the frames already
+    * co-locate after the generator. All arithmetic is INTEGER, so the
+    * profile replays exactly on any engine. */
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    val frames = blobs(s, dir)
+      .withColumn("hh", lower(hex(col("blob"))))
+      .withColumn("n_frames", expr("CAST(length(hh) div 16 AS BIGINT)")) // 8 bytes = 16 hex chars
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("hh"), col("n_frames"),
+        explode(expr("sequence(0, CAST(n_frames - 1 AS INT))")).as("i"))
+      .withColumn("e", expr(
+        """aggregate(
+          |  transform(sequence(0, 7),
+          |    j -> CAST(conv(substring(hh, (CAST(i AS INT) * 8 + j) * 2 + 1, 2), 16, 10) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+    frames
+      .withColumn("mean_e", expr(
+        "sum(e) OVER (PARTITION BY doc_id) div count(e) OVER (PARTITION BY doc_id)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           min(col("mean_e")).as("mean_energy"),
+           max(col("e")).as("max_energy"),
+           sum(when(col("e") > lit(2) * col("mean_e"), 1L).otherwise(0L)).as("n_peaks"))
+      .orderBy(col("doc_id"))
+  }
 }

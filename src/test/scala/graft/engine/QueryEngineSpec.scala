@@ -63,6 +63,20 @@ class QueryEngineSpec extends SparkSuite {
     assert(e.getMessage.contains("unsupported filter operator"))
   }
 
+  test("typed read (Dataset[LogRecord]) matches the untyped plan row-for-row") {
+    val (_, eng) = seeded()
+    val typed = eng.readLogsTyped("c", "s",
+      start = Some(Instant.parse("2024-01-01T06:00:00Z")),
+      end = Some(Instant.parse("2024-01-01T18:00:00Z")))
+    // compile-time field access on the case class, same rows as untyped
+    val msgs = typed.collect().map(_.message).sorted
+    assert(msgs === Array("boom", "late", "mid"))
+    assert(typed.collect().forall(r => r.container == "c" && r.session == "s"))
+    // the Encoder must not change the plan: same analyzed output schema
+    val untyped = eng.readLogs("c", "s")
+    assert(typed.schema === untyped.schema)
+  }
+
   test("projection prunes output columns (F5 superset; default stays SELECT *)") {
     val (_, eng) = seeded()
     val cols = eng.readLogs("c", "s", columns = Seq("timestamp", "message")).columns
