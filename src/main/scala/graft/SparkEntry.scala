@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_corr_subquery"  -> (RelationalQueries.q27CorrSubquery _),
     "q28_topk_agg"       -> ((s: SparkSession, d: String) => RelationalQueries.q28TopKAgg(s, d)),
     "q29_sql_interface"  -> (RelationalQueries.q29SqlInterface _),
+    "q30_full_outer"     -> (RelationalQueries.q30FullOuter _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -388,6 +389,23 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q30_full_outer" ->
+      """WITH b AS (
+        |  SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' AND value > 150 GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, COUNT(*) AS n_errors FROM events
+        |  WHERE event_type = 'error' AND value > 150 GROUP BY user_id),
+        |j AS (
+        |  SELECT CASE WHEN b.user_id IS NULL THEN 'error_only'
+        |              WHEN e.user_id IS NULL THEN 'purchase_only'
+        |              ELSE 'both' END AS category,
+        |         b.n_purchases, e.n_errors
+        |  FROM b FULL JOIN e ON b.user_id = e.user_id)
+        |SELECT category, COUNT(*) AS n_users,
+        |  CAST(SUM(COALESCE(n_purchases, 0)) AS BIGINT) AS total_purchases,
+        |  CAST(SUM(COALESCE(n_errors, 0)) AS BIGINT) AS total_errors
+        |FROM j GROUP BY category ORDER BY category""".stripMargin,
     "q29_sql_interface" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(li.n_items) AS BIGINT) AS total_items,

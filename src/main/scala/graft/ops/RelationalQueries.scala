@@ -488,6 +488,32 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** FULL OUTER join (completes the join family: inner/broadcast q3,
+    * semi q10, anti q8, left-outer q24, as-of q14, range q22, bucketed
+    * q17): two per-user aggregates reconciled symmetrically — users
+    * present on either side survive with nulls marking the missing side,
+    * then one category rollup. The value>150 gates keep all three
+    * categories non-empty at test scale (same trick as q25). Both inputs
+    * pre-aggregate to one row per user BEFORE the join, so the full
+    * outer is a join of two small keyed relations, not raw events. */
+  def q30FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def side(tpe: String, out: String) = ev
+      .filter(col("event_type") === tpe && col("value") > 150)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+    side("purchase", "n_purchases")
+      .join(side("error", "n_errors"), Seq("user_id"), "full_outer")
+      .withColumn("category",
+        when(col("n_purchases").isNull, lit("error_only"))
+          .when(col("n_errors").isNull, lit("purchase_only"))
+          .otherwise(lit("both")))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(coalesce(col("n_purchases"), lit(0L))).as("total_purchases"),
+           sum(coalesce(col("n_errors"), lit(0L))).as("total_errors"))
+      .orderBy(col("category"))
+  }
+
   /** The `spark.sql` TEXT entry point (the third query surface next to
     * the DataFrame API and the pushdown-triple builder): temp views over
     * the same parquet tables, a raw ANSI query through the SQL parser —

@@ -88,8 +88,11 @@ class CompactorSpec extends SparkSuite {
       // exits in a few seconds.
       val deadline = System.currentTimeMillis + 240000
       var replayed = -1L
-      while (replayed < 0 && System.currentTimeMillis < deadline) {
+      while (replayed <= 0 && System.currentTimeMillis < deadline) {
         Thread.sleep(200)
+        // replay may race the marker sweep: hot can drain a beat before the
+        // sweep removes the old tag, making appendIdempotent return 0 (still
+        // suppressed, no side effect) — keep retrying until it is accepted
         if (store.tierStats("c", "s")._3 == 0)
           replayed = store.appendIdempotent(b, "c", "s", "stream-old")
       }
