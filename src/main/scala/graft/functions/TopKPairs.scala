@@ -22,7 +22,7 @@ final class TopKPairsBuffer(val k: Int) {
 
   private def compactTo(n: Int): Unit =
     if (pairs.length > n) {
-      val best = pairs.sortBy { case (s, p) => (-s, p) }.take(n)
+      val best = pairs.sorted(TopKPairsBuffer.bestFirst).take(n)
       pairs.clear()
       pairs ++= best
     }
@@ -39,7 +39,20 @@ final class TopKPairsBuffer(val k: Int) {
 
   /** The final (score DESC, payload ASC) top-k list. */
   def result: Seq[(Double, Long)] =
-    pairs.sortBy { case (s, p) => (-s, p) }.take(k).toSeq
+    pairs.sorted(TopKPairsBuffer.bestFirst).take(k).toSeq
+}
+
+object TopKPairsBuffer {
+  /** (score DESC, payload ASC) with SQL total ordering on the score:
+    * `java.lang.Double.compare` ranks NaN above every number, so a
+    * NaN-scored pair sorts FIRST — exactly like Spark's `ORDER BY score
+    * DESC` and DuckDB's row_number window. A naive `sortBy(-score)`
+    * would invert that (NaN survives negation) and silently drop
+    * NaN-scored pairs from the top-k the window idiom would keep. */
+  val bestFirst: Ordering[(Double, Long)] = (a: (Double, Long), b: (Double, Long)) => {
+    val c = java.lang.Double.compare(b._1, a._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
 }
 
 /** Native top-k aggregate, exposed as `graft_topk(score, payload, k)` →
@@ -83,6 +96,9 @@ final case class TopKPairs(
     else if (payloadChild.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"${TopKPairs.name} payload must be BIGINT, got ${payloadChild.dataType.sql}")
+    else if (!(kChild.dataType == IntegerType || kChild.dataType == LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"${TopKPairs.name} k must be an integer literal, got ${kChild.dataType.sql}")
     else if (!kChild.foldable || kChild.eval() == null ||
              kChild.eval().asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure(s"${TopKPairs.name} k must be a positive literal")

@@ -4,12 +4,6 @@ import java.time.Instant
 import java.time.format.DateTimeFormatter
 import org.apache.spark.sql.types._
 
-/** The engine's one fixed data-plane schema — the Spark equivalent of the
-  * reference's LOG_SCHEMA (reference schema.py:4-10): timestamp(µs, UTC),
-  * level, message, plus the denormalized namespace columns container and
-  * session (reference writer.py:72-74). In the store layout container and
-  * session are directory partition columns, recovered free on read.
-  */
 /** Typed row for the `Dataset[LogRecord]` facade — field names and order
   * mirror [[LogSchema.schema]] exactly, so `df.as[LogRecord]` binds by
   * name with no plan change (the Encoder only swaps the edge
@@ -21,6 +15,12 @@ final case class LogRecord(
     container: String,
     session: String)
 
+/** The engine's one fixed data-plane schema — the Spark equivalent of the
+  * reference's LOG_SCHEMA (reference schema.py:4-10): timestamp(µs, UTC),
+  * level, message, plus the denormalized namespace columns container and
+  * session (reference writer.py:72-74). In the store layout container and
+  * session are directory partition columns, recovered free on read.
+  */
 object LogSchema {
 
   val dataFields: Seq[StructField] = Seq(

@@ -516,24 +516,17 @@ object RelationalQueries {
 
   /** The `spark.sql` TEXT entry point (the third query surface next to
     * the DataFrame API and the pushdown-triple builder): temp views over
-    * the same parquet tables, a raw ANSI query through the SQL parser —
-    * proving text SQL and the DataFrame API land in the same Catalyst
-    * pipeline (identical pushdown/pruning/broadcast decisions, same
-    * oracle gate). Pre-aggregates lineitem per order BEFORE the join, so
-    * the join input is one row per order on both sides. */
+    * the same parquet tables, and the DuckDB oracle string itself parsed
+    * by Spark's SQL parser — ONE ANSI text evaluated by both engines,
+    * proving text SQL lands in the same Catalyst pipeline (identical
+    * pushdown/pruning/broadcast decisions, same oracle gate). The query
+    * pre-aggregates lineitem per order BEFORE the join, so the join
+    * input is one row per order on both sides. */
   def q29SqlInterface(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
-    s.sql("""
-      SELECT o_orderpriority, COUNT(*) AS n_orders,
-        CAST(SUM(li.n_items) AS BIGINT) AS total_items,
-        CAST(SUM(li.rev) AS DOUBLE) AS revenue
-      FROM graft_orders o
-      JOIN (SELECT l_orderkey, COUNT(*) AS n_items,
-                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
-            FROM graft_lineitem GROUP BY l_orderkey) li
-        ON o.o_orderkey = li.l_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    // views carry the oracle's table names, so the ORACLE STRING ITSELF
+    // is the query — one ANSI text parsed by both engines, zero drift room
+    Tables.registerAll(s, dir)
+    s.sql(graft.SparkEntry.oracleSql("q29_sql_interface"))
   }
 
   /** Explicit GROUPING SETS — the general form rollup/cube specialize

@@ -65,6 +65,23 @@ class TopKAggSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("NaN scores rank first, matching the row_number window idiom exactly") {
+    TopKPairs.register(spark)
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((Double.NaN, 3L), (2.0, 1L), (1.0, 2L), (Double.NaN, 9L)).toDF("s", "p")
+    val viaAgg = df.agg(expr("graft_topk(s, p, 3)").as("top"))
+      .selectExpr("inline(top)").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // gold standard: the window form this aggregate replaces
+    val viaWindow = df.selectExpr("s", "p",
+        "row_number() OVER (ORDER BY s DESC, p) AS rk")
+      .filter(col("rk") <= 3).orderBy(col("rk")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(viaAgg.map(t => (t._1.isNaN, if (t._1.isNaN) 0.0 else t._1, t._2)) ===
+           viaWindow.map(t => (t._1.isNaN, if (t._1.isNaN) 0.0 else t._1, t._2)))
+    assert(viaAgg.head._1.isNaN, "SQL total order ranks NaN above every number in DESC")
+  }
+
   test("k larger than the group returns the whole group, ordered") {
     TopKPairs.register(spark)
     val sess = spark

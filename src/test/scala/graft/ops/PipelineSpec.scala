@@ -78,7 +78,8 @@ class PipelineSpec extends SparkSuite {
       .groupBy("source").agg(sum(size(split(col("text"), " ")).cast("long")).as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.keys.toSeq.combinations(2).foreach { case Seq(a, b) =>
-      if (mass(a) < mass(b)) assert(rows(a) >= rows(b), s"rate order inverted for $a/$b")
+      val (light, heavy) = if (mass(a) <= mass(b)) (a, b) else (b, a)
+      assert(rows(light) >= rows(heavy), s"rate order inverted for $light/$heavy")
     }
   }
 
