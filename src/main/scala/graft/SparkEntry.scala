@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_topk_agg"       -> ((s: SparkSession, d: String) => RelationalQueries.q28TopKAgg(s, d)),
     "q29_sql_interface"  -> (RelationalQueries.q29SqlInterface _),
     "q30_full_outer"     -> (RelationalQueries.q30FullOuter _),
+    "q31_moving_avg"     -> (RelationalQueries.q31MovingAvg _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     "emb_label_cohesion" -> (Similarity.labelCohesion _),
     "emb_label_separation" -> (Similarity.labelSeparation _),
+    "emb_label_confusion"  -> (Similarity.labelConfusion _),
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
@@ -389,6 +391,40 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q31_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS dv
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, CAST(FLOOR(date_part('epoch', day) / 86400) AS BIGINT) AS day_no
+        |  FROM daily)
+        |SELECT event_type, day, CAST(dv AS DOUBLE) AS day_value,
+        |  floor(CAST(SUM(dv) OVER w AS DOUBLE) / (COUNT(*) OVER w) * 1000000) / 1000000 AS avg7
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "emb_label_confusion" ->
+      s"""WITH $vectorsCte,
+         |el AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+         |cm AS (
+         |  SELECT label, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY label, pos),
+         |cn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM cm GROUP BY label) t),
+         |assign AS (
+         |  SELECT vec_id, label_true, label_pred FROM (
+         |    SELECT vn.vec_id, vn.label AS label_true, c.label AS label_pred,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.label) AS crk
+         |    FROM vn CROSS JOIN cn c) t WHERE crk = 1)
+         |SELECT label_true, label_pred, COUNT(*) AS n_vecs
+         |FROM assign GROUP BY 1, 2 ORDER BY label_true, label_pred""".stripMargin,
     "q30_full_outer" ->
       """WITH b AS (
         |  SELECT user_id, COUNT(*) AS n_purchases FROM events

@@ -488,6 +488,34 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Time-series smoothing: 7-day moving average of daily revenue per
+    * event type, as a RANGE frame over the day number — the window
+    * covers a fixed TIME span, not a fixed row count, so gap days
+    * genuinely shrink the average's denominator. Two steps: exact daily
+    * totals (DECIMAL sums → DOUBLE — tiny relation, one row per
+    * (type, day)), then the RANGE window runs over #days rows per type,
+    * never raw events. The average divides the window sum by the window
+    * count in double (both derived from exact values — deterministic),
+    * then trunc6. */
+  def q31MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+               date_trunc("day", col("ts")).as("day"))
+      // window the DECIMAL, not a double: a double window sum's
+      // association order is engine-internal (incremental vs segment
+      // tree) and could differ in the last bits — decimal sums are exact
+      .agg(sum(dec(col("value"))).as("dv"))
+      .withColumn("day_no", expr("CAST(floor(unix_timestamp(day) / 86400) AS BIGINT)"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("avg7",
+        trunc6(sum(col("dv")).over(w).cast("double") / count(lit(1)).over(w)))
+      .select(col("event_type"), col("day"), col("dv").cast("double").as("day_value"),
+              col("avg7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** FULL OUTER join (completes the join family: inner/broadcast q3,
     * semi q10, anti q8, left-outer q24, as-of q14, range q22, bucketed
     * q17): two per-user aggregates reconciled symmetrically — users

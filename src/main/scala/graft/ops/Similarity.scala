@@ -328,6 +328,27 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Embedding-space label confusion — the classification-eval report:
+    * every vector is assigned to its NEAREST label centroid (the same
+    * micro-quantized centroids the cohesion report builds, broadcast —
+    * #labels rows regardless of N) and tallied against its true label.
+    * Off-diagonal mass = labels whose members sit closer to another
+    * label's centroid — the labeling-quality signal a curation run reads
+    * before trusting label-blocked dedup or stratified sampling. One
+    * broadcast assignment pass over N + one map-side-combined count. */
+  def labelConfusion(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val cents = assembleCentroids(
+      quantizedMeans(vs.select(col("label"), col("v")), "label"), "label")
+      .select(col("label").as("cent_id"), col("cv"), col("cnorm"))
+    val assigned = nearestCentroids(vs, cents, 1, "n")
+    vs.select(col("vec_id").as("n_id"), col("label"))
+      .join(assigned.select(col("n_id"), col("list_id")), Seq("n_id"))
+      .groupBy(col("label").as("label_true"), col("list_id").as("label_pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label_true"), col("label_pred"))
+  }
+
   /** 4-bit sign key of dims [4i, 4i+3] — one LSH band. */
   private def bandKey(i: Int): Column = expr(
     s"CAST(CASE WHEN v[${4 * i}] > 0 THEN 8 ELSE 0 END + CASE WHEN v[${4 * i + 1}] > 0 THEN 4 ELSE 0 END + " +

@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSuite {
   // the 1-row global-min aggregate in the mixture sampler)
   private val intendedBnlj = Set(
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
-    "pipe_balanced_mixture", "emb_label_separation", "pipe_temperature_mixture")
+    "pipe_balanced_mixture", "emb_label_separation", "pipe_temperature_mixture",
+    "emb_label_confusion")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
