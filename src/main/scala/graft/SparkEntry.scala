@@ -59,6 +59,7 @@ object SparkEntry {
     "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
     "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
     "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
+    "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
+    "dedup_keep_best"      -> (Dedup.keepBest _),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -613,6 +615,23 @@ object SparkEntry {
          |SELECT container, COUNT(*) AS n_total,
          |  CAST(SUM(kept) AS BIGINT) AS n_kept
          |FROM flagged GROUP BY container ORDER BY container""".stripMargin,
+    "log_error_rate_sli" ->
+      s"""$logsCte
+         |SELECT container, date_trunc('day', "timestamp") AS day,
+         |  COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |  CAST(10000 * SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS rate_bp
+         |FROM logs GROUP BY 1, 2 ORDER BY container, day""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH $simhashCte,
+         |j AS (
+         |  SELECT sh.simhash, sh.doc_id, d.n_chars
+         |  FROM shash sh JOIN documents d ON sh.doc_id = d.doc_id)
+         |SELECT simhash,
+         |  max_by(doc_id, n_chars * CAST(4294967296 AS BIGINT) - doc_id) AS keep_id,
+         |  COUNT(*) AS n_copies, MAX(n_chars) AS keep_chars
+         |FROM j GROUP BY simhash HAVING COUNT(*) > 1
+         |ORDER BY simhash""".stripMargin,
     "dedup_exact_summary" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_unique_texts,

@@ -56,6 +56,29 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Quality-aware keeper selection over NEAR-dup clusters: within each
+    * identical-SimHash cluster keep the HIGHEST-QUALITY member (longest
+    * text, doc_id tiebreak) instead of [[exactKeepers]]'s smallest-id
+    * rule — what a real curation run wants when near-duplicates differ
+    * in truncation/damage (exact duplicates would tie on length, so the
+    * choice only bites on near-dups). One argmax via max_by on a
+    * scalar-encoded (n_chars, doc_id) key — no window, pure aggregation,
+    * map-side combinable; the (metric DESC, id ASC) encoding generalizes
+    * to any integer quality score. */
+  def keepBest(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_copies"),
+           // (n_chars DESC, doc_id ASC) packed into ONE orderable BIGINT
+           // (DuckDB's max_by takes scalar keys only): chars dominate via
+           // the 2^32 shift, the subtracted id breaks ties toward SMALLER
+           expr("max_by(doc_id, n_chars * CAST(4294967296 AS BIGINT) - doc_id)").as("keep_id"),
+           max(col("n_chars")).as("keep_chars"))
+      .filter(col("n_copies") > 1)
+      .select(col("simhash"), col("keep_id"), col("n_copies"), col("keep_chars"))
+      .orderBy(col("simhash"))
+
   /** Shingle relation with a document-frequency cap: shingles present in
     * more than 20% of the corpus ("of the and"-style stop-shingles) are
     * dropped BEFORE pair generation — a hot shingle key makes the

@@ -118,6 +118,20 @@ object LogQueries {
       .select(col("container"), col("day"), col("n"), col("mean_n"), col("dev"), col("spike"))
       .orderBy(col("container"), col("day"))
 
+  /** Error-rate SLI report: per (container, day) error fraction in
+    * integer BASIS POINTS (10000·errors div total) — the service-level
+    * number an availability dashboard tracks, kept in pure integer
+    * arithmetic so the report replays exactly (a float percentage would
+    * be division-rounding-dependent). One map-side-combined aggregate on
+    * the ingest's own (container, day) partitioning. */
+  def logErrorRateSli(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .groupBy(col("container"), date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("level") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("rate_bp", expr("10000 * n_errors div n_total"))
+      .orderBy(col("container"), col("day"))
+
   /** The storage engine itself under the oracle (S1/S4/S7/S8/T4/U1): rows
     * for three sessions are physically written through
     * [[graft.storage.LogStore.append]] into a fresh two-tier store, one
