@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_sql_interface"  -> (RelationalQueries.q29SqlInterface _),
     "q30_full_outer"     -> (RelationalQueries.q30FullOuter _),
     "q31_moving_avg"     -> (RelationalQueries.q31MovingAvg _),
+    "q32_unpivot"        -> (RelationalQueries.q32Unpivot _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -393,6 +394,16 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q32_unpivot" ->
+      """WITH agg AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM agg
+        |UNION ALL
+        |SELECT o_orderstatus, 'total_price', total_price FROM agg
+        |ORDER BY o_orderstatus, measure""".stripMargin,
     "q31_moving_avg" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

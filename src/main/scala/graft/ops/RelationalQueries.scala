@@ -488,6 +488,22 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** UNPIVOT / melt (the inverse of q19's pivot): per-status order
+    * aggregates widened into (measure, value) rows via `stack` — the
+    * wide-to-long reshape feeding metric stores and plotting layers.
+    * Aggregate FIRST (5 rows), then unpivot the tiny result: the
+    * generator runs on the aggregate, never on raw orders. Measures are
+    * DECIMAL-derived doubles, counts cast to double so both measures
+    * share one value column (the unpivot contract). */
+  def q32Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(col("o_orderstatus"),
+        expr("stack(2, 'n_orders', n_orders, 'total_price', total_price) AS (measure, value)"))
+      .orderBy(col("o_orderstatus"), col("measure"))
+
   /** Time-series smoothing: 7-day moving average of daily revenue per
     * event type, as a RANGE frame over the day number — the window
     * covers a fixed TIME span, not a fixed row count, so gap days
