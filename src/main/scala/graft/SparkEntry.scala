@@ -51,6 +51,7 @@ object SparkEntry {
     "q30_full_outer"     -> (RelationalQueries.q30FullOuter _),
     "q31_moving_avg"     -> (RelationalQueries.q31MovingAvg _),
     "q32_unpivot"        -> (RelationalQueries.q32Unpivot _),
+    "q33_event_funnel"   -> (RelationalQueries.q33EventFunnel _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "text_length_hist"   -> (TextAnalysis.lengthHistogram _),
     "text_repetition"    -> (TextAnalysis.repetition _),
+    "text_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.collocations(s, d)),
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
@@ -394,6 +396,38 @@ object SparkEntry {
         |  SELECT user_id, 'error_only' FROM (SELECT user_id FROM errorers EXCEPT SELECT user_id FROM buyers) t)
         |SELECT set_op, COUNT(*) AS n_users FROM tagged
         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    "q33_event_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin,
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+        |tokdf AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+        |bg AS (
+        |  SELECT a, b, COUNT(*) AS df_ab FROM (
+        |    SELECT DISTINCT doc_id, w[i] AS a, w[i+1] AS b
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |         UNNEST(range(1, len(w))) AS u(i)
+        |    WHERE len(w) >= 2) p
+        |  GROUP BY a, b),
+        |top AS (SELECT * FROM bg ORDER BY df_ab DESC, a, b LIMIT 20)
+        |SELECT t.a, t.b, t.df_ab, da.df AS df_a, db.df AS df_b,
+        |  floor(CAST((SELECT COUNT(*) FROM documents) * t.df_ab AS DOUBLE)
+        |        / (da.df * db.df) * 1000000) / 1000000 AS lift
+        |FROM top t JOIN tokdf da ON t.a = da.tok JOIN tokdf db ON t.b = db.tok
+        |ORDER BY df_ab DESC, a, b""".stripMargin,
     "q32_unpivot" ->
       """WITH agg AS (
         |  SELECT o_orderstatus,

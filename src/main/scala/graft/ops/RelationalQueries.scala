@@ -488,6 +488,29 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Ordered event funnel (product analytics): how many users progressed
+    * view → click → purchase IN TIME ORDER — each stage requires the
+    * user's first event of that type to come strictly after the first
+    * event of the previous stage. One aggregate pass per user collecting
+    * three conditional MIN timestamps (map-side combined), then a
+    * constant-size projection evaluates the stage predicates; no joins,
+    * no windows, one shuffle on user_id. Counts are integers. */
+  def q33EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    def firstTs(tpe: String) = min(when(col("event_type") === tpe, col("ts")))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(firstTs("view").as("t_view"),
+           firstTs("click").as("t_click"),
+           firstTs("purchase").as("t_purchase"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+           sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1L)
+             .otherwise(0L)).as("n_clicked_after_view"),
+           sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+                    col("t_purchase") > col("t_click"), 1L)
+             .otherwise(0L)).as("n_full_funnel"))
+  }
+
   /** UNPIVOT / melt (the inverse of q19's pivot): per-status order
     * aggregates widened into (measure, value) rows via `stack` — the
     * wide-to-long reshape feeding metric stores and plotting layers.

@@ -202,6 +202,39 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Collocation extraction (phrase mining): the corpus's top-20 bigrams
+    * by document co-occurrence, each with its LIFT — observed doc
+    * frequency over the independence expectation N·(df_a/N)·(df_b/N),
+    * computed as trunc6(N·df_ab / (df_a·df_b)). High-lift bigrams are
+    * multi-word expressions worth protecting from tokenization; counts
+    * are integers end-to-end with ONE double division per surviving
+    * bigram, so the report replays exactly. Ranking ties break on the
+    * bigram text. Shapes: the df passes are map-side-combined groupBys
+    * on the bigram/token (same partitioning dedup uses), the tiny token
+    * df relation broadcasts back onto 20 rows. */
+  def collocations(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
+    val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df_ab"))
+    val top = bg.orderBy(col("df_ab").desc, col("a"), col("b")).limit(k)
+    top
+      .join(broadcast(tokDf.select(col("tok").as("a"), col("df").as("df_a"))), Seq("a"))
+      .join(broadcast(tokDf.select(col("tok").as("b"), col("df").as("df_b"))), Seq("b"))
+      .withColumn("lift", trunc6(
+        (lit(nDocs) * col("df_ab")).cast("double") / (col("df_a") * col("df_b"))))
+      .select(col("a"), col("b"), col("df_ab"), col("df_a"), col("df_b"), col("lift"))
+      .orderBy(col("df_ab").desc, col("a"), col("b"))
+  }
+
   /** Multimodal metadata path: treat the payload as an opaque binary
     * column (here utf-8 bytes of text stand in for image/audio bytes —
     * the container has no media codecs) and compute typed metadata:
