@@ -109,6 +109,7 @@ object SparkEntry {
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
+    "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
   )
 
@@ -947,6 +948,22 @@ object SparkEntry {
         |  MIN(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90,
         |  MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |bench AS (SELECT DISTINCT s FROM shc WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM shc
+         |  WHERE doc_id >= 10 AND s IN (SELECT s FROM bench))
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id >= 10
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipe_temperature_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, source,

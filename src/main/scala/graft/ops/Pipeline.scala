@@ -173,6 +173,34 @@ object Pipeline {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** Benchmark decontamination — the eval-integrity step every serious
+    * training pipeline runs: a document is CONTAMINATED if it shares any
+    * informative 3-gram shingle with the benchmark set (here the
+    * stand-in is doc_id < 10; in production, the eval suites), and the
+    * report counts contaminated vs clean docs per source. Uses the same
+    * DF-capped shingle relation as n-gram dedup, so stop-shingles can't
+    * flag everything. Scale shape: the benchmark shingle set is tiny by
+    * construction (eval suites are small) → BROADCAST semi-join against
+    * the corpus shingles, then the contaminated-id set (≤ corpus, often
+    * tiny) broadcasts back onto one scan — no shuffle touches the corpus
+    * beyond the shingle derivation it already shares with dedup. */
+  def decontaminate(s: SparkSession, dir: String, benchBelow: Long = 10): DataFrame = {
+    val sh = Dedup.cappedShingles(s, dir)
+    val benchShingles = sh.filter(col("doc_id") < benchBelow).select(col("s")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= benchBelow)
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= benchBelow)
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+           (count(lit(1)) - sum(coalesce(col("hit"), lit(0L)))).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   /** Curation funnel report: per-source document counts surviving each
     * successive gate — the observability view a 100 TB curation run
     * ships with its output manifest (how much did each stage drop, per
