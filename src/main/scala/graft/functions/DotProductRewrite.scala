@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *  - the zero literal is exactly double 0.0;
   *  - the merge lambda is exactly `acc + x` and the zip lambda exactly
   *    `x * y` over the bound lambda variables (either argument order);
-  *  - the finish lambda is the identity.
+  *  - the finish lambda is the identity;
+  *  - both array children are deterministic — the guarded output
+  *    references each array twice (`size` and the fused loop), which is
+  *    only equivalent to the original single-evaluation form when
+  *    repeated evaluation yields the same value (Spark's own rewrite
+  *    rules gate on the same condition).
   *
   * Array LENGTH is a runtime property no static gate can prove equal, and
   * the two forms differ there: `zip_with` null-pads the shorter array
@@ -71,6 +76,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           LambdaFunction(Add(ax, ay, _), Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           finish)
         if isZeroD(zero) && isNonNullDoubleArray(a) && isNonNullDoubleArray(b) &&
+           a.deterministic && b.deterministic &&
            usesVars(mx, my, zx, zy) && usesVars(ax, ay, acc, el) && isIdentity(finish) =>
       If(EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false)),
          DotProduct(a, b),

@@ -62,18 +62,19 @@ object Dedup {
     * rule — what a real curation run wants when near-duplicates differ
     * in truncation/damage (exact duplicates would tie on length, so the
     * choice only bites on near-dups). One argmax via max_by on a
-    * scalar-encoded (n_chars, doc_id) key — no window, pure aggregation,
-    * map-side combinable; the (metric DESC, id ASC) encoding generalizes
-    * to any integer quality score. */
+    * struct-valued (n_chars, -doc_id) key — no window, pure aggregation,
+    * map-side combinable. Spark's max_by orders structs field-by-field,
+    * so the key is exact at ANY id/length magnitude; only the DuckDB
+    * oracle (scalar keys only) uses a packed-BIGINT encoding, safe there
+    * because test-scale ids stay far below 2^32. */
   def keepBest(s: SparkSession, dir: String): DataFrame =
     simhash(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_copies"),
-           // (n_chars DESC, doc_id ASC) packed into ONE orderable BIGINT
-           // (DuckDB's max_by takes scalar keys only): chars dominate via
-           // the 2^32 shift, the subtracted id breaks ties toward SMALLER
-           expr("max_by(doc_id, n_chars * CAST(4294967296 AS BIGINT) - doc_id)").as("keep_id"),
+           // (n_chars DESC, doc_id ASC): bigger struct wins field-by-field,
+           // -doc_id breaks length ties toward the SMALLER id
+           expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_id"),
            max(col("n_chars")).as("keep_chars"))
       .filter(col("n_copies") > 1)
       .select(col("simhash"), col("keep_id"), col("n_copies"), col("keep_chars"))

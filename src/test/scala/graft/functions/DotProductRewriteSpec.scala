@@ -48,6 +48,20 @@ class DotProductRewriteSpec extends SparkSuite {
     }
   }
 
+  test("no rewrite for a non-deterministic array child (guard references it twice)") {
+    withRule {
+      // shuffle() is non-deterministic; the guarded rewrite would evaluate
+      // it once for size() and again for the fused loop — two different
+      // shuffles. The rule must leave the single-evaluation form alone.
+      // Inline on purpose: behind a Project alias the child would be a
+      // (deterministic) attribute and the rewrite is safe again.
+      val df = spark.range(1).selectExpr(
+        """aggregate(zip_with(shuffle(array(1.0D, 2.0D, 3.0D)), array(4.0D, 5.0D, 6.0D),
+          |(x, y) -> x * y), 0D, (acc, x) -> acc + x) AS dot""".stripMargin)
+      assert(!hasFused(df), "must not fire on non-deterministic children")
+    }
+  }
+
   test("no rewrite for a different fold (sum of maxima is not a dot product)") {
     withRule {
       val df = spark.range(1).selectExpr(
