@@ -7,27 +7,29 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k best (score, payload) pairs under
-  * (score DESC, payload ASC) order. Inserts append; the buffer compacts
-  * (sort + truncate to k) whenever it exceeds 2k, so memory stays O(k)
-  * regardless of group size and duplicates are preserved exactly (a
-  * tree-set would silently collapse identical pairs). */
-final class TopKPairsBuffer(val k: Int) {
-  val pairs = new ArrayBuffer[(Double, Long)](k + 1)
+  * the supplied (score DESC, payload ASC) ordering. Inserts append; the
+  * buffer compacts (sort + truncate to k) whenever it exceeds 2k, so
+  * memory stays O(k) regardless of group size and duplicates are
+  * preserved exactly (a tree-set would silently collapse identical
+  * pairs). Values are INTERNAL representations (UTF8String,
+  * InternalRow, ...), already defensively copied by the caller. */
+final class TopKPairsBuffer(val k: Int, ord: Ordering[(Any, Any)]) {
+  val pairs = new ArrayBuffer[(Any, Any)](k + 1)
 
   private def compactTo(n: Int): Unit =
     if (pairs.length > n) {
-      val best = pairs.sorted(TopKPairsBuffer.bestFirst).take(n)
+      val best = pairs.sorted(ord).take(n)
       pairs.clear()
       pairs ++= best
     }
 
-  def insert(score: Double, payload: Long): Unit = {
+  def insert(score: Any, payload: Any): Unit = {
     pairs += ((score, payload))
     if (pairs.length > 2 * k) compactTo(k)
   }
@@ -38,26 +40,14 @@ final class TopKPairsBuffer(val k: Int) {
   }
 
   /** The final (score DESC, payload ASC) top-k list. */
-  def result: Seq[(Double, Long)] =
-    pairs.sorted(TopKPairsBuffer.bestFirst).take(k).toSeq
-}
-
-object TopKPairsBuffer {
-  /** (score DESC, payload ASC) with SQL total ordering on the score:
-    * `java.lang.Double.compare` ranks NaN above every number, so a
-    * NaN-scored pair sorts FIRST — exactly like Spark's `ORDER BY score
-    * DESC` and DuckDB's row_number window. A naive `sortBy(-score)`
-    * would invert that (NaN survives negation) and silently drop
-    * NaN-scored pairs from the top-k the window idiom would keep. */
-  val bestFirst: Ordering[(Double, Long)] = (a: (Double, Long), b: (Double, Long)) => {
-    val c = java.lang.Double.compare(b._1, a._1)
-    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-  }
+  def result: Seq[(Any, Any)] = pairs.sorted(ord).take(k).toSeq
 }
 
 /** Native top-k aggregate, exposed as `graft_topk(score, payload, k)` →
-  * `array<struct<score double, payload bigint>>` sorted (score DESC,
-  * payload ASC).
+  * `array<struct<score, payload>>` sorted (score DESC, payload ASC).
+  * Score and payload take ANY orderable type — a `struct(tf, -df)`
+  * score expresses a composite (tf DESC, df ASC) ranking key, a string
+  * payload ranks tokens/documents directly.
   *
   * The window idiom — `row_number() OVER (PARTITION BY g ORDER BY score
   * DESC) <= k` — computes the same thing but must SORT every group's
@@ -68,6 +58,12 @@ object TopKPairsBuffer {
   * shuffling k rows per group. The (c) tier of the builder guideline:
   * a `TypedImperativeAggregate` where no built-in aggregate (max_by is
   * k=1; collect_list is unbounded) expresses bounded top-k.
+  *
+  * Ordering uses Catalyst's interpreted SQL ordering for the child
+  * types (struct = field-by-field, double = total order with NaN
+  * ranked ABOVE every number, exactly like `ORDER BY score DESC` in
+  * both Spark and DuckDB — a naive `sortBy(-score)` would invert that
+  * and silently drop NaN-scored pairs the window idiom keeps).
   *
   * Determinism: the comparator is total — (score DESC, payload ASC) —
   * so the result is independent of input partitioning and merge order,
@@ -82,20 +78,36 @@ final case class TopKPairs(
 
   private lazy val k: Int = kChild.eval().asInstanceOf[Number].intValue()
 
+  /** (score DESC, payload ASC) over Catalyst's interpreted orderings.
+    * Buffers only ever hold non-null values (update skips nulls). */
+  @transient private lazy val bestFirst: Ordering[(Any, Any)] = {
+    val scoreOrd = TypeUtils.getInterpretedOrdering(scoreChild.dataType)
+    val payloadOrd = TypeUtils.getInterpretedOrdering(payloadChild.dataType)
+    (a: (Any, Any), b: (Any, Any)) => {
+      val c = scoreOrd.compare(b._1, a._1)
+      if (c != 0) c else payloadOrd.compare(a._2, b._2)
+    }
+  }
+
+  /** Serializer for one (score, payload) pair — UnsafeRow bytes are a
+    * self-contained, type-agnostic wire format. */
+  @transient private lazy val pairProjection: UnsafeProjection =
+    UnsafeProjection.create(Array(scoreChild.dataType, payloadChild.dataType))
+
   override def children: Seq[Expression] = Seq(scoreChild, payloadChild, kChild)
   override def nullable: Boolean = false
 
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", DoubleType, nullable = false),
-    StructField("payload", LongType, nullable = false))), containsNull = false)
+    StructField("score", scoreChild.dataType, nullable = false),
+    StructField("payload", payloadChild.dataType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (scoreChild.dataType != DoubleType)
+    if (!RowOrdering.isOrderable(scoreChild.dataType))
       TypeCheckResult.TypeCheckFailure(
-        s"${TopKPairs.name} score must be DOUBLE, got ${scoreChild.dataType.sql}")
-    else if (payloadChild.dataType != LongType)
+        s"${TopKPairs.name} score type ${scoreChild.dataType.sql} is not orderable")
+    else if (!RowOrdering.isOrderable(payloadChild.dataType))
       TypeCheckResult.TypeCheckFailure(
-        s"${TopKPairs.name} payload must be BIGINT, got ${payloadChild.dataType.sql}")
+        s"${TopKPairs.name} payload type ${payloadChild.dataType.sql} is not orderable")
     else if (!(kChild.dataType == IntegerType || kChild.dataType == LongType))
       TypeCheckResult.TypeCheckFailure(
         s"${TopKPairs.name} k must be an integer literal, got ${kChild.dataType.sql}")
@@ -104,13 +116,15 @@ final case class TopKPairs(
       TypeCheckResult.TypeCheckFailure(s"${TopKPairs.name} k must be a positive literal")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k)
+  override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k, bestFirst)
 
   override def update(buffer: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
     val s = scoreChild.eval(input)
     val p = payloadChild.eval(input)
     if (s != null && p != null)
-      buffer.insert(s.asInstanceOf[Double], p.asInstanceOf[Long])
+      // copyValue: eval may return views into reused row/byte buffers
+      // (UTF8String, UnsafeRow) — the buffer outlives the input row
+      buffer.insert(InternalRow.copyValue(s), InternalRow.copyValue(p))
     buffer
   }
 
@@ -126,10 +140,14 @@ final case class TopKPairs(
 
   override def serialize(buffer: TopKPairsBuffer): Array[Byte] = {
     val best = buffer.result // ship at most k pairs across the wire
-    val bos = new ByteArrayOutputStream(4 + 16 * best.length)
+    val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(best.length)
-    best.foreach { case (s, p) => out.writeDouble(s); out.writeLong(p) }
+    best.foreach { case (s, p) =>
+      val row = pairProjection(InternalRow(s, p))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -137,9 +155,19 @@ final case class TopKPairs(
   override def deserialize(bytes: Array[Byte]): TopKPairsBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new TopKPairsBuffer(k)
+    val buf = new TopKPairsBuffer(k, bestFirst)
+    val row = new UnsafeRow(2)
     var i = 0
-    while (i < n) { buf.insert(in.readDouble(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      row.pointTo(rowBytes, len)
+      buf.insert(
+        InternalRow.copyValue(row.get(0, scoreChild.dataType)),
+        InternalRow.copyValue(row.get(1, payloadChild.dataType)))
+      i += 1
+    }
     buf
   }
 

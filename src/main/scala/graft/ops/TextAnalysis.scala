@@ -98,19 +98,28 @@ object TextAnalysis {
     * result is exactly replayable: tf·log(N/df) would rank identically
     * for fixed tf but is summation/libm-dependent across engines.
     * Two aggregations (per-doc tf, corpus df — both map-side combined)
-    * + one window; at 100 TB df is the only corpus-wide shuffle and it
-    * is keyed on the token, the same partitioning dedup already uses. */
+    * + a bounded top-k aggregate ([[graft.functions.TopKPairs]]) with a
+    * composite `struct(tf, -df)` score and the token as a STRING
+    * payload — the row_number window this replaces had to shuffle and
+    * sort every (doc, token) row; the aggregate ships ≤k tokens per doc
+    * per partition. At 100 TB df is the only corpus-wide shuffle and it
+    * is keyed on the token, the same partitioning dedup already uses.
+    * Rank is recovered from the array position; df from the negated
+    * score field — no join back, no window. */
   def topTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.TopKPairs.register(s)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("df"), col("tok"))
     toks.join(dfreq, Seq("tok"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rk"))
+      // (tf DESC, df ASC, tok ASC) ≡ struct(tf, -df) DESC + payload ASC
+      .groupBy(col("doc_id"))
+      .agg(expr(s"graft_topk(named_struct('tf', tf, 'ndf', -df), tok, $k)").as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.payload").as("tok"),
+        col("col.score.tf").as("tf"), (-col("col.score.ndf")).as("df"),
+        (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("doc_id"), col("rk"))
   }
 

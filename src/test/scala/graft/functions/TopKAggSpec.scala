@@ -46,6 +46,18 @@ class TopKAggSpec extends SparkSuite {
 
   test("property: random inserts under any merge split match brute-force top-k") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // the same (score DESC, payload ASC) ordering production builds from
+    // the child data types
+    val ord: Ordering[(Any, Any)] = {
+      val so = TypeUtils.getInterpretedOrdering(DoubleType)
+      val po = TypeUtils.getInterpretedOrdering(LongType)
+      (a: (Any, Any), b: (Any, Any)) => {
+        val c = so.compare(b._1, a._1)
+        if (c != 0) c else po.compare(a._2, b._2)
+      }
+    }
     val genPairs = Gen.listOf(for {
       s <- Gen.choose(-5, 5).map(_.toDouble) // narrow range to force score ties
       p <- Gen.choose(0L, 20L)
@@ -55,8 +67,8 @@ class TopKAggSpec extends SparkSuite {
         // split at an arbitrary point and merge partial buffers, like a
         // map-side combine would; result must equal the global sort
         val (l, r) = pairs.splitAt(cut % (pairs.length + 1))
-        val bl = new TopKPairsBuffer(k); l.foreach { case (s, p) => bl.insert(s, p) }
-        val br = new TopKPairsBuffer(k); r.foreach { case (s, p) => br.insert(s, p) }
+        val bl = new TopKPairsBuffer(k, ord); l.foreach { case (s, p) => bl.insert(s, p) }
+        val br = new TopKPairsBuffer(k, ord); r.foreach { case (s, p) => br.insert(s, p) }
         bl.mergeIn(br)
         val expected = pairs.sortBy { case (s, p) => (-s, p) }.take(k)
         bl.result == expected
@@ -80,6 +92,47 @@ class TopKAggSpec extends SparkSuite {
     assert(viaAgg.map(t => (t._1.isNaN, if (t._1.isNaN) 0.0 else t._1, t._2)) ===
            viaWindow.map(t => (t._1.isNaN, if (t._1.isNaN) 0.0 else t._1, t._2)))
     assert(viaAgg.head._1.isNaN, "SQL total order ranks NaN above every number in DESC")
+  }
+
+  test("string payload: serialization round-trip and binary-collation tiebreak") {
+    TopKPairs.register(spark)
+    val sess = spark
+    import sess.implicits._
+    // force a shuffle so partial buffers SERIALIZE (UnsafeRow wire format)
+    val out = Seq((1.0, "bb"), (1.0, "aa"), (2.0, "zz"), (0.5, "cc"))
+      .toDF("s", "tok").repartition(4)
+      .agg(expr("graft_topk(s, tok, 3)").as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(out === Seq((2.0, "zz"), (1.0, "aa"), (1.0, "bb")))
+  }
+
+  test("struct score: composite (tf DESC, df ASC) key matches the window idiom") {
+    TopKPairs.register(spark)
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((3L, 9L, "a"), (3L, 2L, "b"), (5L, 7L, "c"), (3L, 2L, "d"), (1L, 1L, "e"))
+      .toDF("tf", "df", "tok")
+    val viaAgg = df.repartition(3)
+      .agg(expr("graft_topk(named_struct('tf', tf, 'ndf', -df), tok, 4)").as("top"))
+      .selectExpr("inline(top)")
+      .selectExpr("score.tf AS tf", "-score.ndf AS df", "payload AS tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val viaWindow = df.selectExpr("tf", "df", "tok",
+        "row_number() OVER (ORDER BY tf DESC, df, tok) AS rk")
+      .filter(col("rk") <= 4).orderBy(col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg === Seq((5L, 7L, "c"), (3L, 2L, "b"), (3L, 2L, "d"), (3L, 9L, "a")))
+  }
+
+  test("non-orderable payload is rejected at analysis time") {
+    TopKPairs.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("id AS s", "map(1, 2) AS m")
+        .agg(expr("graft_topk(CAST(s AS DOUBLE), m, 2)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("orderable"), err.getMessage)
   }
 
   test("k larger than the group returns the whole group, ordered") {

@@ -46,4 +46,12 @@ class TextAnalysisSpec extends SparkSuite {
       assert(p50 >= lo && p99 <= hi, s"quantile outside observed range: $r")
     }
   }
+
+  test("topTerms plans the bounded top-k aggregate, not a per-doc window sort") {
+    assume(hasTestData)
+    val plan = TextAnalysis.topTerms(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "topTerms regressed to the window idiom")
+    assert(plan.contains("partial_graft_topk"),
+      "graft_topk is not partially aggregated map-side")
+  }
 }
