@@ -62,6 +62,7 @@ object SparkEntry {
     "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
     "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
     "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
+    "log_top_messages"    -> ((s: SparkSession, d: String) => LogQueries.topMessages(s, d)),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
+    "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -85,6 +87,7 @@ object SparkEntry {
     "emb_label_separation" -> (Similarity.labelSeparation _),
     "emb_label_confusion"  -> (Similarity.labelConfusion _),
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "emb_dim_stats" -> (Similarity.dimStats _),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -102,6 +105,7 @@ object SparkEntry {
     "text_repetition"    -> (TextAnalysis.repetition _),
     "text_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.collocations(s, d)),
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
+    "text_vocab_stats"   -> (TextAnalysis.vocabStats _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
@@ -110,6 +114,7 @@ object SparkEntry {
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
+    "pipe_dup_weights"       -> (Pipeline.dupWeights _),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
   )
 
@@ -668,6 +673,16 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          |  CAST(10000 * SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS rate_bp
          |FROM logs GROUP BY 1, 2 ORDER BY container, day""".stripMargin,
+    "log_top_messages" ->
+      s"""$logsCte,
+         |counts AS (
+         |  SELECT container, message, COUNT(*) AS n FROM logs GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT container, message, n,
+         |    ROW_NUMBER() OVER (PARTITION BY container ORDER BY n DESC, message) AS rk
+         |  FROM counts)
+         |SELECT container, message, n, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= 5 ORDER BY container, rk""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH $simhashCte,
          |j AS (
@@ -704,6 +719,23 @@ object SparkEntry {
          |FROM common JOIN sizes x ON doc_a = x.doc_id
          |            JOIN sizes y ON doc_b = y.doc_id
          |WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shinglesCte,
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b,
+         |  floor(CAST(c AS DOUBLE) / LEAST(x.n, y.n) * 1000000) / 1000000 AS containment
+         |FROM common JOIN sizes x ON doc_a = x.doc_id
+         |            JOIN sizes y ON doc_b = y.doc_id
+         |WHERE floor(CAST(c AS DOUBLE) / LEAST(x.n, y.n) * 1000000) / 1000000 >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
@@ -948,6 +980,23 @@ object SparkEntry {
         |  MIN(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90,
         |  MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "text_vocab_stats" ->
+      """WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY source, tok)
+        |SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  floor(CAST(COUNT(*) AS DOUBLE) / SUM(tf) * 1000000) / 1000000 AS ttr,
+        |  floor(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS hapax_ratio
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_dup_weights" ->
+      s"""WITH $simhashCte,
+         |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash)
+         |SELECT h.doc_id, z.cluster_size,
+         |  floor(CAST(1 AS DOUBLE) / z.cluster_size * 1000000) / 1000000 AS weight
+         |FROM shash h JOIN sizes z USING (simhash)
+         |ORDER BY doc_id""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH $shinglesCte,
          |hot AS (
@@ -1010,6 +1059,15 @@ object SparkEntry {
          |  CAST(list_aggregate(list_transform(qc, x -> x * x), 'sum') AS BIGINT) AS q_norm2,
          |  CAST(len(list_filter(qc, x -> x > 0)) AS BIGINT) AS n_pos
          |FROM q ORDER BY vec_id""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH el AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, 65)) AS u(i))
+        |SELECT pos, COUNT(*) AS n,
+        |  FLOOR(CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*)) / 1000000 AS mean,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  CAST(SUM(CASE WHEN ABS(x) < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        |FROM el GROUP BY pos ORDER BY pos""".stripMargin,
     "text_length_hist" ->
       """SELECT source, LEAST(n_chars // 100, 9) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

@@ -97,25 +97,48 @@ object Dedup {
     sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
-  /** N-gram Jaccard near-dup: candidate pairs come from a shuffle join
-    * on the DF-capped shingle relation (docs sharing ≥1 informative
-    * shingle), so cost is proportional to real overlap, not n². */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Shared overlap stats over the DF-capped shingle relation:
+    * (doc_a, doc_b, c, n_a, n_b) for every candidate pair sharing ≥1
+    * informative shingle — the one pair-generation shuffle both
+    * [[ngramJaccard]] and [[containment]] finish differently. */
+  private[ops] def shinglePairStats(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    common
       .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("c"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs come from a shuffle join
+    * on the DF-capped shingle relation (docs sharing ≥1 informative
+    * shingle), so cost is proportional to real overlap, not n². */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    shinglePairStats(s, dir)
       .withColumn("jaccard",
-        trunc6(col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))))
+        trunc6(col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** Asymmetric CONTAINMENT near-dup: c / min(|A|, |B|) — detects a
+    * short document embedded verbatim in a long one (quote, snippet,
+    * boilerplate-wrapped copy), which symmetric Jaccard structurally
+    * misses: 50 shingles fully inside a 500-shingle doc score Jaccard
+    * 0.1 but containment 1.0. The standard companion metric to Jaccard
+    * in dedup pipelines; same DF-capped pair-generation shuffle, so at
+    * scale it rides the identical plan shape. */
+  def containment(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    shinglePairStats(s, dir)
+      .withColumn("containment",
+        trunc6(col("c").cast("double") / least(col("n_a"), col("n_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private val K = 6 // minhash functions; banded 2-per-band → 3 bands
 

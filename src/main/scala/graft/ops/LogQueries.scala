@@ -186,4 +186,24 @@ object LogQueries {
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
       graft.model.LogSchema.schema)
   }
+
+  /** Top-k most frequent messages per container — the log-triage view
+    * ("what is spamming this tenant?") every log service grows. Counts
+    * aggregate map-side on (container, message); the per-container
+    * ranking is the bounded top-k aggregate with the message as a
+    * STRING payload ([[graft.functions.TopKPairs]]) — ≤k messages per
+    * container cross the final shuffle, where the window idiom would
+    * sort every distinct message. Ties break (count DESC, message ASC),
+    * total order, oracle-replayable. */
+  def topMessages(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    logsView(s, dir)
+      .groupBy(col("container"), col("message")).agg(count(lit(1)).as("n"))
+      .groupBy(col("container"))
+      .agg(expr(s"graft_topk(n, message, $k)").as("top"))
+      .select(col("container"), posexplode(col("top")))
+      .select(col("container"), col("col.payload").as("message"),
+        col("col.score").as("n"), (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("container"), col("rk"))
+  }
 }

@@ -219,4 +219,22 @@ object Pipeline {
                col("pass_sample")).as("n_sampled"))
       .orderBy(col("source"))
   }
+
+  /** Soft-dedup training weights: every document in a near-dup cluster
+    * (identical SimHash) gets weight 1/cluster_size, so each cluster
+    * contributes ONE document's worth of gradient signal without hard
+    * deletion — the reweighting alternative to keep-one dedup used when
+    * near-dups carry complementary context. Sum of weights = number of
+    * clusters, by construction. One aggregate keyed on the hash + one
+    * hash join back; at corpus scale the signature would be 64/128-bit
+    * (same plan, wider key) and the size relation stays one row per
+    * cluster — never broadcast-unsafe. */
+  def dupWeights(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash(s, dir)
+    val sizes = sh.groupBy(col("simhash")).agg(count(lit(1)).as("cluster_size"))
+    sh.join(sizes, Seq("simhash"))
+      .select(col("doc_id"), col("cluster_size"),
+        Tables.trunc6(expr("CAST(1 AS DOUBLE)") / col("cluster_size")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -417,4 +417,27 @@ object Similarity {
         expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("q_norm2"),
         expr("CAST(size(filter(q, x -> x > 0)) AS BIGINT)").as("n_pos"))
       .orderBy(col("vec_id"))
+
+  /** Per-dimension embedding health profile: count, deterministic mean
+    * (micro-quantized integer sums — the [[quantizedMeans]] contract),
+    * min/max, and a dead-dimension counter (|x| < 0.01) — the drift
+    * report an embedding pipeline runs before trusting ANN recall: a
+    * dimension whose variance collapsed or whose scale exploded breaks
+    * cosine geometry silently. One posexplode + one map-side-combined
+    * aggregate keyed on the dimension index (64 groups regardless of N
+    * — the aggregate state is trivially bounded at any corpus size). */
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+      .withColumn("xq", floor(col("x") * 1000000.0).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("xq")).as("sum_q"),
+           min(col("x")).as("min_x"),
+           max(col("x")).as("max_x"),
+           sum(when(abs(col("x")) < 0.01, 1L).otherwise(0L)).as("n_dead"))
+      .withColumn("mean", floor(col("sum_q").cast("double") / col("n")) / 1000000.0)
+      .select(col("pos"), col("n"), col("mean"), col("min_x"), col("max_x"), col("n_dead"))
+      .orderBy(col("pos"))
 }

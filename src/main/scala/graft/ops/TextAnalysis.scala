@@ -262,4 +262,25 @@ object TextAnalysis {
         expr("substring(hh, length(hh) - 7, 8)").as("tail_hex"),
         md5(col("text")).as("content_md5"))
       .orderBy(col("doc_id"))
+
+  /** Per-source vocabulary profile: token volume, type count (distinct
+    * tokens), within-source hapax count (tokens used exactly once), and
+    * the derived type-token + hapax ratios — the lexical-diversity
+    * report a curation run reads next to its length histograms (a
+    * source whose TTR collapses is template spam; one whose hapax ratio
+    * explodes is OCR noise). Two map-side-combined aggregations, keyed
+    * (source, token) then source — the same partitioning every token
+    * pass here already uses; all metrics integer until the two final
+    * divisions (trunc6), so the oracle replays them exactly. */
+  def vocabStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", trunc6(col("n_types").cast("double") / col("n_tokens")))
+      .withColumn("hapax_ratio", trunc6(col("n_hapax").cast("double") / col("n_types")))
+      .orderBy(col("source"))
 }
