@@ -88,6 +88,7 @@ object SparkEntry {
     "emb_label_confusion"  -> (Similarity.labelConfusion _),
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "emb_dim_stats" -> (Similarity.dimStats _),
+    "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -865,6 +866,49 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ann_recall" ->
+      s"""WITH $vectorsCte,
+         |vb AS (
+         |  SELECT *, CAST(CASE WHEN v[1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
+         |       + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+         |  FROM vn),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket FROM vb WHERE vec_id < 8),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, vn.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, vn.v) / (q.qnorm * vn.norm) DESC, vn.vec_id) AS rk
+         |    FROM vn JOIN q ON vn.vec_id <> q.query_id) t WHERE rk <= 3),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, vb.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, vb.v) / (q.qnorm * vb.norm) DESC, vb.vec_id) AS rk
+         |    FROM vb JOIN q ON vb.bucket = q.qbucket AND vb.vec_id <> q.query_id) t WHERE rk <= 3),
+         |mp AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, vb.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_dot_product(p.qv, vb.v) / (p.qnorm * vb.norm) DESC, vb.vec_id) AS rk
+         |    FROM vb JOIN (
+         |      SELECT query_id, qv, qnorm, u.pbucket
+         |      FROM q, UNNEST([qbucket, xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4), xor(qbucket, 8)]) AS u(pbucket)
+         |    ) p ON vb.bucket = p.pbucket AND vb.vec_id <> p.query_id) t WHERE rk <= 3),
+         |hits AS (
+         |  SELECT 'lsh' AS method, t.query_id, COUNT(*) AS n_true,
+         |    CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM truth t LEFT JOIN lsh l
+         |    ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+         |  GROUP BY t.query_id
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', t.query_id, COUNT(*),
+         |    CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM truth t LEFT JOIN mp m
+         |    ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT method, query_id, n_true, n_hit,
+         |  floor(CAST(n_hit AS DOUBLE) / n_true * 1000000) / 1000000 AS recall
+         |FROM hits ORDER BY method, query_id""".stripMargin,
     "ann_lsh_multiprobe" ->
       s"""WITH $vectorsCte,
          |vb AS (

@@ -418,6 +418,32 @@ object Similarity {
         expr("CAST(size(filter(q, x -> x > 0)) AS BIGINT)").as("n_pos"))
       .orderBy(col("vec_id"))
 
+  /** ANN recall harness: recall@k of each approximate variant against
+    * the [[bruteForceTopK]] ground truth at the SAME k — the evaluation
+    * report every ANN index ships with (an index without a measured
+    * recall number is a guess). Per (method, query): |approx ∩ truth|
+    * via an equi-join on (query_id, neighbor_id), so a query whose
+    * bucket was empty still reports 0/k (left join from truth). The
+    * truth relation is k·Q rows — tiny at any corpus scale; the cost is
+    * the variants themselves, which already run map-side-bounded top-k.
+    * On this data it also demonstrates the probe knob: single-bucket
+    * LSH recall < multi-probe recall. */
+  def annRecall(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val truth = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def per(method: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_true"), col("n_hit"),
+          trunc6(col("n_hit").cast("double") / col("n_true")).as("recall"))
+    per("lsh", lshTopK(s, dir, nQueries, k))
+      .unionByName(per("lsh_multiprobe", lshMultiProbeTopK(s, dir, nQueries, k)))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   /** Per-dimension embedding health profile: count, deterministic mean
     * (micro-quantized integer sums — the [[quantizedMeans]] contract),
     * min/max, and a dead-dimension counter (|x| < 0.01) — the drift

@@ -87,4 +87,20 @@ class SimilaritySpec extends SparkSuite {
         s"degenerate sign distribution (all-positive or all-negative codes): $r")
     }
   }
+
+  test("ANN recall report: every (method, query) covered, multiprobe ≥ single-bucket") {
+    assume(hasTestData)
+    val rows = Similarity.annRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(r => (r._1, r._2)).distinct.length === 16,
+      "expected 2 methods × 8 queries, one row each")
+    rows.foreach { case (m, q, nTrue, nHit, recall) =>
+      assert(nTrue === 3L, s"truth set must be exactly k: $m/$q")
+      assert(nHit >= 0 && nHit <= nTrue && recall >= 0.0 && recall <= 1.0, s"$m/$q")
+    }
+    val byMethod = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byMethod("lsh_multiprobe") >= byMethod("lsh"),
+      "probing 4 extra buckets can only add candidates — recall must not drop")
+    assert(byMethod("lsh_multiprobe") > 0L, "vacuous recall report: zero hits everywhere")
+  }
 }
