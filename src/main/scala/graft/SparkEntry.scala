@@ -116,6 +116,9 @@ object SparkEntry {
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "pipe_dup_weights"       -> (Pipeline.dupWeights _),
+    "pipe_shuffle_shards"    -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
+    "mm_modality_coverage"   -> (Pipeline.modalityCoverage _),
+    "emb_cos_hist"           -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
   )
 
@@ -1041,6 +1044,20 @@ object SparkEntry {
          |  floor(CAST(1 AS DOUBLE) / z.cluster_size * 1000000) / 1000000 AS weight
          |FROM shash h JOIN sizes z USING (simhash)
          |ORDER BY doc_id""".stripMargin,
+    "pipe_shuffle_shards" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS BIGINT) AS shard_id
+        |  FROM documents)
+        |SELECT doc_id, shard_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM b ORDER BY shard_id, pos""".stripMargin,
+    "mm_modality_coverage" ->
+      """SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_emb,
+        |  CAST(COUNT(*) - SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH $shinglesCte,
          |hot AS (
@@ -1103,6 +1120,20 @@ object SparkEntry {
          |  CAST(list_aggregate(list_transform(qc, x -> x * x), 'sum') AS BIGINT) AS q_norm2,
          |  CAST(len(list_filter(qc, x -> x > 0)) AS BIGINT) AS n_pos
          |FROM q ORDER BY vec_id""".stripMargin,
+    "emb_cos_hist" ->
+      s"""WITH $vectorsCte,
+         |hk AS (
+         |  SELECT vec_id, v, norm,
+         |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+         |  FROM vn),
+         |sample AS (SELECT vec_id, v, norm FROM hk ORDER BY hk, vec_id LIMIT 32),
+         |pairs AS (
+         |  SELECT list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+         |  FROM sample a JOIN sample b ON a.vec_id < b.vec_id)
+         |SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS bucket, COUNT(*) AS n_pairs,
+         |  floor(MIN(cos) * 1000000) / 1000000 AS min_cos,
+         |  floor(MAX(cos) * 1000000) / 1000000 AS max_cos
+         |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin,
     "emb_dim_stats" ->
       """WITH el AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x

@@ -237,4 +237,42 @@ object Pipeline {
         Tables.trunc6(expr("CAST(1 AS DOUBLE)") / col("cluster_size")).as("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic global shuffle + sharding: every epoch-0 training
+    * order is "shuffle the corpus, cut into shards" — here the shuffle
+    * key is md5(doc_id) (hash-derived, so the order is reproducible
+    * across runs/engines/partitionings — rand() would make the training
+    * order unauditable), the shard is the hash's top bits, and the
+    * within-shard position is a row_number ordered by the hash. The
+    * window partitions BY SHARD, so its sort is bounded by shard size:
+    * at 100 TB you raise nShards to keep shards at the target file size
+    * and the per-partition sort stays constant — a single global
+    * ORDER BY would be the non-scalable version of this op. */
+  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard_id",
+        expr("CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT)") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+      .orderBy(col("shard_id"), col("pos"))
+  }
+
+  /** Modality-coverage integrity report: which documents have an
+    * embedding row and which are orphaned, per source — the join-health
+    * check a multimodal pipeline runs before training (a source whose
+    * embedding coverage silently dropped poisons every downstream
+    * similarity op). One left equi-join on the id + one aggregate; both
+    * sides hash-partition on the id at any scale. */
+  def modalityCoverage(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), lit(1L).as("has_emb")),
+        col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("has_emb"), lit(0L))).as("n_with_emb"),
+           (count(lit(1)) - sum(coalesce(col("has_emb"), lit(0L)))).as("n_missing"))
+      .orderBy(col("source"))
 }

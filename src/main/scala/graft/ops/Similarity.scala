@@ -444,6 +444,37 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
+  /** Corpus cosine-geometry histogram over a FIXED-SIZE deterministic
+    * sample: the k vectors with the smallest md5(vec_id) — a bottom-k
+    * hash sketch (the classic distinct-sampling trick), computed with
+    * [[graft.functions.TopKPairs]] on the negated hash, so the sample
+    * stays exactly `sampleK` rows at ANY corpus size (a `% mod` filter
+    * would grow with the corpus and turn the pair step quadratic).
+    * All pairs within the sample (k²/2, constant) score cosine; the
+    * histogram (floor(cos·10) buckets) is the embedding-space health
+    * report — a corpus collapsing toward cos≈1 has lost diversity, one
+    * centered at 0 is healthy. The pair join is an intended
+    * broadcast-nested-loop over the 32-row sample. */
+  def cosHistogram(s: SparkSession, dir: String, sampleK: Int = 32): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val hashed = vectors(s, dir).select(col("vec_id"), col("v"), col("norm"),
+      expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("hk"))
+    val sampleIds = hashed
+      .agg(expr(s"graft_topk(-hk, vec_id, $sampleK)").as("top"))
+      .select(explode(expr("transform(top, e -> e.payload)")).as("vec_id"))
+    val sample = hashed.join(broadcast(sampleIds), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    sample.as("a")
+      .join(broadcast(sample.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select((expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm"))).as("cos"))
+      .withColumn("bucket", floor(col("cos") * 10.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           trunc6(min(col("cos"))).as("min_cos"),
+           trunc6(max(col("cos"))).as("max_cos"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-dimension embedding health profile: count, deterministic mean
     * (micro-quantized integer sums — the [[quantizedMeans]] contract),
     * min/max, and a dead-dimension counter (|x| < 0.01) — the drift

@@ -24,7 +24,12 @@ class PlanAuditSpec extends SparkSuite {
   private val intendedBnlj = Set(
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
     "pipe_balanced_mixture", "emb_label_separation", "pipe_temperature_mixture",
-    "emb_label_confusion")
+    "emb_label_confusion",
+    // all-pairs over a fixed 32-row bottom-k hash sample, both sides broadcast
+    "emb_cos_hist",
+    // ann_recall composes the ANN variants above, so it inherits their
+    // intended broadcast-query-set BNLJ
+    "ann_recall")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
