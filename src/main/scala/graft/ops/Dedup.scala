@@ -331,9 +331,15 @@ object Dedup {
         .union(joined.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      // both sides are distinct sets, so equal cardinality + empty
-      // one-way difference ⇒ set equality (saves the second exceptAll job)
-      converged = small.count() == edges.count() && small.exceptAll(edges).isEmpty
+      // both sides are distinct sets, so multiplicities are ±1 and a
+      // non-empty symmetric difference shows up as a non-zero signed sum —
+      // ONE shuffle job for exact set equality, where count + exceptAll
+      // was two jobs per round (the loop is job-dispatch-bound at small
+      // scale, and at large scale one shuffle beats two just the same)
+      converged = small.select(col("u"), col("v"), lit(1L).as("t"))
+        .union(edges.select(col("u"), col("v"), lit(-1L).as("t")))
+        .groupBy(col("u"), col("v")).agg(sum(col("t")).as("d"))
+        .filter(col("d") =!= 0).isEmpty
       edges = small
       iter += 1
     }
