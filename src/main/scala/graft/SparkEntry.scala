@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    "dedup_method_agreement" -> (Dedup.methodAgreement _),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -741,6 +742,56 @@ object SparkEntry {
          |            JOIN sizes y ON doc_b = y.doc_id
          |WHERE floor(CAST(c AS DOUBLE) / LEAST(x.n, y.n) * 1000000) / 1000000 >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_method_agreement" ->
+      s"""WITH $shinglesCte,
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ng AS (
+         |  SELECT doc_a, doc_b
+         |  FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |$simhashCte,
+         |p AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
+         |hm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shash a JOIN shash b ON a.doc_id < b.doc_id
+         |    AND bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2),
+         |fz AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shash a JOIN shash b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+         |  JOIN p x ON a.doc_id = x.doc_id JOIN p y ON b.doc_id = y.doc_id
+         |  WHERE levenshtein(x.prefix, y.prefix) <= 10),
+         |pairs AS (
+         |  SELECT doc_a, doc_b, 'ngram' AS method FROM ng
+         |  UNION ALL SELECT doc_a, doc_b, 'hamming' FROM hm
+         |  UNION ALL SELECT doc_a, doc_b, 'fuzzy' FROM fz),
+         |byp AS (
+         |  SELECT doc_a, doc_b,
+         |    MAX(CASE WHEN method = 'ngram' THEN 1 ELSE 0 END) AS has_ng,
+         |    MAX(CASE WHEN method = 'hamming' THEN 1 ELSE 0 END) AS has_hm,
+         |    MAX(CASE WHEN method = 'fuzzy' THEN 1 ELSE 0 END) AS has_fz
+         |  FROM pairs GROUP BY 1, 2),
+         |m AS (SELECT
+         |  CAST(SUM(has_ng) AS BIGINT) AS a_ng, CAST(SUM(has_hm) AS BIGINT) AS a_hm,
+         |  CAST(SUM(has_fz) AS BIGINT) AS a_fz,
+         |  CAST(SUM(has_ng * has_hm) AS BIGINT) AS c_ng_hm,
+         |  CAST(SUM(has_ng * has_fz) AS BIGINT) AS c_ng_fz,
+         |  CAST(SUM(has_hm * has_fz) AS BIGINT) AS c_hm_fz FROM byp)
+         |SELECT method_a, method_b, n_a, n_b, n_common,
+         |  CASE WHEN LEAST(n_a, n_b) > 0
+         |    THEN floor(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) * 1000000) / 1000000 END AS overlap
+         |FROM (
+         |  SELECT 'fuzzy' AS method_a, 'hamming' AS method_b, a_fz AS n_a, a_hm AS n_b, c_hm_fz AS n_common FROM m
+         |  UNION ALL SELECT 'fuzzy', 'ngram', a_fz, a_ng, c_ng_fz FROM m
+         |  UNION ALL SELECT 'hamming', 'ngram', a_hm, a_ng, c_ng_hm FROM m) t
+         |ORDER BY method_a, method_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |sig AS (

@@ -368,6 +368,44 @@ object Dedup {
       ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")), maxIters)
       .orderBy(col("doc_id"))
 
+  /** Near-dup METHOD-AGREEMENT matrix: for each pair of detection
+    * methods (n-gram Jaccard, Hamming-blocked SimHash, edit-distance),
+    * how many candidate pairs each finds and how many they share — the
+    * tuning report that tells a curation run whether its cheap method
+    * is a faithful proxy for its expensive one (high overlap ⇒ run only
+    * the cheap one at full scale; low overlap ⇒ they catch different
+    * duplicate classes and you need both). One union of the three pair
+    * sets, one groupBy(pair) with bitmap flags, one global 6-sum
+    * aggregate unpivoted via stack — the matrix costs three flags per
+    * candidate pair regardless of corpus size, on top of the methods
+    * themselves. */
+  def methodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val tagged = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+        .withColumn("method", lit("ngram"))
+      .unionByName(hammingNearDup(s, dir).select(col("doc_a"), col("doc_b"))
+        .withColumn("method", lit("hamming")))
+      .unionByName(fuzzyEditDistance(s, dir).select(col("doc_a"), col("doc_b"))
+        .withColumn("method", lit("fuzzy")))
+    tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(when(col("method") === "ngram", 1L).otherwise(0L)).as("has_ng"),
+           max(when(col("method") === "hamming", 1L).otherwise(0L)).as("has_hm"),
+           max(when(col("method") === "fuzzy", 1L).otherwise(0L)).as("has_fz"))
+      .agg(sum(col("has_ng")).as("a_ng"), sum(col("has_hm")).as("a_hm"),
+           sum(col("has_fz")).as("a_fz"),
+           sum(col("has_ng") * col("has_hm")).as("c_ng_hm"),
+           sum(col("has_ng") * col("has_fz")).as("c_ng_fz"),
+           sum(col("has_hm") * col("has_fz")).as("c_hm_fz"))
+      .selectExpr("""stack(3,
+          'fuzzy',   'hamming', a_fz, a_hm, c_hm_fz,
+          'fuzzy',   'ngram',   a_fz, a_ng, c_ng_fz,
+          'hamming', 'ngram',   a_hm, a_ng, c_ng_hm)
+        AS (method_a, method_b, n_a, n_b, n_common)""")
+      .withColumn("overlap",
+        when(least(col("n_a"), col("n_b")) > 0,
+          trunc6(col("n_common").cast("double") / least(col("n_a"), col("n_b")))))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =
