@@ -108,6 +108,8 @@ object SparkEntry {
     "text_collocations"  -> ((s: SparkSession, d: String) => TextAnalysis.collocations(s, d)),
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "text_vocab_stats"   -> (TextAnalysis.vocabStats _),
+    "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
+    "pipe_quality_by_dup" -> (Pipeline.qualityByDup _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
@@ -1095,6 +1097,39 @@ object SparkEntry {
          |  floor(CAST(1 AS DOUBLE) / z.cluster_size * 1000000) / 1000000 AS weight
          |FROM shash h JOIN sizes z USING (simhash)
          |ORDER BY doc_id""".stripMargin,
+    "text_source_signatures" ->
+      """WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY source, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.source, t.tok, t.tf, d.df,
+        |    ROW_NUMBER() OVER (PARTITION BY t.source ORDER BY t.tf DESC, d.df, t.tok) AS rk
+        |  FROM tf t JOIN dfreq d ON t.tok = d.tok)
+        |SELECT source, tok, tf, df, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "pipe_quality_by_dup" ->
+      s"""WITH $simhashCte,
+         |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash),
+         |member AS (SELECT h.doc_id, z.cluster_size FROM shash h JOIN sizes z USING (simhash)),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop
+         |  FROM base),
+         |qs AS (
+         |  SELECT doc_id,
+         |    CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000) * 0.3
+         |      + least(floor(CAST(sum_len AS DOUBLE) / n_tokens * 1000000) / 1000000 / 8.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS qq
+         |  FROM qm)
+         |SELECT LEAST(cluster_size, 5) AS size_bucket, COUNT(*) AS n_docs,
+         |  FLOOR(CAST(SUM(qq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_quality
+         |FROM member JOIN qs USING (doc_id)
+         |GROUP BY 1 ORDER BY size_bucket""".stripMargin,
     "pipe_shuffle_shards" ->
       """WITH b AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -260,6 +260,30 @@ object Pipeline {
       .orderBy(col("shard_id"), col("pos"))
   }
 
+  /** Quality-vs-duplication cross report: mean quality score per
+    * near-dup cluster-size bucket (1, 2, 3, 4, 5+) — the analytical
+    * check behind every dedup policy decision: if heavily-duplicated
+    * documents score LOWER quality, aggressive dedup is free win; if
+    * they score higher (canonical references get mirrored), naive
+    * keep-one dedup deletes your best data. Quality is summed as
+    * micro-quantized INTEGERS (the score is already 6-decimal
+    * truncated, so ·1e6 is exact) — a double mean would be
+    * summation-order-dependent and never oracle-stable. Two hash joins
+    * on doc_id + one 6-group aggregate. */
+  def qualityByDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash(s, dir)
+    val sizes = sh.groupBy(col("simhash")).agg(count(lit(1)).as("cluster_size"))
+    val member = sh.join(sizes, Seq("simhash")).select(col("doc_id"), col("cluster_size"))
+    val q = TextAnalysis.quality(s, dir)
+      .select(col("doc_id"), round(col("quality_score") * 1000000.0).cast("long").as("qq"))
+    member.join(q, Seq("doc_id"))
+      .withColumn("size_bucket", least(col("cluster_size"), lit(5L)))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           (floor(sum(col("qq")).cast("double") / count(lit(1))) / 1000000.0).as("mean_quality"))
+      .orderBy(col("size_bucket"))
+  }
+
   /** Modality-coverage integrity report: which documents have an
     * embedding row and which are orphaned, per source — the join-health
     * check a multimodal pipeline runs before training (a source whose

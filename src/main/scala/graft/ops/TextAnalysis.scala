@@ -123,6 +123,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Per-SOURCE distinctive-term signatures: [[topTerms]] lifted from
+    * documents to sources — each source's top-5 tokens by (source term
+    * frequency DESC, cross-source document frequency ASC, token), where
+    * df counts how many SOURCES use the token at all. High-tf, low-df
+    * tokens are the domain vocabulary that separates one ingest feed
+    * from another — the report that catches a mislabeled crawl before
+    * it skews a mixture. Same bounded top-k shape: ≤k tokens per source
+    * cross the final shuffle regardless of corpus size. */
+  def sourceSignatures(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("tok"))
+      .groupBy(col("source"))
+      .agg(expr(s"graft_topk(named_struct('tf', tf, 'ndf', -df), tok, $k)").as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.payload").as("tok"),
+        col("col.score.tf").as("tf"), (-col("col.score.ndf")).as("df"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Bigram-rarity quality signal — the hash-stable core of a language-
     * model-style perplexity score: a document whose word SEQUENCES never
     * recur in the corpus is likely noise/garble, one whose bigrams are
