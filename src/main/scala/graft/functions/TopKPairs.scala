@@ -78,16 +78,12 @@ final case class TopKPairs(
 
   private lazy val k: Int = kChild.eval().asInstanceOf[Number].intValue()
 
-  /** (score DESC, payload ASC) over Catalyst's interpreted orderings.
-    * Buffers only ever hold non-null values (update skips nulls). */
-  @transient private lazy val bestFirst: Ordering[(Any, Any)] = {
-    val scoreOrd = TypeUtils.getInterpretedOrdering(scoreChild.dataType)
-    val payloadOrd = TypeUtils.getInterpretedOrdering(payloadChild.dataType)
-    (a: (Any, Any), b: (Any, Any)) => {
-      val c = scoreOrd.compare(b._1, a._1)
-      if (c != 0) c else payloadOrd.compare(a._2, b._2)
-    }
-  }
+  /** (score DESC, payload ASC) for the child types — built once via the
+    * shared [[TopKPairs.orderingFor]] factory so tests exercise the
+    * EXACT production comparator. Buffers only ever hold non-null
+    * values (update skips nulls). */
+  @transient private lazy val bestFirst: Ordering[(Any, Any)] =
+    TopKPairs.orderingFor(scoreChild.dataType, payloadChild.dataType)
 
   /** Serializer for one (score, payload) pair — UnsafeRow bytes are a
     * self-contained, type-agnostic wire format. */
@@ -185,6 +181,34 @@ final case class TopKPairs(
 
 object TopKPairs {
   val name = "graft_topk"
+
+  /** The one (score DESC, payload ASC) comparator, shared by production
+    * and the property tests so the two can never drift. The (double,
+    * bigint) shape — every ANN query's hot path — gets a direct
+    * primitive-compare path with no interpreted-ordering dispatch;
+    * `SQLOrderingUtil.compareDoubles` keeps its semantics IDENTICAL to
+    * the generic path (SQL total order: NaN ranks above every number,
+    * -0.0 ties 0.0 — matching both Spark's ORDER BY and the DuckDB
+    * oracle's window replay). Buffer entries are boxed either way
+    * (generic pairs); what the fast path removes is per-comparison
+    * virtual dispatch in the O(n log k) compaction sorts. */
+  def orderingFor(scoreType: DataType, payloadType: DataType): Ordering[(Any, Any)] =
+    (scoreType, payloadType) match {
+      case (DoubleType, LongType) =>
+        (a: (Any, Any), b: (Any, Any)) => {
+          val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(
+            b._1.asInstanceOf[Double], a._1.asInstanceOf[Double])
+          if (c != 0) c
+          else java.lang.Long.compare(a._2.asInstanceOf[Long], b._2.asInstanceOf[Long])
+        }
+      case _ =>
+        val scoreOrd = TypeUtils.getInterpretedOrdering(scoreType)
+        val payloadOrd = TypeUtils.getInterpretedOrdering(payloadType)
+        (a: (Any, Any), b: (Any, Any)) => {
+          val c = scoreOrd.compare(b._1, a._1)
+          if (c != 0) c else payloadOrd.compare(a._2, b._2)
+        }
+    }
 
   /** Arity-checked builder shared by both registration paths. */
   val builder: Seq[Expression] => Expression = exprs => {

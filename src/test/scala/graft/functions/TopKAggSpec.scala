@@ -46,18 +46,9 @@ class TopKAggSpec extends SparkSuite {
 
   test("property: random inserts under any merge split match brute-force top-k") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
-    import org.apache.spark.sql.catalyst.util.TypeUtils
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    // the same (score DESC, payload ASC) ordering production builds from
-    // the child data types
-    val ord: Ordering[(Any, Any)] = {
-      val so = TypeUtils.getInterpretedOrdering(DoubleType)
-      val po = TypeUtils.getInterpretedOrdering(LongType)
-      (a: (Any, Any), b: (Any, Any)) => {
-        val c = so.compare(b._1, a._1)
-        if (c != 0) c else po.compare(a._2, b._2)
-      }
-    }
+    // the EXACT production comparator (shared factory — cannot drift)
+    val ord = TopKPairs.orderingFor(DoubleType, LongType)
     val genPairs = Gen.listOf(for {
       s <- Gen.choose(-5, 5).map(_.toDouble) // narrow range to force score ties
       p <- Gen.choose(0L, 20L)

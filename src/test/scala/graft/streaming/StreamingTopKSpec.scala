@@ -41,7 +41,9 @@ class StreamingTopKSpec extends SparkSuite {
           ()
         }
         .start()
-      q.awaitTermination(120000)
+      val finished = q.awaitTermination(120000)
+      if (!finished) q.stop() // don't leak a hung query into later suites
+      assert(finished, "streaming top-k query timed out after 120 s")
     }
 
     def drop(name: String, lines: String*): Unit =
