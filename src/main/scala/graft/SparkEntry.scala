@@ -109,6 +109,9 @@ object SparkEntry {
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "text_vocab_stats"   -> (TextAnalysis.vocabStats _),
     "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
+    // sketch twin of text_length_quantiles — rows-only check (no oracle),
+    // same contract as q21_approx_distinct
+    "text_length_quantiles_approx" -> (TextAnalysis.lengthQuantilesApprox _),
     "pipe_quality_by_dup" -> (Pipeline.qualityByDup _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),

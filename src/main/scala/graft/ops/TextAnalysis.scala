@@ -235,6 +235,24 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Sketch-based twin of [[lengthQuantiles]]: `percentile_approx`
+    * (Spark's built-in KLL-style quantile sketch) per source — the
+    * 100 TB path, where the exact per-stratum rank window has to fully
+    * sort every stratum and the sketch aggregates map-side in bounded
+    * memory and merges associatively (one row per group crosses the
+    * shuffle). Rows-only correctness check, exactly like the HLL twin
+    * `q21_approx_distinct`: sketch internals aren't portable to DuckDB,
+    * so the EXACT twin carries the oracle and `TextAnalysisSpec` bounds
+    * this one's error against it. */
+  def lengthQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"))
+      .select(col("source"), col("n_docs"),
+        col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+      .orderBy(col("source"))
+
   /** Collocation extraction (phrase mining): the corpus's top-20 bigrams
     * by document co-occurrence, each with its LIFT — observed doc
     * frequency over the independence expectation N·(df_a/N)·(df_b/N),

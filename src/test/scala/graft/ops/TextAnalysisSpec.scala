@@ -47,6 +47,26 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("approx quantile sketch tracks the exact per-source quantiles") {
+    assume(hasTestData)
+    val exact = TextAnalysis.lengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = TextAnalysis.lengthQuantilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy=10000 on per-source strata far smaller than that ⇒ the
+    // sketch is effectively exact up to rank-definition off-by-ones;
+    // allow 10% relative slack so the test checks the SKETCH, not the
+    // engines' quantile-definition differences
+    approx.foreach { case (src, (a50, a90, a99)) =>
+      val (e50, e90, e99) = exact(src)
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(1L, e / 10),
+          s"$src: approx $a vs exact $e drifted beyond sketch tolerance")
+      }
+    }
+  }
+
   test("topTerms plans the bounded top-k aggregate, not a per-doc window sort") {
     assume(hasTestData)
     val plan = TextAnalysis.topTerms(spark, sf).queryExecution.executedPlan.toString
