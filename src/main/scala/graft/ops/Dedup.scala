@@ -237,10 +237,16 @@ object Dedup {
     * all-pairs), then verify with Levenshtein over the 40-char prefix.
     * The standard two-stage shape: cheap hash blocking, expensive edit
     * distance on survivors only. */
-  def fuzzyEditDistance(s: SparkSession, dir: String, maxDist: Int = 10): DataFrame = {
+  def fuzzyEditDistance(s: SparkSession, dir: String, maxDist: Int = 10): DataFrame =
+    fuzzyPairsFrom(s, dir, simhash(s, dir), maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[fuzzyEditDistance]] over a CALLER-SUPPLIED simhash relation, so
+    * composite reports ([[methodAgreement]]) derive the signature once. */
+  private def fuzzyPairsFrom(s: SparkSession, dir: String, sh: DataFrame,
+                             maxDist: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-    val sh = simhash(s, dir)
     val blocked = sh.as("a").join(sh.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -250,7 +256,6 @@ object Dedup {
       .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Hamming near-dup over the 16-bit SimHash with PIGEONHOLE blocking:
@@ -267,8 +272,13 @@ object Dedup {
     * 16 bits dist-3 collisions are mostly noise. At wider signatures
     * (64/128-bit at corpus scale) the same scheme holds with
     * ⌈bits/(maxDist+1)⌉ chunks. */
-  def hammingNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
-    val sh = simhash(s, dir)
+  def hammingNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
+    hammingPairsFrom(simhash(s, dir), maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[hammingNearDup]] over a caller-supplied simhash relation (see
+    * [[fuzzyPairsFrom]]). */
+  private def hammingPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("j"), expr(s"CAST((simhash >> ${4 * j}) & 15 AS BIGINT)").as("ck"))): _*)).as("c"))
@@ -283,7 +293,6 @@ object Dedup {
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components over an undirected pair list via alternating
@@ -380,11 +389,13 @@ object Dedup {
     * candidate pair regardless of corpus size, on top of the methods
     * themselves. */
   def methodAgreement(s: SparkSession, dir: String): DataFrame = {
+    // ONE signature derivation feeds both simhash-blocked methods
+    val sh = simhash(s, dir).cache()
     val tagged = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
         .withColumn("method", lit("ngram"))
-      .unionByName(hammingNearDup(s, dir).select(col("doc_a"), col("doc_b"))
+      .unionByName(hammingPairsFrom(sh, maxDist = 2).select(col("doc_a"), col("doc_b"))
         .withColumn("method", lit("hamming")))
-      .unionByName(fuzzyEditDistance(s, dir).select(col("doc_a"), col("doc_b"))
+      .unionByName(fuzzyPairsFrom(s, dir, sh, maxDist = 10).select(col("doc_a"), col("doc_b"))
         .withColumn("method", lit("fuzzy")))
     tagged.groupBy(col("doc_a"), col("doc_b"))
       .agg(max(when(col("method") === "ngram", 1L).otherwise(0L)).as("has_ng"),

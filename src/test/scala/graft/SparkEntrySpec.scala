@@ -7,7 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * of sketch-based operators whose values can't be replayed in SQL. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  private val sketchOnly = Set("q21_approx_distinct") // HLL — rows-only check
+  // HLL + KLL-style quantile sketch — rows-only checks; the quantile
+  // twin's error is bounded against its exact twin in TextAnalysisSpec
+  private val sketchOnly = Set("q21_approx_distinct", "text_length_quantiles_approx")
 
   test("every query has oracle SQL, except documented sketch-based ops") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
