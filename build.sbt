@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 concurrent tasks in one heap; 8g left ~150 MB of
+  // execution memory per task slot and pushed document-explode queries
+  // into spill churn. But the heap must also leave the OS room for the
+  // RAM-backed scratch dir (Scratch.scala) plus page cache: a 48g heap
+  // never GC'd, dead shuffle blocks piled up in tmpfs, and the 100-query
+  // bench hit reclaim stalls (825 s total vs 183 s). 16g ≈ 300 MB of
+  // unified memory per slot with >100 GiB left for scratch + cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", Scratch.localDir)
+      .config("spark.sql.warehouse.dir", Scratch.localDir + "/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,7 +34,20 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are independent: drop any intermediate caches a query
+      // pinned (minhash/shingle relations) so 100+ queries in one JVM
+      // don't evict each other's execution memory — the leak showed up
+      // as spill churn on the late-alphabet document queries.
+      spark.catalog.clearCache()
+      // Shuffle files are only deleted when their ShuffleDependency is
+      // garbage-collected (ContextCleaner); with a large heap a 100+-query
+      // run never GCs, tens of GB of dead shuffle blocks pile up in the
+      // RAM-backed scratch dir, and the box hits reclaim stalls by the
+      // late-alphabet queries (measured: 825 s total vs 183 s). An
+      // explicit GC between queries keeps scratch at working-set size.
+      System.gc()
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -10,6 +10,8 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", Scratch.localDir)
+      .config("spark.sql.warehouse.dir", Scratch.localDir + "/warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val explain = args.headOption.contains("-explain")

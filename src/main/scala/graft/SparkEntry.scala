@@ -52,6 +52,7 @@ object SparkEntry {
     "q31_moving_avg"     -> (RelationalQueries.q31MovingAvg _),
     "q32_unpivot"        -> (RelationalQueries.q32Unpivot _),
     "q33_event_funnel"   -> (RelationalQueries.q33EventFunnel _),
+    "q34_event_gaps"     -> (RelationalQueries.q34EventGaps _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
     "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
     "log_top_messages"    -> ((s: SparkSession, d: String) => LogQueries.topMessages(s, d)),
+    "log_hourly_profile"  -> (LogQueries.logHourlyProfile _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -90,6 +92,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "emb_dim_stats" -> (Similarity.dimStats _),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -123,6 +126,8 @@ object SparkEntry {
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "pipe_dup_weights"       -> (Pipeline.dupWeights _),
     "pipe_shuffle_shards"    -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
+    "pipe_chunk_windows"     -> ((s: SparkSession, d: String) => Pipeline.chunkWindows(s, d)),
+    "pipe_curriculum"        -> (Pipeline.curriculumPhases _),
     "mm_modality_coverage"   -> (Pipeline.modalityCoverage _),
     "emb_cos_hist"           -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
@@ -426,6 +431,17 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM u""".stripMargin,
+    "q34_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  CAST(MIN(date_diff('microseconds', prev_ts, ts)) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(date_diff('microseconds', prev_ts, ts)) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(date_diff('microseconds', prev_ts, ts)) // COUNT(*) AS BIGINT) AS avg_gap_us
+        |FROM g WHERE prev_ts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_collocations" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
@@ -693,6 +709,15 @@ object SparkEntry {
          |  FROM counts)
          |SELECT container, message, n, CAST(rk AS BIGINT) AS rk
          |FROM ranked WHERE rk <= 5 ORDER BY container, rk""".stripMargin,
+    "log_hourly_profile" ->
+      s"""$logsCte,
+         |hourly AS (
+         |  SELECT container, CAST(EXTRACT(hour FROM "timestamp") AS BIGINT) AS "hour",
+         |         COUNT(*) AS n
+         |  FROM logs GROUP BY 1, 2)
+         |SELECT container, "hour", n,
+         |  CAST(10000 * n // (SUM(n) OVER (PARTITION BY container)) AS BIGINT) AS share_bp
+         |FROM hourly ORDER BY container, "hour"""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH $simhashCte,
          |j AS (
@@ -1012,6 +1037,31 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "emb_knn_graph" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS list_id, v, norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+         |sym AS (
+         |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos FROM pairs),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM sym)
+         |SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+         |  floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "emb_centroid_update" ->
       s"""WITH $vectorsCte,
          |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
@@ -1141,6 +1191,30 @@ object SparkEntry {
         |SELECT doc_id, shard_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM b ORDER BY shard_id, pos""".stripMargin,
+    "pipe_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, u.st AS start_tok
+        |  FROM t, UNNEST(range(0, CAST(len(w) AS BIGINT), 12)) AS u(st))
+        |SELECT doc_id,
+        |  CAST(start_tok // 12 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(w, CAST(start_tok + 1 AS INT), CAST(start_tok + 16 AS INT))) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(w, CAST(start_tok + 1 AS INT), CAST(start_tok + 16 AS INT)), ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipe_curriculum" ->
+      s"""WITH $curationCte
+         |SELECT phase, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+         |  FLOOR(CAST(SUM(CAST(round(quality_score * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / COUNT(*)) / 1000000 AS mean_quality
+         |FROM (
+         |  SELECT n_tokens, quality_score,
+         |    CAST(CASE WHEN quality_score >= 0.8 THEN 3
+         |              WHEN quality_score >= 0.6 THEN 2
+         |              WHEN quality_score >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS phase
+         |  FROM q) t
+         |GROUP BY phase ORDER BY phase""".stripMargin,
     "mm_modality_coverage" ->
       """SELECT d.source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_emb,

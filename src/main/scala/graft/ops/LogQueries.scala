@@ -132,6 +132,24 @@ object LogQueries {
       .withColumn("rate_bp", expr("10000 * n_errors div n_total"))
       .orderBy(col("container"), col("day"))
 
+  /** Hour-of-day traffic profile per container — the seasonality view
+    * behind capacity planning and anomaly baselines (a volume alert that
+    * ignores diurnal shape pages on every morning ramp). Share is
+    * integer BASIS POINTS of the container's own total (10000·n div
+    * total), so the report replays exactly on any engine. One map-side-
+    * combined aggregate to ≤24 rows per container + a per-container
+    * window over those 24 rows — both keyed on the container, one
+    * shuffle at any scale. */
+  def logHourlyProfile(s: SparkSession, dir: String): DataFrame =
+    logsView(s, dir)
+      .groupBy(col("container"), hour(col("timestamp")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("container"))))
+      .withColumn("share_bp", expr("10000 * n div total"))
+      .select(col("container"), col("hour"), col("n"), col("share_bp"))
+      .orderBy(col("container"), col("hour"))
+
   /** The storage engine itself under the oracle (S1/S4/S7/S8/T4/U1): rows
     * for three sessions are physically written through
     * [[graft.storage.LogStore.append]] into a fresh two-tier store, one
@@ -145,7 +163,11 @@ object LogQueries {
   def logStoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.engine.QueryEngine
     import graft.storage.LogStore
-    val root = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+    // Store files live on the scratch tier (tmpfs when available) — the
+    // roundtrip measures the engine's append/compact/read path, not the
+    // harness VM's disk-writeback throughput.
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-roundtrip").toString
     val store = new LogStore(s, root)
     val src = logsView(s, dir)
       .filter(col("session").isin("s1", "s5", "s9"))

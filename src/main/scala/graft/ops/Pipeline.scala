@@ -284,6 +284,58 @@ object Pipeline {
       .orderBy(col("size_bucket"))
   }
 
+  /** Sliding-window document chunking — the tokenize-and-window step
+    * between a curated corpus and a sequence trainer: each document is
+    * cut into fixed-size token windows (`chunkSize`) advancing by
+    * `stride` (stride < size ⇒ overlapping context windows). Emits a
+    * chunk manifest (position, token count, content hash) rather than
+    * the chunk text: the hash is what dedup-after-chunking and shard
+    * integrity checks consume. Scale shape: one scan, one generator
+    * explode per document — output rows ≈ tokens/stride, no shuffle at
+    * all until a downstream op keys on the hash; per-row memory is the
+    * token array (bounded by document size, same bound the scan already
+    * pays). Deterministic: window starts are a pure integer sequence,
+    * the hash is md5 of the space-joined window. */
+  def chunkWindows(s: SparkSession, dir: String,
+                   chunkSize: Int = 16, stride: Int = 12): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")))
+      .select(col("doc_id"), col("w"),
+        posexplode(expr(s"sequence(0, n_tokens - 1, $stride)"))
+          .as(Seq("chunk_id", "start_tok")))
+      .withColumn("chunk", expr(s"slice(w, start_tok + 1, $chunkSize)"))
+      .select(col("doc_id"),
+              col("chunk_id").cast("long").as("chunk_id"),
+              col("start_tok").cast("long").as("start_tok"),
+              size(col("chunk")).cast("long").as("chunk_tokens"),
+              md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Curriculum phase manifest: documents binned into training phases by
+    * FIXED quality-score thresholds (0.4 / 0.6 / 0.8) — curriculum
+    * learning orders data easy→hard, and phase membership here is a pure
+    * projection of the row, NOT a global ntile: a corpus-wide quantile
+    * window would serialize 100 TB through one sort partition, while
+    * fixed cutpoints (chosen once from a profiled sample) keep phase
+    * assignment at scan rate with zero shuffles before the 4-group
+    * report aggregate. Per phase: doc count, token mass (what a phase
+    * schedule actually budgets), and micro-quantized mean quality —
+    * integer sums of the already-truncated score, order-independent. */
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(s, dir)
+      .withColumn("phase",
+        when(col("quality_score") >= 0.8, 3L)
+          .when(col("quality_score") >= 0.6, 2L)
+          .when(col("quality_score") >= 0.4, 1L).otherwise(0L))
+      .withColumn("qq", round(col("quality_score") * 1000000.0).cast("long"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("token_mass"),
+           (floor(sum(col("qq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("mean_quality"))
+      .orderBy(col("phase"))
+
   /** Modality-coverage integrity report: which documents have an
     * embedding row and which are orphaned, per source — the join-health
     * check a multimodal pipeline runs before training (a source whose

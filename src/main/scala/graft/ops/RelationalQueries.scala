@@ -596,6 +596,30 @@ object RelationalQueries {
     s.sql(graft.SparkEntry.oracleSql("q29_sql_interface"))
   }
 
+  /** Per-user inter-event gap statistics (lag-window time deltas — the
+    * behavioral-cadence feature behind sessionization thresholds and
+    * bot detection): one lag over the (user, time) window yields each
+    * event's distance to its predecessor in MICROSECONDS (integer — no
+    * float duration math anywhere), then a map-side-combined aggregate
+    * reduces each user to count/min/max/floored-mean. Scale shape: the
+    * window partitions BY USER — millions of independent partitions,
+    * never a global ordering — and the aggregate reuses the exact same
+    * (user_id) partitioning, so Catalyst runs window + groupBy under ONE
+    * shuffle. */
+  def q34EventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+           min(col("gap_us")).as("min_gap_us"),
+           max(col("gap_us")).as("max_gap_us"),
+           expr("sum(gap_us) div count(1)").as("avg_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Explicit GROUPING SETS — the general form rollup/cube specialize
     * (q9/q18): per-priority totals, per-status totals, and the grand
     * total in ONE pass (Spark expands to a single Expand + one shuffle,

@@ -390,6 +390,36 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Approximate symmetric k-NN graph — the corpus-wide neighbor
+    * structure semantic-dedup clustering and graph-based diversity
+    * sampling consume (per-QUERY top-k answers point lookups; the GRAPH
+    * needs k neighbors for EVERY node). Candidates are same-IVF-list
+    * pairs (the deterministic seed centroids every IVF op here shares):
+    * a hash-partitioned equi-join on list_id, so the pair work is
+    * Σ|list|² — bounded by the coarse quantizer, never N² — and each
+    * unordered pair scores its cosine ONCE before the symmetric union
+    * doubles the edge list (arrays already dropped, so the union ships
+    * narrow rows). Per-node ranking is the bounded [[topK]] aggregate:
+    * ≤k edges per node cross the final shuffle. At 100 TB you raise
+    * nlist to keep lists at partition size and add nprobe-style
+    * neighboring lists for recall; the plan shape is unchanged. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val vs = vectors(s, dir)
+    val assigned = nearestCentroids(vs, seedCentroids(vs), 1, "n")
+    val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
+                            col("n_v").as("va"), col("n_norm").as("na"))
+    val b = assigned.select(col("list_id"), col("n_id").as("vec_b"),
+                            col("n_v").as("vb"), col("n_norm").as("nb"))
+    val pairs = a.join(b, Seq("list_id")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              (dot("va", "vb") / (col("na") * col("nb"))).as("cos"))
+    val sym = pairs
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id"), col("cos")))
+    topK(sym, k).withColumnRenamed("query_id", "vec_id")
+  }
+
   /** Symmetric int8 quantization manifest — the storage-compression step
     * an embedding pipeline runs before writing an ANN index (4 bytes →
     * 1 byte per dim): per-vector scale = max|v_i|/127, code_i =

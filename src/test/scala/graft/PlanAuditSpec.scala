@@ -29,7 +29,11 @@ class PlanAuditSpec extends SparkSuite {
     "emb_cos_hist",
     // ann_recall composes the ANN variants above, so it inherits their
     // intended broadcast-query-set BNLJ
-    "ann_recall")
+    "ann_recall",
+    // knn-graph assigns every vector to the 8-row seed-centroid table
+    // (the same intended IVF coarse-quantizer cross shape); the pair
+    // join itself is an equi-join on list_id
+    "emb_knn_graph")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
