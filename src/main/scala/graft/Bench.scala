@@ -49,12 +49,27 @@ object Bench {
       System.gc()
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Full per-query detail goes to STDERR — the driver's harness keeps
+    // only the LAST 2000 CHARACTERS of stdout, and a 100+-query dict at
+    // full double precision is ~4.6 kB: rounds 2 and 3 both recorded
+    // `parsed: null` because the head of the one JSON line fell outside
+    // the tail window. The stdout line below is budgeted to always fit.
+    results.foreach { case (k, v, ok) =>
+      System.err.println(f"[bench] $k%-28s $v%8.3f s${if (ok) "" else "  FAILED"}")
+    }
+    def sec(v: Double): String = f"$v%.3f"
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // `value` totals ALL queries; `queries` lists the slowest first,
+    // greedily added while the whole line stays under the tail window
+    // (sub-second entries that fall off contribute only to the total).
+    val fixed = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":{}}"""
+    var budget = 1850 - fixed.length
+    val kept = results.sortBy(-_._2).iterator.map { case (k, v, _) =>
+      s"\"$k\":${sec(v)}"
+    }.takeWhile { e => val fits = budget - (e.length + 1) >= 0; if (fits) budget -= e.length + 1; fits }.toSeq
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")}}""")
     if (results.exists(!_._3)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
