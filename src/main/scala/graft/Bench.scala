@@ -29,7 +29,7 @@ object Bench {
     // plausible-looking timing (round-1 verdict: failures were masked).
     // Sorted by name so per-query timings are comparable across rounds
     // (Map iteration order is an implementation detail).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -45,7 +45,10 @@ object Bench {
       // run never GCs, tens of GB of dead shuffle blocks pile up in the
       // RAM-backed scratch dir, and the box hits reclaim stalls by the
       // late-alphabet queries (measured: 825 s total vs 183 s). An
-      // explicit GC between queries keeps scratch at working-set size.
+      // explicit GC between queries keeps scratch at working-set size
+      // (an every-8-queries variant measured WORSE — 250-350 s totals
+      // with random multi-second stalls — dead shuffle state piling up
+      // between the sparse GCs costs more than the extra pauses).
       System.gc()
       (name, dt, ok)
     }

@@ -53,6 +53,8 @@ object SparkEntry {
     "q32_unpivot"        -> (RelationalQueries.q32Unpivot _),
     "q33_event_funnel"   -> (RelationalQueries.q33EventFunnel _),
     "q34_event_gaps"     -> (RelationalQueries.q34EventGaps _),
+    "q35_median_iqr"     -> (RelationalQueries.q35MedianIqr _),
+    "q36_gap_fill"       -> (RelationalQueries.q36GapFill _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -79,6 +81,7 @@ object SparkEntry {
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
+    "dedup_cluster_stats"  -> (Dedup.clusterStats _),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -93,6 +96,7 @@ object SparkEntry {
     "emb_dim_stats" -> (Similarity.dimStats _),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "emb_outliers"  -> ((s: SparkSession, d: String) => Similarity.labelOutliers(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -442,6 +446,22 @@ object SparkEntry {
         |  CAST(SUM(date_diff('microseconds', prev_ts, ts)) // COUNT(*) AS BIGINT) AS avg_gap_us
         |FROM g WHERE prev_ts IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q35_median_iqr" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_items,
+        |  quantile_cont(cents, 0.25) / 100.0 AS p25,
+        |  quantile_cont(cents, 0.5)  / 100.0 AS median,
+        |  quantile_cont(cents, 0.75) / 100.0 AS p75
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_gap_fill" ->
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |FROM events ORDER BY event_id""".stripMargin,
     "text_collocations" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
@@ -873,6 +893,33 @@ object SparkEntry {
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, MIN(dst) AS comp_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM common JOIN sizes x ON doc_a = x.doc_id
+         |              JOIN sizes y ON doc_b = y.doc_id
+         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src),
+         |szs AS (SELECT comp_id, COUNT(*) AS sz FROM comp GROUP BY comp_id)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM shash ORDER BY doc_id""".stripMargin,
@@ -1356,6 +1403,29 @@ object SparkEntry {
          |  FLOOR(CAST(SUM(cosq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_cos,
          |  CAST(MIN(cosq) AS DOUBLE) / 1000000 AS min_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+    "emb_outliers" ->
+      s"""WITH $vectorsCte,
+         |el AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+         |cm AS (
+         |  SELECT label, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY label, pos),
+         |cn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM cm GROUP BY label) t),
+         |scored AS (
+         |  SELECT vn.label, vn.vec_id,
+         |    CAST(FLOOR(list_dot_product(cn.cv, vn.v) / (cn.cnorm * vn.norm) * 1000000) AS BIGINT) AS cosq
+         |  FROM vn JOIN cn ON vn.label = cn.label),
+         |ranked AS (
+         |  SELECT label, vec_id, cosq,
+         |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosq, vec_id) AS rk
+         |  FROM scored)
+         |SELECT label, vec_id, CAST(rk AS BIGINT) AS rk,
+         |  CAST(cosq AS DOUBLE) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "ann_ivf_refined" ->
       s"""WITH $vectorsCte,
          |cents0 AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -417,6 +417,24 @@ object Dedup {
       .orderBy(col("method_a"), col("method_b"))
   }
 
+  /** Cluster-SIZE histogram over the [[dupComponents]] clusters — the
+    * one-page shape report a dedup run is judged by: how many duplicate
+    * clusters exist at each size, and how many documents they absorb
+    * (n_docs − n_clusters = rows a keep-one policy deletes). A heavy
+    * tail here is the signature of boilerplate/template contamination;
+    * a spike at size 2 is benign mirroring. Two tiny aggregates on top
+    * of the component assignment: sizes are one groupBy(comp_id) on the
+    * (doc, comp) relation — same key the components already shuffle on
+    * — and the histogram groups the ≤|clusters| size rows. Output is
+    * ≤ max-cluster-size rows regardless of corpus scale. */
+  def clusterStats(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("comp_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =

@@ -635,4 +635,49 @@ object RelationalQueries {
               coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
               col("n"), col("total"))
       .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  /** Exact per-group quantiles (p25/median/p75 of extended price per
+    * return flag) — the distribution summary ntile/percent_rank (q26)
+    * don't give: an actual interpolated value, not a rank. Determinism
+    * contract: quantiles run over integer CENTS (round(price·100) —
+    * exact for 2-decimal money), and interpolation fractions are
+    * 0/.25/.5/.75, all negative powers of two, so `(hi-lo)·f` and the
+    * final sum are EXACT doubles on any engine and any evaluation
+    * order; only the one final /100 is an IEEE op, identical on both
+    * sides. Spark's `percentile` is a partial-aggregating exact
+    * implementation: per-partition value→count maps combine map-side,
+    * so the shuffle carries distinct-value counts, not rows — at
+    * 100 TB swap for approx_percentile only if the distinct-value
+    * domain itself is unbounded (prices: it isn't). */
+  def q35MedianIqr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+           expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("l_returnflag"), col("n_items"),
+              (col("q")(0) / 100.0).as("p25"),
+              (col("q")(1) / 100.0).as("median"),
+              (col("q")(2) / 100.0).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Forward-fill (last-observation-carried-forward): every event
+    * annotated with the user's most recent purchase value at that point
+    * in time — the standard gap-filling/feature-join primitive for
+    * sparse signals on a dense event stream (no self-join, no as-of
+    * join against a second table). One `last(..., ignoreNulls)` over a
+    * per-user running ROWS frame: Spark evaluates it in a single pass
+    * per partition with O(1) state, and the window partitions BY USER —
+    * millions of independent partitions at scale, never a global sort.
+    * Events before the user's first purchase stay NULL by design. */
+  def q36GapFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("last_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+             ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -245,6 +245,34 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-label embedding OUTLIERS — the k members FURTHEST from their
+    * label centroid (lowest cosine), the actionable companion to
+    * [[labelCohesion]]'s distribution: cohesion says label 7 is messy,
+    * this says which vectors to audit (mislabeled rows, encoder
+    * failures, genuine hard cases — the triage list an embedding-QA
+    * pass ships). Same centroid + micro-quantized cosine contract as
+    * cohesion, then the bounded [[graft.functions.TopKPairs]] aggregate
+    * on the NEGATED quantized cosine keeps the k worst per label —
+    * map-side combining, ≤k rows per label cross the shuffle, never a
+    * per-label sort of all members. Ranking is exact integer compare
+    * (cosq ASC, vec_id ASC tiebreak via payload order). */
+  def labelOutliers(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val vs = vectors(s, dir)
+    val cents = assembleCentroids(
+      quantizedMeans(vs.select(col("label"), col("v")), "label"), "label")
+    vs.join(broadcast(cents), Seq("label"))
+      .withColumn("cosq",
+        floor(dot("cv", "v") / (col("cnorm") * col("norm")) * 1000000.0).cast("long"))
+      .groupBy(col("label"))
+      .agg(expr(s"graft_topk(-cosq, vec_id, $k)").as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("label"), col("e.payload").as("vec_id"),
+              (col("pos") + 1).cast("long").as("rk"),
+              ((-col("e.score")).cast("double") / 1000000.0).as("cos"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   /** Product-quantization ANN (ADC scan) — the compression path a
     * 100 TB vector store actually ships: each 64-dim float vector is
     * encoded as 8 one-byte codes (one per 8-dim subspace, nearest of 4

@@ -21,8 +21,11 @@ class CompactorSpec extends SparkSuite {
     try {
       append(store, 10)
       compactor.maybeCompact("c", "s")
-      // async: wait for the background compaction to land
-      val deadline = System.currentTimeMillis + 60000
+      // async: wait for the background compaction to land. Deadline is
+      // deliberately huge — suites share one SparkSession and this job
+      // can be starved behind other suites' FIFO-queued jobs (observed
+      // as a full-suite-only flake); the common case exits in seconds.
+      val deadline = System.currentTimeMillis + 240000
       while (store.hotBytes("c", "s") > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
       val (coldFiles, _, hotFiles, _) = store.tierStats("c", "s")
       assert(coldFiles > 0 && hotFiles === 0, "hot tier should have drained to cold")
@@ -62,7 +65,7 @@ class CompactorSpec extends SparkSuite {
       Thread.sleep(300)
       assert(store.tierStats("c", "s")._1 === 0, "compacted below threshold")
       compactor.noteAppend("c", "s", appendBatch())
-      val deadline = System.currentTimeMillis + 60000
+      val deadline = System.currentTimeMillis + 240000 // see rotation test
       while (store.hotBytes("c", "s") > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
       assert(store.hotBytes("c", "s") === 0, "accumulated bytes should have triggered rotation")
       assert(store.read("c", "s").count() === 6)
