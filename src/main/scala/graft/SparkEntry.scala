@@ -67,6 +67,7 @@ object SparkEntry {
     "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
     "log_top_messages"    -> ((s: SparkSession, d: String) => LogQueries.topMessages(s, d)),
     "log_hourly_profile"  -> (LogQueries.logHourlyProfile _),
+    "log_cooccurrence"    -> (LogQueries.errorCooccurrence _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "emb_outliers"  -> ((s: SparkSession, d: String) => Similarity.labelOutliers(s, d)),
+    "emb_covariance" -> ((s: SparkSession, d: String) => Similarity.covariance(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -132,6 +134,7 @@ object SparkEntry {
     "pipe_shuffle_shards"    -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
     "pipe_chunk_windows"     -> ((s: SparkSession, d: String) => Pipeline.chunkWindows(s, d)),
     "pipe_curriculum"        -> (Pipeline.curriculumPhases _),
+    "pipe_incremental_dedup" -> (Pipeline.incrementalDedup _),
     "mm_modality_coverage"   -> (Pipeline.modalityCoverage _),
     "emb_cos_hist"           -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),
@@ -738,6 +741,15 @@ object SparkEntry {
          |SELECT container, "hour", n,
          |  CAST(10000 * n // (SUM(n) OVER (PARTITION BY container)) AS BIGINT) AS share_bp
          |FROM hourly ORDER BY container, "hour"""".stripMargin,
+    "log_cooccurrence" ->
+      s"""$logsCte,
+         |errs AS (
+         |  SELECT DISTINCT date_trunc('minute', "timestamp") AS m, container
+         |  FROM logs WHERE level = 'error')
+         |SELECT a.container AS container_a, b.container AS container_b,
+         |  COUNT(*) AS n_minutes
+         |FROM errs a JOIN errs b ON a.m = b.m AND a.container < b.container
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH $simhashCte,
          |j AS (
@@ -1262,6 +1274,23 @@ object SparkEntry {
          |              WHEN quality_score >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS phase
          |  FROM q) t
          |GROUP BY phase ORDER BY phase""".stripMargin,
+    "pipe_incremental_dedup" ->
+      s"""WITH $simhashCte,
+         |d AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+         |x AS (SELECT d.doc_id, d.source, d.digest, sh.simhash
+         |      FROM d JOIN shash sh ON d.doc_id = sh.doc_id),
+         |th AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS t FROM x),
+         |old AS (SELECT * FROM x WHERE doc_id < (SELECT t FROM th)),
+         |neu AS (SELECT * FROM x WHERE doc_id >= (SELECT t FROM th)),
+         |od AS (SELECT DISTINCT digest FROM old),
+         |oh AS (SELECT DISTINCT simhash FROM old)
+         |SELECT neu.source, COUNT(*) AS n_new,
+         |  CAST(SUM(CASE WHEN od.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN od.digest IS NULL AND oh.simhash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(SUM(CASE WHEN od.digest IS NULL AND oh.simhash IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM neu LEFT JOIN od ON neu.digest = od.digest
+         |         LEFT JOIN oh ON neu.simhash = oh.simhash
+         |GROUP BY neu.source ORDER BY neu.source""".stripMargin,
     "mm_modality_coverage" ->
       """SELECT d.source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_emb,
@@ -1426,6 +1455,27 @@ object SparkEntry {
          |SELECT label, vec_id, CAST(rk AS BIGINT) AS rk,
          |  CAST(cosq AS DOUBLE) / 1000000 AS cos
          |FROM ranked WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    "emb_covariance" ->
+      s"""WITH $vectorsCte,
+         |e AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+         |p AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy,
+         |         COUNT(*) AS n
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i
+         |  GROUP BY 1, 2),
+         |s AS (SELECT i, CAST(SUM(xq) AS BIGINT) AS sx FROM e GROUP BY i),
+         |c AS (
+         |  SELECT p.i, p.j,
+         |    (CAST(p.sxy AS DOUBLE) / p.n
+         |      - (CAST(si.sx AS DOUBLE) / p.n) * (CAST(sj.sx AS DOUBLE) / p.n))
+         |    / 1000000000000.0 AS cov
+         |  FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i),
+         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY abs(cov) DESC, i, j) AS rk FROM c)
+         |SELECT i, j, cov, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "ann_ivf_refined" ->
       s"""WITH $vectorsCte,
          |cents0 AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -150,6 +150,26 @@ object LogQueries {
       .select(col("container"), col("hour"), col("n"), col("share_bp"))
       .orderBy(col("container"), col("hour"))
 
+  /** Error CO-OCCURRENCE matrix: pairs of containers that error within
+    * the same minute, counted over co-occurring minutes — the blast-
+    * radius signal an incident review starts from (containers that fail
+    * together share a dependency; a pair that never co-errors is
+    * circumstantial). Shape: the pair join runs on the DISTINCT
+    * (minute, container) relation — bounded by minutes × containers,
+    * NOT by log volume — so at 100 TB the only corpus-sized work is the
+    * error filter + distinct, both map-side-combining on the minute
+    * key; the join itself stays tiny forever. */
+  def errorCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val errs = logsView(s, dir).filter(col("level") === "error")
+      .select(date_trunc("minute", col("timestamp")).as("m"), col("container"))
+      .distinct()
+    errs.as("a").join(errs.as("b"),
+        col("a.m") === col("b.m") && col("a.container") < col("b.container"))
+      .groupBy(col("a.container").as("container_a"), col("b.container").as("container_b"))
+      .agg(count(lit(1)).as("n_minutes"))
+      .orderBy(col("container_a"), col("container_b"))
+  }
+
   /** The storage engine itself under the oracle (S1/S4/S7/S8/T4/U1): rows
     * for three sessions are physically written through
     * [[graft.storage.LogStore.append]] into a fresh two-tier store, one

@@ -336,6 +336,37 @@ object Pipeline {
              .as("mean_quality"))
       .orderBy(col("phase"))
 
+  /** INCREMENTAL dedup — the arrival-time shape every production
+    * curation pipeline actually runs: a new batch (here the newest 20%
+    * of doc_ids — integer threshold `(max+1)·4 div 5`, no float) is
+    * deduplicated AGAINST THE EXISTING CORPUS, not against itself:
+    * exact duplicates by md5 digest, near-duplicates by SimHash
+    * signature, and the survivors, reported per source. Both probes are
+    * hash equi-joins keyed on the digest/signature — at 100 TB the old
+    * corpus is a big but hash-partitioned build side (or a pre-built
+    * signature index table), NEVER broadcast, and the incoming batch is
+    * the small probe side; nothing here rescans old TEXT, only 32-byte
+    * digests and 8-byte signatures. Priority order: exact beats near
+    * (a digest hit is not double-counted as a near-dup). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val withSh = docs.join(Dedup.simhash(s, dir), Seq("doc_id")).cache()
+    val th = withSh.agg(expr("(max(doc_id) + 1) * 4 div 5")).head.getLong(0)
+    val old = withSh.filter(col("doc_id") < th)
+    val neu = withSh.filter(col("doc_id") >= th)
+    val oldDigests = old.select(col("digest")).distinct().withColumn("ex", lit(1L))
+    val oldHashes  = old.select(col("simhash")).distinct().withColumn("nr", lit(1L))
+    neu.join(oldDigests, Seq("digest"), "left")
+      .join(oldHashes, Seq("simhash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+           sum(when(col("ex") === 1, 1L).otherwise(0L)).as("n_exact_dup"),
+           sum(when(col("ex").isNull && col("nr") === 1, 1L).otherwise(0L)).as("n_near_dup"),
+           sum(when(col("ex").isNull && col("nr").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Modality-coverage integrity report: which documents have an
     * embedding row and which are orphaned, per source — the join-health
     * check a multimodal pipeline runs before training (a source whose

@@ -448,6 +448,44 @@ object Similarity {
     topK(sym, k).withColumnRenamed("query_id", "vec_id")
   }
 
+  /** Top-k dimension-pair COVARIANCES — the embedding-space diagnostics
+    * behind whitening/PCA decisions: strongly covarying dimension pairs
+    * mean the encoder wastes capacity (dimensions are redundant) and
+    * cosine distances are dominated by a few directions. Determinism
+    * contract: covariance is assembled from INTEGER sums of
+    * micro-quantized values (Σxqᵢxqⱼ, Σxqᵢ — order-independent exact
+    * BIGINTs; products stay < 2⁶³ for |x|≤1, n≤10⁶ — at corpus scale
+    * widen to DECIMAL or coarsen the quantization), with one identical
+    * IEEE expression at the end on both engines. Scale shape: the pair
+    * relation the final ranking sees is O(d²) = 2016 rows for d=64 —
+    * INDEPENDENT of corpus size — so the rank window is free; the only
+    * N-proportional work is the per-vector pair-product explode, a
+    * map-side projection into a 2016-group aggregate. */
+  def covariance(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ex = vectors(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+              floor(col("x") * 1000000.0).cast("long").as("xq"))
+    val sums = ex.groupBy(col("i")).agg(sum(col("xq")).as("sx"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xq") * col("b.xq")).as("sxy"), count(lit(1)).as("n"))
+    val cov = pairs
+      .join(sums.select(col("i"), col("sx").as("sxi")), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("sx").as("sxj")), Seq("j"))
+      .withColumn("cov",
+        (col("sxy").cast("double") / col("n")
+          - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
+        / 1000000000000.0)
+    cov.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          abs(col("cov")).desc, col("i"), col("j"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("j"), col("cov"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   /** Symmetric int8 quantization manifest — the storage-compression step
     * an embedding pipeline runs before writing an ANN index (4 bytes →
     * 1 byte per dim): per-vector scale = max|v_i|/127, code_i =
