@@ -55,6 +55,7 @@ object SparkEntry {
     "q34_event_gaps"     -> (RelationalQueries.q34EventGaps _),
     "q35_median_iqr"     -> (RelationalQueries.q35MedianIqr _),
     "q36_gap_fill"       -> (RelationalQueries.q36GapFill _),
+    "q37_asof_custom"    -> (RelationalQueries.q37AsOfCustom _),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -459,6 +460,17 @@ object SparkEntry {
         |  quantile_cont(cents, 0.5)  / 100.0 AS median,
         |  quantile_cont(cents, 0.75) / 100.0 AS p75
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // identical oracle to q14 by design: the custom-operator path must
+    // reproduce the window encoding's result exactly
+    "q37_asof_custom" ->
+      """SELECT event_id, user_id, ts, value, last_error_ts FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q36_gap_fill" ->
       """SELECT event_id, user_id, event_type,
         |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

@@ -670,6 +670,27 @@ object RelationalQueries {
     * per partition with O(1) state, and the window partitions BY USER —
     * millions of independent partitions at scale, never a global sort.
     * Events before the user's first purchase stay NULL by design. */
+  /** The as-of join AGAIN, through the custom operator
+    * ([[graft.plans.AsOfJoin]]: LogicalPlan + Strategy + sort-merge
+    * SparkPlan) instead of q14's window-over-one-table encoding — two
+    * genuinely different physical paths hash-matched against the SAME
+    * oracle. Purchases are the left (probe) side, errors the right;
+    * the (ts, event_id) ordering tuple reproduces q14's deterministic
+    * strictly-before tie-break exactly. */
+  def q37AsOfCustom(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = Tables.events(s, dir).filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"),
+              col("event_id").as("err_event"))
+    graft.plans.AsOf.join(purchases, errors,
+        Seq("user_id"), Seq("e_user"), Seq("ts", "event_id"), Seq("err_ts", "err_event"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+              col("err_ts").as("last_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   def q36GapFill(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,69 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The custom as-of operator (logical node → strategy → sort-merge
+  * exec) under test: exact semantics on synthetic edges, physical-plan
+  * shape, and full parity with the window-encoded q14 on real data. */
+class AsOfJoinSpec extends SparkSuite {
+
+  private val ss = graft.SparkSuite.spark // stable identifier for implicits
+  import ss.implicits._
+
+  private def trades = Seq(
+    // (trade_id, sym, t)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "b", 5L), (5L, "c", 7L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (q_sym, q_t, px)
+    ("a", 5L, 1.0), ("a", 10L, 2.0), ("a", 15L, 3.0), ("b", 9L, 9.0)
+  ).toDF("q_sym", "q_t", "px")
+
+  test("latest strictly-before match per key; no match → null") {
+    val out = AsOf.join(trades, quotes,
+        Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"))
+      .select($"trade_id", $"px").orderBy($"trade_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(out.toSeq == Seq(
+      (1L, 1.0),  // quote@5 is the only one strictly before t=10 (q_t=10 excluded)
+      (2L, 3.0), (3L, 3.0), // both t=20 trades see quote@15
+      (4L, null), // only quote for b is at 9 > 5
+      (5L, null)  // key with no quotes at all
+    ))
+  }
+
+  test("ordering ties break lexicographically on the full ordering tuple") {
+    val l = Seq((1L, "k", 10L, 5L)).toDF("id", "sym", "t", "seq")
+    val r = Seq(("k", 10L, 1L, "early"), ("k", 10L, 9L, "late"), ("k", 10L, 4L, "mid"))
+      .toDF("r_sym", "r_t", "r_seq", "tag")
+    val out = AsOf.join(l, r, Seq("sym"), Seq("r_sym"),
+        Seq("t", "seq"), Seq("r_t", "r_seq"))
+      .select($"tag").collect().map(_.getString(0))
+    // (10,1) and (10,4) are strictly before (10,5); latest is (10,4)
+    assert(out.toSeq == Seq("mid"))
+  }
+
+  test("physical plan uses AsOfJoinExec with co-partitioning exchanges") {
+    val df = AsOf.join(trades, quotes, Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("colliding right-side column names are rejected") {
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades, trades, Seq("sym"), Seq("sym"), Seq("t"), Seq("t"))
+    }
+  }
+
+  test("parity with the window-encoded as-of join (q14) on real events") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/events.parquet").isFile)
+    val viaWindow = graft.ops.RelationalQueries.q14AsOfJoin(spark, sf).collect()
+    val viaCustom = graft.ops.RelationalQueries.q37AsOfCustom(spark, sf).collect()
+    assert(viaCustom.length == viaWindow.length)
+    assert(viaCustom.map(_.toString).toSeq == viaWindow.map(_.toString).toSeq)
+  }
+}
