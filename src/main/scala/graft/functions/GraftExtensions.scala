@@ -30,6 +30,8 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rewrite the composable aggregate(zip_with(...)) dot-product idiom
     // to the fused expression wherever it is provably equivalent.
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // Plan the custom as-of join logical node to its sort-merge exec.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
