@@ -58,6 +58,39 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("property: operator matches the brute-force as-of model on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tight key/time domains force the interesting cases: key collisions,
+    // ordering ties resolved by the second tuple element, empty keys
+    val genRow = for {
+      k <- Gen.choose(0, 4); t <- Gen.choose(0L, 12L); s <- Gen.choose(0L, 3L)
+    } yield (k.toString, t, s)
+    val gen = for {
+      ls <- Gen.listOfN(20, genRow); rs <- Gen.listOfN(20, genRow)
+    } yield (ls, rs)
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t, s), i) => (i.toLong, k, t, s) }
+        .toDF("lid", "k", "t", "s")
+      // right ordering tuple is (rt, rid) — unique per row, so the
+      // operator's "latest" is well-defined and the model can predict it
+      val r = rs.zipWithIndex.map { case ((k, t, _), i) => (i.toLong, k, t) }
+        .toDF("rid", "rk", "rt")
+      val got = AsOf.join(l, r, Seq("k"), Seq("rk"), Seq("t", "s"), Seq("rt", "rid"))
+        .select($"lid", $"rid").collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      val want = ls.zipWithIndex.map { case ((k, t, s), i) =>
+        val cands = rs.zipWithIndex
+          .filter { case ((rk, rt, _), rid) =>
+            rk == k && (rt < t || (rt == t && rid < s)) }
+          .map { case ((_, rt, _), rid) => (rt, rid.toLong) }
+        i.toLong -> (if (cands.isEmpty) -1L else cands.max._2)
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("parity with the window-encoded as-of join (q14) on real events") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/events.parquet").isFile)
