@@ -164,7 +164,8 @@ object Dedup {
       .withColumn("b1", concat(col("mh2"), col("mh3")))
       .withColumn("b2", concat(col("mh4"), col("mh5")))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"))
-      .cache()
+    // (sig deliberately NOT cached: it has exactly one consumer below —
+    // a cache would only add a materialization barrier)
     // NOTE on join strategy: sig/cand/sizes are per-doc (or per-pair)
     // relations. At sf0.1 they are broadcast-small and AQE converts these
     // joins to broadcast-hash at runtime; at 100 TB they are NOT
