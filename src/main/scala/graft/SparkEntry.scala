@@ -136,6 +136,10 @@ object SparkEntry {
     "pipe_chunk_windows"     -> ((s: SparkSession, d: String) => Pipeline.chunkWindows(s, d)),
     "pipe_curriculum"        -> (Pipeline.curriculumPhases _),
     "pipe_incremental_dedup" -> (Pipeline.incrementalDedup _),
+    // bloom-sketch twin of pipe_decontaminate — rows-only check (sketch
+    // bit layout is engine-specific), same contract as q21/quantiles_approx;
+    // no-false-negatives vs the exact twin proven in PipelineSpec
+    "pipe_decontaminate_bloom" -> ((s: SparkSession, d: String) => Pipeline.bloomDecontaminate(s, d)),
     "mm_modality_coverage"   -> (Pipeline.modalityCoverage _),
     "emb_cos_hist"           -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
     "emb_quantize_int8"      -> (Similarity.quantizeInt8 _),

@@ -201,6 +201,44 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** [[decontaminate]]'s SCALE PATH: membership in the benchmark shingle
+    * set tested through a BLOOM SKETCH instead of the exact
+    * distinct+semi-join. At 100 TB the eval set's distinct shingle
+    * relation can itself be too large to broadcast comfortably; the
+    * sketch compresses it to a fixed-size bitset (here 800 kbit) that
+    * ships as ONE constant — constant memory per executor, zero extra
+    * shuffles, and the probe is a codegen'd bit test per shingle.
+    * Contract: might_contain has NO FALSE NEGATIVES, so bloom-flagged ⊇
+    * exact-flagged always (proven per-source in `PipelineSpec`); false
+    * positives only ever over-flag, the safe direction for
+    * decontamination (or the cheap prefilter before an exact verify
+    * pass). Uses Spark's own BloomFilterAggregate/MightContain pair
+    * (registered by name in [[graft.functions.BloomSketch]]) — the same
+    * sketch the engine injects for runtime join filters. Rows-only
+    * CORRECTNESS check (the sketch layout is engine-specific; DuckDB
+    * cannot replay the bit pattern) — the exact twin is the oracle-
+    * checked [[decontaminate]]. */
+  def bloomDecontaminate(s: SparkSession, dir: String, benchBelow: Long = 10): DataFrame = {
+    graft.functions.BloomSketch.register(s)
+    val sh = Dedup.cappedShingles(s, dir)
+    val sketch = sh.filter(col("doc_id") < benchBelow)
+      .select(expr("xxhash64(s)").as("h"))
+      .agg(expr("graft_bloom_agg(h, 100000L, 800000L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val flagged = sh.filter(col("doc_id") >= benchBelow)
+      .filter(call_function("graft_bloom_contains", lit(sketch), expr("xxhash64(s)")))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= benchBelow)
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_flagged"),
+           (count(lit(1)) - sum(coalesce(col("hit"), lit(0L)))).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   /** Curation funnel report: per-source document counts surviving each
     * successive gate — the observability view a 100 TB curation run
     * ships with its output manifest (how much did each stage drop, per

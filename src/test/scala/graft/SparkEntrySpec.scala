@@ -9,7 +9,10 @@ class SparkEntrySpec extends AnyFunSuite {
 
   // HLL + KLL-style quantile sketch — rows-only checks; the quantile
   // twin's error is bounded against its exact twin in TextAnalysisSpec
-  private val sketchOnly = Set("q21_approx_distinct", "text_length_quantiles_approx")
+  // + bloom-sketch decontamination twin (bit layout is engine-specific;
+  // its no-false-negatives contract vs the exact twin is in PipelineSpec)
+  private val sketchOnly = Set("q21_approx_distinct", "text_length_quantiles_approx",
+    "pipe_decontaminate_bloom")
 
   test("every query has oracle SQL, except documented sketch-based ops") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -106,4 +106,22 @@ class PipelineSpec extends SparkSuite {
     val again = Pipeline.tokenShards(spark, sf).collect()
     assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
   }
+
+  test("bloom decontamination never misses an exactly-contaminated doc (no false negatives)") {
+    assume(hasTestData)
+    def bySource(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = bySource(Pipeline.decontaminate(spark, sf).collect())
+    val bloom = bySource(Pipeline.bloomDecontaminate(spark, sf).collect())
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (src, (nDocs, nContaminated)) =>
+      val (bDocs, bFlagged) = bloom(src)
+      assert(bDocs === nDocs, s"$src doc universe must match the exact twin")
+      assert(bFlagged >= nContaminated,
+        s"$src: bloom flagged $bFlagged < exact $nContaminated — a false negative, " +
+        "which the sketch contract forbids")
+    }
+    // non-vacuous: the exact pass finds contamination at test scale
+    assert(exact.values.map(_._2).sum > 0, "exact decontamination found nothing — vacuous test")
+  }
 }
