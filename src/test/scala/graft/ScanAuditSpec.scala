@@ -35,6 +35,19 @@ class ScanAuditSpec extends SparkSuite {
     }
   }
 
+  test("scans under the custom as-of operator still get pushdown and pruning") {
+    assume(hasTestData)
+    // the custom node is opaque to Catalyst's pruning rules — its children
+    // must arrive pre-filtered/pre-projected, and those child plans must
+    // still push to the scan; a regression here would silently scan the
+    // full events table twice at 100 TB
+    val p = plan("q37_asof_custom")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+           p.contains("EqualTo(event_type,error)"),
+      "event_type predicates not pushed into the scans under AsOfJoin")
+    assert(!p.contains("props"), "as-of query reads the props column it never touches")
+  }
+
   test("aggregate-only queries never read unused wide columns") {
     assume(hasTestData)
     // q4 touches orders(o_custkey, o_totalprice) + customer(c_custkey, c_name)
