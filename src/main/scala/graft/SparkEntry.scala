@@ -119,6 +119,7 @@ object SparkEntry {
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "text_vocab_stats"   -> (TextAnalysis.vocabStats _),
     "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
+    "text_source_drift"  -> (TextAnalysis.sourceDrift _),
     // sketch twin of text_length_quantiles — rows-only check (no oracle),
     // same contract as q21_approx_distinct
     "text_length_quantiles_approx" -> (TextAnalysis.lengthQuantilesApprox _),
@@ -1218,6 +1219,25 @@ object SparkEntry {
         |  floor(CAST(COUNT(*) AS DOUBLE) / SUM(tf) * 1000000) / 1000000 AS ttr,
         |  floor(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS hapax_ratio
         |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+    "text_source_drift" ->
+      """WITH st AS (
+        |  SELECT source, tok, COUNT(*) AS tf_s
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY source, tok),
+        |ct AS (SELECT tok, CAST(SUM(tf_s) AS BIGINT) AS tf_c FROM st GROUP BY tok),
+        |nc AS (SELECT CAST(SUM(tf_c) AS BIGINT) AS n FROM ct),
+        |ns AS (SELECT source, CAST(SUM(tf_s) AS BIGINT) AS n_s FROM st GROUP BY source),
+        |j AS (
+        |  SELECT st.source, ns.n_s, COUNT(*) AS n_terms,
+        |    CAST(SUM(abs(st.tf_s * (SELECT n FROM nc) - ct.tf_c * ns.n_s)) AS BIGINT) AS present_num,
+        |    CAST(SUM(ct.tf_c) AS BIGINT) AS present_tfc
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (source)
+        |  GROUP BY st.source, ns.n_s)
+        |SELECT source, n_s, n_terms,
+        |  CAST(present_num + n_s * ((SELECT n FROM nc) - present_tfc) AS BIGINT) AS drift_num,
+        |  floor(CAST(present_num + n_s * ((SELECT n FROM nc) - present_tfc) AS DOUBLE)
+        |        / (CAST(n_s AS DOUBLE) * (SELECT n FROM nc)) * 1000000) / 1000000 AS l1_drift
+        |FROM j ORDER BY source""".stripMargin,
     "pipe_dup_weights" ->
       s"""WITH $simhashCte,
          |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash)

@@ -325,4 +325,46 @@ object TextAnalysis {
       .withColumn("ttr", trunc6(col("n_types").cast("double") / col("n_tokens")))
       .withColumn("hapax_ratio", trunc6(col("n_hapax").cast("double") / col("n_types")))
       .orderBy(col("source"))
+
+  /** Per-source term-distribution DRIFT vs the whole corpus — the
+    * distribution-shift monitor a mixture pipeline runs per ingest feed
+    * (a source whose unigram distribution diverges is a domain shift,
+    * an encoding bug, or contamination — all things to catch BEFORE
+    * training). The statistic is exact L1 distance between the source's
+    * and the corpus's unigram distributions, computed WITHOUT float
+    * probabilities: put both on the common denominator N_s·N_c, so each
+    * present term contributes |tf_s·N_c − tf_c·N_s| (exact BIGINT) and
+    * the terms ABSENT from the source contribute N_s·(N_c − Σ_present
+    * tf_c) in one closed form — no join against the absent-term set,
+    * no explode beyond the token pass every text op here shares. One
+    * final IEEE division (trunc6) turns the integer numerator into the
+    * [0,2] L1 score identically on any engine. Aggregations are keyed
+    * (source, tok) then tok then source — hash-partitioned, map-side
+    * combined, no broadcast of the vocabulary (the corpus term relation
+    * joins on the token key). */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf_s"))
+    val corpus = toks.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
+    val nTotal = corpus.agg(sum(col("tf_c"))).head.getLong(0) // one scalar: N_c
+    // per-source token mass: #sources rows — broadcast-safe at any corpus
+    // size (the source dimension is bounded, unlike the vocabulary)
+    val perSource = toks.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
+    // products stay < 2⁶³ while total corpus tokens < ~3·10⁹; past that,
+    // route the two multiplications through DECIMAL(38,0) — same plan
+    toks.join(corpus, Seq("tok"))
+      .join(broadcast(perSource), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), // constant within the group
+           count(lit(1)).as("n_terms"),
+           sum(abs(col("tf_s") * nTotal - col("tf_c") * col("n_s"))).as("present_num"),
+           sum(col("tf_c")).as("present_tfc"))
+      .withColumn("drift_num",
+        col("present_num") + col("n_s") * (lit(nTotal) - col("present_tfc")))
+      .withColumn("l1_drift",
+        trunc6(col("drift_num").cast("double") / (col("n_s").cast("double") * nTotal)))
+      .select(col("source"), col("n_s"), col("n_terms"), col("drift_num"), col("l1_drift"))
+      .orderBy(col("source"))
+  }
 }
