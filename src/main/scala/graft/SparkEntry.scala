@@ -873,13 +873,19 @@ object SparkEntry {
          |ORDER BY method_a, method_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
+         |hh AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id,
-         |    MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
-         |    MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3,
-         |    MIN(md5('4|' || s)) AS mh4, MIN(md5('5|' || s)) AS mh5
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, mh0 || mh1 AS b0, mh2 || mh3 AS b1, mh4 || mh5 AS b2 FROM sig),
+         |    MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
+         |    MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
+         |    MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5
+         |  FROM hh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, mh0 || '|' || mh1 AS b0, mh2 || '|' || mh3 AS b1,
+         |                 mh4 || '|' || mh5 AS b2 FROM sig),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
          |  UNION

@@ -142,12 +142,23 @@ object Dedup {
 
   private val K = 6 // minhash functions; banded 2-per-band → 3 bands
 
-  /** MinHash signatures over a shingle relation: k=6 hash functions
-    * simulated as min(md5(seed || '|' || shingle)) — portable to the
-    * oracle. */
+  /** MinHash signatures over a shingle relation: k=6 hash functions via
+    * DOUBLE HASHING (Kirsch–Mitzenmacher: hᵢ = h1 + i·h2 over two
+    * independent 60-bit halves of ONE md5) — one digest per shingle
+    * instead of k, and the signature mins are BIGINTs, so the
+    * aggregation is a plain HashAggregate with fixed-width buffers.
+    * The earlier min-of-hex-STRING form forced a SortAggregate (string
+    * min has no fixed-width buffer): per-stage sorts of the shingle
+    * relation plus per-row hex garbage — profiled as 20 s of cumulative
+    * GC in a single stage on this harness. 15 hex chars = 60 bits, so
+    * h1 + 5·h2 < 6·2⁶⁰ < 2⁶³ — no overflow at any corpus size, and
+    * DuckDB parses the identical value with a '0x' cast. */
   private[ops] def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withH = sh
+      .withColumn("h1", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT)"))
+    val aggs = (0 until K).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup: band the signature (3 bands × 2 rows),
@@ -159,10 +170,11 @@ object Dedup {
     * derivation as the slowest query's main cost). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
+    // "|" separator keeps integer band keys unambiguous ("12|3" ≠ "1|23")
     val sig = minhashSignatures(sh)
-      .withColumn("b0", concat(col("mh0"), col("mh1")))
-      .withColumn("b1", concat(col("mh2"), col("mh3")))
-      .withColumn("b2", concat(col("mh4"), col("mh5")))
+      .withColumn("b0", concat(col("mh0"), lit("|"), col("mh1")))
+      .withColumn("b1", concat(col("mh2"), lit("|"), col("mh3")))
+      .withColumn("b2", concat(col("mh4"), lit("|"), col("mh5")))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"))
     // (sig deliberately NOT cached: it has exactly one consumer below —
     // a cache would only add a materialization barrier)
