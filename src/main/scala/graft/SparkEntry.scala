@@ -148,9 +148,12 @@ object SparkEntry {
 
   // Shared DuckDB CTE: distinct 3-word shingles per doc (1-based list
   // indexing in DuckDB vs 0-based in Spark — same shingles).
+  // shingle keys are 60-bit integers (first 15 md5 hex chars of the
+  // trigram) — mirrors graft.ops.Dedup.shingles exactly
   private val shinglesCte =
     """sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
       |       UNNEST(range(1, len(w)-1)) AS u(i)
       |  WHERE len(w) >= 3
@@ -874,9 +877,8 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |hh AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-         |    ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
+         |  SELECT doc_id, s AS h1,
+         |    ('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 15))::BIGINT AS h2
          |  FROM sh),
          |sig AS (
          |  SELECT doc_id,

@@ -18,13 +18,24 @@ object Dedup {
 
   import Tables.trunc6
 
-  /** (doc_id, s): distinct 3-word shingles per document. */
+  /** (doc_id, s): distinct 3-word shingles per document, keyed by a
+    * 60-BIT INTEGER hash of the trigram (first 15 hex chars of its md5)
+    * rather than the trigram text. Every downstream use is a join,
+    * group, or membership key — the text itself is never output — so
+    * hashing at the source turns every shingle shuffle in the dedup
+    * family (pair joins, DF caps, MinHash, decontamination) from
+    * ~20-byte strings into 8-byte longs: ~3× less shuffle IO and no
+    * string-key garbage in the hottest aggregations. Collisions are
+    * 2⁻⁶⁰ per pair — the same md5-digest risk the exact-dedup ops
+    * already accept, and the oracle derives the identical keys. */
   private[ops] def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("s"))
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sx"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(sx), 1, 15), 16, 10) AS BIGINT)").as("s"))
       .distinct()
 
   /** Exact dedup summary per source: how many docs survive dedup by
@@ -154,9 +165,12 @@ object Dedup {
     * h1 + 5·h2 < 6·2⁶⁰ < 2⁶³ — no overflow at any corpus size, and
     * DuckDB parses the identical value with a '0x' cast. */
   private[ops] def minhashSignatures(sh: DataFrame): DataFrame = {
+    // h1 is the shingle key itself (already a 60-bit md5-derived hash,
+    // see [[shingles]]); h2 re-hashes its decimal form for independence
     val withH = sh
-      .withColumn("h1", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
-      .withColumn("h2", expr("CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h1", col("s"))
+      .withColumn("h2",
+        expr("CAST(conv(substr(md5(CAST(s AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
     val aggs = (0 until K).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
