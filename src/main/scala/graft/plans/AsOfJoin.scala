@@ -27,6 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * thing only when both sides can be folded into ONE table's ordering —
   * the operator form works for genuinely separate relations.
   *
+  * Null KEYS use null-safe equality (null matches null): the merge
+  * compares keys with Catalyst's natural ordering, where nulls sort
+  * together — the same grouping a window's `PARTITION BY` gives them,
+  * so the two encodings agree on null-keyed rows (a plain SQL equi-join
+  * would instead drop them).
+  *
   * Physical execution is the plan you'd want at 100 TB: both children
   * hash-partitioned on the key ([[ClusteredDistribution]] — Catalyst's
   * EnsureRequirements inserts the exchanges and co-partitions them,

@@ -45,6 +45,17 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.toSeq == Seq("mid"))
   }
 
+  test("null keys group together — null-safe equality, matching PARTITION BY semantics") {
+    val l = Seq((1L, Option.empty[String], 10L), (2L, Some("a"), 10L))
+      .toDF("id", "sym", "t")
+    val r = Seq((Option.empty[String], 5L, 1.0), (Some("a"), 5L, 2.0))
+      .toDF("r_sym", "r_t", "px")
+    val out = AsOf.join(l, r, Seq("sym"), Seq("r_sym"), Seq("t"), Seq("r_t"))
+      .select($"id", $"px").orderBy($"id").collect()
+      .map(row => (row.getLong(0), row.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
   test("physical plan uses AsOfJoinExec with co-partitioning exchanges") {
     val df = AsOf.join(trades, quotes, Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"))
     val plan = df.queryExecution.executedPlan.toString
