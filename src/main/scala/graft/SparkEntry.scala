@@ -120,6 +120,7 @@ object SparkEntry {
     "text_vocab_stats"   -> (TextAnalysis.vocabStats _),
     "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
     "text_source_drift"  -> (TextAnalysis.sourceDrift _),
+    "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // sketch twin of text_length_quantiles — rows-only check (no oracle),
     // same contract as q21_approx_distinct
     "text_length_quantiles_approx" -> (TextAnalysis.lengthQuantilesApprox _),
@@ -1246,6 +1247,18 @@ object SparkEntry {
         |  floor(CAST(present_num + n_s * ((SELECT n FROM nc) - present_tfc) AS DOUBLE)
         |        / (CAST(n_s AS DOUBLE) * (SELECT n FROM nc)) * 1000000) / 1000000 AS l1_drift
         |FROM j ORDER BY source""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH ty AS (
+        |  SELECT tok, COUNT(*) AS tf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE length(tok) >= 2 GROUP BY tok),
+        |p AS (
+        |  SELECT substr(tok, CAST(i AS INT), 2) AS pair, CAST(SUM(tf) AS BIGINT) AS n
+        |  FROM ty, UNNEST(range(1, length(tok))) AS u(i)
+        |  GROUP BY 1),
+        |r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM p)
+        |SELECT pair, n, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "pipe_dup_weights" ->
       s"""WITH $simhashCte,
          |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash)

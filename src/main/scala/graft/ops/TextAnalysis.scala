@@ -342,6 +342,37 @@ object TextAnalysis {
     * (source, tok) then tok then source — hash-partitioned, map-side
     * combined, no broadcast of the vocabulary (the corpus term relation
     * joins on the token key). */
+  /** BPE pair statistics — the first induction step of byte-pair-
+    * encoding tokenizer training: corpus-wide frequencies of ADJACENT
+    * character pairs inside word types, weighted by word frequency (the
+    * exact statistic each BPE merge round maximizes; a full trainer
+    * iterates merge → re-pair on the shrinking vocabulary, each round
+    * this same aggregate). Two-level aggregation keeps the expensive
+    * explode OFF the corpus: tokens reduce to (type, tf) first — the
+    * char-pair generate runs once per distinct WORD TYPE, not per
+    * occurrence, and at 100 TB the type relation is orders of magnitude
+    * smaller than the token stream. Top-k via the bounded
+    * [[graft.functions.TopKPairs]] aggregate, (count DESC, pair ASC). */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val types = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    types
+      .select(col("tf"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("tf")).as("n"))
+      // score = n alone: equal counts tie-break toward the SMALLER pair
+      // (graft_topk orders ties by payload ascending)
+      .groupBy()
+      .agg(expr(s"graft_topk(n, pair, $k)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("e.payload").as("pair"), col("e.score").as("n"),
+              (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("rk"))
+  }
+
   def sourceDrift(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
