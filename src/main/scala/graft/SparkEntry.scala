@@ -121,6 +121,10 @@ object SparkEntry {
     "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
     "text_source_drift"  -> (TextAnalysis.sourceDrift _),
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
+    // iterative merge training — per-round global argmax is not one SQL
+    // query, so no oracle (rows-only check); verified against a
+    // sequential reference implementation in TextAnalysisSpec
+    "text_bpe_train"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     // sketch twin of text_length_quantiles — rows-only check (no oracle),
     // same contract as q21_approx_distinct
     "text_length_quantiles_approx" -> (TextAnalysis.lengthQuantilesApprox _),

@@ -373,6 +373,75 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** Distributed BPE TRAINER — the full iterative form of [[bpePairs]]:
+    * `nMerges` rounds of (count adjacent symbol pairs over word types,
+    * weighted by type frequency) → (merge the argmax pair corpus-wide),
+    * producing the ranked merge table a tokenizer ships. Each round is
+    * ONE map-side-combined pair-count aggregate + a 1-row argmax
+    * collect (the merge decision is a global scalar — the same driver
+    * pattern as a learned threshold) + a per-TYPE symbol rewrite. The
+    * rewrite is a typed `map` over the type relation — sequential
+    * left-to-right merging inside one word is inherently order-
+    * dependent (("a","a","a") under merge (a,a) → ("aa","a"), not
+    * ("a","aa")), which array higher-order functions can't express;
+    * per-type state is one word's symbols, and the TYPE relation (not
+    * the token stream) is what iterates — at 100 TB it is millions of
+    * rows against the corpus's trillions. `localCheckpoint` cuts the
+    * per-round lineage exactly as the connected-components loop does.
+    * Deterministic: argmax ties break on (left, right) lexicographic;
+    * verified against a sequential reference implementation in
+    * `TextAnalysisSpec` (no SQL oracle — a per-round global argmax is
+    * not expressible as one DuckDB query; the CORRECTNESS row is the
+    * weaker rows-only check). */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    var types = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .as[(String, Long)]
+      .map { case (t, f) => (t.map(_.toString): Seq[String], f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      // adjacent pairs: element i pairs with i+1, one generate per type
+      val counts = types.toDF("syms", "tf")
+        // fully-merged single-symbol types carry no pairs — and sequence()
+        // DESCENDS when start > stop, so they must not reach the generate
+        .filter(size(col("syms")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("tf")).as("n"))
+      val best = counts.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, l, r, n))
+        types = types.map { case (syms, f) => (TextAnalysis.applyMerge(syms, l, r), f) }
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rk", "left", "right", "n")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rk"), col("left"), col("right"), col("merged"), col("n"))
+      .orderBy(col("rk"))
+  }
+
+  /** One left-to-right merge pass over a word's symbol sequence —
+    * non-overlapping, greedy from the left (standard BPE apply). */
+  private[ops] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   def sourceDrift(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))

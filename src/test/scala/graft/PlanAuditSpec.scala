@@ -16,7 +16,10 @@ class PlanAuditSpec extends SparkSuite {
 
   // these run real work (storage writes / convergence loops) during
   // DataFrame construction — audited in LogStoreSpec / DupComponentsSpec
-  private val constructive = Set("log_store_roundtrip", "dedup_components")
+  private val constructive = Set("log_store_roundtrip", "dedup_components",
+    // runs the whole iterative merge loop while BUILDING its result —
+    // audited by its own reference-equivalence spec in TextAnalysisSpec
+    "text_bpe_train")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;

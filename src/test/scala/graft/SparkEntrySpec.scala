@@ -11,8 +11,10 @@ class SparkEntrySpec extends AnyFunSuite {
   // twin's error is bounded against its exact twin in TextAnalysisSpec
   // + bloom-sketch decontamination twin (bit layout is engine-specific;
   // its no-false-negatives contract vs the exact twin is in PipelineSpec)
+  // + the BPE trainer (iterative global argmax — not one SQL query;
+  // verified against a sequential reference in TextAnalysisSpec)
   private val sketchOnly = Set("q21_approx_distinct", "text_length_quantiles_approx",
-    "pipe_decontaminate_bloom")
+    "pipe_decontaminate_bloom", "text_bpe_train")
 
   test("every query has oracle SQL, except documented sketch-based ops") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

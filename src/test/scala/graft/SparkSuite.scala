@@ -14,6 +14,10 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // suites share this one session and run in parallel; FIFO lets a
+      // long suite's jobs starve another's small async jobs for minutes
+      // (observed: Compactor maintenance flaking only in full-suite runs)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.local.dir", Scratch.localDir)
       .config("spark.sql.warehouse.dir", Scratch.localDir + "/warehouse")
       .config("spark.ui.enabled", "false")

@@ -89,7 +89,7 @@ class CompactorSpec extends SparkSuite {
       // SparkSession, so this test's compaction job can be starved for
       // minutes behind other suites' FIFO-queued jobs; the common case
       // exits in a few seconds.
-      val deadline = System.currentTimeMillis + 240000
+      val deadline = System.currentTimeMillis + 480000
       var replayed = -1L
       while (replayed <= 0 && System.currentTimeMillis < deadline) {
         Thread.sleep(200)

@@ -67,6 +67,38 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("distributed BPE trainer reproduces the sequential reference merge sequence") {
+    assume(hasTestData)
+    val got = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+
+    // independent sequential reference over the same (type, tf) relation
+    var types: Map[Seq[String], Long] = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).count().collect()
+      .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1)).toMap
+    val want = (1 to 8).flatMap { rk =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        types = types.toSeq.map { case (syms, f) =>
+          (TextAnalysis.applyMerge(syms, l, r), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        Some((rk.toLong, l, r, n))
+      }
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "BPE trainer produced no merges — vacuous corpus")
+  }
+
   test("topTerms plans the bounded top-k aggregate, not a per-doc window sort") {
     assume(hasTestData)
     val plan = TextAnalysis.topTerms(spark, sf).queryExecution.executedPlan.toString
