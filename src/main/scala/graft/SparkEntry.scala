@@ -56,6 +56,7 @@ object SparkEntry {
     "q35_median_iqr"     -> (RelationalQueries.q35MedianIqr _),
     "q36_gap_fill"       -> (RelationalQueries.q36GapFill _),
     "q37_asof_custom"    -> (RelationalQueries.q37AsOfCustom _),
+    "q38_asof_tolerance" -> ((s: SparkSession, d: String) => RelationalQueries.q38AsOfTolerance(s, d)),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -477,6 +478,18 @@ object SparkEntry {
     // reproduce the window encoding's result exactly
     "q37_asof_custom" ->
       """SELECT event_id, user_id, ts, value, last_error_ts FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q38_asof_tolerance" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CASE WHEN date_diff('microsecond', last_error_ts, ts) <= 1800000000
+        |       THEN last_error_ts END AS recent_error_ts
+        |FROM (
         |  SELECT event_id, user_id, ts, value, event_type,
         |    LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id

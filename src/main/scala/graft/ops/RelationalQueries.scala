@@ -691,6 +691,28 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's
+    * `tolerance=`): the matched error must be within 30 minutes of the
+    * purchase or the match is dropped to NULL — staleness-bounded
+    * enrichment ("most recent quote, but not if it's an hour old").
+    * Pure composition: the custom operator keeps the full matched row,
+    * so the bound is one projection-level `when` over the time delta —
+    * no second join, no plan change. */
+  def q38AsOfTolerance(s: SparkSession, dir: String, toleranceSec: Long = 1800): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = Tables.events(s, dir).filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"),
+              col("event_id").as("err_event"))
+    graft.plans.AsOf.join(purchases, errors,
+        Seq("user_id"), Seq("e_user"), Seq("ts", "event_id"), Seq("err_ts", "err_event"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(unix_micros(col("ts")) - unix_micros(col("err_ts")) <= toleranceSec * 1000000L,
+          col("err_ts")).as("recent_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   def q36GapFill(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

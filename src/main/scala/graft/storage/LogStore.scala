@@ -375,9 +375,18 @@ final class LogStore(spark: SparkSession, root: String,
     val dir = new Path(s"$root/tags/container=$container/session=$session")
     if (!fs.exists(dir)) return 0L
     val cutoff = olderThan.toEpochMilli
-    val dead = fs.listStatus(dir).filter(st => st.isFile && st.getModificationTime < cutoff)
-    dead.foreach(st => fs.delete(st.getPath, false))
-    dead.length.toLong
+    // Destructive marker retirement runs under the session view WRITE
+    // lock, like compaction's retire phase: marker WRITES hold the read
+    // side, so without exclusion a sweep with an aggressive horizon can
+    // delete a marker file mid-creation (observed as a Hadoop
+    // create→chmod race crashing the append that had already published).
+    val wl = viewLock(container, session).writeLock
+    wl.lock()
+    try {
+      val dead = fs.listStatus(dir).filter(st => st.isFile && st.getModificationTime < cutoff)
+      dead.foreach(st => fs.delete(st.getPath, false))
+      dead.length.toLong
+    } finally wl.unlock()
   }
 
   /** Youngest cold archive of a session (A8: the reference's
