@@ -45,7 +45,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftOrd: Seq[Expression], rightOrd: Seq[Expression]) extends BinaryNode {
+    leftOrd: Seq[Expression], rightOrd: Seq[Expression],
+    inclusive: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,8 +58,8 @@ case class AsOfJoinPlan(
   * through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
-      AsOfJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, incl) =>
+      AsOfJoinExec(lk, rk, lo, ro, incl, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -66,6 +67,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOrd: Seq[Expression], rightOrd: Seq[Expression],
+    inclusive: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -110,7 +112,10 @@ case class AsOfJoinExec(
           val cmp = keyOrd.compare(rk, lk)
           if (cmp < 0) {
             buffered.next() // right key entirely behind: discard
-          } else if (cmp == 0 && ordOrd.compare(rOrdProj(buffered.head), lo) < 0) {
+          } else if (cmp == 0 && {
+            val c = ordOrd.compare(rOrdProj(buffered.head), lo)
+            c < 0 || (inclusive && c == 0)
+          }) {
             candidateKey = rk.copy()
             candidate = buffered.next().copy() // strictly-before match: keep latest
           } else {
@@ -143,9 +148,13 @@ object AsOf {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies = AsOfJoinStrategy +: s.experimental.extraStrategies
 
+  /** `inclusive = false` (default) matches the latest right row STRICTLY
+    * before the left ordering tuple; `inclusive = true` allows an exact
+    * tuple tie (pandas merge_asof's default backward direction). */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftOrd: Seq[String], rightOrd: Seq[String]): DataFrame = {
+           leftOrd: Seq[String], rightOrd: Seq[String],
+           inclusive: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size &&
             leftOrd.nonEmpty && leftOrd.size == rightOrd.size,
       "as-of join needs matching key and ordering column lists")
@@ -161,6 +170,6 @@ object AsOf {
           s"column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
     GraftShim.ofRows(s, AsOfJoinPlan(lp, rp,
       leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      leftOrd.map(resolve(lp, _)), rightOrd.map(resolve(rp, _))))
+      leftOrd.map(resolve(lp, _)), rightOrd.map(resolve(rp, _)), inclusive))
   }
 }

@@ -45,6 +45,16 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.toSeq == Seq("mid"))
   }
 
+  test("inclusive mode admits an exact ordering-tuple tie (merge_asof backward default)") {
+    val out = AsOf.join(trades, quotes,
+        Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"), inclusive = true)
+      .select($"trade_id", $"px").orderBy($"trade_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // trade 1 (t=10) now takes the quote AT 10; the rest are unchanged
+    assert(out.toSeq == Seq(
+      (1L, 2.0), (2L, 3.0), (3L, 3.0), (4L, null), (5L, null)))
+  }
+
   test("null keys group together — null-safe equality, matching PARTITION BY semantics") {
     val l = Seq((1L, Option.empty[String], 10L), (2L, Some("a"), 10L))
       .toDF("id", "sym", "t")
