@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
     "dedup_cluster_stats"  -> (Dedup.clusterStats _),
+    "dedup_block_stats"    -> ((s: SparkSession, d: String) => Dedup.blockStats(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -122,9 +123,9 @@ object SparkEntry {
     "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
     "text_source_drift"  -> (TextAnalysis.sourceDrift _),
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
-    // iterative merge training — per-round global argmax is not one SQL
-    // query, so no oracle (rows-only check); verified against a
-    // sequential reference implementation in TextAnalysisSpec
+    // iterative merge training — oracle unrolls the 10 merge rounds
+    // (see bpeTrainOracle); also verified against a sequential
+    // reference implementation in TextAnalysisSpec
     "text_bpe_train"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     // sketch twin of text_length_quantiles — rows-only check (no oracle),
     // same contract as q21_approx_distinct
@@ -176,7 +177,11 @@ object SparkEntry {
       |)""".stripMargin
 
   // Shared DuckDB CTE chain ending in shash(doc_id, simhash) — the same
-  // 16-bit frequency-weighted SimHash the Spark side derives from md5.
+  // 64-bit frequency-weighted SimHash the Spark side derives from md5.
+  // Bit 63 is the sign bit of the signed-64 representation both engines
+  // share: DuckDB's `1::BIGINT << 63` would overflow, so that one term
+  // goes through HUGEINT and the final CAST lands on the identical
+  // negative BIGINT Spark's `1L << 63` (= Long.MinValue) produces.
   private val simhashCte =
     """toks AS (
       |  SELECT doc_id, tok, COUNT(*) AS cnt
@@ -187,15 +192,35 @@ object SparkEntry {
       |  SELECT tok, j,
       |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(FLOOR(j/4) AS INT)+1, 1)) - 1)
       |     >> (3 - (j % 4))) & 1 AS bit
-      |  FROM vocab, UNNEST(range(0, 16)) AS u(j)),
+      |  FROM vocab, UNNEST(range(0, 64)) AS u(j)),
       |weights AS (
       |  SELECT t.doc_id, b.j, SUM((b.bit * 2 - 1) * t.cnt) AS w
       |  FROM toks t JOIN bits b ON t.tok = b.tok
       |  GROUP BY t.doc_id, b.j),
       |shash AS (
       |  SELECT doc_id,
-      |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |    CAST(SUM(CASE WHEN w > 0 THEN
+      |      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |           ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT) END
+      |      ELSE 0 END) AS BIGINT) AS simhash
       |  FROM weights GROUP BY doc_id)""".stripMargin
+
+  // Shared DuckDB CTE pair (depends on shash): the 4×16-bit pigeonhole
+  // chunk relation and the blocked candidate pairs — mirrors
+  // graft.ops.Dedup.chunkRelation/blockedCandidates with
+  // SimHashBits=64, nChunks=4 (maxDist 3). Shift amounts 0/16/32/48
+  // with a 16-bit mask never touch sign-extension bits, so the chunk
+  // keys are engine-independent.
+  private val chunksCte =
+    """chunks AS (
+      |  SELECT doc_id, simhash, j,
+      |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS BIGINT) AS ck
+      |  FROM shash, UNNEST(range(0, 4)) AS u(j)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.simhash AS ha, b.simhash AS hb
+      |  FROM chunks a JOIN chunks b
+      |    ON a.j = b.j AND a.ck = b.ck AND a.doc_id < b.doc_id)""".stripMargin
 
   // Shared DuckDB CTE chain ending in q(doc_id, source, n_tokens,
   // quality_score, en_ratio, keep_id, bucket) — the curation-gate
@@ -234,6 +259,45 @@ object SparkEntry {
       |         's' || CAST(user_id AS VARCHAR) AS session
       |  FROM events
       |)""".stripMargin
+
+  // Full BPE-trainer oracle: the 10 merge rounds UNROLLED as CTE chains.
+  // Each word type is a separator-wrapped symbol string (" a  b  c " —
+  // every symbol padded with one space on each side; symbols come from
+  // space-split tokens so they can never contain the separator), which
+  // makes one greedy left-to-right non-overlapping merge round a plain
+  // `replace(w, ' l  r ', ' lr ')`: SQL replace scans left-to-right
+  // without overlap, exactly BPE's apply, and a merged symbol can never
+  // spuriously re-match because l||r ≠ l and l||r ≠ r. Pair counts per
+  // round re-split on the double separator; the argmax tie-break
+  // (n DESC, l, r) uses DuckDB's binary collation = Spark's UTF-8
+  // binary string order. An exhausted corpus yields an empty m_k whose
+  // cross join empties every later round — the same early stop as the
+  // trainer's `exhausted` flag.
+  private val bpeTrainOracle: String = {
+    val nMerges = 10
+    val rounds = (1 to nMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(tf) AS BIGINT) AS n
+         |  FROM (SELECT tf, string_split(trim(w, ' '), '  ') AS s FROM t${k - 1}) q,
+         |       UNNEST(range(1, len(s))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |t$k AS (
+         |  SELECT replace(w, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS w, tf
+         |  FROM t${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rk, l AS "left", r AS "right", l || r AS merged, n FROM m$k"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT regexp_replace(tok, '(.)', ' \\1 ', 'g') AS w, COUNT(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
+       |  GROUP BY tok),
+       |$rounds
+       |SELECT * FROM (
+       |  $finals) z
+       |ORDER BY rk""".stripMargin
+  }
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -789,15 +853,26 @@ object SparkEntry {
          |FROM errs a JOIN errs b ON a.m = b.m AND a.container < b.container
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_keep_best" ->
-      s"""WITH $simhashCte,
-         |j AS (
-         |  SELECT sh.simhash, sh.doc_id, d.n_chars
-         |  FROM shash sh JOIN documents d ON sh.doc_id = d.doc_id)
-         |SELECT simhash,
+      s"""WITH RECURSIVE $simhashCte,
+         |$chunksCte,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src),
+         |mem AS (
+         |  SELECT c.comp_id AS cluster_id, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT cluster_id,
          |  max_by(doc_id, n_chars * CAST(4294967296 AS BIGINT) - doc_id) AS keep_id,
          |  COUNT(*) AS n_copies, MAX(n_chars) AS keep_chars
-         |FROM j GROUP BY simhash HAVING COUNT(*) > 1
-         |ORDER BY simhash""".stripMargin,
+         |FROM mem GROUP BY cluster_id HAVING COUNT(*) > 1
+         |ORDER BY cluster_id""".stripMargin,
     "dedup_exact_summary" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_unique_texts,
@@ -858,15 +933,14 @@ object SparkEntry {
          |  FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
          |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
          |$simhashCte,
+         |$chunksCte,
          |p AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
          |hm AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM shash a JOIN shash b ON a.doc_id < b.doc_id
-         |    AND bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2),
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3),
          |fz AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM shash a JOIN shash b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-         |  JOIN p x ON a.doc_id = x.doc_id JOIN p y ON b.doc_id = y.doc_id
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN p x ON c.doc_a = x.doc_id JOIN p y ON c.doc_b = y.doc_id
          |  WHERE levenshtein(x.prefix, y.prefix) <= 10),
          |pairs AS (
          |  SELECT doc_a, doc_b, 'ngram' AS method FROM ng
@@ -985,29 +1059,32 @@ object SparkEntry {
          |ORDER BY simhash""".stripMargin,
     "dedup_fuzzy_edit" ->
       s"""WITH $simhashCte,
+         |$chunksCte,
          |p AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |SELECT c.doc_a, c.doc_b,
          |  CAST(levenshtein(x.prefix, y.prefix) AS BIGINT) AS dist
-         |FROM shash a JOIN shash b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-         |JOIN p x ON a.doc_id = x.doc_id
-         |JOIN p y ON b.doc_id = y.doc_id
+         |FROM cand c
+         |JOIN p x ON c.doc_a = x.doc_id
+         |JOIN p y ON c.doc_b = y.doc_id
          |WHERE levenshtein(x.prefix, y.prefix) <= 10
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_hamming" ->
       s"""WITH $simhashCte,
-         |chunks AS (
-         |  SELECT doc_id, simhash, j, CAST((simhash >> (4 * CAST(j AS INT))) & 15 AS BIGINT) AS ck
-         |  FROM shash, UNNEST(range(0, 4)) AS u(j)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.simhash AS ha, b.simhash AS hb
-         |  FROM chunks a JOIN chunks b
-         |    ON a.j = b.j AND a.ck = b.ck AND a.doc_id < b.doc_id)
+         |$chunksCte
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
          |FROM cand
-         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 2
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_block_stats" ->
+      s"""WITH $simhashCte,
+         |$chunksCte,
+         |blocks AS (
+         |  SELECT j, ck, COUNT(*) AS n FROM chunks GROUP BY j, ck HAVING COUNT(*) > 1)
+         |SELECT CAST(j AS BIGINT) AS chunk_idx, COUNT(*) AS n_blocks,
+         |  CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_block,
+         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM blocks GROUP BY j ORDER BY chunk_idx""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vectorsCte,
          |bands AS (
@@ -1149,18 +1226,19 @@ object SparkEntry {
          |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
          |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
          |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
-         |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
-         |  FROM assigned a JOIN assigned b
-         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
-         |sym AS (
-         |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos FROM pairs
-         |  UNION ALL
-         |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos FROM pairs),
+         |pool AS (
+         |  SELECT list_id, vec_id AS nb_id, v AS nb_v, norm AS nb_norm FROM (
+         |    SELECT a.*, ROW_NUMBER() OVER (PARTITION BY list_id
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS prk
+         |    FROM assigned a) t WHERE prk <= 48),
+         |scored AS (
+         |  SELECT m.vec_id, p.nb_id AS neighbor_id,
+         |    list_dot_product(m.v, p.nb_v) / (m.norm * p.nb_norm) AS cos
+         |  FROM assigned m JOIN pool p
+         |    ON m.list_id = p.list_id AND m.vec_id <> p.nb_id),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM sym)
+         |  FROM scored)
          |SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
          |  floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
@@ -1276,6 +1354,7 @@ object SparkEntry {
         |r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM p)
         |SELECT pair, n, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracle,
     "pipe_dup_weights" ->
       s"""WITH $simhashCte,
          |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash)

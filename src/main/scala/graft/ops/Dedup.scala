@@ -67,29 +67,37 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Quality-aware keeper selection over NEAR-dup clusters: within each
-    * identical-SimHash cluster keep the HIGHEST-QUALITY member (longest
-    * text, doc_id tiebreak) instead of [[exactKeepers]]'s smallest-id
-    * rule — what a real curation run wants when near-duplicates differ
-    * in truncation/damage (exact duplicates would tie on length, so the
-    * choice only bites on near-dups). One argmax via max_by on a
-    * struct-valued (n_chars, -doc_id) key — no window, pure aggregation,
-    * map-side combinable. Spark's max_by orders structs field-by-field,
-    * so the key is exact at ANY id/length magnitude; only the DuckDB
-    * oracle (scalar keys only) uses a packed-BIGINT encoding, safe there
+  /** Quality-aware keeper selection over NEAR-dup clusters: group the
+    * verified Hamming near-dup pairs ([[hammingNearDup]], d ≤ 3 on the
+    * 64-bit SimHash) into connected components and keep the
+    * HIGHEST-QUALITY member of each cluster (longest text, doc_id
+    * tiebreak) instead of [[exactKeepers]]'s smallest-id rule — what a
+    * real curation run wants when near-duplicates differ in
+    * truncation/damage, and TRANSITIVELY correct: pairwise keep-best
+    * would keep B when A~B and B~C but never collapse the chain into
+    * one keeper. (The round-≤4 design grouped on the identical 16-bit
+    * signature — at 64 bits exact-signature groups verify almost
+    * nothing, and at corpus scale they were birthday collisions
+    * anyway.) One argmax via max_by on a struct-valued
+    * (n_chars, -doc_id) key — no window, pure aggregation, map-side
+    * combinable. Spark's max_by orders structs field-by-field, so the
+    * key is exact at ANY id/length magnitude; only the DuckDB oracle
+    * (scalar keys only) uses a packed-BIGINT encoding, safe there
     * because test-scale ids stay far below 2^32. */
   def keepBest(s: SparkSession, dir: String): DataFrame =
-    simhash(s, dir)
+    connectedComponents(
+      hammingPairsFrom(simhashRaw(s, dir), maxDist = 3)
+        .select(col("doc_a"), col("doc_b")))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      .groupBy(col("simhash"))
+      .groupBy(col("comp_id").as("cluster_id"))
       .agg(count(lit(1)).as("n_copies"),
            // (n_chars DESC, doc_id ASC): bigger struct wins field-by-field,
            // -doc_id breaks length ties toward the SMALLER id
            expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_id"),
            max(col("n_chars")).as("keep_chars"))
       .filter(col("n_copies") > 1)
-      .select(col("simhash"), col("keep_id"), col("n_copies"), col("keep_chars"))
-      .orderBy(col("simhash"))
+      .select(col("cluster_id"), col("keep_id"), col("n_copies"), col("keep_chars"))
+      .orderBy(col("cluster_id"))
 
   /** Shingle relation with a document-frequency cap: shingles present in
     * more than 20% of the corpus ("of the and"-style stop-shingles) are
@@ -100,11 +108,18 @@ object Dedup {
     * corpus size so the plan behaves identically at 100× the data. The
     * hot set is tiny by construction → broadcast anti-join, no shuffle. */
   private[ops] def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.documents(s, dir).count() // parquet metadata count, no scan
-    val cap = math.max(2L, (0.2 * nDocs).toLong)
+    // The 20%-of-corpus cap is derived IN-PLAN: the 1-row corpus count
+    // joins the per-shingle DF aggregate on a constant key (a broadcast
+    // hash join, not a BNLJ), so building a shingle-family query no
+    // longer dispatches an eager count() job per invocation.
+    val total = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
     val sh = shingles(s, dir)
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select(col("s"))
+      .withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
+      .select(col("s"))
     sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
@@ -113,7 +128,13 @@ object Dedup {
     * informative shingle — the one pair-generation shuffle both
     * [[ngramJaccard]] and [[containment]] finish differently. */
   private[ops] def shinglePairStats(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir).cache()
+    // localCheckpoint (not cache): the relation is consumed three times
+    // (both self-join sides + the size aggregate) and a checkpoint
+    // materializes it ONCE up front without pinning an entry in the
+    // cache manager — composite reports that run several pair pipelines
+    // in one action (method agreement) otherwise starve each other's
+    // execution memory through competing caches.
+    val sh = cappedShingles(s, dir).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -125,15 +146,22 @@ object Dedup {
         col("x.n").as("n_a"), col("y.n").as("n_b"))
   }
 
-  /** N-gram Jaccard near-dup: candidate pairs come from a shuffle join
-    * on the DF-capped shingle relation (docs sharing ≥1 informative
-    * shingle), so cost is proportional to real overlap, not n². */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+  /** [[ngramJaccard]] without the presentation sort — the form every
+    * composite consumer (components, cluster stats, method agreement)
+    * wants: they re-shuffle the pairs anyway, so a global orderBy here
+    * would be pure discarded work. */
+  private[ops] def ngramPairs(s: SparkSession, dir: String): DataFrame =
     shinglePairStats(s, dir)
       .withColumn("jaccard",
         trunc6(col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** N-gram Jaccard near-dup: candidate pairs come from a shuffle join
+    * on the DF-capped shingle relation (docs sharing ≥1 informative
+    * shingle), so cost is proportional to real overlap, not n². */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Asymmetric CONTAINMENT near-dup: c / min(|A|, |B|) — detects a
@@ -233,15 +261,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 16-bit SimHash per document, frequency-weighted over tokens.
+  /** SimHash signature width in bits. The round-≤4 design hardwired 16
+    * bits: only 2¹⁶ distinct signatures and (with 4-bit pigeonhole
+    * chunks) 64 block keys, so candidate generation was structurally
+    * n²/16 at ANY corpus size — a hardwired scale ceiling. At 64 bits
+    * the signature space is 2⁶⁴ and every pigeonhole chunk key ranges
+    * over 2¹⁶ values, so block sizes — and therefore candidate pairs —
+    * track real near-duplicate density instead of the birthday bound.
+    * All 32 md5 hex chars are available; 64 uses the first 16. */
+  private[ops] val SimHashBits = 64
+
+  /** 64-bit SimHash per document, frequency-weighted over tokens.
     * Bit j of each token is a pure function of md5(token) (hex char
     * j/4, bit 3-j%4), so it is computed INLINE on the (doc_id, token,
     * cnt) row — no distinct-vocabulary relation and no broadcast (the
     * round-1 design broadcast the vocabulary, which at 100 TB is
-    * billions of tokens → OOM). One shuffle: groupBy(doc_id) with 16
+    * billions of tokens → OOM). One shuffle: groupBy(doc_id) with 64
     * map-side-combined signed sums, then the bits assemble in the
     * projection. The oracle derives identical hashes from md5. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashRaw(s, dir).orderBy(col("doc_id"))
+
+  /** [[simhash]] without the presentation sort — what every JOIN
+    * consumer (blocking, buckets, pipeline weights) wants; a global
+    * orderBy feeding a shuffle would be discarded work. */
+  private[ops] def simhashRaw(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
@@ -250,34 +294,75 @@ object Dedup {
     // positions constant-folded per j, so the whole row stays codegen'd.
     def bit(j: Int) = expr(
       s"((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - (j % 4)}) & 1")
-    val weights = (0 until 16).map(j => sum((bit(j) * 2 - 1) * col("cnt")).as(s"w$j"))
+    val weights = (0 until SimHashBits).map(j => sum((bit(j) * 2 - 1) * col("cnt")).as(s"w$j"))
+    // Bit 63's term is 1L << 63 == Long.MinValue — the signed-64
+    // representation both engines share. Summation order keeps every
+    // partial sum in range (nonnegative low bits first, the one
+    // negative term last), so the assembly is ANSI-overflow-safe.
     toks.groupBy(col("doc_id")).agg(weights.head, weights.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+        (0 until SimHashBits).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
-  /** Fuzzy near-dup via edit distance, blocked on SimHash: candidate
-    * pairs share an exact 16-bit SimHash (a bucketed equi-join — the
-    * quadratic Levenshtein only runs inside tiny hash blocks, never
-    * all-pairs), then verify with Levenshtein over the 40-char prefix.
-    * The standard two-stage shape: cheap hash blocking, expensive edit
-    * distance on survivors only. */
-  def fuzzyEditDistance(s: SparkSession, dir: String, maxDist: Int = 10): DataFrame =
-    fuzzyPairsFrom(s, dir, simhash(s, dir), maxDist)
+  /** (doc_id, simhash, j, ck): the signature split into `nChunks`
+    * pigeonhole chunks — the blocking relation under [[hammingNearDup]],
+    * [[fuzzyEditDistance]] and [[blockStats]]. Chunk widths are
+    * ⌈bits/nChunks⌉ with the LAST chunk masked to the bits that really
+    * exist, so no chunk key ever contains arithmetic-shift sign
+    * extension (which the oracle engine might fill differently). */
+  private def chunkRelation(sh: DataFrame, nChunks: Int): DataFrame = {
+    val width = (SimHashBits + nChunks - 1) / nChunks
+    val chunkExprs = (0 until nChunks).map { j =>
+      val lo = width * j
+      val w = math.min(width, SimHashBits - lo)
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(j).as("j"), expr(s"CAST((simhash >> $lo) & $mask AS BIGINT)").as("ck"))
+    }
+    sh.select(col("doc_id"), col("simhash"), explode(array(chunkExprs: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.ck").as("ck"))
+  }
+
+  /** Candidate pairs under pigeonhole blocking with `nChunks` chunks:
+    * any pair within Hamming distance nChunks−1 must agree exactly on
+    * at least one chunk, so candidates come from ONE exploded
+    * composite-key self-join (same single-shuffle trick as MinHash
+    * banding) — never all-pairs. At 64 bits each chunk key ranges over
+    * 2¹⁶ values (vs 2⁴ in the retired 16-bit design), so block sizes
+    * track true near-dup density instead of the birthday bound. */
+  private def blockedCandidates(sh: DataFrame, nChunks: Int): DataFrame = {
+    val chunks = chunkRelation(sh, nChunks)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+  }
+
+  /** Fuzzy near-dup via edit distance, pigeonhole-blocked on SimHash:
+    * candidate pairs come from [[blockedCandidates]] (share ≥1 of
+    * `blockDist`+1 signature chunks — i.e. every pair within Hamming
+    * distance `blockDist` plus whatever else collides), then the
+    * quadratic Levenshtein runs over the 40-char prefix of survivors
+    * only. The standard two-stage shape: cheap hash blocking, expensive
+    * edit distance on candidates. (The round-≤4 design blocked on the
+    * IDENTICAL signature — with a 64-bit signature that would verify
+    * almost nothing; chunk blocking keeps recall while candidates stay
+    * linear in real near-dup density.) */
+  def fuzzyEditDistance(s: SparkSession, dir: String, maxDist: Int = 10,
+                        blockDist: Int = 3): DataFrame =
+    fuzzyPairsFrom(s, dir, simhashRaw(s, dir), maxDist, blockDist)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[fuzzyEditDistance]] over a CALLER-SUPPLIED simhash relation, so
     * composite reports ([[methodAgreement]]) derive the signature once. */
   private def fuzzyPairsFrom(s: SparkSession, dir: String, sh: DataFrame,
-                             maxDist: Int): DataFrame = {
+                             maxDist: Int, blockDist: Int = 3): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-    val blocked = sh.as("a").join(sh.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    blocked
+    blockedCandidates(sh, blockDist + 1)
+      .select(col("doc_a"), col("doc_b"))
       .join(docs.as("x"), col("doc_a") === col("x.doc_id"))
       .join(docs.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix")).cast("long"))
@@ -285,42 +370,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
-  /** Hamming near-dup over the 16-bit SimHash with PIGEONHOLE blocking:
-    * split the signature into 4 chunks of 4 bits — any pair within
-    * Hamming distance 3 must agree exactly on at least one chunk (3
-    * differing bits can dirty at most 3 of the 4 chunks), so candidates
-    * come from 4 chunk-equality equi-joins (one exploded composite-key
-    * join here, same single-shuffle trick as MinHash banding) and only
-    * candidates pay the exact `bit_count(xor)` verify. This finds
-    * near-dups that [[fuzzyEditDistance]]'s identical-simhash blocking
-    * misses (flipped bits from small edits) while staying linear in
-    * real collisions — never all-pairs. The 4-chunk blocking is exact
-    * for any maxDist ≤ 3; the default verify threshold is 2 because at
-    * 16 bits dist-3 collisions are mostly noise. At wider signatures
-    * (64/128-bit at corpus scale) the same scheme holds with
-    * ⌈bits/(maxDist+1)⌉ chunks. */
-  def hammingNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
-    hammingPairsFrom(simhash(s, dir), maxDist)
+  /** Hamming near-dup over the 64-bit SimHash with PIGEONHOLE blocking:
+    * maxDist+1 chunks of ⌈64/(maxDist+1)⌉ bits — maxDist differing bits
+    * can dirty at most maxDist chunks, so every true pair agrees on ≥1
+    * chunk and only [[blockedCandidates]] pay the exact
+    * `bit_count(xor)` verify. This finds near-dups whose signatures
+    * differ by a few flipped bits (small edits) while staying linear in
+    * real collisions — never all-pairs. */
+  def hammingNearDup(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    hammingPairsFrom(simhashRaw(s, dir), maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[hammingNearDup]] over a caller-supplied simhash relation (see
     * [[fuzzyPairsFrom]]). */
-  private def hammingPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
-    val chunks = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), expr(s"CAST((simhash >> ${4 * j}) & 15 AS BIGINT)").as("ck"))): _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.ck").as("ck"))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-    cand
+  private def hammingPairsFrom(sh: DataFrame, maxDist: Int): DataFrame =
+    blockedCandidates(sh, maxDist + 1)
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-  }
+
+  /** Pigeonhole-block HEALTH report — the pre-flight forecast a blocked
+    * dedup run needs before paying for the candidate join: per chunk
+    * index, how many blocks hold ≥2 documents, how many documents sit
+    * in them, the largest block, and the implied candidate-pair count
+    * Σ n·(n−1)/2. A hot block here (template boilerplate collapsing a
+    * chunk) is the skew that would make the candidate join quadratic —
+    * this report is how you catch it from metadata, at chunk-key
+    * aggregation cost, before running the join itself. */
+  def blockStats(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    chunkRelation(simhashRaw(s, dir), maxDist + 1)
+      .groupBy(col("j"), col("ck")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .groupBy(col("j").cast("long").as("chunk_idx"))
+      .agg(count(lit(1)).as("n_blocks"),
+           sum(col("n")).as("n_docs"),
+           max(col("n")).as("max_block"),
+           sum(expr("n * (n - 1) DIV 2")).as("n_cand_pairs"))
+      .orderBy(col("chunk_idx"))
 
   /** Connected components over an undirected pair list via alternating
     * LARGE-STAR / SMALL-STAR rounds (the MapReduce-era algorithm from
@@ -342,40 +428,51 @@ object Dedup {
     * doc_a ≠ doc_b; output is (doc_id, comp_id) for every node that
     * appears in a pair. */
   private[ops] def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // Order-independent set fingerprint over a checkpointed edge set:
+    // (cardinality, XOR of per-row 64-bit hashes). Two equal fingerprints
+    // mean equal sets up to a ~2⁻⁶⁴ collision — the same digest-collision
+    // risk the md5-keyed dedup family already accepts — and the check
+    // costs one tiny job over ALREADY-MATERIALIZED checkpoint partitions
+    // (no shuffle), where the previous exact symmetric-difference check
+    // re-shuffled both edge sets every round. maxIters still backstops.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(u, v))").as("x")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // canonical large→small direction from the start (small-star output
     // form), so an already-converged input is detected in one round
     var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
               least(col("doc_a"), col("doc_b")).as("v"))
       .distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
-      // large-star over the symmetrized neighborhood
+      // large-star over the symmetrized neighborhood. No intra-round
+      // distinct()s: duplicate (u, m) rows are harmless under the min/
+      // groupBy that follows and the round's ONE distinct at the end
+      // re-establishes set semantics — each dropped distinct was a full
+      // extra shuffle per round in a loop that is job-dispatch-bound.
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star over large→small directed edges
-      val dir = large.select(greatest(col("u"), col("v")).as("u"),
-                             least(col("u"), col("v")).as("v")).distinct()
-      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val joined = dir.join(mins2, Seq("u"))
+      val dirE = large.select(greatest(col("u"), col("v")).as("u"),
+                              least(col("u"), col("v")).as("v"))
+      val mins2 = dirE.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = dirE.join(mins2, Seq("u"))
       val small = joined.select(col("v").as("u"), col("m").as("v"))
         .union(joined.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      // both sides are distinct sets, so multiplicities are ±1 and a
-      // non-empty symmetric difference shows up as a non-zero signed sum —
-      // ONE shuffle job for exact set equality, where count + exceptAll
-      // was two jobs per round (the loop is job-dispatch-bound at small
-      // scale, and at large scale one shuffle beats two just the same)
-      converged = small.select(col("u"), col("v"), lit(1L).as("t"))
-        .union(edges.select(col("u"), col("v"), lit(-1L).as("t")))
-        .groupBy(col("u"), col("v")).agg(sum(col("t")).as("d"))
-        .filter(col("d") =!= 0).isEmpty
+      val fp2 = fingerprint(small)
+      converged = fp2 == fp
+      fp = fp2
       edges = small
       iter += 1
     }
@@ -401,7 +498,7 @@ object Dedup {
     * minimum, so results match without mirroring the iteration count. */
   def dupComponents(s: SparkSession, dir: String, maxIters: Int = 30): DataFrame =
     connectedComponents(
-      ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")), maxIters)
+      ngramPairs(s, dir).select(col("doc_a"), col("doc_b")), maxIters)
       .orderBy(col("doc_id"))
 
   /** Near-dup METHOD-AGREEMENT matrix: for each pair of detection
@@ -416,14 +513,21 @@ object Dedup {
     * candidate pair regardless of corpus size, on top of the methods
     * themselves. */
   def methodAgreement(s: SparkSession, dir: String): DataFrame = {
-    // ONE signature derivation feeds both simhash-blocked methods
-    val sh = simhash(s, dir).cache()
-    val tagged = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-        .withColumn("method", lit("ngram"))
-      .unionByName(hammingPairsFrom(sh, maxDist = 2).select(col("doc_a"), col("doc_b"))
-        .withColumn("method", lit("hamming")))
-      .unionByName(fuzzyPairsFrom(s, dir, sh, maxDist = 10).select(col("doc_a"), col("doc_b"))
-        .withColumn("method", lit("fuzzy")))
+    // ONE signature derivation feeds both simhash-blocked methods; it
+    // and each method's pair set are localCheckpoint'd so the three
+    // pair pipelines run SEQUENTIALLY as separate jobs — evaluating all
+    // three inside one action made them fight for execution memory
+    // (round-4 bench: 107 s for a report whose parts sum to ~17 s).
+    // The union+agg then runs over three tiny materialized pair sets.
+    val sh = simhashRaw(s, dir).localCheckpoint()
+    val ng = ngramPairs(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val hm = hammingPairsFrom(sh, maxDist = 3).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val fz = fuzzyPairsFrom(s, dir, sh, maxDist = 10).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val tagged = ng.withColumn("method", lit("ngram"))
+      .unionByName(hm.withColumn("method", lit("hamming")))
+      .unionByName(fz.withColumn("method", lit("fuzzy")))
     tagged.groupBy(col("doc_a"), col("doc_b"))
       .agg(max(when(col("method") === "ngram", 1L).otherwise(0L)).as("has_ng"),
            max(when(col("method") === "hamming", 1L).otherwise(0L)).as("has_hm"),
@@ -455,7 +559,7 @@ object Dedup {
     * — and the histogram groups the ≤|clusters| size rows. Output is
     * ≤ max-cluster-size rows regardless of corpus scale. */
   def clusterStats(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+    connectedComponents(ngramPairs(s, dir).select(col("doc_a"), col("doc_b")))
       .groupBy(col("comp_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
@@ -465,7 +569,7 @@ object Dedup {
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =
-    simhash(s, dir)
+    simhashRaw(s, dir)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") > 1)

@@ -268,7 +268,7 @@ object Pipeline {
     * (same plan, wider key) and the size relation stays one row per
     * cluster — never broadcast-unsafe. */
   def dupWeights(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.simhash(s, dir)
+    val sh = Dedup.simhashRaw(s, dir)
     val sizes = sh.groupBy(col("simhash")).agg(count(lit(1)).as("cluster_size"))
     sh.join(sizes, Seq("simhash"))
       .select(col("doc_id"), col("cluster_size"),
@@ -309,7 +309,7 @@ object Pipeline {
     * summation-order-dependent and never oracle-stable. Two hash joins
     * on doc_id + one 6-group aggregate. */
   def qualityByDup(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.simhash(s, dir)
+    val sh = Dedup.simhashRaw(s, dir)
     val sizes = sh.groupBy(col("simhash")).agg(count(lit(1)).as("cluster_size"))
     val member = sh.join(sizes, Seq("simhash")).select(col("doc_id"), col("cluster_size"))
     val q = TextAnalysis.quality(s, dir)
@@ -389,7 +389,7 @@ object Pipeline {
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
-    val withSh = docs.join(Dedup.simhash(s, dir), Seq("doc_id")).cache()
+    val withSh = docs.join(Dedup.simhashRaw(s, dir), Seq("doc_id")).cache()
     val th = withSh.agg(expr("(max(doc_id) + 1) * 4 div 5")).head.getLong(0)
     val old = withSh.filter(col("doc_id") < th)
     val neu = withSh.filter(col("doc_id") >= th)

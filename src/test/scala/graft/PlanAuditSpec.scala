@@ -19,7 +19,11 @@ class PlanAuditSpec extends SparkSuite {
   private val constructive = Set("log_store_roundtrip", "dedup_components",
     // runs the whole iterative merge loop while BUILDING its result —
     // audited by its own reference-equivalence spec in TextAnalysisSpec
-    "text_bpe_train")
+    "text_bpe_train",
+    // run the CC fixpoint / localCheckpoint their constituent pair
+    // pipelines while building — the join shapes they reuse are audited
+    // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
+    "dedup_cluster_stats", "dedup_keep_best", "dedup_method_agreement")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;
@@ -36,7 +40,14 @@ class PlanAuditSpec extends SparkSuite {
     // knn-graph assigns every vector to the 8-row seed-centroid table
     // (the same intended IVF coarse-quantizer cross shape); the pair
     // join itself is an equi-join on list_id
-    "emb_knn_graph")
+    "emb_knn_graph",
+    // the shingle DF cap joins the 1-ROW corpus-count aggregate onto the
+    // per-shingle frequencies (DataFrame form of a scalar subquery —
+    // the constant join key folds away, leaving a 1-row broadcast BNLJ;
+    // harmless at any scale). Shingle-family dedup queries checkpoint
+    // this derivation during construction, so only the direct
+    // decontamination consumers still carry it in their audited plans.
+    "pipe_decontaminate", "pipe_decontaminate_bloom")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
