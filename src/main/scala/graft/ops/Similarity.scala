@@ -422,30 +422,40 @@ object Similarity {
     * structure semantic-dedup clustering and graph-based diversity
     * sampling consume (per-QUERY top-k answers point lookups; the GRAPH
     * needs k neighbors for EVERY node). Candidates are same-IVF-list
-    * pairs (the deterministic seed centroids every IVF op here shares):
-    * a hash-partitioned equi-join on list_id, so the pair work is
-    * Σ|list|² — bounded by the coarse quantizer, never N² — and each
-    * unordered pair scores its cosine ONCE before the symmetric union
-    * doubles the edge list (arrays already dropped, so the union ships
-    * narrow rows). Per-node ranking is the bounded [[topK]] aggregate:
-    * ≤k edges per node cross the final shuffle. At 100 TB you raise
-    * nlist to keep lists at partition size and add nprobe-style
-    * neighboring lists for recall; the plan shape is unchanged. */
-  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * pairs (the deterministic seed centroids every IVF op here shares),
+    * with the NEIGHBOR side capped to a fixed per-list candidate POOL:
+    * the `poolPerList` members with the smallest md5(vec_id) — a
+    * deterministic hash sample the oracle replays. Every node scores
+    * against ≤ poolPerList candidates, so the pair work is Σ|list|·L —
+    * LINEAR in corpus size — where the uncapped member×member join was
+    * Σ|list|², a quadratic exposure whenever the coarse quantizer skews
+    * (with 8 seed lists, one hot list approaches n²/8). The pool is the
+    * recall knob: raise it (and nlist) at corpus scale; neighbors are
+    * found only inside the pool, which is the same
+    * approximation-by-sampling contract the cos-histogram op uses.
+    * Per-node ranking is the bounded [[topK]] aggregate: ≤k edges per
+    * node cross the final shuffle. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3,
+               poolPerList: Int = 48): DataFrame = {
     val vs = vectors(s, dir)
     val assigned = nearestCentroids(vs, seedCentroids(vs), 1, "n")
-    val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
-                            col("n_v").as("va"), col("n_norm").as("na"))
-    val b = assigned.select(col("list_id"), col("n_id").as("vec_b"),
-                            col("n_v").as("vb"), col("n_norm").as("nb"))
-    val pairs = a.join(b, Seq("list_id")).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+    // per-list window: the sort is bounded by list size, the same bound
+    // the quantizer already imposes on every IVF op here
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("list_id"))
+      .orderBy(md5(col("vec_b").cast("string")), col("vec_b"))
+    val pool = assigned
+      .select(col("list_id"), col("n_id").as("vec_b"),
+              col("n_v").as("vb"), col("n_norm").as("nb"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= poolPerList).drop("prk")
+    val members = assigned.select(col("list_id"), col("n_id").as("vec_a"),
+                                  col("n_v").as("va"), col("n_norm").as("na"))
+    val scored = members.join(pool, Seq("list_id"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
               (dot("va", "vb") / (col("na") * col("nb"))).as("cos"))
-    val sym = pairs
-      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"), col("cos"))
-      .unionByName(pairs
-        .select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id"), col("cos")))
-    topK(sym, k).withColumnRenamed("query_id", "vec_id")
+    topK(scored, k).withColumnRenamed("query_id", "vec_id")
   }
 
   /** Top-k dimension-pair COVARIANCES — the embedding-space diagnostics
