@@ -98,6 +98,12 @@ case class AsOfJoinExec(
       val ordOrd = RowOrdering.createNaturalAscendingOrdering(leftOrd.map(_.dataType))
       val nullRight: InternalRow = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      // Spark's operator contract expects exec output rows to be
+      // UnsafeRow (getByteArrayRdd / SortExec / UnsafeRowSerializer all
+      // cast) — emitting the reused JoinedRow directly would crash any
+      // direct collect/sort/shuffle consumer that has no Project on
+      // top. Same resultProj discipline as SortMergeJoinExec.
+      val resultProj = UnsafeProjection.create(output, output)
       val buffered = rIter.buffered
       // O(1) merge state: the latest right row seen whose key might still
       // match, plus a copy of its key (projections reuse buffers).
@@ -124,8 +130,8 @@ case class AsOfJoinExec(
         }
         // stale candidates (from an earlier key) fail the equality check
         if (candidate != null && keyOrd.compare(candidateKey, lk) == 0)
-          joined(lRow, candidate)
-        else joined(lRow, nullRight)
+          resultProj(joined(lRow, candidate))
+        else resultProj(joined(lRow, nullRight))
       }
     }
   }
@@ -168,8 +174,20 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
-    GraftShim.ofRows(s, AsOfJoinPlan(lp, rp,
-      leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      leftOrd.map(resolve(lp, _)), rightOrd.map(resolve(rp, _)), inclusive))
+    val (lkA, rkA) = (leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)))
+    val (loA, roA) = (leftOrd.map(resolve(lp, _)), rightOrd.map(resolve(rp, _)))
+    // The merge compares right-side projections with orderings built
+    // from the LEFT side's types — a type mismatch would silently
+    // compare mismatched representations and return wrong rows, so it
+    // must fail fast here instead.
+    def requireSameTypes(l: Seq[Attribute], r: Seq[Attribute], what: String): Unit =
+      l.zip(r).foreach { case (a, b) =>
+        require(a.dataType == b.dataType,
+          s"as-of join $what type mismatch: '${a.name}' ${a.dataType.simpleString} vs " +
+          s"'${b.name}' ${b.dataType.simpleString} — cast one side before joining")
+      }
+    requireSameTypes(lkA, rkA, "key")
+    requireSameTypes(loA, roA, "ordering")
+    GraftShim.ofRows(s, AsOfJoinPlan(lp, rp, lkA, rkA, loA, roA, inclusive))
   }
 }

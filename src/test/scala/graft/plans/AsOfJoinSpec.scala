@@ -79,6 +79,27 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("raw join output survives direct collect and sort — no Project on top") {
+    // exec output must be UnsafeRow: a bare collect()/orderBy on the
+    // join (no select in between) crashes if the exec leaks JoinedRows
+    val df = AsOf.join(trades, quotes, Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"))
+    assert(df.collect().length == 5)
+    val sorted = df.orderBy($"px".desc_nulls_last).collect()
+    assert(sorted.length == 5 && sorted.head.getDouble(5) == 3.0)
+  }
+
+  test("mismatched key/ordering column types are rejected, not silently miscompared") {
+    val r = quotes.select($"q_sym", $"q_t".cast("int").as("q_t"), $"px")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(trades, r, Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+    val r2 = quotes.select($"q_sym".cast("binary").as("q_sym"), $"q_t", $"px")
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades, r2, Seq("sym"), Seq("q_sym"), Seq("t"), Seq("q_t"))
+    }
+  }
+
   test("property: operator matches the brute-force as-of model on random data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // tight key/time domains force the interesting cases: key collisions,
