@@ -47,6 +47,11 @@ final class StreamingIngest(spark: SparkSession, store: LogStore,
 
   private val idRe = "^[A-Za-z0-9_-]+$"
 
+  /** Test seam: invoked at the START of each per-key drain task, on the
+    * pool thread. StreamingIngestSpec points this at a latch to prove
+    * the drains genuinely overlap (a serialized loop would time out). */
+  @volatile private[streaming] var drainHook: (String, String) => Unit = (_, _) => ()
+
   /** Start the ingest stream. `Trigger.AvailableNow` drains what exists
     * and stops (good for tests/backfill); pass a processing-time trigger
     * for continuous tailing. */
@@ -84,13 +89,30 @@ final class StreamingIngest(spark: SparkSession, store: LogStore,
                 col("container"), col("session"))
       val keys = good.select(col("container"), col("session")).distinct()
         .collect().map(r => (r.getString(0), r.getString(1)))
-      keys.foreach { case (c, s) =>
-        val bytes = store.appendIdempotent(
-          good.filter(col("container") === c && col("session") === s)
-            .select(col("timestamp"), col("level"), col("message")),
-          c, s, s"stream-$batchId")
-        compactor.noteAppend(c, s, bytes)
-      }
+      // Per-key appends are independent (LogStore locks per session,
+      // Compactor counters are atomic), so a batch touching many
+      // tenants drains on a bounded pool instead of serializing —
+      // Spark job submission is thread-safe, and a failed append still
+      // fails the whole batch (get() below rethrows) so the replayed
+      // batch re-runs every key under the same idempotence tag.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(keys.length, 1), 8))
+      try {
+        val futures = keys.map { case (c, s) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              drainHook(c, s)
+              val bytes = store.appendIdempotent(
+                good.filter(col("container") === c && col("session") === s)
+                  .select(col("timestamp"), col("level"), col("message")),
+                c, s, s"stream-$batchId")
+              compactor.noteAppend(c, s, bytes)
+            }
+          })
+        }
+        try futures.foreach(_.get())
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      } finally pool.shutdown()
     } finally typed.unpersist()
   }
 }

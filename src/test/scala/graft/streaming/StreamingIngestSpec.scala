@@ -45,6 +45,30 @@ class StreamingIngestSpec extends SparkSuite {
     assert(store.read("app", "s1").count() === 3)
   }
 
+  test("a many-tenant batch drains keys concurrently, not serially") {
+    val root = tempDir("stream-par")
+    val in = tempDir("stream-par-in")
+    val store = new LogStore(spark, s"$root/data")
+    val compactor = new Compactor(store, thresholdBytes = Long.MaxValue)
+    val ingest = new StreamingIngest(spark, store, compactor, in,
+      s"$root/ckpt", s"$root/rejects")
+    // Overlap proof: every key's drain blocks until a SECOND drain has
+    // started on another pool thread. A serialized per-key loop would
+    // sit at count 1 forever and time out, failing the batch.
+    val started = new java.util.concurrent.CountDownLatch(2)
+    ingest.drainHook = (_, _) => {
+      started.countDown()
+      if (!started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "second concurrent key drain never started — appends are serialized")
+    }
+    writeLines(in, "many.json", (1 to 6).map(i =>
+      s"""{"timestamp":"2025-03-01T10:0$i:00Z","level":"INFO","message":"m$i","container":"app","session":"s$i"}"""))
+    val q = ingest.start()
+    q.awaitTermination(120000)
+    (1 to 6).foreach(i => assert(store.read("app", s"s$i").count() === 1))
+  }
+
   test("appendIdempotent: replaying the same tag is a no-op (exactly-once on batch retry)") {
     import java.sql.Timestamp
     import java.time.Instant
