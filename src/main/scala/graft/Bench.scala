@@ -36,29 +36,37 @@ object Bench {
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-      val (dt0, ok) = timeOnce(name, fn)
+    // Queries are independent: drop any intermediate caches a query
+    // pinned (minhash/shingle relations) so 100+ queries in one JVM
+    // don't evict each other's execution memory — the leak showed up
+    // as spill churn on the late-alphabet document queries.
+    // Shuffle files are only deleted when their ShuffleDependency is
+    // garbage-collected (ContextCleaner); with a large heap a 100+-query
+    // run never GCs, tens of GB of dead shuffle blocks pile up in the
+    // RAM-backed scratch dir, and the box hits reclaim stalls by the
+    // late-alphabet queries (measured: 825 s total vs 183 s). An
+    // explicit GC between queries keeps scratch at working-set size
+    // (an every-8-queries variant measured WORSE — 250-350 s totals
+    // with random multi-second stalls — dead shuffle state piling up
+    // between the sparse GCs costs more than the extra pauses).
+    def clean(): Unit = { spark.catalog.clearCache(); System.gc() }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (dt0, ok0) = timeOnce(name, fn)
       // This host shows real CPU-steal bursts (multi-10s stalls that hit
       // one random query per run — /proc/stat steal ≫ 0). A single
       // measurement under a burst misreports the PLAN as slow; standard
       // benchmark practice is min-of-N. Bound the cost: only re-measure
-      // queries whose first run is implausibly slow.
-      val dt = if (ok && dt0 > 10.0) math.min(dt0, timeOnce(name, fn)._1) else dt0
-      // Queries are independent: drop any intermediate caches a query
-      // pinned (minhash/shingle relations) so 100+ queries in one JVM
-      // don't evict each other's execution memory — the leak showed up
-      // as spill churn on the late-alphabet document queries.
-      spark.catalog.clearCache()
-      // Shuffle files are only deleted when their ShuffleDependency is
-      // garbage-collected (ContextCleaner); with a large heap a 100+-query
-      // run never GCs, tens of GB of dead shuffle blocks pile up in the
-      // RAM-backed scratch dir, and the box hits reclaim stalls by the
-      // late-alphabet queries (measured: 825 s total vs 183 s). An
-      // explicit GC between queries keeps scratch at working-set size
-      // (an every-8-queries variant measured WORSE — 250-350 s totals
-      // with random multi-second stalls — dead shuffle state piling up
-      // between the sparse GCs costs more than the extra pauses).
-      System.gc()
+      // queries whose first run is implausibly slow — with the same
+      // cache/GC hygiene BETWEEN the runs as between queries, and the
+      // retry's own failure flag honored (a slow success followed by a
+      // failing retry must surface as failed, not hide in a timing).
+      val (dt, ok) = if (ok0 && dt0 > 10.0) {
+        clean()
+        val (dt1, ok1) = timeOnce(name, fn)
+        if (ok1) (math.min(dt0, dt1), true)
+        else { System.err.println(s"[bench] $name retry FAILED"); (dt0, false) }
+      } else (dt0, ok0)
+      clean()
       (name, dt, ok)
     }
     // Full per-query detail goes to STDERR — the driver's harness keeps
@@ -82,6 +90,10 @@ object Bench {
       s"\"$k\":${sec(v)}"
     }.takeWhile { e => val fits = budget - (e.length + 1) >= 0; if (fits) budget -= e.length + 1; fits }.toSeq
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")}}""")
+    // Service-path throughput (ingest-while-query over the HTTP surface)
+    // — stderr detail only, AFTER the budgeted stdout line so a service
+    // hiccup can never clip the parseable bench result.
+    if (sys.env.getOrElse("SPARK_GRAFT_SERVICE_BENCH", "1") != "0") ServiceBench.run(spark)
     if (results.exists(!_._3)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -1,0 +1,89 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.SparkSession
+
+/** Timed ingest-while-query benchmark over the REFERENCE'S one real
+  * workload: the full HTTP service path (auth → containers/sessions →
+  * concurrent POST /logs + GET /logs) against the two-tier LogStore,
+  * with the buffer threshold forced low enough that size-triggered
+  * rotation and async compaction run MID-TRAFFIC — the measured number
+  * is the serving path, not a quiet store. Reported on STDERR as a
+  * `log_service_throughput` detail line (the budgeted stdout JSON line
+  * is reserved for the query timings); opt out with
+  * SPARK_GRAFT_SERVICE_BENCH=0. */
+object ServiceBench {
+
+  def run(spark: SparkSession): Unit = {
+    val root = Scratch.localDir + s"/svcbench-${System.nanoTime()}"
+    val server = new api.LogServer(spark, root, bufferSizeLimit = 64 * 1024).start()
+    val client = HttpClient.newHttpClient()
+    val base = s"http://localhost:${server.boundPort}"
+    def send(method: String, path: String, body: Option[String],
+             token: Option[String]): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+        b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), BodyHandlers.ofString())
+    }
+    try {
+      val tokenBody = send("POST", "/api/auth/login",
+        Some("""{"username":"admin","password":"admin"}"""), None).body
+      val token = tokenBody.split("\"token\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
+      send("POST", "/api/containers", Some("""{"container_id":"bench"}"""), Some(token))
+
+      val nWriters = 4
+      val nBatches = 15
+      val rowsPerBatch = 40
+      (1 to nWriters).foreach { w =>
+        send("POST", "/api/containers/bench/sessions",
+          Some(s"""{"session_id":"w$w"}"""), Some(token))
+      }
+      val appendsOk = new AtomicInteger(0)
+      val readsOk = new AtomicInteger(0)
+      val errors = new AtomicInteger(0)
+      @volatile var writing = true
+      val writers = (1 to nWriters).map { w =>
+        new Thread(() => {
+          for (b <- 1 to nBatches) {
+            val logs = (1 to rowsPerBatch).map(i =>
+              f"""{"level":"INFO","message":"w$w-b$b-r$i payload ${"x" * 64}","timestamp":"2025-01-01T${b % 24}%02d:${i % 60}%02d:00Z"}""")
+              .mkString("[", ",", "]")
+            val r = send("POST", s"/api/logs/bench/w$w", Some(s"""{"logs":$logs}"""), Some(token))
+            if (r.statusCode == 201) appendsOk.incrementAndGet() else errors.incrementAndGet()
+          }
+        }, s"svc-writer-$w")
+      }
+      val readers = (1 to 2).map { r =>
+        new Thread(() => {
+          var w = r
+          while (writing) {
+            val resp = send("GET", s"/api/logs/bench/w${w % nWriters + 1}", None, Some(token))
+            if (resp.statusCode == 200) readsOk.incrementAndGet() else errors.incrementAndGet()
+            w += 1
+          }
+        }, s"svc-reader-$r")
+      }
+      val t0 = System.nanoTime()
+      writers.foreach(_.start()); readers.foreach(_.start())
+      writers.foreach(_.join(300000))
+      writing = false
+      readers.foreach(_.join(300000))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = appendsOk.get.toLong * rowsPerBatch
+      System.err.println(
+        f"[bench] log_service_throughput       $dt%8.3f s  " +
+        f"ingest ${rows / dt}%.0f rows/s (${appendsOk.get / dt}%.1f appends/s), " +
+        f"${readsOk.get / dt}%.1f concurrent reads/s, errors=${errors.get}" +
+        f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] log_service_throughput FAILED: ${e.getMessage}")
+    } finally server.close()
+  }
+}
