@@ -326,22 +326,6 @@ object TextAnalysis {
       .withColumn("hapax_ratio", trunc6(col("n_hapax").cast("double") / col("n_types")))
       .orderBy(col("source"))
 
-  /** Per-source term-distribution DRIFT vs the whole corpus — the
-    * distribution-shift monitor a mixture pipeline runs per ingest feed
-    * (a source whose unigram distribution diverges is a domain shift,
-    * an encoding bug, or contamination — all things to catch BEFORE
-    * training). The statistic is exact L1 distance between the source's
-    * and the corpus's unigram distributions, computed WITHOUT float
-    * probabilities: put both on the common denominator N_s·N_c, so each
-    * present term contributes |tf_s·N_c − tf_c·N_s| (exact BIGINT) and
-    * the terms ABSENT from the source contribute N_s·(N_c − Σ_present
-    * tf_c) in one closed form — no join against the absent-term set,
-    * no explode beyond the token pass every text op here shares. One
-    * final IEEE division (trunc6) turns the integer numerator into the
-    * [0,2] L1 score identically on any engine. Aggregations are keyed
-    * (source, tok) then tok then source — hash-partitioned, map-side
-    * combined, no broadcast of the vocabulary (the corpus term relation
-    * joins on the token key). */
   /** BPE pair statistics — the first induction step of byte-pair-
     * encoding tokenizer training: corpus-wide frequencies of ADJACENT
     * character pairs inside word types, weighted by word frequency (the
@@ -442,6 +426,22 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Per-source term-distribution DRIFT vs the whole corpus — the
+    * distribution-shift monitor a mixture pipeline runs per ingest feed
+    * (a source whose unigram distribution diverges is a domain shift,
+    * an encoding bug, or contamination — all things to catch BEFORE
+    * training). The statistic is exact L1 distance between the source's
+    * and the corpus's unigram distributions, computed WITHOUT float
+    * probabilities: put both on the common denominator N_s·N_c, so each
+    * present term contributes |tf_s·N_c − tf_c·N_s| (exact BIGINT) and
+    * the terms ABSENT from the source contribute N_s·(N_c − Σ_present
+    * tf_c) in one closed form — no join against the absent-term set,
+    * no explode beyond the token pass every text op here shares. One
+    * final IEEE division (trunc6) turns the integer numerator into the
+    * [0,2] L1 score identically on any engine. Aggregations are keyed
+    * (source, tok) then tok then source — hash-partitioned, map-side
+    * combined, no broadcast of the vocabulary (the corpus term relation
+    * joins on the token key). */
   def sourceDrift(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))

@@ -10,11 +10,11 @@ class SparkEntrySpec extends AnyFunSuite {
   // HLL + KLL-style quantile sketch — rows-only checks; the quantile
   // twin's error is bounded against its exact twin in TextAnalysisSpec
   // + bloom-sketch decontamination twin (bit layout is engine-specific;
-  // its no-false-negatives contract vs the exact twin is in PipelineSpec)
-  // + the BPE trainer (iterative global argmax — not one SQL query;
-  // verified against a sequential reference in TextAnalysisSpec)
+  // its no-false-negatives contract vs the exact twin is in PipelineSpec).
+  // (The BPE trainer left this list in round 5: its oracle unrolls the
+  // merge rounds as CTE chains — see SparkEntry.bpeTrainOracle.)
   private val sketchOnly = Set("q21_approx_distinct", "text_length_quantiles_approx",
-    "pipe_decontaminate_bloom", "text_bpe_train")
+    "pipe_decontaminate_bloom")
 
   test("every query has oracle SQL, except documented sketch-based ops") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -88,7 +88,15 @@ class TextAnalysisSpec extends SparkSuite {
       }
       if (counts.isEmpty) None
       else {
-        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break on UTF-8 BYTES, matching Spark SQL's binary string
+        // ordering — Scala's default String ordering compares UTF-16
+        // code units, which disagrees for supplementary-plane chars
+        val utf8: Ordering[String] = (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8, utf8))
         types = types.toSeq.map { case (syms, f) =>
           (TextAnalysis.applyMerge(syms, l, r), f)
         }.groupMapReduce(_._1)(_._2)(_ + _)
