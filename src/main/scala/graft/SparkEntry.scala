@@ -86,6 +86,8 @@ object SparkEntry {
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
     "dedup_cluster_stats"  -> (Dedup.clusterStats _),
     "dedup_block_stats"    -> ((s: SparkSession, d: String) => Dedup.blockStats(s, d)),
+    "dedup_cross_source"   -> (Dedup.crossSourceLeakage _),
+    "text_boilerplate"     -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -1076,6 +1078,46 @@ object SparkEntry {
          |FROM cand
          |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH $shinglesCte,
+         |hot AS (
+         |  SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM common JOIN sizes x ON doc_a = x.doc_id
+         |              JOIN sizes y ON doc_b = y.doc_id
+         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |j AS (
+         |  SELECT LEAST(dx.source, dy.source) AS source_a,
+         |         GREATEST(dx.source, dy.source) AS source_b
+         |  FROM pairs JOIN documents dx ON doc_a = dx.doc_id
+         |             JOIN documents dy ON doc_b = dy.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  CAST(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END AS BIGINT) AS cross_source
+         |FROM j GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+    "text_boilerplate" ->
+      """WITH segs AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(array_to_string(w[(8*k+1):(8*k+8)], ' ')), 1, 15))::BIGINT AS seg
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(range(0, CAST(FLOOR(len(w)/8) AS BIGINT))) AS u(k)
+        |  WHERE len(w) >= 8),
+        |dfreq AS (
+        |  SELECT seg, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, seg FROM segs) d GROUP BY seg)
+        |SELECT s.doc_id, MAX(s.source) AS source, COUNT(*) AS n_segs,
+        |  CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  floor(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS boiler_ratio
+        |FROM segs s JOIN dfreq f ON s.seg = f.seg
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     "dedup_block_stats" ->
       s"""WITH $simhashCte,
          |$chunksCte,

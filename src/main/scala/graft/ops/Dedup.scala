@@ -330,7 +330,7 @@ object Dedup {
     * banding) — never all-pairs. At 64 bits each chunk key ranges over
     * 2¹⁶ values (vs 2⁴ in the retired 16-bit design), so block sizes
     * track true near-dup density instead of the birthday bound. */
-  private def blockedCandidates(sh: DataFrame, nChunks: Int): DataFrame = {
+  private[ops] def blockedCandidates(sh: DataFrame, nChunks: Int): DataFrame = {
     val chunks = chunkRelation(sh, nChunks)
     chunks.as("a").join(chunks.as("b"),
         col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
@@ -365,8 +365,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .join(docs.as("x"), col("doc_a") === col("x.doc_id"))
       .join(docs.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("dist", levenshtein(col("x.prefix"), col("y.prefix")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // THRESHOLDED levenshtein: the banded DP early-exits once the
+      // distance provably exceeds maxDist — O(len·maxDist) per pair
+      // instead of O(len²), and almost every blocked candidate is a
+      // non-match that exits early. Values ≤ the threshold are exact
+      // (-1 marks "above"), so the kept rows are identical to the
+      // unthresholded form the oracle computes.
+      .withColumn("dist",
+        levenshtein(col("x.prefix"), col("y.prefix"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
@@ -383,7 +390,7 @@ object Dedup {
 
   /** [[hammingNearDup]] over a caller-supplied simhash relation (see
     * [[fuzzyPairsFrom]]). */
-  private def hammingPairsFrom(sh: DataFrame, maxDist: Int): DataFrame =
+  private[ops] def hammingPairsFrom(sh: DataFrame, maxDist: Int): DataFrame =
     blockedCandidates(sh, maxDist + 1)
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
@@ -565,6 +572,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
       .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
       .orderBy(col("cluster_size"))
+
+  /** Cross-SOURCE duplicate-leakage report: the near-dup pairs
+    * ([[ngramPairs]]) rolled up by unordered source pair — the report
+    * that tells a mixture pipeline WHERE its duplication comes from.
+    * Within-source pairs (source_a = source_b) are ordinary feed
+    * redundancy; cross-source pairs are mirrored/syndicated content,
+    * and a pipeline that weights sources independently double-counts
+    * exactly those documents. Two hash joins on doc_id against the
+    * (doc_id, source) projection plus one small rollup — the pair
+    * relation is the already-thresholded near-dup set, so cost tracks
+    * real duplication, and the rollup output is bounded by #sources². */
+  def crossSourceLeakage(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(src.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(src.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(least(col("x.source"), col("y.source")).as("source_a"),
+              greatest(col("x.source"), col("y.source")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", (col("source_a") =!= col("source_b")).cast("long"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */

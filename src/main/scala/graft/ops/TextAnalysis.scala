@@ -467,4 +467,42 @@ object TextAnalysis {
       .select(col("source"), col("n_s"), col("n_terms"), col("drift_num"), col("l1_drift"))
       .orderBy(col("source"))
   }
+
+  /** Segment-level BOILERPLATE detection — the C4-style "line dedup"
+    * re-expressed over fixed token segments (this corpus carries no
+    * newline structure, so the dedup unit is each document's
+    * consecutive 8-token window). A segment whose cross-document
+    * frequency reaches `dfThreshold` is boilerplate — template headers,
+    * navigation chrome, license blurbs: content that repeats VERBATIM
+    * across documents that are NOT near-duplicates of each other, which
+    * document-level dedup structurally keeps. Per document: segment
+    * count, boilerplate-segment count, and the boilerplate ratio a
+    * cleaning pass would strip. Segments are keyed by the same 60-bit
+    * md5-derived integers as shingles (8-byte shuffle keys, never
+    * segment text); the DF aggregate counts DISTINCT docs so a segment
+    * repeated inside one document can't promote itself to boilerplate.
+    * Two shuffles (segment DF, per-doc rollup) + one hash equi-join —
+    * the same plan at any corpus size. */
+  def boilerplate(s: SparkSession, dir: String, segTokens: Int = 8,
+                  dfThreshold: Int = 2): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= segTokens) // sequence() descends when start > stop
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""transform(sequence(0, CAST(size(w) / $segTokens AS INT) - 1),
+           |  k -> CAST(conv(substr(md5(array_join(slice(w, $segTokens * k + 1, $segTokens), ' ')), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)).as("seg"))
+    val df = segs.select(col("doc_id"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    segs.join(df, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"), // constant within the doc
+           count(lit(1)).as("n_segs"),
+           sum(when(col("df") >= dfThreshold, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        Tables.trunc6(col("n_boiler").cast("double") / col("n_segs")))
+      .select(col("doc_id"), col("source"), col("n_segs"), col("n_boiler"),
+              col("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

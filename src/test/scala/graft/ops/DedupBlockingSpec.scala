@@ -1,0 +1,61 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSuite
+
+/** Exactness proof for the pigeonhole blocking under
+  * [[Dedup.hammingNearDup]]: with maxDist+1 chunks, EVERY pair within
+  * Hamming distance maxDist must surface as a candidate (the pigeonhole
+  * guarantee — maxDist differing bits can dirty at most maxDist of the
+  * maxDist+1 chunks), so the verified output must equal brute force
+  * exactly. Random signatures alone almost never collide at 64 bits, so
+  * the generator plants near-duplicate clusters by flipping a few bits
+  * of shared base signatures — the regime the blocking exists for. */
+class DedupBlockingSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("simhash", LongType)))
+
+  private def viaBlocking(sigs: Seq[Long], maxDist: Int): Set[(Long, Long, Long)] = {
+    val df = spark.createDataFrame(
+      sigs.zipWithIndex.map { case (h, i) => Row(i.toLong, h) }.asJava, schema)
+    Dedup.hammingPairsFrom(df, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def bruteForce(sigs: Seq[Long], maxDist: Int): Set[(Long, Long, Long)] =
+    (for {
+      i <- sigs.indices; j <- sigs.indices if i < j
+      d = java.lang.Long.bitCount(sigs(i) ^ sigs(j)).toLong if d <= maxDist
+    } yield (i.toLong, j.toLong, d)).toSet
+
+  // clusters of near-identical signatures: a base long with 0-5 bits
+  // flipped per member (distances 0..10 between members — some inside
+  // the maxDist=3 verify threshold, some outside it but still blocked)
+  private val sigSets: Gen[Seq[Long]] = for {
+    nBases <- Gen.chooseNum(2, 5)
+    bases <- Gen.listOfN(nBases, Gen.long)
+    members <- Gen.listOfN(18, for {
+      b <- Gen.oneOf(bases)
+      nFlips <- Gen.chooseNum(0, 5)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 63))
+    } yield flips.foldLeft(b)((h, j) => h ^ (1L << j)))
+  } yield members
+
+  test("pigeonhole blocking + verify equals brute force on near-dup clusters") {
+    val prop = Prop.forAll(sigSets) { sigs =>
+      viaBlocking(sigs, maxDist = 3) == bruteForce(sigs, maxDist = 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("identical signatures at distance 0 are found (degenerate cluster)") {
+    val sigs = Seq(42L, 42L, 42L, -1L)
+    assert(viaBlocking(sigs, maxDist = 3) ==
+      Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
+  }
+}
