@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
+    "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
@@ -1078,6 +1079,27 @@ object SparkEntry {
          |FROM cand
          |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_admission" ->
+      s"""WITH $simhashCte,
+         |inc AS (SELECT * FROM shash WHERE doc_id % 5 = 0),
+         |corp AS (SELECT * FROM shash WHERE doc_id % 5 <> 0),
+         |ca AS (
+         |  SELECT doc_id, simhash, j,
+         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS BIGINT) AS ck
+         |  FROM inc, UNNEST(range(0, 4)) AS u(j)),
+         |cb AS (
+         |  SELECT doc_id, simhash, j,
+         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS BIGINT) AS ck
+         |  FROM corp, UNNEST(range(0, 4)) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS corpus_doc,
+         |         a.simhash AS ha, b.simhash AS hb
+         |  FROM ca a JOIN cb b ON a.j = b.j AND a.ck = b.ck)
+         |SELECT in_doc, corpus_doc,
+         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
+         |ORDER BY in_doc, corpus_doc""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH $shinglesCte,
          |hot AS (

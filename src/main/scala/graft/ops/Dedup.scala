@@ -271,30 +271,74 @@ object Dedup {
     * All 32 md5 hex chars are available; 64 uses the first 16. */
   private[ops] val SimHashBits = 64
 
-  /** 64-bit SimHash per document, frequency-weighted over tokens.
-    * Bit j of each token is a pure function of md5(token) (hex char
-    * j/4, bit 3-j%4), so it is computed INLINE on the (doc_id, token,
-    * cnt) row — no distinct-vocabulary relation and no broadcast (the
-    * round-1 design broadcast the vocabulary, which at 100 TB is
-    * billions of tokens → OOM). One shuffle: groupBy(doc_id) with 64
-    * map-side-combined signed sums, then the bits assemble in the
-    * projection. The oracle derives identical hashes from md5. */
+  /** 64-bit SimHash per document, frequency-weighted over tokens —
+    * [[simhashExpr]] (a zero-shuffle projection) plus the presentation
+    * sort the report surface wants. Bit j of each token is a pure
+    * function of md5(token) (hex char j/4, bit 3-j%4) — no
+    * distinct-vocabulary relation and no broadcast (the round-1 design
+    * broadcast the vocabulary, which at 100 TB is billions of tokens →
+    * OOM). The oracle derives identical hashes from md5. */
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhashRaw(s, dir).orderBy(col("doc_id"))
 
-  /** [[simhash]] without the presentation sort — what every JOIN
-    * consumer (blocking, buckets, pipeline weights) wants; a global
-    * orderBy feeding a shuffle would be discarded work. */
-  private[ops] def simhashRaw(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("tok")))
-    // bit j: hex digit j/4 of md5, bit (3 - j%4) of that digit — all
-    // positions constant-folded per j, so the whole row stays codegen'd.
-    def bit(j: Int) = expr(
-      s"((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - (j % 4)}) & 1")
-    val weights = (0 until SimHashBits).map(j => sum((bit(j) * 2 - 1) * col("cnt")).as(s"w$j"))
+  /** The 64-bit SimHash as a PURE PROJECTION over a text column — one
+    * `aggregate` fold over the token array with a 64-long accumulator:
+    * per token the first 16 md5 hex chars parse ONCE into two 32-bit
+    * integer halves, then each bit is a shift-and (higher-order-
+    * function lambdas are interpreted, not codegen'd, so the inner
+    * loop must be integer ops — an earlier draft did per-bit
+    * `instr`/`substr` string work and was ~6× slower than the explode
+    * form at sf0.1). Frequency weighting falls out of the fold
+    * visiting every occurrence: Σ_occurrences (±1) = Σ_types cnt·(±1),
+    * exactly the grouped form. All-integer sums, so the fold is
+    * order-independent and ANSI-safe (bit 63's term is
+    * shiftleft(1,63) = Long.MinValue, added after the nonnegative low
+    * bits). Zero shuffles and NO aggregation state, which is what lets
+    * [[nearDupAgainst]] run in Structured Streaming append mode; batch
+    * consumers use [[simhashOf]] instead — same values, but its
+    * explode + partial-agg plan keeps the per-bit loop inside
+    * whole-stage codegen, which at scan-dominated batch scale beats
+    * saving the 64-long-per-doc shuffle. */
+  def simhashExpr(textCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(
+       |  transform(split($textCol, ' '),
+       |    t -> named_struct(
+       |      'h1', CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT),
+       |      'h2', CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT))),
+       |  array_repeat(CAST(0 AS BIGINT), $SimHashBits),
+       |  (acc, h) -> zip_with(acc,
+       |    transform(sequence(0, ${SimHashBits - 1}),
+       |      j -> ((IF(j < 32, h.h1, h.h2)
+       |             >> CAST(4 * (7 - (j % 32) DIV 4) + 3 - j % 4 AS INT)) & 1) * 2 - 1),
+       |    (a, b) -> a + b),
+       |  acc -> aggregate(sequence(0, ${SimHashBits - 1}), CAST(0 AS BIGINT),
+       |    (s, j) -> s + IF(acc[CAST(j AS INT)] > 0, shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), CAST(0 AS BIGINT))))""".stripMargin)
+
+  /** The same 64-bit signature over an arbitrary (doc_id, `textCol`)
+    * relation, in the BATCH-optimal shape: tokens explode, the two
+    * md5 halves parse once per occurrence, and the 64 per-bit ±1
+    * weights partial-aggregate under one groupBy(doc_id) — the only
+    * shuffle, carrying 64 longs per doc per partition (map-side
+    * combined). Every expression is codegen-friendly integer work;
+    * [[simhashExpr]] computes the identical value as a single
+    * projection for streaming (parity proven in StreamingNearDupSpec). */
+  private[ops] def simhashOf(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)").as("h2"))
+    // bit j: hex digit j/4 (0-based) of the md5 prefix, bit 3-j%4 of
+    // that digit — digit p (0-based within its half) sits at shift
+    // 4*(7-p) of the parsed 32-bit half, so the whole lookup is one
+    // constant-folded shift-and per (j, row).
+    def bit(j: Int) = {
+      val half = if (j < 32) "h1" else "h2"
+      val shift = 4 * (7 - (j % 32) / 4) + (3 - j % 4)
+      expr(s"($half >> $shift) & 1")
+    }
+    val weights = (0 until SimHashBits).map(j => sum(bit(j) * 2 - 1).as(s"w$j"))
     // Bit 63's term is 1L << 63 == Long.MinValue — the signed-64
     // representation both engines share. Summation order keeps every
     // partial sum in range (nonnegative low bits first, the one
@@ -305,23 +349,50 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** (doc_id, simhash, j, ck): the signature split into `nChunks`
-    * pigeonhole chunks — the blocking relation under [[hammingNearDup]],
-    * [[fuzzyEditDistance]] and [[blockStats]]. Chunk widths are
-    * ⌈bits/nChunks⌉ with the LAST chunk masked to the bits that really
-    * exist, so no chunk key ever contains arithmetic-shift sign
-    * extension (which the oracle engine might fill differently). */
-  private def chunkRelation(sh: DataFrame, nChunks: Int): DataFrame = {
+  /** [[simhash]] without the presentation sort — what every JOIN
+    * consumer (blocking, buckets, pipeline weights) wants; a global
+    * orderBy feeding a shuffle would be discarded work. */
+  private[ops] def simhashRaw(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  /** (lo, mask) of each pigeonhole chunk: widths are ⌈bits/nChunks⌉
+    * with the LAST chunk masked to the bits that really exist, so no
+    * chunk key ever contains arithmetic-shift sign extension (which
+    * the oracle engine might fill differently). */
+  private def chunkBounds(nChunks: Int): Seq[(Int, Long)] = {
     val width = (SimHashBits + nChunks - 1) / nChunks
-    val chunkExprs = (0 until nChunks).map { j =>
+    (0 until nChunks).map { j =>
       val lo = width * j
       val w = math.min(width, SimHashBits - lo)
-      val mask = if (w >= 64) -1L else (1L << w) - 1
+      (lo, if (w >= 64) -1L else (1L << w) - 1)
+    }
+  }
+
+  /** (doc_id, simhash, j, ck): the signature split into `nChunks`
+    * pigeonhole chunks — the blocking relation under [[hammingNearDup]],
+    * [[fuzzyEditDistance]] and [[blockStats]]. */
+  private def chunkRelation(sh: DataFrame, nChunks: Int): DataFrame = {
+    val chunkExprs = chunkBounds(nChunks).zipWithIndex.map { case ((lo, mask), j) =>
       struct(lit(j).as("j"), expr(s"CAST((simhash >> $lo) & $mask AS BIGINT)").as("ck"))
     }
     sh.select(col("doc_id"), col("simhash"), explode(array(chunkExprs: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.ck").as("ck"))
   }
+
+  /** `j = <index of the first chunk on which ha and hb agree>` — the
+    * STATELESS pair dedup for chunk-blocked joins. A pair colliding on
+    * k chunks comes out of the block join k times; keeping only the
+    * row joined via the first agreeing chunk keeps exactly one copy
+    * using nothing but the two signatures already on the row. The
+    * round-≤4 design paid a `distinct()` here — a full extra shuffle
+    * of the candidate set, and the one thing that kept this pipeline
+    * out of Structured Streaming (stateful dedup on an unbounded pair
+    * stream); a pure filter costs neither. */
+  private def firstAgreeingChunk(nChunks: Int) =
+    chunkBounds(nChunks).zipWithIndex.foldRight(lit(nChunks)) {
+      case (((lo, mask), j), els) =>
+        when(expr(s"((ha ^ hb) >> $lo) & $mask") === 0, lit(j)).otherwise(els)
+    }
 
   /** Candidate pairs under pigeonhole blocking with `nChunks` chunks:
     * any pair within Hamming distance nChunks−1 must agree exactly on
@@ -329,15 +400,19 @@ object Dedup {
     * composite-key self-join (same single-shuffle trick as MinHash
     * banding) — never all-pairs. At 64 bits each chunk key ranges over
     * 2¹⁶ values (vs 2⁴ in the retired 16-bit design), so block sizes
-    * track true near-dup density instead of the birthday bound. */
+    * track true near-dup density instead of the birthday bound.
+    * Multi-chunk collisions dedup via [[firstAgreeingChunk]], not a
+    * shuffle. */
   private[ops] def blockedCandidates(sh: DataFrame, nChunks: Int): DataFrame = {
     val chunks = chunkRelation(sh, nChunks)
     chunks.as("a").join(chunks.as("b"),
         col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
+              col("a.simhash").as("ha"), col("b.simhash").as("hb"),
+              col("a.j").as("j"))
+      .filter(col("j") === firstAgreeingChunk(nChunks))
+      .drop("j")
   }
 
   /** Fuzzy near-dup via edit distance, pigeonhole-blocked on SimHash:
@@ -395,6 +470,50 @@ object Dedup {
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+
+  /** Near-dup ADMISSION check of `incoming` docs against a reference
+    * `corpus` — the ingest-time gate of a training pipeline ("is this
+    * new document within Hamming `maxDist` of anything we already
+    * hold?"). Both inputs are (doc_id, simhash) relations (project
+    * [[simhashExpr]] to build one); output is one row per matching
+    * (in_doc, corpus_doc) pair with the exact distance.
+    *
+    * Every piece is STATELESS — [[simhashExpr]] is a projection, the
+    * chunk explosion is a generator, the block join is stream-static,
+    * and pair dedup is the [[firstAgreeingChunk]] filter — so the same
+    * call works unchanged when `incoming` is a Structured Streaming
+    * DataFrame: an append-mode stream-static equi-join, no watermark,
+    * no state store (StreamingNearDupSpec drives exactly that). At
+    * 100 TB the corpus side is parquet the join shuffles by (j, ck);
+    * the stream side touches only each micro-batch. */
+  def nearDupAgainst(incoming: DataFrame, corpus: DataFrame,
+                     maxDist: Int = 3): DataFrame = {
+    val n = maxDist + 1
+    val a = chunkRelation(incoming, n)
+      .select(col("doc_id").as("in_doc"), col("simhash").as("ha"),
+              col("j"), col("ck"))
+    val b = chunkRelation(corpus, n)
+      .select(col("doc_id").as("corpus_doc"), col("simhash").as("hb"),
+              col("j"), col("ck"))
+    a.join(b, Seq("j", "ck"))
+      .filter(col("j") === firstAgreeingChunk(n))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("in_doc"), col("corpus_doc"), col("dist"))
+  }
+
+  /** [[nearDupAgainst]] driven as a batch report over the documents
+    * table: docs with `doc_id % 5 = 0` play the incoming batch, the
+    * rest the standing corpus — the admission decision a training
+    * pipeline would make at ingest, replayed over test data so the
+    * driver's oracle can check the whole stream-capable path (the
+    * streaming twin of this exact plan runs in StreamingNearDupSpec). */
+  def admissionGate(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhashRaw(s, dir)
+    nearDupAgainst(sh.filter(col("doc_id") % 5 === 0),
+                   sh.filter(col("doc_id") % 5 =!= 0), maxDist)
+      .orderBy(col("in_doc"), col("corpus_doc"))
+  }
 
   /** Pigeonhole-block HEALTH report — the pre-flight forecast a blocked
     * dedup run needs before paying for the candidate join: per chunk

@@ -58,4 +58,23 @@ class DedupBlockingSpec extends SparkSuite {
     assert(viaBlocking(sigs, maxDist = 3) ==
       Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
   }
+
+  test("simhashOf (codegen explode form) and simhashExpr (streaming projection) agree") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = spark.createDataFrame(Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "one"),
+      Row(3L, "repeat repeat repeat distinct tokens skew the weights"),
+      Row(4L, "the quick brown fox jumps over the lazy cat"),
+      Row(5L, "a b a b a b a b c d e f g h i j k l m n o p")).asJava, docSchema)
+    val viaAgg = Dedup.simhashOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProj = docs.select(col("doc_id"), Dedup.simhashExpr("text").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaProj)
+    assert(viaAgg.values.toSet.size === 5, "distinct texts must hash apart")
+  }
 }
