@@ -27,6 +27,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TopKPairs.name),
       new ExpressionInfo(classOf[TopKPairs].getName, TopKPairs.name),
       TopKPairs.builder))
+    ext.injectFunction((
+      FunctionIdentifier(SimHash64.name),
+      new ExpressionInfo(classOf[SimHash64].getName, SimHash64.name),
+      SimHash64.builder))
     // Rewrite the composable aggregate(zip_with(...)) dot-product idiom
     // to the fused expression wherever it is provably equivalent.
     ext.injectOptimizerRule(_ => DotProductRewrite)

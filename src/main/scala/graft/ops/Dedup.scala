@@ -315,38 +315,18 @@ object Dedup {
        |    (s, j) -> s + IF(acc[CAST(j AS INT)] > 0, shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), CAST(0 AS BIGINT))))""".stripMargin)
 
   /** The same 64-bit signature over an arbitrary (doc_id, `textCol`)
-    * relation, in the BATCH-optimal shape: tokens explode, the two
-    * md5 halves parse once per occurrence, and the 64 per-bit ±1
-    * weights partial-aggregate under one groupBy(doc_id) — the only
-    * shuffle, carrying 64 longs per doc per partition (map-side
-    * combined). Every expression is codegen-friendly integer work;
-    * [[simhashExpr]] computes the identical value as a single
-    * projection for streaming (parity proven in StreamingNearDupSpec). */
+    * relation via the NATIVE expression
+    * [[graft.functions.SimHash64 graft_simhash]]: one md5 per token
+    * read as raw digest bytes, 64 integer counter updates, no
+    * intermediate arrays — a zero-shuffle projection that stays inside
+    * whole-stage codegen, the batch-optimal shape (the explode +
+    * groupBy form it replaced paid a shuffle plus per-token hex
+    * parsing; the pure-SQL [[simhashExpr]] fold pays interpreted HOF
+    * lambdas). All three derivations produce identical values —
+    * parity pinned by DedupBlockingSpec and SimHash64Spec. */
   private[ops] def simhashOf(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(col(textCol), " ")).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)").as("h2"))
-    // bit j: hex digit j/4 (0-based) of the md5 prefix, bit 3-j%4 of
-    // that digit — digit p (0-based within its half) sits at shift
-    // 4*(7-p) of the parsed 32-bit half, so the whole lookup is one
-    // constant-folded shift-and per (j, row).
-    def bit(j: Int) = {
-      val half = if (j < 32) "h1" else "h2"
-      val shift = 4 * (7 - (j % 32) / 4) + (3 - j % 4)
-      expr(s"($half >> $shift) & 1")
-    }
-    val weights = (0 until SimHashBits).map(j => sum(bit(j) * 2 - 1).as(s"w$j"))
-    // Bit 63's term is 1L << 63 == Long.MinValue — the signed-64
-    // representation both engines share. Summation order keeps every
-    // partial sum in range (nonnegative low bits first, the one
-    // negative term last), so the assembly is ANSI-overflow-safe.
-    toks.groupBy(col("doc_id")).agg(weights.head, weights.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimHashBits).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr(s"graft_simhash($textCol)").as("simhash"))
   }
 
   /** [[simhash]] without the presentation sort — what every JOIN

@@ -59,7 +59,7 @@ class DedupBlockingSpec extends SparkSuite {
       Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
   }
 
-  test("simhashOf (codegen explode form) and simhashExpr (streaming projection) agree") {
+  test("simhashOf (native graft_simhash) and simhashExpr (pure-SQL fold) agree") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StringType
     val docSchema = StructType(Seq(
