@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: time queries (3 rounds) or dump formatted plans.
-  * `runMain graft.Prof q1 q2` times; `runMain graft.Prof -explain q2` plans. */
+/** Dev harness: time queries (3 rounds), dump formatted plans, or show
+  * rows. `runMain graft.Prof q1 q2` times; `-explain q` plans;
+  * `-show q` prints up to 100 result rows. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,11 +16,17 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val explain = args.headOption.contains("-explain")
-    val names = if (explain) args.drop(1).toSeq else args.toSeq
+    val show = args.headOption.contains("-show")
+    val names = if (explain || show) args.drop(1).toSeq else args.toSeq
     if (explain)
       names.foreach { n =>
         println(s"===== $n =====")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+    else if (show)
+      names.foreach { n =>
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, sfDir).show(100, truncate = false)
       }
     else
       for (round <- 1 to 3; n <- names) {

@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_simhash_buckets" -> (Dedup.simhashBuckets _),
     "dedup_fuzzy_edit"   -> ((s: SparkSession, d: String) => Dedup.fuzzyEditDistance(s, d)),
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
+    "dedup_semantic"       -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
@@ -1165,6 +1166,44 @@ object SparkEntry {
          |FROM cand c JOIN vn x ON c.vec_a = x.vec_id JOIN vn y ON c.vec_b = y.vec_id
          |WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+         |          FROM vn WHERE vec_id BETWEEN 100 AND 107),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vn.vec_id, c.cent_id AS list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(vn.v, c.cv) / (vn.norm * c.cnorm) DESC,
+         |                 c.cent_id) AS rk
+         |    FROM vn, cents c) t WHERE rk = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  JOIN vn x ON a.vec_id = x.vec_id JOIN vn y ON b.vec_id = y.vec_id
+         |  WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.4),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src),
+         |cc AS (
+         |  SELECT a2.vec_id AS doc_id,
+         |    CAST(FLOOR(list_dot_product(x.v, c.cv) / (x.norm * c.cnorm) * 1000000) AS BIGINT) AS ccos_u
+         |  FROM assign a2 JOIN cents c ON a2.list_id = c.cent_id
+         |  JOIN vn x ON a2.vec_id = x.vec_id),
+         |ranked AS (
+         |  SELECT comp.comp_id AS group_id, comp.doc_id, cc.ccos_u,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.comp_id
+         |                       ORDER BY cc.ccos_u, comp.doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY comp.comp_id) AS n_members,
+         |    MIN(cc.ccos_u) OVER (PARTITION BY comp.comp_id) AS min_u
+         |  FROM comp JOIN cc ON comp.doc_id = cc.doc_id)
+         |SELECT group_id, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(min_u AS DOUBLE) / 1000000 AS keep_ccos
+         |FROM ranked WHERE rk = 1 ORDER BY group_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),

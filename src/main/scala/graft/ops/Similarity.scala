@@ -418,6 +418,50 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SEMANTIC dedup over embeddings — the SemDeDup recipe (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster by the shared IVF coarse
+    * quantizer, call within-cluster pairs with cosine ≥ `tau` semantic
+    * duplicates, close them transitively (the same large-star/small-star
+    * [[Dedup.connectedComponents]] the text dedup family runs), and
+    * keep ONE member per group — the member FARTHEST from its cluster
+    * centroid (lowest centroid cosine), SemDeDup's diversity-preserving
+    * choice (the most typical member is the most redundant with the
+    * rest of the cluster).
+    *
+    * Scale contract: the pair join is within-list all-pairs — Σ|list|²,
+    * exactly SemDeDup's own cost model — so `nlist` is the knob that
+    * bounds cluster size as the corpus grows (at 100 TB the quantizer
+    * is trained with nlist in the tens of thousands and the join stays
+    * a hash-partitioned equi-join on list_id; a skew-capped variant is
+    * [[knnGraph]]'s candidate pool). Keeper ordering uses micro-unit
+    * integer centroid cosines so both engines rank identically. */
+  def semanticDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val vs = vectors(s, dir)
+    val cents = seedCentroids(vs)
+    val assigned = nearestCentroids(vs, cents, 1, "n")
+    val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
+                            col("n_v").as("va"), col("n_norm").as("na"))
+    val b = assigned.select(col("list_id"), col("n_id").as("vec_b"),
+                            col("n_v").as("vb"), col("n_norm").as("nb"))
+    val pairs = a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(dot("va", "vb") / (col("na") * col("nb")) >= tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val centCos = assigned.join(broadcast(cents), col("list_id") === col("cent_id"))
+      .select(col("n_id").as("doc_id"),
+        floor(dot("n_v", "cv") / (col("n_norm") * col("cnorm")) * 1e6)
+          .cast("long").as("ccos_u"))
+    Dedup.connectedComponents(pairs)
+      .join(centCos, Seq("doc_id"))
+      .groupBy(col("comp_id").as("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+           expr("min_by(doc_id, struct(ccos_u, doc_id))").as("keep_id"),
+           (min(col("ccos_u")).cast("double") / 1e6).as("keep_ccos"))
+      .select(col("group_id"), col("keep_id"), col("n_members"), col("keep_ccos"))
+      .orderBy(col("group_id"))
+  }
+
   /** Approximate symmetric k-NN graph — the corpus-wide neighbor
     * structure semantic-dedup clustering and graph-based diversity
     * sampling consume (per-QUERY top-k answers point lookups; the GRAPH

@@ -23,7 +23,9 @@ class PlanAuditSpec extends SparkSuite {
     // run the CC fixpoint / localCheckpoint their constituent pair
     // pipelines while building — the join shapes they reuse are audited
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
-    "dedup_cluster_stats", "dedup_keep_best", "dedup_method_agreement")
+    "dedup_cluster_stats", "dedup_keep_best", "dedup_method_agreement",
+    // same CC fixpoint at construction, over within-list embedding pairs
+    "dedup_semantic")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;
