@@ -131,6 +131,8 @@ object SparkEntry {
     // (see bpeTrainOracle); also verified against a sequential
     // reference implementation in TextAnalysisSpec
     "text_bpe_train"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    // the trained merges applied back to the corpus (per-doc symbol counts)
+    "text_bpe_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     // sketch twin of text_length_quantiles — rows-only check (no oracle),
     // same contract as q21_approx_distinct
     "text_length_quantiles_approx" -> (TextAnalysis.lengthQuantilesApprox _),
@@ -277,8 +279,14 @@ object SparkEntry {
   // binary string order. An exhausted corpus yields an empty m_k whose
   // cross join empties every later round — the same early stop as the
   // trainer's `exhausted` flag.
-  private val bpeTrainOracle: String = {
-    val nMerges = 10
+  // Shared CTE chain for the BPE family: t0 is the (token, padded-symbol-
+  // string, tf) type relation; each round k appends p_k (pair counts),
+  // m_k (argmax merge) and t_k (post-merge state). The LEFT JOIN in t_k
+  // keeps the type state intact when a round finds no merge (m_k empty →
+  // replace() gets NULL args → coalesce falls back to w), so t{n} is the
+  // final encoded vocabulary even under early exhaustion — while the
+  // trainer's output rows, which read only the m_k CTEs, are unaffected.
+  private def bpeRoundsCte(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { k =>
       s"""p$k AS (
          |  SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(tf) AS BIGINT) AS n
@@ -287,21 +295,50 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
          |t$k AS (
-         |  SELECT replace(w, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS w, tf
-         |  FROM t${k - 1}, m$k m)""".stripMargin
+         |  SELECT tok,
+         |    coalesce(replace(w, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), w) AS w,
+         |    tf
+         |  FROM t${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
+    s"""t0 AS (
+       |  SELECT tok, regexp_replace(tok, '(.)', ' \\1 ', 'g') AS w, COUNT(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
+       |  GROUP BY tok),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainOracle: String = {
+    val nMerges = 10
     val finals = (1 to nMerges).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS rk, l AS "left", r AS "right", l || r AS merged, n FROM m$k"""
     }.mkString("\n  UNION ALL ")
-    s"""WITH t0 AS (
-       |  SELECT regexp_replace(tok, '(.)', ' \\1 ', 'g') AS w, COUNT(*) AS tf
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
-       |  GROUP BY tok),
-       |$rounds
+    s"""WITH ${bpeRoundsCte(nMerges)}
        |SELECT * FROM (
        |  $finals) z
        |ORDER BY rk""".stripMargin
   }
+
+  // Encode oracle: the trainer chain's FINAL type state t10 is the
+  // encoded vocabulary; symbol counts re-split the padded string, then
+  // the (doc, token) stream joins it and aggregates per document —
+  // exactly TextAnalysis.bpeEncode's join+agg replayed in SQL.
+  private val bpeEncodeOracle: String =
+    s"""WITH ${bpeRoundsCte(10)},
+       |enc AS (
+       |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
+       |  FROM t10),
+       |dt AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_tokens,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       |  CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+       |  floor(CAST(SUM(length(tok)) AS DOUBLE) / SUM(n_syms) * 1000000) / 1000000
+       |    AS chars_per_symbol
+       |FROM dt JOIN enc USING (tok)
+       |WHERE tok <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -1458,6 +1495,7 @@ object SparkEntry {
         |SELECT pair, n, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
     "pipe_dup_weights" ->
       s"""WITH $simhashCte,
          |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash)

@@ -372,25 +372,43 @@ object TextAnalysis {
     * the token stream) is what iterates — at 100 TB it is millions of
     * rows against the corpus's trillions. `localCheckpoint` cuts the
     * per-round lineage exactly as the connected-components loop does.
-    * Deterministic: argmax ties break on (left, right) lexicographic;
-    * verified against a sequential reference implementation in
-    * `TextAnalysisSpec` (no SQL oracle — a per-round global argmax is
-    * not expressible as one DuckDB query; the CORRECTNESS row is the
-    * weaker rows-only check). */
+    * Deterministic: argmax ties break on (left, right) lexicographic
+    * under UTF-8 byte order (both engines' string ORDER BY); verified
+    * against a sequential reference implementation in `TextAnalysisSpec`
+    * AND a full DuckDB oracle that replays the merge rounds as an
+    * unrolled chain of CTEs (`bpeTrainOracle` in SparkEntry). */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    val (merges, _) = trainState(s, dir, nMerges)
+    merges.toDF("rk", "left", "right", "n")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rk"), col("left"), col("right"), col("merged"), col("n"))
+      .orderBy(col("rk"))
+  }
+
+  /** The trainer's loop, exposing BOTH outputs: the ranked merge list
+    * and the final (token, symbols, tf) type state — the encoded
+    * vocabulary [[bpeEncode]] joins back to the corpus. Keeping the
+    * original token alongside its symbol sequence costs one extra
+    * string per TYPE row (not per occurrence) and is what lets the
+    * encode step be a plain equi-join instead of re-running the merge
+    * cascade over the token stream. */
+  private def trainState(s: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)],
+         org.apache.spark.sql.Dataset[(String, Seq[String], Long)]) = {
     import s.implicits._
     var types = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .as[(String, Long)]
-      .map { case (t, f) => (t.map(_.toString): Seq[String], f) }
+      .map { case (t, f) => (t, t.map(_.toString): Seq[String], f) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= nMerges && !exhausted) {
       // adjacent pairs: element i pairs with i+1, one generate per type
-      val counts = types.toDF("syms", "tf")
+      val counts = types.toDF("tok", "syms", "tf")
         // fully-merged single-symbol types carry no pairs — and sequence()
         // DESCENDS when start > stop, so they must not reach the generate
         .filter(size(col("syms")) >= 2)
@@ -403,15 +421,44 @@ object TextAnalysis {
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round.toLong, l, r, n))
-        types = types.map { case (syms, f) => (TextAnalysis.applyMerge(syms, l, r), f) }
+        types = types.map { case (t, syms, f) => (t, TextAnalysis.applyMerge(syms, l, r), f) }
           .localCheckpoint()
         round += 1
       }
     }
-    merges.toSeq.toDF("rk", "left", "right", "n")
-      .withColumn("merged", concat(col("left"), col("right")))
-      .select(col("rk"), col("left"), col("right"), col("merged"), col("n"))
-      .orderBy(col("rk"))
+    (merges.toSeq, types)
+  }
+
+  /** BPE ENCODE — the trained merges applied back to the corpus, the
+    * step that turns a merge table into training data: per document,
+    * how many whitespace tokens, how many BPE symbols they encode to
+    * under the [[bpeTrain]] vocabulary, total encodable characters, and
+    * chars-per-symbol (the compression the tokenizer actually buys;
+    * 1.0 = no merge ever fires in that doc). The heavy lifting rides
+    * the TYPE relation: the trainer's final state already holds every
+    * word type's symbol sequence, so encoding the corpus is one
+    * equi-join of the (doc, token) stream against the ≤|vocabulary|
+    * encoded-type relation plus a per-doc aggregate — at 100 TB the
+    * merge cascade runs over millions of types while the trillions of
+    * occurrences only pay a hash join on the token key (broadcast-able
+    * when the vocabulary is; AQE decides). Oracle: the trainer's
+    * unrolled CTE chain carries the token key through the rounds, then
+    * replays the identical join+aggregate. */
+  def bpeEncode(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    val (_, types) = trainState(s, dir, nMerges)
+    val encoded = types.toDF("tok", "syms", "tf")
+      .select(col("tok"), size(col("syms")).cast("long").as("n_syms"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(encoded, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("n_syms")).as("n_symbols"),
+           sum(length(col("tok"))).cast("long").as("n_chars"))
+      .withColumn("chars_per_symbol",
+        trunc6(col("n_chars").cast("double") / col("n_symbols")))
+      .orderBy(col("doc_id"))
   }
 
   /** One left-to-right merge pass over a word's symbol sequence —
@@ -447,23 +494,30 @@ object TextAnalysis {
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf_s"))
     val corpus = toks.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
-    val nTotal = corpus.agg(sum(col("tf_c"))).head.getLong(0) // one scalar: N_c
+    // N_c stays IN-PLAN: the 1-row corpus total rides a constant-key
+    // broadcast join onto the (bounded) per-source relation — same trick
+    // as Dedup.cappedShingles, so building this query dispatches no job
+    val nTotalDf = corpus.agg(sum(col("tf_c")).as("n_c")).withColumn("k", lit(1))
     // per-source token mass: #sources rows — broadcast-safe at any corpus
     // size (the source dimension is bounded, unlike the vocabulary)
     val perSource = toks.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
+      .withColumn("k", lit(1))
+      .join(broadcast(nTotalDf), Seq("k"))
+      .select(col("source"), col("n_s"), col("n_c"))
     // products stay < 2⁶³ while total corpus tokens < ~3·10⁹; past that,
     // route the two multiplications through DECIMAL(38,0) — same plan
     toks.join(corpus, Seq("tok"))
       .join(broadcast(perSource), Seq("source"))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_s"), // constant within the group
+           max(col("n_c")).as("n_c"),
            count(lit(1)).as("n_terms"),
-           sum(abs(col("tf_s") * nTotal - col("tf_c") * col("n_s"))).as("present_num"),
+           sum(abs(col("tf_s") * col("n_c") - col("tf_c") * col("n_s"))).as("present_num"),
            sum(col("tf_c")).as("present_tfc"))
       .withColumn("drift_num",
-        col("present_num") + col("n_s") * (lit(nTotal) - col("present_tfc")))
+        col("present_num") + col("n_s") * (col("n_c") - col("present_tfc")))
       .withColumn("l1_drift",
-        trunc6(col("drift_num").cast("double") / (col("n_s").cast("double") * nTotal)))
+        trunc6(col("drift_num").cast("double") / (col("n_s").cast("double") * col("n_c"))))
       .select(col("source"), col("n_s"), col("n_terms"), col("drift_num"), col("l1_drift"))
       .orderBy(col("source"))
   }

@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSuite {
   private val constructive = Set("log_store_roundtrip", "dedup_components",
     // runs the whole iterative merge loop while BUILDING its result —
     // audited by its own reference-equivalence spec in TextAnalysisSpec
-    "text_bpe_train",
+    "text_bpe_train", "text_bpe_encode",
     // run the CC fixpoint / localCheckpoint their constituent pair
     // pipelines while building — the join shapes they reuse are audited
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkSuite {
     // harmless at any scale). Shingle-family dedup queries checkpoint
     // this derivation during construction, so only the direct
     // decontamination consumers still carry it in their audited plans.
-    "pipe_decontaminate", "pipe_decontaminate_bloom")
+    "pipe_decontaminate", "pipe_decontaminate_bloom",
+    // same 1-row scalar-subquery shape: the corpus token total N_c joins
+    // the bounded per-source relation on a folded constant key
+    "text_source_drift")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)

@@ -107,6 +107,57 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.nonEmpty, "BPE trainer produced no merges — vacuous corpus")
   }
 
+  test("BPE encode matches a sequential train-then-apply reference per document") {
+    assume(hasTestData)
+    val nMerges = 8
+    val got = TextAnalysis.bpeEncode(spark, sf, nMerges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+
+    // sequential reference: train merges over the type relation (same
+    // UTF-8 argmax tie-break as the trainer spec), then apply them to
+    // every word type and aggregate per document
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var types: Map[String, (Seq[String], Long)] = docs
+      .flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (t, occ) => t -> ((t.map(_.toString): Seq[String]) -> occ.length.toLong) }
+    val utf8: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.values.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8, utf8))
+        types = types.map { case (t, (syms, f)) =>
+          t -> (TextAnalysis.applyMerge(syms, l, r) -> f)
+        }
+        round += 1
+      }
+    }
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq.filter(_.nonEmpty)
+      val nSyms = toks.map(t => types(t)._1.length.toLong).sum
+      val nChars = toks.map(_.length.toLong).sum
+      id -> ((toks.length.toLong, nSyms, nChars,
+        math.floor(nChars.toDouble / nSyms * 1e6) / 1e6))
+    }.filter(_._2._1 > 0).toMap
+    assert(got === want)
+    assert(got.values.exists { case (_, ns, nc, _) => ns < nc },
+      "no merge ever fired — encode check is vacuous")
+  }
+
   test("topTerms plans the bounded top-k aggregate, not a per-doc window sort") {
     assume(hasTestData)
     val plan = TextAnalysis.topTerms(spark, sf).queryExecution.executedPlan.toString

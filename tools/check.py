@@ -39,6 +39,8 @@ def main():
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            continue  # targeted Verify run — only check what was dumped
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result parquet")
