@@ -90,6 +90,8 @@ object SparkEntry {
     "dedup_block_stats"    -> ((s: SparkSession, d: String) => Dedup.blockStats(s, d)),
     "dedup_cross_source"   -> (Dedup.crossSourceLeakage _),
     "text_boilerplate"     -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
+    // duplicate 8-gram occurrence rate per source (corpus repetition health)
+    "text_ngram_novelty"   -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -143,6 +145,8 @@ object SparkEntry {
     "pipe_funnel"            -> (Pipeline.funnel _),
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
+    // chop-vs-pad sequence-packing forecast at a 512-token budget
+    "pipe_packing_plan"      -> ((s: SparkSession, d: String) => Pipeline.packingPlan(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "pipe_dup_weights"       -> (Pipeline.dupWeights _),
@@ -1178,6 +1182,23 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS boiler_ratio
         |FROM segs s JOIN dfreq f ON s.seg = f.seg
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH perSg AS (
+        |  SELECT ('0x' || substr(md5(array_to_string(w[i:(i+7)], ' ')), 1, 15))::BIGINT AS g,
+        |    source, COUNT(*) AS occ_sg
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(range(1, len(w) - 6)) AS u(i)
+        |  WHERE len(w) >= 8
+        |  GROUP BY 1, 2),
+        |gl AS (SELECT g, SUM(occ_sg) AS occ_g FROM perSg GROUP BY g)
+        |SELECT source,
+        |  CAST(SUM(occ_sg) AS BIGINT) AS n_occurrences,
+        |  COUNT(*) AS n_distinct_grams,
+        |  CAST(SUM(CASE WHEN occ_g > 1 THEN occ_sg ELSE 0 END) AS BIGINT) AS n_dup_occ,
+        |  floor(CAST(SUM(CASE WHEN occ_g > 1 THEN occ_sg ELSE 0 END) AS DOUBLE)
+        |        / SUM(occ_sg) * 1000000) / 1000000 AS dup_rate
+        |FROM perSg JOIN gl USING (g)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_block_stats" ->
       s"""WITH $simhashCte,
          |$chunksCte,
@@ -1639,6 +1660,29 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+    "pipe_packing_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST((MAX(cum) + 511) // 512 AS BIGINT) AS chop_seqs,
+        |  CAST(SUM(CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS chop_split_docs,
+        |  CAST(SUM(CASE WHEN n_tokens > 512 THEN n_tokens - 512 ELSE 0 END) AS BIGINT)
+        |    AS pad_truncated,
+        |  CAST(SUM(512 - LEAST(n_tokens, 512)) AS BIGINT) AS pad_waste,
+        |  floor(CAST(SUM(n_tokens) AS DOUBLE)
+        |        / (CAST((MAX(cum) + 511) // 512 AS BIGINT) * 512) * 1000000) / 1000000
+        |    AS chop_efficiency,
+        |  floor(CAST(SUM(n_tokens) - SUM(CASE WHEN n_tokens > 512 THEN n_tokens - 512 ELSE 0 END) AS DOUBLE)
+        |        / (COUNT(*) * 512) * 1000000) / 1000000 AS pad_efficiency
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "emb_quantize_int8" ->
       s"""WITH $vectorsCte,
          |m AS (

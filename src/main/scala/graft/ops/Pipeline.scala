@@ -173,6 +173,52 @@ object Pipeline {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** Sequence-PACKING plan: the cost forecast for turning the curated
+    * corpus into fixed-`budget`-token training sequences, per source,
+    * under the two standard policies —
+    *
+    *  - CONCAT-AND-CHOP (GPT-style): documents concatenate in
+    *    deterministic order and split at every budget boundary. Zero
+    *    padding except the final sequence; the price is
+    *    `chop_split_docs` documents whose text straddles a boundary
+    *    (they lose cross-boundary attention).
+    *  - PAD-PER-DOC: every document gets its own sequence, padded to
+    *    the budget and truncated above it. No document is ever split;
+    *    the price is `pad_waste` dead tokens and `pad_truncated`
+    *    clipped ones.
+    *
+    * `chop_efficiency`/`pad_efficiency` (real tokens per sequence slot)
+    * is the number a pipeline actually decides on — chop near 1.0 vs
+    * pad often below 0.2 at web-document length distributions. Same
+    * shape as [[tokenShards]]: one per-source cumulative-sum window
+    * (each source scans sequentially within its partition; at 100 TB
+    * sub-shard the window key like [[shuffleShards]] does) and one
+    * bounded per-source rollup. */
+  def packingPlan(s: SparkSession, dir: String, budget: Long = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           // integer DIV, not `/`: Column./ is double division, and a
+           // floor-through-double would lose exactness past 2^52 tokens
+           expr(s"CAST((max(cum) + $budget - 1) DIV $budget AS BIGINT)").as("chop_seqs"),
+           sum(when(expr(s"(cum - n_tokens) div $budget") =!=
+                    expr(s"(cum - 1) div $budget"), 1L).otherwise(0L))
+             .as("chop_split_docs"),
+           sum(when(col("n_tokens") > budget, col("n_tokens") - budget)
+             .otherwise(0L)).as("pad_truncated"),
+           sum(lit(budget) - least(col("n_tokens"), lit(budget))).as("pad_waste"))
+      .withColumn("chop_efficiency",
+        trunc6(col("total_tokens").cast("double") / (col("chop_seqs") * budget)))
+      .withColumn("pad_efficiency", trunc6(
+        (col("total_tokens") - col("pad_truncated")).cast("double") /
+          (col("n_docs") * budget)))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination — the eval-integrity step every serious
     * training pipeline runs: a document is CONTAMINATED if it shares any
     * informative 3-gram shingle with the benchmark set (here the

@@ -559,4 +559,39 @@ object TextAnalysis {
               col("boiler_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** Duplicate n-gram OCCURRENCE rate per source — the corpus-health
+    * metric (fraction of all n-gram occurrences whose n-gram appears
+    * more than once corpus-wide) that large-scale curation tracks
+    * round-over-round: near-dup pair detection answers "which documents
+    * collide", this answers "how much of the token stream is repeated
+    * content at all". Occurrence-weighted on purpose — a boilerplate
+    * 8-gram pasted into a million documents should dominate the rate,
+    * not count once like it would in a distinct-gram view. Grams are
+    * keyed by the same 60-bit md5-derived integers as shingles (8-byte
+    * shuffle keys, never gram text). Two aggregations — (gram, source)
+    * occurrence counts, then per-gram totals as a sum over the ≤5
+    * source rows — plus one join on the gram key that is bounded by
+    * DISTINCT vocabulary, not the occurrence stream: the occurrence
+    * explosion collapses at the FIRST map-side-combinable groupBy, so
+    * at 100 TB the join moves vocabulary-sized relations only. */
+  def ngramNovelty(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val perSg = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n) // sequence() descends when start > stop
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, size(w) - $n),
+           |  i -> CAST(conv(substr(md5(array_join(slice(w, i + 1, $n), ' ')), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)).as("g"))
+      .groupBy(col("g"), col("source")).agg(count(lit(1)).as("occ_sg"))
+    val global = perSg.groupBy(col("g")).agg(sum(col("occ_sg")).as("occ_g"))
+    perSg.join(global, Seq("g"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ_sg")).as("n_occurrences"),
+           count(lit(1)).as("n_distinct_grams"),
+           sum(when(col("occ_g") > 1, col("occ_sg")).otherwise(0L)).as("n_dup_occ"))
+      .withColumn("dup_rate",
+        trunc6(col("n_dup_occ").cast("double") / col("n_occurrences")))
+      .orderBy(col("source"))
+  }
 }

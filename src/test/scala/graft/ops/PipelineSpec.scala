@@ -124,4 +124,44 @@ class PipelineSpec extends SparkSuite {
     // non-vacuous: the exact pass finds contamination at test scale
     assert(exact.values.map(_._2).sum > 0, "exact decontamination found nothing — vacuous test")
   }
+
+  test("packing plan: accounting identities hold and chop splits are non-vacuous") {
+    assume(hasTestData)
+    val rows = Pipeline.packingPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, total, seqs, _, truncated, waste) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // chop uses the minimum number of budget-sized sequences
+      assert(seqs === (total + 511) / 512, s"chop_seqs wrong for ${r.getString(0)}")
+      // pad policy: every doc's slot splits exactly into kept + waste
+      assert((total - truncated) + waste === nDocs * 512,
+        s"pad accounting broken for ${r.getString(0)}")
+    }
+    assert(rows.map(_.getLong(4)).sum > 0,
+      "no document ever straddles a chop boundary — vacuous at test scale")
+  }
+
+  test("packing plan truncates over-budget documents (constructed corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toFile
+    try {
+      val mk = (id: Long, n: Int) => (id, Seq.fill(n)("tok").mkString(" "), "en", "srcX", 3L * n)
+      val s = spark
+      import s.implicits._
+      Seq(mk(1L, 600), mk(2L, 10), mk(3L, 500))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = Pipeline.packingPlan(spark, tmp.toString).collect().head
+      // stream is 1110 tokens: doc1 crosses 512, doc3 crosses 1024 → 2 splits
+      assert(r.getLong(2) === 1110L && r.getLong(3) === 3L && r.getLong(4) === 2L)
+      // pad policy: doc1 clips 88 tokens; docs 2/3 pad 502 + 12
+      assert(r.getLong(5) === 88L, s"pad_truncated: $r")
+      assert(r.getLong(6) === 514L, s"pad_waste: $r")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }

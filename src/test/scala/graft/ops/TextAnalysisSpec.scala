@@ -158,6 +158,25 @@ class TextAnalysisSpec extends SparkSuite {
       "no merge ever fired — encode check is vacuous")
   }
 
+  test("ngram novelty: occurrence totals reconcile with the raw token stream") {
+    assume(hasTestData)
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ per-source occurrences = Σ_docs max(0, n_tokens − 7), counted
+    // directly off the corpus — the explosion must drop nothing
+    val expected = Tables.documents(spark, sf)
+      .select(greatest(size(split(col("text"), " ")) - 7, lit(0)).cast("long").as("k"))
+      .agg(sum(col("k"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum === expected)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"dup occurrences exceed total: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"distinct grams exceed occurrences: $r")
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "no duplicate 8-gram at test scale — vacuous")
+  }
+
   test("topTerms plans the bounded top-k aggregate, not a per-doc window sort") {
     assume(hasTestData)
     val plan = TextAnalysis.topTerms(spark, sf).queryExecution.executedPlan.toString
