@@ -92,6 +92,8 @@ object SparkEntry {
     "text_boilerplate"     -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
     // duplicate 8-gram occurrence rate per source (corpus repetition health)
     "text_ngram_novelty"   -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
+    // integer-exact bigram-LM quality proxy (inverse conditional probability)
+    "text_lm_bigram"       -> ((s: SparkSession, d: String) => TextAnalysis.lmBigram(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -1182,6 +1184,22 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS boiler_ratio
         |FROM segs s JOIN dfreq f ON s.seg = f.seg
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_bigram" ->
+      """WITH occ AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(w[i]), 1, 15))::BIGINT AS k1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT AS k2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2),
+        |c2 AS (SELECT k2, COUNT(*) AS n2 FROM occ GROUP BY k2),
+        |c1 AS (SELECT k1, COUNT(*) AS n1 FROM occ GROUP BY k1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(n1 // n2) AS BIGINT) AS icp_sum,
+        |  CAST(MAX(n1 // n2) AS BIGINT) AS max_icp,
+        |  floor(CAST(SUM(n1 // n2) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS mean_icp
+        |FROM occ JOIN c2 USING (k2) JOIN c1 USING (k1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_ngram_novelty" ->
       """WITH perSg AS (
         |  SELECT ('0x' || substr(md5(array_to_string(w[i:(i+7)], ' ')), 1, 15))::BIGINT AS g,

@@ -560,6 +560,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model QUALITY score per document — the CCNet-style
+    * "does an n-gram LM find this text plausible" gate, with the corpus
+    * itself as the LM's training set: every adjacent token pair scores
+    * the inverse of its conditional probability, icp = c(w1·)/c(w1w2)
+    * (1 = the only continuation ever seen, large = a transition the
+    * corpus almost never makes), and a document's mean/max icp separate
+    * fluent text (low mean) from gibberish or shuffled spam (high mean,
+    * spiky max). Deliberately INTEGER-EXACT in place of log-perplexity:
+    * `ln` is not required to be correctly rounded, so two engines can
+    * disagree in the last ulp and a hash-matched oracle would flake —
+    * integer DIV of the two counts is monotone in surprisal, engine-
+    * identical, and sums as plain BIGINTs. Counts key on 60-bit
+    * md5-derived integers (8-byte shuffle keys); both count relations
+    * are vocabulary-bounded, the occurrence stream pays two hash joins
+    * — at 100 TB the same plan with the (tiny) count sides
+    * AQE-broadcast. At extreme counts c(w1·) stays < 2⁶³ while corpus
+    * tokens do, so no overflow anywhere in the integer path. */
+  def lmBigram(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w)-2), i -> named_struct(
+          |  'k1', CAST(conv(substr(md5(w[i]), 1, 15), 16, 10) AS BIGINT),
+          |  'k2', CAST(conv(substr(md5(concat(w[i], ' ', w[i+1])), 1, 15), 16, 10) AS BIGINT)))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.k1").as("k1"), col("p.k2").as("k2"))
+    val c2 = occ.groupBy(col("k2")).agg(count(lit(1)).as("n2"))
+    val c1 = occ.groupBy(col("k1")).agg(count(lit(1)).as("n1"))
+    occ.join(c2, Seq("k2")).join(c1, Seq("k1"))
+      .withColumn("icp", expr("n1 DIV n2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("icp")).as("icp_sum"),
+           max(col("icp")).as("max_icp"))
+      .withColumn("mean_icp",
+        trunc6(col("icp_sum").cast("double") / col("n_bigrams")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate n-gram OCCURRENCE rate per source — the corpus-health
     * metric (fraction of all n-gram occurrences whose n-gram appears
     * more than once corpus-wide) that large-scale curation tracks

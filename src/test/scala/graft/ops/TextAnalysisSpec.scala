@@ -158,6 +158,25 @@ class TextAnalysisSpec extends SparkSuite {
       "no merge ever fired — encode check is vacuous")
   }
 
+  test("bigram LM score: probability mass normalizes and icp is well-formed") {
+    assume(hasTestData)
+    val rows = TextAnalysis.lmBigram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sumIcp, maxIcp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // icp = c(w1·) DIV c(w1w2) ≥ 1 always (the pair is one of the contexts)
+      assert(sumIcp >= n, s"icp below 1 somewhere in doc ${r.getLong(0)}")
+      assert(maxIcp <= sumIcp && maxIcp >= 1)
+    }
+    // discriminative at test scale: not every transition is equally likely
+    assert(rows.map(_.getLong(3)).max > 1, "every bigram deterministic — vacuous corpus")
+    // per-doc bigram counts reconcile with the raw token stream
+    val expected = Tables.documents(spark, sf)
+      .select(greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long").as("k"))
+      .agg(sum(col("k"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum === expected)
+  }
+
   test("ngram novelty: occurrence totals reconcile with the raw token stream") {
     assume(hasTestData)
     val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
