@@ -149,6 +149,8 @@ object SparkEntry {
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
     // chop-vs-pad sequence-packing forecast at a 512-token budget
     "pipe_packing_plan"      -> ((s: SparkSession, d: String) => Pipeline.packingPlan(s, d)),
+    // near-dup-cluster-keyed train/val/test assignment (no split leakage)
+    "pipe_leakage_split"     -> ((s: SparkSession, d: String) => Pipeline.leakageSafeSplit(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "pipe_dup_weights"       -> (Pipeline.dupWeights _),
@@ -177,6 +179,34 @@ object SparkEntry {
       |       UNNEST(range(1, len(w)-1)) AS u(i)
       |  WHERE len(w) >= 3
       |)""".stripMargin
+
+  // Shared DuckDB CTE chain: DF-capped shingles → Jaccard≥0.5 near-dup
+  // pairs → connected components as a recursive CTE (`comp(doc_id,
+  // comp_id)` = true component minimum — converges to the same fixpoint
+  // as the Spark side's large-star/small-star loop without mirroring its
+  // iteration count). Requires $shinglesCte under WITH RECURSIVE.
+  private val ngramComponentsCte =
+    """hot AS (
+      |  SELECT s FROM sh GROUP BY s
+      |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+      |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common JOIN sizes x ON doc_a = x.doc_id
+      |              JOIN sizes y ON doc_b = y.doc_id
+      |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)""".stripMargin
 
   // Shared DuckDB CTE: double-cast vectors with precomputed norms —
   // the same fold Spark runs (sequential sum in double).
@@ -1047,51 +1077,11 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM common JOIN sizes x ON doc_a = x.doc_id
-         |              JOIN sizes y ON doc_b = y.doc_id
-         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-         |  UNION
-         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
-         |SELECT src AS doc_id, MIN(dst) AS comp_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+         |$ngramComponentsCte
+         |SELECT doc_id, comp_id FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM common JOIN sizes x ON doc_a = x.doc_id
-         |              JOIN sizes y ON doc_b = y.doc_id
-         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-         |  UNION
-         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
-         |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src),
+         |$ngramComponentsCte,
          |szs AS (SELECT comp_id, COUNT(*) AS sz FROM comp GROUP BY comp_id)
          |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
          |  CAST(SUM(sz) AS BIGINT) AS n_docs
@@ -1678,6 +1668,24 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+    "pipe_leakage_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |assigned AS (
+         |  SELECT d.doc_id, d.source, c.comp_id,
+         |    coalesce(c.comp_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |b AS (
+         |  SELECT *, ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |    AS bucket
+         |  FROM assigned)
+         |SELECT source,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN comp_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cluster_bound
+         |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "pipe_packing_plan" ->
       """WITH t AS (
         |  SELECT doc_id, source,

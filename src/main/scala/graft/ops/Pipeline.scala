@@ -420,6 +420,38 @@ object Pipeline {
              .as("mean_quality"))
       .orderBy(col("phase"))
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment rule that makes
+    * held-out evaluation honest: the split decision is a deterministic
+    * hash of the NEAR-DUP CLUSTER id (connected component of the
+    * [[graft.ops.Dedup.ngramJaccard]] pair graph; singletons are their
+    * own cluster), never of the document, so two near-duplicate
+    * documents can never land in different splits — the classic silent
+    * leak where val "generalization" is really memorized train content.
+    * 90/5/5 by md5-bucket of the cluster id, reported per
+    * source × split with how many assigned docs were cluster-bound
+    * (moved with a multi-doc cluster rather than hashed alone). Cost on
+    * top of the component fixpoint: one left join against the (small)
+    * clustered-docs relation and one bounded rollup — at 100 TB the
+    * component relation is near-dup-sized, not corpus-sized, and the
+    * split hash is a pure projection. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp_id"), col("doc_id")))
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(cluster_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("comp_id").isNotNull, 1L).otherwise(0L))
+             .as("n_cluster_bound"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** INCREMENTAL dedup — the arrival-time shape every production
     * curation pipeline actually runs: a new batch (here the newest 20%
     * of doc_ids — integer threshold `(max+1)·4 div 5`, no float) is

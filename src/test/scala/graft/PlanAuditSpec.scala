@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSuite {
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
     "dedup_cluster_stats", "dedup_keep_best", "dedup_method_agreement",
     // same CC fixpoint at construction, over within-list embedding pairs
-    "dedup_semantic")
+    "dedup_semantic",
+    // runs the ngram-pair CC fixpoint while building the split assignment
+    "pipe_leakage_split")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;
