@@ -101,6 +101,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
+    // IVF inverted-list balance/skew pre-flight (load factor, cohesion)
+    "ann_cell_stats"  -> ((s: SparkSession, d: String) => Similarity.ivfCellStats(s, d)),
     "emb_label_cohesion" -> (Similarity.labelCohesion _),
     "emb_label_separation" -> (Similarity.labelSeparation _),
     "emb_label_confusion"  -> (Similarity.labelConfusion _),
@@ -1360,6 +1362,24 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ann_cell_stats" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id, cent_id AS list_id,
+         |    CAST(floor(ccos * 1000000) AS BIGINT) AS cosq
+         |  FROM (
+         |    SELECT vn.vec_id, c.cent_id,
+         |      list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) AS ccos,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1)
+         |SELECT list_id, COUNT(*) AS n_vectors,
+         |  floor(CAST(SUM(cosq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_cos,
+         |  floor(CAST(COUNT(*) AS DOUBLE) * 8 / (SELECT COUNT(*) FROM vn) * 1000000) / 1000000
+         |    AS load_factor
+         |FROM assign GROUP BY list_id ORDER BY list_id""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $vectorsCte,
          |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -181,6 +181,39 @@ object Similarity {
     ivfSearch(vs, refined, nQueries, k, nprobe)
   }
 
+  /** IVF inverted-LIST balance report — the pre-flight an ANN
+    * deployment runs before serving (the sibling of
+    * [[graft.ops.Dedup.blockStats]] for the embedding index): per list,
+    * how many vectors landed there, the mean assignment cosine (a
+    * low-cohesion list means the quantizer doesn't fit that region),
+    * and the load factor vs the uniform ideal N/nlist. A skewed list is
+    * THE scale-killer of IVF search — every probe of a hot list scans
+    * its full length, so Σ(load²) is the real per-query cost — and this
+    * report prices it from one assignment pass plus an nlist-row
+    * aggregate, before any search runs. Mean cosines go through
+    * micro-quantized integer sums ([[labelCohesion]]'s determinism
+    * contract); the total-count divisor rides the same constant-key
+    * broadcast as every in-plan scalar. */
+  def ivfCellStats(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val cents = seedCentroids(vs)
+    val total = vs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
+    nearestCentroids(vs, cents, 1, "n")
+      .join(broadcast(cents), col("list_id") === col("cent_id"))
+      .withColumn("cosq",
+        floor(dot("cv", "n_v") / (col("cnorm") * col("n_norm")) * 1000000.0).cast("long"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+           (floor(sum(col("cosq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("mean_cos"))
+      .withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .withColumn("load_factor", Tables.trunc6(
+        col("n_vectors").cast("double") * lit(8) / col("n_total")))
+      .select(col("list_id"), col("n_vectors"), col("mean_cos"), col("load_factor"))
+      .orderBy(col("list_id"))
+  }
+
   /** K-means centroid-update step — the shuffle pattern of distributed
     * Lloyd's: assign every vector to its nearest centroid (one streamed
     * pass over N with the tiny centroid table broadcast — at 100 TB

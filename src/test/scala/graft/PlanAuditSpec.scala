@@ -54,7 +54,10 @@ class PlanAuditSpec extends SparkSuite {
     "pipe_decontaminate", "pipe_decontaminate_bloom",
     // same 1-row scalar-subquery shape: the corpus token total N_c joins
     // the bounded per-source relation on a folded constant key
-    "text_source_drift")
+    "text_source_drift",
+    // both intended shapes at once: the 8-row centroid cross assignment
+    // plus the 1-row vector-count scalar join for the load factor
+    "ann_cell_stats")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
