@@ -89,6 +89,8 @@ object SparkEntry {
     "dedup_cluster_stats"  -> (Dedup.clusterStats _),
     "dedup_block_stats"    -> ((s: SparkSession, d: String) => Dedup.blockStats(s, d)),
     "dedup_cross_source"   -> (Dedup.crossSourceLeakage _),
+    // Lee et al. ExactSubstr: verbatim duplicate-text coverage per source
+    "dedup_substr_coverage" -> ((s: SparkSession, d: String) => Dedup.exactSubstrCoverage(s, d)),
     "text_boilerplate"     -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
     // duplicate 8-gram occurrence rate per source (corpus repetition health)
     "text_ngram_novelty"   -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -1176,6 +1178,34 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS boiler_ratio
         |FROM segs s JOIN dfreq f ON s.seg = f.seg
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_substr_coverage" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM t),
+        |wins AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS st,
+        |    ('0x' || substr(md5(array_to_string(w[i:(i+7)], ' ')), 1, 15))::BIGINT AS wk
+        |  FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+        |  WHERE len(w) >= 8),
+        |dfreq AS (
+        |  SELECT wk FROM (SELECT DISTINCT wk, doc_id FROM wins) x
+        |  GROUP BY wk HAVING COUNT(*) >= 2),
+        |shared AS (SELECT doc_id, st FROM wins JOIN dfreq USING (wk)),
+        |cov AS (
+        |  SELECT doc_id,
+        |    GREATEST(0, st + 8 - GREATEST(COALESCE(MAX(st + 8) OVER (
+        |      PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), st), st)) AS contrib
+        |  FROM shared),
+        |percov AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN COALESCE(covered, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_dup,
+        |  CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  floor(CAST(SUM(COALESCE(covered, 0)) AS DOUBLE) / SUM(n_tokens) * 1000000) / 1000000
+        |    AS dup_frac
+        |FROM d LEFT JOIN percov USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "text_lm_bigram" ->
       """WITH occ AS (
         |  SELECT doc_id,

@@ -695,6 +695,60 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** EXACT-SUBSTRING duplicate-text coverage (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr family, re-expressed relationally): per source, what
+    * fraction of the token stream sits inside a ≥`L`-token run of text
+    * that appears verbatim in at least one OTHER document. Pairwise
+    * detectors (Jaccard, SimHash) say which documents collide; this
+    * says how much raw text is duplicated — the number the paper shows
+    * actually moves LM quality. Instead of a suffix array: every
+    * position's L-token window keys by 60-bit md5 integer, windows with
+    * cross-doc frequency ≥2 mark their [st, st+L) interval, and the
+    * per-doc interval UNION (a running-max window over the position-
+    * sorted shared windows — pure integer arithmetic, no overlap
+    * double-count) is the covered-token measure. Maximal shared runs of
+    * any length ≥ L are covered exactly: a run of length m contributes
+    * m−L+1 overlapping windows whose union is m. Costs one occurrence-
+    * stream explosion (the suffix array would also be O(total tokens)),
+    * one vocabulary-bounded frequency aggregate, and a per-DOC window
+    * sort — partitioned by doc_id, never global. */
+  def exactSubstrCoverage(s: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $L), i -> named_struct(
+           |  'st', CAST(i AS BIGINT),
+           |  'wk', CAST(conv(substr(md5(array_join(slice(w, i + 1, $L), ' ')), 1, 15), 16, 10) AS BIGINT)))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.st").as("st"), col("p.wk").as("wk"))
+    val dfreq = wins.select(col("wk"), col("doc_id")).distinct()
+      .groupBy(col("wk")).agg(count(lit(1)).as("df"))
+    val shared = wins.join(dfreq.filter(col("df") >= 2).select(col("wk")), Seq("wk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("st"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = shared
+      .withColumn("prev_end", max(col("st") + L).over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("st") + L - greatest(coalesce(col("prev_end"), col("st")), col("st"))))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("covered"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("covered") > 0, 1L).otherwise(0L)).as("n_docs_with_dup"),
+           sum(col("covered")).as("dup_tokens"),
+           sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("dup_frac",
+        trunc6(col("dup_tokens").cast("double") / col("total_tokens")))
+      .orderBy(col("source"))
+  }
+
   /** SimHash bucket view: identical-simhash groups are near-dup
     * candidate clusters. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =

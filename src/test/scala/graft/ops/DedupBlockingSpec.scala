@@ -59,6 +59,35 @@ class DedupBlockingSpec extends SparkSuite {
       Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
   }
 
+  test("exact-substring coverage measures the interval UNION of a shared run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toFile
+    try {
+      // a 12-token run shared verbatim by docs 1 and 2 → 5 overlapping
+      // 8-token windows each, whose union must count 12 tokens, not 40
+      val run = (1 to 12).map(i => s"r$i").mkString(" ")
+      val s2 = spark
+      import s2.implicits._
+      Seq(
+        (1L, s"a1 a2 a3 $run a4 a5", "en", "srcX", 0L),
+        (2L, s"b1 b2 $run b3 b4 b5 b6", "en", "srcX", 0L),
+        (3L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "srcX", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = Dedup.exactSubstrCoverage(spark, tmp.toString).collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getLong(1) === 3L, s"n_docs: $row")
+      assert(row.getLong(2) === 2L, s"n_docs_with_dup: $row")
+      assert(row.getLong(3) === 24L, s"dup_tokens must be the union (12 per doc): $row")
+      assert(row.getLong(4) === 45L, s"total_tokens: $row")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("simhashOf (native graft_simhash) and simhashExpr (pure-SQL fold) agree") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StringType
