@@ -713,11 +713,17 @@ object Dedup {
     * stream explosion (the suffix array would also be O(total tokens)),
     * one vocabulary-bounded frequency aggregate, and a per-DOC window
     * sort — partitioned by doc_id, never global. */
-  def exactSubstrCoverage(s: SparkSession, dir: String, L: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def exactSubstrCoverage(s: SparkSession, dir: String, L: Int = 8): DataFrame =
+    substrCoverageOf(Tables.documents(s, dir), L)
+
+  /** [[exactSubstrCoverage]] over an arbitrary (doc_id, source, text)
+    * relation — the testable core (property-checked against a
+    * brute-force interval-union reference in DedupBlockingSpec). */
+  private[ops] def substrCoverageOf(documents: DataFrame, L: Int): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val wins = Tables.documents(s, dir)
+    val wins = documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= L)
       .select(col("doc_id"), explode(expr(

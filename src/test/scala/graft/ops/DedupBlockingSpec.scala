@@ -88,6 +88,50 @@ class DedupBlockingSpec extends SparkSuite {
     }
   }
 
+  test("substring coverage equals a brute-force interval-union reference") {
+    // tiny alphabet → shared 8-token windows arise constantly, including
+    // runs longer than L, runs at doc edges, and within-doc repetition
+    val corpus: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.chooseNum(3, 7)
+      docs <- Gen.listOfN(nDocs,
+        Gen.chooseNum(0, 26).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("x", "y")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def brute(docs: Seq[(Long, String)], L: Int): (Long, Long, Long, Long) = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val owners = toks.flatMap { case (id, w) =>
+        w.sliding(L).filter(_.length == L).map(win => (win.mkString(" "), id))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      val covered = toks.map { case (id, w) =>
+        val marks = Array.fill(w.length)(false)
+        w.sliding(L).zipWithIndex.foreach { case (win, i) =>
+          if (win.length == L && owners(win.mkString(" ")) >= 2)
+            (i until i + L).foreach(marks(_) = true)
+        }
+        id -> marks.count(identity).toLong
+      }
+      (toks.size.toLong, covered.count(_._2 > 0).toLong,
+        covered.map(_._2).sum, toks.map(_._2.length.toLong).sum)
+    }
+
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", org.apache.spark.sql.types.StringType),
+      StructField("source", org.apache.spark.sql.types.StringType)))
+    val prop = Prop.forAll(corpus) { docs =>
+      val df = spark.createDataFrame(
+        docs.map { case (id, t) => Row(id, t, "srcP") }.asJava, docSchema)
+      val r = Dedup.substrCoverageOf(df, 8).collect()
+      val got =
+        if (r.isEmpty) (0L, 0L, 0L, 0L)
+        else (r.head.getLong(1), r.head.getLong(2), r.head.getLong(3), r.head.getLong(4))
+      got == brute(docs, 8)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhashOf (native graft_simhash) and simhashExpr (pure-SQL fold) agree") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StringType
