@@ -57,6 +57,8 @@ object SparkEntry {
     "q36_gap_fill"       -> (RelationalQueries.q36GapFill _),
     "q37_asof_custom"    -> (RelationalQueries.q37AsOfCustom _),
     "q38_asof_tolerance" -> ((s: SparkSession, d: String) => RelationalQueries.q38AsOfTolerance(s, d)),
+    // interval-overlap join via binning (sessions × error-incident hours)
+    "q39_interval_join"  -> ((s: SparkSession, d: String) => RelationalQueries.q39IntervalJoin(s, d)),
     // Reference-parity log surface (SURVEY §2.1-§2.6)
     "log_time_range"      -> (LogQueries.logTimeRange _),
     "log_filter_conj"     -> (LogQueries.logFilterConjunction _),
@@ -648,6 +650,30 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
         |FROM events ORDER BY event_id""".stripMargin,
+    "q39_interval_join" ->
+      """WITH e AS (
+        |  SELECT *, CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS ts_sec FROM events),
+        |g AS (
+        |  SELECT *, LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |    AS prev_sec
+        |  FROM e),
+        |sid AS (
+        |  SELECT *, SUM(CASE WHEN prev_sec IS NULL OR ts_sec > prev_sec + 1800
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sess_id, MIN(ts_sec) AS sstart, MAX(ts_sec) AS send
+        |  FROM sid GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT ts_sec // 3600 AS hb, COUNT(*) AS n_err
+        |  FROM e WHERE event_type = 'error' GROUP BY 1 HAVING COUNT(*) >= 6)
+        |SELECT i.hb AS incident_hour, CAST(MAX(i.n_err) AS BIGINT) AS n_err,
+        |  COUNT(*) AS n_sessions, CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+        |FROM inc i JOIN sess s
+        |  ON s.sstart // 3600 <= i.hb AND s.send // 3600 >= i.hb
+        |GROUP BY i.hb ORDER BY incident_hour""".stripMargin,
     "text_collocations" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (

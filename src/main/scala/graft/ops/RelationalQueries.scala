@@ -713,6 +713,50 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** INTERVAL-OVERLAP join via BINNING — the join shape Spark has no
+    * native operator for (an `a.start <= b.end AND a.end >= b.start`
+    * theta join plans as a nested-loop scan of every pair), re-expressed
+    * as the canonical at-scale recipe: explode each interval into the
+    * fixed-width bins it touches and equi-join on the bin key. Here:
+    * user sessions (30-min-gap sessionization, the q12 rule) against
+    * "incident hours" (hour buckets holding ≥ `errThreshold` error
+    * events) — which sessions were exposed to each incident window. The
+    * bin explosion is bounded by interval duration / bin width (a
+    * session touching h hours emits h+1 rows), the join is hash-
+    * partitioned on the hour key, and because a session's bin range is
+    * exactly the hours its closed [start, end] touches, bin membership
+    * IS the overlap predicate — no post-filter, no dedup. The oracle
+    * plays the naive theta join (fine at test scale) against this plan,
+    * proving the rewrite exact. */
+  def q39IntervalJoin(s: SparkSession, dir: String, errThreshold: Long = 6): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("ts_sec", col("ts").cast("long"))
+    // sub-second order differences must not flip the lag: both engines
+    // sessionize over the SAME total order (ts_sec, event_id)
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val sessions = e
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(wUser))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("ts_sec") > col("prev_sec") + 1800L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_sec")).as("sstart"), max(col("ts_sec")).as("send"))
+    val incidents = e.filter(col("event_type") === "error")
+      .groupBy(expr("ts_sec div 3600").as("hb"))
+      .agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= errThreshold)
+    sessions
+      .select(col("user_id"),
+        explode(expr("sequence(sstart div 3600, send div 3600)")).as("hb"))
+      .join(incidents, Seq("hb"))
+      .groupBy(col("hb").as("incident_hour"))
+      .agg(max(col("n_err")).as("n_err"), // constant within the hour
+           count(lit(1)).as("n_sessions"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("incident_hour"))
+  }
+
   def q36GapFill(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
