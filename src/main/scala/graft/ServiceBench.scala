@@ -20,18 +20,22 @@ object ServiceBench {
 
   def run(spark: SparkSession): Unit = {
     val root = Scratch.localDir + s"/svcbench-${System.nanoTime()}"
-    val server = new api.LogServer(spark, root, bufferSizeLimit = 64 * 1024).start()
-    val client = HttpClient.newHttpClient()
-    val base = s"http://localhost:${server.boundPort}"
-    def send(method: String, path: String, body: Option[String],
-             token: Option[String]): HttpResponse[String] = {
-      var b = HttpRequest.newBuilder(URI.create(s"$base$path"))
-      b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
-        b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
-      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
-      client.send(b.build(), BodyHandlers.ofString())
-    }
+    // server startup stays INSIDE the try: a bind/scratch failure must
+    // degrade to the FAILED detail line, never escape past the bench's
+    // already-printed stdout JSON and kill the process
+    var server: api.LogServer = null
     try {
+      server = new api.LogServer(spark, root, bufferSizeLimit = 64 * 1024).start()
+      val client = HttpClient.newHttpClient()
+      val base = s"http://localhost:${server.boundPort}"
+      def send(method: String, path: String, body: Option[String],
+               token: Option[String]): HttpResponse[String] = {
+        var b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+        b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+          b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+        token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), BodyHandlers.ofString())
+      }
       val tokenBody = send("POST", "/api/auth/login",
         Some("""{"username":"admin","password":"admin"}"""), None).body
       val token = tokenBody.split("\"token\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
@@ -48,14 +52,20 @@ object ServiceBench {
       val readsOk = new AtomicInteger(0)
       val errors = new AtomicInteger(0)
       @volatile var writing = true
+      // a transport-level failure (connection reset while rotation +
+      // compaction run mid-traffic) must count as an error and let the
+      // thread continue — an uncaught throw would silently kill the
+      // thread and report LOWER throughput with errors=0
       val writers = (1 to nWriters).map { w =>
         new Thread(() => {
           for (b <- 1 to nBatches) {
-            val logs = (1 to rowsPerBatch).map(i =>
-              f"""{"level":"INFO","message":"w$w-b$b-r$i payload ${"x" * 64}","timestamp":"2025-01-01T${b % 24}%02d:${i % 60}%02d:00Z"}""")
-              .mkString("[", ",", "]")
-            val r = send("POST", s"/api/logs/bench/w$w", Some(s"""{"logs":$logs}"""), Some(token))
-            if (r.statusCode == 201) appendsOk.incrementAndGet() else errors.incrementAndGet()
+            try {
+              val logs = (1 to rowsPerBatch).map(i =>
+                f"""{"level":"INFO","message":"w$w-b$b-r$i payload ${"x" * 64}","timestamp":"2025-01-01T${b % 24}%02d:${i % 60}%02d:00Z"}""")
+                .mkString("[", ",", "]")
+              val r = send("POST", s"/api/logs/bench/w$w", Some(s"""{"logs":$logs}"""), Some(token))
+              if (r.statusCode == 201) appendsOk.incrementAndGet() else errors.incrementAndGet()
+            } catch { case _: Exception => errors.incrementAndGet() }
           }
         }, s"svc-writer-$w")
       }
@@ -63,8 +73,10 @@ object ServiceBench {
         new Thread(() => {
           var w = r
           while (writing) {
-            val resp = send("GET", s"/api/logs/bench/w${w % nWriters + 1}", None, Some(token))
-            if (resp.statusCode == 200) readsOk.incrementAndGet() else errors.incrementAndGet()
+            try {
+              val resp = send("GET", s"/api/logs/bench/w${w % nWriters + 1}", None, Some(token))
+              if (resp.statusCode == 200) readsOk.incrementAndGet() else errors.incrementAndGet()
+            } catch { case _: Exception => errors.incrementAndGet() }
             w += 1
           }
         }, s"svc-reader-$r")
@@ -84,6 +96,6 @@ object ServiceBench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] log_service_throughput FAILED: ${e.getMessage}")
-    } finally server.close()
+    } finally if (server != null) server.close()
   }
 }

@@ -191,21 +191,37 @@ object SparkEntry {
   // comp_id)` = true component minimum — converges to the same fixpoint
   // as the Spark side's large-star/small-star loop without mirroring its
   // iteration count). Requires $shinglesCte under WITH RECURSIVE.
-  private val ngramComponentsCte =
+  // Shared DuckDB CTE chain: DF-capped shingles -> Jaccard>=0.5 near-dup
+  // candidate pairs — Dedup.ngramPairs replayed in SQL, the base of every
+  // ngram-pair consumer (components, cluster stats, cross-source,
+  // method agreement). Requires $shinglesCte.
+  // DF-capped shingle relation (Dedup.cappedShingles in SQL): drop
+  // shingles present in >20% of the corpus before any pair generation.
+  private val cappedShinglesCte =
     """hot AS (
       |  SELECT s FROM sh GROUP BY s
       |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-      |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
+  // Per-pair overlap stats over the capped relation (Dedup.shinglePairStats).
+  private val pairStatsCte =
+    s"""$cappedShinglesCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val ngramPairsCte =
+    s"""$pairStatsCte,
       |pairs AS (
       |  SELECT doc_a, doc_b
       |  FROM common JOIN sizes x ON doc_a = x.doc_id
       |              JOIN sizes y ON doc_b = y.doc_id
-      |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+      |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5)""".stripMargin
+
+  private val ngramComponentsCte =
+    s"""$ngramPairsCte,
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(src, dst) AS (
@@ -259,11 +275,17 @@ object SparkEntry {
   // SimHashBits=64, nChunks=4 (maxDist 3). Shift amounts 0/16/32/48
   // with a 16-bit mask never touch sign-extension bits, so the chunk
   // keys are engine-independent.
-  private val chunksCte =
+  // The pigeonhole chunk relation alone (Dedup.chunkRelation in SQL) —
+  // the ONE place the 16-bit shift/mask chunk key is written; every
+  // blocked-join oracle (cand below, the admission split) reuses it.
+  private val chunkRelCte =
     """chunks AS (
       |  SELECT doc_id, simhash, j,
       |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS BIGINT) AS ck
-      |  FROM shash, UNNEST(range(0, 4)) AS u(j)),
+      |  FROM shash, UNNEST(range(0, 4)) AS u(j))""".stripMargin
+
+  private val chunksCte =
+    s"""$chunkRelCte,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.simhash AS ha, b.simhash AS hb
@@ -992,15 +1014,7 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |$pairStatsCte
          |SELECT doc_a, doc_b,
          |  floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 AS jaccard
          |FROM common JOIN sizes x ON doc_a = x.doc_id
@@ -1009,15 +1023,7 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |$pairStatsCte
          |SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b,
          |  floor(CAST(c AS DOUBLE) / LEAST(x.n, y.n) * 1000000) / 1000000 AS containment
          |FROM common JOIN sizes x ON doc_a = x.doc_id
@@ -1026,19 +1032,8 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_method_agreement" ->
       s"""WITH $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |ng AS (
-         |  SELECT doc_a, doc_b
-         |  FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
-         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |$ngramPairsCte,
+         |ng AS (SELECT doc_a, doc_b FROM pairs),
          |$simhashCte,
          |$chunksCte,
          |p AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
@@ -1049,7 +1044,7 @@ object SparkEntry {
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN p x ON c.doc_a = x.doc_id JOIN p y ON c.doc_b = y.doc_id
          |  WHERE levenshtein(x.prefix, y.prefix) <= 10),
-         |pairs AS (
+         |tagged AS (
          |  SELECT doc_a, doc_b, 'ngram' AS method FROM ng
          |  UNION ALL SELECT doc_a, doc_b, 'hamming' FROM hm
          |  UNION ALL SELECT doc_a, doc_b, 'fuzzy' FROM fz),
@@ -1058,7 +1053,7 @@ object SparkEntry {
          |    MAX(CASE WHEN method = 'ngram' THEN 1 ELSE 0 END) AS has_ng,
          |    MAX(CASE WHEN method = 'hamming' THEN 1 ELSE 0 END) AS has_hm,
          |    MAX(CASE WHEN method = 'fuzzy' THEN 1 ELSE 0 END) AS has_fz
-         |  FROM pairs GROUP BY 1, 2),
+         |  FROM tagged GROUP BY 1, 2),
          |m AS (SELECT
          |  CAST(SUM(has_ng) AS BIGINT) AS a_ng, CAST(SUM(has_hm) AS BIGINT) AS a_hm,
          |  CAST(SUM(has_fz) AS BIGINT) AS a_fz,
@@ -1145,16 +1140,9 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_admission" ->
       s"""WITH $simhashCte,
-         |inc AS (SELECT * FROM shash WHERE doc_id % 5 = 0),
-         |corp AS (SELECT * FROM shash WHERE doc_id % 5 <> 0),
-         |ca AS (
-         |  SELECT doc_id, simhash, j,
-         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS BIGINT) AS ck
-         |  FROM inc, UNNEST(range(0, 4)) AS u(j)),
-         |cb AS (
-         |  SELECT doc_id, simhash, j,
-         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS BIGINT) AS ck
-         |  FROM corp, UNNEST(range(0, 4)) AS u(j)),
+         |$chunkRelCte,
+         |ca AS (SELECT * FROM chunks WHERE doc_id % 5 = 0),
+         |cb AS (SELECT * FROM chunks WHERE doc_id % 5 <> 0),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS corpus_doc,
          |         a.simhash AS ha, b.simhash AS hb
@@ -1166,20 +1154,7 @@ object SparkEntry {
          |ORDER BY in_doc, corpus_doc""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM common JOIN sizes x ON doc_a = x.doc_id
-         |              JOIN sizes y ON doc_b = y.doc_id
-         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |$ngramPairsCte,
          |j AS (
          |  SELECT LEAST(dx.source, dy.source) AS source_a,
          |         GREATEST(dx.source, dy.source) AS source_b
@@ -1698,10 +1673,7 @@ object SparkEntry {
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH $shinglesCte,
-         |hot AS (
-         |  SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-         |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |$cappedShinglesCte,
          |bench AS (SELECT DISTINCT s FROM shc WHERE doc_id < 10),
          |contaminated AS (
          |  SELECT DISTINCT doc_id FROM shc

@@ -23,6 +23,11 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    // manifest of ATTEMPTED queries: the checker fails a query that was
+    // attempted but produced no result dir (a construction-time crash
+    // must not read as a silent skip)
+    Files.writeString(Paths.get(s"$outDir/attempted.txt"),
+      selected.keys.toSeq.sorted.mkString("\n"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -130,10 +130,16 @@ object Similarity {
     ivfSearch(vs, seedCentroids(vs), nQueries, k, nprobe)
   }
 
-  /** The deterministic "trained" seed set: vectors 100..107 (no RNG, so
-    * the oracle replays it). */
+  /** Inverted-list count of the deterministic seed quantizer — the ONE
+    * constant [[seedCentroids]]'s id range, [[ivfCellStats]]'s uniform-
+    * load divisor, and the `cents`/load-factor literals in the SQL
+    * oracles must all track (the oracles hardcode 8 and say so). */
+  private[ops] val IvfNList = 8
+
+  /** The deterministic "trained" seed set: vectors 100..100+nlist (no
+    * RNG, so the oracle replays it). */
   private def seedCentroids(vs: DataFrame): DataFrame =
-    vs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+    vs.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfNList)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
 
   /** Top-`keep` nearest centroids per vector: the ONE assignment block
@@ -209,7 +215,7 @@ object Similarity {
       .withColumn("k", lit(1))
       .join(broadcast(total), Seq("k"))
       .withColumn("load_factor", Tables.trunc6(
-        col("n_vectors").cast("double") * lit(8) / col("n_total")))
+        col("n_vectors").cast("double") * lit(IvfNList) / col("n_total")))
       .select(col("list_id"), col("n_vectors"), col("mean_cos"), col("load_factor"))
       .orderBy(col("list_id"))
   }

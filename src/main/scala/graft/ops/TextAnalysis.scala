@@ -401,7 +401,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .as[(String, Long)]
-      .map { case (t, f) => (t, t.map(_.toString): Seq[String], f) }
+      .map { case (t, f) => (t, TextAnalysis.codePointSymbols(t), f) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
@@ -460,6 +460,15 @@ object TextAnalysis {
         trunc6(col("n_chars").cast("double") / col("n_symbols")))
       .orderBy(col("doc_id"))
   }
+
+  /** A word's initial symbol sequence: one symbol per Unicode CODE
+    * POINT, not per UTF-16 code unit — `String.map(_.toString)` would
+    * split a supplementary-plane character (emoji, rare CJK) into two
+    * lone surrogates, desyncing the trainer from the DuckDB oracle,
+    * whose regexp `(.)` matches whole code points. */
+  private[ops] def codePointSymbols(t: String): Seq[String] =
+    t.codePoints().toArray.toSeq
+      .map(cp => new String(Character.toChars(cp)))
 
   /** One left-to-right merge pass over a word's symbol sequence —
     * non-overlapping, greedy from the left (standard BPE apply). */

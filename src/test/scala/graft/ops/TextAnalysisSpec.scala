@@ -77,7 +77,7 @@ class TextAnalysisSpec extends SparkSuite {
       .select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).count().collect()
-      .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1)).toMap
+      .map(r => TextAnalysis.codePointSymbols(r.getString(0)) -> r.getLong(1)).toMap
     val want = (1 to 8).flatMap { rk =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       types.foreach { case (syms, f) =>
@@ -121,7 +121,7 @@ class TextAnalysisSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     var types: Map[String, (Seq[String], Long)] = docs
       .flatMap(_._2.split(" ", -1)).groupBy(identity)
-      .map { case (t, occ) => t -> ((t.map(_.toString): Seq[String]) -> occ.length.toLong) }
+      .map { case (t, occ) => t -> (TextAnalysis.codePointSymbols(t) -> occ.length.toLong) }
     val utf8: Ordering[String] = (x: String, y: String) =>
       java.util.Arrays.compareUnsigned(
         x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -149,7 +149,9 @@ class TextAnalysisSpec extends SparkSuite {
     val want = docs.map { case (id, text) =>
       val toks = text.split(" ", -1).toSeq.filter(_.nonEmpty)
       val nSyms = toks.map(t => types(t)._1.length.toLong).sum
-      val nChars = toks.map(_.length.toLong).sum
+      // code POINTS, matching both engines' length(); String.length
+      // would count UTF-16 units and diverge on supplementary planes
+      val nChars = toks.map(t => t.codePointCount(0, t.length).toLong).sum
       id -> ((toks.length.toLong, nSyms, nChars,
         math.floor(nChars.toDouble / nSyms * 1e6) / 1e6))
     }.filter(_._2._1 > 0).toMap

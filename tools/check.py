@@ -35,11 +35,17 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Verify writes the queries it attempted; anything attempted but
+    # missing its result dir FAILED at construction time. Names absent
+    # from the manifest were deliberately skipped (targeted dev run).
+    mpath = os.path.join(out_dir, "attempted.txt")
+    attempted = (set(open(mpath).read().split())
+                 if os.path.exists(mpath) else set(oracle))
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = os.path.join(out_dir, name)
-        if not os.path.isdir(res_dir):
+        if name not in attempted and not os.path.isdir(res_dir):
             continue  # targeted Verify run — only check what was dumped
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
