@@ -125,6 +125,8 @@ object SparkEntry {
     "mm_binary_meta"   -> (TextAnalysis.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample"    -> (Multimodal.frameSample _),
+    // cross-document exact frame dedup (the video mirrored-upload check)
+    "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_resize_stub"     -> ((s: SparkSession, d: String) => Multimodal.resizeStub(s, d)),
     "mm_audio_energy"    -> (Multimodal.audioEnergy _),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
@@ -2000,6 +2002,23 @@ object SparkEntry {
         |FROM f, UNNEST(range(0, n_frames, 4)) AS u(i)
         |WHERE n_frames > 0
         |ORDER BY doc_id, frame_no""".stripMargin,
+    "mm_frame_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hh FROM documents),
+        |f AS (SELECT doc_id, hh, length(hh) // 32 AS n_frames FROM b),
+        |fr AS (
+        |  SELECT doc_id, md5(substring(hh, CAST(i AS INT) * 32 + 1, 32)) AS fm
+        |  FROM f, UNNEST(range(0, n_frames)) AS u(i)
+        |  WHERE n_frames > 0),
+        |dfreq AS (
+        |  SELECT fm, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, fm FROM fr) x GROUP BY fm)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+        |  floor(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+        |    AS dup_ratio
+        |FROM fr JOIN dfreq USING (fm)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -99,6 +99,38 @@ object Multimodal {
         md5(expr("substring(hh, CAST(frame_no AS INT) * 32 + 1, 32)")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** FRAME-level exact dedup across media payloads — the video-dedup
+    * primitive (mirrored uploads share most frames even when container
+    * metadata differs, so whole-file digests miss them): every 16-byte
+    * frame hashes to md5, a frame is DUPLICATED when its hash occurs in
+    * ≥2 distinct documents, and each document reports its duplicated-
+    * frame fraction — near 1.0 flags a re-encoded copy, mid-range flags
+    * shared intro/outro segments. The distinct-doc count (not raw
+    * occurrences) keeps a frame looping within ONE video from
+    * self-promoting, exactly like [[TextAnalysis.boilerplate]]'s DF
+    * rule. Cost: one generator pass over the frames, one 32-byte-keyed
+    * frequency aggregate bounded by distinct frames, one hash join back
+    * — the shape that holds when frames outnumber documents 10⁴:1. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val frames = blobs(s, dir)
+      .withColumn("hh", lower(hex(col("blob"))))
+      .withColumn("n_frames", expr("CAST(length(hh) div 32 AS BIGINT)"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("hh"), col("n_frames"),
+        explode(expr("sequence(0, CAST(n_frames - 1 AS INT))")).as("i"))
+      .select(col("doc_id"),
+        md5(expr("substring(hh, CAST(i AS INT) * 32 + 1, 32)")).as("fm"))
+    val dfreq = frames.distinct()
+      .groupBy(col("fm")).agg(count(lit(1)).as("df"))
+    frames.join(dfreq, Seq("fm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_frames"))
+      .withColumn("dup_ratio",
+        Tables.trunc6(col("n_dup_frames").cast("double") / col("n_frames")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Audio-feature shape: treat the payload as 8-byte frames, compute an
     * integer per-frame energy (sum of unsigned byte values), and report
     * the per-document energy profile — frame count, mean (integer-
