@@ -107,6 +107,8 @@ object SparkEntry {
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     // IVF inverted-list balance/skew pre-flight (load factor, cohesion)
     "ann_cell_stats"  -> ((s: SparkSession, d: String) => Similarity.ivfCellStats(s, d)),
+    // per-source embedding centroid vs corpus centroid (drift monitor)
+    "emb_source_drift" -> ((s: SparkSession, d: String) => Similarity.sourceCentroidDrift(s, d)),
     "emb_label_cohesion" -> (Similarity.labelCohesion _),
     "emb_label_separation" -> (Similarity.labelSeparation _),
     "emb_label_confusion"  -> (Similarity.labelConfusion _),
@@ -1395,6 +1397,32 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "emb_source_drift" ->
+      s"""WITH $vectorsCte,
+         |rel AS (
+         |  SELECT d.source, vn.v FROM vn JOIN documents d ON vn.vec_id = d.doc_id),
+         |el AS (
+         |  SELECT source, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |  FROM rel, UNNEST(range(1, 65)) AS u(i)),
+         |cm AS (
+         |  SELECT source, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY source, pos),
+         |cn AS (
+         |  SELECT source, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT source, list(mean ORDER BY pos) AS cv FROM cm GROUP BY source) t),
+         |gm AS (
+         |  SELECT pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM el GROUP BY pos),
+         |gn AS (
+         |  SELECT cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT list(mean ORDER BY pos) AS cv FROM gm) t),
+         |nv AS (SELECT source, COUNT(*) AS n_vecs FROM rel GROUP BY source)
+         |SELECT c.source, nv.n_vecs,
+         |  floor(list_dot_product(c.cv, g.cv) / (c.cnorm * g.cnorm) * 1000000) / 1000000
+         |    AS cos_global
+         |FROM cn c JOIN nv ON c.source = nv.source CROSS JOIN gn g
+         |ORDER BY c.source""".stripMargin,
     "ann_cell_stats" ->
       s"""WITH $vectorsCte,
          |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -395,6 +395,35 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Per-SOURCE embedding drift — the data-drift monitor a pipeline
+    * runs per ingest batch: each source's centroid (micro-quantized
+    * means, the shared determinism contract) compared by cosine against
+    * the CORPUS centroid; a source whose cos_global sinks is shifting
+    * distribution relative to the mixture (new crawl seed, encoder
+    * regression, feed hijack) and gets quarantined before training.
+    * Also the one report tying `embeddings` to `documents`
+    * (vec_id = doc_id): the join is a doc-keyed hash join, the two
+    * centroid aggregates are map-side combined and dimension-bounded,
+    * and the 1-row corpus centroid rides the usual constant-key
+    * broadcast. */
+  def sourceCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val rel = vectors(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), col("v"))
+    val scents = assembleCentroids(quantizedMeans(rel, "source"), "source")
+    val global = assembleCentroids(
+      quantizedMeans(rel.withColumn("g", lit(1L)).select(col("g"), col("v")), "g"), "g")
+      .select(col("cv").as("gv"), col("cnorm").as("gnorm"))
+    val counts = rel.groupBy(col("source")).agg(count(lit(1)).as("n_vecs"))
+    scents.join(counts, Seq("source"))
+      .join(broadcast(global))
+      .withColumn("cos_global",
+        trunc6(dot("cv", "gv") / (col("cnorm") * col("gnorm"))))
+      .select(col("source"), col("n_vecs"), col("cos_global"))
+      .orderBy(col("source"))
+  }
+
   /** Embedding-space label confusion — the classification-eval report:
     * every vector is assigned to its NEAREST label centroid (the same
     * micro-quantized centroids the cohesion report builds, broadcast —

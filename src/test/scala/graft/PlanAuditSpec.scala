@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSuite {
     "text_source_drift",
     // both intended shapes at once: the 8-row centroid cross assignment
     // plus the 1-row vector-count scalar join for the load factor
-    "ann_cell_stats")
+    "ann_cell_stats",
+    // the 1-row corpus-centroid broadcast onto the per-source centroids
+    "emb_source_drift")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
