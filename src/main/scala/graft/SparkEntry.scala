@@ -161,6 +161,8 @@ object SparkEntry {
     "pipe_packing_plan"      -> ((s: SparkSession, d: String) => Pipeline.packingPlan(s, d)),
     // near-dup-cluster-keyed train/val/test assignment (no split leakage)
     "pipe_leakage_split"     -> ((s: SparkSession, d: String) => Pipeline.leakageSafeSplit(s, d)),
+    // deterministic token-budget quota fill per source (hash-order cumsum)
+    "pipe_token_quota"       -> ((s: SparkSession, d: String) => Pipeline.tokenQuota(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "pipe_dup_weights"       -> (Pipeline.dupWeights _),
@@ -1764,6 +1766,22 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN comp_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_cluster_bound
          |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "pipe_token_quota" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  floor(CAST(SUM(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |        / 800 * 1000000) / 1000000 AS utilization
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "pipe_packing_plan" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -420,6 +420,33 @@ object Pipeline {
              .as("mean_quality"))
       .orderBy(col("phase"))
 
+  /** TOKEN-QUOTA sampling — the budget-constrained selection every
+    * mixture recipe bottoms out in ("fill N tokens from this source"):
+    * documents enter in deterministic md5-hash order (an unbiased,
+    * rerun-stable shuffle — doc_id order would bias toward old crawl
+    * batches) and a source keeps documents while its running token sum
+    * stays within the budget. One per-source window cumsum (the
+    * [[tokenShards]] scale shape) and a bounded rollup; the selection
+    * rule is a pure function of (doc_id, n_tokens, budget), so resumed
+    * or re-partitioned runs keep EXACTLY the same documents. */
+  def tokenQuota(s: SparkSession, dir: String, budget: Long = 800): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("cum") <= budget, col("n_tokens")).otherwise(0L))
+             .as("kept_tokens"))
+      .withColumn("utilization",
+        trunc6(col("kept_tokens").cast("double") / budget))
+      .orderBy(col("source"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split — the assignment rule that makes
     * held-out evaluation honest: the split decision is a deterministic
     * hash of the NEAR-DUP CLUSTER id (connected component of the
