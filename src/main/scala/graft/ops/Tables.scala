@@ -30,22 +30,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — set at SparkSession
-    * build by every harness (Verify/Bench/test fixture), NOT here: a
-    * loader must not mutate global session conf — the nanos arrive as a
-    * long, floor-divided to µs. DuckDB reads the same column as
-    * TIMESTAMP_NS without truncating; the driver's test data is
-    * µs-aligned (sub-µs components are zero), so the floor-divide is
-    * lossless and both engines see identical instants. If a future
-    * generator emitted sub-µs precision, the oracle side would need an
-    * explicit µs truncation to keep boundary predicates in agreement. */
+  /** events.parquet's `ts` physical type has varied across driver
+    * regenerations of the test data — TIMESTAMP(NANOS) in earlier
+    * rounds (readable only as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), plain TIMESTAMP(µs)
+    * now. Normalize every layout to a session-zone TimestampType
+    * column so downstream queries and the DuckDB oracle agree on
+    * instants regardless of which generation is on disk:
+    *  - LongType (nanos-as-long): floor-divide to µs — the data is
+    *    µs-aligned, so this is lossless;
+    *  - TIMESTAMP_NTZ (µs, not UTC-adjusted): cast to TimestampType;
+    *    with the harness-wide UTC session zone the naive values are
+    *    reinterpreted as the same UTC instants DuckDB sees;
+    *  - TimestampType: already the target shape. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build to read events.parquet")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
