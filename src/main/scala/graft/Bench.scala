@@ -74,13 +74,23 @@ object Bench {
       (name, dt, ok)
     }
     // Full per-query detail goes to STDERR — the driver's harness keeps
-    // only the LAST 2000 CHARACTERS of stdout, and a 100+-query dict at
+    // only the LAST 2000 CHARACTERS of output, and a 100+-query dict at
     // full double precision is ~4.6 kB: rounds 2 and 3 both recorded
     // `parsed: null` because the head of the one JSON line fell outside
-    // the tail window. The stdout line below is budgeted to always fit.
+    // the tail window. Round 5 recorded `parsed: null` AGAIN because the
+    // tail window is shared across streams: ServiceBench's ~210-char
+    // stderr detail plus the build tool's own `[success]` trailer printed
+    // AFTER the JSON and ate its budget. Hence the two rules below:
+    // (1) every detail line — including the service bench — runs BEFORE
+    // the JSON; (2) the JSON is the final line this process emits and is
+    // budgeted to 1,600 chars, leaving ~400 chars of headroom for any
+    // trailer the harness itself appends after we exit.
     results.foreach { case (k, v, ok) =>
       System.err.println(f"[bench] $k%-28s $v%8.3f s${if (ok) "" else "  FAILED"}")
     }
+    // Service-path throughput (ingest-while-query over the HTTP surface):
+    // stderr detail, deliberately before the budgeted stdout line.
+    if (sys.env.getOrElse("SPARK_GRAFT_SERVICE_BENCH", "1") != "0") ServiceBench.run(spark)
     def sec(v: Double): String = f"$v%.3f"
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
@@ -89,15 +99,13 @@ object Bench {
     // greedily added while the whole line stays under the tail window
     // (sub-second entries that fall off contribute only to the total).
     val fixed = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":{}}"""
-    var budget = 1850 - fixed.length
+    var budget = 1600 - fixed.length
     val kept = results.sortBy(-_._2).iterator.map { case (k, v, _) =>
       s"\"$k\":${sec(v)}"
     }.takeWhile { e => val fits = budget - (e.length + 1) >= 0; if (fits) budget -= e.length + 1; fits }.toSeq
+    System.out.flush(); System.err.flush()
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")}}""")
-    // Service-path throughput (ingest-while-query over the HTTP surface)
-    // — stderr detail only, AFTER the budgeted stdout line so a service
-    // hiccup can never clip the parseable bench result.
-    if (sys.env.getOrElse("SPARK_GRAFT_SERVICE_BENCH", "1") != "0") ServiceBench.run(spark)
+    System.out.flush()
     if (results.exists(!_._3)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -462,8 +462,11 @@ object Pipeline {
     * component relation is near-dup-sized, not corpus-sized, and the
     * split hash is a pure projection. */
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(
-      Dedup.ngramPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    // Shared memoized assignment — the SAME relation dupComponents and
+    // clusterStats read, so the three CC consumers pay for one fixpoint
+    // per process (mirrors the oracle side, where all three SQL twins
+    // share the ngramComponentsCte derivation).
+    val comp = Dedup.ngramComponents(s, dir)
     Tables.documents(s, dir).select(col("doc_id"), col("source"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp_id"), col("doc_id")))
