@@ -18,6 +18,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SERVICE_BENCH=0. */
 object ServiceBench {
 
+  /** Standalone dev entry: `runMain graft.ServiceBench`. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.local.dir", Scratch.localDir)
+      .config("spark.sql.warehouse.dir", Scratch.localDir + "/warehouse")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark)
+    spark.stop()
+  }
+
   def run(spark: SparkSession): Unit = {
     val root = Scratch.localDir + s"/svcbench-${System.nanoTime()}"
     // server startup stays INSIDE the try: a bind/scratch failure must
@@ -41,15 +55,22 @@ object ServiceBench {
       val token = tokenBody.split("\"token\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
       send("POST", "/api/containers", Some("""{"container_id":"bench"}"""), Some(token))
 
-      val nWriters = 4
-      val nBatches = 15
-      val rowsPerBatch = 40
+      // Sized so the buffered ingest path is measured, not the harness:
+      // 40k rows across 8 concurrent writers is ~2 orders of magnitude
+      // more posts than any fixed cost (JIT, first-flush, first-GET
+      // plan), while still finishing in seconds. The round-5 shape
+      // (4x15x40 = 2.4k rows) was so small that one cold GET dominated
+      // the whole measured window once per-POST Spark jobs went away.
+      val nWriters = 8
+      val nBatches = 50
+      val rowsPerBatch = 100
       (1 to nWriters).foreach { w =>
         send("POST", "/api/containers/bench/sessions",
           Some(s"""{"session_id":"w$w"}"""), Some(token))
       }
       val appendsOk = new AtomicInteger(0)
       val readsOk = new AtomicInteger(0)
+      val rowsRead = new java.util.concurrent.atomic.AtomicLong(0)
       val errors = new AtomicInteger(0)
       @volatile var writing = true
       // a transport-level failure (connection reset while rotation +
@@ -75,7 +96,13 @@ object ServiceBench {
           while (writing) {
             try {
               val resp = send("GET", s"/api/logs/bench/w${w % nWriters + 1}", None, Some(token))
-              if (resp.statusCode == 200) readsOk.incrementAndGet() else errors.incrementAndGet()
+              if (resp.statusCode == 200) {
+                readsOk.incrementAndGet()
+                // "total_rows":N — GETs return whole sessions, so the
+                // meaningful read metric is row volume, not requests
+                val m = "\"total_rows\":(\\d+)".r.findFirstMatchIn(resp.body)
+                m.foreach(g => rowsRead.addAndGet(g.group(1).toLong))
+              } else errors.incrementAndGet()
             } catch { case _: Exception => errors.incrementAndGet() }
             w += 1
           }
@@ -84,14 +111,19 @@ object ServiceBench {
       val t0 = System.nanoTime()
       writers.foreach(_.start()); readers.foreach(_.start())
       writers.foreach(_.join(300000))
+      // ingest rate over the WRITE window (t0 → last 201): the reader
+      // drain after `writing` drops runs one final GET whose duration
+      // would otherwise dilute the ingest number it has nothing to do
+      // with (reads are reported over the full window, where they ran)
+      val dtWrite = (System.nanoTime() - t0) / 1e9
       writing = false
       readers.foreach(_.join(300000))
       val dt = (System.nanoTime() - t0) / 1e9
       val rows = appendsOk.get.toLong * rowsPerBatch
       System.err.println(
         f"[bench] log_service_throughput       $dt%8.3f s  " +
-        f"ingest ${rows / dt}%.0f rows/s (${appendsOk.get / dt}%.1f appends/s), " +
-        f"${readsOk.get / dt}%.1f concurrent reads/s, errors=${errors.get}" +
+        f"ingest ${rows / dtWrite}%.0f rows/s (${appendsOk.get / dtWrite}%.1f posts/s over $dtWrite%.3f s), " +
+        f"${readsOk.get / dt}%.1f concurrent reads/s (${rowsRead.get / dt}%.0f rows/s read), errors=${errors.get}" +
         f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
     } catch {
       case e: Throwable =>

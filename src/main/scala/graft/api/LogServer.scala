@@ -27,16 +27,28 @@ import graft.storage.LogStore
   *
   * Scale note: the server is a thin driver-side gateway. Reads stream
   * via `toLocalIterator` (one partition resident at a time) and writes
-  * land as hot-tier appends with size-triggered async compaction
-  * ([[Compactor]]), so the HTTP layer never materializes a dataset.
+  * go through a per-session write-behind buffer
+  * ([[graft.ingest.IngestBuffer]] — one Spark hot-tier append per
+  * flushed batch, not per POST) with size-triggered async compaction
+  * ([[Compactor]]), so the HTTP layer never materializes a dataset and
+  * never pays a per-request Spark job.
   */
 final class LogServer(spark: SparkSession, root: String, port: Int = 0,
-                      bufferSizeLimit: Long = 10L * 1024 * 1024) extends AutoCloseable {
+                      bufferSizeLimit: Long = 10L * 1024 * 1024,
+                      ingestFlushBytes: Long = 4L * 1024 * 1024,
+                      ingestFlushMs: Long = 100) extends AutoCloseable {
 
   val catalog = new CatalogService(Some(Paths.get(root, "catalog")))
   val store = new LogStore(spark, s"$root/data")
   val engine = new QueryEngine(store)
   val compactor = new Compactor(store, bufferSizeLimit)
+  /** Write-behind ingest buffer (reference writer.py:233-259 semantics:
+    * 201 = buffered; size/time-bounded flush; read paths flush first). */
+  val ingestBuffer = new graft.ingest.IngestBuffer(ingestFlushBytes, ingestFlushMs)({
+    (c, s, rows) =>
+      val bytes = store.append(JsonIngest.toDataFrame(spark, rows), c, s)
+      compactor.noteAppend(c, s, bytes)
+  })
 
   private val mapper = new ObjectMapper()
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
@@ -48,9 +60,10 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   def start(): LogServer = { http.start(); this }
   def boundPort: Int = http.getAddress.getPort
 
-  /** Graceful shutdown: stop accepting, drain compactions, final flush
-    * (reference cleanup_handler, main.py:350-365). */
-  override def close(): Unit = { http.stop(0); compactor.close() }
+  /** Graceful shutdown: stop accepting, flush buffered ingest (after
+    * which every acked row is durable), then drain compactions + final
+    * rotation flush (reference cleanup_handler, main.py:350-365). */
+  override def close(): Unit = { http.stop(0); ingestBuffer.close(); compactor.close() }
 
   // ---- routing ----
 
@@ -202,6 +215,9 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     val startRaw = params.get("start_ts")
     val endRaw = params.get("end_ts")
     val streaming = params.get("stream").exists(_.equalsIgnoreCase("true"))
+    // Read-your-writes across the ingest buffer: everything acked before
+    // this GET began is on disk before the scan lists files.
+    ingestBuffer.flush(c, s)
 
     val (start, end) =
       try (startRaw.map(parseParamTs), endRaw.map(parseParamTs))
@@ -280,8 +296,9 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       catch { case e: JsonIngest.IngestValidationException =>
         return error(ex, 400, e.getMessage)
       }
-    val bytes = store.append(JsonIngest.toDataFrame(spark, rows), c, s)
-    compactor.noteAppend(c, s, bytes)
+    // Buffered ack (reference main.py:330-337: 201 = buffered, not
+    // archived) — one Spark append per flushed batch, not per POST.
+    ingestBuffer.add(c, s, rows)
     val o = mapper.createObjectNode()
     o.put("container", c); o.put("session", s)
     o.put("message", "Logs received"); o.put("count", rows.size)
