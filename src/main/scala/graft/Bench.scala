@@ -88,6 +88,26 @@ object Bench {
     results.foreach { case (k, v, ok) =>
       System.err.println(f"[bench] $k%-28s $v%8.3f s${if (ok) "" else "  FAILED"}")
     }
+    // Blocking-skew forecasts: the candidate-pair totals the two
+    // metadata-priced blocking reports predict. Emitted every run so a
+    // skew regression (a hot SimHash chunk, an overloaded IVF list)
+    // shows up as a NUMBER drifting across rounds instead of a mystery
+    // slowdown in whichever query pays for it first.
+    try {
+      val bs = graft.ops.Dedup.blockStats(spark, sfDir).collect()
+      val bPairs = bs.map(_.getLong(4)).sum
+      val bMax = if (bs.isEmpty) 0L else bs.map(_.getLong(3)).max
+      System.err.println(
+        s"[bench] forecast_simhash_blocking   cand_pairs=$bPairs max_block=$bMax chunks=${bs.length}")
+      val cs = graft.ops.Similarity.ivfCellStats(spark, sfDir).collect()
+      val cPairs = cs.map { r => val n = r.getLong(1); n * (n - 1) / 2 }.sum
+      val cMax = if (cs.isEmpty) 0L else cs.map(_.getLong(1)).max
+      System.err.println(
+        s"[bench] forecast_ann_cells          intra_cell_pairs=$cPairs max_cell=$cMax lists=${cs.length}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] forecasts FAILED: ${e.getMessage}")
+    }
+    clean()
     // Service-path throughput (ingest-while-query over the HTTP surface):
     // stderr detail, deliberately before the budgeted stdout line.
     if (sys.env.getOrElse("SPARK_GRAFT_SERVICE_BENCH", "1") != "0") ServiceBench.run(spark)

@@ -33,8 +33,24 @@ object Dedup {
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
   private def memoized(rel: String, s: SparkSession, dir: String)
-                      (build: => DataFrame): DataFrame =
-    relCache.computeIfAbsent((rel, s, dir), _ => build.localCheckpoint())
+                      (build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: memoized relations derive from each other
+    // (ngramComponents → shinglePairStats → shingles), and a nested
+    // computeIfAbsent on one ConcurrentHashMap is a documented
+    // recursive-update hazard — it threw IllegalStateException
+    // intermittently (bin-collision-dependent) in full bench runs.
+    // Build OUTSIDE any map lock; a concurrent race builds twice and
+    // putIfAbsent keeps the first — both are equivalent checkpoints,
+    // the loser is just unreferenced blocks the ContextCleaner reaps.
+    val key = (rel, s, dir)
+    val existing = relCache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint()
+      val prev = relCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** (doc_id, s): distinct 3-word shingles per document, keyed by a
     * 60-BIT INTEGER hash of the trigram (first 15 hex chars of its md5)

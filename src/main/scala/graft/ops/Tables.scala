@@ -50,13 +50,28 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // A silent pass-through here let an unexpected type (e.g.
+        // StringType from a bad regeneration, or NANOS read without the
+        // legacy conf surfacing Spark's raw PARQUET_TYPE_ILLEGAL) reach
+        // downstream timestamp arithmetic — fail with the fix instead.
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected TIMESTAMP(µs)/" +
+          "TIMESTAMP_NTZ, or a NANOS file read as LongType via " +
+          "spark.sql.legacy.parquet.nanosAsLong=true")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views so `spark.sql` can be used. */
+  /** Register all tables as temp views so `spark.sql` can be used.
+    * `events` routes through [[events]] so the SQL interface sees the
+    * same normalized TimestampType `ts` as every DataFrame-path
+    * consumer (a raw load would expose TIMESTAMP_NTZ to SQL only). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
