@@ -18,39 +18,7 @@ object Dedup {
 
   import Tables.trunc6
 
-  /** Per-process memo for shared derived relations, keyed by
-    * (relation, session, data dir). A real 100 TB curation pipeline
-    * materializes its shingle index / pair stats / cluster assignment
-    * ONCE per run as tables and every report reads them; rebuilding
-    * them per report query — what rounds ≤5 did — multiplies the most
-    * expensive derivations in the engine by their consumer count.
-    * Values are localCheckpoint'ed: materialized eagerly as pinned RDD
-    * blocks that survive `spark.catalog.clearCache()` (they are not
-    * SQL-cache entries) and are never ContextCleaner-collected while
-    * this map strongly references them. Keying by session makes test
-    * isolation automatic; the data dir is assumed immutable for the
-    * life of a session — the same assumption every parquet scan makes. */
-  private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
-  private def memoized(rel: String, s: SparkSession, dir: String)
-                      (build: => DataFrame): DataFrame = {
-    // NOT computeIfAbsent: memoized relations derive from each other
-    // (ngramComponents → shinglePairStats → shingles), and a nested
-    // computeIfAbsent on one ConcurrentHashMap is a documented
-    // recursive-update hazard — it threw IllegalStateException
-    // intermittently (bin-collision-dependent) in full bench runs.
-    // Build OUTSIDE any map lock; a concurrent race builds twice and
-    // putIfAbsent keeps the first — both are equivalent checkpoints,
-    // the loser is just unreferenced blocks the ContextCleaner reaps.
-    val key = (rel, s, dir)
-    val existing = relCache.get(key)
-    if (existing != null) existing
-    else {
-      val built = build.localCheckpoint()
-      val prev = relCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  import Tables.memoized
 
   /** (doc_id, s): distinct 3-word shingles per document, keyed by a
     * 60-BIT INTEGER hash of the trigram (first 15 hex chars of its md5)
@@ -380,8 +348,12 @@ object Dedup {
   /** [[simhash]] without the presentation sort — what every JOIN
     * consumer (blocking, buckets, pipeline weights) wants; a global
     * orderBy feeding a shuffle would be discarded work. */
+  /** Memoized (doc_id, simhash): the SIGNATURE INDEX of a production
+    * pipeline — ~12 report queries start from this 16-byte-per-doc
+    * relation, and while the projection itself runs at scan rate, each
+    * consumer otherwise re-reads and re-hashes the full document text. */
   private[ops] def simhashRaw(s: SparkSession, dir: String): DataFrame =
-    simhashOf(Tables.documents(s, dir))
+    memoized("simhashRaw", s, dir) { simhashOf(Tables.documents(s, dir)) }
 
   /** (lo, mask) of each pigeonhole chunk: widths are ⌈bits/nChunks⌉
     * with the LAST chunk masked to the bits that really exist, so no

@@ -25,11 +25,19 @@ object Similarity {
     * aggregate(zip_with(...)) form and DuckDB's list_dot_product, so
     * scores are bit-identical, but with no per-row intermediate array. */
   private[ops] def vectors(s: SparkSession, dir: String): DataFrame = {
+    // register OUTSIDE the memo: consumers build graft_dot expressions
+    // of their own, so a fresh session needs the function even when the
+    // relation itself comes back from the memo
     graft.functions.DotProduct.register(s)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    // Memoized (NORMED VECTOR INDEX): 18 similarity/embedding queries
+    // start here; the cast + norm run at scan rate but each consumer
+    // otherwise re-reads the embedding parquet and re-norms every row.
+    Tables.memoized("vectors", s, dir) {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    }
   }
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
