@@ -135,7 +135,7 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String,
               nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val vs = vectors(s, dir)
-    ivfSearch(vs, seedCentroids(vs), nQueries, k, nprobe)
+    ivfSearch(vs, seedCentroids(vs), seedAssignment(s, dir), nQueries, k, nprobe)
   }
 
   /** Inverted-list count of the deterministic seed quantizer — the ONE
@@ -166,11 +166,23 @@ object Similarity {
               col("v").as(s"${outPrefix}_v"), col("norm").as(s"${outPrefix}_norm"))
   }
 
-  /** Assignment + nprobe search against an arbitrary centroid relation
-    * ((cent_id, cv, cnorm), broadcast-small). */
-  private def ivfSearch(vs: DataFrame, cents: DataFrame,
+  /** Memoized seed-quantizer assignment (every vector in exactly one
+    * list, vector payload carried) — the INVERTED INDEX all
+    * seed-centroid IVF ops read (search, cell stats, Lloyd update,
+    * SemDeDup clustering, k-NN pooling). An IVF deployment assigns
+    * once at index-build time; before round 6 each of those five
+    * queries re-ran the broadcast-assign pass over N. */
+  private def seedAssignment(s: SparkSession, dir: String): DataFrame =
+    Tables.memoized("ivfSeedAssign", s, dir) {
+      val vs = vectors(s, dir)
+      nearestCentroids(vs, seedCentroids(vs), 1, "n")
+    }
+
+  /** nprobe search against an arbitrary centroid relation
+    * ((cent_id, cv, cnorm), broadcast-small) and its matching
+    * assignment relation. */
+  private def ivfSearch(vs: DataFrame, cents: DataFrame, assigned: DataFrame,
                         nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    val assigned = nearestCentroids(vs, cents, 1, "n") // every vector in exactly one list
     val probes = nearestCentroids(vs.filter(col("vec_id") < nQueries), cents, nprobe, "q")
     topK(probes.join(assigned, Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
@@ -192,7 +204,7 @@ object Similarity {
     val vs = vectors(s, dir)
     val refined = assembleCentroids(centroidUpdate(s, dir), "list_id")
       .select(col("list_id").as("cent_id"), col("cv"), col("cnorm"))
-    ivfSearch(vs, refined, nQueries, k, nprobe)
+    ivfSearch(vs, refined, nearestCentroids(vs, refined, 1, "n"), nQueries, k, nprobe)
   }
 
   /** IVF inverted-LIST balance report — the pre-flight an ANN
@@ -212,7 +224,7 @@ object Similarity {
     val vs = vectors(s, dir)
     val cents = seedCentroids(vs)
     val total = vs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    nearestCentroids(vs, cents, 1, "n")
+    seedAssignment(s, dir)
       .join(broadcast(cents), col("list_id") === col("cent_id"))
       .withColumn("cosq",
         floor(dot("cv", "n_v") / (col("cnorm") * col("n_norm")) * 1000000.0).cast("long"))
@@ -262,8 +274,7 @@ object Similarity {
       .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
 
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(s, dir)
-    val assigned = nearestCentroids(vs, seedCentroids(vs), 1, "n")
+    val assigned = seedAssignment(s, dir)
       .select(col("list_id"), col("n_v").as("v"))
     quantizedMeans(assigned, "list_id")
       .select(col("list_id"), col("pos"), col("n_members"), col("mean"))
@@ -515,7 +526,7 @@ object Similarity {
   def semanticDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
     val vs = vectors(s, dir)
     val cents = seedCentroids(vs)
-    val assigned = nearestCentroids(vs, cents, 1, "n")
+    val assigned = seedAssignment(s, dir)
     val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
                             col("n_v").as("va"), col("n_norm").as("na"))
     val b = assigned.select(col("list_id"), col("n_id").as("vec_b"),
@@ -558,7 +569,7 @@ object Similarity {
   def knnGraph(s: SparkSession, dir: String, k: Int = 3,
                poolPerList: Int = 48): DataFrame = {
     val vs = vectors(s, dir)
-    val assigned = nearestCentroids(vs, seedCentroids(vs), 1, "n")
+    val assigned = seedAssignment(s, dir)
     // per-list window: the sort is bounded by list size, the same bound
     // the quantizer already imposes on every IVF op here
     val pw = org.apache.spark.sql.expressions.Window
