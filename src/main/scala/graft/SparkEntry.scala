@@ -170,6 +170,8 @@ object SparkEntry {
     "pipe_chunk_windows"     -> ((s: SparkSession, d: String) => Pipeline.chunkWindows(s, d)),
     "pipe_curriculum"        -> (Pipeline.curriculumPhases _),
     "pipe_incremental_dedup" -> (Pipeline.incrementalDedup _),
+    "pipe_gopher_quality"    -> (Pipeline.gopherQuality _),
+    "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — rows-only check (sketch
     // bit layout is engine-specific), same contract as q21/quantiles_approx;
     // no-false-negatives vs the exact twin proven in PipelineSpec
@@ -1766,6 +1768,61 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN comp_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_cluster_bound
          |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "pipe_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT doc_id, source, SUM(n) AS nw,
+        |    SUM(n * length(tok)) AS sum_len,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to') THEN n ELSE 0 END) AS n_stop,
+        |    MAX(n) AS max_tok
+        |  FROM pt GROUP BY 1, 2),
+        |f AS (
+        |  SELECT source,
+        |    (nw >= 25 AND nw <= 90) AS ok_words,
+        |    (sum_len >= 4 * nw AND sum_len <= 5 * nw) AS ok_wlen,
+        |    (50 * n_stop >= nw) AS ok_stop,
+        |    (25 * max_tok <= 3 * nw) AS ok_rep
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ok_words AND ok_wlen AND ok_stop AND ok_rep
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+        |  CAST(SUM(CASE WHEN NOT ok_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+        |  CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(SUM(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, source, lang, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT doc_id, source, lang, unnest(w) AS g FROM d),
+        |bi AS (
+        |  SELECT doc_id, source, lang, w[i] || ' ' || w[i+1] AS g
+        |  FROM d, unnest(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2),
+        |grams AS (
+        |  SELECT doc_id, source, lang, g,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |stats AS (
+        |  SELECT b, COUNT(*) AS r,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM grams GROUP BY b),
+        |tot AS (SELECT SUM(r) AS rt, SUM(t) AS tt FROM stats),
+        |lam AS (
+        |  SELECT b, CAST(FLOOR(LN(
+        |      CAST((t + 1) * (rt + 256) AS DOUBLE) /
+        |      CAST((r + 1) * (tt + 256) AS DOUBLE)) * 1000000) AS BIGINT) AS lam_u
+        |  FROM stats, tot),
+        |per_doc AS (
+        |  SELECT doc_id, source, CAST(SUM(lam_u) AS BIGINT) AS w_u
+        |  FROM grams JOIN lam USING (b) GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  FLOOR(CAST(SUM(w_u) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_weight,
+        |  CAST(SUM(CASE WHEN w_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+        |  MAX_BY(doc_id, w_u * 1048576 - doc_id) AS top_doc_id,
+        |  CAST(MAX(w_u) AS DOUBLE) / 1000000 AS top_weight
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "pipe_token_quota" ->
       """WITH t AS (
         |  SELECT doc_id, source,

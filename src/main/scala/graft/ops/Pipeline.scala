@@ -513,6 +513,107 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1's document-filter family),
+    * thresholds adapted to this corpus's scale: per document,
+    *  - R1 word count in [25, 90];
+    *  - R2 mean word length in [4, 5] chars;
+    *  - R3 stopword mass ≥ 2% of tokens (the/a/of/and/to);
+    *  - R4 most-frequent token ≤ 12% of tokens (repetition cap).
+    * Reported per source: documents passing ALL rules plus independent
+    * per-rule failure counts (a per-rule breakdown, unlike a
+    * first-fail gate, tells a curation run WHICH rule to re-tune).
+    *
+    * Every rule compares INTEGER quantities (sum_len ≥ 4·n_words, not
+    * mean ≥ 4.0): no float boundary can disagree between engines, so
+    * the gate is exactly replayable. Plan shape is the wordcount
+    * pattern — explode → map-side-combined (doc, token) counts → one
+    * per-doc rollup → one per-source rollup; at 100 TB the only
+    * shuffles are on (doc_id, token) and doc_id, both well-spread. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val perTok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val m = perTok.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("nw"),
+           sum(col("n") * length(col("tok"))).as("sum_len"),
+           sum(when(col("tok").isin("the", "a", "of", "and", "to"), col("n"))
+             .otherwise(0L)).as("n_stop"),
+           max(col("n")).as("max_tok"))
+      .withColumn("ok_words", col("nw") >= 25 && col("nw") <= 90)
+      .withColumn("ok_wlen",
+        col("sum_len") >= lit(4) * col("nw") && col("sum_len") <= lit(5) * col("nw"))
+      .withColumn("ok_stop", lit(50) * col("n_stop") >= col("nw"))
+      .withColumn("ok_rep", lit(25) * col("max_tok") <= lit(3) * col("nw"))
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("ok_words") && col("ok_wlen") && col("ok_stop") && col("ok_rep"),
+             1L).otherwise(0L)).as("n_pass"),
+           sum(when(!col("ok_words"), 1L).otherwise(0L)).as("n_fail_words"),
+           sum(when(!col("ok_wlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+           sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+           sum(when(!col("ok_rep"), 1L).otherwise(0L)).as("n_fail_rep"))
+      .orderBy(col("source"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how target-like its hashed n-gram distribution is. Features
+    * are unigrams + bigrams hashed into `buckets` buckets; the target
+    * domain is the `lang = 'en'` slice, the raw distribution is the
+    * whole corpus; each bucket's log-likelihood ratio
+    * λ_b = ln((t_b+1)/(T+K) · (R+K)/(r_b+1)) (add-one smoothing) is
+    * micro-quantized ONCE per bucket, and a document's weight is the
+    * exact integer sum of λ over its gram occurrences. Per source:
+    * how many documents score target-like (weight > 0), the mean
+    * weight, and the top-weighted document.
+    *
+    * Scale contract: the bucket table is K rows — THE broadcast DSIR
+    * is built around (the paper's reason for hashing) — so scoring is
+    * one map-side join over the gram stream plus a per-doc sum; no
+    * shuffle grows with vocabulary. Quantizing λ per BUCKET (K values)
+    * rather than per document keeps cross-engine float risk bounded by
+    * K ln() calls; document weights and everything after are integer-
+    * exact. The argmax doc rides a packed (weight, -doc_id) BIGINT key
+    * (weights are micro-units ≪ 2^43, ids ≪ 2^20 at test scale). */
+  def dsirWeights(s: SparkSession, dir: String, buckets: Int = 256): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("w"))
+    val uni = d.select(col("doc_id"), col("source"), col("lang"),
+      explode(col("w")).as("g"))
+    val bi = d.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("g"))
+    val grams = uni.unionByName(bi)
+      .withColumn("b",
+        expr(s"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % $buckets"))
+    val stats = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("r"),
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+    val totals = stats.agg(sum(col("r")).as("rt"), sum(col("t")).as("tt"))
+      .withColumn("k", lit(1))
+    // one ln() per bucket over a ratio of exact BIGINT products
+    // (< 2^53 at any oracle-checked scale, so the double argument is
+    // exact and identical on both engines)
+    val lam = stats.withColumn("k", lit(1)).join(broadcast(totals), Seq("k"))
+      .withColumn("lam_u", floor(log(
+        ((col("t") + 1) * (col("rt") + buckets)).cast("double") /
+        ((col("r") + 1) * (col("tt") + buckets)).cast("double")) * 1e6).cast("long"))
+      .select(col("b"), col("lam_u"))
+    val perDoc = grams.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("lam_u")).as("w_u"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           (floor(sum(col("w_u")).cast("double") / count(lit(1))) / 1e6).as("mean_weight"),
+           sum(when(col("w_u") > 0, 1L).otherwise(0L)).as("n_target_like"),
+           expr("max_by(doc_id, w_u * 1048576 - doc_id)").as("top_doc_id"),
+           (max(col("w_u")).cast("double") / 1e6).as("top_weight"))
+      .orderBy(col("source"))
+  }
+
   /** Modality-coverage integrity report: which documents have an
     * embedding row and which are orphaned, per source — the join-health
     * check a multimodal pipeline runs before training (a source whose

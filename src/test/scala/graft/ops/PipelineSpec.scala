@@ -171,6 +171,39 @@ class PipelineSpec extends SparkSuite {
       "no document ever straddles a chop boundary — vacuous at test scale")
   }
 
+  test("gopher quality gate: rules are individually non-vacuous and counts are consistent") {
+    assume(hasTestData)
+    val rows = Pipeline.gopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, pass) = (r.getLong(1), r.getLong(2))
+      val fails = (3 to 6).map(r.getLong(_))
+      assert(pass <= n && fails.forall(_ <= n), s"counts exceed n_docs: $r")
+      // a doc failing any rule is not in n_pass; failures can overlap,
+      // so pass >= n - sum(fails) and pass <= n - max(fails)
+      assert(pass >= n - fails.sum && pass <= n - fails.max, s"pass/fail inconsistent: $r")
+    }
+    // every rule must both fail AND pass somewhere in the corpus —
+    // a rule that never fires (or always fires) is a dead threshold
+    (3 to 6).foreach { i =>
+      assert(rows.map(_.getLong(i)).sum > 0, s"rule at column $i never fails — vacuous")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "no document passes the gate — thresholds broken")
+  }
+
+  test("DSIR weights discriminate: every source has both target-like and raw-like docs") {
+    assume(hasTestData)
+    val rows = Pipeline.dsirWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nPos) = (r.getLong(1), r.getLong(3))
+      assert(nPos > 0 && nPos < n,
+        s"${r.getString(0)}: importance weights do not discriminate (n_target_like=$nPos of $n)")
+      // the argmax doc's weight bounds the mean from above
+      assert(r.getDouble(5) >= r.getDouble(2), s"top_weight below mean_weight: $r")
+    }
+  }
+
   test("packing plan truncates over-budget documents (constructed corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toFile
     try {
