@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSuite {
     // plus the 1-row vector-count scalar join for the load factor
     "ann_cell_stats",
     // the 1-row corpus-centroid broadcast onto the per-source centroids
-    "emb_source_drift")
+    "emb_source_drift",
+    // the 1-row gram-total aggregate joins the 256-row bucket stats on a
+    // folded constant key (the same scalar-subquery shape); the per-doc
+    // scoring join stays a broadcast HASH join on the bucket id
+    "pipe_dsir_weights")
 
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
