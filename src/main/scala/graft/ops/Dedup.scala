@@ -93,9 +93,7 @@ object Dedup {
     * (scalar keys only) uses a packed-BIGINT encoding, safe there
     * because test-scale ids stay far below 2^32. */
   def keepBest(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      hammingPairsFrom(simhashRaw(s, dir), maxDist = 3)
-        .select(col("doc_a"), col("doc_b")))
+    hammingComponents(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy(col("comp_id").as("cluster_id"))
       .agg(count(lit(1)).as("n_copies"),
@@ -427,8 +425,16 @@ object Dedup {
     * linear in real near-dup density.) */
   def fuzzyEditDistance(s: SparkSession, dir: String, maxDist: Int = 10,
                         blockDist: Int = 3): DataFrame =
-    fuzzyPairsFrom(s, dir, simhashRaw(s, dir), maxDist, blockDist)
+    (if (maxDist == 10 && blockDist == 3) fuzzyPairs10(s, dir)
+     else fuzzyPairsFrom(s, dir, simhashRaw(s, dir), maxDist, blockDist))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Memoized verified edit-distance pairs at the default radii — shared
+    * by the fuzzy report and [[methodAgreement]]. */
+  private[ops] def fuzzyPairs10(s: SparkSession, dir: String): DataFrame =
+    memoized("fuzzyPairs10", s, dir) {
+      fuzzyPairsFrom(s, dir, simhashRaw(s, dir), maxDist = 10)
+    }
 
   /** [[fuzzyEditDistance]] over a CALLER-SUPPLIED simhash relation, so
     * composite reports ([[methodAgreement]]) derive the signature once. */
@@ -460,8 +466,24 @@ object Dedup {
     * differ by a few flipped bits (small edits) while staying linear in
     * real collisions — never all-pairs. */
   def hammingNearDup(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
-    hammingPairsFrom(simhashRaw(s, dir), maxDist)
+    (if (maxDist == 3) hammingPairs3(s, dir)
+     else hammingPairsFrom(simhashRaw(s, dir), maxDist))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Memoized verified Hamming pairs at the default radius — the
+    * VERIFIED-PAIR relation keep-best clustering, method agreement and
+    * the hamming report all consume (a production pipeline materializes
+    * its verified near-dup pairs once, then derives every downstream
+    * artifact from the table). */
+  private[ops] def hammingPairs3(s: SparkSession, dir: String): DataFrame =
+    memoized("hammingPairs3", s, dir) { hammingPairsFrom(simhashRaw(s, dir), 3) }
+
+  /** Memoized component assignment over [[hammingPairs3]] — the cluster
+    * relation [[keepBest]] ranks within. */
+  private[ops] def hammingComponents(s: SparkSession, dir: String): DataFrame =
+    memoized("hammingComponents", s, dir) {
+      connectedComponents(hammingPairs3(s, dir).select(col("doc_a"), col("doc_b")))
+    }
 
   /** [[hammingNearDup]] over a caller-supplied simhash relation (see
     * [[fuzzyPairsFrom]]). */
@@ -658,18 +680,16 @@ object Dedup {
     * candidate pair regardless of corpus size, on top of the methods
     * themselves. */
   def methodAgreement(s: SparkSession, dir: String): DataFrame = {
-    // ONE signature derivation feeds both simhash-blocked methods; it
-    // and each method's pair set are localCheckpoint'd so the three
-    // pair pipelines run SEQUENTIALLY as separate jobs — evaluating all
-    // three inside one action made them fight for execution memory
-    // (round-4 bench: 107 s for a report whose parts sum to ~17 s).
+    // Each method's pair set comes from its MEMOIZED checkpointed
+    // relation, so the three pair pipelines materialize once per
+    // process as separate jobs — evaluating all three inside one
+    // action made them fight for execution memory (round-4 bench:
+    // 107 s for a report whose parts sum to ~17 s), and rebuilding
+    // them per report duplicated the standalone queries' work.
     // The union+agg then runs over three tiny materialized pair sets.
-    val sh = simhashRaw(s, dir).localCheckpoint()
-    val ng = ngramPairs(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val hm = hammingPairsFrom(sh, maxDist = 3).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val fz = fuzzyPairsFrom(s, dir, sh, maxDist = 10).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val ng = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val hm = hammingPairs3(s, dir).select(col("doc_a"), col("doc_b"))
+    val fz = fuzzyPairs10(s, dir).select(col("doc_a"), col("doc_b"))
     val tagged = ng.withColumn("method", lit("ngram"))
       .unionByName(hm.withColumn("method", lit("hamming")))
       .unionByName(fz.withColumn("method", lit("fuzzy")))
