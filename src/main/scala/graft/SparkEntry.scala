@@ -171,6 +171,7 @@ object SparkEntry {
     "pipe_curriculum"        -> (Pipeline.curriculumPhases _),
     "pipe_incremental_dedup" -> (Pipeline.incrementalDedup _),
     "pipe_gopher_quality"    -> (Pipeline.gopherQuality _),
+    "pipe_curation_manifest" -> (Pipeline.curationManifest _),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — rows-only check (sketch
     // bit layout is engine-specific), same contract as q21/quantiles_approx;
@@ -1768,6 +1769,35 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN comp_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_cluster_bound
          |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "pipe_curation_manifest" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |d AS (
+         |  SELECT doc_id, source,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+         |  FROM documents),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         |q AS (
+         |  SELECT doc_id, SUM(n) AS nw, SUM(n * length(tok)) AS sum_len,
+         |    SUM(CASE WHEN tok IN ('the','a','of','and','to') THEN n ELSE 0 END) AS n_stop,
+         |    MAX(n) AS max_tok
+         |  FROM pt GROUP BY 1),
+         |f AS (
+         |  SELECT doc_id,
+         |    (nw >= 25 AND nw <= 90 AND sum_len >= 4 * nw AND sum_len <= 5 * nw
+         |     AND 50 * n_stop >= nw AND 25 * max_tok <= 3 * nw) AS ok_q
+         |  FROM q),
+         |j AS (
+         |  SELECT d.source,
+         |    CASE WHEN d.exact_dup THEN 'exact_dup'
+         |         WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id THEN 'near_dup'
+         |         WHEN NOT coalesce(f.ok_q, false) THEN 'quality'
+         |         ELSE 'keep' END AS decision
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id)
+         |SELECT source, decision, COUNT(*) AS n_docs
+         |FROM j GROUP BY 1, 2 ORDER BY source, decision""".stripMargin,
     "pipe_gopher_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),

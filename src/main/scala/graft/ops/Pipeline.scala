@@ -530,13 +530,15 @@ object Pipeline {
     * pattern — explode → map-side-combined (doc, token) counts → one
     * per-doc rollup → one per-source rollup; at 100 TB the only
     * shuffles are on (doc_id, token) and doc_id, both well-spread. */
-  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
-    val perTok = Tables.documents(s, dir)
+  /** Per-document rule flags — the unit [[gopherQuality]] aggregates and
+    * [[curationManifest]] folds into its keep/drop decision. */
+  private[ops] def gopherFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("source"), col("tok"))
       .agg(count(lit(1)).as("n"))
-    val m = perTok.groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n")).as("nw"),
            sum(col("n") * length(col("tok"))).as("sum_len"),
            sum(when(col("tok").isin("the", "a", "of", "and", "to"), col("n"))
@@ -547,7 +549,9 @@ object Pipeline {
         col("sum_len") >= lit(4) * col("nw") && col("sum_len") <= lit(5) * col("nw"))
       .withColumn("ok_stop", lit(50) * col("n_stop") >= col("nw"))
       .withColumn("ok_rep", lit(25) * col("max_tok") <= lit(3) * col("nw"))
-    m.groupBy(col("source"))
+
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("ok_words") && col("ok_wlen") && col("ok_stop") && col("ok_rep"),
              1L).otherwise(0L)).as("n_pass"),
@@ -556,6 +560,44 @@ object Pipeline {
            sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
            sum(when(!col("ok_rep"), 1L).otherwise(0L)).as("n_fail_rep"))
       .orderBy(col("source"))
+
+  /** CURATION MANIFEST — the end artifact a dedup+quality pipeline
+    * ships: one keep/drop decision per document with its reason,
+    * reported per source × decision. Decision precedence mirrors how
+    * production pipelines stage their filters (cheapest-first, one
+    * reason per doc so the counts partition the corpus):
+    *  1. `exact_dup`  — not the minimum doc_id of an identical-text
+    *     group (md5 digest, the [[graft.ops.Dedup.exactKeepers]] rule);
+    *  2. `near_dup`   — in an n-gram Jaccard cluster but not the
+    *     cluster keeper (component-minimum doc_id, the
+    *     [[graft.ops.Dedup.dupComponents]] id itself);
+    *  3. `quality`    — fails any [[gopherFlags]] rule;
+    *  4. `keep`       — everything else: what actually trains.
+    * Everything derives from the memoized index relations (digest
+    * groups are a window over md5 keys; the cluster assignment and
+    * quality flags are already materialized), so the manifest costs
+    * two hash joins and a rollup on top of work the pipeline already
+    * did — exactly its marginal cost in production. */
+  def curationManifest(s: SparkSession, dir: String): DataFrame = {
+    val keepers = Window.partitionBy(md5(col("text")))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") =!= min(col("doc_id")).over(keepers)).as("exact_dup"))
+    val comp = Dedup.ngramComponents(s, dir)
+    val flags = gopherFlags(s, dir)
+      .select(col("doc_id"),
+        (col("ok_words") && col("ok_wlen") && col("ok_stop") && col("ok_rep")).as("ok_q"))
+    docs
+      .join(comp, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("exact_dup"), "exact_dup")
+          .when(col("comp_id").isNotNull && col("comp_id") =!= col("doc_id"), "near_dup")
+          .when(!coalesce(col("ok_q"), lit(false)), "quality")
+          .otherwise("keep"))
+      .groupBy(col("source"), col("decision"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("decision"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

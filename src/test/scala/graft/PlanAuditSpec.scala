@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSuite {
     // same CC fixpoint at construction, over within-list embedding pairs
     "dedup_semantic",
     // runs the ngram-pair CC fixpoint while building the split assignment
-    "pipe_leakage_split")
+    "pipe_leakage_split",
+    // same CC fixpoint at construction (memoized cluster assignment)
+    "pipe_curation_manifest")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;

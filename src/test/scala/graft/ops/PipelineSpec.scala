@@ -204,6 +204,66 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("curation manifest partitions the corpus with one reason per doc") {
+    assume(hasTestData)
+    val rows = Pipeline.curationManifest(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    // decisions are mutually exclusive and exhaustive — the counts must
+    // sum to the corpus, not over- or under-count a doc with 2 reasons
+    assert(rows.map(_.getLong(2)).sum === total, "manifest does not partition the corpus")
+    val decisions = rows.map(_.getString(1)).toSet
+    assert(decisions.contains("keep"), "nothing survives curation — broken precedence")
+    // near_dup and quality must fire on the real corpus; exact_dup
+    // can't (this corpus has zero identical texts below sf0.1) and is
+    // pinned by the constructed-corpus test below instead
+    Seq("near_dup", "quality").foreach { d =>
+      assert(decisions.contains(d), s"decision '$d' never fires — vacuous at test scale")
+    }
+  }
+
+  test("curation manifest precedence: exact_dup shadows near_dup shadows quality (constructed corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest").toFile
+    try {
+      val s = spark
+      import s.implicits._
+      // Per-doc UNIQUE vocabularies (prefix letter), so shared shingles
+      // exist only within an intended near-dup pair and the DF cap
+      // (df > max(2, 20% of 6 docs) = 2) cannot eat the pair evidence.
+      // Each passing doc: one "the" + 39 distinct 5-char words → nw=40,
+      // sum_len=198 ∈ [160, 200], stop 1·50 ≥ 40, max_tok=1 — passes
+      // all four gopher rules; noStop drops the "the" → fails ok_stop.
+      def vocab(p: String) = (1 to 39).map(i => f"$p$i%04d")
+      val a = ("the" +: vocab("a")).mkString(" ")
+      val b = ("the" +: vocab("b")).mkString(" ")
+      val bNear = b.replace("b0020", "x0020") // one word → near-dup of b
+      val noStop = (vocab("c") :+ "c0040").mkString(" ")
+      val d = ("the" +: vocab("d")).mkString(" ")
+      // doc2 = exact copy of doc1 (also a near-dup cluster {1,2} —
+      // precedence must still say exact_dup); doc4 near-dups doc3;
+      // doc5 fails quality only; docs 1/3/6 are keepers that pass.
+      Seq(
+        (1L, a, "en", "srcM", a.length.toLong),
+        (2L, a, "en", "srcM", a.length.toLong),
+        (3L, b, "en", "srcM", b.length.toLong),
+        (4L, bNear, "en", "srcM", bNear.length.toLong),
+        (5L, noStop, "en", "srcM", noStop.length.toLong),
+        (6L, d, "en", "srcM", d.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Pipeline.curationManifest(spark, tmp.toString).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(got.get("exact_dup").contains(1L), s"exact_dup (doc 2): $got")
+      assert(got.get("near_dup").contains(1L), s"near_dup (doc 4): $got")
+      assert(got.get("quality").contains(1L), s"quality (doc 5): $got")
+      assert(got.get("keep").contains(3L), s"keep (docs 1/3/6): $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("packing plan truncates over-budget documents (constructed corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toFile
     try {
