@@ -100,6 +100,7 @@ object SparkEntry {
     "text_lm_bigram"       -> ((s: SparkSession, d: String) => TextAnalysis.lmBigram(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "emb_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
@@ -1324,6 +1325,28 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "emb_hard_negatives" ->
+      s"""WITH $vectorsCte,
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm
+         |      FROM vn WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, q.qlabel, vn.vec_id AS neighbor_id, vn.label,
+         |    list_dot_product(q.qv, vn.v) / (q.qnorm * vn.norm) AS cos
+         |  FROM vn JOIN q ON vn.vec_id <> q.query_id),
+         |neg AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored WHERE label <> qlabel),
+         |pos AS (
+         |  SELECT query_id, neighbor_id AS pos_id, cos AS pos_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored WHERE label = qlabel)
+         |SELECT n.query_id, CAST(n.rk AS BIGINT) AS neg_rank, n.neighbor_id,
+         |  floor(n.cos * 1000000) / 1000000 AS neg_cos,
+         |  p.pos_id, floor(p.pos_cos * 1000000) / 1000000 AS pos_cos,
+         |  floor(p.pos_cos * 1000000) / 1000000 - floor(n.cos * 1000000) / 1000000 AS margin
+         |FROM neg n JOIN pos p ON n.query_id = p.query_id AND p.rk = 1
+         |WHERE n.rk <= 3 ORDER BY n.query_id, neg_rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $vectorsCte,
          |vb AS (

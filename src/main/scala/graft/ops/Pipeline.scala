@@ -628,9 +628,17 @@ object Pipeline {
     val bi = d.filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"),
         explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("g"))
+    // Materialize the NARROW (doc, source, lang, bucket) stream once:
+    // both the bucket-stats pass and the scoring pass read it, and
+    // without the checkpoint each pass would re-explode the corpus and
+    // re-md5 every gram — the hashing is the dominant cost. The gram
+    // TEXT is dropped before materializing (hashed features never need
+    // it back — DSIR's own memory argument).
     val grams = uni.unionByName(bi)
       .withColumn("b",
         expr(s"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % $buckets"))
+      .select(col("doc_id"), col("source"), col("lang"), col("b"))
+      .localCheckpoint()
     val stats = grams.groupBy(col("b"))
       .agg(count(lit(1)).as("r"),
            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))

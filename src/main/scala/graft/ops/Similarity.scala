@@ -81,6 +81,43 @@ object Similarity {
               (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
 
+  /** Contrastive HARD-NEGATIVE mining — the candidate-generation step
+    * of a metric-learning / embedding-finetune data pipeline (the
+    * DPR/SimCSE-style training-set recipe: anchors paired with their
+    * closest WRONG-label points, which a contrastive loss learns most
+    * from): per query vector, the best same-label neighbor (the
+    * positive) and the top-`k` different-label neighbors by cosine,
+    * with the positive-negative margin (a small or negative margin
+    * flags anchors whose neighborhood is label-confused — the rows a
+    * curation run inspects first). Same broadcast-query scan shape as
+    * [[bruteForceTopK]], and both rankings ride the bounded native
+    * [[topK]] aggregate, so the corpus streams once and only k+1 rows
+    * per query ever shuffle. Margin subtracts the two already-
+    * quantized cosines — IEEE subtraction of identical operands, so
+    * the oracle reproduces it bit-for-bit. */
+  def hardNegatives(s: SparkSession, dir: String,
+                    nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val vs = vectors(s, dir)
+    val q = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+              col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = vs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id").as("neighbor_id"),
+              col("label"),
+              (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos"))
+    val neg = topK(scored.filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("cos")), k)
+    val pos = topK(scored.filter(col("label") === col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("cos")), 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+              col("cos").as("pos_cos"))
+    neg.join(pos, Seq("query_id"))
+      .select(col("query_id"), col("rk").as("neg_rank"), col("neighbor_id"),
+              col("cos").as("neg_cos"), col("pos_id"), col("pos_cos"),
+              (col("pos_cos") - col("cos")).as("margin"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   /** Sign-bit LSH bucket: 4-bit signature from the signs of dims 0-3.
     * Deterministic (no RNG) so the oracle derives the same buckets. */
   private[ops] def bucketed(s: SparkSession, dir: String): DataFrame =

@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSuite {
   // the 1-row global-min aggregate in the mixture sampler)
   private val intendedBnlj = Set(
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
+    // same broadcast-query-set scan as ann_brute_topk, twice (pos/neg)
+    "emb_hard_negatives",
     "pipe_balanced_mixture", "emb_label_separation", "pipe_temperature_mixture",
     "emb_label_confusion",
     // all-pairs over a fixed 32-row bottom-k hash sample, both sides broadcast
