@@ -560,23 +560,32 @@ object Similarity {
     * a hash-partitioned equi-join on list_id; a skew-capped variant is
     * [[knnGraph]]'s candidate pool). Keeper ordering uses micro-unit
     * integer centroid cosines so both engines rank identically. */
+  /** Memoized SemDeDup cluster assignment (component over within-list
+    * pairs at cosine ≥ tau) — the semantic-duplicate GROUP relation, a
+    * materialized artifact like the text-side cluster assignments. */
+  private def semanticComponents(s: SparkSession, dir: String, tau: Double): DataFrame =
+    Tables.memoized(s"semanticComponents-$tau", s, dir) {
+      val assigned = seedAssignment(s, dir)
+      val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
+                              col("n_v").as("va"), col("n_norm").as("na"))
+      val b = assigned.select(col("list_id"), col("n_id").as("vec_b"),
+                              col("n_v").as("vb"), col("n_norm").as("nb"))
+      val pairs = a.join(b, Seq("list_id"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(dot("va", "vb") / (col("na") * col("nb")) >= tau)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.connectedComponents(pairs)
+    }
+
   def semanticDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
     val vs = vectors(s, dir)
     val cents = seedCentroids(vs)
     val assigned = seedAssignment(s, dir)
-    val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
-                            col("n_v").as("va"), col("n_norm").as("na"))
-    val b = assigned.select(col("list_id"), col("n_id").as("vec_b"),
-                            col("n_v").as("vb"), col("n_norm").as("nb"))
-    val pairs = a.join(b, Seq("list_id"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(dot("va", "vb") / (col("na") * col("nb")) >= tau)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val centCos = assigned.join(broadcast(cents), col("list_id") === col("cent_id"))
       .select(col("n_id").as("doc_id"),
         floor(dot("n_v", "cv") / (col("n_norm") * col("cnorm")) * 1e6)
           .cast("long").as("ccos_u"))
-    Dedup.connectedComponents(pairs)
+    semanticComponents(s, dir, tau)
       .join(centCos, Seq("doc_id"))
       .groupBy(col("comp_id").as("group_id"))
       .agg(count(lit(1)).as("n_members"),
