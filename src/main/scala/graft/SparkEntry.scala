@@ -131,6 +131,7 @@ object SparkEntry {
     // cross-document exact frame dedup (the video mirrored-upload check)
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_resize_stub"     -> ((s: SparkSession, d: String) => Multimodal.resizeStub(s, d)),
+    "mm_phash_neardup"   -> ((s: SparkSession, d: String) => Multimodal.phashNearDup(s, d)),
     "mm_audio_energy"    -> (Multimodal.audioEnergy _),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
@@ -1148,6 +1149,33 @@ object SparkEntry {
          |FROM cand
          |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // oracle plays the NAIVE all-pairs hamming join over the aHash —
+    // the pigeonhole blocking the Spark side uses is exactness-proven
+    // (DedupBlockingSpec), so blocked and naive results must agree
+    "mm_phash_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hh,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |st AS (SELECT doc_id, hh, nb // 64 AS stride FROM b),
+        |px AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(hh, CAST(i * stride AS INT) * 2 + 1, 2))::BIGINT AS v
+        |  FROM st, UNNEST(range(0, 64)) AS u(i)),
+        |sums AS (SELECT doc_id, SUM(v) AS sum_px FROM px GROUP BY doc_id),
+        |ph AS (
+        |  SELECT p.doc_id,
+        |    CAST(SUM(CASE WHEN p.v * 64 > s.sum_px THEN
+        |      CASE WHEN p.i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |           ELSE CAST(CAST(1 AS BIGINT) << CAST(p.i AS INT) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px p JOIN sums s USING (doc_id) GROUP BY p.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) AS BIGINT) AS dist
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, dist FROM pairs
+        |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_admission" ->
       s"""WITH $simhashCte,
          |$chunkRelCte,

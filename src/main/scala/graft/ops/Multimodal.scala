@@ -131,6 +131,55 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** PERCEPTUAL-hash near-dup over "decoded" images — the image-dedup
+    * primitive whole-file digests and frame hashing both miss (a
+    * re-encoded or slightly-edited image shares almost no bytes but
+    * nearly all perceptual structure). A 64-bit AVERAGE HASH (aHash,
+    * the classic pHash-family recipe): 64 grayscale samples at uniform
+    * stride over the payload (the decode stub — sample = byte value; a
+    * real decoder swaps a luma plane in without touching anything
+    * downstream), bit j set iff sample j is above the document mean —
+    * then the SAME pigeonhole chunk blocking + exact `bit_count(xor)`
+    * verify the text SimHash family uses ([[graft.ops.Dedup]]), whose
+    * exactness is already ScalaCheck-proven. Integer-exact throughout:
+    * the threshold compares `px·64 > Σpx`, never a float mean, so the
+    * oracle replays every bit; bit 63 rides the shared signed-64
+    * convention (Spark `1L << 63` = DuckDB's HUGEINT-routed min-BIGINT).
+    * At 100 TB this is one scan-rate projection per payload plus the
+    * blocked join — candidates track true perceptual-dup density. */
+  def phashNearDup(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    // The signature relation is MATERIALIZED (memoized localCheckpoint)
+    // before the blocked self-join — not just for reuse: without the
+    // cut, the join's null-intolerance inference pushes an
+    // isnotnull(<whole aHash expression>) filter into BOTH scan sides,
+    // and because Catalyst inlines the HOF lambdas, that filter
+    // re-derives hex(blob) inside every one of the 64×64 lambda
+    // evaluations — measured 468 s at sf0.1 vs ~1 s materialized.
+    // (The text SimHash family dodges this because graft_simhash is a
+    // single native expression, not a nested HOF tree.)
+    val ph = Tables.memoized("phash64", s, dir) { phashSignatures(s, dir) }
+    Dedup.hammingPairsFrom(ph, maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The 64-bit average-hash projection itself (see [[phashNearDup]]). */
+  private def phashSignatures(s: SparkSession, dir: String): DataFrame = {
+    blobs(s, dir)
+      .withColumn("hh", lower(hex(col("blob"))))
+      .withColumn("nb", length(col("blob")).cast("long"))
+      .filter(col("nb") >= 64)
+      .withColumn("stride", expr("nb div 64"))
+      .withColumn("px", expr(
+        "transform(sequence(0, 63), i -> CAST(conv(substring(hh, CAST(i * stride AS INT) * 2 + 1, 2), 16, 10) AS BIGINT))"))
+      .withColumn("sum_px", expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (a, j) -> a + IF(px[CAST(j AS INT)] * 64 > sum_px,
+          |                   shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)),
+          |                   CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+  }
+
   /** Audio-feature shape: treat the payload as 8-byte frames, compute an
     * integer per-frame energy (sum of unsigned byte values), and report
     * the per-document energy profile — frame count, mean (integer-
