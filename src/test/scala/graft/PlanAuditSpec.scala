@@ -69,6 +69,26 @@ class PlanAuditSpec extends SparkSuite {
     // scoring join stays a broadcast HASH join on the bucket id
     "pipe_dsir_weights")
 
+  test("no query pushes a higher-order-function expression into a null-intolerance filter") {
+    // The mm_phash_neardup lesson: joining/filtering on a column whose
+    // expression is a nested HOF tree (aggregate/transform lambdas) lets
+    // null-intolerance inference push `isnotnull(<whole tree>)` into the
+    // scan filter, where Catalyst's lambda inlining re-evaluates the
+    // tree per element — measured 468 s for a ~1 s query. Materialize
+    // such columns (localCheckpoint / memo) before joining on them.
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!constructive(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        Seq("isnotnull(aggregate(", "isnotnull(transform(").foreach { sig =>
+          assert(!plan.contains(sig),
+            s"$name pushes a HOF expression into a null filter ($sig...) — " +
+              "materialize the derived column before joining on it")
+        }
+      }
+    }
+  }
+
   test("no declared query plans a cartesian product or unintended nested-loop join") {
     assume(new java.io.File(s"$sf/documents.parquet").isFile)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
