@@ -174,6 +174,7 @@ object SparkEntry {
     "pipe_incremental_dedup" -> (Pipeline.incrementalDedup _),
     "pipe_gopher_quality"    -> (Pipeline.gopherQuality _),
     "pipe_curation_manifest" -> (Pipeline.curationManifest _),
+    "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — rows-only check (sketch
     // bit layout is engine-specific), same contract as q21/quantiles_approx;
@@ -1710,6 +1711,23 @@ object SparkEntry {
         |SELECT doc_id, shard_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM b ORDER BY shard_id, pos""".stripMargin,
+    "pipe_shard_manifest" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS BIGINT) AS shard_id
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
+        |  FROM b),
+        |j AS (
+        |  SELECT p.shard_id, p.pos, md5(d.text) AS dg,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM p JOIN documents d USING (doc_id))
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest
+        |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "pipe_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |st AS (

@@ -344,6 +344,35 @@ object Pipeline {
       .orderBy(col("shard_id"), col("pos"))
   }
 
+  /** Export-integrity SHARD MANIFEST — the checksum artifact a
+    * training-data export ships next to its shard files, so a consumer
+    * can verify every shard end-to-end without re-reading the corpus
+    * owner's pipeline: per shard ([[shuffleShards]]'s deterministic
+    * md5-order assignment), the document count, token mass, and a
+    * CONTENT digest = md5 over the shard's per-document text digests
+    * concatenated in shard order. Order-canonical by construction
+    * (the within-shard order IS the export order), so two independent
+    * runs of the pipeline produce byte-identical manifests iff the
+    * shards are byte-identical — the reproducibility receipt. The
+    * digest list per shard is shard-sized (corpus/nShards), the same
+    * bound the export files themselves obey; nothing corpus-sized is
+    * ever collected. */
+  def shardManifest(s: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shuffleShards(s, dir, nShards)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("dg"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           // collect_list has no deterministic order under shuffles —
+           // sort the (pos, digest) pairs explicitly before folding
+           md5(expr(
+             "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
+             .as("content_digest"))
+      .orderBy(col("shard_id"))
+
   /** Quality-vs-duplication cross report: mean quality score per
     * near-dup cluster-size bucket (1, 2, 3, 4, 5+) — the analytical
     * check behind every dedup policy decision: if heavily-duplicated
