@@ -165,6 +165,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
       .distinct()
+      // two consumers (DF aggregate + join probe): materialize once
+      // instead of re-exploding the corpus per consumer
+      .localCheckpoint()
     val dfreq = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     bg.join(dfreq, Seq("bg"))
       .groupBy(col("doc_id"))
@@ -268,7 +271,9 @@ object TextAnalysis {
     val nDocs = docs.count()
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
-    val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // vocabulary-sized after the aggregate, but consumed by TWO
+    // broadcast joins — checkpoint so the corpus explode runs once
+    val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df")).localCheckpoint()
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -596,6 +601,10 @@ object TextAnalysis {
           |  'k2', CAST(conv(substr(md5(concat(w[i], ' ', w[i+1])), 1, 15), 16, 10) AS BIGINT)))"""
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("p.k1").as("k1"), col("p.k2").as("k2"))
+      // three consumers (both count relations + the scoring probe) —
+      // materialize the 24-byte-row occurrence stream once instead of
+      // re-exploding and re-md5-ing the corpus per consumer
+      .localCheckpoint()
     val c2 = occ.groupBy(col("k2")).agg(count(lit(1)).as("n2"))
     val c1 = occ.groupBy(col("k1")).agg(count(lit(1)).as("n1"))
     occ.join(c2, Seq("k2")).join(c1, Seq("k1"))
