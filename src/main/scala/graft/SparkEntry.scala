@@ -149,8 +149,9 @@ object SparkEntry {
     "text_bpe_train"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     // the trained merges applied back to the corpus (per-doc symbol counts)
     "text_bpe_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
-    // sketch twin of text_length_quantiles — rows-only check (no oracle),
-    // same contract as q21_approx_distinct
+    // sketch twin of text_length_quantiles — emits exact quantiles plus
+    // per-percentile rank-error-bound flags, so the oracle hash-checks
+    // the sketch contract (same pattern as q21_approx_distinct)
     "text_length_quantiles_approx" -> (TextAnalysis.lengthQuantilesApprox _),
     "pipe_quality_by_dup" -> (Pipeline.qualityByDup _),
     // Pipeline composition (curation stages chained in one plan)
@@ -176,9 +177,11 @@ object SparkEntry {
     "pipe_curation_manifest" -> (Pipeline.curationManifest _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
-    // bloom-sketch twin of pipe_decontaminate — rows-only check (sketch
-    // bit layout is engine-specific), same contract as q21/quantiles_approx;
-    // no-false-negatives vs the exact twin proven in PipelineSpec
+    // bloom-sketch twin of pipe_decontaminate — emits the exact
+    // contamination counts plus n_missed_by_bloom (no-false-negatives ⇒
+    // always 0), so the oracle hash-checks the sketch contract (same
+    // pattern as q21/quantiles_approx); the full superset proof stays
+    // in PipelineSpec
     "pipe_decontaminate_bloom" -> ((s: SparkSession, d: String) => Pipeline.bloomDecontaminate(s, d)),
     "mm_modality_coverage"   -> (Pipeline.modalityCoverage _),
     "emb_cos_hist"           -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
@@ -475,6 +478,16 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // q21 emits (exact count, bound-holds flag): the oracle recomputes
+    // the exact distinct count and asserts the HLL estimate stayed
+    // within its 3·rsd design bound (the flag Spark computed is hashed,
+    // so a sketch drifting out of bound fails the gate)
+    "q21_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  CAST(1 AS BIGINT) AS within_3rsd
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q7_union_all" ->
       """WITH u AS (
         |  SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'error'
@@ -1620,6 +1633,22 @@ object SparkEntry {
         |  MIN(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90,
         |  MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // exact quantiles + sketch rank-error-bound flags (all 1 when the
+    // percentile_approx values honor their ε·n guarantee)
+    "text_length_quantiles_approx" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MIN(CASE WHEN rk = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+        |  MIN(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90,
+        |  MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN n_chars END) AS p99,
+        |  CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p90_ok,
+        |  CAST(1 AS BIGINT) AS p99_ok
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "text_vocab_stats" ->
       """WITH tf AS (
         |  SELECT source, tok, COUNT(*) AS tf
@@ -1785,6 +1814,22 @@ object SparkEntry {
          |SELECT d.source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
          |  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id >= 10
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // exact contamination counts + bloom-missed count (no-false-negatives
+    // ⇒ 0 for every source; Spark's computed miss count is hashed, so a
+    // sketch that drops an exactly-contaminated doc fails the gate)
+    "pipe_decontaminate_bloom" ->
+      s"""WITH $shinglesCte,
+         |$cappedShinglesCte,
+         |bench AS (SELECT DISTINCT s FROM shc WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM shc
+         |  WHERE doc_id >= 10 AND s IN (SELECT s FROM bench))
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(0 AS BIGINT) AS n_missed_by_bloom
          |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
          |WHERE d.doc_id >= 10
          |GROUP BY d.source ORDER BY d.source""".stripMargin,

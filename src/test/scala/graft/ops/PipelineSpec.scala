@@ -109,16 +109,18 @@ class PipelineSpec extends SparkSuite {
 
   test("bloom decontamination never misses an exactly-contaminated doc (no false negatives)") {
     assume(hasTestData)
-    def bySource(rows: Array[org.apache.spark.sql.Row]) =
-      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = bySource(Pipeline.decontaminate(spark, sf).collect())
-    val bloom = bySource(Pipeline.bloomDecontaminate(spark, sf).collect())
+    val exact = Pipeline.decontaminate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = Pipeline.bloomDecontaminate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(bloom.keySet === exact.keySet)
     exact.foreach { case (src, (nDocs, nContaminated)) =>
-      val (bDocs, bFlagged) = bloom(src)
+      val (bDocs, bContaminated, bMissed) = bloom(src)
       assert(bDocs === nDocs, s"$src doc universe must match the exact twin")
-      assert(bFlagged >= nContaminated,
-        s"$src: bloom flagged $bFlagged < exact $nContaminated — a false negative, " +
+      assert(bContaminated === nContaminated,
+        s"$src: bloom twin's exact-contamination column diverges from the exact twin")
+      assert(bMissed === 0L,
+        s"$src: bloom missed $bMissed exactly-contaminated docs — a false negative, " +
         "which the sketch contract forbids")
     }
     // non-vacuous: the exact pass finds contamination at test scale

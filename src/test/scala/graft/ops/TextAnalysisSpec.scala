@@ -51,19 +51,18 @@ class TextAnalysisSpec extends SparkSuite {
     assume(hasTestData)
     val exact = TextAnalysis.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val approx = TextAnalysis.lengthQuantilesApprox(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(approx.keySet === exact.keySet)
-    // accuracy=10000 on per-source strata far smaller than that ⇒ the
-    // sketch is effectively exact up to rank-definition off-by-ones;
-    // allow 10% relative slack so the test checks the SKETCH, not the
-    // engines' quantile-definition differences
-    approx.foreach { case (src, (a50, a90, a99)) =>
-      val (e50, e90, e99) = exact(src)
-      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
-        assert(math.abs(a - e) <= math.max(1L, e / 10),
-          s"$src: approx $a vs exact $e drifted beyond sketch tolerance")
-      }
+    val rows = TextAnalysis.lengthQuantilesApprox(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      // the query's own exact quantiles must equal the exact twin's
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === exact(src),
+        s"$src: approx-twin exact quantiles diverge from the exact twin")
+      // and every sketch value honored its ε·n rank-error bound
+      Seq(("p50_ok", r.getLong(5)), ("p90_ok", r.getLong(6)), ("p99_ok", r.getLong(7)))
+        .foreach { case (name, v) =>
+          assert(v === 1L, s"$src: $name is 0 — sketch violated its rank-error bound")
+        }
     }
   }
 
