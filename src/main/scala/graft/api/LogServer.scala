@@ -62,8 +62,18 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 
   /** Graceful shutdown: stop accepting, flush buffered ingest (after
     * which every acked row is durable), then drain compactions + final
-    * rotation flush (reference cleanup_handler, main.py:350-365). */
-  override def close(): Unit = { http.stop(0); ingestBuffer.close(); compactor.close() }
+    * rotation flush (reference cleanup_handler, main.py:350-365).
+    * Finally release the session's memoized derived relations — a
+    * long-lived process that cycles servers must not accumulate pinned
+    * checkpoint blocks (`Tables.invalidate`). */
+  override def close(): Unit = {
+    http.stop(0)
+    try ingestBuffer.close() // throws if acked rows could not be drained
+    finally {
+      compactor.close()
+      graft.ops.Tables.invalidate(spark)
+    }
+  }
 
   // ---- routing ----
 

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 
@@ -12,8 +13,9 @@ import org.apache.spark.sql.Row
   * (main.py:330-337) with the buffer living in process memory until a
   * size-triggered flush, so acked-but-unflushed rows lost to a hard
   * crash are the same durability window the reference has — bounded
-  * here by BOTH a byte threshold and a periodic timer, and closed
-  * entirely on graceful shutdown ([[close]] flushes everything).
+  * here by a per-session byte threshold, a GLOBAL byte bound across all
+  * sessions, and a periodic timer, and closed entirely on graceful
+  * shutdown ([[close]] drains everything or throws).
   *
   * Why it exists: a Spark parquet append is a (small) distributed job
   * with ~tens of ms of fixed dispatch cost. Paying it once per 40-row
@@ -22,18 +24,35 @@ import org.apache.spark.sql.Row
   * hundreds of posts, which is exactly how the reference reaches its
   * throughput (one Arrow IPC write per 10 MiB of buffered rows).
   *
+  * Memory bound: `flushBytes` caps ONE session, but N hot sessions
+  * would otherwise hold ~N·flushBytes on the gateway heap between timer
+  * ticks. `globalFlushBytes` is the whole-process cap: when total
+  * buffered bytes cross it, the ADDING thread synchronously flushes the
+  * LARGEST sessions until the total is back under — hot sessions
+  * backpressure themselves, cold sessions keep batching. On a cluster
+  * this is the per-gateway admission bound.
+  *
   * Read-your-writes is preserved by the server calling [[flush]] before
   * every read of the same session: a completed `flush(c, s)` is
   * guaranteed to cover every row whose `add(c, s, ...)` returned before
   * the flush began (the per-session flush mutex serializes flushes, and
   * the snapshot is taken under the buffer lock adds also hold).
   *
-  * `flushFn` failures re-buffer the snapshot at the FRONT of the queue
-  * and rethrow, so a transient storage error delays rows instead of
-  * dropping acked data.
+  * Failure semantics, per path:
+  *  - [[add]]: a size-triggered flush that FAILS is swallowed (stderr
+  *    only) and the POST still acks — the rows are safely buffered and
+  *    the timer retries; surfacing a 500 for already-accepted rows
+  *    would make the client retry and duplicate acked data.
+  *  - [[flush]] (the explicit read-path barrier): failures re-buffer
+  *    the snapshot at the FRONT of the queue and RETHROW — here the
+  *    error signals a real visibility failure the reader must see.
+  *  - [[close]]: drains with bounded retries and THROWS if any session
+  *    still holds acked rows, so a caller can never report a clean
+  *    shutdown that silently dropped data (the T5 contract).
   */
 final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
-                         flushIntervalMs: Long = 100)
+                         flushIntervalMs: Long = 100,
+                         globalFlushBytes: Long = 64L * 1024 * 1024)
                         (flushFn: (String, String, Seq[Row]) => Unit)
     extends AutoCloseable {
 
@@ -47,6 +66,10 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
   // append runs OUTSIDE the buffer lock (posters keep buffering while a
   // flush writes), but two flushes of one session never interleave.
   private val flushLocks = new ConcurrentHashMap[(String, String), Object]()
+  // Total buffered bytes across every session — the globalFlushBytes
+  // admission counter. Updated under each Buf's lock (add, snapshot,
+  // failure restore), so it tracks the sum of buf.bytes exactly.
+  private val totalBytes = new AtomicLong(0L)
 
   /** Rough in-memory size of one row — only drives the flush threshold,
     * so a constant per-row overhead estimate is fine. */
@@ -54,17 +77,52 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     24L + String.valueOf(r.get(1)).length + String.valueOf(r.get(2)).length
 
   /** Accept `rows` for (container, session). Returns after the rows are
-    * buffered (the ack point); triggers a synchronous flush when the
-    * buffer crosses the byte threshold, so a hot session backpressures
-    * its own writers instead of growing without bound. */
+    * buffered (the ack point); triggers a synchronous flush when this
+    * session crosses its byte threshold (so a hot session backpressures
+    * its own writers) or when the PROCESS crosses the global bound (so
+    * many warm sessions can't stack unbounded heap between timer
+    * ticks). Flush failures here are swallowed — see class doc. */
   def add(container: String, session: String, rows: Seq[Row]): Unit = {
     val buf = bufs.computeIfAbsent((container, session), _ => new Buf)
     val over = buf.synchronized {
       buf.rows ++= rows
-      buf.bytes += rows.iterator.map(rowBytes).sum
+      val b = rows.iterator.map(rowBytes).sum
+      buf.bytes += b
+      totalBytes.addAndGet(b)
       buf.bytes >= flushBytes
     }
-    if (over) flush(container, session)
+    if (over) quietFlush(container, session)
+    if (totalBytes.get() >= globalFlushBytes) flushLargestUntilUnder()
+  }
+
+  private def quietFlush(container: String, session: String): Unit =
+    try flush(container, session)
+    catch { case e: Throwable =>
+      // rows remain buffered (front of queue) and the timer retries —
+      // the POST that triggered this flush still acks
+      System.err.println(s"[ingest] size-triggered flush $container/$session " +
+        s"failed (buffered, timer will retry): ${e.getMessage}")
+    }
+
+  /** Drive total buffered bytes back under the global bound by flushing
+    * the largest sessions first (most bytes recovered per storage
+    * dispatch). Stops when under the bound, when nothing is left to
+    * flush, or when every remaining candidate's flush failed (storage
+    * down — rows stay buffered; the timer owns the retry). */
+  private def flushLargestUntilUnder(): Unit = {
+    val tried = scala.collection.mutable.Set.empty[(String, String)]
+    var continue = true
+    while (totalBytes.get() >= globalFlushBytes && continue) {
+      val largest = bufs.entrySet().asScala
+        .filter(e => !tried.contains(e.getKey))
+        .maxByOption(e => e.getValue.synchronized(e.getValue.bytes))
+      largest match {
+        case Some(e) =>
+          tried += e.getKey
+          quietFlush(e.getKey._1, e.getKey._2)
+        case None => continue = false // every session tried once — timer owns retries
+      }
+    }
   }
 
   /** Synchronously write this session's buffered rows via `flushFn`.
@@ -76,7 +134,11 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     flushLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
       val snapshot = buf.synchronized {
         if (buf.rows.isEmpty) Vector.empty[Row]
-        else { val r = buf.rows.toVector; buf.rows.clear(); buf.bytes = 0L; r }
+        else {
+          val r = buf.rows.toVector
+          buf.rows.clear(); totalBytes.addAndGet(-buf.bytes); buf.bytes = 0L
+          r
+        }
       }
       if (snapshot.nonEmpty) {
         try flushFn(container, session, snapshot)
@@ -84,7 +146,9 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
           case e: Throwable =>
             buf.synchronized {
               buf.rows.prependAll(snapshot)
-              buf.bytes += snapshot.iterator.map(rowBytes).sum
+              val b = snapshot.iterator.map(rowBytes).sum
+              buf.bytes += b
+              totalBytes.addAndGet(b)
             }
             throw e
         }
@@ -92,14 +156,15 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     }
   }
 
-  /** Flush every session with buffered rows (timer tick / shutdown). */
+  /** Flush every session with buffered rows (timer tick / shutdown).
+    * Per-session failures are contained so one sick session can't
+    * starve the rest of the tick. */
   def flushAll(): Unit =
-    bufs.keys.asScala.toSeq.foreach { case (c, s) =>
-      try flush(c, s)
-      catch { case e: Throwable =>
-        System.err.println(s"[ingest] background flush $c/$s failed: ${e.getMessage}")
-      }
-    }
+    bufs.keys.asScala.toSeq.foreach { case (c, s) => quietFlush(c, s) }
+
+  /** Total bytes currently buffered across all sessions (test hook /
+    * metrics surface for the gateway's admission bound). */
+  def bufferedBytes: Long = totalBytes.get()
 
   private val timer = Executors.newSingleThreadScheduledExecutor(r => {
     val t = new Thread(r, "graft-ingest-flush"); t.setDaemon(true); t
@@ -107,12 +172,30 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
   timer.scheduleWithFixedDelay(() => flushAll(),
     flushIntervalMs, flushIntervalMs, TimeUnit.MILLISECONDS)
 
-  /** Stop the timer, then flush everything — after close() returns, all
-    * acked rows are durable (the T5 graceful-shutdown contract). */
+  /** Stop the timer, then drain everything — after close() returns
+    * normally, every acked row is durable (the T5 graceful-shutdown
+    * contract). Transient storage errors get bounded retries; if rows
+    * REMAIN buffered after the last attempt, close() throws with the
+    * stranded sessions so no caller can mistake a lossy shutdown for a
+    * clean one. On a full drain the session maps are cleared, so a
+    * long-lived process cycling many sessions doesn't accumulate empty
+    * Buf/lock entries. */
   override def close(): Unit = {
     timer.shutdown()
     try timer.awaitTermination(30, TimeUnit.SECONDS)
     catch { case _: InterruptedException => Thread.currentThread.interrupt() }
-    flushAll()
+    var attempt = 0
+    while (totalBytes.get() > 0 && attempt < 3) {
+      if (attempt > 0) Thread.sleep(200L << attempt)
+      flushAll()
+      attempt += 1
+    }
+    val stranded = bufs.entrySet().asScala
+      .filter(e => e.getValue.synchronized(e.getValue.rows.nonEmpty))
+      .map { e => s"${e.getKey._1}/${e.getKey._2}(${e.getValue.bytes}B)" }
+    if (stranded.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest close(): acked rows still buffered after retries — ${stranded.mkString(", ")}")
+    bufs.clear(); flushLocks.clear()
   }
 }

@@ -45,6 +45,7 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
   private[ops] def memoized(rel: String, s: SparkSession, dir: String)
                            (build: => DataFrame): DataFrame = {
+    evictStopped()
     val key = (rel, s, dir)
     val existing = relCache.get(key)
     if (existing != null) existing
@@ -54,6 +55,54 @@ object Tables {
       if (prev != null) prev else built
     }
   }
+
+  /** Drop cache entries whose session is stopped: their checkpoint
+    * blocks died with the executor backend, and the strong map
+    * reference would otherwise pin the stopped session's whole object
+    * graph for the life of the process (a long-lived server or a test
+    * harness cycling sessions grows the map monotonically). Blocks
+    * can't be unpersisted through a stopped context — dropping the
+    * reference is the whole cleanup. Runs on every [[memoized]] call;
+    * the map holds O(relations × live sessions) entries, so the sweep
+    * is trivially cheap. */
+  private def evictStopped(): Unit = {
+    val it = relCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.sparkContext.isStopped) it.remove()
+  }
+
+  /** Release every memoized relation belonging to `s`: evict the map
+    * entries and UNPERSIST the backing checkpoint blocks (eagerly, not
+    * waiting for the ContextCleaner — a long-lived session that has
+    * finished a curation run gets its executor memory back NOW). Wired
+    * to the service tier's graceful shutdown; safe to call at any time:
+    * the next [[memoized]] call simply rebuilds, and a concurrent query
+    * already holding a released DataFrame recomputes from lineage-free
+    * blocks... which are gone — so callers must not race invalidate
+    * with in-flight queries on the same session (the server calls it
+    * after quiescing its HTTP executor). Returns the number of
+    * relations released. */
+  def invalidate(s: SparkSession): Int = {
+    val it = relCache.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 eq s) {
+        it.remove(); n += 1
+        if (!s.sparkContext.isStopped) unpersistCheckpoint(e.getValue)
+      }
+    }
+    n
+  }
+
+  /** A localCheckpoint'ed DataFrame's plan is a LogicalRDD over the
+    * materialized (persisted) RDD — unpersist that RDD to free its
+    * blocks. Non-LogicalRDD plans (nothing to release) are a no-op. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.GraftShim.analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

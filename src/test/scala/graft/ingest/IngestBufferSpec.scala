@@ -63,6 +63,59 @@ class IngestBufferSpec extends AnyFunSuite {
     assert(flushed === Map("c1/s" -> Seq("x"), "c2/s" -> Seq("y", "z")))
   }
 
+  test("global byte bound caps total heap across many warm sessions") {
+    // per-session threshold never reached (each session stays small),
+    // timer disabled: only the global bound can flush. Rows are ~33 B;
+    // 64 sessions × 10 rows ≈ 21 KiB buffered without the bound.
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var bufRef: IngestBuffer = null
+    val buf: IngestBuffer = new IngestBuffer(
+      flushBytes = Long.MaxValue, flushIntervalMs = 3600000,
+      globalFlushBytes = 4096)({ (_, _, _) => () })
+    bufRef = buf
+    try {
+      (1 to 64).foreach { i =>
+        buf.add("c", s"sess-$i", (1 to 10).map(j => row(s"m$i-$j")))
+        peak.getAndUpdate(p => math.max(p, bufRef.bufferedBytes))
+      }
+      // the adding thread flushes the largest sessions as soon as the
+      // bound is crossed, so the observable total never runs away past
+      // bound + one POST's worth of rows
+      assert(peak.get() < 4096 + 1024,
+        s"peak buffered bytes ${peak.get()} escaped the 4096-byte global bound")
+    } finally buf.close()
+  }
+
+  test("add() survives a failing size-triggered flush (rows stay buffered for the timer)") {
+    var fail = true
+    var flushed = Vector.empty[Seq[String]]
+    val buf = new IngestBuffer(flushBytes = 100, flushIntervalMs = 3600000)({
+      (_, _, rows) =>
+        if (fail) throw new java.io.IOException("disk on fire")
+        else flushed :+= rows.map(_.getString(2))
+    })
+    try {
+      // crosses flushBytes → sync flush fails → add must NOT throw (the
+      // POST acks; rows are buffered and a later flush delivers them)
+      buf.add("c", "s", (1 to 5).map(i => row(s"payload-$i")))
+      assert(flushed.isEmpty)
+      fail = false
+      buf.flush("c", "s")
+      assert(flushed === Vector((1 to 5).map(i => s"payload-$i")),
+        "rows from the failed size-triggered flush must survive in order")
+    } finally buf.close()
+  }
+
+  test("close() throws when storage stays down, instead of dropping acked rows") {
+    val buf = new IngestBuffer(flushBytes = Long.MaxValue, flushIntervalMs = 3600000)({
+      (_, _, _) => throw new java.io.IOException("storage permanently down")
+    })
+    buf.add("c", "s", Seq(row("doomed?")))
+    val e = intercept[IllegalStateException] { buf.close() }
+    assert(e.getMessage.contains("c/s"),
+      "close() must name the sessions still holding acked rows")
+  }
+
   test("timer flushes a lingering buffer without any further adds") {
     val seen = new java.util.concurrent.CountDownLatch(1)
     val buf = new IngestBuffer(flushBytes = Long.MaxValue, flushIntervalMs = 20)({
