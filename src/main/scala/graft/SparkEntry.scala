@@ -84,6 +84,11 @@ object SparkEntry {
     "dedup_semantic"       -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
+    // persisted-index consumers (SURVEY §11): same rows as their twins,
+    // but candidate generation reads the bucketed index tables and
+    // plans Exchange-free (IndexTablesSpec proves the physical plan)
+    "dedup_hamming_indexed" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupIndexed(s, d)),
+    "dedup_ngram_indexed"  -> (Dedup.ngramJaccardIndexed _),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
@@ -1162,6 +1167,27 @@ object SparkEntry {
          |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
          |FROM cand
          |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the indexed twin reads the persisted chunk-index table — same
+    // semantics, same oracle
+    "dedup_hamming_indexed" ->
+      s"""WITH $simhashCte,
+         |$chunksCte
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the indexed twin reads the persisted shingle-index table — same
+    // semantics, same oracle
+    "dedup_ngram_indexed" ->
+      s"""WITH $shinglesCte,
+         |$pairStatsCte
+         |SELECT doc_a, doc_b,
+         |  floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 AS jaccard
+         |FROM common JOIN sizes x ON doc_a = x.doc_id
+         |            JOIN sizes y ON doc_b = y.doc_id
+         |WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     // oracle plays the NAIVE all-pairs hamming join over the aHash —
     // the pigeonhole blocking the Spark side uses is exactness-proven

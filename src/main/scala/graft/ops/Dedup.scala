@@ -368,8 +368,9 @@ object Dedup {
 
   /** (doc_id, simhash, j, ck): the signature split into `nChunks`
     * pigeonhole chunks — the blocking relation under [[hammingNearDup]],
-    * [[fuzzyEditDistance]] and [[blockStats]]. */
-  private def chunkRelation(sh: DataFrame, nChunks: Int): DataFrame = {
+    * [[fuzzyEditDistance]] and [[blockStats]], and the SCHEMA of the
+    * persisted chunk-index table ([[IndexTables.ensureChunkIndex]]). */
+  private[ops] def chunkRelation(sh: DataFrame, nChunks: Int): DataFrame = {
     val chunkExprs = chunkBounds(nChunks).zipWithIndex.map { case ((lo, mask), j) =>
       struct(lit(j).as("j"), expr(s"CAST((simhash >> $lo) & $mask AS BIGINT)").as("ck"))
     }
@@ -401,8 +402,14 @@ object Dedup {
     * track true near-dup density instead of the birthday bound.
     * Multi-chunk collisions dedup via [[firstAgreeingChunk]], not a
     * shuffle. */
-  private[ops] def blockedCandidates(sh: DataFrame, nChunks: Int): DataFrame = {
-    val chunks = chunkRelation(sh, nChunks)
+  private[ops] def blockedCandidates(sh: DataFrame, nChunks: Int): DataFrame =
+    pairsFromChunks(chunkRelation(sh, nChunks), nChunks)
+
+  /** The candidate pair join over an ALREADY-CHUNKED relation — shared
+    * by the in-plan path ([[blockedCandidates]]) and the persisted
+    * chunk-index path ([[hammingNearDupIndexed]]), where `chunks` is a
+    * bucketed table scan and this self-join plans with no Exchange. */
+  private[ops] def pairsFromChunks(chunks: DataFrame, nChunks: Int): DataFrame =
     chunks.as("a").join(chunks.as("b"),
         col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -411,7 +418,6 @@ object Dedup {
               col("a.j").as("j"))
       .filter(col("j") === firstAgreeingChunk(nChunks))
       .drop("j")
-  }
 
   /** Fuzzy near-dup via edit distance, pigeonhole-blocked on SimHash:
     * candidate pairs come from [[blockedCandidates]] (share ≥1 of
@@ -492,6 +498,46 @@ object Dedup {
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+
+  /** [[hammingNearDup]] reading the PERSISTED chunk-index table instead
+    * of deriving the blocking relation in-plan — the 100-TB consumer
+    * shape (SURVEY §11 made executable): the index is bucketed+sorted
+    * by (j, ck), exactly the candidate self-join's keys, so candidate
+    * generation is a sort-merge join with NO Exchange and no per-query
+    * Sort on either side (plan-proven in IndexTablesSpec; broadcast
+    * disabled there — at real scale neither side broadcasts). Rows are
+    * identical to [[hammingNearDup]]'s, and the driver oracle replays
+    * the same SQL for both. */
+  def hammingNearDupIndexed(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val n = maxDist + 1
+    val idx = s.table(IndexTables.ensureChunkIndex(s, dir, n))
+    pairsFromChunks(idx, n)
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[ngramJaccard]] reading the PERSISTED DF-capped shingle index:
+    * pair generation self-joins the bucketed table on its bucket key
+    * `s` — no Exchange on the corpus-sized index; only the near-dup-
+    * sized pair aggregate and the per-doc size aggregate shuffle.
+    * Identical rows to [[ngramJaccard]]; same driver oracle. */
+  def ngramJaccardIndexed(s: SparkSession, dir: String): DataFrame = {
+    val sh = s.table(IndexTables.ensureShingleIndex(s, dir))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        trunc6(col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Near-dup ADMISSION check of `incoming` docs against a reference
     * `corpus` — the ingest-time gate of a training pipeline ("is this

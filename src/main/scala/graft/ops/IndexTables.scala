@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PERSISTED index tables — the durable form of the memo layer
+  * (`Tables.memoized`), and the concrete 100-TB deployment shape
+  * SURVEY §11 describes: each expensive derived relation (shingle
+  * index, signature chunk index) is written ONCE as a bucketed
+  * session-catalog table, bucketed BY THE KEYS ITS CONSUMERS JOIN ON,
+  * so every downstream pair-generation join reads matching buckets
+  * with NO shuffle of the index — the shuffle was paid at write time.
+  *
+  * memo layer vs index tables: `localCheckpoint` blocks are pinned to
+  * one JVM and die with the session (fine for a bench/verify process);
+  * a bucketed table survives the process, is shared across sessions
+  * and executors, and its layout — not the operator code — is what
+  * keeps candidate generation a co-located hash join on a cluster. The
+  * dedup/ANN consumers come in both flavors (`dedup_hamming` reads the
+  * memoized relation, `dedup_hamming_indexed` the persisted table) and
+  * produce identical rows; IndexTablesSpec plan-proves the indexed
+  * pair join runs Exchange-free.
+  *
+  * Tables land in the session warehouse (the test-data directory is
+  * read-only in this harness; on a cluster the warehouse IS the data
+  * lake), tagged by the source dir so multiple scale factors coexist.
+  * Builds are idempotent per catalog: `tableExists` short-circuits,
+  * and a stale on-disk location from a previous JVM is dropped first
+  * (the in-memory catalog resets per process but spark-warehouse
+  * persists — same lesson as `RelationalQueries.ensureBucketed`).
+  */
+object IndexTables {
+
+  private def tag(dir: String): String = math.abs(dir.hashCode).toString
+
+  /** Bucket count: 16 at test scale; at 100 TB this grows to ≥32 k
+    * (SURVEY §11) — a layout parameter, not a code change. */
+  private val Buckets = 16
+
+  private def ensure(s: SparkSession, name: String, bucketCols: Seq[String])
+                    (build: => DataFrame): String = synchronized {
+    if (!s.catalog.tableExists(name)) {
+      val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(warehouse, name)
+      if (fs.exists(p)) fs.delete(p, true)
+      // Repartition on the bucket keys so each bucket is written as ONE
+      // file: Spark only treats a bucketed scan as pre-sorted (eliding
+      // the per-query Sort under a sort-merge join) when a bucket has a
+      // single file — with the task-parallel default layout the sortBy
+      // metadata is unusable and every consumer re-sorts. At 100 TB the
+      // same rule holds per bucket; the bucket COUNT is what scales.
+      build
+        .repartition(Buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+        .write
+        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** SimHash pigeonhole chunk index: (doc_id, simhash, j, ck) bucketed
+    * AND sorted by (j, ck) — the exact keys of the blocked candidate
+    * self-join, so Hamming near-dup candidate generation over the
+    * persisted index plans a sort-merge join with no Exchange and no
+    * per-query Sort. ~16 B/doc × nChunks rows: the signature index of
+    * SURVEY §11. */
+  def ensureChunkIndex(s: SparkSession, dir: String, nChunks: Int): String =
+    ensure(s, s"idx_simhash_chunks_${nChunks}_${tag(dir)}", Seq("j", "ck")) {
+      Dedup.chunkRelation(Dedup.simhashRaw(s, dir), nChunks)
+    }
+
+  /** DF-capped shingle index: (doc_id, s) bucketed by the 60-bit
+    * shingle key — the join key of n-gram pair generation and of every
+    * decontamination probe. Hot (>20%-DF) shingles never enter the
+    * table, so the cap is part of the LAYOUT, exactly as a production
+    * build would ship it. */
+  def ensureShingleIndex(s: SparkSession, dir: String): String =
+    ensure(s, s"idx_shingles_${tag(dir)}", Seq("s")) {
+      Dedup.cappedShingles(s, dir)
+    }
+}

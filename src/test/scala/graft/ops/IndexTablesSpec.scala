@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The persisted-index story, executable: building the bucketed index
+  * tables and plan-proving that the pair-generation self-joins over
+  * them run WITHOUT a runtime Exchange (the shuffle was paid once, at
+  * index-build time) — and that the indexed consumers return exactly
+  * the same rows as their in-plan twins. Broadcast is disabled for the
+  * plan assertions: at 100 TB neither side of these joins broadcasts,
+  * so the exchange-free sort-merge shape is the one that matters. */
+class IndexTablesSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/documents.parquet").isFile
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("chunk-index self-join plans exchange-free on both sides") {
+    assume(hasTestData)
+    val idx = spark.table(IndexTables.ensureChunkIndex(spark, sf, 4))
+    withNoBroadcast {
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect() // finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"index self-join must not shuffle the index:\n$plan")
+    }
+  }
+
+  test("chunk-index sortBy metadata elides the per-query Sort (legacy sorted-scan flag)") {
+    assume(hasTestData)
+    // The index writes one file per bucket, sorted on the join keys.
+    // Spark ≥3.1 only exposes that order to the planner behind the
+    // legacy flag (multi-file buckets can't guarantee it; ours are
+    // single-file by construction). The default plan above still pays a
+    // bucket-LOCAL in-memory sort — never a shuffle; this shows the
+    // sort itself is also already paid at write time.
+    val idx = spark.table(IndexTables.ensureChunkIndex(spark, sf, 4))
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try withNoBroadcast {
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"write-time sortBy must satisfy the SMJ ordering:\n$plan")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("shingle-index self-join plans exchange-free on both sides") {
+    assume(hasTestData)
+    val idx = spark.table(IndexTables.ensureShingleIndex(spark, sf))
+    withNoBroadcast {
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"index self-join must not shuffle the index:\n$plan")
+    }
+  }
+
+  test("indexed hamming near-dup returns exactly the in-plan twin's rows") {
+    assume(hasTestData)
+    val viaIndex = Dedup.hammingNearDupIndexed(spark, sf).collect().map(_.toSeq)
+    val inPlan = Dedup.hammingNearDup(spark, sf).collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty, "vacuous: no hamming near-dups at test scale")
+    assert(viaIndex.toSeq === inPlan.toSeq)
+  }
+
+  test("indexed ngram jaccard returns exactly the in-plan twin's rows") {
+    assume(hasTestData)
+    val viaIndex = Dedup.ngramJaccardIndexed(spark, sf).collect().map(_.toSeq)
+    val inPlan = Dedup.ngramJaccard(spark, sf).collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty, "vacuous: no ngram near-dups at test scale")
+    assert(viaIndex.toSeq === inPlan.toSeq)
+  }
+
+  test("index builds are idempotent per catalog (second ensure is a no-op)") {
+    assume(hasTestData)
+    val t1 = IndexTables.ensureChunkIndex(spark, sf, 4)
+    val countBefore = spark.table(t1).count()
+    val t2 = IndexTables.ensureChunkIndex(spark, sf, 4)
+    assert(t1 === t2)
+    assert(spark.table(t2).count() === countBefore)
+  }
+}
