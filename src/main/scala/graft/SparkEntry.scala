@@ -89,6 +89,9 @@ object SparkEntry {
     // plans Exchange-free (IndexTablesSpec proves the physical plan)
     "dedup_hamming_indexed" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupIndexed(s, d)),
     "dedup_ngram_indexed"  -> (Dedup.ngramJaccardIndexed _),
+    // skew-guarded twin: hot signature blocks hash-split so no task owns
+    // a quadratic block (the blockStats forecast, operationalized)
+    "dedup_hamming_salted" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupSalted(s, d)),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
@@ -1171,6 +1174,16 @@ object SparkEntry {
     // the indexed twin reads the persisted chunk-index table — same
     // semantics, same oracle
     "dedup_hamming_indexed" ->
+      s"""WITH $simhashCte,
+         |$chunksCte
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the salted twin splits hot blocks before the candidate join — by
+    // construction the same pair set, so the same oracle
+    "dedup_hamming_salted" ->
       s"""WITH $simhashCte,
          |$chunksCte
          |SELECT doc_a, doc_b,

@@ -410,14 +410,87 @@ object Dedup {
     * chunk-index path ([[hammingNearDupIndexed]]), where `chunks` is a
     * bucketed table scan and this self-join plans with no Exchange. */
   private[ops] def pairsFromChunks(chunks: DataFrame, nChunks: Int): DataFrame =
+    rawBlockPairs(chunks)
+      .filter(col("j") === firstAgreeingChunk(nChunks))
+      .drop("j")
+
+  /** The block self-join itself: every within-block candidate pair,
+    * still carrying the chunk index `j` for [[firstAgreeingChunk]]
+    * dedup (applied by the caller so [[saltedPairsFromChunks]] can
+    * union this with its salted hot-block pairs first). */
+  private def rawBlockPairs(chunks: DataFrame): DataFrame =
     chunks.as("a").join(chunks.as("b"),
         col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.simhash").as("ha"), col("b.simhash").as("hb"),
               col("a.j").as("j"))
+
+  /** [[pairsFromChunks]] with a SKEW GUARD — the consumer of the
+    * [[blockStats]] forecast: blocks whose membership exceeds
+    * `saltThreshold` (template boilerplate collapsing a signature
+    * chunk — the one input shape that makes blocked candidate
+    * generation quadratic in a single task) are SPLIT into
+    * G = ⌈n/subBlock⌉ salt groups by a hash of doc_id, and their pairs
+    * come from per-GROUP-PAIR join keys instead of one per-block key:
+    *
+    *  - side A replicates each hot row under keys (g, q) for q ≥ g,
+    *  - side B under keys (p, g) for p ≤ g,
+    *
+    * so an unordered pair with groups gx < gy matches on exactly the
+    * one key (gx, gy), and same-group pairs match on (g, g) with the
+    * usual doc_id order predicate. The hot block's n²/2 candidate
+    * comparisons spread over G(G+1)/2 independent keys of ≤ subBlock²
+    * work each — per-task work is bounded by the LAYOUT parameter, not
+    * the skew — at the price of ~G× row replication of the hot rows
+    * only (n·G = n²/subBlock rows, always ≤ the pair count the block
+    * was already due to emit). Cold blocks take the plain join
+    * untouched; a block is hot or cold as a whole, so the union is
+    * complete, and [[firstAgreeingChunk]] dedup runs across BOTH paths
+    * (it is a pure function of the two signatures). Output is
+    * row-identical to [[pairsFromChunks]] — property-proven in
+    * DedupSaltingSpec, which also pins the per-key work bound.
+    *
+    * The hot-block relation is tiny by construction (blocks above the
+    * threshold are the forecast's long tail) → broadcast; at 100 TB the
+    * same one-aggregate pre-pass is metadata-priced, exactly like the
+    * [[blockStats]] report it operationalizes. */
+  private[ops] def saltedPairsFromChunks(chunks: DataFrame, nChunks: Int,
+      saltThreshold: Int = 64, subBlock: Int = 32): DataFrame = {
+    val hot = chunks.groupBy(col("j"), col("ck"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > saltThreshold)
+      .select(col("j"), col("ck"),
+        ceil(col("n").cast("double") / subBlock).cast("int").as("gn"))
+    val tagged = chunks.join(broadcast(hot), Seq("j", "ck"), "left")
+    val coldPairs = rawBlockPairs(tagged.filter(col("gn").isNull).drop("gn"))
+    val hotRows = tagged.filter(col("gn").isNotNull)
+      .withColumn("g", pmod(xxhash64(col("doc_id")), col("gn").cast("bigint")).cast("int"))
+    val sideA = hotRows.select(col("doc_id"), col("simhash"), col("j"), col("ck"),
+        col("g").as("p"), explode(expr("sequence(g, gn - 1)")).as("q"))
+    val sideB = hotRows.select(col("doc_id"), col("simhash"), col("j"), col("ck"),
+        explode(expr("sequence(0, g)")).as("p"), col("g").as("q"))
+    // p < q keys join two DISJOINT groups (a doc's single group can't
+    // put it on both sides), so only the (g, g) diagonal needs the
+    // doc-order predicate; output pairs re-canonicalize to
+    // (least, greatest) — downstream only ever consumes ha XOR hb,
+    // which is symmetric, but the schema contract stays identical.
+    val hotPairs = sideA.as("a").join(sideB.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.p") === col("b.p") && col("a.q") === col("b.q") &&
+        (col("a.p") =!= col("a.q") || col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.simhash"))
+          .otherwise(col("b.simhash")).as("ha"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.simhash"))
+          .otherwise(col("a.simhash")).as("hb"),
+        col("a.j").as("j"))
+    coldPairs.unionByName(hotPairs)
       .filter(col("j") === firstAgreeingChunk(nChunks))
       .drop("j")
+  }
 
   /** Fuzzy near-dup via edit distance, pigeonhole-blocked on SimHash:
     * candidate pairs come from [[blockedCandidates]] (share ≥1 of
@@ -512,6 +585,24 @@ object Dedup {
     val n = maxDist + 1
     val idx = s.table(IndexTables.ensureChunkIndex(s, dir, n))
     pairsFromChunks(idx, n)
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[hammingNearDup]] through the SKEW-GUARDED candidate join
+    * ([[saltedPairsFromChunks]]): hot signature blocks — the thing the
+    * [[blockStats]] forecast prices — are hash-split so no single task
+    * ever owns a quadratic block. Identical rows to [[hammingNearDup]]
+    * (same driver oracle); the low threshold here is deliberate so the
+    * salted path is EXERCISED on the real test corpus, not just on
+    * constructed skew. */
+  def hammingNearDupSalted(s: SparkSession, dir: String, maxDist: Int = 3,
+                           saltThreshold: Int = 16, subBlock: Int = 8): DataFrame = {
+    val n = maxDist + 1
+    saltedPairsFromChunks(chunkRelation(simhashRaw(s, dir), n), n,
+                          saltThreshold, subBlock)
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
