@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (builder-prompt requirement): image/audio/
   * video payloads ride as opaque `binary` columns with typed metadata.
-  * The container has no media codecs, so the DECODE step is a
-  * deliberate, clearly-marked deterministic stub — a pure function of
-  * the payload bytes (md5-derived pseudo width/height/channels/format) —
-  * while everything around it is the real production pattern:
+  * The DECODE step is a real (if minimal) codec — [[MediaCodec]]
+  * decodes uncompressed PPM/BMP to an integer luma plane, and feature
+  * extraction (metadata, perceptual hash, resize) runs over genuine
+  * pixels for blobs that parse as images. Payloads that are NOT one of
+  * the supported formats (the container ships no compressed-codec
+  * libraries, and the synthetic corpus is text bytes) fall back to a
+  * clearly-marked deterministic stub — a pure function of the payload
+  * bytes — so every row still produces oracle-replayable values.
+  * Everything around the codec boundary is the real production pattern:
   *
   *  - the payload is a true `BinaryType` column ([[blobs]]);
   *  - feature extraction runs as `mapPartitions` over a typed Dataset —
@@ -53,36 +58,77 @@ object Multimodal {
   }
 
   /** Feature extraction over binary payloads via mapPartitions: decoder
-    * initialized once per partition, rows streamed through it. */
-  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    * initialized once per partition, rows streamed through it. Blobs
+    * that parse as a REAL image ([[MediaCodec.decode]]: P6 PPM / 24-bit
+    * BMP) report their genuine width/height/channels/format; everything
+    * else takes the deterministic stub path — on the synthetic corpus
+    * (text bytes, structurally never a valid image) that is every row,
+    * so the driver oracle replays the identical values while the same
+    * plan decodes real images wherever they appear. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame =
+    featuresOf(s, blobs(s, dir)).orderBy(col("doc_id"))
+
+  /** [[decodeFeatures]]'s testable core over any (doc_id, blob)
+    * relation. */
+  private[ops] def featuresOf(s: SparkSession, blobsDf: DataFrame): DataFrame = {
     val sp = s; import sp.implicits._
-    blobs(s, dir).as[BlobRow]
+    blobsDf.as[BlobRow]
       .mapPartitions { rows =>
         val decoder = MessageDigest.getInstance("MD5") // per-partition init
-        rows.map(r => decodeStub(decoder, r.doc_id, r.blob))
+        rows.map { r =>
+          MediaCodec.decode(r.blob) match {
+            case Some(img) => MmFeatures(r.doc_id, r.blob.length.toLong,
+              img.width.toLong, img.height.toLong, img.channels.toLong, img.fmt)
+            case None => decodeStub(decoder, r.doc_id, r.blob)
+          }
+        }
       }
       .toDF()
-      .orderBy(col("doc_id"))
   }
 
-  /** Resize stub: nearest-neighbor downsampling IS stride subsampling,
-    * so the stub subsamples the payload to `outPx` bytes at a uniform
-    * stride and hashes the result — a pure byte function (oracle-
-    * replayable) with the real resize's data-flow shape: one projection
-    * over the scan, output size fixed at `outPx` regardless of input
-    * size, no shuffle, no UDF. A real image resize swaps the transform
-    * for a codec call inside [[decodeFeatures]]'s mapPartitions. */
+  /** Resize over binary payloads, behind the codec seam: a blob that
+    * decodes as a real image ([[MediaCodec.decode]]) is genuinely
+    * downsampled — `outPx` block-mean samples over its luma plane —
+    * and non-image payloads keep the original deterministic semantics
+    * (uniform-stride byte subsample), so the synthetic corpus replays
+    * the identical oracle values. Either way the output is the md5 of
+    * the `outPx` samples' hex string: size fixed at `outPx` regardless
+    * of input, one decode pass per row, no shuffle. */
   def resizeStub(s: SparkSession, dir: String, outPx: Int = 64): DataFrame =
-    blobs(s, dir)
-      .withColumn("hh", lower(hex(col("blob"))))
-      .withColumn("n_bytes", length(col("blob")).cast("long"))
-      .filter(col("n_bytes") >= outPx)
-      .withColumn("stride", expr(s"CAST(n_bytes div $outPx AS INT)"))
-      .withColumn("resized_md5", md5(expr(
-        s"array_join(transform(sequence(0, ${outPx - 1}), i -> substring(hh, i * stride * 2 + 1, 2)), '')")))
-      .select(col("doc_id"), col("n_bytes"), lit(outPx.toLong).as("out_px"),
-              col("resized_md5"))
-      .orderBy(col("doc_id"))
+    resizeOf(s, blobs(s, dir), outPx).orderBy(col("doc_id"))
+
+  /** [[resizeStub]]'s testable core. Non-image parity contract: sample
+    * i is the byte at offset `i · (n_bytes div outPx)`, rendered as two
+    * lowercase hex chars, all `outPx` samples concatenated and md5'd —
+    * bit-identical to the previous declarative form and to the DuckDB
+    * oracle's replay. Rows shorter than `outPx` bytes are dropped
+    * (images are never dropped: the luma resample handles any size). */
+  private[ops] def resizeOf(s: SparkSession, blobsDf: DataFrame, outPx: Int): DataFrame = {
+    val sp = s; import sp.implicits._
+    blobsDf.as[BlobRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        def md5Hex(samples: Array[Int]): String = {
+          val sb = new java.lang.StringBuilder(samples.length * 2)
+          samples.foreach(v => sb.append(f"$v%02x"))
+          md.reset()
+          md.digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        rows.flatMap { r =>
+          MediaCodec.decode(r.blob) match {
+            case Some(img) =>
+              Some((r.doc_id, r.blob.length.toLong, outPx.toLong,
+                md5Hex(MediaCodec.resample(img, outPx))))
+            case None if r.blob.length >= outPx =>
+              val stride = r.blob.length / outPx
+              Some((r.doc_id, r.blob.length.toLong, outPx.toLong,
+                md5Hex(Array.tabulate(outPx)(i => r.blob(i * stride) & 0xFF))))
+            case None => None
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "out_px", "resized_md5")
+  }
 
   /** Frame sampling: treat the payload as a sequence of 16-byte frames
     * and keep every 4th, emitting (doc_id, frame_no, frame hash). Pure
@@ -149,35 +195,48 @@ object Multimodal {
     * blocked join — candidates track true perceptual-dup density. */
   def phashNearDup(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     // The signature relation is MATERIALIZED (memoized localCheckpoint)
-    // before the blocked self-join — not just for reuse: without the
-    // cut, the join's null-intolerance inference pushes an
-    // isnotnull(<whole aHash expression>) filter into BOTH scan sides,
-    // and because Catalyst inlines the HOF lambdas, that filter
-    // re-derives hex(blob) inside every one of the 64×64 lambda
-    // evaluations — measured 468 s at sf0.1 vs ~1 s materialized.
-    // (The text SimHash family dodges this because graft_simhash is a
-    // single native expression, not a nested HOF tree.)
+    // before the blocked self-join: the aHash is one decode pass per
+    // payload and ~12 B/doc of signature, and every consumer otherwise
+    // re-decodes the corpus. (Historical note kept on purpose: the
+    // earlier declarative HOF form REQUIRED this cut — the join's
+    // null-intolerance inference pushed isnotnull(<aHash tree>) into
+    // the scans and lambda inlining re-derived hex(blob) per element,
+    // measured 468 s vs ~1 s. The mapPartitions codec path is immune,
+    // but the materialize-your-index shape is right regardless.)
     val ph = Tables.memoized("phash64", s, dir) { phashSignatures(s, dir) }
     Dedup.hammingPairsFrom(ph, maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The 64-bit average-hash projection itself (see [[phashNearDup]]). */
-  private def phashSignatures(s: SparkSession, dir: String): DataFrame = {
-    blobs(s, dir)
-      .withColumn("hh", lower(hex(col("blob"))))
-      .withColumn("nb", length(col("blob")).cast("long"))
-      .filter(col("nb") >= 64)
-      .withColumn("stride", expr("nb div 64"))
-      .withColumn("px", expr(
-        "transform(sequence(0, 63), i -> CAST(conv(substring(hh, CAST(i * stride AS INT) * 2 + 1, 2), 16, 10) AS BIGINT))"))
-      .withColumn("sum_px", expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          |  (a, j) -> a + IF(px[CAST(j AS INT)] * 64 > sum_px,
-          |                   shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)),
-          |                   CAST(0 AS BIGINT)))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+  /** The 64-bit average-hash projection (see [[phashNearDup]]), behind
+    * the codec seam: real images hash 64 BLOCK-MEAN samples of their
+    * decoded 8×8 luma grid ([[MediaCodec.luma64]] — the classic aHash
+    * recipe, now over genuine pixels); non-image payloads hash the
+    * same 64 uniform-stride byte samples as before (sample i = unsigned
+    * byte at `i · (n_bytes div 64)`, threshold `px·64 > Σpx`), so the
+    * synthetic corpus' signatures — and the driver oracle — are
+    * unchanged. */
+  private def phashSignatures(s: SparkSession, dir: String): DataFrame =
+    phashOf(s, blobs(s, dir))
+
+  /** [[phashSignatures]]'s testable core. */
+  private[ops] def phashOf(s: SparkSession, blobsDf: DataFrame): DataFrame = {
+    val sp = s; import sp.implicits._
+    blobsDf.as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.decode(r.blob) match {
+            case Some(img) =>
+              Some((r.doc_id, MediaCodec.aHash64(MediaCodec.luma64(img))))
+            case None if r.blob.length >= 64 =>
+              val stride = r.blob.length / 64
+              Some((r.doc_id, MediaCodec.aHash64(
+                Array.tabulate(64)(i => (r.blob(i * stride) & 0xFF).toLong))))
+            case None => None
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** Audio-feature shape: treat the payload as 8-byte frames, compute an
