@@ -1,0 +1,263 @@
+package graft.storage
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.LogSchema
+
+/** MANIFEST-SWAP log store — the multi-node form of [[LogStore]]'s
+  * reader-visibility design (SURVEY §11: "on a cluster the view lock
+  * becomes a manifest/snapshot swap", now executable).
+  *
+  * [[LogStore]] makes the DIRECTORY the source of truth and excludes
+  * readers during compaction's publish phase with an in-JVM
+  * read/write lock — correct on one node, meaningless across nodes.
+  * Here the source of truth is a versioned MANIFEST per session:
+  *
+  * {{{
+  *   <root>/hot/container=<c>/session=<s>/append-<uuid>.parquet
+  *   <root>/cold/container=<c>/session=<s>/compact-<uuid>.parquet
+  *   <root>/manifest/container=<c>/session=<s>/v<%020d>   // file list
+  * }}}
+  *
+  *  - READERS resolve the highest manifest version and scan exactly
+  *    its files. No lock, ever: a reader pinned to version N keeps a
+  *    consistent file set no matter what writers do, because data
+  *    files are immutable and retired files are deleted only by
+  *    [[expire]] after a grace window (the Iceberg/Delta snapshot-
+  *    isolation recipe, from public designs).
+  *  - APPENDS publish an immutable file, then commit manifest N+1 =
+  *    N ∪ {file}. The commit — not the file landing — is the
+  *    visibility point.
+  *  - COMPACTION rewrites the manifest's hot subset into sized cold
+  *    files entirely OUTSIDE any lock, then commits manifest N+1 =
+  *    (current − hot snapshot) ∪ cold files as its LAST step. Readers
+  *    see the pre- or post-swap set, never both and never neither —
+  *    exactly-once visibility with zero reader blocking
+  *    (ManifestLogSpec holds a compaction mid-publish and proves
+  *    reads and appends proceed).
+  *
+  * Manifest commits are serialized per session by an in-process lock;
+  * on a real cluster that lock is a rename-if-absent / conditional-put
+  * of `v<N+1>` (both are the same CAS on the version number — the
+  * single-writer-per-session assumption [[LogStore]] and the reference
+  * already make). Appends that land mid-compaction are preserved: the
+  * swap's update function subtracts only the snapshot it compacted
+  * from whatever the CURRENT entry set is at commit time.
+  *
+  * Crash safety: a crash between publishing files and committing the
+  * manifest leaves unreferenced files — never a wrong manifest — and
+  * [[expire]] collects them after the grace window. A crash between a
+  * compaction's cold publish and its swap leaves the hot snapshot
+  * fully referenced (no loss, no duplicate); the orphaned cold files
+  * age out the same way.
+  */
+final class ManifestLog(spark: SparkSession, root: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024) {
+
+  private val hotDir = s"$root/hot"
+  private val coldDir = s"$root/cold"
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // Orphaned staging dirs from a crashed writer are garbage (their data
+  // was never referenced): sweep at construction, like LogStore.
+  locally {
+    val rootPath = new Path(root)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  private val manifestLocks = new ConcurrentHashMap[(String, String), Object]()
+  private val compactLocks = new ConcurrentHashMap[(String, String), Object]()
+
+  /** Test hook: runs after a compaction has published its cold files
+    * and immediately before the manifest swap — the widest window in
+    * which a lock-based design would block readers. */
+  private[storage] var beforeSwap: () => Unit = () => ()
+
+  private def manifestDir(container: String, session: String): Path =
+    new Path(s"$root/manifest/container=$container/session=$session")
+
+  private val versionRe = "v\\d{20}".r
+
+  /** Root-relative entry for a data file path. */
+  private def rel(p: Path): String = {
+    val r = new Path(root).toUri.getPath
+    val s = p.toUri.getPath
+    require(s.startsWith(r + "/"), s"$p outside store root $root")
+    s.stripPrefix(r + "/")
+  }
+  private def abs(entry: String): String = s"$root/$entry"
+
+  /** Latest committed (version, entries); (0, empty) before the first
+    * commit. A reader calls this once and scans exactly the result —
+    * snapshot isolation by immutability. */
+  private[storage] def resolve(container: String, session: String): (Long, Seq[String]) = {
+    val dir = manifestDir(container, session)
+    if (!fs.exists(dir)) return (0L, Nil)
+    val latest = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
+      .sortBy(_.getPath.getName).lastOption
+    latest match {
+      case None => (0L, Nil)
+      case Some(st) =>
+        val in = fs.open(st.getPath)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, "UTF-8")
+        } finally in.close()
+        (st.getPath.getName.stripPrefix("v").toLong,
+         txt.split("\n").iterator.filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Commit version N+1 = update(entries of N). Serialized per session
+    * in-process; the write is temp-file + atomic rename, so readers
+    * never observe a partial manifest. On a cluster this whole method
+    * is a CAS on the version number (rename-if-absent of vN+1). */
+  private def commit(container: String, session: String)
+                    (update: Seq[String] => Seq[String]): Seq[String] =
+    manifestLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
+      val (v, cur) = resolve(container, session)
+      val next = update(cur)
+      val dir = manifestDir(container, session)
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((next.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      val dst = new Path(dir, f"v${v + 1}%020d")
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"manifest commit $dst failed")
+      }
+      next
+    }
+
+  /** Append a batch: publish an immutable hot file, then commit it
+    * into the manifest (the visibility point). Returns published
+    * bytes. */
+  def append(df: DataFrame, container: String, session: String): Long = {
+    require(LogSchema.isValidId(container), s"invalid container id: $container")
+    require(LogSchema.isValidId(session), s"invalid session id: $session")
+    val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
+    df.select("timestamp", "level", "message")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val st = walk(staging).headOption.getOrElse(
+      throw new java.io.IOException(s"append: staging $staging produced no visible file"))
+    val target = new Path(s"$hotDir/container=$container/session=$session")
+    fs.mkdirs(target)
+    val dst = new Path(target, s"append-${UUID.randomUUID()}.parquet")
+    if (!fs.rename(st.getPath, dst))
+      throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
+    fs.delete(staging, true)
+    commit(container, session)(_ :+ rel(dst))
+    st.getLen
+  }
+
+  /** The session's rows as of the latest manifest — lock-free; safe
+    * to materialize at any time, including mid-compaction. */
+  def read(container: String, session: String): DataFrame = {
+    val (_, entries) = resolve(container, session)
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema.schema)
+    else
+      spark.read.schema(LogSchema.fileSchema).parquet(entries.map(abs): _*)
+        .withColumn("container", lit(container))
+        .withColumn("session", lit(session))
+        .select(LogSchema.schema.fieldNames.map(col): _*)
+  }
+
+  /** Compact the manifest's current hot subset into sized, range-
+    * clustered cold files; the manifest swap is the LAST step and the
+    * only moment visibility changes. Retired hot files stay on disk
+    * for in-flight readers until [[expire]]. Returns retired bytes. */
+  def compact(container: String, session: String): Long =
+    compactLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
+      val (_, entries) = resolve(container, session)
+      val snapshot = entries.filter(_.startsWith("hot/"))
+      if (snapshot.isEmpty) return 0L
+      val bytes = snapshot.map(e => fs.getFileStatus(new Path(abs(e))).getLen).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val df = spark.read.schema(LogSchema.fileSchema).parquet(snapshot.map(abs): _*)
+      val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
+      // same layout rationale as LogStore.compact: range-cluster by time
+      // so cold footers prune, message as tiebreak for degenerate keys
+      df.repartitionByRange(nOut, col("timestamp"), col("message"))
+        .sortWithinPartitions(col("timestamp"))
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val staged = walk(staging)
+      if (staged.isEmpty)
+        throw new java.io.IOException(
+          s"compact: staging $staging lists no files for a non-empty snapshot")
+      val target = new Path(s"$coldDir/container=$container/session=$session")
+      fs.mkdirs(target)
+      val coldRel = staged.map { st =>
+        val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"compact: rename ${st.getPath} -> $dst failed")
+        rel(dst)
+      }
+      fs.delete(staging, true)
+      beforeSwap()
+      // THE swap: subtract exactly the compacted snapshot from whatever
+      // is current (mid-compaction appends survive), add the cold files
+      val retired = snapshot.toSet
+      commit(container, session)(cur => cur.filterNot(retired) ++ coldRel)
+      bytes
+    }
+
+  /** Snapshot GC: delete data files no longer referenced by the LATEST
+    * manifest and manifest versions below it — both only when older
+    * than `olderThan`, the reader grace window (any scan started
+    * before the horizon has finished; the window also covers the
+    * publish→commit gap of in-flight appends). Returns files
+    * deleted. */
+  def expire(container: String, session: String, olderThan: java.time.Instant): Long = {
+    val cutoff = olderThan.toEpochMilli
+    val (v, entries) = resolve(container, session)
+    val live = entries.toSet
+    var n = 0L
+    Seq(hotDir, coldDir).foreach { d =>
+      walk(new Path(s"$d/container=$container/session=$session")).foreach { st =>
+        if (!live.contains(rel(st.getPath)) && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false); n += 1
+        }
+      }
+    }
+    val dir = manifestDir(container, session)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile && versionRe.matches(name) &&
+            name.stripPrefix("v").toLong < v && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false); n += 1
+        }
+      }
+    n
+  }
+
+  /** Recursive parquet listing (same hidden-file rules as LogStore). */
+  private def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def go(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) go(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (!fs.exists(dir)) Seq.empty else go(dir)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.storage
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.SparkSuite
+import graft.model.LogSchema
+
+/** The manifest-swap store's contract (SURVEY §11's cluster visibility
+  * story, executable): lock-free reads with snapshot isolation, the
+  * manifest commit as the only visibility point, READS AND APPENDS
+  * PROCEEDING WHILE A COMPACTION IS HELD MID-PUBLISH, exactly-once
+  * visibility across the swap, and grace-window GC that never touches
+  * the live file set. */
+class ManifestLogSpec extends SparkSuite {
+
+  private def batch(rows: (String, String, String)*): DataFrame =
+    spark.createDataFrame(
+      rows.map { case (ts, lvl, msg) =>
+        Row(Timestamp.from(Instant.parse(ts)), lvl, msg)
+      }.asJava,
+      LogSchema.fileSchema)
+
+  private def msgs(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.getString(2)).sorted
+
+  test("append/read roundtrip with partition columns recovered; compaction preserves the multiset") {
+    val log = new ManifestLog(spark, tempDir("mlog"))
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "a"),
+                     ("2024-01-01T10:01:00Z", "ERROR", "b")), "app", "run1")
+    log.append(batch(("2024-01-01T10:02:00Z", "INFO", "a")), "app", "run1") // dup msg
+    log.append(batch(("2024-01-01T10:03:00Z", "INFO", "other")), "app", "run2")
+    val r = log.read("app", "run1").collect()
+    assert(r.map(_.getString(3)).toSet == Set("app") && r.map(_.getString(4)).toSet == Set("run1"))
+    assert(msgs(log.read("app", "run1")) == Seq("a", "a", "b"))
+    assert(log.compact("app", "run1") > 0L)
+    assert(msgs(log.read("app", "run1")) == Seq("a", "a", "b")) // exactly once
+    assert(msgs(log.read("app", "run2")) == Seq("other"))       // isolated
+    // post-compaction appends land hot and union with cold
+    log.append(batch(("2024-01-01T10:04:00Z", "WARN", "late")), "app", "run1")
+    assert(msgs(log.read("app", "run1")) == Seq("a", "a", "b", "late"))
+  }
+
+  test("reads and appends proceed while a compaction is held mid-publish; swap is exactly-once") {
+    val log = new ManifestLog(spark, tempDir("mlog"))
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "pre1")), "c", "s")
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "pre2")), "c", "s")
+
+    val inHook = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    log.beforeSwap = () => { inHook.countDown(); release.await(30, TimeUnit.SECONDS); () }
+    val compactor = new Thread(() => log.compact("c", "s"))
+    compactor.start()
+    assert(inHook.await(60, TimeUnit.SECONDS), "compaction never reached the swap point")
+    try {
+      // compaction is stalled AFTER publishing cold files, BEFORE the
+      // swap — the exact window where LogStore's write lock would block
+      // readers. Reads must complete NOW and see the pre-swap snapshot.
+      assert(msgs(log.read("c", "s")) == Seq("pre1", "pre2"))
+      // appends must also proceed (manifest commit is independent)
+      log.append(batch(("2024-01-01T10:02:00Z", "INFO", "mid")), "c", "s")
+      assert(msgs(log.read("c", "s")) == Seq("mid", "pre1", "pre2"))
+    } finally release.countDown()
+    compactor.join(60000)
+    assert(!compactor.isAlive, "compaction did not finish")
+    log.beforeSwap = () => ()
+    // post-swap: compacted rows once, the mid-compaction append intact
+    assert(msgs(log.read("c", "s")) == Seq("mid", "pre1", "pre2"))
+    val (_, entries) = log.resolve("c", "s")
+    assert(entries.count(_.startsWith("cold/")) >= 1)
+    assert(entries.count(_.startsWith("hot/")) == 1) // just the mid append
+  }
+
+  test("expire deletes retired files and old manifests after the grace window, never live ones") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "x")), "c", "s")
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "y")), "c", "s")
+    log.compact("c", "s")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def count(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub/container=c/session=s")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("."))
+    }
+    assert(count("hot") == 2, "retired hot files must survive until expire")
+    // a horizon in the past deletes nothing (grace window active)
+    assert(log.expire("c", "s", Instant.now().minusSeconds(3600)) == 0L)
+    assert(count("hot") == 2)
+    // horizon beyond now: retired hot files + superseded manifests go
+    assert(log.expire("c", "s", Instant.now().plusSeconds(3600)) >= 2L)
+    assert(count("hot") == 0)
+    assert(count("manifest") == 1, "exactly the latest manifest survives")
+    assert(msgs(log.read("c", "s")) == Seq("x", "y")) // live set untouched
+    // idempotent
+    assert(log.expire("c", "s", Instant.now().plusSeconds(3600)) == 0L)
+  }
+
+  test("unreferenced stray files (crashed writer) are collected without affecting reads") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "keep")), "c", "s")
+    // simulate a crash between cold publish and swap: a cold file that
+    // no manifest references
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = new org.apache.hadoop.fs.Path(
+      s"$root/cold/container=c/session=s/compact-orphan.parquet")
+    fs.mkdirs(stray.getParent)
+    val out = fs.create(stray, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(msgs(log.read("c", "s")) == Seq("keep")) // manifest ignores strays
+    assert(log.expire("c", "s", Instant.now().plusSeconds(3600)) >= 1L)
+    assert(!fs.exists(stray))
+    assert(msgs(log.read("c", "s")) == Seq("keep"))
+  }
+
+  test("concurrent appends from many threads all become visible exactly once") {
+    val log = new ManifestLog(spark, tempDir("mlog"))
+    val threads = (1 to 8).map { i =>
+      new Thread(() => log.append(
+        batch((f"2024-01-01T10:${i}%02d:00Z", "INFO", s"t$i")), "c", "s"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(msgs(log.read("c", "s")) == (1 to 8).map(i => s"t$i"))
+    val (v, entries) = log.resolve("c", "s")
+    assert(v == 8L && entries.size == 8)
+  }
+}
