@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Self-measured SCALE CHECK for the heavy families (dedup, ANN, BPE):
+  * the driver benches sf0.1; this main replicates that corpus R×10 into
+  * a local scale tier, runs the same declared queries at both scales,
+  * and writes the wall-time + blocking-forecast comparison to
+  * SCALECHECK.md — executable evidence that the blocked/bucketed plans
+  * grow sub-quadratically (≲R× time and ≲R× candidate pairs for R×
+  * data), not a prose claim.
+  *
+  * Replication is NOT naive duplication: each replica r > 0 suffixes
+  * every token with `_r` (so replicas are mutually-unrelated corpora —
+  * duplicating verbatim would add n² artificial near-dup pairs per
+  * group, a skew no real corpus growth produces, while suffixing grows
+  * near-dup density linearly, which is what ingesting ten new crawls
+  * looks like) and perturbs each embedding dimension with a
+  * deterministic hash-derived delta (cosine structure preserved,
+  * exact-duplicate vectors avoided). doc_id/vec_id are offset per
+  * replica, far above any real id.
+  *
+  * Run: `sbt "runMain graft.ScaleCheck"` (≈ minutes; writes
+  * SCALECHECK.md and prints the same table to stderr). The scaled tier
+  * lands under target/scalecheck/ — derived data, not source, and
+  * regenerated on demand.
+  */
+object ScaleCheck {
+  private val R = 10
+  private val Offset = 10000000L
+
+  private val QueryNames = Seq(
+    // dedup family — every blocked/bucketed candidate-generation shape
+    "dedup_exact_summary", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_hamming", "dedup_hamming_salted", "dedup_fuzzy_edit",
+    "dedup_components", "dedup_semantic", "dedup_substr_coverage",
+    // ANN family — bounded-candidate top-k paths plus the deliberately
+    // linear brute-force ground truth
+    "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
+    "emb_knn_graph",
+    // BPE — the O(rounds) driver-coordination loop
+    "text_bpe_train", "text_bpe_encode")
+
+  def ensureScaled(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_DONE"))) return
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+    ops.Tables.documents(spark, src)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+        explode(expr(s"sequence(0, ${R - 1})")).as("r"))
+      .select(
+        (col("doc_id") + col("r") * Offset).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(expr(
+          "array_join(transform(split(text, ' '), t -> concat(t, '_', r)), ' ')"))
+          .as("text"),
+        col("lang"), col("source"),
+        when(col("r") === 0, col("n_chars")).otherwise(expr(
+          "CAST(length(array_join(transform(split(text, ' '), t -> concat(t, '_', r)), ' ')) AS BIGINT)"))
+          .as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    ops.Tables.embeddings(spark, src)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(expr(s"sequence(0, ${R - 1})")).as("r"))
+      .select(
+        (col("vec_id") + col("r") * Offset).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+               |  CAST(x + IF(r = 0, CAST(0 AS DOUBLE),
+               |              (pmod(xxhash64(vec_id, i, r), 1001) / 500.0 - 1.0) * 0.1)
+               |       AS FLOAT))""".stripMargin).as("embedding"),
+        col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dst/_DONE"), true).close()
+  }
+
+  private def forecast(spark: SparkSession, dir: String): (Long, Long) = {
+    val bs = ops.Dedup.blockStats(spark, dir).collect()
+    (bs.map(_.getLong(4)).sum, if (bs.isEmpty) 0L else bs.map(_.getLong(3)).max)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "SCALECHECK.md"
+    val dst = "target/scalecheck/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", Scratch.localDir)
+      .config("spark.sql.warehouse.dir", Scratch.localDir + "/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureScaled(spark, src, dst)
+    def clean(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def run(dir: String): Seq[(String, Double)] = QueryNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scalecheck] $dir%-24s $name%-24s $dt%8.3f s")
+      clean()
+      (name, dt)
+    }
+    val base = run(src)
+    val baseFc = forecast(spark, src)
+    clean()
+    val scaled = run(dst)
+    val scaledFc = forecast(spark, dst)
+    val nDocsBase = ops.Tables.documents(spark, src).count()
+    val nDocsScaled = ops.Tables.documents(spark, dst).count()
+
+    val sb = new StringBuilder
+    sb ++= "# SCALECHECK — self-measured sub-quadratic growth for the heavy families\n\n"
+    sb ++= s"Generated by `sbt \"runMain graft.ScaleCheck\"` on ${java.time.LocalDate.now()}.\n"
+    sb ++= s"Base tier: `$src` ($nDocsBase docs). Scaled tier: ${R}× replication\n"
+    sb ++= s"($nDocsScaled docs) with per-replica token suffixing (replicas are\n"
+    sb ++= "mutually-unrelated corpora — near-dup density grows linearly, the\n"
+    sb ++= "shape of real corpus growth) and hash-perturbed embeddings. Times\n"
+    sb ++= s"are single measurements on local[$cpus]; the growth RATIO is the\n"
+    sb ++= s"signal (linear scaling = ratio ≈ $R.0; quadratic would be ${R * R}).\n\n"
+    sb ++= "| query | base s | scaled s | ratio |\n|---|---|---|---|\n"
+    base.zip(scaled).foreach { case ((n, b), (_, sc)) =>
+      sb ++= f"| $n | $b%.3f | $sc%.3f | ${sc / math.max(b, 0.001)}%.1f× |\n"
+    }
+    val (bt, st) = (base.map(_._2).sum, scaled.map(_._2).sum)
+    sb ++= f"| **total** | $bt%.3f | $st%.3f | ${st / bt}%.1f× |\n\n"
+    sb ++= "Blocking forecasts (metadata-priced candidate-pair totals — the\n"
+    sb ++= "pair-join work the plans actually dispatch):\n\n"
+    sb ++= "| metric | base | scaled | ratio |\n|---|---|---|---|\n"
+    sb ++= f"| simhash cand pairs | ${baseFc._1} | ${scaledFc._1} | ${scaledFc._1.toDouble / math.max(baseFc._1, 1)}%.1f× |\n"
+    sb ++= f"| simhash max block | ${baseFc._2} | ${scaledFc._2} | ${scaledFc._2.toDouble / math.max(baseFc._2, 1)}%.1f× |\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes("UTF-8"))
+    System.err.println(s"[scalecheck] wrote $out")
+    spark.stop()
+  }
+}

@@ -33,6 +33,16 @@ object Tables {
     * isolation automatic; the data dir is assumed immutable for the
     * life of a session — the same assumption every parquet scan makes.
     *
+    * Recoverability boundary (round-6 advice): localCheckpoint blocks
+    * are NOT recomputable after executor loss — acceptable in this
+    * single-JVM harness, where losing the executor IS losing the
+    * process. On a cluster the durable form of every relation in this
+    * cache is a persisted bucketed table ([[IndexTables]]): survives
+    * any executor, shared across sessions, and its bucket layout —
+    * not pinned blocks — is what makes the consumers exchange-free.
+    * The memo layer is the hot-path accelerator; the table is the
+    * recovery story.
+    *
     * NOT computeIfAbsent: memoized relations derive from each other
     * (ngramComponents → shinglePairStats → shingles), and a nested
     * computeIfAbsent on one ConcurrentHashMap is a documented
