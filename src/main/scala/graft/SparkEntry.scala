@@ -92,6 +92,9 @@ object SparkEntry {
     // skew-guarded twin: hot signature blocks hash-split so no task owns
     // a quadratic block (the blockStats forecast, operationalized)
     "dedup_hamming_salted" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupSalted(s, d)),
+    // wide-blocking twin: pair-of-chunks keys (2^26 key space) kill the
+    // birthday-collision candidate growth SCALECHECK measured at 10x
+    "dedup_hamming_wide"   -> ((s: SparkSession, d: String) => Dedup.hammingNearDupWide(s, d)),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
@@ -1184,6 +1187,16 @@ object SparkEntry {
     // the salted twin splits hot blocks before the candidate join — by
     // construction the same pair set, so the same oracle
     "dedup_hamming_salted" ->
+      s"""WITH $simhashCte,
+         |$chunksCte
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the wide-blocking twin blocks on chunk PAIRS — by the pigeonhole
+    // guarantee the same verified pair set, so the same oracle
+    "dedup_hamming_wide" ->
       s"""WITH $simhashCte,
          |$chunksCte
          |SELECT doc_a, doc_b,

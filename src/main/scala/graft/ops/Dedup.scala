@@ -609,6 +609,74 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PAIR-OF-CHUNKS ("wide") blocking relation: the signature split
+    * into `nChunks` chunks, exploded to one row per chunk PAIR (i<j) —
+    * (doc_id, simhash, c, k1, k2) with c the combo index. Blocking on
+    * two chunks at once squares the effective key space (two ~13-bit
+    * chunks → 2²⁶ keys vs 2¹⁶ for single chunks), which is the layout
+    * fix for the birthday-collision growth SCALECHECK measured: random
+    * key agreements scale ~n²/keyspace, so at 10⁹+ docs the single-
+    * chunk scheme drowns in chance collisions while this one doesn't.
+    * Pigeonhole still EXACT: maxDist ≤ nChunks−2 dirty bits touch at
+    * most nChunks−2 chunks, leaving ≥2 clean chunks — some pair of
+    * clean chunks agrees. Cost: C(nChunks,2) rows per doc (10 at
+    * nChunks=5, vs 4 single chunks at maxDist 3) — a constant-factor
+    * index-size trade for a quadratic collision reduction. */
+  private[ops] def comboRelation(sh: DataFrame, nChunks: Int): DataFrame = {
+    val bounds = chunkBounds(nChunks)
+    val combos = for (i <- 0 until nChunks; j <- (i + 1) until nChunks) yield (i, j)
+    val comboExprs = combos.zipWithIndex.map { case ((i, j), c) =>
+      val (loI, mI) = bounds(i); val (loJ, mJ) = bounds(j)
+      struct(lit(c).as("c"),
+        expr(s"CAST((simhash >> $loI) & $mI AS BIGINT)").as("k1"),
+        expr(s"CAST((simhash >> $loJ) & $mJ AS BIGINT)").as("k2"))
+    }
+    sh.select(col("doc_id"), col("simhash"), explode(array(comboExprs: _*)).as("p"))
+      .select(col("doc_id"), col("simhash"),
+              col("p.c").as("c"), col("p.k1").as("k1"), col("p.k2").as("k2"))
+  }
+
+  /** First combo on which both chunks agree — the stateless pair dedup
+    * for the wide blocking, same shape as [[firstAgreeingChunk]]. */
+  private def firstAgreeingCombo(nChunks: Int) = {
+    val bounds = chunkBounds(nChunks)
+    val combos = for (i <- 0 until nChunks; j <- (i + 1) until nChunks) yield (i, j)
+    combos.zipWithIndex.foldRight(lit(combos.size)) { case (((i, j), c), els) =>
+      val (loI, mI) = bounds(i); val (loJ, mJ) = bounds(j)
+      when(expr(s"((ha ^ hb) >> $loI) & $mI") === 0 &&
+           expr(s"((ha ^ hb) >> $loJ) & $mJ") === 0, lit(c)).otherwise(els)
+    }
+  }
+
+  /** [[hammingNearDup]] under pair-of-chunks blocking (see
+    * [[comboRelation]]) — identical rows (the pigeonhole guarantee
+    * holds for maxDist ≤ nChunks−2, exactness ScalaCheck-proven in
+    * DedupBlockingSpec), same driver oracle; the candidate volume is
+    * what changes, and only at corpus sizes where chance 16-bit
+    * agreements dominate. */
+  def hammingNearDupWide(s: SparkSession, dir: String, maxDist: Int = 3,
+                         nChunks: Int = 5): DataFrame =
+    widePairsFrom(simhashRaw(s, dir), maxDist, nChunks)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[hammingNearDupWide]] over a caller-supplied simhash relation. */
+  private[ops] def widePairsFrom(sh: DataFrame, maxDist: Int, nChunks: Int): DataFrame = {
+    require(maxDist <= nChunks - 2,
+      s"pair-of-chunks blocking is exact only for maxDist <= nChunks-2 " +
+      s"(got maxDist=$maxDist, nChunks=$nChunks)")
+    val rel = comboRelation(sh, nChunks)
+    rel.as("a").join(rel.as("b"),
+        col("a.c") === col("b.c") && col("a.k1") === col("b.k1") &&
+        col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("ha"), col("b.simhash").as("hb"),
+              col("a.c").as("c"))
+      .filter(col("c") === firstAgreeingCombo(nChunks))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** [[ngramJaccard]] reading the PERSISTED DF-capped shingle index:
     * pair generation self-joins the bucketed table on its bucket key
     * `s` — no Exchange on the corpus-sized index; only the near-dup-

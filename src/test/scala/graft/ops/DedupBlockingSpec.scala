@@ -59,6 +59,27 @@ class DedupBlockingSpec extends SparkSuite {
       Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
   }
 
+  private def viaWide(sigs: Seq[Long], maxDist: Int): Set[(Long, Long, Long)] = {
+    val df = spark.createDataFrame(
+      sigs.zipWithIndex.map { case (h, i) => Row(i.toLong, h) }.asJava, schema)
+    Dedup.widePairsFrom(df, maxDist, nChunks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("pair-of-chunks (wide) blocking + verify equals brute force — pigeonhole holds for d <= nChunks-2") {
+    val prop = Prop.forAll(sigSets) { sigs =>
+      viaWide(sigs, maxDist = 3) == bruteForce(sigs, maxDist = 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+    // degenerate cluster and the adversarial boundary: EXACTLY 3 flipped
+    // bits spread over 3 different chunks still leaves 2 clean chunks
+    assert(viaWide(Seq(42L, 42L, -1L), 3) == Set((0L, 1L, 0L)))
+    val base = 0x0123456789ABCDEFL
+    val spread = base ^ (1L << 0) ^ (1L << 13) ^ (1L << 26) // chunks 0,1,2 dirty
+    assert(viaWide(Seq(base, spread), 3) == Set((0L, 1L, 3L)))
+  }
+
   test("exact-substring coverage measures the interval UNION of a shared run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toFile
     try {
