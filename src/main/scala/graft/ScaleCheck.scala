@@ -33,7 +33,8 @@ object ScaleCheck {
   private val QueryNames = Seq(
     // dedup family — every blocked/bucketed candidate-generation shape
     "dedup_exact_summary", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_hamming", "dedup_hamming_salted", "dedup_fuzzy_edit",
+    "dedup_hamming", "dedup_hamming_salted", "dedup_hamming_wide",
+    "dedup_fuzzy_edit",
     "dedup_components", "dedup_semantic", "dedup_substr_coverage",
     // ANN family — bounded-candidate top-k paths plus the deliberately
     // linear brute-force ground truth
@@ -81,6 +82,14 @@ object ScaleCheck {
     (bs.map(_.getLong(4)).sum, if (bs.isEmpty) 0L else bs.map(_.getLong(3)).max)
   }
 
+  /** Candidate-pair total under pair-of-chunks (wide) blocking — the
+    * number that should stay ~linear where the single-chunk forecast
+    * grows with the birthday term. */
+  private def forecastWide(spark: SparkSession, dir: String): (Long, Long) = {
+    val bs = ops.Dedup.wideBlockStats(spark, dir).collect()
+    (bs.map(_.getLong(4)).sum, if (bs.isEmpty) 0L else bs.map(_.getLong(3)).max)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "SCALECHECK.md"
@@ -109,9 +118,11 @@ object ScaleCheck {
     }
     val base = run(src)
     val baseFc = forecast(spark, src)
+    val baseWide = forecastWide(spark, src)
     clean()
     val scaled = run(dst)
     val scaledFc = forecast(spark, dst)
+    val scaledWide = forecastWide(spark, dst)
     val nDocsBase = ops.Tables.documents(spark, src).count()
     val nDocsScaled = ops.Tables.documents(spark, dst).count()
 
@@ -133,8 +144,10 @@ object ScaleCheck {
     sb ++= "Blocking forecasts (metadata-priced candidate-pair totals — the\n"
     sb ++= "pair-join work the plans actually dispatch):\n\n"
     sb ++= "| metric | base | scaled | ratio |\n|---|---|---|---|\n"
-    sb ++= f"| simhash cand pairs | ${baseFc._1} | ${scaledFc._1} | ${scaledFc._1.toDouble / math.max(baseFc._1, 1)}%.1f× |\n"
-    sb ++= f"| simhash max block | ${baseFc._2} | ${scaledFc._2} | ${scaledFc._2.toDouble / math.max(baseFc._2, 1)}%.1f× |\n"
+    sb ++= f"| simhash cand pairs (single-chunk keys, 2^16) | ${baseFc._1} | ${scaledFc._1} | ${scaledFc._1.toDouble / math.max(baseFc._1, 1)}%.1f× |\n"
+    sb ++= f"| simhash max block (single-chunk) | ${baseFc._2} | ${scaledFc._2} | ${scaledFc._2.toDouble / math.max(baseFc._2, 1)}%.1f× |\n"
+    sb ++= f"| simhash cand pairs (pair-of-chunks keys, 2^26) | ${baseWide._1} | ${scaledWide._1} | ${scaledWide._1.toDouble / math.max(baseWide._1, 1)}%.1f× |\n"
+    sb ++= f"| simhash max block (pair-of-chunks) | ${baseWide._2} | ${scaledWide._2} | ${scaledWide._2.toDouble / math.max(baseWide._2, 1)}%.1f× |\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     System.err.println(s"[scalecheck] wrote $out")

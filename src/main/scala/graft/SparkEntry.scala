@@ -114,6 +114,9 @@ object SparkEntry {
     "emb_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // persisted-inverted-list twin (SURVEY §11's vectors+IVF table made
+    // executable): assignment paid once at index build, same rows/oracle
+    "ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
@@ -433,7 +436,15 @@ object SparkEntry {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
-  def oracleSql: Map[String, String] = Map(
+  /** Twins that read a persisted index are SEMANTICALLY identical to
+    * their in-plan originals — they share the one oracle text so the
+    * two can never drift. */
+  def oracleSql: Map[String, String] =
+    oracleSqlLiteral ++ Map(
+      "ann_ivf_indexed" -> "ann_ivf_topk",
+    ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
+
+  private def oracleSqlLiteral: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -761,6 +761,23 @@ object Dedup {
            sum(expr("n * (n - 1) DIV 2")).as("n_cand_pairs"))
       .orderBy(col("chunk_idx"))
 
+  /** [[blockStats]] for the pair-of-chunks blocking ([[comboRelation]]):
+    * per combo index, how many blocks hold ≥2 docs, the docs in them,
+    * the largest block, and the implied candidate-pair count — the
+    * metadata-priced pre-flight that lets a run compare single-chunk vs
+    * wide candidate volume BEFORE paying for either join (SCALECHECK
+    * records both across a 10× scale step). */
+  def wideBlockStats(s: SparkSession, dir: String, nChunks: Int = 5): DataFrame =
+    comboRelation(simhashRaw(s, dir), nChunks)
+      .groupBy(col("c"), col("k1"), col("k2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .groupBy(col("c").cast("long").as("combo_idx"))
+      .agg(count(lit(1)).as("n_blocks"),
+           sum(col("n")).as("n_docs"),
+           max(col("n")).as("max_block"),
+           sum(expr("n * (n - 1) DIV 2")).as("n_cand_pairs"))
+      .orderBy(col("combo_idx"))
+
   /** Connected components over an undirected pair list via alternating
     * LARGE-STAR / SMALL-STAR rounds (the MapReduce-era algorithm from
     * Kiveris et al., "Connected Components in MapReduce and Beyond" —

@@ -36,13 +36,21 @@ object IndexTables {
     * (SURVEY §11) — a layout parameter, not a code change. */
   private val Buckets = 16
 
-  private def ensure(s: SparkSession, name: String, bucketCols: Seq[String])
-                    (build: => DataFrame): String = synchronized {
+  private def ensureWith(s: SparkSession, name: String)
+                        (persist: String => Unit): String = synchronized {
     if (!s.catalog.tableExists(name)) {
       val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(warehouse, name)
       if (fs.exists(p)) fs.delete(p, true)
+      persist(name)
+    }
+    name
+  }
+
+  private def ensure(s: SparkSession, name: String, bucketCols: Seq[String])
+                    (build: => DataFrame): String =
+    ensureWith(s, name) { n =>
       // Repartition on the bucket keys so each bucket is written as ONE
       // file: Spark only treats a bucketed scan as pre-sorted (eliding
       // the per-query Sort under a sort-merge join) when a bucket has a
@@ -54,10 +62,8 @@ object IndexTables {
         .write
         .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .mode("overwrite").saveAsTable(name)
+        .mode("overwrite").saveAsTable(n)
     }
-    name
-  }
 
   /** SimHash pigeonhole chunk index: (doc_id, simhash, j, ck) bucketed
     * AND sorted by (j, ck) — the exact keys of the blocked candidate
@@ -78,5 +84,22 @@ object IndexTables {
   def ensureShingleIndex(s: SparkSession, dir: String): String =
     ensure(s, s"idx_shingles_${tag(dir)}", Seq("s")) {
       Dedup.cappedShingles(s, dir)
+    }
+
+  /** IVF inverted index: every vector's (n_id, n_v, n_norm) under the
+    * deterministic seed quantizer, PARTITIONED BY `list_id` — the
+    * "normed vectors + IVF assignment" row of SURVEY §11's table map.
+    * The broadcast-assign pass over all N vectors is paid once at
+    * build; query-time probes equi-join the table on list_id and a
+    * probe predicate prunes to the probed partitions (nlist is small
+    * and IS the partition key, so partitioning — not bucketing — is
+    * the right layout; at real scale nlist grows to O(10⁴-10⁵) and
+    * each partition holds one inverted list's vectors). */
+  def ensureIvfIndex(s: SparkSession, dir: String): String =
+    ensureWith(s, s"idx_ivf_seed_${tag(dir)}") { n =>
+      Similarity.seedAssignment(s, dir)
+        .repartition(org.apache.spark.sql.functions.col("list_id"))
+        .write.partitionBy("list_id")
+        .mode("overwrite").saveAsTable(n)
     }
 }

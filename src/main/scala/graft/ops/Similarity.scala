@@ -209,11 +209,27 @@ object Similarity {
     * SemDeDup clustering, k-NN pooling). An IVF deployment assigns
     * once at index-build time; before round 6 each of those five
     * queries re-ran the broadcast-assign pass over N. */
-  private def seedAssignment(s: SparkSession, dir: String): DataFrame =
+  private[ops] def seedAssignment(s: SparkSession, dir: String): DataFrame =
     Tables.memoized("ivfSeedAssign", s, dir) {
       val vs = vectors(s, dir)
       nearestCentroids(vs, seedCentroids(vs), 1, "n")
     }
+
+  /** [[ivfTopK]] reading the PERSISTED inverted-list table
+    * ([[IndexTables.ensureIvfIndex]]) instead of the memoized
+    * assignment — the serving shape of an IVF deployment: the
+    * assignment pass over all N vectors is paid once at index-build
+    * time, and a query-time plan touches only the probe computation
+    * (query set × broadcast centroids) plus an equi-join on list_id
+    * against the partitioned table. Identical rows to [[ivfTopK]];
+    * same driver oracle. */
+  def ivfTopKIndexed(s: SparkSession, dir: String,
+                     nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, dir)
+    val assigned = s.table(IndexTables.ensureIvfIndex(s, dir))
+      .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
+    ivfSearch(vs, seedCentroids(vs), assigned, nQueries, k, nprobe)
+  }
 
   /** nprobe search against an arbitrary centroid relation
     * ((cent_id, cv, cnorm), broadcast-small) and its matching

@@ -36,6 +36,10 @@ class PlanAuditSpec extends SparkSuite {
   // the 1-row global-min aggregate in the mixture sampler)
   private val intendedBnlj = Set(
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
+    // same 8-query × 8-centroid probe cross as ann_ivf_topk; the list
+    // join against the persisted IVF table is an equi-join (and picks
+    // up dynamic partition pruning on list_id from the probe side)
+    "ann_ivf_indexed",
     // same broadcast-query-set scan as ann_brute_topk, twice (pos/neg)
     "emb_hard_negatives",
     "pipe_balanced_mixture", "emb_label_separation", "pipe_temperature_mixture",

@@ -94,6 +94,31 @@ class IndexTablesSpec extends SparkSuite {
     assert(viaIndex.toSeq === inPlan.toSeq)
   }
 
+  test("IVF index is partitioned by list_id and the indexed search matches the in-plan twin") {
+    assume(hasTestData)
+    val name = IndexTables.ensureIvfIndex(spark, sf)
+    // layout: one partition directory per inverted list
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(warehouse, name))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("list_id="))
+    assert(dirs.length == Similarity.IvfNList,
+      s"expected ${Similarity.IvfNList} list partitions, got ${dirs.toSeq}")
+    // every vector assigned exactly once (the table IS the inverted index)
+    assert(spark.table(name).count() ==
+      graft.ops.Tables.embeddings(spark, sf).count())
+    val viaIndex = Similarity.ivfTopKIndexed(spark, sf).collect().map(_.toSeq)
+    val inPlan = Similarity.ivfTopK(spark, sf).collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq === inPlan.toSeq)
+    // the indexed consumer's plan reads the persisted table, not a
+    // recomputed assignment
+    val plan = Similarity.ivfTopKIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(name), s"expected a scan of $name in:\n$plan")
+  }
+
   test("index builds are idempotent per catalog (second ensure is a no-op)") {
     assume(hasTestData)
     val t1 = IndexTables.ensureChunkIndex(spark, sf, 4)
