@@ -441,7 +441,13 @@ object SparkEntry {
     * two can never drift. */
   def oracleSql: Map[String, String] =
     oracleSqlLiteral ++ Map(
-      "ann_ivf_indexed" -> "ann_ivf_topk",
+      "ann_ivf_indexed"       -> "ann_ivf_topk",
+      // persisted-chunk-index, hot-block-salted, and pair-of-chunks
+      // candidate generation all produce dedup_hamming's exact pair set
+      "dedup_hamming_indexed" -> "dedup_hamming",
+      "dedup_hamming_salted"  -> "dedup_hamming",
+      "dedup_hamming_wide"    -> "dedup_hamming",
+      "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(
@@ -1185,47 +1191,9 @@ object SparkEntry {
          |FROM cand
          |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // the indexed twin reads the persisted chunk-index table — same
-    // semantics, same oracle
-    "dedup_hamming_indexed" ->
-      s"""WITH $simhashCte,
-         |$chunksCte
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
-         |FROM cand
-         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    // the salted twin splits hot blocks before the candidate join — by
-    // construction the same pair set, so the same oracle
-    "dedup_hamming_salted" ->
-      s"""WITH $simhashCte,
-         |$chunksCte
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
-         |FROM cand
-         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    // the wide-blocking twin blocks on chunk PAIRS — by the pigeonhole
-    // guarantee the same verified pair set, so the same oracle
-    "dedup_hamming_wide" ->
-      s"""WITH $simhashCte,
-         |$chunksCte
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
-         |FROM cand
-         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    // the indexed twin reads the persisted shingle-index table — same
-    // semantics, same oracle
-    "dedup_ngram_indexed" ->
-      s"""WITH $shinglesCte,
-         |$pairStatsCte
-         |SELECT doc_a, doc_b,
-         |  floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 AS jaccard
-         |FROM common JOIN sizes x ON doc_a = x.doc_id
-         |            JOIN sizes y ON doc_b = y.doc_id
-         |WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    // (the indexed/salted/wide hamming twins and the indexed ngram twin
+    // share their originals' oracle text via the twin-alias map in
+    // [[oracleSql]] — one text, no drift)
     // oracle plays the NAIVE all-pairs hamming join over the aHash —
     // the pigeonhole blocking the Spark side uses is exactness-proven
     // (DedupBlockingSpec), so blocked and naive results must agree
