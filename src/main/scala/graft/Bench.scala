@@ -100,6 +100,11 @@ object Bench {
       val bMax = if (bs.isEmpty) 0L else bs.map(_.getLong(3)).max
       System.err.println(
         s"[bench] forecast_simhash_blocking   cand_pairs=$bPairs max_block=$bMax chunks=${bs.length}")
+      val ws = graft.ops.Dedup.wideBlockStats(spark, sfDir).collect()
+      val wPairs = ws.map(_.getLong(4)).sum
+      val wMax = if (ws.isEmpty) 0L else ws.map(_.getLong(3)).max
+      System.err.println(
+        s"[bench] forecast_simhash_wide       cand_pairs=$wPairs max_block=$wMax combos=${ws.length}")
       val cs = graft.ops.Similarity.ivfCellStats(spark, sfDir).collect()
       val cPairs = cs.map { r => val n = r.getLong(1); n * (n - 1) / 2 }.sum
       val cMax = if (cs.isEmpty) 0L else cs.map(_.getLong(1)).max

@@ -130,6 +130,7 @@ final class ManifestLog(spark: SparkSession, root: String,
     manifestLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
       val (v, cur) = resolve(container, session)
       val next = update(cur)
+      if (next eq cur) return cur // update declined — no new version
       val dir = manifestDir(container, session)
       fs.mkdirs(dir)
       val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
@@ -146,9 +147,49 @@ final class ManifestLog(spark: SparkSession, root: String,
   /** Append a batch: publish an immutable hot file, then commit it
     * into the manifest (the visibility point). Returns published
     * bytes. */
-  def append(df: DataFrame, container: String, session: String): Long = {
+  def append(df: DataFrame, container: String, session: String): Long =
+    doAppend(df, container, session, None)
+
+  /** [[append]] with a caller-supplied idempotency tag — the
+    * exactly-once hook for streaming `foreachBatch` replay (tag =
+    * batch id), like [[LogStore.appendIdempotent]] but with NO
+    * side-channel marker files: the MANIFEST is the replay ledger.
+    * Tagged files publish as `tag-<tag>.parquet`; a replay checks the
+    * committed-tag set first and no-ops (returns -1). Compaction
+    * retires the FILE but the tag is also recorded as a tombstone
+    * entry (`#tag <tag>`) the readers skip — so a tag stays committed
+    * for the life of the session no matter how many rewrites its rows
+    * survive, the same property LogStore gets from its `tags/` dir,
+    * here for free because the manifest swap is already atomic. */
+  def appendIdempotent(df: DataFrame, container: String, session: String,
+                       tag: String): Long = {
+    require(tag.nonEmpty && !tag.exists(c => c == '/' || c.isWhitespace),
+      s"invalid idempotency tag: $tag")
+    doAppend(df, container, session, Some(tag))
+  }
+
+  private def tagEntry(tag: String): String = s"#tag $tag"
+  private def fileTag(entry: String): Option[String] = {
+    val name = entry.substring(entry.lastIndexOf('/') + 1)
+    if (name.startsWith("tag-") && name.endsWith(".parquet"))
+      Some(name.stripPrefix("tag-").stripSuffix(".parquet"))
+    else None
+  }
+  /** Tags committed in an entry list: tombstones plus live tag files. */
+  private def committedTags(entries: Seq[String]): Set[String] =
+    entries.iterator.flatMap { e =>
+      if (e.startsWith("#tag ")) Some(e.stripPrefix("#tag "))
+      else fileTag(e)
+    }.toSet
+
+  private def doAppend(df: DataFrame, container: String, session: String,
+                       idemTag: Option[String]): Long = {
     require(LogSchema.isValidId(container), s"invalid container id: $container")
     require(LogSchema.isValidId(session), s"invalid session id: $session")
+    // cheap pre-check outside the write (the commit re-checks atomically)
+    idemTag.foreach { t =>
+      if (committedTags(resolve(container, session)._2).contains(t)) return -1L
+    }
     val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
     df.select("timestamp", "level", "message")
       .coalesce(1)
@@ -157,18 +198,35 @@ final class ManifestLog(spark: SparkSession, root: String,
       throw new java.io.IOException(s"append: staging $staging produced no visible file"))
     val target = new Path(s"$hotDir/container=$container/session=$session")
     fs.mkdirs(target)
-    val dst = new Path(target, s"append-${UUID.randomUUID()}.parquet")
-    if (!fs.rename(st.getPath, dst))
+    val fileName = idemTag match {
+      case Some(t) => s"tag-$t.parquet"
+      case None => s"append-${UUID.randomUUID()}.parquet"
+    }
+    val dst = new Path(target, fileName)
+    // A tagged replay racing (or resuming after) another writer of the
+    // same tag targets the same path: its rename fails against the
+    // existing file, which carries the identical batch (the foreachBatch
+    // replay contract) — tolerated, because the COMMIT below is what
+    // decides: it re-checks the tag under the manifest lock and refuses
+    // a duplicate entry. Any other rename failure is a real IO error.
+    if (!fs.rename(st.getPath, dst) && !(idemTag.isDefined && fs.exists(dst)))
       throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
     fs.delete(staging, true)
-    commit(container, session)(_ :+ rel(dst))
-    st.getLen
+    var committed = true
+    commit(container, session) { cur =>
+      idemTag match {
+        case Some(t) if committedTags(cur).contains(t) => committed = false; cur
+        case _ => cur :+ rel(dst)
+      }
+    }
+    if (committed) st.getLen else -1L
   }
 
   /** The session's rows as of the latest manifest — lock-free; safe
     * to materialize at any time, including mid-compaction. */
   def read(container: String, session: String): DataFrame = {
-    val (_, entries) = resolve(container, session)
+    // data entries only — `#tag` tombstones are replay bookkeeping
+    val entries = resolve(container, session)._2.filterNot(_.startsWith("#"))
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema.schema)
@@ -213,8 +271,11 @@ final class ManifestLog(spark: SparkSession, root: String,
       beforeSwap()
       // THE swap: subtract exactly the compacted snapshot from whatever
       // is current (mid-compaction appends survive), add the cold files
+      // — and keep every retired tag committed via a tombstone entry,
+      // so a batch replay after its file was rewritten still no-ops
       val retired = snapshot.toSet
-      commit(container, session)(cur => cur.filterNot(retired) ++ coldRel)
+      val tombstones = snapshot.flatMap(fileTag).map(tagEntry)
+      commit(container, session)(cur => cur.filterNot(retired) ++ coldRel ++ tombstones)
       bytes
     }
 

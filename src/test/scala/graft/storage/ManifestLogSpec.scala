@@ -117,6 +117,41 @@ class ManifestLogSpec extends SparkSuite {
     assert(msgs(log.read("c", "s")) == Seq("keep"))
   }
 
+  test("idempotent appends: tag replay no-ops, and the tag survives compaction as a tombstone") {
+    val log = new ManifestLog(spark, tempDir("mlog"))
+    val b = batch(("2024-01-01T10:00:00Z", "INFO", "once"))
+    assert(log.appendIdempotent(b, "c", "s", "batch-7") > 0L)
+    assert(log.appendIdempotent(b, "c", "s", "batch-7") == -1L) // replay no-ops
+    assert(msgs(log.read("c", "s")) == Seq("once"))
+    // compaction rewrites the tagged file into cold; the tag must stay
+    // committed (tombstone), so a late replay STILL no-ops
+    log.compact("c", "s")
+    assert(log.resolve("c", "s")._2.exists(_ == "#tag batch-7"))
+    assert(log.appendIdempotent(b, "c", "s", "batch-7") == -1L)
+    assert(msgs(log.read("c", "s")) == Seq("once")) // exactly once throughout
+    // a different tag is a different batch
+    assert(log.appendIdempotent(
+      batch(("2024-01-01T10:01:00Z", "INFO", "next")), "c", "s", "batch-8") > 0L)
+    assert(msgs(log.read("c", "s")) == Seq("next", "once"))
+    // crash window: file published but manifest commit lost — replay of
+    // the same tag must converge to exactly-once, not zero or two
+    val root2 = tempDir("mlog")
+    val log2 = new ManifestLog(spark, root2)
+    val fs = new org.apache.hadoop.fs.Path(root2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanDir = new org.apache.hadoop.fs.Path(s"$root2/hot/container=c/session=s")
+    fs.mkdirs(orphanDir)
+    // simulate the crashed writer's published-but-uncommitted file
+    b.select("timestamp", "level", "message").coalesce(1)
+      .write.parquet(s"$root2/.stage-sim")
+    val f = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root2/.stage-sim"))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(f, new org.apache.hadoop.fs.Path(orphanDir, "tag-batch-9.parquet"))
+    assert(log2.appendIdempotent(b, "c", "s", "batch-9") > 0L) // adopts the file
+    assert(msgs(log2.read("c", "s")) == Seq("once"))
+    assert(log2.appendIdempotent(b, "c", "s", "batch-9") == -1L)
+  }
+
   test("concurrent appends from many threads all become visible exactly once") {
     val log = new ManifestLog(spark, tempDir("mlog"))
     val threads = (1 to 8).map { i =>
