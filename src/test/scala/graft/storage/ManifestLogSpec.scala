@@ -152,6 +152,50 @@ class ManifestLogSpec extends SparkSuite {
     assert(log2.appendIdempotent(b, "c", "s", "batch-9") == -1L)
   }
 
+  test("streaming foreachBatch sink: a batch replayed after a post-append crash lands exactly once") {
+    val root = tempDir("mlog-stream")
+    val in = tempDir("mlog-stream-in")
+    val log = new ManifestLog(spark, s"$root/data")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b0.json"),
+      Seq(
+        """{"ts":"2025-03-01T10:00:00Z","lvl":"INFO","msg":"s-a"}""",
+        """{"ts":"2025-03-01T10:01:00Z","lvl":"WARN","msg":"s-b"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    @volatile var failedOnce = false
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lvl", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("msg", org.apache.spark.sql.types.StringType))))
+        .json(in)
+        .selectExpr("CAST(ts AS TIMESTAMP) AS timestamp", "lvl AS level", "msg AS message")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          log.appendIdempotent(df, "app", "s1", s"b$id")
+          // crash AFTER the durable append but BEFORE the checkpoint
+          // commit — the batch WILL be replayed on restart
+          if (!failedOnce) { failedOnce = true; throw new RuntimeException("injected post-append crash") }
+          ()
+        }
+        .start()
+      try q.awaitTermination(120000)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    run() // fails after appending batch 0
+    assert(failedOnce)
+    assert(msgs(log.read("app", "s1")) == Seq("s-a", "s-b"))
+    run() // replays batch 0 from the checkpoint; the tag must no-op
+    assert(msgs(log.read("app", "s1")) == Seq("s-a", "s-b"), "replayed batch duplicated rows")
+    // new data still flows after the replay converged
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      """{"ts":"2025-03-01T11:00:00Z","lvl":"INFO","msg":"s-c"}""".getBytes("UTF-8"))
+    run()
+    assert(msgs(log.read("app", "s1")) == Seq("s-a", "s-b", "s-c"))
+  }
+
   test("concurrent appends from many threads all become visible exactly once") {
     val log = new ManifestLog(spark, tempDir("mlog"))
     val threads = (1 to 8).map { i =>
