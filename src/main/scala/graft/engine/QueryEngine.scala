@@ -3,7 +3,7 @@ package graft.engine
 import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.storage.LogStore
+import graft.storage.LogTier
 
 /** Reference-parity read path (SURVEY §2.2, §2.4, §3 entry point 1).
   *
@@ -15,7 +15,7 @@ import graft.storage.LogStore
   * prunes (container, session) directories — the SQLite catalog's job
   * in the reference (metadata.py:44-53), free here.
   */
-final class QueryEngine(store: LogStore) {
+final class QueryEngine(store: LogTier) {
 
   /** Supported pushdown operators (reader.py:39-59), plus `in` as a
     * strict superset (still pushdown-friendly: Catalyst emits an In
@@ -103,14 +103,14 @@ final class QueryEngine(store: LogStore) {
   def count(container: String, session: String,
             start: Option[Instant] = None, end: Option[Instant] = None,
             filters: Seq[(String, String, Any)] = Seq.empty): Long =
-    store.withViewLock(container, session) {
+    store.withReadSnapshot(container, session) {
       readLogs(container, session, start, end, filters).count()
     }
 
   /** Summary (A4-A6): total_rows is UNFILTERED by design — the
     * reference's get_summary scans with no filter (reader.py:227-231) —
     * while file/byte counts come from the file index, not a scan. */
-  def summary(container: String, session: String): LogSummary = store.withViewLock(container, session) {
+  def summary(container: String, session: String): LogSummary = store.withReadSnapshot(container, session) {
     val (coldFiles, coldBytes, hotFiles, hotBytes) = store.tierStats(container, session)
     val totalRows = store.read(container, session).count()
     LogSummary(

@@ -32,7 +32,7 @@ import graft.model.LogSchema
   * scan-friendly at 100 TB.
   */
 final class LogStore(spark: SparkSession, root: String,
-                     targetFileBytes: Long = 128L * 1024 * 1024) {
+                     targetFileBytes: Long = 128L * 1024 * 1024) extends LogTier {
 
   private val hotDir = s"$root/hot"
   private val coldDir = s"$root/cold"
@@ -235,6 +235,12 @@ final class LogStore(spark: SparkSession, root: String,
     val l = viewLock(container, session).readLock
     l.lock(); try f finally l.unlock()
   }
+
+  /** [[LogTier]]'s snapshot guarantee is this store's view lock —
+    * directory-as-truth needs reader exclusion during the publish
+    * phase ([[ManifestLog]] gets the same guarantee lock-free). */
+  override def withReadSnapshot[T](container: String, session: String)(f: => T): T =
+    withViewLock(container, session)(f)
 
   /** Compact one session: rewrite the *current snapshot* of hot files
     * into sized cold files, then delete exactly that snapshot. Appends

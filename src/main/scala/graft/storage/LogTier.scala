@@ -1,0 +1,37 @@
+package graft.storage
+
+import org.apache.spark.sql.DataFrame
+
+/** The read-path storage surface [[graft.engine.QueryEngine]] serves
+  * from — the seam that makes the single-node store ([[LogStore]]) and
+  * the cluster store ([[ManifestLog]]) interchangeable behind the same
+  * query engine: a user of one can switch to the other without
+  * touching a query.
+  *
+  * The visibility contract differs by implementation and that is the
+  * point: [[LogStore]] guards scans against compaction's publish phase
+  * with a per-session read lock, so [[withReadSnapshot]] wraps the
+  * materializing action; [[ManifestLog]] reads are snapshot-isolated
+  * by construction (a resolved manifest's files are immutable until
+  * grace-window GC), so its [[withReadSnapshot]] is a no-op — the
+  * default here. Both deliver the same guarantee the engine needs:
+  * the file set a query scans stays live for the duration of the
+  * action. */
+trait LogTier {
+
+  /** The session's rows (bag semantics, duplicates preserved). */
+  def read(container: String, session: String): DataFrame
+
+  /** Append a batch (timestamp, level, message); returns published
+    * bytes. Ack point per the reference contract: durable, not
+    * necessarily archived. */
+  def append(df: DataFrame, container: String, session: String): Long
+
+  /** (cold files, cold bytes, hot files, hot bytes) from the file
+    * index — the A4-A6 summary surface; never a data scan. */
+  def tierStats(container: String, session: String): (Long, Long, Long, Long)
+
+  /** Run a materializing action with the session's visible file set
+    * guaranteed live. Default: no-op (snapshot-isolated stores). */
+  def withReadSnapshot[T](container: String, session: String)(f: => T): T = f
+}

@@ -55,7 +55,7 @@ import graft.model.LogSchema
   * age out the same way.
   */
 final class ManifestLog(spark: SparkSession, root: String,
-                        targetFileBytes: Long = 128L * 1024 * 1024) {
+                        targetFileBytes: Long = 128L * 1024 * 1024) extends LogTier {
 
   private val hotDir = s"$root/hot"
   private val coldDir = s"$root/cold"
@@ -235,6 +235,26 @@ final class ManifestLog(spark: SparkSession, root: String,
         .withColumn("container", lit(container))
         .withColumn("session", lit(session))
         .select(LogSchema.schema.fieldNames.map(col): _*)
+  }
+
+  /** (cold files, cold bytes, hot files, hot bytes) of the CURRENT
+    * manifest — the [[LogTier]] summary surface. Counts come straight
+    * off the entry list; sizes are one file-status call per live entry
+    * (on a cluster the manifest would carry sizes inline — the
+    * reference's SQLite catalog does exactly that — but the contract
+    * is the same: never a data scan). Inherits the trait's no-op
+    * [[withReadSnapshot]]: manifest reads are snapshot-isolated by
+    * construction. */
+  def tierStats(container: String, session: String): (Long, Long, Long, Long) = {
+    val entries = resolve(container, session)._2.filterNot(_.startsWith("#"))
+    def stats(prefix: String): (Long, Long) = {
+      val sel = entries.filter(_.startsWith(prefix))
+      (sel.size.toLong,
+       sel.map(e => fs.getFileStatus(new Path(abs(e))).getLen).sum)
+    }
+    val (cf, cb) = stats("cold/")
+    val (hf, hb) = stats("hot/")
+    (cf, cb, hf, hb)
   }
 
   /** Compact the manifest's current hot subset into sized, range-

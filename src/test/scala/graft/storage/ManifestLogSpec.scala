@@ -152,6 +152,29 @@ class ManifestLogSpec extends SparkSuite {
     assert(log2.appendIdempotent(b, "c", "s", "batch-9") == -1L)
   }
 
+  test("QueryEngine serves unchanged from the manifest store (LogTier seam)") {
+    val log = new ManifestLog(spark, tempDir("mlog-engine"))
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "a"),
+                     ("2024-01-01T11:00:00Z", "ERROR", "b"),
+                     ("2024-01-01T12:00:00Z", "INFO", "c")), "app", "run")
+    val engine = new graft.engine.QueryEngine(log)
+    assert(engine.count("app", "run") == 3)
+    assert(engine.count("app", "run",
+      filters = Seq(("level", "==", "ERROR"))) == 1)
+    assert(engine.readLogs("app", "run",
+      start = Some(Instant.parse("2024-01-01T10:30:00Z")),
+      end = Some(Instant.parse("2024-01-01T11:30:00Z"))).collect()
+      .map(_.getString(2)).toSeq == Seq("b"))
+    val pre = engine.summary("app", "run")
+    assert(pre.totalRows == 3 && pre.bufferFiles == 1 && pre.archiveFiles == 0)
+    // compaction flips the tiers; the engine's answers don't change
+    log.compact("app", "run")
+    assert(engine.count("app", "run") == 3)
+    val post = engine.summary("app", "run")
+    assert(post.totalRows == 3 && post.bufferFiles == 0 && post.archiveFiles >= 1)
+    assert(post.totalSizeBytes > 0 && post.filesScanned == post.archiveFiles)
+  }
+
   test("streaming foreachBatch sink: a batch replayed after a post-append crash lands exactly once") {
     val root = tempDir("mlog-stream")
     val in = tempDir("mlog-stream-in")
