@@ -116,10 +116,36 @@ object ScaleCheck {
       clean()
       (name, dt)
     }
+    // Index-build amortization: the §11 economics, measured — pay the
+    // shuffle/sort once at build, every consumer reads it back. Timed
+    // BEFORE the query sweep so the in-plan queries don't warm the memo
+    // relations the builds derive from (build includes derivation cost,
+    // exactly like a production index build would).
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def indexBuilds(dir: String): Seq[(String, Double)] = {
+      val r = Seq(
+        "build chunk index"   -> timed(ops.IndexTables.ensureChunkIndex(spark, dir, 4)),
+        "build shingle index" -> timed(ops.IndexTables.ensureShingleIndex(spark, dir)),
+        "build IVF index"     -> timed(ops.IndexTables.ensureIvfIndex(spark, dir)),
+        "consume: dedup_hamming_indexed" ->
+          timed(SparkEntry.queries("dedup_hamming_indexed")(spark, dir).count()),
+        "consume: dedup_ngram_indexed" ->
+          timed(SparkEntry.queries("dedup_ngram_indexed")(spark, dir).count()),
+        "consume: ann_ivf_indexed" ->
+          timed(SparkEntry.queries("ann_ivf_indexed")(spark, dir).count()))
+      r.foreach { case (n, t) =>
+        System.err.println(f"[scalecheck] $dir%-24s $n%-32s $t%8.3f s") }
+      clean()
+      r
+    }
+    val baseIdx = indexBuilds(src)
     val base = run(src)
     val baseFc = forecast(spark, src)
     val baseWide = forecastWide(spark, src)
     clean()
+    val scaledIdx = indexBuilds(dst)
     val scaled = run(dst)
     val scaledFc = forecast(spark, dst)
     val scaledWide = forecastWide(spark, dst)
@@ -141,6 +167,13 @@ object ScaleCheck {
     }
     val (bt, st) = (base.map(_._2).sum, scaled.map(_._2).sum)
     sb ++= f"| **total** | $bt%.3f | $st%.3f | ${st / bt}%.1f× |\n\n"
+    sb ++= "Persisted-index economics (build once, consumers read the bucketed/\n"
+    sb ++= "partitioned table — the pair-join shuffle AND sort are paid at build):\n\n"
+    sb ++= "| stage | base s | scaled s | ratio |\n|---|---|---|---|\n"
+    baseIdx.zip(scaledIdx).foreach { case ((n, b), (_, sc)) =>
+      sb ++= f"| $n | $b%.3f | $sc%.3f | ${sc / math.max(b, 0.001)}%.1f× |\n"
+    }
+    sb ++= "\n"
     sb ++= "Blocking forecasts (metadata-priced candidate-pair totals — the\n"
     sb ++= "pair-join work the plans actually dispatch):\n\n"
     sb ++= "| metric | base | scaled | ratio |\n|---|---|---|---|\n"
@@ -148,6 +181,34 @@ object ScaleCheck {
     sb ++= f"| simhash max block (single-chunk) | ${baseFc._2} | ${scaledFc._2} | ${scaledFc._2.toDouble / math.max(baseFc._2, 1)}%.1f× |\n"
     sb ++= f"| simhash cand pairs (pair-of-chunks keys, 2^26) | ${baseWide._1} | ${scaledWide._1} | ${scaledWide._1.toDouble / math.max(baseWide._1, 1)}%.1f× |\n"
     sb ++= f"| simhash max block (pair-of-chunks) | ${baseWide._2} | ${scaledWide._2} | ${scaledWide._2.toDouble / math.max(baseWide._2, 1)}%.1f× |\n"
+    sb ++= s"""
+      |## How to read this
+      |
+      |- **Query growth**: nothing should approach ${R * R}× (quadratic).
+      |  Ratios *below* $R× mean wall time at this corpus size is still
+      |  dominated by fixed job-dispatch/codegen overhead, not data — the
+      |  data term that dominates at 100 TB grows sub-linearly in every
+      |  blocked plan. Single measurements on a host with known CPU-steal
+      |  bursts: treat ±1 s as noise, trends across rounds as signal.
+      |- **Single-chunk candidate growth above $R× is the birthday term**
+      |  of fixed 2¹⁶ chunk keys (random agreements scale n²/keyspace,
+      |  and heavy blocks from unrelated corpus segments merge on shared
+      |  keys). Both mitigations are implemented and measured here:
+      |  pair-of-chunks keys (`dedup_hamming_wide`, 2²⁶ key space) cut
+      |  the ABSOLUTE candidate volume several-fold, and the salted join
+      |  (`dedup_hamming_salted`) bounds per-task work for whatever hot
+      |  blocks remain — residual super-linear pair growth comes from
+      |  real signature-collapse clusters (degenerate short documents),
+      |  which salting absorbs. At 10⁹+ docs a deployment combines them;
+      |  both are layout parameters, not code changes.
+      |- **Index economics**: builds are the corpus-sized cost (the
+      |  shingle index — one row per token occurrence — is the largest
+      |  relation in the engine and should grow ~linearly); consumers of
+      |  the persisted tables stay flat-to-sublinear because the pair
+      |  join's shuffle AND sort were paid at build time. The first
+      |  build of a process additionally absorbs JVM/codegen warmup —
+      |  compare ratios, not absolute firsts.
+      |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     System.err.println(s"[scalecheck] wrote $out")
