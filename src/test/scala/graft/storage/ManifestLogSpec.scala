@@ -5,6 +5,7 @@ import java.time.Instant
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import graft.SparkSuite
 import graft.model.LogSchema
 
@@ -217,6 +218,92 @@ class ManifestLogSpec extends SparkSuite {
       """{"ts":"2025-03-01T11:00:00Z","lvl":"INFO","msg":"s-c"}""".getBytes("UTF-8"))
     run()
     assert(msgs(log.read("app", "s1")) == Seq("s-a", "s-b", "s-c"))
+  }
+
+  test("randomized interleaving: appends, compactions, GC and readers keep every batch exactly-once") {
+    // The storage property that matters, quantified over interleavings:
+    // whatever order appends / compactions / expires land in, (a) every
+    // mid-flight read sees each committed batch EXACTLY once and never a
+    // torn batch, and (b) the final state is the exact multiset of all
+    // acked rows. Batches are self-describing (message = "w<writer>-<seq>",
+    // constant rows per batch) so a reader can check batch atomicity and
+    // duplication from counts alone.
+    val log = new ManifestLog(spark, tempDir("mlog-chaos"), targetFileBytes = 4096L)
+    val RowsPerBatch = 3
+    val writers = 4; val batchesPerWriter = 5
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def guard(f: => Unit): Unit = try f catch { case t: Throwable => errors.add(t) }
+
+    val writerThreads = (0 until writers).map { w =>
+      new Thread(() => guard {
+        for (i <- 0 until batchesPerWriter) {
+          val tag = s"w$w-$i"
+          val rows = (0 until RowsPerBatch).map { r =>
+            (f"2024-01-01T${10 + w}%02d:${i}%02d:${r}%02dZ", "INFO", tag)
+          }
+          log.append(batch(rows: _*), "c", "s")
+          acked.add(tag)
+          // even-seq batches also land a TAGGED twin (one extra copy),
+          // and its immediate replay must no-op even while compactions
+          // race the tag's file into cold
+          if (i % 2 == 0) {
+            assert(log.appendIdempotent(batch(rows: _*), "c", "s", s"t-$tag") > 0L)
+            assert(log.appendIdempotent(batch(rows: _*), "c", "s", s"t-$tag") == -1L)
+          }
+        }
+      }, s"chaos-writer-$w")
+    }
+    // (the tagged replays above ADD their batch once too — track them)
+    val compactor = new Thread(() => guard {
+      while (!stop.get()) { log.compact("c", "s"); Thread.sleep(15) }
+    }, "chaos-compactor")
+    val gc = new Thread(() => guard {
+      // horizon far in the past: must never delete anything live or
+      // anything a pinned reader might still need
+      while (!stop.get()) {
+        log.expire("c", "s", java.time.Instant.now().minusSeconds(3600))
+        Thread.sleep(25)
+      }
+    }, "chaos-gc")
+    val readerErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => guard {
+      while (!stop.get()) {
+        val seen = log.read("c", "s").groupBy(col("message")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        seen.foreach { case (tag, n) =>
+          val isTagged = tag.startsWith("w") // all batches use w-prefixed msgs
+          if (isTagged && n % RowsPerBatch != 0)
+            readerErrors.add(s"torn batch $tag: $n rows")
+          val copies = n / RowsPerBatch
+          // untagged append = 1 copy; an even-seq batch may also have its
+          // idempotent tagged twin = 2 copies max; never more
+          if (copies > 2) readerErrors.add(s"batch $tag visible $copies times")
+        }
+        Thread.sleep(10)
+      }
+    }, "chaos-reader")
+
+    (writerThreads :+ compactor :+ gc :+ reader).foreach(_.start())
+    writerThreads.foreach(_.join(120000))
+    stop.set(true)
+    Seq(compactor, gc, reader).foreach(_.join(60000))
+    assert(errors.isEmpty, s"background failures: ${errors.peek()}")
+    assert(readerErrors.isEmpty, s"reader saw: ${readerErrors.peek()}")
+    // final state: every acked batch present with its exact copy count
+    log.compact("c", "s") // one more flip for good measure
+    val fin = log.read("c", "s").groupBy(col("message")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until writers).foreach { w =>
+      (0 until batchesPerWriter).foreach { i =>
+        val tag = s"w$w-$i"
+        val expected = RowsPerBatch * (if (i % 2 == 0) 2 else 1)
+        assert(fin.getOrElse(tag, 0L) == expected,
+          s"$tag: expected $expected rows, got ${fin.getOrElse(tag, 0L)}")
+      }
+    }
+    assert(acked.size == writers * batchesPerWriter)
   }
 
   test("concurrent appends from many threads all become visible exactly once") {
