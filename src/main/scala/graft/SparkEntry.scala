@@ -182,6 +182,10 @@ object SparkEntry {
     "pipe_token_quota"       -> ((s: SparkSession, d: String) => Pipeline.tokenQuota(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
+    // MinHash-banded NEAR-DUP decontamination: flags docs that ARE an
+    // eval doc (edited/truncated), not ones sharing a stray phrase —
+    // the precision counterpart to the any-overlap exact gate
+    "pipe_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => Pipeline.fuzzyDecontaminate(s, d)),
     "pipe_dup_weights"       -> (Pipeline.dupWeights _),
     "pipe_shuffle_shards"    -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
     "pipe_chunk_windows"     -> ((s: SparkSession, d: String) => Pipeline.chunkWindows(s, d)),
@@ -1846,6 +1850,47 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
          |  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
          |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id >= 10
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // near-dup decontamination: MinHash band candidates (bench × corpus
+    // only through shared band keys), exact-Jaccard verify at 0.5
+    "pipe_decontaminate_fuzzy" ->
+      s"""WITH $shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, s AS h1,
+         |    ('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 15))::BIGINT AS h2
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1,
+         |    MIN(h1 + 2 * h2) AS mh2, MIN(h1 + 3 * h2) AS mh3,
+         |    MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5
+         |  FROM hh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, mh0 || '|' || mh1 AS b0, mh2 || '|' || mh3 AS b1,
+         |                 mh4 || '|' || mh5 AS b2 FROM sig),
+         |bexp AS (
+         |  SELECT doc_id, 0 AS bi, b0 AS bk FROM bands
+         |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, b2 FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id AS corp_doc, b.doc_id AS bench_doc
+         |  FROM bexp c JOIN bexp b ON c.bi = b.bi AND c.bk = b.bk
+         |  WHERE c.doc_id >= 10 AND b.doc_id < 10),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT cand.corp_doc, cand.bench_doc, COUNT(*) AS c
+         |  FROM cand JOIN sh x ON cand.corp_doc = x.doc_id
+         |            JOIN sh y ON cand.bench_doc = y.doc_id AND x.s = y.s
+         |  GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT DISTINCT corp_doc FROM common
+         |  JOIN sizes sx ON corp_doc = sx.doc_id
+         |  JOIN sizes sy ON bench_doc = sy.doc_id
+         |  WHERE floor(CAST(c AS DOUBLE) / (sx.n + sy.n - c) * 1000000) / 1000000 >= 0.5)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN h.corp_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(COUNT(*) - SUM(CASE WHEN h.corp_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.corp_doc
          |WHERE d.doc_id >= 10
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // exact contamination counts + bloom-missed count (no-false-negatives

@@ -226,14 +226,6 @@ object Dedup {
     * min-of-2 retry — checkpointed memo blocks survive it). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-    // "|" separator keeps integer band keys unambiguous ("12|3" ≠ "1|23")
-    val sig = minhashSignatures(sh)
-      .withColumn("b0", concat(col("mh0"), lit("|"), col("mh1")))
-      .withColumn("b1", concat(col("mh2"), lit("|"), col("mh3")))
-      .withColumn("b2", concat(col("mh4"), lit("|"), col("mh5")))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"))
-    // (sig deliberately NOT cached: it has exactly one consumer below —
-    // a cache would only add a materialization barrier)
     // NOTE on join strategy: sig/cand/sizes are per-doc (or per-pair)
     // relations. At sf0.1 they are broadcast-small and AQE converts these
     // joins to broadcast-hash at runtime; at 100 TB they are NOT
@@ -241,17 +233,7 @@ object Dedup {
     // gracefully to hash-partitioned equi-joins. Hard broadcast() hints
     // here would be a toy-scale optimization that OOMs at scale — leave
     // the choice to AQE.
-    //
-    // Candidate generation: bands unpivot to (doc_id, band_idx, band_key)
-    // and candidates come from ONE self-join on the composite band key —
-    // equivalent to unioning three per-band joins but a single shuffle,
-    // and the hash partitioning on (band_idx, band_key) spreads identical-
-    // doc clusters across 3× more keys than any single band would.
-    val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("bi"), col("b0").as("bk")),
-        struct(lit(1).as("bi"), col("b1").as("bk")),
-        struct(lit(2).as("bi"), col("b2").as("bk")))).as("b"))
-      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bk").as("bk"))
+    val bands = minhashBands(sh)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
@@ -273,6 +255,28 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The unpivoted LSH band relation (doc_id, bi, bk) over a shingle
+    * relation: k=6 minhashes banded 2-per-band into 3 string keys
+    * ("|" separator keeps integer keys unambiguous — "12|3" ≠ "1|23"),
+    * exploded so candidate generation anywhere is ONE equi-join on the
+    * composite (bi, bk) — a single shuffle, with identical-doc
+    * clusters spread across 3× more keys than any single band. Shared
+    * by [[minhashLsh]] (self-join) and
+    * [[graft.ops.Pipeline.fuzzyDecontaminate]] (bench × corpus
+    * join). */
+  private[ops] def minhashBands(sh: DataFrame): DataFrame = {
+    val sig = minhashSignatures(sh)
+      .withColumn("b0", concat(col("mh0"), lit("|"), col("mh1")))
+      .withColumn("b1", concat(col("mh2"), lit("|"), col("mh3")))
+      .withColumn("b2", concat(col("mh4"), lit("|"), col("mh5")))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"))
+    sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("bi"), col("b0").as("bk")),
+        struct(lit(1).as("bi"), col("b1").as("bk")),
+        struct(lit(2).as("bi"), col("b2").as("bk")))).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bk").as("bk"))
   }
 
   /** SimHash signature width in bits. The round-≤4 design hardwired 16

@@ -305,6 +305,61 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** NEAR-DUP decontamination — [[decontaminate]]'s precision
+    * counterpart. The exact gate flags a document for sharing ANY
+    * informative shingle with the eval set (maximum recall — and at
+    * 100 TB it over-flags every document quoting one common benchmark
+    * phrase); this one flags a document only when it essentially IS a
+    * benchmark document — verbatim, truncated, or lightly edited —
+    * i.e. shingle-set Jaccard ≥ `tau` against some eval doc, the
+    * near-duplicate contamination definition dedup-style
+    * decontamination pipelines use. Same machinery as near-dup
+    * detection: MinHash band keys on BOTH sides, candidate
+    * (corpus, bench) pairs from a band equi-join — never bench ×
+    * corpus — then the exact Jaccard verify over the full shingle
+    * sets decides. Output shape mirrors [[decontaminate]] so the two
+    * reports diff directly: exact-flagged ⊇ fuzzy-flagged, and the
+    * per-source delta is exactly the shares-a-phrase-but-isn't-the-
+    * benchmark mass a removal pass should NOT delete.
+    *
+    * Scale shape: the bench side is eval-set-sized (thousands of docs)
+    * → its band relation broadcasts; the corpus side streams once
+    * through signature + band projection (the same memoized shingle
+    * relation every dedup query reads), and the verify join touches
+    * only candidate pairs, which track real near-dup density. */
+  def fuzzyDecontaminate(s: SparkSession, dir: String, benchBelow: Long = 10,
+                         tau: Double = 0.5): DataFrame = {
+    val sh = Dedup.shingles(s, dir)
+    val bands = Dedup.minhashBands(sh)
+    val bench = bands.filter(col("doc_id") < benchBelow)
+      .select(col("bi"), col("bk"), col("doc_id").as("bench_doc"))
+    val cand = bands.filter(col("doc_id") >= benchBelow)
+      .join(broadcast(bench), Seq("bi", "bk"))
+      .select(col("doc_id").as("corp_doc"), col("bench_doc")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(cand, col("corp_doc") === col("x.doc_id"))
+      .join(sh.as("y"), col("bench_doc") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("corp_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("c"))
+    val hits = common
+      .join(sizes.as("sx"), col("corp_doc") === col("sx.doc_id"))
+      .join(sizes.as("sy"), col("bench_doc") === col("sy.doc_id"))
+      .withColumn("jaccard",
+        trunc6(col("c").cast("double") / (col("sx.n") + col("sy.n") - col("c"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("corp_doc")).distinct()
+      .withColumnRenamed("corp_doc", "doc_id")
+      .withColumn("hit", lit(1L))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= benchBelow)
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+           (count(lit(1)) - sum(coalesce(col("hit"), lit(0L)))).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   /** Curation funnel report: per-source document counts surviving each
     * successive gate — the observability view a 100 TB curation run
     * ships with its output manifest (how much did each stage drop, per

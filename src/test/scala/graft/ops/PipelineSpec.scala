@@ -266,6 +266,48 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("fuzzy decontamination flags near-dup eval docs, not stray phrase overlap (constructed corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzydecon").toFile
+    try {
+      val s = spark
+      import s.implicits._
+      def vocab(p: String, n: Int) = (1 to n).map(i => f"$p$i%04d")
+      // bench doc 1: 40 unique tokens. Corpus doc 20: the same text with
+      // ONE token changed (a lightly-edited copy — high shingle Jaccard).
+      // Corpus doc 21: shares exactly one 3-token phrase with the bench
+      // doc, embedded in otherwise-unique text (stray quotation — low
+      // Jaccard). The quoted phrase spans the token the edited copy
+      // changed, so its shingle lives in bench+quoting only (df = 2)
+      // and survives the DF cap. Corpus doc 22: unrelated.
+      val benchTokens = vocab("e", 40)
+      val bench = benchTokens.mkString(" ")
+      val edited = benchTokens.updated(20, "zzz").mkString(" ")
+      val quoting = (vocab("q", 20) ++ benchTokens.slice(19, 22) ++ vocab("r", 20)).mkString(" ")
+      val unrelated = vocab("u", 40).mkString(" ")
+      Seq(
+        (1L, bench, "en", "bench", bench.length.toLong),
+        (20L, edited, "en", "web", edited.length.toLong),
+        (21L, quoting, "en", "web", quoting.length.toLong),
+        (22L, unrelated, "en", "web", unrelated.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val fuzzy = Pipeline.fuzzyDecontaminate(spark, tmp.toString).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // only the edited near-copy is fuzzy-contaminated
+      assert(fuzzy("web") == ((3L, 1L)), s"fuzzy: $fuzzy")
+      val exact = Pipeline.decontaminate(spark, tmp.toString).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // the any-overlap gate flags the quoting doc too: exact ⊇ fuzzy,
+      // and the delta is precisely the should-not-delete mass
+      assert(exact("web") == ((3L, 2L)), s"exact: $exact")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("packing plan truncates over-budget documents (constructed corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toFile
     try {
