@@ -96,6 +96,8 @@ object SparkEntry {
     // birthday-collision candidate growth SCALECHECK measured at 10x
     "dedup_hamming_wide"   -> ((s: SparkSession, d: String) => Dedup.hammingNearDupWide(s, d)),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
+    // the deployed ingest-gate shape: probes the PERSISTED chunk index
+    "dedup_admission_indexed" -> ((s: SparkSession, d: String) => Dedup.admissionGateIndexed(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
@@ -452,6 +454,7 @@ object SparkEntry {
       "dedup_hamming_salted"  -> "dedup_hamming",
       "dedup_hamming_wide"    -> "dedup_hamming",
       "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
+      "dedup_admission_indexed" -> "dedup_admission",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(

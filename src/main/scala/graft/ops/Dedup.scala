@@ -733,6 +733,43 @@ object Dedup {
       .select(col("in_doc"), col("corpus_doc"), col("dist"))
   }
 
+  /** [[nearDupAgainst]] with the CORPUS side read from the PERSISTED
+    * chunk-index table ([[IndexTables.ensureChunkIndex]]) — the
+    * deployed shape of the ingest gate: the standing corpus's
+    * signature chunks are maintained as a bucketed table by the batch
+    * pipeline (paid once, shared by every consumer), and each
+    * incoming micro-batch probes it with a stream-static equi-join on
+    * the index's own (j, ck) bucket keys. Works unchanged when
+    * `incoming` is a streaming DataFrame (StreamingNearDupSpec drives
+    * exactly that); `corpusFilter` restricts the standing side (e.g.
+    * to exclude the probe docs themselves in a batch replay). */
+  def nearDupAgainstIndex(incoming: DataFrame, s: SparkSession, dir: String,
+                          maxDist: Int = 3,
+                          corpusFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val n = maxDist + 1
+    val idx = s.table(IndexTables.ensureChunkIndex(s, dir, n)).filter(corpusFilter)
+    val a = chunkRelation(incoming, n)
+      .select(col("doc_id").as("in_doc"), col("simhash").as("ha"),
+              col("j"), col("ck"))
+    val b = idx
+      .select(col("doc_id").as("corpus_doc"), col("simhash").as("hb"),
+              col("j"), col("ck"))
+    a.join(b, Seq("j", "ck"))
+      .filter(col("j") === firstAgreeingChunk(n))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("in_doc"), col("corpus_doc"), col("dist"))
+  }
+
+  /** [[admissionGate]] probing the persisted index instead of the
+    * in-plan corpus chunks — identical rows, same driver oracle. */
+  def admissionGateIndexed(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhashRaw(s, dir)
+    nearDupAgainstIndex(sh.filter(col("doc_id") % 5 === 0), s, dir, maxDist,
+                        corpusFilter = col("doc_id") % 5 =!= 0)
+      .orderBy(col("in_doc"), col("corpus_doc"))
+  }
+
   /** [[nearDupAgainst]] driven as a batch report over the documents
     * table: docs with `doc_id % 5 = 0` play the incoming batch, the
     * rest the standing corpus — the admission decision a training

@@ -71,6 +71,37 @@ class StreamingNearDupSpec extends SparkSuite {
       mutable.Buffer((1L, 100L, 0L), (2L, 100L, 3L), (5L, 200L, 1L)))
   }
 
+  test("streaming admission probes the PERSISTED chunk index (deployed ingest-gate shape)") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    // batch ground truth: probe three signatures against the standing
+    // corpus through the in-plan path
+    val corpusSigs = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.simhashExpr("text").as("simhash"))
+      .limit(50).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeSig = corpusSigs.head._2 // an exact corpus signature → dist-0 hit(s)
+    val in = tempDir("neardup-idx-in")
+    Files.write(Paths.get(in, "b1.json"), String.join("\n",
+      s"""{"doc_id":9001,"simhash":$probeSig}""",
+      s"""{"doc_id":9002,"simhash":${probeSig ^ 0x3L}}""",
+      s"""{"doc_id":9003,"simhash":${0x5a5aa5a5deadbeefL}}""").getBytes)
+
+    val incoming = spark.readStream.schema(sigSchema).json(in)
+    val got = mutable.Buffer.empty[(Long, Long, Long)]
+    runAvailableNow(Dedup.nearDupAgainstIndex(incoming, spark, sf, maxDist = 3)) { b =>
+      b.collect().foreach(r =>
+        got.synchronized { got += ((r.getLong(0), r.getLong(1), r.getLong(2))) })
+    }
+    // identical to the batch stream-static path against the full corpus
+    val batchIncoming = spark.read.schema(sigSchema).json(in)
+    val corpus = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.simhashExpr("text").as("simhash"))
+    val expected = Dedup.nearDupAgainst(batchIncoming, corpus, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(expected.nonEmpty, "probe of a corpus signature must hit")
+    assert(got.synchronized(got.sorted.toSeq) === expected)
+  }
+
   test("simhashExpr computes the identical signature as a streaming projection") {
     val textSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
