@@ -103,6 +103,9 @@ object SparkEntry {
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
     "dedup_cluster_stats"  -> (Dedup.clusterStats _),
     "dedup_block_stats"    -> ((s: SparkSession, d: String) => Dedup.blockStats(s, d)),
+    // the same pre-flight for pair-of-chunks (2^26) keys — the forecast
+    // that shows the birthday term gone before paying for either join
+    "dedup_block_stats_wide" -> ((s: SparkSession, d: String) => Dedup.wideBlockStats(s, d)),
     "dedup_cross_source"   -> (Dedup.crossSourceLeakage _),
     // Lee et al. ExactSubstr: verbatim duplicate-text coverage per source
     "dedup_substr_coverage" -> ((s: SparkSession, d: String) => Dedup.exactSubstrCoverage(s, d)),
@@ -1339,6 +1342,29 @@ object SparkEntry {
          |  CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_block,
          |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs
          |FROM blocks GROUP BY j ORDER BY chunk_idx""".stripMargin,
+    // pair-of-chunks blocking health: 5 chunks of 13 bits (last 12),
+    // one row per (combo, k1, k2) block — combo order matches Scala's
+    // (i, j) i<j generation
+    "dedup_block_stats_wide" ->
+      s"""WITH $simhashCte,
+         |wchunks AS (
+         |  SELECT doc_id, simhash, c,
+         |    CAST((simhash >> loi) & mi AS BIGINT) AS k1,
+         |    CAST((simhash >> loj) & mj AS BIGINT) AS k2
+         |  FROM shash, (VALUES
+         |    (0, 0, 8191, 13, 8191), (1, 0, 8191, 26, 8191),
+         |    (2, 0, 8191, 39, 8191), (3, 0, 8191, 52, 4095),
+         |    (4, 13, 8191, 26, 8191), (5, 13, 8191, 39, 8191),
+         |    (6, 13, 8191, 52, 4095), (7, 26, 8191, 39, 8191),
+         |    (8, 26, 8191, 52, 4095), (9, 39, 8191, 52, 4095))
+         |    AS combos(c, loi, mi, loj, mj)),
+         |blocks AS (
+         |  SELECT c, k1, k2, COUNT(*) AS n FROM wchunks
+         |  GROUP BY c, k1, k2 HAVING COUNT(*) > 1)
+         |SELECT CAST(c AS BIGINT) AS combo_idx, COUNT(*) AS n_blocks,
+         |  CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_block,
+         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM blocks GROUP BY c ORDER BY combo_idx""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vectorsCte,
          |bands AS (
