@@ -68,11 +68,23 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     * checkpoint blocks (`Tables.invalidate`). */
   override def close(): Unit = {
     http.stop(0)
-    try ingestBuffer.close() // throws if acked rows could not be drained
-    finally {
-      compactor.close()
-      graft.ops.Tables.invalidate(spark)
-    }
+    // Every cleanup step runs regardless of earlier failures (a
+    // compactor drain error must not skip Tables.invalidate — that is
+    // the pinned-checkpoint leak this method exists to prevent), and
+    // the FIRST failure is the one thrown: an ingest-drain error
+    // (acked rows stranded — the error the caller must see) is never
+    // masked by a later cleanup exception, which rides along as
+    // suppressed instead.
+    var primary: Throwable = null
+    def step(f: => Unit): Unit =
+      try f catch {
+        case t: Throwable =>
+          if (primary == null) primary = t else primary.addSuppressed(t)
+      }
+    step(ingestBuffer.close()) // throws if acked rows could not be drained
+    step(compactor.close())
+    step { graft.ops.Tables.invalidate(spark); () }
+    if (primary != null) throw primary
   }
 
   // ---- routing ----

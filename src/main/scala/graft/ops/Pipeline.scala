@@ -237,9 +237,11 @@ object Pipeline {
       .join(broadcast(benchShingles), Seq("s"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(1L))
+    // contaminated is corpus-proportional at scale — no broadcast hint
+    // (AQE broadcasts at test scale, hash-joins at 100 TB)
     Tables.documents(s, dir)
       .filter(col("doc_id") >= benchBelow)
-      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
@@ -350,9 +352,12 @@ object Pipeline {
       .select(col("corp_doc")).distinct()
       .withColumnRenamed("corp_doc", "doc_id")
       .withColumn("hit", lit(1L))
+    // hits is contamination-sized — corpus-proportional at 100 TB, so
+    // NO broadcast hint: AQE broadcasts at test scale and degrades to a
+    // hash join at real scale (the same rule minhashLsh documents)
     Tables.documents(s, dir)
       .filter(col("doc_id") >= benchBelow)
-      .join(broadcast(hits), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),

@@ -64,14 +64,24 @@ final class ManifestLog(spark: SparkSession, root: String,
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // Orphaned staging dirs from a crashed writer are garbage (their data
-  // was never referenced): sweep at construction, like LogStore.
+  // was never referenced) — but unlike LogStore, this store has no
+  // single-instance-per-root assumption (the whole point is multi-node
+  // operation), so a second instance constructed mid-append must NOT
+  // clobber a live writer's staging dir. Sweep only dirs old enough
+  // that no in-flight write can still own them (round-7 review: the
+  // unguarded sweep deleted a concurrent instance's staging between
+  // its parquet write and rename).
+  private val StagingSweepAgeMs = 60L * 60 * 1000
   locally {
     val rootPath = new Path(root)
-    if (fs.exists(rootPath))
+    if (fs.exists(rootPath)) {
+      val horizon = System.currentTimeMillis() - StagingSweepAgeMs
       fs.listStatus(rootPath).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
+            st.getModificationTime < horizon)
           fs.delete(st.getPath, true)
       }
+    }
   }
 
   private val manifestLocks = new ConcurrentHashMap[(String, String), Object]()
@@ -108,16 +118,7 @@ final class ManifestLog(spark: SparkSession, root: String,
     latest match {
       case None => (0L, Nil)
       case Some(st) =>
-        val in = fs.open(st.getPath)
-        val txt = try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          new String(out.toByteArray, "UTF-8")
-        } finally in.close()
-        (st.getPath.getName.stripPrefix("v").toLong,
-         txt.split("\n").iterator.filter(_.nonEmpty).toSeq)
+        (st.getPath.getName.stripPrefix("v").toLong, readEntries(st.getPath))
     }
   }
 
@@ -289,6 +290,17 @@ final class ManifestLog(spark: SparkSession, root: String,
       }
       fs.delete(staging, true)
       beforeSwap()
+      // Guard against a GC that outran a stalled publish: the staged
+      // cold files were unreferenced until this very commit, so a
+      // compaction paused here longer than expire()'s grace window can
+      // have lost them. Verify before the swap and abort with the hot
+      // snapshot fully intact (re-compaction re-reads it; no loss).
+      coldRel.foreach { e =>
+        if (!fs.exists(new Path(abs(e))))
+          throw new java.io.IOException(
+            s"compact: staged cold file $e vanished before the swap " +
+            "(publish stalled past the GC grace window); hot snapshot retained")
+      }
       // THE swap: subtract exactly the compacted snapshot from whatever
       // is current (mid-compaction appends survive), add the cold files
       // — and keep every retired tag committed via a tombstone entry,
@@ -299,34 +311,80 @@ final class ManifestLog(spark: SparkSession, root: String,
       bytes
     }
 
-  /** Snapshot GC: delete data files no longer referenced by the LATEST
-    * manifest and manifest versions below it — both only when older
-    * than `olderThan`, the reader grace window (any scan started
-    * before the horizon has finished; the window also covers the
-    * publish→commit gap of in-flight appends). Returns files
-    * deleted. */
+  /** Snapshot GC. `olderThan` is the reader grace window: any scan (or
+    * in-flight append/compaction publish) started before that horizon
+    * has finished. The deletion rule keys on when a file became
+    * UNREFERENCED — its retirement time, the commit time of the first
+    * manifest that superseded its newest referencing manifest — NOT on
+    * the file's own mtime: a hot file written long ago but retired a
+    * second ago must survive the full grace window for readers pinned
+    * to the pre-swap manifest (the round-7 review caught the
+    * creation-time version of this rule deleting exactly those files).
+    *
+    *  - a data file referenced by some RETAINED manifest M (< latest):
+    *    deletable iff the next retained version after M committed
+    *    before the horizon (that commit is when the file left the
+    *    visible set);
+    *  - a data file referenced by NO manifest (crashed writer, or a
+    *    compaction stalled between cold-publish and swap): deletable
+    *    iff its own mtime is older than the horizon — creation time IS
+    *    the right clock for a file that was never visible. (A
+    *    compaction stalled longer than the grace window loses its
+    *    staged cold files to this rule; [[compact]] re-verifies them
+    *    before the swap and aborts with the hot snapshot intact.)
+    *  - a superseded manifest: deletable iff its NEXT retained version
+    *    committed before the horizon — no reader can still be pinned
+    *    to it, and every file whose retirement it recorded is
+    *    deletable in this same sweep.
+    *
+    * Returns files deleted. */
   def expire(container: String, session: String, olderThan: java.time.Instant): Long = {
     val cutoff = olderThan.toEpochMilli
-    val (v, entries) = resolve(container, session)
-    val live = entries.toSet
+    val dir = manifestDir(container, session)
+    // all retained manifests, ascending by version, with entry sets
+    val manifests: Seq[(Long, Long, Set[String])] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val v = st.getPath.getName.stripPrefix("v").toLong
+          (v, st.getModificationTime, readEntries(st.getPath).toSet)
+        }
+    if (manifests.isEmpty) return 0L
+    val latest = manifests.last
     var n = 0L
     Seq(hotDir, coldDir).foreach { d =>
       walk(new Path(s"$d/container=$container/session=$session")).foreach { st =>
-        if (!live.contains(rel(st.getPath)) && st.getModificationTime < cutoff) {
-          fs.delete(st.getPath, false); n += 1
+        val r = rel(st.getPath)
+        if (!latest._3.contains(r)) {
+          val newestRef = manifests.lastIndexWhere(_._3.contains(r))
+          val deletable =
+            if (newestRef < 0) st.getModificationTime < cutoff // never visible
+            else manifests(newestRef + 1)._2 < cutoff          // retired before horizon
+          if (deletable) { fs.delete(st.getPath, false); n += 1 }
         }
       }
     }
-    val dir = manifestDir(container, session)
-    if (fs.exists(dir))
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isFile && versionRe.matches(name) &&
-            name.stripPrefix("v").toLong < v && st.getModificationTime < cutoff) {
-          fs.delete(st.getPath, false); n += 1
-        }
-      }
+    // a superseded manifest goes when its successor predates the horizon
+    manifests.sliding(2).foreach {
+      case Seq((v, _, _), (_, succMtime, _)) if succMtime < cutoff =>
+        fs.delete(new Path(dir, f"v$v%020d"), false); n += 1
+      case _ => ()
+    }
     n
+  }
+
+  private def readEntries(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+    txt.split("\n").iterator.filter(_.nonEmpty).toSeq
   }
 
   /** Recursive parquet listing (same hidden-file rules as LogStore). */

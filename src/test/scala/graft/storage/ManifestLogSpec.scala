@@ -100,6 +100,30 @@ class ManifestLogSpec extends SparkSuite {
     assert(log.expire("c", "s", Instant.now().plusSeconds(3600)) == 0L)
   }
 
+  test("expire keys the grace window to RETIREMENT time, not file creation time") {
+    val root = tempDir("mlog-retire")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "old")), "c", "s")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age the hot file: written "2 hours ago"
+    val hotDir = new org.apache.hadoop.fs.Path(s"$root/hot/container=c/session=s")
+    val hotFile = fs.listStatus(hotDir).filter(_.isFile).head.getPath
+    val twoHoursAgo = System.currentTimeMillis() - 2 * 3600 * 1000L
+    fs.setTimes(hotFile, twoHoursAgo, -1)
+    // retire it NOW via compaction, then GC with a 1-hour grace window:
+    // the file's creation predates the horizon but its RETIREMENT does
+    // not — a reader pinned to the pre-swap manifest may still be
+    // scanning it, so it must survive
+    log.compact("c", "s")
+    assert(log.expire("c", "s", java.time.Instant.now().minusSeconds(3600)) == 0L)
+    assert(fs.exists(hotFile), "retired-just-now file deleted on creation-time grace")
+    // once the retirement itself is older than the horizon, it goes
+    assert(log.expire("c", "s", java.time.Instant.now().plusSeconds(3600)) >= 1L)
+    assert(!fs.exists(hotFile))
+    assert(msgs(log.read("c", "s")) == Seq("old"))
+  }
+
   test("unreferenced stray files (crashed writer) are collected without affecting reads") {
     val root = tempDir("mlog")
     val log = new ManifestLog(spark, root)
