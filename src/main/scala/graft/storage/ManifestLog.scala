@@ -71,7 +71,13 @@ final class ManifestLog(spark: SparkSession, root: String,
   // that no in-flight write can still own them (round-7 review: the
   // unguarded sweep deleted a concurrent instance's staging between
   // its parquet write and rename).
-  private val StagingSweepAgeMs = 60L * 60 * 1000
+  // A staging dir's mtime can sit at job-start for the length of the
+  // parquet write (the _temporary subtree churns without touching the
+  // top dir), so the age guard must exceed the LONGEST write this
+  // store will ever run, with slack for cross-node clock skew — 24 h,
+  // the Iceberg-style orphan-cleanup posture, not a "reasonable
+  // timeout".
+  private val StagingSweepAgeMs = 24L * 60 * 60 * 1000
   locally {
     val rootPath = new Path(root)
     if (fs.exists(rootPath)) {
@@ -106,21 +112,22 @@ final class ManifestLog(spark: SparkSession, root: String,
   }
   private def abs(entry: String): String = s"$root/$entry"
 
+  /** Retained manifest files, ascending by version. */
+  private def listManifests(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
+      .sortBy(_.getPath.getName)
+
   /** Latest committed (version, entries); (0, empty) before the first
     * commit. A reader calls this once and scans exactly the result —
     * snapshot isolation by immutability. */
-  private[storage] def resolve(container: String, session: String): (Long, Seq[String]) = {
-    val dir = manifestDir(container, session)
-    if (!fs.exists(dir)) return (0L, Nil)
-    val latest = fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
-      .sortBy(_.getPath.getName).lastOption
-    latest match {
+  private[storage] def resolve(container: String, session: String): (Long, Seq[String]) =
+    listManifests(manifestDir(container, session)).lastOption match {
       case None => (0L, Nil)
       case Some(st) =>
         (st.getPath.getName.stripPrefix("v").toLong, readEntries(st.getPath))
     }
-  }
 
   /** Commit version N+1 = update(entries of N). Serialized per session
     * in-process; the write is temp-file + atomic rename, so readers
@@ -217,7 +224,19 @@ final class ManifestLog(spark: SparkSession, root: String,
     commit(container, session) { cur =>
       idemTag match {
         case Some(t) if committedTags(cur).contains(t) => committed = false; cur
-        case _ => cur :+ rel(dst)
+        case _ =>
+          // Inside the manifest lock — the same lock [[expire]] sweeps
+          // under — so within this process the file provably exists at
+          // the instant the manifest referencing it commits. (A
+          // publish stalled past the CROSS-NODE GC horizon can still
+          // lose the file to a remote sweep; this check turns that
+          // into a loud failed append instead of a manifest pointing
+          // at nothing. See [[expire]]'s horizon contract.)
+          if (!fs.exists(dst))
+            throw new java.io.IOException(
+              s"append: published file $dst vanished before commit " +
+              "(GC horizon shorter than the publish stall?); batch not committed")
+          cur :+ rel(dst)
       }
     }
     if (committed) st.getLen else -1L
@@ -290,24 +309,27 @@ final class ManifestLog(spark: SparkSession, root: String,
       }
       fs.delete(staging, true)
       beforeSwap()
-      // Guard against a GC that outran a stalled publish: the staged
-      // cold files were unreferenced until this very commit, so a
-      // compaction paused here longer than expire()'s grace window can
-      // have lost them. Verify before the swap and abort with the hot
-      // snapshot fully intact (re-compaction re-reads it; no loss).
-      coldRel.foreach { e =>
-        if (!fs.exists(new Path(abs(e))))
-          throw new java.io.IOException(
-            s"compact: staged cold file $e vanished before the swap " +
-            "(publish stalled past the GC grace window); hot snapshot retained")
-      }
       // THE swap: subtract exactly the compacted snapshot from whatever
       // is current (mid-compaction appends survive), add the cold files
       // — and keep every retired tag committed via a tombstone entry,
-      // so a batch replay after its file was rewritten still no-ops
+      // so a batch replay after its file was rewritten still no-ops.
+      // The cold files were unreferenced until this very commit, so a
+      // compaction paused past the GC grace window can have lost them:
+      // verify INSIDE the manifest lock (atomic against this process's
+      // [[expire]], which sweeps under the same lock; a remote node's
+      // sweep is excluded by the horizon contract) and abort with the
+      // hot snapshot fully intact — re-compaction re-reads it, no loss.
       val retired = snapshot.toSet
       val tombstones = snapshot.flatMap(fileTag).map(tagEntry)
-      commit(container, session)(cur => cur.filterNot(retired) ++ coldRel ++ tombstones)
+      commit(container, session) { cur =>
+        coldRel.foreach { e =>
+          if (!fs.exists(new Path(abs(e))))
+            throw new java.io.IOException(
+              s"compact: staged cold file $e vanished before the swap " +
+              "(publish stalled past the GC grace window); hot snapshot retained")
+        }
+        cur.filterNot(retired) ++ coldRel ++ tombstones
+      }
       bytes
     }
 
@@ -337,43 +359,53 @@ final class ManifestLog(spark: SparkSession, root: String,
     *    to it, and every file whose retirement it recorded is
     *    deletable in this same sweep.
     *
+    * The sweep runs under the session's MANIFEST LOCK, so within this
+    * process it can never interleave with a publish→commit window (an
+    * append or swap verifies its files inside the same lock). Across
+    * nodes the contract is operational, exactly as in the table-format
+    * designs this store follows: the horizon must exceed the longest
+    * possible publish stall AND the longest reader scan (days, not
+    * minutes, in production — orphan cleanup is a blunt instrument).
+    *
     * Returns files deleted. */
-  def expire(container: String, session: String, olderThan: java.time.Instant): Long = {
-    val cutoff = olderThan.toEpochMilli
-    val dir = manifestDir(container, session)
-    // all retained manifests, ascending by version, with entry sets
-    val manifests: Seq[(Long, Long, Set[String])] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
-        .sortBy(_.getPath.getName)
-        .map { st =>
-          val v = st.getPath.getName.stripPrefix("v").toLong
-          (v, st.getModificationTime, readEntries(st.getPath).toSet)
+  def expire(container: String, session: String, olderThan: java.time.Instant): Long =
+    manifestLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
+      val cutoff = olderThan.toEpochMilli
+      val dir = manifestDir(container, session)
+      // all retained manifests, ascending by version, with entry sets;
+      // one vanished mid-read (a concurrent remote sweep) is skipped —
+      // its deletion means its successor already predated some horizon
+      val manifests: Seq[(Long, Long, Set[String])] =
+        listManifests(dir).flatMap { st =>
+          try Some((st.getPath.getName.stripPrefix("v").toLong,
+                    st.getModificationTime, readEntries(st.getPath).toSet))
+          catch { case _: java.io.FileNotFoundException => None }
         }
-    if (manifests.isEmpty) return 0L
-    val latest = manifests.last
-    var n = 0L
-    Seq(hotDir, coldDir).foreach { d =>
-      walk(new Path(s"$d/container=$container/session=$session")).foreach { st =>
-        val r = rel(st.getPath)
-        if (!latest._3.contains(r)) {
-          val newestRef = manifests.lastIndexWhere(_._3.contains(r))
-          val deletable =
-            if (newestRef < 0) st.getModificationTime < cutoff // never visible
-            else manifests(newestRef + 1)._2 < cutoff          // retired before horizon
-          if (deletable) { fs.delete(st.getPath, false); n += 1 }
+      var n = 0L
+      // With no manifest at all, every data file is a never-visible
+      // orphan (a writer that crashed before its first commit) — the
+      // mtime clock applies to all of them.
+      val latestEntries = manifests.lastOption.map(_._3).getOrElse(Set.empty[String])
+      Seq(hotDir, coldDir).foreach { d =>
+        walk(new Path(s"$d/container=$container/session=$session")).foreach { st =>
+          val r = rel(st.getPath)
+          if (!latestEntries.contains(r)) {
+            val newestRef = manifests.lastIndexWhere(_._3.contains(r))
+            val deletable =
+              if (newestRef < 0) st.getModificationTime < cutoff // never visible
+              else manifests(newestRef + 1)._2 < cutoff          // retired before horizon
+            if (deletable) { fs.delete(st.getPath, false); n += 1 }
+          }
         }
       }
+      // a superseded manifest goes when its successor predates the horizon
+      manifests.sliding(2).foreach {
+        case Seq((v, _, _), (_, succMtime, _)) if succMtime < cutoff =>
+          if (fs.delete(new Path(dir, f"v$v%020d"), false)) n += 1
+        case _ => ()
+      }
+      n
     }
-    // a superseded manifest goes when its successor predates the horizon
-    manifests.sliding(2).foreach {
-      case Seq((v, _, _), (_, succMtime, _)) if succMtime < cutoff =>
-        fs.delete(new Path(dir, f"v$v%020d"), false); n += 1
-      case _ => ()
-    }
-    n
-  }
 
   private def readEntries(p: Path): Seq[String] = {
     val in = fs.open(p)

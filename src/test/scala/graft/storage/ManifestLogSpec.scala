@@ -140,6 +140,16 @@ class ManifestLogSpec extends SparkSuite {
     assert(log.expire("c", "s", Instant.now().plusSeconds(3600)) >= 1L)
     assert(!fs.exists(stray))
     assert(msgs(log.read("c", "s")) == Seq("keep"))
+    // a session with NO manifest at all (writer crashed before its
+    // first commit) must still have its orphans collected
+    val orphanOnly = new org.apache.hadoop.fs.Path(
+      s"$root/hot/container=c/session=fresh/append-orphan.parquet")
+    fs.mkdirs(orphanOnly.getParent)
+    val o = fs.create(orphanOnly, true); o.write(Array[Byte](9)); o.close()
+    assert(log.expire("c", "fresh", Instant.now().minusSeconds(3600)) == 0L) // grace
+    assert(fs.exists(orphanOnly))
+    assert(log.expire("c", "fresh", Instant.now().plusSeconds(3600)) == 1L)
+    assert(!fs.exists(orphanOnly))
   }
 
   test("idempotent appends: tag replay no-ops, and the tag survives compaction as a tombstone") {
