@@ -31,14 +31,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IndexTables {
 
   /** Collision-resistant dir tag for table names: 12 hex chars of the
-    * dir's md5. (The round-7 review caught the `math.abs(hashCode)`
-    * version: 32-bit String.hashCode collisions are easy to construct
-    * and would silently serve one dir's index for another; and
-    * abs(Int.MinValue) is negative, an invalid identifier.) */
-  private def tag(dir: String): String =
+    * dir's md5 — shared by every per-dir table namer in the engine.
+    * (The round-7 review caught the `math.abs(hashCode)` version:
+    * 32-bit String.hashCode collisions are easy to construct and would
+    * silently serve one dir's index for another; and abs(Int.MinValue)
+    * is negative, an invalid identifier.) */
+  private[ops] def dirTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
+
+  private def tag(dir: String): String = dirTag(dir)
 
   /** Bucket count: 16 at test scale; at 100 TB this grows to ≥32 k
     * (SURVEY §11) — a layout parameter, not a code change. */

@@ -85,7 +85,11 @@ object MediaCodec {
     val off = i32(b, 10)
     if (i32(b, 14) != 40) return None // header size: BITMAPINFOHEADER only
     val w = i32(b, 18); val hRaw = i32(b, 22)
-    if (w <= 0 || hRaw == 0 || w > MaxDim || math.abs(hRaw) > MaxDim) return None
+    // hRaw == Int.MinValue must be rejected explicitly: math.abs keeps
+    // it negative, so the magnitude guard alone lets a crafted header
+    // through to a negative array size (crash-on-input, review-caught)
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+        w > MaxDim || math.abs(hRaw) > MaxDim) return None
     if (u16(b, 26) != 1 || u16(b, 28) != 24 || i32(b, 30) != 0) return None
     val h = math.abs(hRaw); val bottomUp = hRaw > 0
     val stride = ((w * 3 + 3) / 4) * 4

@@ -45,24 +45,11 @@ object Pipeline {
     // dedup keeper window partitions on the md5 DIGEST, not the document:
     // the window shuffle then keys on 32 bytes (see Dedup.exactKeepers)
     val w = Window.partitionBy(md5(col("text")))
-    Tables.documents(s, dir)
-      .withColumn("wds", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("wds")).cast("long"))
-      .withColumn("sum_len",
-        expr("aggregate(transform(wds, x -> length(x)), 0L, (acc, x) -> acc + x)"))
-      .withColumn("n_stop", expr(
-        "CAST(size(filter(wds, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT)"))
-      .withColumn("n_en", expr(
-        "CAST(size(filter(wds, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT)"))
-      .withColumn("avg_token_len",
-        trunc6(col("sum_len").cast("double") / col("n_tokens")))
-      .withColumn("stop_ratio",
-        trunc6(col("n_stop").cast("double") / col("n_tokens")))
-      .withColumn("en_ratio", trunc6(col("n_en").cast("double") / col("n_tokens")))
-      .withColumn("quality_score", trunc6(
-        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - col("stop_ratio")) * 0.3 +
-        least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3))
+    // signal columns come from the ONE shared derivation
+    // (TextAnalysis.textSignals) so the gates can never drift from the
+    // quality/langid reports they explain
+    TextAnalysis.textSignals(
+        Tables.documents(s, dir).withColumn("wds", split(col("text"), " ")), "wds")
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .withColumn("bucket", sampleBucket)
       .withColumn("pass_lang", col("en_ratio") >= 0.05)
@@ -606,10 +593,19 @@ object Pipeline {
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
-    val withSh = docs.join(Dedup.simhashRaw(s, dir), Seq("doc_id")).cache()
-    val th = withSh.agg(expr("(max(doc_id) + 1) * 4 div 5")).head.getLong(0)
-    val old = withSh.filter(col("doc_id") < th)
-    val neu = withSh.filter(col("doc_id") >= th)
+    val withSh = docs.join(Dedup.simhashRaw(s, dir), Seq("doc_id"))
+    // The old/new split threshold is derived IN-PLAN (1-row broadcast
+    // on a constant key — the cappedShingles pattern): the previous
+    // .cache() + eager .head dispatched a job at plan-construction
+    // time and pinned one cache entry per invocation, never released
+    // (review-caught leak). The relation is re-derived per consumer
+    // instead — a hash join against the memoized signature index, far
+    // cheaper than a leaked cache entry squeezing execution memory.
+    val th = withSh.agg(expr("(max(doc_id) + 1) * 4 div 5").as("th"))
+      .withColumn("k", lit(1))
+    val tagged = withSh.withColumn("k", lit(1)).join(broadcast(th), Seq("k"))
+    val old = tagged.filter(col("doc_id") < col("th"))
+    val neu = tagged.filter(col("doc_id") >= col("th"))
     val oldDigests = old.select(col("digest")).distinct().withColumn("ex", lit(1L))
     val oldHashes  = old.select(col("simhash")).distinct().withColumn("nr", lit(1L))
     neu.join(oldDigests, Seq("digest"), "left")

@@ -293,31 +293,40 @@ object RelationalQueries {
   /** Write lineitem/orders as bucketed session-catalog tables (8 buckets
     * on the join key, sorted within buckets); idempotent per (session,
     * sfDir). Returns the table names. */
-  private[graft] def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
-    val buckets = 8
-    val tag = math.abs(dir.hashCode).toString
-    val (liT, oT) = (s"li_bkt_$tag", s"o_bkt_$tag")
-    if (!s.catalog.tableExists(liT)) {
-      // The in-memory catalog resets per JVM but spark-warehouse persists
-      // on disk — drop any stale location from a previous run before
-      // saveAsTable, or it fails with LOCATION_ALREADY_EXISTS.
+  private[graft] def ensureBucketed(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val buckets = 8
+      // collision-resistant tag (round-7 review: hashCode tags can
+      // serve one dir's data for another) — shared with IndexTables
+      val tag = IndexTables.dirTag(dir)
+      val (liT, oT) = (s"li_bkt_$tag", s"o_bkt_$tag")
+      // Each table is ensured INDEPENDENTLY: a crash between the two
+      // writes must not leave a registered liT permanently shadowing a
+      // missing oT (round-7 review), and the in-memory catalog resets
+      // per JVM while spark-warehouse persists on disk — drop any stale
+      // location before saveAsTable or it fails LOCATION_ALREADY_EXISTS.
       val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(liT, oT).foreach { t =>
-        val p = new org.apache.hadoop.fs.Path(warehouse, t)
-        if (fs.exists(p)) fs.delete(p, true)
+      def ensure(t: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(t)) {
+          val p = new org.apache.hadoop.fs.Path(warehouse, t)
+          if (fs.exists(p)) fs.delete(p, true)
+          write
+        }
+      ensure(liT) {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(liT)
       }
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(liT)
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"))
-        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(oT)
+      ensure(oT) {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(oT)
+      }
+      (liT, oT)
     }
-    (liT, oT)
-  }
 
   def q17BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val (liT, oT) = ensureBucketed(s, dir)

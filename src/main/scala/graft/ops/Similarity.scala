@@ -193,14 +193,33 @@ object Similarity {
     * must be identical everywhere, so it lives in exactly one place. */
   private def nearestCentroids(rel: DataFrame, cents: DataFrame,
                                keep: Int, outPrefix: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-    rel.crossJoin(broadcast(cents))
+    val scored = rel.crossJoin(broadcast(cents))
       .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= keep)
-      .select(col("vec_id").as(s"${outPrefix}_id"), col("cent_id").as("list_id"),
-              col("v").as(s"${outPrefix}_v"), col("norm").as(s"${outPrefix}_norm"))
+    if (keep == 1)
+      // The keep=1 callers are the CORPUS-SIZED assignments (seed
+      // assignment, Lloyd re-assignment, label confusion): a window
+      // here shuffled and sorted all N·nlist scored rows, where one
+      // argmax per vector is a map-side-combining aggregate shipping
+      // ONE row per vector (review-caught; the same window→bounded-
+      // aggregate replacement as topK). The (ccos DESC, cent_id ASC)
+      // tiebreak is oracle contract — max_by over (ccos, -cent_id)
+      // reproduces it exactly.
+      scored.groupBy(col("vec_id"))
+        .agg(expr("""max_by(named_struct('cent_id', cent_id, 'v', v, 'norm', norm),
+                    |       named_struct('c', ccos, 't', -cent_id))""".stripMargin).as("m"))
+        .select(col("vec_id").as(s"${outPrefix}_id"), col("m.cent_id").as("list_id"),
+                col("m.v").as(s"${outPrefix}_v"), col("m.norm").as(s"${outPrefix}_norm"))
+    else {
+      // keep = nprobe runs only on the query set (nQueries rows) —
+      // window cost is trivial there and row_number keeps it simple
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+      scored
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .select(col("vec_id").as(s"${outPrefix}_id"), col("cent_id").as("list_id"),
+                col("v").as(s"${outPrefix}_v"), col("norm").as(s"${outPrefix}_norm"))
+    }
   }
 
   /** Memoized seed-quantizer assignment (every vector in exactly one

@@ -15,22 +15,38 @@ object TextAnalysis {
 
   /** Per-doc quality metrics + composite score. One projection over the
     * scan; every metric is a pure column expression. */
-  def quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("w")).cast("long"))
+  /** Shared per-document text-signal derivations over a token-array
+    * column `w`: appends (n_tokens, sum_len, n_stop, n_en,
+    * avg_token_len, stop_ratio, en_ratio, quality_score). ONE
+    * definition of the marker-token lists and the composite-score
+    * algebra for every consumer — [[quality]], [[langId]], and the
+    * curation gates ([[graft.ops.Pipeline]]'s `gated`) — because two
+    * drifting inline copies was a review finding (the same lesson
+    * `Tables.trunc6`'s doc records for the truncation scheme). Gate
+    * THRESHOLDS (score ≥ 0.6, en_ratio ≥ 0.05) stay with their
+    * consumers; the signal algebra lives here. Catalyst's column
+    * pruning drops whatever a consumer never reads, so sharing the
+    * full set costs nothing. */
+  private[ops] def textSignals(df: DataFrame, w: String): DataFrame =
+    df.withColumn("n_tokens", size(col(w)).cast("long"))
       .withColumn("sum_len",
-        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)"))
+        expr(s"aggregate(transform($w, x -> length(x)), 0L, (acc, x) -> acc + x)"))
       .withColumn("n_stop", expr(
-        "CAST(size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT)"))
+        s"CAST(size(filter($w, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT)"))
+      .withColumn("n_en", expr(
+        s"CAST(size(filter($w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT)"))
       .withColumn("avg_token_len",
         trunc6(col("sum_len").cast("double") / col("n_tokens")))
       .withColumn("stop_ratio",
         trunc6(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("en_ratio", trunc6(col("n_en").cast("double") / col("n_tokens")))
       .withColumn("quality_score", trunc6(
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
         (lit(1.0) - col("stop_ratio")) * 0.3 +
         least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3))
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    textSignals(Tables.documents(s, dir).withColumn("w", split(col("text"), " ")), "w")
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
               col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
@@ -39,12 +55,7 @@ object TextAnalysis {
     * predicted language; emitted next to the labeled `lang` so
     * downstream can measure agreement. */
   def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("w")).cast("long"))
-      .withColumn("n_en", expr(
-        "CAST(size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT)"))
-      .withColumn("en_ratio", trunc6(col("n_en").cast("double") / col("n_tokens")))
+    textSignals(Tables.documents(s, dir).withColumn("w", split(col("text"), " ")), "w")
       .withColumn("lang_pred",
         when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("unknown")))
       .select(col("doc_id"), col("lang").as("lang_label"), col("lang_pred"),
@@ -300,7 +311,10 @@ object TextAnalysis {
     * df relation broadcasts back onto 20 rows. */
   def collocations(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val nDocs = docs.count()
+    // corpus total derived IN-PLAN (constant-key 1-row broadcast, the
+    // cappedShingles pattern) — the previous docs.count() dispatched an
+    // eager job on every invocation (review-caught)
+    val total = docs.agg(count(lit(1)).as("n_docs_total")).withColumn("k", lit(1))
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
     // vocabulary-sized after the aggregate, but consumed by TWO
@@ -317,8 +331,9 @@ object TextAnalysis {
     top
       .join(broadcast(tokDf.select(col("tok").as("a"), col("df").as("df_a"))), Seq("a"))
       .join(broadcast(tokDf.select(col("tok").as("b"), col("df").as("df_b"))), Seq("b"))
+      .withColumn("k", lit(1)).join(broadcast(total), Seq("k"))
       .withColumn("lift", trunc6(
-        (lit(nDocs) * col("df_ab")).cast("double") / (col("df_a") * col("df_b"))))
+        (col("n_docs_total") * col("df_ab")).cast("double") / (col("df_a") * col("df_b"))))
       .select(col("a"), col("b"), col("df_ab"), col("df_a"), col("df_b"), col("lift"))
       .orderBy(col("df_ab").desc, col("a"), col("b"))
   }

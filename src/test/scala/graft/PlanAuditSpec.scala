@@ -60,9 +60,15 @@ class PlanAuditSpec extends SparkSuite {
     // this derivation during construction, so only the direct
     // decontamination consumers still carry it in their audited plans.
     "pipe_decontaminate", "pipe_decontaminate_bloom",
+    // same 1-row scalar-subquery shape: the old/new split threshold
+    // (max doc_id aggregate) joins the corpus on a folded constant key
+    "pipe_incremental_dedup",
     // same 1-row scalar-subquery shape: the corpus token total N_c joins
     // the bounded per-source relation on a folded constant key
     "text_source_drift",
+    // same shape again: the corpus doc total joins the k-row top-bigram
+    // relation on a folded constant key (the lift denominator)
+    "text_collocations",
     // both intended shapes at once: the 8-row centroid cross assignment
     // plus the 1-row vector-count scalar join for the load factor
     "ann_cell_stats",
