@@ -67,7 +67,11 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     * long-lived process that cycles servers must not accumulate pinned
     * checkpoint blocks (`Tables.invalidate`). */
   override def close(): Unit = {
-    http.stop(0)
+    // stop(1): give in-flight exchange handlers up to a second to
+    // finish — stop(0) returns with handlers still running, and a
+    // racing postLogs must hit the ingest buffer's closed-rejection,
+    // not a post-drain ack (round-7 review)
+    http.stop(1)
     // Every cleanup step runs regardless of earlier failures (a
     // compactor drain error must not skip Tables.invalidate — that is
     // the pinned-checkpoint leak this method exists to prevent), and
@@ -247,13 +251,19 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
         return error(ex, 400, s"Invalid timestamp format: ${e.getMessage}")
       }
 
-    // Empty short-circuit before any scan (main.py:256-263).
+    // Empty short-circuit before any scan (main.py:256-263). Same
+    // response SHAPE as the scan path — including the filter echo —
+    // so a client never sees a schema that depends on whether files
+    // happen to exist (round-7 review).
     val (cf, _, hf, _) = store.tierStats(c, s)
     val filesScanned = cf + hf
     if (filesScanned == 0) {
       val o = mapper.createObjectNode()
       o.put("container", c); o.put("session", s)
       o.putArray("logs"); o.put("total_rows", 0); o.put("files_scanned", 0)
+      val f = o.putObject("filter")
+      startRaw.fold(f.putNull("start_ts"))(v => { f.put("start_ts", v); f })
+      endRaw.fold(f.putNull("end_ts"))(v => { f.put("end_ts", v); f })
       return respond(ex, 200, o)
     }
 
@@ -262,33 +272,43 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       // The view read-lock is taken PER ELEMENT (each fetch of the lazy
       // partition iterator), never across client writes — a slow client
       // paces its own response but cannot wedge compaction or other
-      // readers behind a queued writer. If compaction retires scanned
-      // files between fetches, the stream terminates cleanly with the
-      // rows emitted so far (the reference returns partial data on
-      // mid-read errors too, reader.py:297-302).
+      // readers behind a queued writer.
+      //
+      // Error contract (round-7 review — a broad per-element swallow
+      // turned ANY first-fetch failure into a plausible empty 200,
+      // exactly the silent-empty failure walkFiles' own doc forbids):
+      //  - the FIRST fetch runs before the chunked 200 commits, so a
+      //    query that cannot produce its first row surfaces as 500;
+      //  - a MID-STREAM failure aborts the body without the closing
+      //    "]}"— the client sees truncated/invalid JSON, never a
+      //    complete-looking response with silently missing rows.
+      val it = engine.streamJson(c, s, start, end)
+      def fetch(): Option[String] = store.withViewLock(c, s) {
+        if (it.hasNext) Some(it.next()) else None
+      }
+      val head =
+        try fetch()
+        catch { case scala.util.control.NonFatal(e) =>
+          return error(ex, 500, s"Log read failed: ${e.getMessage}")
+        }
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
       def w(str: String): Unit = out.write(str.getBytes(StandardCharsets.UTF_8))
       w(s"""{"container":${mapper.writeValueAsString(c)},"session":${mapper.writeValueAsString(s)},"logs":[""")
-      val it = engine.streamJson(c, s, start, end)
-      var first = true
-      var more = true
-      while (more) {
-        val next = store.withViewLock(c, s) {
-          try if (it.hasNext) Some(it.next()) else None
-          catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        head.foreach(w)
+        var more = head.isDefined
+        while (more) {
+          fetch() match {
+            case Some(json) => w(","); w(json)
+            case None => more = false
+          }
         }
-        next match {
-          case Some(json) =>
-            if (!first) w(",")
-            first = false
-            w(json)
-          case None => more = false
-        }
-      }
-      w(s"""],"files_scanned":$filesScanned}""")
-      out.close()
+        w(s"""],"files_scanned":$filesScanned}""")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[server] stream $c/$s aborted mid-response: ${e.getMessage}")
+      } finally out.close()
     } else {
       val rows = store.withViewLock(c, s) { engine.readLogs(c, s, start, end).collect() }
       val o = mapper.createObjectNode()
@@ -329,11 +349,30 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 
   // ---- helpers ----
 
+  /** Per-request body cap: the ingest buffer's global byte bound only
+    * counts rows AFTER they reach the buffer — without a cap here one
+    * oversized POST (or a few concurrent ones) materializes unbounded
+    * byte[]/JSON trees on the gateway heap first (round-7 review). */
+  private val MaxBodyBytes = 32 * 1024 * 1024
+
   private def readJson(ex: HttpExchange): Option[JsonNode] =
     try {
-      val bytes = ex.getRequestBody.readAllBytes()
-      if (bytes.isEmpty) None
-      else Option(mapper.readTree(bytes)).filter(n => !n.isNull && n.isObject)
+      val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      if (declared.exists(_ > MaxBodyBytes)) None
+      else {
+        val in = ex.getRequestBody
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        var over = false
+        while (n >= 0 && !over) {
+          if (out.size() + n > MaxBodyBytes) over = true
+          else { out.write(buf, 0, n); n = in.read(buf) }
+        }
+        if (over || out.size() == 0) None
+        else Option(mapper.readTree(out.toByteArray)).filter(n => !n.isNull && n.isObject)
+      }
     } catch { case _: Exception => None }
 
   private def textField(n: JsonNode, name: String): Option[String] =
@@ -353,16 +392,10 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** `Z` → offset, space → `T`, then ISO parse; naive datetimes are UTC
-    * (main.py:243-247's fromisoformat semantics — which also accepts the
-    * space separator, so the format that wrote rows can query them). */
-  private def parseParamTs(s: String): Instant =
-    try {
-      val withT = if (s.length > 10 && s.charAt(10) == ' ') s.updated(10, 'T') else s
-      val t = withT.replace("Z", "+00:00")
-      if (t.matches(".*[+-]\\d\\d:\\d\\d$")) java.time.OffsetDateTime.parse(t).toInstant
-      else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
-    } catch { case _: Exception => throw new IllegalArgumentException(s"'$s'") }
+  /** Shared flexible ISO parse ([[JsonIngest.parseIsoFlexible]]) — the
+    * format that wrote rows can always query them, including Python
+    * fromisoformat's bare-date form (`2024-01-01` = midnight UTC). */
+  private def parseParamTs(s: String): Instant = JsonIngest.parseIsoFlexible(s)
 
   /** created_at in listings: SQLite CURRENT_TIMESTAMP shape (UTC,
     * second precision, space separator). */

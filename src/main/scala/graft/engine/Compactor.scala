@@ -78,7 +78,14 @@ final class Compactor(store: LogStore,
   private def trigger(container: String, session: String,
                       cnt: java.util.concurrent.atomic.AtomicLong): Unit =
     if (inFlight.add((container, session))) {
-      pool.submit(new Runnable {
+      // submit can reject when close() shuts the pool between our
+      // closed-check and here: remove the inFlight claim (or it
+      // suppresses every future trigger for the session) and swallow —
+      // the append that called noteAppend is already durable, and
+      // shutdown's flushAll owns the remaining hot data (round-7
+      // review: the escaping RejectedExecutionException turned durable
+      // appends into "failed" buffer flushes that re-appended).
+      try pool.submit(new Runnable {
         def run(): Unit =
           // Subtract exactly the bytes the compaction retired (its hot
           // snapshot), never `set(0)`: appends landing mid-compaction
@@ -91,6 +98,9 @@ final class Compactor(store: LogStore,
             System.err.println(s"[compactor] $container/$session failed: ${e.getMessage}")
           } finally inFlight.remove((container, session))
       })
+      catch { case _: java.util.concurrent.RejectedExecutionException =>
+        inFlight.remove((container, session)); ()
+      }
     }
 
   /** Synchronously compact every session with hot data (shutdown flush). */

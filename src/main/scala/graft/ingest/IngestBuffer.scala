@@ -83,6 +83,12 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     * many warm sessions can't stack unbounded heap between timer
     * ticks). Flush failures here are swallowed — see class doc. */
   def add(container: String, session: String, rows: Seq[Row]): Unit = {
+    // Rejecting after close() is part of the T5 contract: without it a
+    // POST handler racing shutdown could buffer + ack AFTER the final
+    // drain cleared the maps (the timer is already stopped, so nothing
+    // would ever flush those rows) — a clean-looking shutdown that
+    // silently dropped acked data (round-7 review).
+    if (closed) throw new IllegalStateException("ingest buffer is closed")
     val buf = bufs.computeIfAbsent((container, session), _ => new Buf)
     val over = buf.synchronized {
       buf.rows ++= rows
@@ -180,7 +186,10 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     * clean one. On a full drain the session maps are cleared, so a
     * long-lived process cycling many sessions doesn't accumulate empty
     * Buf/lock entries. */
+  @volatile private var closed = false
+
   override def close(): Unit = {
+    closed = true // new add()s reject from here; buffered rows drain below
     timer.shutdown()
     try timer.awaitTermination(30, TimeUnit.SECONDS)
     catch { case _: InterruptedException => Thread.currentThread.interrupt() }

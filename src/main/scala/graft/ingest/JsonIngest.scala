@@ -71,11 +71,28 @@ object JsonIngest {
     }
     if (!n.isTextual) fail(s"timestamp must be an ISO-8601 string, got: $n")
     val raw = n.asText()
+    try parseIsoFlexible(raw)
+    catch { case _: IllegalArgumentException =>
+      fail(s"Invalid ISO-8601 timestamp: '$raw'")
+    }
+  }
+
+  /** Flexible ISO-8601 string → Instant — the ONE parser shared by the
+    * ingest path and the query-param path (round-7 review: two
+    * near-identical private copies meant a format the ingest accepted
+    * could be unqueryable in `start_ts`). Python `fromisoformat`
+    * semantics (main.py:243-247): `T` or space separator, `Z`/explicit
+    * offsets, naive datetimes as UTC, and bare dates as midnight UTC.
+    * Throws IllegalArgumentException otherwise. */
+  private[graft] def parseIsoFlexible(raw: String): Instant = {
     val s = if (raw.length > 10 && raw.charAt(10) == ' ') raw.updated(10, 'T') else raw
     try OffsetDateTime.parse(s).toInstant
     catch { case _: Exception =>
       try LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
-      catch { case _: Exception => fail(s"Invalid ISO-8601 timestamp: '$raw'") }
+      catch { case _: Exception =>
+        try java.time.LocalDate.parse(s).atStartOfDay(ZoneOffset.UTC).toInstant
+        catch { case _: Exception => throw new IllegalArgumentException(s"'$raw'") }
+      }
     }
   }
 

@@ -145,7 +145,16 @@ final class LogStore(spark: SparkSession, root: String,
         fs.create(m, true).close()
       }
     }
-    fs.delete(staging, true)
+    // Staging cleanup is best-effort: the batch is PUBLISHED (rename +
+    // marker done), so an IOException here must not convert a durable
+    // append into a "failed" one — the write-behind buffer would
+    // re-buffer and retry under a fresh random tag, storing every row
+    // twice (round-7 review). Orphaned staging dirs are swept at
+    // construction.
+    try fs.delete(staging, true)
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[store] staging cleanup $staging failed (batch already published): ${e.getMessage}")
+    }
     st.getLen
   }
 

@@ -61,6 +61,11 @@ class IngestBufferSpec extends AnyFunSuite {
     buf.add("c2", "s", Seq(row("y"), row("z")))
     buf.close()
     assert(flushed === Map("c1/s" -> Seq("x"), "c2/s" -> Seq("y", "z")))
+    // post-close adds REJECT instead of acking into a drained buffer
+    // (the shutdown race that silently dropped acked rows): nothing
+    // will ever flush them, so the caller must get an error, not a 201
+    intercept[IllegalStateException] { buf.add("c1", "s", Seq(row("late"))) }
+    assert(flushed("c1/s") === Seq("x"))
   }
 
   test("global byte bound caps total heap across many warm sessions") {

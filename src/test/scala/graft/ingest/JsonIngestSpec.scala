@@ -27,6 +27,14 @@ class JsonIngestSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)) === Seq("INFO", "WARN", "ERROR", "INFO"))
   }
 
+  test("bare dates parse as midnight UTC (Python fromisoformat parity, shared with start_ts)") {
+    val rows = JsonIngest.toRows(json(
+      """[{"timestamp":"2025-11-30","level":"INFO","message":"d"}]"""))
+    assert(rows.head.getTimestamp(0).toInstant === Instant.parse("2025-11-30T00:00:00Z"))
+    assert(JsonIngest.parseIsoFlexible("2024-01-01") === Instant.parse("2024-01-01T00:00:00Z"))
+    intercept[IllegalArgumentException] { JsonIngest.parseIsoFlexible("not-a-time") }
+  }
+
   test("integral timestamps are epoch microseconds (Arrow int64 cast semantics)") {
     val rows = JsonIngest.toRows(json(
       """[{"timestamp":1733000000000000,"level":"INFO","message":"x"}]"""))
