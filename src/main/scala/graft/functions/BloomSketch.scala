@@ -40,4 +40,18 @@ object BloomSketch {
           spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
     }
   }
+
+  /** Extension-pipeline injection — the SAME surface [[register]]
+    * gives a live session, so an extension-configured deployment
+    * (`spark.sql.extensions=graft.functions.GraftExtensions`) gets the
+    * bloom functions too; they were reachable only through the code
+    * path before (round-7 review). */
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    Seq((aggName, aggBuilder), (containsName, containsBuilder)).foreach {
+      case (n, b) => ext.injectFunction((
+        FunctionIdentifier(n),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          BloomSketch.getClass.getName, n),
+        b))
+    }
 }

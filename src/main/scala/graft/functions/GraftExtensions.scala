@@ -31,6 +31,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHash64.name),
       new ExpressionInfo(classOf[SimHash64].getName, SimHash64.name),
       SimHash64.builder))
+    BloomSketch.inject(ext)
     // Rewrite the composable aggregate(zip_with(...)) dot-product idiom
     // to the fused expression wherever it is provably equivalent.
     ext.injectOptimizerRule(_ => DotProductRewrite)

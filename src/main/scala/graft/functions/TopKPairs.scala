@@ -107,9 +107,15 @@ final case class TopKPairs(
     else if (!(kChild.dataType == IntegerType || kChild.dataType == LongType))
       TypeCheckResult.TypeCheckFailure(
         s"${TopKPairs.name} k must be an integer literal, got ${kChild.dataType.sql}")
-    else if (!kChild.foldable || kChild.eval() == null ||
-             kChild.eval().asInstanceOf[Number].intValue() < 1)
-      TypeCheckResult.TypeCheckFailure(s"${TopKPairs.name} k must be a positive literal")
+    else if (!kChild.foldable || kChild.eval() == null || {
+               // validate the LONG value before any int truncation: a
+               // 2^32+1 literal truncates to 1 and silently returns
+               // top-1 instead of erroring (round-7 review)
+               val v = kChild.eval().asInstanceOf[Number].longValue()
+               v < 1 || v > Int.MaxValue
+             })
+      TypeCheckResult.TypeCheckFailure(
+        s"${TopKPairs.name} k must be a positive literal within int range")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k, bestFirst)

@@ -38,8 +38,14 @@ object LogSchema {
   val fileSchema: StructType = StructType(dataFields)
 
   /** container/session IDs: alphanumeric plus - and _
-    * (reference main.py:110,165). */
-  private val IdRe = "^[A-Za-z0-9_-]+$".r
+    * (reference main.py:110,165). `\A`/`\z` anchors, NOT `^`/`$`: the
+    * ONE pattern is shared with regex-FIND consumers (Spark `rlike`),
+    * where `$` also matches before a trailing newline — under the old
+    * anchors "abc\n" validated via rlike but threw in the store's
+    * full-match require, crash-looping a streaming batch forever
+    * (round-7 review). */
+  private[graft] val IdPattern = "\\A[A-Za-z0-9_-]+\\z"
+  private val IdRe = IdPattern.r
   def isValidId(id: String): Boolean = id != null && IdRe.matches(id)
 
   /** ISO-8601 parse accepting a Z suffix or an explicit offset (reference

@@ -168,12 +168,24 @@ object AsOf {
     register(s)
     val lp = GraftShim.analyzed(left)
     val rp = GraftShim.analyzed(right)
-    val dup = rp.output.map(_.name).toSet intersect lp.output.map(_.name).toSet
+    // Resolve with the SESSION's resolver (case-insensitive under the
+    // default spark.sql.caseSensitive=false), not String == — the old
+    // exact-match resolution rejected "Timestamp" for a column named
+    // "timestamp" that every other Spark API accepts, and its
+    // case-sensitive collision check let "id"/"ID" through to a later
+    // ambiguity error (round-7 review).
+    val resolver = s.sessionState.analyzer.resolver
+    val dup = rp.output.map(_.name)
+      .filter(rn => lp.output.exists(la => resolver(la.name, rn)))
     require(dup.isEmpty, s"rename right-side columns colliding with left: $dup")
     def resolve(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column '$n' not found among ${p.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column '$n' is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
     val (lkA, rkA) = (leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)))
     val (loA, roA) = (leftOrd.map(resolve(lp, _)), rightOrd.map(resolve(rp, _)))
     // The merge compares right-side projections with orderings built

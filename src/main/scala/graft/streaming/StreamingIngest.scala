@@ -45,7 +45,18 @@ final class StreamingIngest(spark: SparkSession, store: LogStore,
     StructField("message", StringType), StructField("container", StringType),
     StructField("session", StringType)))
 
-  private val idRe = "^[A-Za-z0-9_-]+$"
+  // the ONE id grammar, shared with the HTTP path's full-match check
+  // (LogSchema doc explains the \A/\z anchor requirement for rlike)
+  private val idRe = graft.model.LogSchema.IdPattern
+
+  // Naive timestamps must mean UTC on EVERY ingest path — the HTTP
+  // path's parseIsoFlexible contract. try_to_timestamp interprets
+  // offset-less strings in the SESSION zone, so a non-UTC session
+  // would silently store different instants for the same record via
+  // streaming vs HTTP (round-7 review). Fail construction instead.
+  require(spark.conf.get("spark.sql.session.timeZone", "").equalsIgnoreCase("UTC"),
+    "StreamingIngest requires spark.sql.session.timeZone=UTC so naive " +
+    "timestamps mean UTC on every ingest path")
 
   /** Test seam: invoked at the START of each per-key drain task, on the
     * pool thread. StreamingIngestSpec points this at a latch to prove
@@ -110,8 +121,23 @@ final class StreamingIngest(spark: SparkSession, store: LogStore,
             }
           })
         }
-        try futures.foreach(_.get())
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        // Await EVERY task before rethrowing the first failure: an
+        // early rethrow left sibling appends running after the batch
+        // was reported failed — orphan publishes racing the replayed
+        // batch's same-tag appends, with their own errors silently
+        // dropped (round-7 review). Draining all futures bounds the
+        // batch: when publish() returns or throws, nothing is still
+        // writing.
+        var primary: Throwable = null
+        futures.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (primary == null) primary = e.getCause
+              else primary.addSuppressed(e.getCause)
+          }
+        }
+        if (primary != null) throw primary
       } finally pool.shutdown()
     } finally typed.unpersist()
   }

@@ -24,7 +24,8 @@ class StreamingIngestSpec extends SparkSuite {
       """{"timestamp":"2025-03-01T10:01:00Z","level":"WARN","message":"b","container":"app","session":"s1"}""",
       """{"timestamp":"2025-03-01T10:02:00Z","level":"INFO","message":"c","container":"app","session":"s2"}""",
       """{"timestamp":"NOT-A-TIME","level":"INFO","message":"bad-ts","container":"app","session":"s1"}""",
-      """{"timestamp":"2025-03-01T10:03:00Z","level":"INFO","message":"bad-id","container":"no/slash","session":"s1"}"""))
+      """{"timestamp":"2025-03-01T10:03:00Z","level":"INFO","message":"bad-id","container":"no/slash","session":"s1"}""",
+      """{"timestamp":"2025-03-01T10:04:00Z","level":"INFO","message":"bad-nl","container":"app","session":"s1\n"}"""))
 
     val q = ingest.start()
     q.awaitTermination(120000)
@@ -32,10 +33,15 @@ class StreamingIngestSpec extends SparkSuite {
     // 3 valid rows landed, partitioned by session
     assert(store.read("app", "s1").count() === 2)
     assert(store.read("app", "s2").count() === 1)
-    // 2 invalid rows dead-lettered with their original payloads
+    // 3 invalid rows dead-lettered with their original payloads —
+    // including the trailing-newline id that rlike's old ^...$ anchors
+    // validated (regex FIND lets $ match before a final newline) and
+    // the store's full-match require then rejected, crash-looping the
+    // batch forever instead of dead-lettering (the round-7 poison-pill)
     val rejected = spark.read.json(rejects).collect()
-    assert(rejected.length === 2)
-    assert(rejected.map(_.getAs[String]("message")).sorted === Array("bad-id", "bad-ts"))
+    assert(rejected.length === 3)
+    assert(rejected.map(_.getAs[String]("message")).sorted ===
+      Array("bad-id", "bad-nl", "bad-ts"))
 
     // second drop: a new file is picked up from the checkpoint position
     writeLines(in, "batch2.json", Seq(
