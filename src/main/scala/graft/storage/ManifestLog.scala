@@ -39,13 +39,25 @@ import graft.model.LogSchema
   *    (ManifestLogSpec holds a compaction mid-publish and proves
   *    reads and appends proceed).
   *
-  * Manifest commits are serialized per session by an in-process lock;
-  * on a real cluster that lock is a rename-if-absent / conditional-put
-  * of `v<N+1>` (both are the same CAS on the version number — the
-  * single-writer-per-session assumption [[LogStore]] and the reference
-  * already make). Appends that land mid-compaction are preserved: the
-  * swap's update function subtracts only the snapshot it compacted
-  * from whatever the CURRENT entry set is at commit time.
+  * Manifest commits are a REAL compare-and-swap on the version number
+  * — safe for two ManifestLog instances (different JVMs, different
+  * nodes) sharing one root, not just two threads of one process:
+  * a committer claims the `v<N+1>` slot with an atomic
+  * create-if-absent (POSIX `link(2)` of a fully-written temp file on
+  * local filesystems — plain `rename` silently REPLACES an existing
+  * destination, the round-7 advice hole; namenode-atomic
+  * `create(overwrite=false)` elsewhere), and a loser re-resolves the
+  * new current entry set, RE-APPLIES its update function against it,
+  * and retries at the next version — so concurrent commits serialize
+  * without a lock and none is ever silently overwritten. Every
+  * manifest carries a `#commit <n>` footer; a manifest without a
+  * valid footer is an in-flight or crashed claim that readers skip
+  * and committers reclaim after [[StaleClaimMs]]. The in-process
+  * lock remains only to keep same-instance committers from burning
+  * CAS retries against each other. Appends that land mid-compaction
+  * are preserved: the swap's update function subtracts only the
+  * snapshot it compacted from whatever the CURRENT entry set is at
+  * commit time — re-applied from scratch on every CAS retry.
   *
   * Crash safety: a crash between publishing files and committing the
   * manifest leaves unreferenced files — never a wrong manifest — and
@@ -121,36 +133,103 @@ final class ManifestLog(spark: SparkSession, root: String,
 
   /** Latest committed (version, entries); (0, empty) before the first
     * commit. A reader calls this once and scans exactly the result —
-    * snapshot isolation by immutability. */
+    * snapshot isolation by immutability. Footerless manifests (a
+    * concurrent committer's in-flight claim, or a crashed one) are
+    * skipped: the newest VALID manifest is the committed state. */
   private[storage] def resolve(container: String, session: String): (Long, Seq[String]) =
-    listManifests(manifestDir(container, session)).lastOption match {
-      case None => (0L, Nil)
-      case Some(st) =>
-        (st.getPath.getName.stripPrefix("v").toLong, readEntries(st.getPath))
-    }
+    listManifests(manifestDir(container, session)).reverseIterator.flatMap { st =>
+      try Some((st.getPath.getName.stripPrefix("v").toLong, readEntries(st.getPath)))
+      catch {
+        case _: ManifestLog.IncompleteManifestException => None
+        case _: java.io.FileNotFoundException => None // expired under us
+      }
+    }.nextOption().getOrElse((0L, Nil))
 
-  /** Commit version N+1 = update(entries of N). Serialized per session
-    * in-process; the write is temp-file + atomic rename, so readers
-    * never observe a partial manifest. On a cluster this whole method
-    * is a CAS on the version number (rename-if-absent of vN+1). */
+  /** How long an invalid (footerless) version file may block its slot
+    * before any committer may reclaim it. On local filesystems the
+    * hard-link publish makes invalid claims impossible; this horizon
+    * only matters on stores where a committer can crash between
+    * create-exclusive and close, and it must exceed the longest such
+    * write (a manifest is a few KiB — a minute is generous). */
+  private val StaleClaimMs = 60000L
+  private val MaxCommitRetries = 100
+
+  /** Commit version N+1 = update(entries of N), as a compare-and-swap
+    * on the version number: claim `v<N+1>` with atomic
+    * create-if-absent; on collision re-resolve, RE-APPLY `update` to
+    * the new current entries, and retry at the next version. Correct
+    * across processes/nodes sharing one root — the in-process lock
+    * only stops same-instance committers from contending the CAS. */
   private def commit(container: String, session: String)
                     (update: Seq[String] => Seq[String]): Seq[String] =
     manifestLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
-      val (v, cur) = resolve(container, session)
-      val next = update(cur)
-      if (next eq cur) return cur // update declined — no new version
       val dir = manifestDir(container, session)
       fs.mkdirs(dir)
-      val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write((next.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-      val dst = new Path(dir, f"v${v + 1}%020d")
-      if (!fs.rename(tmp, dst)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"manifest commit $dst failed")
+      var attempt = 0
+      while (true) {
+        val (v, cur) = resolve(container, session)
+        val next = update(cur)
+        if (next eq cur) return cur // update declined — no new version
+        val dst = new Path(dir, f"v${v + 1}%020d")
+        if (tryPublish(dst, next)) return next
+        // lost the CAS to another instance (or a fresh in-flight claim
+        // holds the slot): back off briefly, then re-resolve + re-apply
+        attempt += 1
+        if (attempt >= MaxCommitRetries)
+          throw new java.io.IOException(
+            s"manifest commit for $container/$session lost the version CAS $attempt times")
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 8L))
       }
-      next
+      throw new IllegalStateException("unreachable")
     }
+
+  /** Atomically claim + write `dst`. False = slot taken (committed
+    * manifest, or a live claim). A footerless claim older than
+    * [[StaleClaimMs]] is a crashed committer's leftover: reclaim it
+    * and take the slot. */
+  private def tryPublish(dst: Path, entries: Seq[String]): Boolean = {
+    val payload = (entries :+ ManifestLog.footer(entries)).mkString("", "\n", "\n")
+      .getBytes("UTF-8")
+    if (fs.exists(dst)) {
+      val stale =
+        (try { readEntries(dst); false } catch {
+          case _: ManifestLog.IncompleteManifestException => true
+          case _: java.io.FileNotFoundException => return tryClaim(dst, payload)
+        }) && {
+          try System.currentTimeMillis() - fs.getFileStatus(dst).getModificationTime > StaleClaimMs
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+      if (!stale) return false
+      fs.delete(dst, false) // crashed claim — free the slot
+    }
+    tryClaim(dst, payload)
+  }
+
+  /** The create-if-absent primitive itself. Local filesystems: write a
+    * fully-formed temp file, publish with `Files.createLink` — POSIX
+    * link(2) fails with EEXIST when the destination exists (rename
+    * silently replaces it, which is exactly the lost-commit hole), and
+    * the manifest appears atomically complete. Other stores:
+    * `fs.create(overwrite=false)` — atomic at the HDFS namenode /
+    * object-store conditional put; content is visible at close, and
+    * the footer check covers the in-flight window. */
+  private def tryClaim(dst: Path, payload: Array[Byte]): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val dir = java.nio.file.Paths.get(dst.getParent.toUri.getPath)
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, payload)
+      try {
+        java.nio.file.Files.createLink(dir.resolve(dst.getName), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    case _ =>
+      val out =
+        try fs.create(dst, false)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false }
+      try { out.write(payload); true } finally out.close()
+  }
 
   /** Append a batch: publish an immutable hot file, then commit it
     * into the manifest (the visibility point). Returns published
@@ -375,11 +454,16 @@ final class ManifestLog(spark: SparkSession, root: String,
       // all retained manifests, ascending by version, with entry sets;
       // one vanished mid-read (a concurrent remote sweep) is skipped —
       // its deletion means its successor already predated some horizon
+      // incomplete (footerless) claims are skipped like vanished ones:
+      // they are not committed state, and tryPublish owns reclaiming them
       val manifests: Seq[(Long, Long, Set[String])] =
         listManifests(dir).flatMap { st =>
           try Some((st.getPath.getName.stripPrefix("v").toLong,
                     st.getModificationTime, readEntries(st.getPath).toSet))
-          catch { case _: java.io.FileNotFoundException => None }
+          catch {
+            case _: java.io.FileNotFoundException => None
+            case _: ManifestLog.IncompleteManifestException => None
+          }
         }
       var n = 0L
       // With no manifest at all, every data file is a never-visible
@@ -407,6 +491,9 @@ final class ManifestLog(spark: SparkSession, root: String,
       n
     }
 
+  /** Parse a manifest, REQUIRING the `#commit <n>` footer: a file
+    * without a valid footer is an in-flight or crashed claim, not a
+    * committed manifest (throws [[ManifestLog.IncompleteManifestException]]). */
   private def readEntries(p: Path): Seq[String] = {
     val in = fs.open(p)
     val txt = try {
@@ -416,7 +503,11 @@ final class ManifestLog(spark: SparkSession, root: String,
       while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
       new String(out.toByteArray, "UTF-8")
     } finally in.close()
-    txt.split("\n").iterator.filter(_.nonEmpty).toSeq
+    val lines = txt.split("\n").iterator.filter(_.nonEmpty).toSeq
+    lines.lastOption match {
+      case Some(f) if f == ManifestLog.footer(lines.init) => lines.init
+      case _ => throw new ManifestLog.IncompleteManifestException(p.toString)
+    }
   }
 
   /** Recursive parquet listing (same hidden-file rules as LogStore). */
@@ -431,4 +522,15 @@ final class ManifestLog(spark: SparkSession, root: String,
       } catch { case _: java.io.FileNotFoundException => Seq.empty }
     if (!fs.exists(dir)) Seq.empty else go(dir)
   }
+}
+
+object ManifestLog {
+  /** Commit footer for an entry list — its presence (with the matching
+    * count) is what distinguishes a committed manifest from an
+    * in-flight create-exclusive claim. */
+  private[storage] def footer(entries: Seq[String]): String = s"#commit ${entries.size}"
+
+  /** A version file without a valid `#commit` footer. */
+  final class IncompleteManifestException(path: String)
+    extends java.io.IOException(s"manifest $path has no valid commit footer")
 }

@@ -351,4 +351,72 @@ class ManifestLogSpec extends SparkSuite {
     val (v, entries) = log.resolve("c", "s")
     assert(v == 8L && entries.size == 8)
   }
+
+  // ---- multi-instance CAS (round-8: the commit is a real cross-process
+  // compare-and-swap, not an in-process lock) ----
+
+  test("two INSTANCES on one root: racing appends serialize through the version CAS, none lost") {
+    val root = tempDir("mlog")
+    // separate objects = separate in-process locks: every commit below
+    // contends purely through the create-if-absent version claim
+    val a = new ManifestLog(spark, root)
+    val b = new ManifestLog(spark, root)
+    val perInstance = 6
+    val threads = Seq(a -> "a", b -> "b").flatMap { case (log, tag) =>
+      (1 to 2).map { t =>
+        new Thread(() => (1 to perInstance).foreach { i =>
+          log.append(batch((f"2024-01-01T10:${i}%02d:00Z", "INFO", s"$tag$t-$i")), "c", "s")
+        }, s"cas-$tag$t")
+      }
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val expected = (for (tag <- Seq("a", "b"); t <- 1 to 2; i <- 1 to perInstance)
+      yield s"$tag$t-$i").sorted
+    // read through a THIRD instance — no shared state with the writers
+    assert(msgs(new ManifestLog(spark, root).read("c", "s")) == expected)
+    // no lost version: every commit claimed a distinct slot, so the
+    // final version count equals the append count exactly
+    val (v, entries) = a.resolve("c", "s")
+    assert(v == expected.size.toLong, s"expected v${expected.size}, got v$v")
+    assert(entries.size == expected.size)
+  }
+
+  test("two instances racing appends against a concurrent compaction: exactly-once, nothing overwritten") {
+    val root = tempDir("mlog")
+    val a = new ManifestLog(spark, root)
+    val b = new ManifestLog(spark, root)
+    a.append(batch(("2024-01-01T09:00:00Z", "INFO", "seed")), "c", "s")
+    @volatile var compactErr: Throwable = null
+    val appender = new Thread(() => (1 to 8).foreach { i =>
+      a.append(batch((f"2024-01-01T10:${i}%02d:00Z", "INFO", s"app-$i")), "c", "s")
+    }, "cas-appender")
+    val compactor = new Thread(() => try {
+      (1 to 4).foreach(_ => b.compact("c", "s"))
+    } catch { case t: Throwable => compactErr = t }, "cas-compactor")
+    appender.start(); compactor.start()
+    appender.join(120000); compactor.join(120000)
+    assert(compactErr == null, s"cross-instance compaction failed: $compactErr")
+    assert(msgs(a.read("c", "s")) == ("seed" +: (1 to 8).map(i => s"app-$i")).sorted)
+  }
+
+  test("a footerless claim is invisible to readers; a STALE one is reclaimed by the next commit") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "committed")), "c", "s")
+    // simulate a committer that crashed between claiming v2 and writing
+    // the footer (possible on HDFS-like stores; impossible locally where
+    // the hard-link publish is atomic)
+    val claimPath = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
+    java.nio.file.Files.write(claimPath.toPath, "hot/container=c/session=s/ghost.parquet\n".getBytes)
+    // readers skip it — committed state is still v1
+    assert(msgs(log.read("c", "s")) == Seq("committed"))
+    assert(log.resolve("c", "s")._1 == 1L)
+    // age the claim past the stale horizon: the next commit reclaims the
+    // slot instead of failing its CAS forever
+    assert(claimPath.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "after")), "c", "s")
+    assert(msgs(log.read("c", "s")) == Seq("after", "committed"))
+    val (v, entries) = log.resolve("c", "s")
+    assert(v == 2L && entries.size == 2 && !entries.exists(_.contains("ghost")))
+  }
 }
