@@ -32,14 +32,26 @@ object ServiceBench {
     spark.stop()
   }
 
+  /** Measure BOTH storage tiers end-to-end: the single-node LogStore
+    * (the reference-parity path, label unchanged for round-over-round
+    * comparability) and the cluster ManifestLog (manifest-commit-per-
+    * flush is its extra cost — measured, not guessed; round-8). */
   def run(spark: SparkSession): Unit = {
-    val root = Scratch.localDir + s"/svcbench-${System.nanoTime()}"
+    runTier(spark, "local")
+    runTier(spark, "manifest")
+  }
+
+  def runTier(spark: SparkSession, tier: String): Unit = {
+    val root = Scratch.localDir + s"/svcbench-$tier-${System.nanoTime()}"
+    val label = if (tier == "local") "log_service_throughput"
+                else s"log_service_throughput_$tier"
     // server startup stays INSIDE the try: a bind/scratch failure must
     // degrade to the FAILED detail line, never escape past the bench's
     // already-printed stdout JSON and kill the process
     var server: api.LogServer = null
     try {
-      server = new api.LogServer(spark, root, bufferSizeLimit = 64 * 1024).start()
+      server = new api.LogServer(spark, root, bufferSizeLimit = 64 * 1024,
+        makeTier = api.LogServer.tierNamed(tier)).start()
       val client = HttpClient.newHttpClient()
       val base = s"http://localhost:${server.boundPort}"
       def send(method: String, path: String, body: Option[String],
@@ -121,13 +133,13 @@ object ServiceBench {
       val dt = (System.nanoTime() - t0) / 1e9
       val rows = appendsOk.get.toLong * rowsPerBatch
       System.err.println(
-        f"[bench] log_service_throughput       $dt%8.3f s  " +
+        f"[bench] $label%-33s $dt%8.3f s  " +
         f"ingest ${rows / dtWrite}%.0f rows/s (${appendsOk.get / dtWrite}%.1f posts/s over $dtWrite%.3f s), " +
         f"${readsOk.get / dt}%.1f concurrent reads/s (${rowsRead.get / dt}%.0f rows/s read), errors=${errors.get}" +
         f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] log_service_throughput FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
     } finally if (server != null) server.close()
   }
 }

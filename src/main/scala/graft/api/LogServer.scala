@@ -15,7 +15,7 @@ import graft.catalog.CatalogService
 import graft.engine.{Compactor, QueryEngine}
 import graft.ingest.JsonIngest
 import graft.model.LogSchema
-import graft.storage.LogStore
+import graft.storage.{LogStore, LogTier, ManifestLog}
 
 /** The reference's HTTP surface (main.py:51-347, P1-P10) over the Spark
   * engine: token auth, container/session CRUD with ownership, and
@@ -36,10 +36,17 @@ import graft.storage.LogStore
 final class LogServer(spark: SparkSession, root: String, port: Int = 0,
                       bufferSizeLimit: Long = 10L * 1024 * 1024,
                       ingestFlushBytes: Long = 4L * 1024 * 1024,
-                      ingestFlushMs: Long = 100) extends AutoCloseable {
+                      ingestFlushMs: Long = 100,
+                      makeTier: (SparkSession, String) => LogTier = LogServer.localTier,
+                      maxBodyBytes: Int = 32 * 1024 * 1024)
+    extends AutoCloseable {
 
   val catalog = new CatalogService(Some(Paths.get(root, "catalog")))
-  val store = new LogStore(spark, s"$root/data")
+  /** Constructor-injected storage tier (round-8): the SAME service
+    * binary runs over the single-node [[LogStore]] (default) or the
+    * cluster [[ManifestLog]] — every handler below talks to the
+    * [[LogTier]] trait only. */
+  val store: LogTier = makeTier(spark, s"$root/data")
   val engine = new QueryEngine(store)
   val compactor = new Compactor(store, bufferSizeLimit)
   /** Write-behind ingest buffer (reference writer.py:233-259 semantics:
@@ -135,8 +142,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 
   // ---- auth endpoints (P1-P2, main.py:51-92) ----
 
-  private def login(ex: HttpExchange): Unit = {
-    val body = readJson(ex)
+  private def login(ex: HttpExchange): Unit = withJson(ex) { body =>
     val user = body.flatMap(textField(_, "username"))
     val pass = body.flatMap(textField(_, "password"))
     (user, pass) match {
@@ -163,7 +169,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   // ---- container endpoints (P4-P5, main.py:97-143) ----
 
   private def createContainer(ex: HttpExchange, user: String): Unit =
-    readJson(ex).flatMap(textField(_, "container_id")) match {
+    withJson(ex)(_.flatMap(textField(_, "container_id")) match {
       case None => error(ex, 400, "Missing container_id")
       case Some(cid) if !LogSchema.isValidId(cid) =>
         error(ex, 400, "Invalid container_id format. Use alphanumeric, hyphens, or underscores")
@@ -175,7 +181,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
           o.put("message", "Container created successfully")
           respond(ex, 201, o)
         }
-    }
+    })
 
   private def listContainers(ex: HttpExchange, user: String): Unit = {
     val cs = catalog.userContainers(user)
@@ -201,7 +207,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   private def createSession(ex: HttpExchange, user: String, cid: String): Unit = {
     if (!catalog.verifyContainerAccess(user, cid))
       return error(ex, 403, "Container not found or access denied")
-    readJson(ex).flatMap(textField(_, "session_id")) match {
+    withJson(ex)(_.flatMap(textField(_, "session_id")) match {
       case None => error(ex, 400, "Missing session_id")
       case Some(sid) if !LogSchema.isValidId(sid) =>
         error(ex, 400, "Invalid session_id format. Use alphanumeric, hyphens, or underscores")
@@ -214,7 +220,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
           o.put("message", "Session created successfully")
           respond(ex, 201, o)
         }
-    }
+    })
   }
 
   private def listSessions(ex: HttpExchange, user: String, cid: String): Unit = {
@@ -269,7 +275,8 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 
     if (streaming) {
       // Chunked emission, one JSON log object at a time (main.py:266-274).
-      // The view read-lock is taken PER ELEMENT (each fetch of the lazy
+      // The tier's read snapshot (a view read-lock on LogStore; free on
+      // ManifestLog) is taken PER ELEMENT (each fetch of the lazy
       // partition iterator), never across client writes — a slow client
       // paces its own response but cannot wedge compaction or other
       // readers behind a queued writer.
@@ -283,7 +290,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       //    "]}"— the client sees truncated/invalid JSON, never a
       //    complete-looking response with silently missing rows.
       val it = engine.streamJson(c, s, start, end)
-      def fetch(): Option[String] = store.withViewLock(c, s) {
+      def fetch(): Option[String] = store.withReadSnapshot(c, s) {
         if (it.hasNext) Some(it.next()) else None
       }
       val head =
@@ -310,7 +317,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
         System.err.println(s"[server] stream $c/$s aborted mid-response: ${e.getMessage}")
       } finally out.close()
     } else {
-      val rows = store.withViewLock(c, s) { engine.readLogs(c, s, start, end).collect() }
+      val rows = store.withReadSnapshot(c, s) { engine.readLogs(c, s, start, end).collect() }
       val o = mapper.createObjectNode()
       o.put("container", c); o.put("session", s)
       val arr = o.putArray("logs")
@@ -327,7 +334,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   private def postLogs(ex: HttpExchange, user: String, c: String, s: String): Unit = {
     if (!catalog.verifySessionAccess(user, nsKey(c, s)))
       return error(ex, 403, "Session not found or access denied")
-    val body = readJson(ex)
+    withJson(ex) { body =>
     if (body.isEmpty || !body.get.has("logs"))
       return error(ex, 400, "Missing \"logs\" field in request body")
     // Shape + content validation live in ONE place (JsonIngest.toRows —
@@ -345,6 +352,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     o.put("container", c); o.put("session", s)
     o.put("message", "Logs received"); o.put("count", rows.size)
     respond(ex, 201, o)
+    }
   }
 
   // ---- helpers ----
@@ -353,14 +361,21 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     * counts rows AFTER they reach the buffer — without a cap here one
     * oversized POST (or a few concurrent ones) materializes unbounded
     * byte[]/JSON trees on the gateway heap first (round-7 review). */
-  private val MaxBodyBytes = 32 * 1024 * 1024
+  private val MaxBodyBytes = maxBodyBytes
 
-  private def readJson(ex: HttpExchange): Option[JsonNode] =
+  /** Left(message) = body over [[MaxBodyBytes]] (a distinct 413, not a
+    * generic 400 — round-7 advice); Right(None) = missing/malformed/
+    * non-object JSON. On over-cap the remaining request body is drained
+    * (bounded) so a keep-alive connection is not left mid-body. */
+  private def readBody(ex: HttpExchange): Either[String, Option[JsonNode]] =
     try {
+      val tooLarge = Left(s"Request body exceeds $MaxBodyBytes bytes")
       val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
         .flatMap(v => scala.util.Try(v.toLong).toOption)
-      if (declared.exists(_ > MaxBodyBytes)) None
-      else {
+      if (declared.exists(_ > MaxBodyBytes)) {
+        ex.getRequestBody.close() // let the server discard the body
+        tooLarge
+      } else {
         val in = ex.getRequestBody
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](65536)
@@ -370,10 +385,26 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
           if (out.size() + n > MaxBodyBytes) over = true
           else { out.write(buf, 0, n); n = in.read(buf) }
         }
-        if (over || out.size() == 0) None
-        else Option(mapper.readTree(out.toByteArray)).filter(n => !n.isNull && n.isObject)
+        if (over) {
+          // drain what's in flight, bounded — an unbounded attacker
+          // stream gets its connection dropped instead
+          var drained = 0L
+          var k = in.read(buf)
+          while (k >= 0 && drained < MaxBodyBytes.toLong) { drained += k; k = in.read(buf) }
+          if (k >= 0) in.close()
+          tooLarge
+        } else if (out.size() == 0) Right(None)
+        else Right(Option(mapper.readTree(out.toByteArray)).filter(n => !n.isNull && n.isObject))
       }
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => Right(None) }
+
+  /** Parse the JSON body, answering 413 directly on over-cap; the
+    * handler sees the same Option[JsonNode] contract as before. */
+  private def withJson(ex: HttpExchange)(f: Option[JsonNode] => Unit): Unit =
+    readBody(ex) match {
+      case Left(msg) => error(ex, 413, msg)
+      case Right(body) => f(body)
+    }
 
   private def textField(n: JsonNode, name: String): Option[String] =
     Option(n.get(name)).filter(_.isTextual).map(_.asText)
@@ -418,11 +449,32 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   }
 }
 
-/** Standalone entry point: `runMain graft.api.ServerMain [root] [port]`. */
+object LogServer {
+  /** Default tier: the single-node two-tier [[LogStore]]. */
+  val localTier: (SparkSession, String) => LogTier =
+    (sp, dataRoot) => new LogStore(sp, dataRoot)
+  /** Cluster tier: the CAS-committed [[ManifestLog]] — safe for many
+    * service instances sharing one storage root. */
+  val manifestTier: (SparkSession, String) => LogTier =
+    (sp, dataRoot) => new ManifestLog(sp, dataRoot)
+
+  /** Resolve a tier by config name (`local` | `manifest`). */
+  def tierNamed(name: String): (SparkSession, String) => LogTier = name match {
+    case "local" => localTier
+    case "manifest" => manifestTier
+    case other => throw new IllegalArgumentException(
+      s"unknown storage tier '$other' (expected local|manifest)")
+  }
+}
+
+/** Standalone entry point:
+  * `runMain graft.api.ServerMain [root] [port] [tier]` — tier is
+  * `local` (default) or `manifest`, also settable via GRAFT_TIER. */
 object ServerMain {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft-server")
     val port = args.lift(1).map(_.toInt).getOrElse(5123)
+    val tier = args.lift(2).orElse(sys.env.get("GRAFT_TIER")).getOrElse("local")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-log-server")
@@ -433,12 +485,13 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new LogServer(spark, root, port).start()
+    val server = new LogServer(spark, root, port,
+      makeTier = LogServer.tierNamed(tier)).start()
     // periodic rotation check; marker and TTL sweeps stay opt-in — a
     // time-based marker sweep can break streaming exactly-once when an
     // outage outlasts the horizon, and retention deletes data
     server.compactor.startMaintenance(java.time.Duration.ofSeconds(60))
-    println(s"graft log server listening on port ${server.boundPort}, root=$root")
+    println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier")
     sys.addShutdownHook { server.close(); spark.stop() }
     Thread.currentThread.join()
   }

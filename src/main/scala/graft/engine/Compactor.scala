@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
-import graft.storage.LogStore
+import graft.storage.{LogStore, LogTier}
 
 /** Storage lifecycle driver — the reference's rotation + async-flush
   * machinery (writer.py:233-335) re-expressed for the two-tier Parquet
@@ -21,7 +21,7 @@ import graft.storage.LogStore
   * At cluster scale each compaction is a distributed Spark job; the pool
   * here only bounds how many such jobs are in flight at once.
   */
-final class Compactor(store: LogStore,
+final class Compactor(store: LogTier,
                       thresholdBytes: Long = 10L * 1024 * 1024,
                       workers: Int = math.max(1, Runtime.getRuntime.availableProcessors / 4))
     extends AutoCloseable {
@@ -135,6 +135,9 @@ final class Compactor(store: LogStore,
                        tagHorizon: Option[java.time.Duration] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
+      if ((tagHorizon.isDefined || retention.isDefined) && !store.isInstanceOf[LogStore])
+        System.err.println("[compactor] tag/retention sweeps requested but the " +
+          "storage tier is not a LogStore — use ManifestLog.expire for GC; sweeps ignored")
       val sched = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
       })
@@ -148,10 +151,18 @@ final class Compactor(store: LogStore,
             val now = java.time.Instant.now()
             store.sessions().foreach { case (c, s) =>
               guarded("rotation", c, s)(maybeCompact(c, s))
-              tagHorizon.foreach(h =>
-                guarded("tag sweep", c, s)(store.tagSweep(c, s, now.minus(h))))
-              retention.foreach(r =>
-                guarded("retention", c, s)(store.retentionSweep(c, s, now.minus(r))))
+              // marker/TTL sweeps are LogStore machinery (side-channel
+              // tag markers, file-level TTL); ManifestLog's equivalents
+              // are manifest tombstones + [[ManifestLog.expire]], driven
+              // by the operator, not this loop
+              store match {
+                case ls: LogStore =>
+                  tagHorizon.foreach(h =>
+                    guarded("tag sweep", c, s)(ls.tagSweep(c, s, now.minus(h))))
+                  retention.foreach(r =>
+                    guarded("retention", c, s)(ls.retentionSweep(c, s, now.minus(r))))
+                case _ => ()
+              }
             }
           } catch { case e: Exception => // sessions() listing itself failed
             System.err.println(s"[compactor] maintenance tick failed: ${e.getMessage}")

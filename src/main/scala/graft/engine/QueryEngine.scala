@@ -109,10 +109,13 @@ final class QueryEngine(store: LogTier) {
 
   /** Summary (A4-A6): total_rows is UNFILTERED by design — the
     * reference's get_summary scans with no filter (reader.py:227-231) —
-    * while file/byte counts come from the file index, not a scan. */
-  def summary(container: String, session: String): LogSummary = store.withReadSnapshot(container, session) {
-    val (coldFiles, coldBytes, hotFiles, hotBytes) = store.tierStats(container, session)
-    val totalRows = store.read(container, session).count()
+    * while file/byte counts come from the file index, not a scan.
+    * Stats and rows derive from ONE consistent storage view
+    * ([[graft.storage.LogTier.statsAndRows]] — lock window for
+    * LogStore, single manifest resolve for ManifestLog). */
+  def summary(container: String, session: String): LogSummary = {
+    val ((coldFiles, coldBytes, hotFiles, hotBytes), totalRows) =
+      store.statsAndRows(container, session)
     LogSummary(
       filesScanned = coldFiles + hotFiles,
       totalRows = totalRows,
@@ -121,6 +124,7 @@ final class QueryEngine(store: LogTier) {
       bufferFiles = hotFiles)
   }
 }
+
 
 object QueryEngine {
   import com.fasterxml.jackson.databind.ObjectMapper

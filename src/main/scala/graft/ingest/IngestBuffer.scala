@@ -91,6 +91,13 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     if (closed) throw new IllegalStateException("ingest buffer is closed")
     val buf = bufs.computeIfAbsent((container, session), _ => new Buf)
     val over = buf.synchronized {
+      // RE-check under the buffer lock (round-8, closing the round-7
+      // advice window): close() sets the flag and then drains each
+      // buffer under this same lock, so an insert that raced past the
+      // unsynchronized check above either lands before the drain's
+      // snapshot (flushed) or observes closed=true here (rejected) —
+      // it can never slip in after the final drain.
+      if (closed) throw new IllegalStateException("ingest buffer is closed")
       buf.rows ++= rows
       val b = rows.iterator.map(rowBytes).sum
       buf.bytes += b
@@ -199,8 +206,14 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
       flushAll()
       attempt += 1
     }
-    val stranded = bufs.entrySet().asScala
+    def strandedNow() = bufs.entrySet().asScala
       .filter(e => e.getValue.synchronized(e.getValue.rows.nonEmpty))
+    // an add() that read closed=false just before the flag was set can
+    // land after the byte-counter read above skipped the drain loop —
+    // its rows are acked and buffered, so drain them (once) instead of
+    // reporting a spurious stranding
+    if (strandedNow().nonEmpty) flushAll()
+    val stranded = strandedNow()
       .map { e => s"${e.getKey._1}/${e.getKey._2}(${e.getValue.bytes}B)" }
     if (stranded.nonEmpty)
       throw new IllegalStateException(

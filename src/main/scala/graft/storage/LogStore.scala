@@ -215,7 +215,7 @@ final class LogStore(spark: SparkSession, root: String,
     (cf, cb, hf, hb)
   }
 
-  def hotBytes(container: String, session: String): Long =
+  override def hotBytes(container: String, session: String): Long =
     tierStats(container, session)._4
 
   // One lock per (container, session): two concurrent compactions of the

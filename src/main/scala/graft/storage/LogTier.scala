@@ -31,7 +31,32 @@ trait LogTier {
     * index — the A4-A6 summary surface; never a data scan. */
   def tierStats(container: String, session: String): (Long, Long, Long, Long)
 
+  /** Every (container, session) present in storage — the maintenance
+    * loop's work list. */
+  def sessions(): Seq[(String, String)]
+
+  /** Hot-tier byte size from the file index (the rotation trigger's
+    * input; default derives from [[tierStats]]). */
+  def hotBytes(container: String, session: String): Long =
+    tierStats(container, session)._4
+
+  /** Rewrite the session's hot tier into sized cold files with
+    * exactly-once visibility; returns retired hot bytes. */
+  def compact(container: String, session: String): Long
+
   /** Run a materializing action with the session's visible file set
     * guaranteed live. Default: no-op (snapshot-isolated stores). */
   def withReadSnapshot[T](container: String, session: String)(f: => T): T = f
+
+  /** Tier stats and unfiltered row count from ONE consistent view of
+    * the session — the summary endpoint's contract. The default wraps
+    * both calls in a single [[withReadSnapshot]] window, which is
+    * sufficient for lock-based stores; snapshot stores (one manifest
+    * resolve per call) override to derive both from a single resolve
+    * (round-7 advice: two independent resolves could mix file counts
+    * and row totals from different snapshots). */
+  def statsAndRows(container: String, session: String): ((Long, Long, Long, Long), Long) =
+    withReadSnapshot(container, session) {
+      (tierStats(container, session), read(container, session).count())
+    }
 }

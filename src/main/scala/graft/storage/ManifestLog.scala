@@ -321,11 +321,11 @@ final class ManifestLog(spark: SparkSession, root: String,
     if (committed) st.getLen else -1L
   }
 
-  /** The session's rows as of the latest manifest — lock-free; safe
-    * to materialize at any time, including mid-compaction. */
-  def read(container: String, session: String): DataFrame = {
-    // data entries only — `#tag` tombstones are replay bookkeeping
-    val entries = resolve(container, session)._2.filterNot(_.startsWith("#"))
+  /** Data entries (no `#tag` tombstones) of the latest manifest. */
+  private def dataEntries(container: String, session: String): Seq[String] =
+    resolve(container, session)._2.filterNot(_.startsWith("#"))
+
+  private def toDf(entries: Seq[String], container: String, session: String): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema.schema)
@@ -334,6 +334,25 @@ final class ManifestLog(spark: SparkSession, root: String,
         .withColumn("container", lit(container))
         .withColumn("session", lit(session))
         .select(LogSchema.schema.fieldNames.map(col): _*)
+
+  /** The session's rows as of the latest manifest — lock-free; safe
+    * to materialize at any time, including mid-compaction. */
+  def read(container: String, session: String): DataFrame =
+    toDf(dataEntries(container, session), container, session)
+
+  /** Every (container, session) with a manifest directory — the
+    * maintenance loop's work list (one shallow listing per level,
+    * never a data-file walk). */
+  def sessions(): Seq[(String, String)] = {
+    val mroot = new Path(s"$root/manifest")
+    if (!fs.exists(mroot)) return Seq.empty
+    for {
+      c <- fs.listStatus(mroot).toSeq
+      if c.isDirectory && c.getPath.getName.startsWith("container=")
+      s <- fs.listStatus(c.getPath).toSeq
+      if s.isDirectory && s.getPath.getName.startsWith("session=")
+    } yield (c.getPath.getName.stripPrefix("container="),
+             s.getPath.getName.stripPrefix("session="))
   }
 
   /** (cold files, cold bytes, hot files, hot bytes) of the CURRENT
@@ -344,8 +363,10 @@ final class ManifestLog(spark: SparkSession, root: String,
     * is the same: never a data scan). Inherits the trait's no-op
     * [[withReadSnapshot]]: manifest reads are snapshot-isolated by
     * construction. */
-  def tierStats(container: String, session: String): (Long, Long, Long, Long) = {
-    val entries = resolve(container, session)._2.filterNot(_.startsWith("#"))
+  def tierStats(container: String, session: String): (Long, Long, Long, Long) =
+    statsOf(dataEntries(container, session))
+
+  private def statsOf(entries: Seq[String]): (Long, Long, Long, Long) = {
     def stats(prefix: String): (Long, Long) = {
       val sel = entries.filter(_.startsWith(prefix))
       (sel.size.toLong,
@@ -354,6 +375,16 @@ final class ManifestLog(spark: SparkSession, root: String,
     val (cf, cb) = stats("cold/")
     val (hf, hb) = stats("hot/")
     (cf, cb, hf, hb)
+  }
+
+  /** Stats AND row count off ONE manifest resolve — the summary
+    * consistency contract ([[LogTier.statsAndRows]]): a concurrent
+    * append or compaction between two independent resolves can no
+    * longer mix file counts and row totals from different snapshots. */
+  override def statsAndRows(container: String, session: String)
+      : ((Long, Long, Long, Long), Long) = {
+    val entries = dataEntries(container, session)
+    (statsOf(entries), toDf(entries, container, session).count())
   }
 
   /** Compact the manifest's current hot subset into sized, range-

@@ -11,8 +11,18 @@ import graft.SparkSuite
 /** Golden end-to-end API tests: the README "Complete Workflow Example"
   * (README.md:248-299) and "Testing Access Control" recipes
   * (README.md:350-366) replayed against the Spark-backed server, plus
-  * the 400/401/403/409 contract and the streaming read path. */
-class LogServerSpec extends SparkSuite with BeforeAndAfterAll {
+  * the 400/401/403/409/413 contract and the streaming read path.
+  *
+  * The whole matrix runs over BOTH storage tiers (round-8): the
+  * single-node [[graft.storage.LogStore]] ([[LogServerSpec]]) and the
+  * cluster [[graft.storage.ManifestLog]] ([[LogServerManifestSpec]]) —
+  * the service layer talks to the [[graft.storage.LogTier]] trait only,
+  * and these twins prove a deployment can switch stores without a
+  * client seeing any difference. */
+abstract class LogServerContractSpec extends SparkSuite with BeforeAndAfterAll {
+
+  /** `local` | `manifest` — which LogTier backs the server under test. */
+  protected def tierName: String
 
   private var server: LogServer = _
   private def base = s"http://localhost:${server.boundPort}"
@@ -20,7 +30,8 @@ class LogServerSpec extends SparkSuite with BeforeAndAfterAll {
   private val mapper = new ObjectMapper()
 
   override def beforeAll(): Unit = {
-    server = new LogServer(spark, tempDir("server")).start()
+    server = new LogServer(spark, tempDir("server"),
+      makeTier = LogServer.tierNamed(tierName)).start()
   }
   override def afterAll(): Unit = server.close()
 
@@ -193,4 +204,52 @@ class LogServerSpec extends SparkSuite with BeforeAndAfterAll {
   test("unknown route → 404") {
     assert(req("GET", "/api/nope").statusCode === 404)
   }
+
+  test("413 contract: oversized body gets a distinct status and the connection stays usable") {
+    // dedicated server with a tiny cap so the test body stays small
+    val small = new LogServer(spark, tempDir("server-413"),
+      makeTier = LogServer.tierNamed(tierName), maxBodyBytes = 4096).start()
+    try {
+      val smallBase = s"http://localhost:${small.boundPort}"
+      def sreq(method: String, path: String, body: Option[String],
+               token: Option[String]): HttpResponse[String] = {
+        var b = HttpRequest.newBuilder(URI.create(s"$smallBase$path"))
+        b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+          b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+        token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), BodyHandlers.ofString())
+      }
+      val token = mapper.readTree(sreq("POST", "/api/auth/login",
+        Some("""{"username":"admin","password":"admin"}"""), None).body).get("token").asText
+      sreq("POST", "/api/containers", Some("""{"container_id":"big"}"""), Some(token))
+      sreq("POST", "/api/containers/big/sessions", Some("""{"session_id":"s"}"""), Some(token))
+      val hugeMsg = "x" * 8192
+      val over = sreq("POST", "/api/logs/big/s",
+        Some(s"""{"logs":[{"level":"INFO","message":"$hugeMsg","timestamp":"2025-01-01T00:00:00Z"}]}"""),
+        Some(token))
+      assert(over.statusCode === 413)
+      assert(mapper.readTree(over.body).get("error").asText.contains("exceeds"))
+      // same client (keep-alive pool): the connection was not left
+      // wedged mid-body — a normal request still succeeds
+      val ok = sreq("POST", "/api/logs/big/s",
+        Some("""{"logs":[{"level":"INFO","message":"small","timestamp":"2025-01-01T00:00:00Z"}]}"""),
+        Some(token))
+      assert(ok.statusCode === 201)
+      val back = sreq("GET", "/api/logs/big/s", None, Some(token))
+      assert(back.statusCode === 200 &&
+        mapper.readTree(back.body).get("total_rows").asInt === 1)
+    } finally small.close()
+  }
+}
+
+/** The full contract over the single-node [[graft.storage.LogStore]]. */
+class LogServerSpec extends LogServerContractSpec {
+  protected def tierName = "local"
+}
+
+/** The SAME contract over the cluster [[graft.storage.ManifestLog]]
+  * (round-8: the service actually runs on the tier a 100-TB deployment
+  * would use, not just the engine surface in isolation). */
+class LogServerManifestSpec extends LogServerContractSpec {
+  protected def tierName = "manifest"
 }
