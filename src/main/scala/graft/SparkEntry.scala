@@ -95,6 +95,10 @@ object SparkEntry {
     // wide-blocking twin: pair-of-chunks keys (2^26 key space) kill the
     // birthday-collision candidate growth SCALECHECK measured at 10x
     "dedup_hamming_wide"   -> ((s: SparkSession, d: String) => Dedup.hammingNearDupWide(s, d)),
+    // the 10^9+-doc deployment shape: wide keys AND the salt fallback
+    // for combo keys that are still hot (round-8, SCALECHECK's
+    // "combine them" note made executable)
+    "dedup_hamming_wide_salted" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupWideSalted(s, d)),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
     // the deployed ingest-gate shape: probes the PERSISTED chunk index
     "dedup_admission_indexed" -> ((s: SparkSession, d: String) => Dedup.admissionGateIndexed(s, d)),
@@ -456,6 +460,7 @@ object SparkEntry {
       "dedup_hamming_indexed" -> "dedup_hamming",
       "dedup_hamming_salted"  -> "dedup_hamming",
       "dedup_hamming_wide"    -> "dedup_hamming",
+      "dedup_hamming_wide_salted" -> "dedup_hamming",
       "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
       "dedup_admission_indexed" -> "dedup_admission",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }

@@ -460,7 +460,19 @@ object Dedup {
     * same one-aggregate pre-pass is metadata-priced, exactly like the
     * [[blockStats]] report it operationalizes. */
   private[ops] def saltedPairsFromChunks(chunks: DataFrame, nChunks: Int,
-      saltThreshold: Int = 64, subBlock: Int = 32): DataFrame = {
+      saltThreshold: Int = 64, subBlock: Int = 32): DataFrame =
+    saltedRawPairs(chunks, saltThreshold, subBlock)
+      .filter(col("j") === firstAgreeingChunk(nChunks))
+      .drop("j")
+
+  /** The salting core of [[saltedPairsFromChunks]], WITHOUT the
+    * chunk-scheme-specific dedup filter — so any blocking whose key
+    * fits the (j, ck) shape can reuse it: single chunks use j = chunk
+    * index, and the wide pair-of-chunks scheme packs (c, k1, k2) into
+    * (j = c, ck = k1·2¹⁶ + k2) ([[hammingNearDupWideSalted]]).
+    * Output: (doc_a, doc_b, ha, hb, j) candidate pairs, doc-ordered. */
+  private[ops] def saltedRawPairs(chunks: DataFrame,
+      saltThreshold: Int, subBlock: Int): DataFrame = {
     val hot = chunks.groupBy(col("j"), col("ck"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > saltThreshold)
@@ -492,8 +504,6 @@ object Dedup {
           .otherwise(col("a.simhash")).as("hb"),
         col("a.j").as("j"))
     coldPairs.unionByName(hotPairs)
-      .filter(col("j") === firstAgreeingChunk(nChunks))
-      .drop("j")
   }
 
   /** Fuzzy near-dup via edit distance, pigeonhole-blocked on SimHash:
@@ -681,22 +691,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** [[hammingNearDupWide]] COMPOSED with the [[saltedRawPairs]] skew
+    * guard (round-8; SCALECHECK's "at 10⁹+ docs a deployment combines
+    * them" is now executable): wide blocking kills the birthday term
+    * (2²⁶ keys), and any combo key that is STILL hot — identical
+    * boilerplate collapsing two chunks at once — hash-splits into salt
+    * groups with per-task work bounded by `subBlock²`. The combo key
+    * (c, k1, k2) packs losslessly into the salting core's (j, ck)
+    * shape as (c, k1·2¹⁶ + k2): chunk masks are ≤ 13 bits, so the
+    * packing is a bijection and block membership is unchanged.
+    * Row-identical to [[hammingNearDupWide]] and [[hammingNearDup]]
+    * (same pigeonhole exactness, same oracle); DedupSaltingSpec
+    * property-proves the identity over the combo keys. */
+  def hammingNearDupWideSalted(s: SparkSession, dir: String, maxDist: Int = 3,
+      nChunks: Int = 5, saltThreshold: Int = 16, subBlock: Int = 8): DataFrame =
+    hammingNearDupWideSaltedFrom(simhashRaw(s, dir), maxDist, nChunks,
+                                 saltThreshold, subBlock)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[hammingNearDupWideSalted]] over a caller-supplied simhash
+    * relation (unsorted — the property spec's seam). */
+  private[ops] def hammingNearDupWideSaltedFrom(sh: DataFrame, maxDist: Int,
+      nChunks: Int, saltThreshold: Int, subBlock: Int): DataFrame = {
+    require(maxDist <= nChunks - 2,
+      s"pair-of-chunks blocking is exact only for maxDist <= nChunks-2 " +
+      s"(got maxDist=$maxDist, nChunks=$nChunks)")
+    val packed = comboRelation(sh, nChunks)
+      .select(col("doc_id"), col("simhash"), col("c").as("j"),
+              expr("shiftleft(k1, 16) + k2").as("ck"))
+    saltedRawPairs(packed, saltThreshold, subBlock)
+      .withColumnRenamed("j", "c")
+      .filter(col("c") === firstAgreeingCombo(nChunks))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** [[ngramJaccard]] reading the PERSISTED DF-capped shingle index:
     * pair generation self-joins the bucketed table on its bucket key
     * `s` — no Exchange on the corpus-sized index; only the near-dup-
-    * sized pair aggregate and the per-doc size aggregate shuffle.
-    * Identical rows to [[ngramJaccard]]; same driver oracle. */
+    * sized pair aggregate shuffles. Identical rows to [[ngramJaccard]];
+    * same driver oracle.
+    *
+    * Round-8 (SCALECHECK showed the pair-count shuffle growing 8.6× at
+    * 10× data — linear in shared-shingle pair volume, the engine's
+    * steepest curve): two LOSSLESS reductions ahead of that shuffle.
+    *  1. SIZE-COMPATIBILITY prefilter. j = c/(n_a+n_b−c) ≥ 0.5 with
+    *     c ≤ min(n_a,n_b) forces max(n_a,n_b) ≤ 2·min(n_a,n_b), so
+    *     every co-occurrence row whose two docs differ more than 2× in
+    *     capped-shingle count is dropped AT THE JOIN, before it ever
+    *     enters the pair-count exchange — the AllPairs/PPJoin length
+    *     filter, applied to the occurrence stream. Exactly the pairs
+    *     that could pass the 0.5 gate survive, so the output is
+    *     row-identical.
+    *  2. Sizes ride the index (`n` is denormalized onto every row at
+    *     build time), so the count groups directly by
+    *     (doc_a, doc_b, n_a, n_b) — the two post-aggregation joins
+    *     against a per-doc size relation (two more shuffles of the
+    *     pair relation at scale) are gone entirely. */
   def ngramJaccardIndexed(s: SparkSession, dir: String): DataFrame = {
     val sh = s.table(IndexTables.ensureShingleIndex(s, dir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("c"))
-      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("jaccard",
-        trunc6(col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))))
+        trunc6(col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -87,14 +87,22 @@ object IndexTables {
       Dedup.chunkRelation(Dedup.simhashRaw(s, dir), nChunks)
     }
 
-  /** DF-capped shingle index: (doc_id, s) bucketed by the 60-bit
+  /** DF-capped shingle index: (doc_id, s, n) bucketed by the 60-bit
     * shingle key — the join key of n-gram pair generation and of every
     * decontamination probe. Hot (>20%-DF) shingles never enter the
     * table, so the cap is part of the LAYOUT, exactly as a production
-    * build would ship it. */
+    * build would ship it. `n` is the doc's capped-shingle count,
+    * denormalized onto every row at build time (round-8): consumers
+    * get the size-compatibility prefilter and the Jaccard denominator
+    * straight off the scan — no per-query size aggregate, no post-
+    * aggregation joins. */
   def ensureShingleIndex(s: SparkSession, dir: String): String =
     ensure(s, s"idx_shingles_${tag(dir)}", Seq("s")) {
-      Dedup.cappedShingles(s, dir)
+      val sh = Dedup.cappedShingles(s, dir)
+      val sizes = sh.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      sh.join(sizes, Seq("doc_id"))
     }
 
   /** IVF inverted index: every vector's (n_id, n_v, n_norm) under the

@@ -245,9 +245,33 @@ object Similarity {
   def ivfTopKIndexed(s: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val vs = vectors(s, dir)
+    // Probe selection happens DRIVER-SIDE, exactly as in any IVF
+    // serving system: ranking nQueries × nprobe probe assignments is a
+    // bounded micro-job (query vectors × broadcast centroids), and the
+    // resulting list ids become a LITERAL partition predicate on the
+    // partitioned index table — static partition pruning the planner
+    // can never decline (the AQE dynamic-pruning path degrades to
+    // `dynamicpruningexpression(true)` when broadcast reuse fails to
+    // canonicalize, silently scanning every list). IndexTablesSpec
+    // asserts partitions read == probed lists. At 10⁹ vectors and
+    // nlist=10⁵ this is the difference between scanning nprobe
+    // inverted lists and scanning the corpus.
+    val lists = probedLists(s, dir, nQueries, nprobe)
     val assigned = s.table(IndexTables.ensureIvfIndex(s, dir))
+      .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
     ivfSearch(vs, seedCentroids(vs), assigned, nQueries, k, nprobe)
+  }
+
+  /** Test seam: the distinct inverted lists the indexed search probes
+    * for a given query set — what the partitioned-scan pruning must
+    * reduce the table read to (IndexTablesSpec). */
+  private[ops] def probedLists(s: SparkSession, dir: String,
+                               nQueries: Int, nprobe: Int): Seq[Long] = {
+    val vs = vectors(s, dir)
+    nearestCentroids(vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+      .select(col("list_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
   }
 
   /** nprobe search against an arbitrary centroid relation
@@ -256,7 +280,12 @@ object Similarity {
   private def ivfSearch(vs: DataFrame, cents: DataFrame, assigned: DataFrame,
                         nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val probes = nearestCentroids(vs.filter(col("vec_id") < nQueries), cents, nprobe, "q")
-    topK(probes.join(assigned, Seq("list_id"))
+    // The probe relation is queries × nprobe rows — ALWAYS the small
+    // side; the assignment relation is all N vectors. Broadcasting the
+    // probes pins that shape (at test scale AQE otherwise broadcasts
+    // the tiny TABLE — the opposite of the deployment plan, where the
+    // assignment side streams partition-pruned off the index).
+    topK(assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"),
               (dot("q_v", "n_v") / (col("q_norm") * col("n_norm"))).as("cos")), k)
@@ -680,9 +709,11 @@ object Similarity {
     * widen to DECIMAL or coarsen the quantization), with one identical
     * IEEE expression at the end on both engines. Scale shape: the pair
     * relation the final ranking sees is O(d²) = 2016 rows for d=64 —
-    * INDEPENDENT of corpus size — so the rank window is free; the only
-    * N-proportional work is the per-vector pair-product explode, a
-    * map-side projection into a 2016-group aggregate. */
+    * INDEPENDENT of corpus size — ranked by the bounded `graft_topk`
+    * aggregate (map-side k-pair buffers; no single-partition window
+    * even at d=4096's 8.4M pairs); the only N-proportional work is the
+    * per-vector pair-product explode, a map-side projection into a
+    * 2016-group aggregate. */
   def covariance(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val ex = vectors(s, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
@@ -700,11 +731,23 @@ object Similarity {
         (col("sxy").cast("double") / col("n")
           - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
         / 1000000000000.0)
-    cov.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          abs(col("cov")).desc, col("i"), col("j"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("i"), col("j"), col("cov"), col("rk"))
+    // Global top-k via the in-house bounded aggregate instead of a
+    // single-partition row_number window (round-8, closing the last
+    // unpartitioned WindowExec in the engine): partial k-pair buffers
+    // combine map-side, so even at d=4096 (8.4M pair rows) only ≤k
+    // pairs per partition cross to the one finisher task — the window
+    // form shuffled and SORTED the whole pair relation through it.
+    // Ordering is identical: graft_topk ranks (score DESC, payload
+    // ASC) and the payload struct leads with (i, j), so equal |cov|
+    // ties break exactly like the oracle's (abs(cov) DESC, i, j).
+    graft.functions.TopKPairs.register(s)
+    cov
+      .groupBy()
+      .agg(expr(s"graft_topk(abs(cov), struct(i, j, cov), $k)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("e.payload.i").as("i"), col("e.payload.j").as("j"),
+              col("e.payload.cov").as("cov"),
+              (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("rk"))
   }
 

@@ -58,13 +58,32 @@ object Tables {
     evictStopped()
     val key = (rel, s, dir)
     val existing = relCache.get(key)
-    if (existing != null) existing
+    if (existing != null && checkpointHealthy(existing)) existing
     else {
+      // either first build, or the cached checkpoint LOST blocks behind
+      // our back (an unpersist we didn't issue; on a cluster, a dead
+      // executor) — a localCheckpoint has no lineage to recompute from,
+      // so every consumer of the stale entry would fail at action time.
+      // Drop the husk and rebuild; the loser of a concurrent rebuild
+      // race is unreferenced blocks the ContextCleaner reaps (round-8,
+      // closing the round-6 recoverability advice).
+      if (existing != null) relCache.remove(key, existing)
       val built = build.localCheckpoint()
       val prev = relCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }
+
+  /** A cached checkpoint is reusable only while every partition's
+    * block survives — storage level stripped or any block gone means
+    * the entry is a husk that can only throw. Non-LogicalRDD shapes
+    * (never produced by [[memoized]], but harmless) count as healthy. */
+  private def checkpointHealthy(df: DataFrame): Boolean =
+    org.apache.spark.sql.graftshim.GraftShim.analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.graftshim.GraftShim.allBlocksPresent(lr.rdd)
+      case _ => true
+    }
 
   /** Drop cache entries whose session is stopped: their checkpoint
     * blocks died with the executor backend, and the strong map

@@ -20,4 +20,20 @@ object GraftShim {
     * with stable expression ids — what a custom binary node composes). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
+
+  /** Whether every partition of `rdd` still has at least one live block
+    * replica registered with the block-manager master. A
+    * `localCheckpoint` RDD whose blocks were unpersisted (or died with
+    * an executor) has NO lineage to recompute from — consumers fail at
+    * action time — so cache layers must health-check before reusing.
+    * (BlockManager is `private[spark]`; this is the access shim.) */
+  def allBlocksPresent(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+    if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) return false
+    val master = org.apache.spark.SparkEnv.get.blockManager.master
+    val ids: Array[org.apache.spark.storage.BlockId] =
+      rdd.partitions.map(p =>
+        org.apache.spark.storage.RDDBlockId(rdd.id, p.index)
+          : org.apache.spark.storage.BlockId)
+    master.getLocations(ids).forall(_.nonEmpty)
+  }
 }

@@ -103,4 +103,50 @@ class DedupSaltingSpec extends SparkSuite {
     val b = Dedup.hammingNearDupSalted(spark, dir).collect().toSeq
     assert(a == b)
   }
+
+  // ---- wide (pair-of-chunks) keys composed with the salt guard
+  // (round-8: the 10⁹+-doc deployment shape) ----
+
+  private def wideSalted(sigs: Seq[Long], maxDist: Int, n: Int, thr: Int, sub: Int) =
+    Dedup.hammingNearDupWideSaltedFrom(sigDf(sigs), maxDist, n, thr, sub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def wide(sigs: Seq[Long], maxDist: Int, n: Int) =
+    Dedup.widePairsFrom(sigDf(sigs), maxDist, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("wide+salted: identical to plain wide blocking on the constructed hot block") {
+    // the hot cluster shares chunk 0; under 5-chunk combo keys every
+    // combo containing chunk 0 still matches across the cluster when
+    // the OTHER chunk also agrees — aggressive thresholds salt them all
+    val s = wideSalted(hotCluster, maxDist = 3, n = 5, thr = 4, sub = 2)
+    val p = wide(hotCluster, maxDist = 3, n = 5)
+    assert(s == p, s"salted=${s.size} plain=${p.size} diff=${(s diff p) ++ (p diff s)}")
+  }
+
+  test("wide+salted equals plain wide on random near-dup clusters (aggressive salting)") {
+    val sigSets: Gen[Seq[Long]] = for {
+      nBases <- Gen.chooseNum(1, 4)
+      bases <- Gen.listOfN(nBases, Gen.long)
+      members <- Gen.listOfN(24, for {
+        b <- Gen.oneOf(bases)
+        nFlips <- Gen.chooseNum(0, 5)
+        flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 63))
+      } yield flips.foldLeft(b)((h, j) => h ^ (1L << j)))
+    } yield members
+    val prop = Prop.forAll(sigSets) { sigs =>
+      wideSalted(sigs, maxDist = 3, n = 5, thr = 2, sub = 2) ==
+        wide(sigs, maxDist = 3, n = 5)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("declared query: wide+salted twin matches dedup_hamming row-for-row on test data") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").isFile)
+    val a = Dedup.hammingNearDup(spark, dir).collect().toSeq
+    val b = Dedup.hammingNearDupWideSalted(spark, dir).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -94,6 +94,51 @@ class IndexTablesSpec extends SparkSuite {
     assert(viaIndex.toSeq === inPlan.toSeq)
   }
 
+  test("IVF indexed search PRUNES the partitioned table to exactly the probed lists") {
+    assume(hasTestData)
+    IndexTables.ensureIvfIndex(spark, sf)
+    // 2 queries × nprobe 2 → at most 4 of the 8 lists probed: pruning
+    // is observable, not vacuous (8 queries can legitimately touch all
+    // 8 lists at this tiny scale)
+    val nQueries = 2
+    val expected = Similarity.probedLists(spark, sf, nQueries, nprobe = 2)
+    assert(expected.size < Similarity.IvfNList,
+      s"probe set covers every list (${expected.size}) — pruning unobservable")
+    val df = Similarity.ivfTopKIndexed(spark, sf, nQueries = nQueries)
+    df.collect()
+    // descend through AQE stages and subqueries — the scan lives inside
+    // a materialized QueryStage after execution
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ (p.children ++ nested ++ p.subqueries).flatMap(allScans)
+    }
+    val plan = df.queryExecution.executedPlan
+    val scans = allScans(plan)
+      .filter(_.tableIdentifier.exists(_.table.startsWith("idx_ivf_seed_")))
+    assert(scans.nonEmpty, s"no FileSourceScan of the ivf table in:\n$plan")
+    // the probe predicate must reach the scan as a PARTITION filter
+    // (the driver-side probe selection becomes a literal IN on
+    // list_id), and the partitions-read metric must equal the
+    // probed-list count — the entire point of PARTITIONED BY list_id
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(f =>
+        f.toString.contains("list_id") && f.toString.contains("IN")),
+      s"no probe-list IN filter on the ivf scan; partitionFilters=${scan.partitionFilters}")
+    val partitionsRead = scan.metrics("numPartitions").value
+    assert(partitionsRead == expected.size.toLong,
+      s"scanned $partitionsRead partitions, expected ${expected.size} (lists $expected)")
+  }
+
   test("IVF index is partitioned by list_id and the indexed search matches the in-plan twin") {
     assume(hasTestData)
     val name = IndexTables.ensureIvfIndex(spark, sf)

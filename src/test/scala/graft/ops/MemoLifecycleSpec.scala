@@ -58,6 +58,36 @@ class MemoLifecycleSpec extends SparkSuite {
     Tables.invalidate(s2)
   }
 
+  test("blocks lost BEHIND the cache's back: next consumer self-heals with a rebuild") {
+    assume(hasTestData)
+    val s2 = spark.newSession()
+    def build() = Tables.memoized("lifecycle_loss", s2, sf) {
+      Tables.documents(s2, sf).groupBy(col("source")).agg(count(lit(1)).as("n"))
+    }
+    val built = build()
+    val before = built.collect().map(_.toSeq).toSet
+    val rddId = checkpointRddId(built)
+
+    // simulate executor loss: strip the checkpoint's blocks without
+    // telling the cache (rdd.unpersist, not Tables.invalidate)
+    GraftShim.analyzed(built) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case other => fail(s"not checkpoint-backed: ${other.nodeName}")
+    }
+    assert(!GraftShim.allBlocksPresent(
+      GraftShim.analyzed(built).asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd),
+      "unpersist left blocks behind — loss simulation is vacuous")
+
+    // the stale entry can only throw; memoized must detect the husk,
+    // drop it, and rebuild — the next consumer sees correct rows
+    val healed = build()
+    assert(checkpointRddId(healed) != rddId,
+      "memo served the block-less husk instead of rebuilding")
+    assert(healed.collect().map(_.toSeq).toSet === before)
+    Tables.invalidate(s2)
+  }
+
   test("invalidate touches only the target session's entries") {
     assume(hasTestData)
     val sA = spark.newSession()
