@@ -34,7 +34,7 @@ object ScaleCheck {
     // dedup family — every blocked/bucketed candidate-generation shape
     "dedup_exact_summary", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_hamming", "dedup_hamming_salted", "dedup_hamming_wide",
-    "dedup_fuzzy_edit",
+    "dedup_hamming_wide_salted", "dedup_fuzzy_edit",
     "dedup_components", "dedup_semantic", "dedup_substr_coverage",
     // ANN family — bounded-candidate top-k paths plus the deliberately
     // linear brute-force ground truth
@@ -199,15 +199,22 @@ object ScaleCheck {
       |  (`dedup_hamming_salted`) bounds per-task work for whatever hot
       |  blocks remain — residual super-linear pair growth comes from
       |  real signature-collapse clusters (degenerate short documents),
-      |  which salting absorbs. At 10⁹+ docs a deployment combines them;
-      |  both are layout parameters, not code changes.
+      |  which salting absorbs. The combined form is a declared query
+      |  (`dedup_hamming_wide_salted`) — at 10⁹+ docs a deployment runs
+      |  exactly that; thresholds are layout parameters, not code
+      |  changes.
       |- **Index economics**: builds are the corpus-sized cost (the
       |  shingle index — one row per token occurrence — is the largest
-      |  relation in the engine and should grow ~linearly); consumers of
-      |  the persisted tables stay flat-to-sublinear because the pair
-      |  join's shuffle AND sort were paid at build time. The first
-      |  build of a process additionally absorbs JVM/codegen warmup —
-      |  compare ratios, not absolute firsts.
+      |  relation in the engine and should grow ~linearly). Consumers of
+      |  the persisted tables avoid re-shuffling/re-sorting the INDEX
+      |  (paid at build time), but their own output-side aggregates are
+      |  honestly LINEAR IN CANDIDATE-PAIR VOLUME — near-dup mass, not
+      |  corpus size, is their driver. The ngram consumer additionally
+      |  prefilters that stream losslessly (size-compatibility: no
+      |  Jaccard ≥ 0.5 pair can differ >2× in shingle count) so the
+      |  pair-count shuffle carries only pairs that can pass the gate.
+      |  The first build of a process additionally absorbs JVM/codegen
+      |  warmup — compare ratios, not absolute firsts.
       |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
