@@ -475,6 +475,19 @@ object ServerMain {
     val root = args.headOption.getOrElse("/tmp/graft-server")
     val port = args.lift(1).map(_.toInt).getOrElse(5123)
     val tier = args.lift(2).orElse(sys.env.get("GRAFT_TIER")).getOrElse("local")
+    // Validate BEFORE anything starts: a malformed value crashing main
+    // after http.start() would leave a degraded server running (the
+    // dispatcher thread is non-daemon) with no maintenance loop and no
+    // shutdown hook; a negative value would make the GC horizon a
+    // FUTURE instant that deletes files under live readers.
+    val gcGrace = sys.env.get("GRAFT_GC_GRACE_HOURS").map { h =>
+      val hours = try h.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GRAFT_GC_GRACE_HOURS must be a whole number of hours, got '$h'")
+      }
+      require(hours > 0, s"GRAFT_GC_GRACE_HOURS must be > 0, got $hours")
+      java.time.Duration.ofHours(hours)
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-log-server")
@@ -489,8 +502,11 @@ object ServerMain {
       makeTier = LogServer.tierNamed(tier)).start()
     // periodic rotation check; marker and TTL sweeps stay opt-in — a
     // time-based marker sweep can break streaming exactly-once when an
-    // outage outlasts the horizon, and retention deletes data
-    server.compactor.startMaintenance(java.time.Duration.ofSeconds(60))
+    // outage outlasts the horizon, and retention deletes data. On the
+    // manifest tier, GRAFT_GC_GRACE_HOURS opts into snapshot GC (the
+    // horizon must exceed the longest reader scan / publish stall).
+    server.compactor.startMaintenance(java.time.Duration.ofSeconds(60),
+      manifestGcGrace = gcGrace)
     println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier")
     sys.addShutdownHook { server.close(); spark.stop() }
     Thread.currentThread.join()

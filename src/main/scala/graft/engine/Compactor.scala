@@ -124,6 +124,16 @@ final class Compactor(store: LogTier,
     *    the operator can bound outage length; it is never on by default.
     *  - `retention` ([[graft.storage.LogStore.retentionSweep]]): deletes
     *    data (file-level TTL), inherently a policy decision.
+    *  - `manifestGcGrace` ([[graft.storage.ManifestLog.expire]], the
+    *    manifest tier's counterpart): snapshot GC of retired files and
+    *    superseded manifests older than the grace horizon — without it
+    *    a served manifest tier grows forever. Opt-in because a horizon
+    *    shorter than the longest reader scan / publish stall deletes
+    *    files in use. The sweep re-reads the manifest history under
+    *    the session's manifest lock, so it runs on its own COARSER
+    *    cadence (~grace/24, capped at hourly, at least every tick) —
+    *    sweeping at the rotation period would buy nothing and block
+    *    append commits behind each scan.
     *
     * Failures are contained per session per operation: one corrupt
     * footer or unlistable directory must not starve every other session
@@ -132,12 +142,16 @@ final class Compactor(store: LogTier,
     * bounded pool. Idempotent to call once; stopped by [[close]]. */
   def startMaintenance(period: java.time.Duration,
                        retention: Option[java.time.Duration] = None,
-                       tagHorizon: Option[java.time.Duration] = None): Unit =
+                       tagHorizon: Option[java.time.Duration] = None,
+                       manifestGcGrace: Option[java.time.Duration] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
       if ((tagHorizon.isDefined || retention.isDefined) && !store.isInstanceOf[LogStore])
         System.err.println("[compactor] tag/retention sweeps requested but the " +
-          "storage tier is not a LogStore — use ManifestLog.expire for GC; sweeps ignored")
+          "storage tier is not a LogStore — use manifestGcGrace for snapshot GC; sweeps ignored")
+      if (manifestGcGrace.isDefined && !store.isInstanceOf[graft.storage.ManifestLog])
+        System.err.println("[compactor] manifestGcGrace requested but the storage " +
+          "tier is not a ManifestLog; GC sweep ignored")
       val sched = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
       })
@@ -145,22 +159,34 @@ final class Compactor(store: LogTier,
         try op catch { case e: Exception =>
           System.err.println(s"[compactor] maintenance $what for $c/$s failed: ${e.getMessage}")
         }
+      // GC cadence: the expire sweep re-reads every retained manifest
+      // under the session's manifest lock — real work, pointless at the
+      // rotation period when the horizon is hours/days. Sweep every
+      // ~grace/24 (hourly at most, every tick at least): tiny test
+      // graces sweep per tick, a 3-day production grace sweeps hourly.
+      val gcEveryTicks = manifestGcGrace.map { g =>
+        math.max(1L, math.min(3600000L, g.toMillis / 24) / math.max(1L, period.toMillis))
+      }.getOrElse(1L)
+      val tick = new java.util.concurrent.atomic.AtomicLong(0L)
       sched.scheduleWithFixedDelay(new Runnable {
         def run(): Unit =
           try {
             val now = java.time.Instant.now()
+            val gcTick = tick.getAndIncrement() % gcEveryTicks == 0
             store.sessions().foreach { case (c, s) =>
               guarded("rotation", c, s)(maybeCompact(c, s))
               // marker/TTL sweeps are LogStore machinery (side-channel
-              // tag markers, file-level TTL); ManifestLog's equivalents
-              // are manifest tombstones + [[ManifestLog.expire]], driven
-              // by the operator, not this loop
+              // tag markers, file-level TTL); the manifest tier's
+              // lifecycle sweep is snapshot GC via expire
               store match {
                 case ls: LogStore =>
                   tagHorizon.foreach(h =>
                     guarded("tag sweep", c, s)(ls.tagSweep(c, s, now.minus(h))))
                   retention.foreach(r =>
                     guarded("retention", c, s)(ls.retentionSweep(c, s, now.minus(r))))
+                case ml: graft.storage.ManifestLog if gcTick =>
+                  manifestGcGrace.foreach(g =>
+                    guarded("manifest gc", c, s)(ml.expire(c, s, now.minus(g))))
                 case _ => ()
               }
             }

@@ -72,6 +72,41 @@ class CompactorSpec extends SparkSuite {
     } finally compactor.close()
   }
 
+  test("maintenance loop over a ManifestLog: rotation + opt-in snapshot GC collect retired files") {
+    val root = tempDir("maint-ml")
+    val store = new graft.storage.ManifestLog(spark, root)
+    val compactor = new Compactor(store, thresholdBytes = 1)
+    try {
+      val b = spark.createDataFrame(
+        Seq(Row(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), "INFO", "x"),
+            Row(Timestamp.from(Instant.parse("2024-01-01T00:01:00Z")), "INFO", "y")).asJava,
+        LogSchema.fileSchema)
+      store.append(b, "c", "s")
+      store.append(b, "c", "s")
+      // small-but-nonzero grace: zero would race compaction's
+      // publish window (a renamed-but-unswapped cold file matches
+      // expire's never-visible rule the instant it lands), aborting
+      // and retrying the compaction — 2 s dwarfs the ms-scale
+      // rename→commit gap while keeping the test fast; no reader is
+      // pinned to an old manifest here
+      compactor.startMaintenance(java.time.Duration.ofMillis(100),
+        manifestGcGrace = Some(java.time.Duration.ofSeconds(2)))
+      def hotFilesOnDisk(): Int = {
+        val d = new java.io.File(s"$root/hot/container=c/session=s")
+        if (!d.isDirectory) 0
+        else d.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet"))
+      }
+      val deadline = System.currentTimeMillis + 480000
+      while ((store.tierStats("c", "s")._3 > 0 || hotFilesOnDisk() > 0) &&
+             System.currentTimeMillis < deadline) Thread.sleep(200)
+      // rotation moved hot → cold (manifest view) AND the GC sweep
+      // deleted the retired hot files from disk, not just the manifest
+      assert(store.tierStats("c", "s")._3 == 0, "maintenance never rotated the manifest session")
+      assert(hotFilesOnDisk() == 0, "snapshot GC left retired hot files on disk")
+      assert(store.read("c", "s").count() === 4)
+    } finally compactor.close()
+  }
+
   test("maintenance loop rotates hot sessions and sweeps expired idempotency markers") {
     val store = new LogStore(spark, tempDir("maint"))
     val compactor = new Compactor(store, thresholdBytes = 1) // any hot byte rotates
