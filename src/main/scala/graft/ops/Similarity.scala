@@ -247,20 +247,29 @@ object Similarity {
     val vs = vectors(s, dir)
     // Probe selection happens DRIVER-SIDE, exactly as in any IVF
     // serving system: ranking nQueries × nprobe probe assignments is a
-    // bounded micro-job (query vectors × broadcast centroids), and the
-    // resulting list ids become a LITERAL partition predicate on the
-    // partitioned index table — static partition pruning the planner
-    // can never decline (the AQE dynamic-pruning path degrades to
-    // `dynamicpruningexpression(true)` when broadcast reuse fails to
-    // canonicalize, silently scanning every list). IndexTablesSpec
-    // asserts partitions read == probed lists. At 10⁹ vectors and
-    // nlist=10⁵ this is the difference between scanning nprobe
-    // inverted lists and scanning the corpus.
-    val lists = probedLists(s, dir, nQueries, nprobe)
+    // bounded micro-job (query vectors × broadcast centroids) run
+    // ONCE — its collected rows become BOTH the literal partition
+    // predicate on the index table AND (as a local relation) the
+    // probe side of the search join, so the serving path pays one
+    // probe computation, not two. The literal predicate is static
+    // partition pruning the planner can never decline (the AQE
+    // dynamic-pruning path degrades to `dynamicpruningexpression(
+    // true)` when broadcast reuse fails to canonicalize, silently
+    // scanning every list). IndexTablesSpec asserts partitions read
+    // == probed lists. At 10⁹ vectors and nlist=10⁵ this is the
+    // difference between scanning nprobe inverted lists and scanning
+    // the corpus.
+    val probesPlan = nearestCentroids(
+      vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+    val probeRows = probesPlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val lists = probeRows
+      .map(r => r.getAs[Number](r.fieldIndex("list_id")).longValue()).distinct.sorted
     val assigned = s.table(IndexTables.ensureIvfIndex(s, dir))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
-    ivfSearch(vs, seedCentroids(vs), assigned, nQueries, k, nprobe)
+    ivfSearchWithProbes(probes, assigned, k)
   }
 
   /** Test seam: the distinct inverted lists the indexed search probes
@@ -278,18 +287,25 @@ object Similarity {
     * ((cent_id, cv, cnorm), broadcast-small) and its matching
     * assignment relation. */
   private def ivfSearch(vs: DataFrame, cents: DataFrame, assigned: DataFrame,
-                        nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    val probes = nearestCentroids(vs.filter(col("vec_id") < nQueries), cents, nprobe, "q")
-    // The probe relation is queries × nprobe rows — ALWAYS the small
-    // side; the assignment relation is all N vectors. Broadcasting the
-    // probes pins that shape (at test scale AQE otherwise broadcasts
-    // the tiny TABLE — the opposite of the deployment plan, where the
-    // assignment side streams partition-pruned off the index).
+                        nQueries: Int, k: Int, nprobe: Int): DataFrame =
+    ivfSearchWithProbes(
+      nearestCentroids(vs.filter(col("vec_id") < nQueries), cents, nprobe, "q"),
+      assigned, k)
+
+  /** The probe-side join itself, over an already-built probe relation
+    * ((q_id, list_id, q_v, q_norm) — in-plan for the twins, a collected
+    * local relation for the indexed serving path). The probe relation
+    * is queries × nprobe rows — ALWAYS the small side; the assignment
+    * relation is all N vectors. Broadcasting the probes pins that
+    * shape (at test scale AQE otherwise broadcasts the tiny TABLE —
+    * the opposite of the deployment plan, where the assignment side
+    * streams partition-pruned off the index). */
+  private def ivfSearchWithProbes(probes: DataFrame, assigned: DataFrame,
+                                  k: Int): DataFrame =
     topK(assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"),
               (dot("q_v", "n_v") / (col("q_norm") * col("n_norm"))).as("cos")), k)
-  }
 
   /** IVF over REFINED centroids — the full train → index → query
     * pipeline in one plan: deterministic seed set → one Lloyd update

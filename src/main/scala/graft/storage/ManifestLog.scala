@@ -42,22 +42,35 @@ import graft.model.LogSchema
   * Manifest commits are a REAL compare-and-swap on the version number
   * — safe for two ManifestLog instances (different JVMs, different
   * nodes) sharing one root, not just two threads of one process:
-  * a committer claims the `v<N+1>` slot with an atomic
-  * create-if-absent (POSIX `link(2)` of a fully-written temp file on
-  * local filesystems — plain `rename` silently REPLACES an existing
-  * destination, the round-7 advice hole; namenode-atomic
-  * `create(overwrite=false)` elsewhere), and a loser re-resolves the
-  * new current entry set, RE-APPLIES its update function against it,
-  * and retries at the next version — so concurrent commits serialize
-  * without a lock and none is ever silently overwritten. Every
-  * manifest carries a `#commit <n>` footer; a manifest without a
-  * valid footer is an in-flight or crashed claim that readers skip
-  * and committers reclaim after [[StaleClaimMs]]. The in-process
-  * lock remains only to keep same-instance committers from burning
-  * CAS retries against each other. Appends that land mid-compaction
-  * are preserved: the swap's update function subtracts only the
-  * snapshot it compacted from whatever the CURRENT entry set is at
-  * commit time — re-applied from scratch on every CAS retry.
+  * a committer claims the `v<N+1>` slot with an atomic,
+  * fully-formed create-if-absent — POSIX `link(2)` of a
+  * fully-written temp file on local filesystems (plain `rename`
+  * silently REPLACES an existing destination, the round-7 advice
+  * hole), temp-file + rename elsewhere (HDFS rename REFUSES an
+  * existing destination atomically at the namenode; object stores
+  * without atomic rename need a real commit coordinator, the same
+  * operational contract the public table formats state). Both paths
+  * publish a COMPLETE manifest or nothing, so a claim is never
+  * observable half-written. A loser re-resolves the new current
+  * entry set, RE-APPLIES its update function against it, and retries
+  * at the next version — concurrent commits serialize without a lock
+  * and none is ever silently overwritten or deleted (a reclaim-by-
+  * delete path would race a competing committer's just-completed
+  * claim and destroy a real commit — this design never deletes at
+  * the commit frontier). Every new manifest carries a `#commit <n>`
+  * footer purely as CORRUPTION detection: a footer/count mismatch is
+  * a loud, operator-actionable error, never silently skipped;
+  * footerless manifests are accepted as complete (the pre-footer
+  * format also published fully-formed files via rename — upgrade
+  * needs no migration). The in-process lock remains only to keep
+  * same-instance committers from burning CAS retries against each
+  * other. Appends that land mid-compaction are preserved: the swap's
+  * update function subtracts only the snapshot it compacted from
+  * whatever the CURRENT entry set is at commit time — re-applied
+  * from scratch on every CAS retry — and DECLINES entirely if a
+  * competing instance's compaction already retired any of that
+  * snapshot (re-adding rows a concurrent swap moved to its own cold
+  * files would duplicate them permanently).
   *
   * Crash safety: a crash between publishing files and committing the
   * manifest leaves unreferenced files — never a wrong manifest — and
@@ -133,9 +146,10 @@ final class ManifestLog(spark: SparkSession, root: String,
 
   /** Latest committed (version, entries); (0, empty) before the first
     * commit. A reader calls this once and scans exactly the result —
-    * snapshot isolation by immutability. Footerless manifests (a
-    * concurrent committer's in-flight claim, or a crashed one) are
-    * skipped: the newest VALID manifest is the committed state. */
+    * snapshot isolation by immutability. CORRUPT manifests (footer/
+    * count mismatch — external damage, never this code's own output)
+    * are skipped so reads degrade to the newest intact state while
+    * [[commit]] surfaces the corruption loudly. */
   private[storage] def resolve(container: String, session: String): (Long, Seq[String]) =
     listManifests(manifestDir(container, session)).reverseIterator.flatMap { st =>
       try Some((st.getPath.getName.stripPrefix("v").toLong, readEntries(st.getPath)))
@@ -145,12 +159,11 @@ final class ManifestLog(spark: SparkSession, root: String,
       }
     }.nextOption().getOrElse((0L, Nil))
 
-  /** How long an invalid (footerless) version file may block its slot
-    * before any committer may reclaim it. On local filesystems the
-    * hard-link publish makes invalid claims impossible; this horizon
-    * only matters on stores where a committer can crash between
-    * create-exclusive and close, and it must exceed the longest such
-    * write (a manifest is a few KiB — a minute is generous). */
+  /** Grace before a CORRUPT version file (footer/count mismatch) at
+    * the commit frontier turns from "maybe a visibility lag on an
+    * eventually-consistent store — retry" into a loud, operator-
+    * actionable failure. Both claim paths publish fully-formed files
+    * atomically, so this code never produces such a file itself. */
   private val StaleClaimMs = 60000L
   private val MaxCommitRetries = 100
 
@@ -183,36 +196,51 @@ final class ManifestLog(spark: SparkSession, root: String,
       throw new IllegalStateException("unreachable")
     }
 
-  /** Atomically claim + write `dst`. False = slot taken (committed
-    * manifest, or a live claim). A footerless claim older than
-    * [[StaleClaimMs]] is a crashed committer's leftover: reclaim it
-    * and take the slot. */
+  /** Atomically claim + write `dst`. False = slot taken (a committed
+    * manifest — new-format, legacy, or a competing claim that just
+    * landed). A CORRUPT file at the slot (footer/count mismatch —
+    * external damage; this code cannot produce one) is retried while
+    * fresh (visibility lag) and then surfaced as a loud error: it is
+    * NEVER deleted here, because a delete-and-reclaim races a
+    * competing committer completing the very same slot and would
+    * destroy a real commit. */
   private def tryPublish(dst: Path, entries: Seq[String]): Boolean = {
     val payload = (entries :+ ManifestLog.footer(entries)).mkString("", "\n", "\n")
       .getBytes("UTF-8")
     if (fs.exists(dst)) {
-      val stale =
-        (try { readEntries(dst); false } catch {
+      val corrupt =
+        try { readEntries(dst); false } catch {
           case _: ManifestLog.IncompleteManifestException => true
           case _: java.io.FileNotFoundException => return tryClaim(dst, payload)
-        }) && {
-          try System.currentTimeMillis() - fs.getFileStatus(dst).getModificationTime > StaleClaimMs
-          catch { case _: java.io.FileNotFoundException => false }
         }
-      if (!stale) return false
-      fs.delete(dst, false) // crashed claim — free the slot
+      if (!corrupt) return false // lost the CAS to a real commit
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(dst).getModificationTime > StaleClaimMs
+        catch { case _: java.io.FileNotFoundException => return tryClaim(dst, payload) }
+      if (!stale) return false // fresh: possibly a visibility lag — caller retries
+      throw new java.io.IOException(
+        s"manifest $dst is corrupt (commit footer mismatch) and older than " +
+        s"${StaleClaimMs / 1000}s — commits for this session are blocked; " +
+        "inspect and remove the file to restore service (this store never " +
+        "writes partial manifests, so this indicates external damage or a " +
+        "filesystem without atomic rename)")
     }
     tryClaim(dst, payload)
   }
 
-  /** The create-if-absent primitive itself. Local filesystems: write a
-    * fully-formed temp file, publish with `Files.createLink` — POSIX
-    * link(2) fails with EEXIST when the destination exists (rename
-    * silently replaces it, which is exactly the lost-commit hole), and
-    * the manifest appears atomically complete. Other stores:
-    * `fs.create(overwrite=false)` — atomic at the HDFS namenode /
-    * object-store conditional put; content is visible at close, and
-    * the footer check covers the in-flight window. */
+  /** The create-if-absent primitive itself — both arms publish a
+    * FULLY-FORMED manifest atomically or nothing at all.
+    *  - Local filesystems: write a fully-written temp file, publish
+    *    with `Files.createLink` — POSIX link(2) fails with EEXIST when
+    *    the destination exists (rename silently replaces it, which is
+    *    exactly the lost-commit hole).
+    *  - Everything else: temp file + `fs.rename` — HDFS rename REFUSES
+    *    an existing destination atomically at the namenode, and the
+    *    content appears whole at rename time, so no reader or
+    *    competing committer can ever observe a partial claim. Object
+    *    stores whose rename is copy+delete need a real commit
+    *    coordinator (operational contract, as in the public table
+    *    formats). */
   private def tryClaim(dst: Path, payload: Array[Byte]): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
       val dir = java.nio.file.Paths.get(dst.getParent.toUri.getPath)
@@ -225,10 +253,14 @@ final class ManifestLog(spark: SparkSession, root: String,
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(tmp)
     case _ =>
-      val out =
-        try fs.create(dst, false)
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false }
-      try { out.write(payload); true } finally out.close()
+      val tmp = new Path(dst.getParent, s".tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!renamed) fs.delete(tmp, false)
+      renamed
   }
 
   /** Append a batch: publish an immutable hot file, then commit it
@@ -431,14 +463,33 @@ final class ManifestLog(spark: SparkSession, root: String,
       // hot snapshot fully intact — re-compaction re-reads it, no loss.
       val retired = snapshot.toSet
       val tombstones = snapshot.flatMap(fileTag).map(tagEntry)
+      // Cross-instance guard: compactLocks is in-process only, so a
+      // compaction on ANOTHER instance can race this one through the
+      // commit CAS. If any file of our snapshot is no longer in the
+      // current entry set, a competing swap already retired it — its
+      // cold files carry those rows. Applying our swap anyway would
+      // re-add the same rows via OUR cold files: permanent row
+      // duplication. Decline the commit (the update returns `cur`
+      // unchanged) and discard our never-referenced cold output; any
+      // hot files the competitor did NOT cover remain hot and a later
+      // compaction handles them.
+      var applied = false
       commit(container, session) { cur =>
-        coldRel.foreach { e =>
-          if (!fs.exists(new Path(abs(e))))
-            throw new java.io.IOException(
-              s"compact: staged cold file $e vanished before the swap " +
-              "(publish stalled past the GC grace window); hot snapshot retained")
+        if (!snapshot.forall(cur.toSet)) { applied = false; cur }
+        else {
+          coldRel.foreach { e =>
+            if (!fs.exists(new Path(abs(e))))
+              throw new java.io.IOException(
+                s"compact: staged cold file $e vanished before the swap " +
+                "(publish stalled past the GC grace window); hot snapshot retained")
+          }
+          applied = true
+          cur.filterNot(retired) ++ coldRel ++ tombstones
         }
-        cur.filterNot(retired) ++ coldRel ++ tombstones
+      }
+      if (!applied) {
+        coldRel.foreach(e => fs.delete(new Path(abs(e)), false))
+        return 0L
       }
       bytes
     }
@@ -519,12 +570,23 @@ final class ManifestLog(spark: SparkSession, root: String,
           if (fs.delete(new Path(dir, f"v$v%020d"), false)) n += 1
         case _ => ()
       }
+      // temp files of claims that crashed between write and rename are
+      // never referenced by anything; collect them once past the horizon
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < cutoff && fs.delete(st.getPath, false)) n += 1
+      }
       n
     }
 
-  /** Parse a manifest, REQUIRING the `#commit <n>` footer: a file
-    * without a valid footer is an in-flight or crashed claim, not a
-    * committed manifest (throws [[ManifestLog.IncompleteManifestException]]). */
+  /** Parse a manifest. A `#commit <n>` footer, when present, must
+    * match the entry count — a mismatch is CORRUPTION (truncation at
+    * rest, external edit) and throws
+    * [[ManifestLog.IncompleteManifestException]]. A manifest with NO
+    * footer is a LEGACY (pre-footer) file and is accepted as complete:
+    * both formats only ever published fully-formed files atomically,
+    * so footer absence encodes format age, not partial state — an
+    * existing root upgrades with no migration. */
   private def readEntries(p: Path): Seq[String] = {
     val in = fs.open(p)
     val txt = try {
@@ -536,8 +598,10 @@ final class ManifestLog(spark: SparkSession, root: String,
     } finally in.close()
     val lines = txt.split("\n").iterator.filter(_.nonEmpty).toSeq
     lines.lastOption match {
-      case Some(f) if f == ManifestLog.footer(lines.init) => lines.init
-      case _ => throw new ManifestLog.IncompleteManifestException(p.toString)
+      case Some(f) if f.startsWith("#commit ") =>
+        if (f == ManifestLog.footer(lines.init)) lines.init
+        else throw new ManifestLog.IncompleteManifestException(p.toString)
+      case _ => lines // legacy pre-footer manifest: complete by construction
     }
   }
 

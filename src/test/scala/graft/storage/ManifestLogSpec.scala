@@ -399,24 +399,85 @@ class ManifestLogSpec extends SparkSuite {
     assert(msgs(a.read("c", "s")) == ("seed" +: (1 to 8).map(i => s"app-$i")).sorted)
   }
 
-  test("a footerless claim is invisible to readers; a STALE one is reclaimed by the next commit") {
+  test("legacy (pre-footer) manifests read as complete and supersede cleanly — no migration") {
     val root = tempDir("mlog")
     val log = new ManifestLog(spark, root)
-    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "committed")), "c", "s")
-    // simulate a committer that crashed between claiming v2 and writing
-    // the footer (possible on HDFS-like stores; impossible locally where
-    // the hard-link publish is atomic)
-    val claimPath = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
-    java.nio.file.Files.write(claimPath.toPath, "hot/container=c/session=s/ghost.parquet\n".getBytes)
-    // readers skip it — committed state is still v1
-    assert(msgs(log.read("c", "s")) == Seq("committed"))
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "old-data")), "c", "s")
+    // rewrite v1 in the PRE-FOOTER format (entries only) — what a root
+    // written by the previous release contains
+    val v1 = new java.io.File(f"$root/manifest/container=c/session=s/v${1L}%020d")
+    val entries = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#commit"))
+    java.nio.file.Files.write(v1.toPath, (entries.mkString("\n") + "\n").getBytes("UTF-8"))
+    // legacy manifest is the committed state, not a crashed claim
+    assert(msgs(log.read("c", "s")) == Seq("old-data"))
     assert(log.resolve("c", "s")._1 == 1L)
-    // age the claim past the stale horizon: the next commit reclaims the
-    // slot instead of failing its CAS forever
-    assert(claimPath.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
-    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "after")), "c", "s")
-    assert(msgs(log.read("c", "s")) == Seq("after", "committed"))
-    val (v, entries) = log.resolve("c", "s")
-    assert(v == 2L && entries.size == 2 && !entries.exists(_.contains("ghost")))
+    // and the next commit builds on it instead of deleting it
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "new-data")), "c", "s")
+    assert(msgs(log.read("c", "s")) == Seq("new-data", "old-data"))
+    assert(log.resolve("c", "s")._1 == 2L)
+  }
+
+  test("a CORRUPT manifest degrades reads to the last intact state and fails commits loudly — never deleted") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "intact")), "c", "s")
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "damaged")), "c", "s")
+    val v2 = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
+    // footer/count mismatch = external damage (this store only ever
+    // publishes fully-formed manifests atomically)
+    val lines = new String(java.nio.file.Files.readAllBytes(v2.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    java.nio.file.Files.write(v2.toPath,
+      (lines.init.mkString("\n") + "\n#commit 99\n").getBytes("UTF-8"))
+    // readers skip the damaged version — last intact state serves
+    assert(msgs(log.read("c", "s")) == Seq("intact"))
+    // a commit against the blocked frontier surfaces the corruption as
+    // an operator-actionable error once the file is old enough to rule
+    // out visibility lag — and must NOT delete the file
+    assert(v2.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    val e = intercept[java.io.IOException] {
+      log.append(batch(("2024-01-01T10:02:00Z", "INFO", "blocked")), "c", "s")
+    }
+    assert(e.getMessage.contains("corrupt"), s"unexpected error: ${e.getMessage}")
+    assert(v2.isFile, "commit path must never delete a manifest file")
+  }
+
+  test("concurrent compactions from two instances: loser declines its swap, rows exactly once") {
+    val root = tempDir("mlog")
+    val a = new ManifestLog(spark, root)
+    val b = new ManifestLog(spark, root)
+    a.append(batch(("2024-01-01T10:00:00Z", "INFO", "r1"),
+                   ("2024-01-01T10:01:00Z", "INFO", "r2")), "c", "s")
+    a.append(batch(("2024-01-01T10:02:00Z", "INFO", "r3")), "c", "s")
+    // hold A after its cold publish, immediately before its swap; let B
+    // compact the SAME hot snapshot to completion in that window
+    val inHook = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    a.beforeSwap = () => { inHook.countDown(); release.await(60, TimeUnit.SECONDS); () }
+    @volatile var aRetired = -1L
+    val ta = new Thread(() => aRetired = a.compact("c", "s"), "race-compact-a")
+    ta.start()
+    assert(inHook.await(120, TimeUnit.SECONDS), "A never reached its swap point")
+    val bRetired = b.compact("c", "s")
+    assert(bRetired > 0L, "B's compaction should have won the race")
+    release.countDown()
+    ta.join(120000)
+    // A must DECLINE: applying its swap would re-add the snapshot's rows
+    // via its own cold files while B's cold files already carry them
+    assert(aRetired == 0L, s"loser compaction reported retired bytes $aRetired")
+    assert(msgs(a.read("c", "s")) == Seq("r1", "r2", "r3"))
+    assert(msgs(b.read("c", "s")) == Seq("r1", "r2", "r3"))
+    // and A's never-referenced cold output was discarded: every cold
+    // file on disk is referenced by the manifest
+    val (_, entries) = a.resolve("c", "s")
+    val coldOnDisk = {
+      val d = new java.io.File(s"$root/cold/container=c/session=s")
+      if (!d.isDirectory) Array.empty[String]
+      else d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+    }
+    val coldReferenced = entries.filter(_.startsWith("cold/")).map(_.split("/").last).toSet
+    assert(coldOnDisk.toSet == coldReferenced,
+      s"cold dir ${coldOnDisk.toSet} != manifest-referenced $coldReferenced")
   }
 }
