@@ -340,6 +340,64 @@ class ManifestLogSpec extends SparkSuite {
     assert(acked.size == writers * batchesPerWriter)
   }
 
+  test("cross-instance chaos: writers on two instances, DUELING compactors and GC on their own — exactly once") {
+    // The multi-node form of the randomized-interleaving property:
+    // every actor runs on its OWN ManifestLog instance over one root,
+    // so nothing is serialized by in-process locks — appends, two
+    // RACING compactors (exercising the decline-the-swap path), and a
+    // continuous GC coordinate purely through the version CAS.
+    val root = tempDir("mlog-chaos2")
+    def inst() = new ManifestLog(spark, root, targetFileBytes = 4096L)
+    val RowsPerBatch = 3
+    val writersPerInstance = 2; val batchesPerWriter = 4
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def guard(f: => Unit): Unit = try f catch { case t: Throwable => errors.add(t) }
+
+    val writerThreads = Seq("A", "B").flatMap { side =>
+      val log = inst()
+      (0 until writersPerInstance).map { w =>
+        new Thread(() => guard {
+          for (i <- 0 until batchesPerWriter) {
+            val tag = s"$side$w-$i"
+            val rows = (0 until RowsPerBatch).map { r =>
+              (f"2024-01-01T${10 + w}%02d:${i}%02d:${r}%02dZ", "INFO", tag)
+            }
+            log.append(batch(rows: _*), "c", "s")
+            acked.add(tag)
+          }
+        }, s"xchaos-writer-$side$w")
+      }
+    }
+    val compactors = Seq(inst(), inst()).zipWithIndex.map { case (log, i) =>
+      new Thread(() => guard {
+        while (!stop.get()) { log.compact("c", "s"); Thread.sleep(10) }
+      }, s"xchaos-compactor-$i")
+    }
+    val gc = { val log = inst(); new Thread(() => guard {
+      while (!stop.get()) {
+        log.expire("c", "s", java.time.Instant.now().minusSeconds(3600))
+        Thread.sleep(20)
+      }
+    }, "xchaos-gc") }
+
+    (writerThreads ++ compactors :+ gc).foreach(_.start())
+    writerThreads.foreach(_.join(180000))
+    stop.set(true)
+    (compactors :+ gc).foreach(_.join(60000))
+    assert(errors.isEmpty, s"background failures: ${errors.peek()}")
+    // verify through a FRESH instance: every acked batch exactly once
+    val fin = inst().read("c", "s").groupBy(col("message")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (side <- Seq("A", "B"); w <- 0 until writersPerInstance; i <- 0 until batchesPerWriter) {
+      val tag = s"$side$w-$i"
+      assert(fin.getOrElse(tag, 0L) == RowsPerBatch.toLong,
+        s"$tag: expected $RowsPerBatch rows, got ${fin.getOrElse(tag, 0L)}")
+    }
+    assert(fin.keySet.size == acked.size, s"unexpected batches: ${fin.keySet -- acked.asScala}")
+  }
+
   test("concurrent appends from many threads all become visible exactly once") {
     val log = new ManifestLog(spark, tempDir("mlog"))
     val threads = (1 to 8).map { i =>
