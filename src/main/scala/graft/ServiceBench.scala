@@ -35,10 +35,81 @@ object ServiceBench {
   /** Measure BOTH storage tiers end-to-end: the single-node LogStore
     * (the reference-parity path, label unchanged for round-over-round
     * comparability) and the cluster ManifestLog (manifest-commit-per-
-    * flush is its extra cost — measured, not guessed; round-8). */
+    * flush is its extra cost — measured, not guessed; round-8), plus
+    * TWO gateways sharing one manifest root (every commit races the
+    * version CAS — the multi-node scaling number). */
   def run(spark: SparkSession): Unit = {
     runTier(spark, "local")
     runTier(spark, "manifest")
+    runManifestDualGateway(spark)
+  }
+
+  /** Two LogServer instances (separate catalogs) over ONE ManifestLog
+    * root, writers split across them — measures what adding a gateway
+    * buys when all commits contend on the same per-session manifest
+    * CAS. Workload totals match [[runTier]] (8 writers × 50 × 100), so
+    * the rows/s line is directly comparable to the single-gateway
+    * manifest number. */
+  private def runManifestDualGateway(spark: SparkSession): Unit = {
+    val shared = Scratch.localDir + s"/svcbench-m2-${System.nanoTime()}"
+    val label = "log_service_throughput_manifest_2gw"
+    var servers: Seq[api.LogServer] = Seq.empty
+    try {
+      servers = (1 to 2).map { i =>
+        new api.LogServer(spark, s"$shared/gw$i", bufferSizeLimit = 64 * 1024,
+          makeTier = (sp, _) => new storage.ManifestLog(sp, s"$shared/data")).start()
+      }
+      val client = HttpClient.newHttpClient()
+      def send(srv: api.LogServer, method: String, path: String, body: Option[String],
+               token: Option[String]): HttpResponse[String] = {
+        var b = HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}$path"))
+        b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+          b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+        token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), BodyHandlers.ofString())
+      }
+      val tokens = servers.map { srv =>
+        val body = send(srv, "POST", "/api/auth/login",
+          Some("""{"username":"admin","password":"admin"}"""), None).body
+        body.split("\"token\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
+      }
+      val nWriters = 8; val nBatches = 50; val rowsPerBatch = 100
+      servers.zip(tokens).foreach { case (srv, tok) =>
+        send(srv, "POST", "/api/containers", Some("""{"container_id":"bench"}"""), Some(tok))
+        (1 to nWriters).foreach { w =>
+          send(srv, "POST", "/api/containers/bench/sessions",
+            Some(s"""{"session_id":"w$w"}"""), Some(tok))
+        }
+      }
+      val appendsOk = new AtomicInteger(0)
+      val errors = new AtomicInteger(0)
+      val writers = (1 to nWriters).map { w =>
+        val gw = (w - 1) % 2 // writers split across the two gateways
+        new Thread(() => {
+          for (b <- 1 to nBatches) {
+            try {
+              val logs = (1 to rowsPerBatch).map(i =>
+                f"""{"level":"INFO","message":"w$w-b$b-r$i payload ${"x" * 64}","timestamp":"2025-01-01T${b % 24}%02d:${i % 60}%02d:00Z"}""")
+                .mkString("[", ",", "]")
+              val r = send(servers(gw), "POST", s"/api/logs/bench/w$w",
+                Some(s"""{"logs":$logs}"""), Some(tokens(gw)))
+              if (r.statusCode == 201) appendsOk.incrementAndGet() else errors.incrementAndGet()
+            } catch { case _: Exception => errors.incrementAndGet() }
+          }
+        }, s"svc2-writer-$w")
+      }
+      val t0 = System.nanoTime()
+      writers.foreach(_.start()); writers.foreach(_.join(300000))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = appendsOk.get.toLong * rowsPerBatch
+      System.err.println(
+        f"[bench] $label%-33s $dt%8.3f s  " +
+        f"ingest ${rows / dt}%.0f rows/s (${appendsOk.get / dt}%.1f posts/s), errors=${errors.get}" +
+        f" [2 gateways x ${nWriters / 2} writers, one shared manifest root, 64KiB rotation]")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+    } finally servers.foreach(s => try s.close() catch { case _: Exception => () })
   }
 
   def runTier(spark: SparkSession, tier: String): Unit = {
