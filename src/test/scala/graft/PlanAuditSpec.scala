@@ -112,4 +112,30 @@ class PlanAuditSpec extends SparkSuite {
       }
     }
   }
+
+  test("no declared query plans an UNPARTITIONED window (single-task global sort)") {
+    // Round-8 retired the last one (emb_covariance's global row_number
+    // → graft_topk); this guard keeps it retired: a WindowExec with an
+    // empty partitionSpec funnels its whole input through ONE task's
+    // sort — at 100 TB that is the difference between a bounded
+    // aggregate and a driver-adjacent bottleneck. Spark prints such
+    // windows as `Window [...], [order...]` with no partition clause
+    // and warns "No Partition Defined"; structurally they are
+    // WindowExec nodes whose partitionSpec is empty.
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!constructive(name)) {
+        val exec = fn(spark, sf).queryExecution.executedPlan
+        val offenders = exec.collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(offenders.isEmpty,
+          s"$name plans ${offenders.size} unpartitioned window(s): " +
+            offenders.map(_.nodeName).mkString(", "))
+      }
+    }
+  }
 }
