@@ -95,6 +95,11 @@ final class LogStore(spark: SparkSession, root: String,
                            idemTag: Option[String]): Long = {
     require(LogSchema.isValidId(container), s"invalid container id: $container")
     require(LogSchema.isValidId(session), s"invalid session id: $session")
+    // the tag becomes a filename AND a marker-file name; a ':' would
+    // parse as a URI scheme in Hadoop Path — filename-safe charset only
+    idemTag.foreach(t => require(t.nonEmpty && t.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"invalid idempotency tag (use letters, digits, '.', '_', '-'): $t"))
     val tag = idemTag.getOrElse(s"append-${UUID.randomUUID()}")
     val target = new Path(s"$hotDir/container=$container/session=$session")
     val dst = new Path(target, s"$tag.parquet")
@@ -188,18 +193,8 @@ final class LogStore(spark: SparkSession, root: String,
     * filesystem reads as an error, not as an empty session (round-2
     * advice: a 200-with-zero-logs on an IO failure also silently
     * disabled size-based rotation). */
-  private def walkFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-    def go(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      try fs.listStatus(d).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
-        else if (st.isDirectory) go(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st)
-        else Seq.empty
-      } catch { case _: java.io.FileNotFoundException => Seq.empty }
-    val p = new Path(dir)
-    if (!fs.exists(p)) Seq.empty else go(p)
-  }
+  private def walkFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    StoreFiles.walkParquet(fs, new Path(dir))
 
   private def listFiles(dir: String): Seq[Path] = walkFiles(dir).map(_.getPath)
 

@@ -60,3 +60,22 @@ trait LogTier {
       (tierStats(container, session), read(container, session).count())
     }
 }
+
+/** Listing rules shared by both stores (one definition, so the tiers
+  * can never diverge on which staged files count as publishable):
+  * recursive descent, hidden (`_`/`.`) names skipped, parquet files
+  * only, vanished directories treated as empty. */
+private[storage] object StoreFiles {
+  def walkParquet(fs: org.apache.hadoop.fs.FileSystem,
+                  dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def go(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) go(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (!fs.exists(dir)) Seq.empty else go(dir)
+  }
+}

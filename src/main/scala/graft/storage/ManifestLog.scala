@@ -188,9 +188,25 @@ final class ManifestLog(spark: SparkSession, root: String,
         // lost the CAS to another instance (or a fresh in-flight claim
         // holds the slot): back off briefly, then re-resolve + re-apply
         attempt += 1
-        if (attempt >= MaxCommitRetries)
+        if (attempt >= MaxCommitRetries) {
+          // Diagnose before blaming contention: a CORRUPT frontier file
+          // younger than the stale grace also makes tryPublish return
+          // false, and without this check it would surface as "lost the
+          // CAS 100 times" — pointing the operator at contention when
+          // the real problem is a damaged file blocking the slot.
+          val frontierCorrupt =
+            fs.exists(dst) && (try { readEntries(dst); false } catch {
+              case _: ManifestLog.IncompleteManifestException => true
+              case _: java.io.FileNotFoundException => false
+            })
           throw new java.io.IOException(
-            s"manifest commit for $container/$session lost the version CAS $attempt times")
+            if (frontierCorrupt)
+              s"manifest $dst is corrupt (commit footer mismatch); commits for " +
+              "this session are blocked — inspect and remove the file to restore " +
+              "service (this store never writes partial manifests)"
+            else
+              s"manifest commit for $container/$session lost the version CAS $attempt times")
+        }
         Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 8L))
       }
       throw new IllegalStateException("unreachable")
@@ -245,7 +261,17 @@ final class ManifestLog(spark: SparkSession, root: String,
     case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
       val dir = java.nio.file.Paths.get(dst.getParent.toUri.getPath)
       val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, payload)
+      // SYNC: the manifest is the acked-commit record — without forcing
+      // the content to stable storage, a power loss after the commit
+      // returns could resurface the file truncated (footer check would
+      // then silently hide the acked batch and eventually block the
+      // frontier). Directory-entry durability of the link itself is the
+      // documented residual gap (fsync(dir) — the table formats accept
+      // the same).
+      java.nio.file.Files.write(tmp, payload,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.SYNC)
       try {
         java.nio.file.Files.createLink(dir.resolve(dst.getName), tmp)
         true
@@ -255,7 +281,10 @@ final class ManifestLog(spark: SparkSession, root: String,
     case _ =>
       val tmp = new Path(dst.getParent, s".tmp-${UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      try out.write(payload) finally out.close()
+      try {
+        out.write(payload)
+        out.hsync() // durable before the rename makes it the commit record
+      } finally out.close()
       val renamed =
         try fs.rename(tmp, dst)
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
@@ -282,9 +311,34 @@ final class ManifestLog(spark: SparkSession, root: String,
     * here for free because the manifest swap is already atomic. */
   def appendIdempotent(df: DataFrame, container: String, session: String,
                        tag: String): Long = {
-    require(tag.nonEmpty && !tag.exists(c => c == '/' || c.isWhitespace),
-      s"invalid idempotency tag: $tag")
+    // the tag becomes a FILENAME component; beyond '/' and whitespace,
+    // a ':' would parse as a URI scheme in Hadoop Path ("tag-batch:7"
+    // → scheme "tag-batch", Wrong-FS errors after the staging write
+    // already ran) — allow only the filename-safe charset
+    require(tag.nonEmpty && tag.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"invalid idempotency tag (use letters, digits, '.', '_', '-'): $tag")
     doAppend(df, container, session, Some(tag))
+  }
+
+  /** Move `src` to `dst` WITHOUT ever replacing an existing `dst`:
+    * hard link + unlink on local filesystems (link(2) fails with
+    * EEXIST where rename silently replaces), rename elsewhere (HDFS
+    * refuses an existing destination atomically). False = dst already
+    * existed (or, on the generic arm, the rename failed — callers that
+    * cannot tolerate a collision treat false as an error). */
+  private def publishExclusive(src: Path, dst: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val s = java.nio.file.Paths.get(src.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, s)
+        java.nio.file.Files.deleteIfExists(s)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case _ =>
+      try fs.rename(src, dst)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
   }
 
   private def tagEntry(tag: String): String = s"#tag $tag"
@@ -317,19 +371,29 @@ final class ManifestLog(spark: SparkSession, root: String,
       throw new java.io.IOException(s"append: staging $staging produced no visible file"))
     val target = new Path(s"$hotDir/container=$container/session=$session")
     fs.mkdirs(target)
+    // Create the manifest dir BEFORE the data file becomes findable: a
+    // crash right after publish would otherwise leave a session with
+    // hot data but no manifest directory — invisible to sessions() and
+    // therefore never reached by the maintenance loop's expire sweep
+    // (a permanent orphan leak).
+    fs.mkdirs(manifestDir(container, session))
     val fileName = idemTag match {
       case Some(t) => s"tag-$t.parquet"
       case None => s"append-${UUID.randomUUID()}.parquet"
     }
     val dst = new Path(target, fileName)
     // A tagged replay racing (or resuming after) another writer of the
-    // same tag targets the same path: its rename fails against the
-    // existing file, which carries the identical batch (the foreachBatch
-    // replay contract) — tolerated, because the COMMIT below is what
-    // decides: it re-checks the tag under the manifest lock and refuses
-    // a duplicate entry. Any other rename failure is a real IO error.
-    if (!fs.rename(st.getPath, dst) && !(idemTag.isDefined && fs.exists(dst)))
-      throw new java.io.IOException(s"append: rename ${st.getPath} -> $dst failed")
+    // same tag targets the same path. Published data files are
+    // IMMUTABLE — snapshot isolation depends on it — so the publish
+    // must never replace an existing file (local-FS rename silently
+    // would: the same wart the manifest claim path avoids). On a tag
+    // collision the FIRST file stands (both carry the identical batch
+    // per the foreachBatch replay contract) and the COMMIT below
+    // decides: it re-checks the tag under the manifest CAS and refuses
+    // a duplicate entry. For UUID-named appends a collision is
+    // impossible, so a failed publish is a real IO error.
+    if (!publishExclusive(st.getPath, dst) && idemTag.isEmpty)
+      throw new java.io.IOException(s"append: publish ${st.getPath} -> $dst failed")
     fs.delete(staging, true)
     var committed = true
     commit(container, session) { cur =>
@@ -445,8 +509,8 @@ final class ManifestLog(spark: SparkSession, root: String,
       fs.mkdirs(target)
       val coldRel = staged.map { st =>
         val dst = new Path(target, s"compact-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(st.getPath, dst))
-          throw new java.io.IOException(s"compact: rename ${st.getPath} -> $dst failed")
+        if (!publishExclusive(st.getPath, dst))
+          throw new java.io.IOException(s"compact: publish ${st.getPath} -> $dst failed")
         rel(dst)
       }
       fs.delete(staging, true)
@@ -536,15 +600,21 @@ final class ManifestLog(spark: SparkSession, root: String,
       // all retained manifests, ascending by version, with entry sets;
       // one vanished mid-read (a concurrent remote sweep) is skipped —
       // its deletion means its successor already predated some horizon
-      // incomplete (footerless) claims are skipped like vanished ones:
-      // they are not committed state, and tryPublish owns reclaiming them
+      // corrupt manifests are excluded from the retained chain (readers
+      // skip them too); those BELOW the latest valid version are dead
+      // weight and swept below once past the horizon — a corrupt file
+      // AT the frontier is kept so commit() can surface it loudly
+      var corrupt: List[(Long, Long)] = Nil // (version, mtime)
       val manifests: Seq[(Long, Long, Set[String])] =
         listManifests(dir).flatMap { st =>
           try Some((st.getPath.getName.stripPrefix("v").toLong,
                     st.getModificationTime, readEntries(st.getPath).toSet))
           catch {
             case _: java.io.FileNotFoundException => None
-            case _: ManifestLog.IncompleteManifestException => None
+            case _: ManifestLog.IncompleteManifestException =>
+              corrupt ::= (st.getPath.getName.stripPrefix("v").toLong,
+                           st.getModificationTime)
+              None
           }
         }
       var n = 0L
@@ -576,6 +646,29 @@ final class ManifestLog(spark: SparkSession, root: String,
         if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
             st.getModificationTime < cutoff && fs.delete(st.getPath, false)) n += 1
       }
+      // corrupt version files strictly below the latest retained valid
+      // version serve no one (readers skip them, commit never revisits
+      // old slots) — sweep them once past the horizon so external
+      // damage doesn't accumulate forever
+      manifests.lastOption.foreach { case (latest, _, _) =>
+        corrupt.foreach { case (v, mtime) =>
+          if (v < latest && mtime < cutoff &&
+              fs.delete(new Path(dir, f"v$v%020d"), false)) n += 1
+        }
+      }
+      // crashed appends' root-level staging dirs: a long-lived instance
+      // never re-runs the constructor sweep, so collect them here —
+      // under BOTH the caller's grace AND the constructor's 24 h
+      // in-flight-writer bound (a parquet staging write can churn for
+      // a long time without touching the top dir's mtime)
+      val stagingCutoff = math.min(cutoff,
+        System.currentTimeMillis() - StagingSweepAgeMs)
+      val rootPath = new Path(root)
+      if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
+            st.getModificationTime < stagingCutoff &&
+            fs.delete(st.getPath, true)) n += 1
+      }
       n
     }
 
@@ -605,18 +698,11 @@ final class ManifestLog(spark: SparkSession, root: String,
     }
   }
 
-  /** Recursive parquet listing (same hidden-file rules as LogStore). */
-  private def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-    def go(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      try fs.listStatus(d).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
-        else if (st.isDirectory) go(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st)
-        else Seq.empty
-      } catch { case _: java.io.FileNotFoundException => Seq.empty }
-    if (!fs.exists(dir)) Seq.empty else go(dir)
-  }
+  /** Recursive parquet listing — the one shared definition
+    * ([[StoreFiles.walkParquet]]), so the two tiers can never diverge
+    * on which staged files count as publishable. */
+  private def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    StoreFiles.walkParquet(fs, dir)
 }
 
 object ManifestLog {

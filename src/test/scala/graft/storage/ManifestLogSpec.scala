@@ -501,6 +501,37 @@ class ManifestLogSpec extends SparkSuite {
     assert(v2.isFile, "commit path must never delete a manifest file")
   }
 
+  test("expire sweeps corrupt manifests BELOW the frontier and aged staging dirs; frontier corruption is kept for diagnosis") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c", "s")
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "b")), "c", "s")
+    log.append(batch(("2024-01-01T10:02:00Z", "INFO", "c")), "c", "s")
+    // damage v2 (below the v3 frontier) and age it past the horizon
+    val v2 = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
+    java.nio.file.Files.write(v2.toPath, "hot/ghost.parquet\n#commit 9\n".getBytes)
+    assert(v2.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    // plant a crashed append's staging dir, older than the 24h writer bound
+    val staging = new java.io.File(s"$root/.staging-deadbeef")
+    assert(staging.mkdirs())
+    assert(staging.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    log.expire("c", "s", java.time.Instant.now())
+    assert(!v2.isFile, "corrupt below-frontier manifest should be swept")
+    assert(!staging.isDirectory, "aged staging dir should be swept by expire")
+    assert(msgs(log.read("c", "s")) == Seq("a", "b", "c"))
+  }
+
+  test("idempotency tags are filename-safe on both stores (':' would parse as a Path scheme)") {
+    val ml = new ManifestLog(spark, tempDir("mlog"))
+    intercept[IllegalArgumentException] {
+      ml.appendIdempotent(batch(("2024-01-01T10:00:00Z", "INFO", "x")), "c", "s", "batch:7")
+    }
+    val ls = new LogStore(spark, tempDir("lstore"))
+    intercept[IllegalArgumentException] {
+      ls.appendIdempotent(batch(("2024-01-01T10:00:00Z", "INFO", "x")), "c", "s", "batch:7")
+    }
+  }
+
   test("concurrent compactions from two instances: loser declines its swap, rows exactly once") {
     val root = tempDir("mlog")
     val a = new ManifestLog(spark, root)
