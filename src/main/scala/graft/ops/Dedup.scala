@@ -469,7 +469,7 @@ object Dedup {
     * chunk-scheme-specific dedup filter — so any blocking whose key
     * fits the (j, ck) shape can reuse it: single chunks use j = chunk
     * index, and the wide pair-of-chunks scheme packs (c, k1, k2) into
-    * (j = c, ck = k1·2¹⁶ + k2) ([[hammingNearDupWideSalted]]).
+    * (j = c, ck = k1·2³² + k2) ([[hammingNearDupWideSalted]]).
     * Output: (doc_a, doc_b, ha, hb, j) candidate pairs, doc-ordered. */
   private[ops] def saltedRawPairs(chunks: DataFrame,
       saltThreshold: Int, subBlock: Int): DataFrame = {
@@ -698,11 +698,19 @@ object Dedup {
     * boilerplate collapsing two chunks at once — hash-splits into salt
     * groups with per-task work bounded by `subBlock²`. The combo key
     * (c, k1, k2) packs losslessly into the salting core's (j, ck)
-    * shape as (c, k1·2¹⁶ + k2): chunk masks are ≤ 13 bits, so the
+    * shape as (c, k1·2³² + k2): chunk masks are ≤ 22 bits for any
+    * admissible nChunks, so the
     * packing is a bijection and block membership is unchanged.
     * Row-identical to [[hammingNearDupWide]] and [[hammingNearDup]]
     * (same pigeonhole exactness, same oracle); DedupSaltingSpec
-    * property-proves the identity over the combo keys. */
+    * property-proves the identity over the combo keys.
+    *
+    * The pack shifts k1 by 32 bits: chunk masks are at most
+    * ⌈64/nChunks⌉ ≤ 22 bits for any nChunks ≥ 3, so the packing is a
+    * bijection for every shape the `require` admits (a 16-bit shift
+    * would alias distinct combos at nChunks = 3, merging unrelated
+    * blocks and defeating exactly the per-key bound salting provides —
+    * rows would stay correct, the GUARD would silently weaken). */
   def hammingNearDupWideSalted(s: SparkSession, dir: String, maxDist: Int = 3,
       nChunks: Int = 5, saltThreshold: Int = 16, subBlock: Int = 8): DataFrame =
     hammingNearDupWideSaltedFrom(simhashRaw(s, dir), maxDist, nChunks,
@@ -718,7 +726,7 @@ object Dedup {
       s"(got maxDist=$maxDist, nChunks=$nChunks)")
     val packed = comboRelation(sh, nChunks)
       .select(col("doc_id"), col("simhash"), col("c").as("j"),
-              expr("shiftleft(k1, 16) + k2").as("ck"))
+              expr("shiftleft(k1, 32) + k2").as("ck"))
     saltedRawPairs(packed, saltThreshold, subBlock)
       .withColumnRenamed("j", "c")
       .filter(col("c") === firstAgreeingCombo(nChunks))

@@ -97,8 +97,17 @@ object IndexTables {
     * straight off the scan — no per-query size aggregate, no post-
     * aggregation joins. */
   def ensureShingleIndex(s: SparkSession, dir: String): String =
-    ensure(s, s"idx_shingles_${tag(dir)}", Seq("s")) {
-      val sh = Dedup.cappedShingles(s, dir)
+    // v2: schema gained the denormalized `n` — the LAYOUT version lives
+    // in the table name (like ensureChunkIndex's nChunks), so a catalog
+    // that outlives the binary never serves the old 2-column layout to
+    // a consumer that selects `n`
+    ensure(s, s"idx_shingles_v2_${tag(dir)}", Seq("s")) {
+      // checkpoint once: the DF-cap pipeline (per-shingle DF aggregate
+      // + broadcast anti-join over the corpus-sized shingle relation)
+      // feeds BOTH sides of the size join — without it the whole cap
+      // machinery executes twice in the one write job (the same reason
+      // shinglePairStats checkpoints it)
+      val sh = Dedup.cappedShingles(s, dir).localCheckpoint()
       val sizes = sh.groupBy(org.apache.spark.sql.functions.col("doc_id"))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))

@@ -747,6 +747,12 @@ object Similarity {
         (col("sxy").cast("double") / col("n")
           - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
         / 1000000000000.0)
+    // k <= 0 = "report disabled": the retired window form returned
+    // empty rows for it, and graft_topk rejects non-positive k at
+    // analysis time — keep the old contract instead of crashing
+    if (k <= 0)
+      return cov.select(col("i"), col("j"), col("cov"),
+        lit(0L).as("rk")).limit(0)
     // Global top-k via the in-house bounded aggregate instead of a
     // single-partition row_number window (round-8, closing the last
     // unpartitioned WindowExec in the engine): partial k-pair buffers

@@ -64,10 +64,16 @@ object Tables {
       // our back (an unpersist we didn't issue; on a cluster, a dead
       // executor) — a localCheckpoint has no lineage to recompute from,
       // so every consumer of the stale entry would fail at action time.
-      // Drop the husk and rebuild; the loser of a concurrent rebuild
-      // race is unreferenced blocks the ContextCleaner reaps (round-8,
-      // closing the round-6 recoverability advice).
-      if (existing != null) relCache.remove(key, existing)
+      // Drop the husk, eagerly free whatever partitions SURVIVED (a
+      // partial executor loss leaves live blocks that would otherwise
+      // stay pinned until the ContextCleaner reaps the husk), and
+      // rebuild; the loser of a concurrent rebuild race is unreferenced
+      // blocks the ContextCleaner reaps (round-8, closing the round-6
+      // recoverability advice).
+      if (existing != null) {
+        relCache.remove(key, existing)
+        try unpersistCheckpoint(existing) catch { case _: Exception => () }
+      }
       val built = build.localCheckpoint()
       val prev = relCache.putIfAbsent(key, built)
       if (prev != null) prev else built

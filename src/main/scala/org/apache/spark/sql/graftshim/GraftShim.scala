@@ -29,11 +29,18 @@ object GraftShim {
     * (BlockManager is `private[spark]`; this is the access shim.) */
   def allBlocksPresent(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
     if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) return false
-    val master = org.apache.spark.SparkEnv.get.blockManager.master
-    val ids: Array[org.apache.spark.storage.BlockId] =
-      rdd.partitions.map(p =>
-        org.apache.spark.storage.RDDBlockId(rdd.id, p.index)
-          : org.apache.spark.storage.BlockId)
-    master.getLocations(ids).forall(_.nonEmpty)
+    // A context racing into stop() nulls SparkEnv / kills the master
+    // endpoint; report "healthy" in that case so the caller returns the
+    // cached value and the ACTION fails with Spark's clean
+    // shut-down error, instead of an NPE escaping from a cache probe.
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null || rdd.sparkContext.isStopped) return true
+    try {
+      val ids: Array[org.apache.spark.storage.BlockId] =
+        rdd.partitions.map(p =>
+          org.apache.spark.storage.RDDBlockId(rdd.id, p.index)
+            : org.apache.spark.storage.BlockId)
+      env.blockManager.master.getLocations(ids).forall(_.nonEmpty)
+    } catch { case _: NullPointerException => true }
   }
 }
