@@ -87,6 +87,36 @@ object IndexTables {
       Dedup.chunkRelation(Dedup.simhashRaw(s, dir), nChunks)
     }
 
+  /** INCREMENTAL index maintenance: append newly-ingested documents'
+    * chunk rows to the persisted chunk index WITHOUT a rebuild — the
+    * operation an ingest pipeline runs per accepted batch so the
+    * admission gate and the dedup consumers see new documents
+    * immediately. The append writes with the SAME bucket spec, so
+    * bucket-local join locality is preserved (consumers still plan
+    * Exchange-free; IndexTablesSpec proves it over an appended table).
+    * What appends DO cost is one extra file per touched bucket: the
+    * write-time "one file per bucket" sort-elision degrades until the
+    * next rebuild re-clusters — the small-file/re-cluster trade every
+    * table format makes for incremental ingest (call
+    * [[ensureChunkIndex]] after dropping the table, or rebuild on a
+    * maintenance cadence, to restore the single-file layout).
+    * `newDocs` is a (doc_id, text) relation; returns rows appended. */
+  def appendToChunkIndex(s: SparkSession, dir: String, nChunks: Int,
+                         newDocs: DataFrame): Long = {
+    val name = ensureChunkIndex(s, dir, nChunks)
+    val rows = Dedup.chunkRelation(Dedup.simhashOf(newDocs), nChunks)
+    val n = rows.count()
+    rows
+      .repartition(Buckets,
+        org.apache.spark.sql.functions.col("j"),
+        org.apache.spark.sql.functions.col("ck"))
+      .write
+      .bucketBy(Buckets, "j", "ck")
+      .sortBy("j", "ck")
+      .mode("append").saveAsTable(name)
+    n
+  }
+
   /** DF-capped shingle index: (doc_id, s, n) bucketed by the 60-bit
     * shingle key — the join key of n-gram pair generation and of every
     * decontamination probe. Hot (>20%-DF) shingles never enter the
@@ -130,4 +160,32 @@ object IndexTables {
         .write.partitionBy("list_id")
         .mode("overwrite").saveAsTable(n)
     }
+
+  /** INCREMENTAL IVF maintenance: assign newly-ingested embeddings
+    * under the FROZEN seed quantizer and append them into their lists'
+    * partitions — no rebuild, probes see new vectors immediately, and
+    * partition pruning is untouched (appends only add files inside
+    * existing/new `list_id=` partitions). `newVecs` is (vec_id,
+    * embedding); returns vectors appended.
+    *
+    * Which indexes maintain incrementally is a property of the index's
+    * STATISTICS, not of this code: signature chunks (stateless per-doc
+    * rows) and IVF lists (frozen quantizer) append cleanly; the
+    * DF-capped shingle index does NOT — its cap is corpus-relative, so
+    * correct maintenance requires updating document frequencies (a
+    * periodic rebuild, exactly like a search engine's segment merge). */
+  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
+    val name = ensureIvfIndex(s, dir)
+    val assigned = Similarity.assignNew(s, dir, newVecs)
+    val n = assigned.count()
+    // saveAsTable(append) resolves columns BY NAME against the catalog
+    // schema (insertInto is positional — a silent column swap hazard
+    // with partition columns reordered to the end)
+    assigned
+      .repartition(org.apache.spark.sql.functions.col("list_id"))
+      .write.mode("append").format("parquet")
+      .partitionBy("list_id") // must restate the table's partition spec
+      .saveAsTable(name)
+    n
+  }
 }

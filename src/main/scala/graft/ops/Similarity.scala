@@ -234,6 +234,21 @@ object Similarity {
       nearestCentroids(vs, seedCentroids(vs), 1, "n")
     }
 
+  /** Assign NEWLY-INGESTED embeddings under the FROZEN seed quantizer
+    * (standard IVF serving: the centroid set never moves at ingest
+    * time, only at retrain) — the incremental-maintenance seam for
+    * [[IndexTables.appendToIvfIndex]]. `newVecs` is (vec_id,
+    * embedding) in the embeddings-table shape; output matches the
+    * persisted index columns (n_id, list_id, n_v, n_norm). */
+  private[ops] def assignNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val normed = newVecs
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    nearestCentroids(normed, seedCentroids(vectors(s, dir)), 1, "n")
+  }
+
   /** [[ivfTopK]] reading the PERSISTED inverted-list table
     * ([[IndexTables.ensureIvfIndex]]) instead of the memoized
     * assignment — the serving shape of an IVF deployment: the

@@ -164,6 +164,65 @@ class IndexTablesSpec extends SparkSuite {
     assert(plan.contains(name), s"expected a scan of $name in:\n$plan")
   }
 
+  test("chunk index maintains INCREMENTALLY: appended docs stay exchange-free and immediately findable") {
+    assume(hasTestData)
+    // nChunks=5 → a dedicated table; the shared nChunks=4 index other
+    // tests compare against the in-plan twin stays untouched
+    val name = IndexTables.ensureChunkIndex(spark, sf, 5)
+    val before = spark.table(name).count()
+    // the new doc is an exact text twin of an existing one: identical
+    // simhash, so the blocked join must surface the pair at distance 0
+    val existing = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1).collect()(0)
+    val newId = 900000001L
+    val newDoc = spark.createDataFrame(Seq((newId, existing.getString(1))))
+      .toDF("doc_id", "text")
+    assert(IndexTables.appendToChunkIndex(spark, sf, 5, newDoc) == 5L)
+    val idx = spark.table(name)
+    assert(idx.count() == before + 5)
+    // bucket locality survives the append: the candidate self-join over
+    // the appended table still plans with no Exchange on either side
+    withNoBroadcast {
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"appended index lost bucket-join locality:\n$plan")
+    }
+    // and the appended doc is immediately findable as a near-dup
+    val hit = Dedup.pairsFromChunks(idx, 5)
+      .filter(col("doc_b") === newId &&
+              col("doc_a") === existing.getLong(0))
+      .select(expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("dist"))
+      .collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 0L,
+      s"appended twin not found at distance 0: ${hit.toSeq}")
+  }
+
+  test("IVF index maintains INCREMENTALLY: new vectors land in their frozen-quantizer lists") {
+    // a dedicated dir (no other suite builds sf0.01 tables), so the
+    // mutation can't race the sf0.001 twin-identity tests
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").isFile)
+    val name = IndexTables.ensureIvfIndex(spark, dir)
+    val before = spark.table(name).count()
+    // the new vector is an exact copy of an existing non-centroid
+    // vector: the frozen quantizer must assign it to its twin's list
+    val twin = graft.ops.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0L).select(col("embedding")).head().getSeq[Float](0)
+    val newId = 900000001L
+    val newDf = spark.createDataFrame(Seq((newId, twin))).toDF("vec_id", "embedding")
+    assert(IndexTables.appendToIvfIndex(spark, dir, newDf) == 1L)
+    val idx = spark.table(name)
+    assert(idx.count() == before + 1)
+    def listOf(id: Long): Long =
+      idx.filter(col("n_id") === id).select(col("list_id").cast("long")).head().getLong(0)
+    assert(listOf(newId) == listOf(0L),
+      "appended twin vector not assigned to its twin's inverted list")
+  }
+
   test("index builds are idempotent per catalog (second ensure is a no-op)") {
     assume(hasTestData)
     val t1 = IndexTables.ensureChunkIndex(spark, sf, 4)
