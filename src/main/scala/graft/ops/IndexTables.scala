@@ -102,9 +102,23 @@ object IndexTables {
     * maintenance cadence, to restore the single-file layout).
     * `newDocs` is a (doc_id, text) relation; returns rows appended. */
   def appendToChunkIndex(s: SparkSession, dir: String, nChunks: Int,
-                         newDocs: DataFrame): Long = {
+                         newDocs: DataFrame): Long =
+    appendChunkSignatures(s, dir, nChunks, Dedup.simhashOf(newDocs))
+
+  /** [[appendToChunkIndex]] over an already-signed (doc_id, simhash)
+    * relation — the streaming admission gate's shape: it computed the
+    * signatures to probe the index, and the ADMITTED ones go straight
+    * back in (re-hashing the text would double the work). The append
+    * is AT-LEAST-ONCE: a replayed batch adds duplicate rows, which the
+    * presence-based GATE tolerates (a duplicate candidate still flags
+    * the same pair), while the exactly-once dedup REPORT twins read a
+    * rebuilt index — exactly the replica-vs-ledger split every search
+    * deployment makes between its serving segments and its batch
+    * rebuilds. */
+  def appendChunkSignatures(s: SparkSession, dir: String, nChunks: Int,
+                            sigs: DataFrame): Long = {
     val name = ensureChunkIndex(s, dir, nChunks)
-    val rows = Dedup.chunkRelation(Dedup.simhashOf(newDocs), nChunks)
+    val rows = Dedup.chunkRelation(sigs, nChunks)
     val n = rows.count()
     rows
       .repartition(Buckets,
@@ -114,7 +128,21 @@ object IndexTables {
       .bucketBy(Buckets, "j", "ck")
       .sortBy("j", "ck")
       .mode("append").saveAsTable(name)
+    refreshBoth(s, sigs, name)
     n
+  }
+
+  /** Invalidate the cached table relation in BOTH sessions that may
+    * hold it: the caller's and the one the written rows derive from.
+    * Inside a Structured Streaming `foreachBatch`, the batch DataFrame
+    * belongs to a CLONED session — its write auto-refreshes only the
+    * clone's catalog, and the main session (plus every future
+    * micro-batch clone, which copies the main session's state) would
+    * keep serving the PRE-APPEND file listing: appended rows exist on
+    * disk but are invisible to every subsequent probe. */
+  private def refreshBoth(s: SparkSession, written: DataFrame, name: String): Unit = {
+    written.sparkSession.catalog.refreshTable(name)
+    if (!(written.sparkSession eq s)) s.catalog.refreshTable(name)
   }
 
   /** DF-capped shingle index: (doc_id, s, n) bucketed by the 60-bit
@@ -186,6 +214,7 @@ object IndexTables {
       .write.mode("append").format("parquet")
       .partitionBy("list_id") // must restate the table's partition spec
       .saveAsTable(name)
+    refreshBoth(s, assigned, name)
     n
   }
 }
