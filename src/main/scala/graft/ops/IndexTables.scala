@@ -61,20 +61,28 @@ object IndexTables {
 
   private def ensure(s: SparkSession, name: String, bucketCols: Seq[String])
                     (build: => DataFrame): String =
-    ensureWith(s, name) { n =>
-      // Repartition on the bucket keys so each bucket is written as ONE
-      // file: Spark only treats a bucketed scan as pre-sorted (eliding
-      // the per-query Sort under a sort-merge join) when a bucket has a
-      // single file — with the task-parallel default layout the sortBy
-      // metadata is unusable and every consumer re-sorts. At 100 TB the
-      // same rule holds per bucket; the bucket COUNT is what scales.
-      build
-        .repartition(Buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
-        .write
-        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .mode("overwrite").saveAsTable(n)
-    }
+    ensureWith(s, name)(n => writeBucketed(build, n, bucketCols, "overwrite"))
+
+  /** THE bucketed-table writer — one definition for builds and appends,
+    * so the two paths can never diverge on the bucket spec (a mismatch
+    * surfaces as an append-time failure or a silently degraded
+    * Exchange-free plan). Repartition on the bucket keys so each
+    * bucket is written as ONE file per job: Spark only treats a
+    * bucketed scan as pre-sorted (eliding the per-query Sort under a
+    * sort-merge join) when a bucket has a single file — with the
+    * task-parallel default layout the sortBy metadata is unusable and
+    * every consumer re-sorts. At 100 TB the same rule holds per
+    * bucket; the bucket COUNT is what scales. (Appends add one file
+    * per touched bucket per batch — the sort-elision degrades until a
+    * rebuild re-clusters, the standard incremental-ingest trade.) */
+  private def writeBucketed(df: DataFrame, name: String,
+                            bucketCols: Seq[String], mode: String): Unit =
+    df
+      .repartition(Buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(mode).saveAsTable(name)
 
   /** SimHash pigeonhole chunk index: (doc_id, simhash, j, ck) bucketed
     * AND sorted by (j, ck) — the exact keys of the blocked candidate
@@ -118,17 +126,15 @@ object IndexTables {
   def appendChunkSignatures(s: SparkSession, dir: String, nChunks: Int,
                             sigs: DataFrame): Long = {
     val name = ensureChunkIndex(s, dir, nChunks)
-    val rows = Dedup.chunkRelation(sigs, nChunks)
+    // checkpoint: the chunk explosion feeds the returned count AND the
+    // write — without it the plan (and its re-read of the micro-batch
+    // source) executes twice per append
+    val rows = Dedup.chunkRelation(sigs, nChunks).localCheckpoint()
     val n = rows.count()
-    rows
-      .repartition(Buckets,
-        org.apache.spark.sql.functions.col("j"),
-        org.apache.spark.sql.functions.col("ck"))
-      .write
-      .bucketBy(Buckets, "j", "ck")
-      .sortBy("j", "ck")
-      .mode("append").saveAsTable(name)
-    refreshBoth(s, sigs, name)
+    if (n > 0) {
+      writeBucketed(rows, name, Seq("j", "ck"), "append")
+      refreshBoth(s, sigs, name)
+    }
     n
   }
 
@@ -204,17 +210,24 @@ object IndexTables {
     * periodic rebuild, exactly like a search engine's segment merge). */
   def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
     val name = ensureIvfIndex(s, dir)
-    val assigned = Similarity.assignNew(s, dir, newVecs)
+    // checkpoint: the crossJoin-assignment feeds the count AND the
+    // write — one execution, not two, per ingest batch
+    val assigned = Similarity.assignNew(s, dir, newVecs).localCheckpoint()
     val n = assigned.count()
-    // saveAsTable(append) resolves columns BY NAME against the catalog
-    // schema (insertInto is positional — a silent column swap hazard
-    // with partition columns reordered to the end)
-    assigned
-      .repartition(org.apache.spark.sql.functions.col("list_id"))
-      .write.mode("append").format("parquet")
-      .partitionBy("list_id") // must restate the table's partition spec
-      .saveAsTable(name)
-    refreshBoth(s, assigned, name)
+    if (n > 0) {
+      // saveAsTable(append) resolves columns BY NAME against the
+      // catalog schema (insertInto is positional — a silent column
+      // swap hazard with partition columns reordered to the end). No
+      // format(): the table's provider is whatever ensureIvfIndex
+      // created it with (the session default) — restating one here
+      // would break the append under any other default.
+      assigned
+        .repartition(org.apache.spark.sql.functions.col("list_id"))
+        .write.mode("append")
+        .partitionBy("list_id") // must restate the table's partition spec
+        .saveAsTable(name)
+      refreshBoth(s, assigned, name)
+    }
     n
   }
 }

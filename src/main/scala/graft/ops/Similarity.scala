@@ -33,11 +33,22 @@ object Similarity {
     // start here; the cast + norm run at scan rate but each consumer
     // otherwise re-reads the embedding parquet and re-norms every row.
     Tables.memoized("vectors", s, dir) {
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+      normify(Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding")))
     }
+  }
+
+  /** THE normed-vector projection — one definition, because the cast
+    * and norm are oracle contract: a drifted copy would score new
+    * vectors under a different norm convention than the persisted
+    * index rows. Registers `graft_dot` on the input's OWN session
+    * (which, inside a foreachBatch, is a clone with its own function
+    * registry). */
+  private def normify(emb: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .drop("embedding")
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
   }
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
@@ -240,14 +251,12 @@ object Similarity {
     * [[IndexTables.appendToIvfIndex]]. `newVecs` is (vec_id,
     * embedding) in the embeddings-table shape; output matches the
     * persisted index columns (n_id, list_id, n_v, n_norm). */
-  private[ops] def assignNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
-    graft.functions.DotProduct.register(s)
-    val normed = newVecs
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-    nearestCentroids(normed, seedCentroids(vectors(s, dir)), 1, "n")
-  }
+  private[ops] def assignNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame =
+    // normify registers graft_dot on newVecs' OWN session — inside a
+    // foreachBatch that is a clone whose registry predates any main-
+    // session registration, and the expressions analyze there
+    nearestCentroids(normify(newVecs.select(col("vec_id"), col("embedding"))),
+                     seedCentroids(vectors(s, dir)), 1, "n")
 
   /** [[ivfTopK]] reading the PERSISTED inverted-list table
     * ([[IndexTables.ensureIvfIndex]]) instead of the memoized

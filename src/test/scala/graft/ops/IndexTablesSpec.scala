@@ -202,8 +202,9 @@ class IndexTablesSpec extends SparkSuite {
   }
 
   test("IVF index maintains INCREMENTALLY: new vectors land in their frozen-quantizer lists") {
-    // a dedicated dir (no other suite builds sf0.01 tables), so the
-    // mutation can't race the sf0.001 twin-identity tests
+    // mutates sf0.01's IVF table only — disjoint from the sf0.001
+    // twin-identity tables and from StreamingNearDupSpec's sf0.01
+    // CHUNK-index mutation, so parallel suites cannot race
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").isFile)
     val name = IndexTables.ensureIvfIndex(spark, dir)

@@ -107,15 +107,13 @@ class StreamingNearDupSpec extends SparkSuite {
     // persisted chunk index → flag near-dups → append the ADMITTED
     // signatures back into the index (IndexTables.appendChunkSignatures)
     // — so later batches near-dup-check against earlier STREAM batches,
-    // not just the static corpus. Runs against sf0.01's index (no other
-    // suite builds that dir's tables, so the mutation races nothing).
+    // not just the static corpus. Mutates sf0.01's CHUNK index table
+    // only (idx_simhash_chunks_4_*); IndexTablesSpec's incremental
+    // tests mutate sf0.01's IVF table and sf0.001's nChunks=5 chunk
+    // table — disjoint from this one, so parallel suites cannot race.
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/documents.parquet").isFile)
     val novel = 0x0f0f5a5a3c3cc3c3L // far from any corpus signature
-    val in = tempDir("neardup-maint-in")
-    Files.write(Paths.get(in, "b1.json"),
-      s"""{"doc_id":9101,"simhash":$novel}""".getBytes)
-
     val hits = mutable.Buffer.empty[(Long, Long, Long)]
     def gateBatch(batch: DataFrame): Unit = {
       val found = Dedup.nearDupAgainstIndex(batch, spark, dir, maxDist = 3)
@@ -125,8 +123,8 @@ class StreamingNearDupSpec extends SparkSuite {
       val admitted = batch.filter(!col("doc_id").isin(flagged.toSeq: _*))
       graft.ops.IndexTables.appendChunkSignatures(spark, dir, 4, admitted)
     }
-    def runBatchFile(): Unit = {
-      val q = spark.readStream.schema(sigSchema).json(in)
+    def runGated(srcDir: String): Unit = {
+      val q = spark.readStream.schema(sigSchema).json(srcDir)
         .writeStream.outputMode("append")
         .option("checkpointLocation", tempDir("neardup-maint-ckpt"))
         .trigger(Trigger.AvailableNow())
@@ -134,7 +132,10 @@ class StreamingNearDupSpec extends SparkSuite {
         .start()
       q.awaitTermination(120000)
     }
-    runBatchFile()
+    val in = tempDir("neardup-maint-in")
+    Files.write(Paths.get(in, "b1.json"),
+      s"""{"doc_id":9101,"simhash":$novel}""".getBytes)
+    runGated(in)
     assert(hits.synchronized(hits.isEmpty),
       s"batch 1's novel doc should admit cleanly, got $hits")
     // batch 2: one bit away from the ADMITTED batch-1 doc — only the
@@ -142,13 +143,7 @@ class StreamingNearDupSpec extends SparkSuite {
     val in2 = tempDir("neardup-maint-in2")
     Files.write(Paths.get(in2, "b2.json"),
       s"""{"doc_id":9102,"simhash":${novel ^ 1L}}""".getBytes)
-    val q2 = spark.readStream.schema(sigSchema).json(in2)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", tempDir("neardup-maint-ckpt2"))
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) => gateBatch(b); () }
-      .start()
-    q2.awaitTermination(120000)
+    runGated(in2)
     assert(hits.synchronized(hits.toSeq) === Seq((9102L, 9101L, 1L)),
       s"batch 2 should near-dup against the batch-1 admission, got $hits")
   }
