@@ -258,28 +258,38 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       }
 
     // Empty short-circuit before any scan (main.py:256-263). Same
-    // response SHAPE as the scan path — including the filter echo —
-    // so a client never sees a schema that depends on whether files
-    // happen to exist (round-7 review).
+    // response SHAPE as the MATCHING scan path — batch shape with the
+    // filter echo for batch requests, the leaner streamed shape for
+    // stream=true — so a client never sees a schema that depends on
+    // whether files happen to exist (round-7 review; round-8 extended
+    // to the streaming branch, whose body carries no total_rows/filter).
     val (cf, _, hf, _) = store.tierStats(c, s)
     val filesScanned = cf + hf
     if (filesScanned == 0) {
       val o = mapper.createObjectNode()
       o.put("container", c); o.put("session", s)
-      o.putArray("logs"); o.put("total_rows", 0); o.put("files_scanned", 0)
-      val f = o.putObject("filter")
-      startRaw.fold(f.putNull("start_ts"))(v => { f.put("start_ts", v); f })
-      endRaw.fold(f.putNull("end_ts"))(v => { f.put("end_ts", v); f })
+      o.putArray("logs")
+      if (!streaming) {
+        o.put("total_rows", 0); o.put("files_scanned", 0)
+        val f = o.putObject("filter")
+        startRaw.fold(f.putNull("start_ts"))(v => { f.put("start_ts", v); f })
+        endRaw.fold(f.putNull("end_ts"))(v => { f.put("end_ts", v); f })
+      } else o.put("files_scanned", 0)
       return respond(ex, 200, o)
     }
 
     if (streaming) {
       // Chunked emission, one JSON log object at a time (main.py:266-274).
-      // The tier's read snapshot (a view read-lock on LogStore; free on
-      // ManifestLog) is taken PER ELEMENT (each fetch of the lazy
-      // partition iterator), never across client writes — a slow client
-      // paces its own response but cannot wedge compaction or other
-      // readers behind a queued writer.
+      // The tier's read snapshot spans the WHOLE stream (round-8 review:
+      // the DataFrame's file listing resolves ONCE at plan time, so a
+      // compaction landing between per-element lock windows deleted
+      // already-listed hot files — FileNotFound mid-body, a truncated
+      // response for a healthy session). On ManifestLog the snapshot is
+      // free (immutable manifest + grace-window GC keep the listed files
+      // live for any stream duration, lock-free); on LogStore it holds
+      // the session's view read lock for the response, so a slow client
+      // delays THAT session's compaction — the single-node trade, and
+      // one more reason the cluster tier is the deployment shape.
       //
       // Error contract (round-7 review — a broad per-element swallow
       // turned ANY first-fetch failure into a plausible empty 200,
@@ -289,33 +299,29 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       //  - a MID-STREAM failure aborts the body without the closing
       //    "]}"— the client sees truncated/invalid JSON, never a
       //    complete-looking response with silently missing rows.
-      val it = engine.streamJson(c, s, start, end)
-      def fetch(): Option[String] = store.withReadSnapshot(c, s) {
-        if (it.hasNext) Some(it.next()) else None
-      }
-      val head =
-        try fetch()
-        catch { case scala.util.control.NonFatal(e) =>
-          return error(ex, 500, s"Log read failed: ${e.getMessage}")
-        }
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, 0)
-      val out = ex.getResponseBody
-      def w(str: String): Unit = out.write(str.getBytes(StandardCharsets.UTF_8))
-      w(s"""{"container":${mapper.writeValueAsString(c)},"session":${mapper.writeValueAsString(s)},"logs":[""")
-      try {
-        head.foreach(w)
-        var more = head.isDefined
-        while (more) {
-          fetch() match {
-            case Some(json) => w(","); w(json)
-            case None => more = false
+      store.withReadSnapshot(c, s) {
+        val it = engine.streamJson(c, s, start, end)
+        val head =
+          try { if (it.hasNext) Some(it.next()) else None }
+          catch { case scala.util.control.NonFatal(e) =>
+            return error(ex, 500, s"Log read failed: ${e.getMessage}")
           }
-        }
-        w(s"""],"files_scanned":$filesScanned}""")
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[server] stream $c/$s aborted mid-response: ${e.getMessage}")
-      } finally out.close()
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        def w(str: String): Unit = out.write(str.getBytes(StandardCharsets.UTF_8))
+        w(s"""{"container":${mapper.writeValueAsString(c)},"session":${mapper.writeValueAsString(s)},"logs":[""")
+        try {
+          head.foreach(w)
+          var more = head.isDefined
+          while (more) {
+            if (it.hasNext) { w(","); w(it.next()) } else more = false
+          }
+          w(s"""],"files_scanned":$filesScanned}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[server] stream $c/$s aborted mid-response: ${e.getMessage}")
+        } finally out.close()
+      }
     } else {
       val rows = store.withReadSnapshot(c, s) { engine.readLogs(c, s, start, end).collect() }
       val o = mapper.createObjectNode()
@@ -425,8 +431,16 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 
   /** Shared flexible ISO parse ([[JsonIngest.parseIsoFlexible]]) — the
     * format that wrote rows can always query them, including Python
-    * fromisoformat's bare-date form (`2024-01-01` = midnight UTC). */
-  private def parseParamTs(s: String): Instant = JsonIngest.parseIsoFlexible(s)
+    * fromisoformat's bare-date form (`2024-01-01` = midnight UTC).
+    * URL-decoding turns an unencoded '+' into a space, so the server's
+    * OWN emitted format ('...T00:00:05+00:00') pasted into a query
+    * param would otherwise 400 — any space PAST the date/time separator
+    * position (index 10) can only have been a '+' offset sign, restore
+    * it (round-8 review: the API must round-trip its own output). */
+  private def parseParamTs(s: String): Instant =
+    JsonIngest.parseIsoFlexible(
+      if (s.length > 11) s.substring(0, 11) + s.substring(11).replace(' ', '+')
+      else s)
 
   /** created_at in listings: SQLite CURRENT_TIMESTAMP shape (UTC,
     * second precision, space separator). */
@@ -508,7 +522,10 @@ object ServerMain {
     server.compactor.startMaintenance(java.time.Duration.ofSeconds(60),
       manifestGcGrace = gcGrace)
     println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier")
-    sys.addShutdownHook { server.close(); spark.stop() }
+    // close() THROWS on a lossy ingest drain (by contract) — Spark must
+    // still stop deterministically after the server's cleanup, not race
+    // it from Spark's own internal shutdown hook
+    sys.addShutdownHook { try server.close() finally spark.stop() }
     Thread.currentThread.join()
   }
 }

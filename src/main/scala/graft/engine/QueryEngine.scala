@@ -92,12 +92,17 @@ final class QueryEngine(store: LogTier) {
   }
 
   /** Streamed JSON emission (S9, reader.py:530-546): each element is one
-    * JSON-encoded log row, timestamp in the reference's isoformat. */
+    * JSON-encoded log row, timestamp in the reference's isoformat.
+    * Maps directly over `toLocalIterator` — routing through the paged
+    * [[stream]] only to flatten it again added a 1000-row buffering
+    * layer that made each hasNext refill a whole page (and made the
+    * page size a parameter with no observable effect). */
   def streamJson(container: String, session: String,
-                 start: Option[Instant] = None, end: Option[Instant] = None,
-                 batchSize: Int = 1000): Iterator[String] =
-    stream(container, session, start, end, Seq.empty, batchSize)
-      .flatten.map(QueryEngine.rowToJson)
+                 start: Option[Instant] = None, end: Option[Instant] = None): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    readLogs(container, session, start, end)
+      .toLocalIterator().asScala.map(QueryEngine.rowToJson)
+  }
 
   /** Filtered count (A1-A3: reader.py:181-206, 348-386, 548-558). */
   def count(container: String, session: String,

@@ -110,9 +110,11 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
 
   private def quietFlush(container: String, session: String): Unit =
     try flush(container, session)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       // rows remain buffered (front of queue) and the timer retries —
-      // the POST that triggered this flush still acks
+      // the POST that triggered this flush still acks. FATAL errors
+      // (OOM, stack overflow) propagate: swallowing one would keep a
+      // broken JVM acking 201s, maximizing the loss when it dies.
       System.err.println(s"[ingest] size-triggered flush $container/$session " +
         s"failed (buffered, timer will retry): ${e.getMessage}")
     }
@@ -206,6 +208,15 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
       flushAll()
       attempt += 1
     }
+    // BARRIER against in-flight flushes: a size-triggered flush that
+    // started before `closed` was set can still be INSIDE flushFn with
+    // its snapshot in hand — invisible to both the byte counter and the
+    // buffers, so the loop above may have seen nothing to drain. Taking
+    // each session's flush mutex once waits those flushes out: success
+    // landed the rows durably; failure restored them to the buffer
+    // where the re-check below sees (and re-drains) them. add() rejects
+    // after `closed`, so no NEW flush can start behind this barrier.
+    flushLocks.values().asScala.foreach(l => l.synchronized(()))
     def strandedNow() = bufs.entrySet().asScala
       .filter(e => e.getValue.synchronized(e.getValue.rows.nonEmpty))
     // an add() that read closed=false just before the flag was set can

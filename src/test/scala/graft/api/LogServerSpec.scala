@@ -96,6 +96,14 @@ abstract class LogServerContractSpec extends SparkSuite with BeforeAndAfterAll {
     assert(js(filtered).get("total_rows").asInt === 2)
     assert(js(filtered).get("filter").get("start_ts").asText === "2025-11-30T10:05:00Z")
 
+    // the API's OWN emitted timestamp shape (+00:00 offset) round-trips
+    // as a query param — both percent-encoded and raw '+' (which
+    // URL-decodes to a space the server restores)
+    val plusEnc = req("GET",
+      "/api/logs/my-app/run-001?start_ts=2025-11-30T10:05:00%2B00:00&end_ts=2025-11-30T10:10:00+00:00",
+      token = Some(token))
+    assert(plusEnc.statusCode === 200 && js(plusEnc).get("total_rows").asInt === 2)
+
     // streaming read returns the same logs
     val streamed = req("GET", "/api/logs/my-app/run-001?stream=true", token = Some(token))
     assert(streamed.statusCode === 200)
