@@ -465,7 +465,8 @@ class ManifestLogSpec extends SparkSuite {
     // written by the previous release contains
     val v1 = new java.io.File(f"$root/manifest/container=c/session=s/v${1L}%020d")
     val entries = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
-      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#commit"))
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#commit") &&
+                               !l.startsWith("#graft-manifest"))
     java.nio.file.Files.write(v1.toPath, (entries.mkString("\n") + "\n").getBytes("UTF-8"))
     // legacy manifest is the committed state, not a crashed claim
     assert(msgs(log.read("c", "s")) == Seq("old-data"))
@@ -519,6 +520,87 @@ class ManifestLogSpec extends SparkSuite {
     assert(!v2.isFile, "corrupt below-frontier manifest should be swept")
     assert(!staging.isDirectory, "aged staging dir should be swept by expire")
     assert(msgs(log.read("c", "s")) == Seq("a", "b", "c"))
+  }
+
+  test("tail truncation of a new-format manifest is DETECTED (header survives, footer gone) and counted") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "keep")), "c", "s")
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "cut")), "c", "s")
+    val v2 = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
+    // truncate the TAIL — the stated at-rest threat: the footer is the
+    // first casualty. Under the footer-only format this file would have
+    // parsed as a complete LEGACY manifest with entries silently missing.
+    val lines = new String(java.nio.file.Files.readAllBytes(v2.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(lines.head.startsWith("#graft-manifest "), "new files must carry the header")
+    assert(lines.last.startsWith("#commit "), "new files must carry the footer")
+    java.nio.file.Files.write(v2.toPath,
+      (lines.init.mkString("\n") + "\n").getBytes("UTF-8")) // footer cut off
+    val skipsBefore = log.corruptManifestSkips
+    // reads degrade to the last intact state — and the degradation is
+    // OBSERVABLE via the health counter (round-8 advice: a read-mostly
+    // session must not serve stale data with no signal)
+    assert(msgs(log.read("c", "s")) == Seq("keep"))
+    assert(log.corruptManifestSkips > skipsBefore,
+      "resolve skipped a corrupt manifest without counting it")
+    // truncation mid-entry (footer AND half the last entry gone) too
+    java.nio.file.Files.write(v2.toPath,
+      (lines.init.mkString("\n").dropRight(5) + "\n").getBytes("UTF-8"))
+    assert(msgs(log.read("c", "s")) == Seq("keep"))
+  }
+
+  test("round-8 (footer-only) manifests still read as complete — no migration") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "r8-data")), "c", "s")
+    val v1 = new java.io.File(f"$root/manifest/container=c/session=s/v${1L}%020d")
+    val entries = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#commit") &&
+                               !l.startsWith("#graft-manifest"))
+    // rewrite v1 in the round-8 format: entries + footer, no header
+    java.nio.file.Files.write(v1.toPath,
+      (entries.mkString("\n") + s"\n#commit ${entries.length}\n").getBytes("UTF-8"))
+    assert(msgs(log.read("c", "s")) == Seq("r8-data"))
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "next")), "c", "s")
+    assert(msgs(log.read("c", "s")) == Seq("next", "r8-data"))
+  }
+
+  test("snapshot reads (time travel): a pinned version replays its exact row set across appends and compaction") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "a1"),
+                     ("2024-01-01T10:01:00Z", "INFO", "a2")), "c", "s") // v1
+    log.append(batch(("2024-01-01T10:02:00Z", "INFO", "b1")), "c", "s") // v2
+    assert(log.versions("c", "s") == Seq(1L, 2L))
+    // further appends + a full compaction + GC with a grace window —
+    // the pinned snapshots must replay exactly
+    log.append(batch(("2024-01-01T10:03:00Z", "INFO", "c1")), "c", "s") // v3
+    assert(log.compact("c", "s") > 0L)                                  // v4
+    log.expire("c", "s", Instant.now().minusSeconds(3600)) // grace: nothing deletable
+    assert(msgs(log.readAt("c", "s", 1L)) == Seq("a1", "a2"))
+    assert(msgs(log.readAt("c", "s", 2L)) == Seq("a1", "a2", "b1"))
+    assert(msgs(log.readAt("c", "s", 4L)) == Seq("a1", "a2", "b1", "c1"))
+    assert(log.versions("c", "s") == Seq(1L, 2L, 3L, 4L))
+    // a version that never committed fails loudly, not nearest-match
+    val e = intercept[java.io.IOException] { log.readAt("c", "s", 99L) }
+    assert(e.getMessage.contains("snapshot"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("read cache: same version reuses the plan, a version bump rebuilds — staleness impossible") {
+    val log = new ManifestLog(spark, tempDir("mlog"))
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "one")), "c", "s")
+    val r1 = log.read("c", "s")
+    val r2 = log.read("c", "s")
+    assert(r1 eq r2, "unchanged version should serve the cached plan object")
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "two")), "c", "s")
+    val r3 = log.read("c", "s")
+    assert(!(r3 eq r1), "version bump must invalidate the cached plan")
+    assert(msgs(r3) == Seq("one", "two")) // post-append read sees the new version
+    // isolated per session
+    log.append(batch(("2024-01-01T10:02:00Z", "INFO", "other")), "c", "s2")
+    assert(msgs(log.read("c", "s2")) == Seq("other"))
+    assert(msgs(log.read("c", "s")) == Seq("one", "two"))
   }
 
   test("idempotency tags are filename-safe on both stores (':' would parse as a Path scheme)") {
