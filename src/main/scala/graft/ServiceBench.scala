@@ -44,12 +44,14 @@ object ServiceBench {
     runManifestDualGateway(spark)
   }
 
-  /** Two LogServer instances (separate catalogs) over ONE ManifestLog
-    * root, writers split across them — measures what adding a gateway
-    * buys when all commits contend on the same per-session manifest
-    * CAS. Workload totals match [[runTier]] (8 writers × 50 × 100), so
-    * the rows/s line is directly comparable to the single-gateway
-    * manifest number. */
+  /** Two LogServer instances over ONE ManifestLog root AND one shared
+    * CAS catalog (round-9: the control plane spans gateways — one
+    * login, one provisioning pass, every request's token verify
+    * resolves the shared catalog), writers split across them —
+    * measures what adding a gateway buys when all commits contend on
+    * the same per-session manifest CAS. Workload totals match
+    * [[runTier]] (8 writers × 50 × 100), so the rows/s line is
+    * directly comparable to the single-gateway manifest number. */
   private def runManifestDualGateway(spark: SparkSession): Unit = {
     val shared = Scratch.localDir + s"/svcbench-m2-${System.nanoTime()}"
     val label = "log_service_throughput_manifest_2gw"
@@ -57,7 +59,8 @@ object ServiceBench {
     try {
       servers = (1 to 2).map { i =>
         new api.LogServer(spark, s"$shared/gw$i", bufferSizeLimit = 64 * 1024,
-          makeTier = (sp, _) => new storage.ManifestLog(sp, s"$shared/data")).start()
+          makeTier = (sp, _) => new storage.ManifestLog(sp, s"$shared/data"),
+          makeCatalog = api.LogServer.sharedCatalog(s"$shared/data")).start()
       }
       val client = HttpClient.newHttpClient()
       def send(srv: api.LogServer, method: String, path: String, body: Option[String],
@@ -68,18 +71,19 @@ object ServiceBench {
         token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
         client.send(b.build(), BodyHandlers.ofString())
       }
-      val tokens = servers.map { srv =>
-        val body = send(srv, "POST", "/api/auth/login",
-          Some("""{"username":"admin","password":"admin"}"""), None).body
-        body.split("\"token\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
-      }
+      // ONE login + ONE provisioning pass through gateway 1 — the shared
+      // catalog makes the token and the namespace visible on gateway 2
+      // (the round-8 per-gateway-provisioning workaround is gone)
+      val body = send(servers.head, "POST", "/api/auth/login",
+        Some("""{"username":"admin","password":"admin"}"""), None).body
+      val token = body.split("\"token\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
+      val tokens = Seq(token, token)
       val nWriters = 8; val nBatches = 50; val rowsPerBatch = 100
-      servers.zip(tokens).foreach { case (srv, tok) =>
-        send(srv, "POST", "/api/containers", Some("""{"container_id":"bench"}"""), Some(tok))
-        (1 to nWriters).foreach { w =>
-          send(srv, "POST", "/api/containers/bench/sessions",
-            Some(s"""{"session_id":"w$w"}"""), Some(tok))
-        }
+      send(servers.head, "POST", "/api/containers",
+        Some("""{"container_id":"bench"}"""), Some(token))
+      (1 to nWriters).foreach { w =>
+        send(servers.head, "POST", "/api/containers/bench/sessions",
+          Some(s"""{"session_id":"w$w"}"""), Some(token))
       }
       val appendsOk = new AtomicInteger(0)
       val errors = new AtomicInteger(0)
@@ -105,7 +109,7 @@ object ServiceBench {
       System.err.println(
         f"[bench] $label%-33s $dt%8.3f s  " +
         f"ingest ${rows / dt}%.0f rows/s (${appendsOk.get / dt}%.1f posts/s), errors=${errors.get}" +
-        f" [2 gateways x ${nWriters / 2} writers, one shared manifest root, 64KiB rotation]")
+        f" [2 gateways x ${nWriters / 2} writers, shared manifest root + shared CAS catalog, 64KiB rotation]")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $label FAILED: ${e.getMessage}")

@@ -38,10 +38,18 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
                       ingestFlushBytes: Long = 4L * 1024 * 1024,
                       ingestFlushMs: Long = 100,
                       makeTier: (SparkSession, String) => LogTier = LogServer.localTier,
-                      maxBodyBytes: Int = 32 * 1024 * 1024)
+                      maxBodyBytes: Int = 32 * 1024 * 1024,
+                      makeCatalog: (SparkSession, String) => CatalogService = LogServer.localCatalog)
     extends AutoCloseable {
 
-  val catalog = new CatalogService(Some(Paths.get(root, "catalog")))
+  /** Constructor-injected control plane (round-9): per-gateway local
+    * JSON catalog (default, the reference's single-process shape) or
+    * the CAS-committed shared catalog ([[LogServer.sharedCatalog]]) —
+    * with the shared one, login/ownership/revocation span every
+    * gateway on the root, matching the data plane's multi-instance
+    * story. `root` here is the SERVER root; the shared factory closes
+    * over the cluster root instead. */
+  val catalog: CatalogService = makeCatalog(spark, root)
   /** Constructor-injected storage tier (round-8): the SAME service
     * binary runs over the single-node [[LogStore]] (default) or the
     * cluster [[ManifestLog]] — every handler below talks to the
@@ -479,6 +487,23 @@ object LogServer {
     case other => throw new IllegalArgumentException(
       s"unknown storage tier '$other' (expected local|manifest)")
   }
+
+  /** Default control plane: per-gateway local JSON catalog under the
+    * server's own root (the reference's single-process availability
+    * model, auth.py:17-19). */
+  val localCatalog: (SparkSession, String) => CatalogService =
+    (_, serverRoot) => new CatalogService(Some(Paths.get(serverRoot, "catalog")))
+
+  /** Shared control plane: one CAS-committed catalog at
+    * `<sharedRoot>/catalog-cas`, spanning every gateway that mounts the
+    * same root — tokens, ownership, conflicts and revocation are
+    * cluster-wide, like the data plane's shared manifests. */
+  def sharedCatalog(sharedRoot: String): (SparkSession, String) => CatalogService =
+    (sp, _) => {
+      val dir = new org.apache.hadoop.fs.Path(s"$sharedRoot/catalog-cas")
+      val fs = dir.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      new CatalogService(shared = Some(new graft.catalog.CasStateStore(fs, dir)))
+    }
 }
 
 /** Standalone entry point:
@@ -512,8 +537,19 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Control plane follows the tier by default: the manifest tier is
+    // the multi-gateway deployment, so its catalog is the shared one on
+    // the same data root (override with GRAFT_CATALOG=local|shared).
+    val catalogMode = sys.env.get("GRAFT_CATALOG").getOrElse(
+      if (tier == "manifest") "shared" else "local")
+    val makeCatalog = catalogMode match {
+      case "local" => LogServer.localCatalog
+      case "shared" => LogServer.sharedCatalog(s"$root/data")
+      case other => throw new IllegalArgumentException(
+        s"unknown catalog mode '$other' (expected local|shared)")
+    }
     val server = new LogServer(spark, root, port,
-      makeTier = LogServer.tierNamed(tier)).start()
+      makeTier = LogServer.tierNamed(tier), makeCatalog = makeCatalog).start()
     // periodic rotation check; marker and TTL sweeps stay opt-in — a
     // time-based marker sweep can break streaming exactly-once when an
     // outage outlasts the horizon, and retention deletes data. On the
@@ -521,7 +557,7 @@ object ServerMain {
     // horizon must exceed the longest reader scan / publish stall).
     server.compactor.startMaintenance(java.time.Duration.ofSeconds(60),
       manifestGcGrace = gcGrace)
-    println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier")
+    println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier, catalog=$catalogMode")
     // close() THROWS on a lossy ingest drain (by contract) — Spark must
     // still stop deterministically after the server's cleanup, not race
     // it from Spark's own internal shutdown hook

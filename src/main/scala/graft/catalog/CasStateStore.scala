@@ -1,0 +1,105 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.storage.Cas
+
+/** Versioned single-record state store committed through the engine's
+  * CAS primitive ([[graft.storage.Cas]]) — the control-plane twin of
+  * [[graft.storage.ManifestLog]]'s version chain, built for the shared
+  * multi-gateway catalog: every committed version is a COMPLETE
+  * snapshot of the catalog state at `<dir>/v<%020d>.json`, claimed with
+  * an atomic create-if-absent, so any number of gateway processes on
+  * one shared root serialize their catalog mutations without a lock
+  * and read each other's commits immediately.
+  *
+  * The record is framed (`#graft-state <bytes>` header line before the
+  * payload) so a mid-write read on an O_EXCL-fallback mount parses as
+  * INCOMPLETE and is skipped/retried, never half-applied — the same
+  * detectability contract the manifest header/footer provides.
+  *
+  * Old versions are pruned on successful commit (keep the newest
+  * [[keepVersions]], and only past a grace window so a concurrent
+  * reader that just resolved an older version can still read it; a
+  * reader losing that race gets FileNotFound and re-resolves). Unlike
+  * data manifests there is nothing to time-travel here — the catalog
+  * is current-state-only, exactly like the reference's SQLite tables
+  * (auth.py:25-84).
+  */
+final class CasStateStore(fs: FileSystem, dir: Path,
+                          keepVersions: Int = 32,
+                          pruneGraceMs: Long = 60000L) {
+
+  private val versionRe = "v\\d{20}\\.json".r
+
+  private def pathOf(v: Long): Path = new Path(dir, f"v$v%020d.json")
+  private def versionOf(p: Path): Long =
+    p.getName.stripPrefix("v").stripSuffix(".json").toLong
+
+  private def frame(payload: Array[Byte]): Array[Byte] = {
+    val h = s"#graft-state ${payload.length}\n".getBytes("UTF-8")
+    h ++ payload
+  }
+
+  /** Payload if the record is complete (frame length matches), else
+    * None (a fresh in-flight O_EXCL write, or external damage). */
+  private def readValid(p: Path): Option[String] = {
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val head = new String(bytes, 0, nl, "UTF-8")
+    if (!head.startsWith("#graft-state ")) return None
+    val declared = try head.stripPrefix("#graft-state ").trim.toInt
+                   catch { case _: NumberFormatException => return None }
+    if (bytes.length - nl - 1 != declared) None
+    else Some(new String(bytes, nl + 1, declared, "UTF-8"))
+  }
+
+  /** (claim slot, newest valid version, its payload). The claim slot
+    * is the highest version FILE present regardless of validity — a
+    * committer must never claim past an in-flight/corrupt frontier
+    * with a version built on older state, or it would supersede the
+    * concurrent commit it could not read (the lost-update hazard the
+    * manifest commit loop also guards). (0, 0, None) on a fresh dir. */
+  def resolve(): (Long, Long, Option[String]) = {
+    if (!fs.exists(dir)) return (0L, 0L, None)
+    val files = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
+      .sortBy(st => -versionOf(st.getPath))
+    val slot = files.headOption.map(st => versionOf(st.getPath)).getOrElse(0L)
+    files.iterator.flatMap { st =>
+      try readValid(st.getPath).map((versionOf(st.getPath), _))
+      catch { case _: java.io.FileNotFoundException => None } // pruned under us
+    }.nextOption() match {
+      case Some((v, payload)) => (slot, v, Some(payload))
+      case None => (slot, 0L, None)
+    }
+  }
+
+  /** Claim `version` with `payload`; true = committed (and old
+    * versions pruned). False = slot taken — the caller re-resolves,
+    * re-applies its mutation, and retries at the new frontier. */
+  def tryCommit(version: Long, payload: String): Boolean = {
+    fs.mkdirs(dir)
+    val ok = Cas.tryClaim(fs, pathOf(version),
+      frame(payload.getBytes("UTF-8")), ownerOnly = true)
+    if (ok) prune(version)
+    ok
+  }
+
+  private def prune(latest: Long): Unit = {
+    val horizon = System.currentTimeMillis() - pruneGraceMs
+    try fs.listStatus(dir).foreach { st =>
+      if (st.isFile && versionRe.matches(st.getPath.getName) &&
+          versionOf(st.getPath) <= latest - keepVersions &&
+          st.getModificationTime < horizon)
+        fs.delete(st.getPath, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+}

@@ -6,7 +6,7 @@ import java.security.{MessageDigest, SecureRandom}
 import java.time.{Clock, Instant}
 import java.util.Base64
 import scala.collection.mutable
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 /** Control-plane catalog: users, tokens, containers, sessions — the Spark
@@ -25,25 +25,42 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * This is deliberately NOT a Spark dataflow: a catalog is point lookups
   * and single-row upserts, the exact opposite of a scan-oriented engine —
   * at 100 TB of *log data* the catalog is still tiny (thousands of rows)
-  * and lives in memory with write-through JSON persistence, the same
-  * availability model as the reference's WAL SQLite file. State is
-  * persisted atomically (tmp + move) on every mutation and reloaded on
-  * construction, so a restart keeps users/containers/sessions (tokens are
-  * persisted too, matching the reference's durable token table).
+  * and lives in memory.
+  *
+  * TWO persistence modes, selected at construction:
+  *  - LOCAL (`root`): write-through JSON file with atomic tmp+move — the
+  *    reference's availability model (single-process WAL SQLite file).
+  *  - SHARED (`shared`): every mutation is a compare-and-swap transaction
+  *    against a [[CasStateStore]] on the cluster's shared root — the SAME
+  *    commit discipline the data plane's [[graft.storage.ManifestLog]]
+  *    uses, lifted to the control plane (round-8 verdict #1): a token
+  *    minted on gateway A authorizes on gateway B, duplicate container
+  *    creation across gateways conflicts exactly once, revocation is
+  *    visible cluster-wide. Reads resolve the latest committed state
+  *    (one shallow listing; the state file is re-read only on a version
+  *    change); mutations re-apply against the current state on every CAS
+  *    retry, exactly like a manifest commit. The reference never needed
+  *    this only because it is single-process — its SQLite catalog IS the
+  *    shared state for every request.
   */
 object CatalogService {
   final case class User(userId: String, passwordHash: String, createdAt: Instant)
   /** `tokenHash` is the SHA-256 of the bearer token — the raw token is
     * returned to the caller once at creation and never persisted, so
-    * reading catalog.json does not yield usable credentials (round-2
-    * advice; the file is also written owner-only). */
+    * reading catalog state does not yield usable credentials (round-2
+    * advice; state files are also written owner-only). */
   final case class Token(tokenHash: String, userId: String, createdAt: Instant, expiresAt: Instant)
   final case class Container(containerId: String, userId: String, createdAt: Instant)
   final case class Session(sessionId: String, containerId: String, userId: String, createdAt: Instant)
 }
 
-final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.systemUTC()) {
+final class CatalogService(root: Option[Path] = None,
+                           clock: Clock = Clock.systemUTC(),
+                           shared: Option[CasStateStore] = None) {
   import CatalogService._
+
+  require(root.isEmpty || shared.isEmpty,
+    "choose ONE persistence mode: local root or shared CAS store")
 
   private val users = mutable.LinkedHashMap[String, User]()
   private val tokens = mutable.LinkedHashMap[String, Token]()
@@ -55,95 +72,163 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
   // two rows share a wall-clock microsecond (SQLite got this from rowid).
   private var seq = 0L
   private val seqOf = mutable.HashMap[(String, String), Long]()
+  /** Shared mode: the committed version the in-memory maps reflect. */
+  private var loadedVersion = -1L
 
-  load()
-  if (!users.contains("admin")) {
-    users("admin") = User("admin", sha256Hex("admin"), clock.instant())
-    persist()
+  loadLocal()
+  transact {
+    if (users.contains("admin")) ((), false)
+    else { users("admin") = User("admin", sha256Hex("admin"), clock.instant()); ((), true) }
   }
 
   private def sha256Hex(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  // ---- the transaction spine ----
+
+  /** Run a state mutation `f` (returning (result, stateChanged)) with
+    * the mode's commit discipline. LOCAL: apply + write-through. SHARED:
+    * CAS loop — sync to the latest committed state, apply `f`, claim
+    * version+1; a lost claim discards the local application (the next
+    * iteration force-reloads committed state) and RE-APPLIES `f` against
+    * the winner's state, so concurrent gateways serialize without a lock
+    * and no mutation is ever silently dropped. A frontier blocked by an
+    * in-flight/incomplete record (O_EXCL-fallback mounts, external
+    * damage) is retried within a grace window, then surfaced loudly. */
+  private def transact[A](f: => (A, Boolean)): A = synchronized {
+    shared match {
+      case None =>
+        val (a, changed) = f
+        if (changed) persistLocal()
+        a
+      case Some(st) =>
+        val deadline = System.currentTimeMillis() + 65000L
+        var dirty = false
+        while (true) {
+          val (slot, valid, payload) = st.resolve()
+          applyShared(valid, payload, force = dirty)
+          dirty = false
+          // never claim past an unreadable frontier with state from
+          // below it — that would supersede the concurrent commit we
+          // could not read (the lost-update hazard)
+          if (slot == valid) {
+            val (a, changed) = f
+            if (!changed) return a
+            if (st.tryCommit(valid + 1, stateJson)) { loadedVersion = valid + 1; return a }
+            dirty = true // lost the CAS: roll back by force-reloading
+          }
+          if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"shared-catalog commit blocked past 65s at version slot $slot " +
+              (if (slot == valid) "(sustained CAS contention)"
+               else s"(unreadable record holds the frontier above committed v$valid " +
+                    "— in-flight writer crashed mid-record, or external damage; " +
+                    "inspect and remove the file to restore catalog writes)"))
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 8L))
+        }
+        throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Shared-mode read barrier: reflect the latest committed state. One
+    * dir listing per call; the record is re-parsed only on a version
+    * change (or a forced rollback). Local mode: no-op. */
+  private def syncRead(): Unit = shared.foreach { st =>
+    val (_, valid, payload) = st.resolve()
+    applyShared(valid, payload, force = false)
+  }
+
+  private def applyShared(valid: Long, payload: Option[String], force: Boolean): Unit =
+    if (force || valid != loadedVersion) {
+      users.clear(); tokens.clear(); containers.clear(); sessions.clear()
+      seqOf.clear(); seq = 0L
+      payload.foreach(p => loadFrom(mapper.readTree(p)))
+      loadedVersion = valid
+    }
+
   // ---- users / tokens (auth.py:103-167) ----
 
-  def createUser(userId: String, password: String): Boolean = synchronized {
-    if (users.contains(userId)) false
-    else { users(userId) = User(userId, sha256Hex(password), clock.instant()); persist(); true }
+  def createUser(userId: String, password: String): Boolean = transact {
+    if (users.contains(userId)) (false, false)
+    else { users(userId) = User(userId, sha256Hex(password), clock.instant()); (true, true) }
   }
 
   def verifyPassword(userId: String, password: String): Boolean = synchronized {
+    syncRead()
     users.get(userId).exists(_.passwordHash == sha256Hex(password))
   }
 
-  def createToken(userId: String, expiresInHours: Int = 24): String = synchronized {
+  def createToken(userId: String, expiresInHours: Int = 24): String = transact {
     val bytes = new Array[Byte](32)
     rng.nextBytes(bytes)
     val tok = Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
     val now = clock.instant()
     val h = sha256Hex(tok)
     tokens(h) = Token(h, userId, now, now.plusSeconds(expiresInHours.toLong * 3600))
-    persist()
-    tok
+    (tok, true)
   }
 
   /** Some(userId) if the token exists and is unexpired; expired tokens are
     * deleted on the spot (lazy expiry, auth.py:147-153). Lookup is by
     * token digest — the store never holds the raw token. */
-  def verifyToken(token: String): Option[String] = synchronized {
+  def verifyToken(token: String): Option[String] = transact {
     val h = sha256Hex(token)
     tokens.get(h) match {
       case Some(t) if t.expiresAt.isBefore(clock.instant()) =>
-        tokens.remove(h); persist(); None
-      case Some(t) => Some(t.userId)
-      case None => None
+        tokens.remove(h); (None, true)
+      case Some(t) => (Some(t.userId), false)
+      case None => (None, false)
     }
   }
 
-  def revokeToken(token: String): Unit = synchronized {
-    if (tokens.remove(sha256Hex(token)).isDefined) persist()
+  def revokeToken(token: String): Unit = transact {
+    ((), tokens.remove(sha256Hex(token)).isDefined)
   }
 
-  def cleanupExpiredTokens(): Unit = synchronized {
+  def cleanupExpiredTokens(): Unit = transact {
     val now = clock.instant()
     val dead = tokens.collect { case (k, t) if t.expiresAt.isBefore(now) => k }
-    if (dead.nonEmpty) { dead.foreach(tokens.remove); persist() }
+    dead.foreach(tokens.remove)
+    ((), dead.nonEmpty)
   }
 
   // ---- containers / sessions (auth.py:170-249) ----
 
-  def createContainer(userId: String, containerId: String): Boolean = synchronized {
-    if (containers.contains(containerId)) false
+  def createContainer(userId: String, containerId: String): Boolean = transact {
+    if (containers.contains(containerId)) (false, false)
     else {
       containers(containerId) = Container(containerId, userId, clock.instant())
       seq += 1; seqOf(("c", containerId)) = seq
-      persist(); true
+      (true, true)
     }
   }
 
   /** Creation requires container ownership AND a fresh session id — both
     * failure modes collapse to `false` (→ 409), matching auth.py:183-203. */
-  def createSession(userId: String, containerId: String, sessionId: String): Boolean = synchronized {
+  def createSession(userId: String, containerId: String, sessionId: String): Boolean = transact {
     val owned = containers.get(containerId).exists(_.userId == userId)
-    if (!owned || sessions.contains(sessionId)) false
+    if (!owned || sessions.contains(sessionId)) (false, false)
     else {
       sessions(sessionId) = Session(sessionId, containerId, userId, clock.instant())
       seq += 1; seqOf(("s", sessionId)) = seq
-      persist(); true
+      (true, true)
     }
   }
 
   def verifyContainerAccess(userId: String, containerId: String): Boolean = synchronized {
+    syncRead()
     containers.get(containerId).exists(_.userId == userId)
   }
 
   def verifySessionAccess(userId: String, sessionId: String): Boolean = synchronized {
+    syncRead()
     sessions.get(sessionId).exists(_.userId == userId)
   }
 
   /** (container_id, created_at) owned by the user, newest first. */
   def userContainers(userId: String): Seq[(String, Instant)] = synchronized {
+    syncRead()
     containers.values.filter(_.userId == userId).toSeq
       .sortBy(c => (-c.createdAt.toEpochMilli, -seqOf.getOrElse(("c", c.containerId), 0L)))
       .map(c => (c.containerId, c.createdAt))
@@ -152,17 +237,16 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
   /** (session_id, created_at) in the container, newest first; empty when
     * the user does not own the container (auth.py:234-243). */
   def containerSessions(userId: String, containerId: String): Seq[(String, Instant)] = synchronized {
+    syncRead()
     if (!containers.get(containerId).exists(_.userId == userId)) Seq.empty
     else sessions.values.filter(_.containerId == containerId).toSeq
       .sortBy(s => (-s.createdAt.toEpochMilli, -seqOf.getOrElse(("s", s.sessionId), 0L)))
       .map(s => (s.sessionId, s.createdAt))
   }
 
-  // ---- persistence ----
+  // ---- state (de)serialization — ONE format for both modes ----
 
-  private def catalogFile: Option[Path] = root.map(_.resolve("catalog.json"))
-
-  private def persist(): Unit = catalogFile.foreach { f =>
+  private def stateJson: String = {
     val o = mapper.createObjectNode()
     def put(name: String, rows: Iterable[ObjectNode]): Unit = {
       val arr = o.putArray(name)
@@ -189,20 +273,10 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
       n.put("user_id", s.userId); n.put("created_at", s.createdAt.toString)
       n.put("seq", seqOf.getOrElse(("s", s.sessionId), 0L)); n
     })
-    Files.createDirectories(f.getParent)
-    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-    Files.writeString(tmp, mapper.writeValueAsString(o))
-    // Owner-only before the file becomes visible under its real name:
-    // catalog.json carries password hashes and token digests.
-    try Files.setPosixFilePermissions(tmp, java.util.EnumSet.of(
-      java.nio.file.attribute.PosixFilePermission.OWNER_READ,
-      java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
-    catch { case _: UnsupportedOperationException => () } // non-POSIX FS
-    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    mapper.writeValueAsString(o)
   }
 
-  private def load(): Unit = catalogFile.filter(Files.exists(_)).foreach { f =>
-    val o = mapper.readTree(Files.readString(f))
+  private def loadFrom(o: JsonNode): Unit = {
     def arr(name: String): Iterator[ObjectNode] = o.path(name) match {
       case a: ArrayNode => Iterator.range(0, a.size()).map(a.get(_).asInstanceOf[ObjectNode])
       case _ => Iterator.empty
@@ -232,5 +306,26 @@ final class CatalogService(root: Option[Path] = None, clock: Clock = Clock.syste
       val sq = n.path("seq").asLong(0L)
       seqOf(("s", n.get("session_id").asText)) = sq; seq = math.max(seq, sq)
     }
+  }
+
+  // ---- local persistence (write-through JSON file) ----
+
+  private def catalogFile: Option[Path] = root.map(_.resolve("catalog.json"))
+
+  private def persistLocal(): Unit = catalogFile.foreach { f =>
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.writeString(tmp, stateJson)
+    // Owner-only before the file becomes visible under its real name:
+    // catalog.json carries password hashes and token digests.
+    try Files.setPosixFilePermissions(tmp, java.util.EnumSet.of(
+      java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+      java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+    catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def loadLocal(): Unit = catalogFile.filter(Files.exists(_)).foreach { f =>
+    loadFrom(mapper.readTree(Files.readString(f)))
   }
 }

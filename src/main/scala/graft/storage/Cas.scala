@@ -1,0 +1,99 @@
+package graft.storage
+
+import java.util.UUID
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** THE atomic create-if-absent primitive behind every cross-process
+  * commit in the engine: [[ManifestLog]]'s version CAS and the shared
+  * catalog's state records ([[graft.catalog.CasStateStore]]) both
+  * claim their slots through this one definition, so the data plane
+  * and the control plane can never diverge on what "atomically
+  * claimed" means.
+  *
+  * Both arms publish a FULLY-FORMED file or nothing:
+  *  - Local filesystems: write a fully-written temp file, publish with
+  *    `Files.createLink` — POSIX link(2) fails with EEXIST when the
+  *    destination exists (rename silently replaces it, which is
+  *    exactly the lost-commit hole). Mounts Hadoop classifies as
+  *    local but that lack link(2) — some NFS/FUSE/overlay setups —
+  *    fall back to an O_EXCL create of the FINAL name + content
+  *    write: the create is the atomic claim on POSIX; the content is
+  *    not atomic with it, so callers' formats must make a mid-write
+  *    read detectable (manifest header/footer, state-record frame)
+  *    and treat a fresh unparseable frontier as retry-able.
+  *  - Everything else: temp file + `fs.rename` — HDFS rename REFUSES
+  *    an existing destination atomically at the namenode. A rename
+  *    that fails with the slot UNOCCUPIED is an IO fault (permissions,
+  *    quota, vanished parent), not a CAS collision, and raises
+  *    immediately — burning retries on it would misreport contention.
+  *    Object stores whose rename is copy+delete need a real commit
+  *    coordinator (operational contract, as in the public table
+  *    formats).
+  */
+private[graft] object Cas {
+
+  /** Atomically claim `dst` with `payload`. True = this caller owns
+    * the slot; false = the slot was already taken. `ownerOnly` writes
+    * the file 0600 (POSIX arms) — for records carrying credentials. */
+  def tryClaim(fs: FileSystem, dst: Path, payload: Array[Byte],
+               ownerOnly: Boolean = false): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val dir = java.nio.file.Paths.get(dst.getParent.toUri.getPath)
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      // SYNC: the claimed file is an acked-commit record — without
+      // forcing content to stable storage, a power loss after the
+      // commit returns could resurface it truncated. Directory-entry
+      // durability of the link itself is the documented residual gap
+      // (fsync(dir) — the table formats accept the same).
+      java.nio.file.Files.write(tmp, payload,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.SYNC)
+      if (ownerOnly) restrict(tmp)
+      try {
+        java.nio.file.Files.createLink(dir.resolve(dst.getName), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // no link(2) on this mount: O_EXCL create of the final name
+          try {
+            val f = dir.resolve(dst.getName)
+            java.nio.file.Files.write(f, payload,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.SYNC)
+            if (ownerOnly) restrict(f)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    case _ =>
+      val tmp = new Path(dst.getParent, s".tmp-${UUID.randomUUID()}")
+      val out =
+        if (ownerOnly)
+          FileSystem.create(fs, tmp,
+            new org.apache.hadoop.fs.permission.FsPermission("600"))
+        else fs.create(tmp, true)
+      try {
+        out.write(payload)
+        out.hsync() // durable before the rename makes it the commit record
+      } finally out.close()
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        if (!fs.exists(dst))
+          throw new java.io.IOException(
+            s"claim rename to $dst failed although the slot is unoccupied " +
+            "— not a CAS collision; check permissions/quota/parent directory")
+      }
+      renamed
+  }
+
+  private def restrict(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setPosixFilePermissions(p, java.util.EnumSet.of(
+      java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+      java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+    catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+}

@@ -275,83 +275,15 @@ final class ManifestLog(spark: SparkSession, root: String,
     tryClaim(dst, payload)
   }
 
-  /** The create-if-absent primitive itself — both arms publish a
-    * FULLY-FORMED manifest atomically or nothing at all.
-    *  - Local filesystems: write a fully-written temp file, publish
-    *    with `Files.createLink` — POSIX link(2) fails with EEXIST when
-    *    the destination exists (rename silently replaces it, which is
-    *    exactly the lost-commit hole).
-    *  - Everything else: temp file + `fs.rename` — HDFS rename REFUSES
-    *    an existing destination atomically at the namenode, and the
-    *    content appears whole at rename time, so no reader or
-    *    competing committer can ever observe a partial claim. Object
-    *    stores whose rename is copy+delete need a real commit
-    *    coordinator (operational contract, as in the public table
-    *    formats). */
-  private def tryClaim(dst: Path, payload: Array[Byte]): Boolean = fs match {
-    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      val dir = java.nio.file.Paths.get(dst.getParent.toUri.getPath)
-      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-      // SYNC: the manifest is the acked-commit record — without forcing
-      // the content to stable storage, a power loss after the commit
-      // returns could resurface the file truncated (footer check would
-      // then silently hide the acked batch and eventually block the
-      // frontier). Directory-entry durability of the link itself is the
-      // documented residual gap (fsync(dir) — the table formats accept
-      // the same).
-      java.nio.file.Files.write(tmp, payload,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.SYNC)
-      try {
-        java.nio.file.Files.createLink(dir.resolve(dst.getName), tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        // Mounts Hadoop classifies as local but that lack link(2) —
-        // some NFS/FUSE/overlay setups (round-8 advice): fall back to
-        // an O_EXCL create of the FINAL name + content write. The
-        // create itself is the atomic claim on POSIX; the content is
-        // not atomic with it, but the header+footer format makes a
-        // mid-write read parse as a FRESH corrupt file, which readers
-        // skip and committers retry inside the stale-claim grace — by
-        // which time the few-KB write has long completed.
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          try {
-            java.nio.file.Files.write(dir.resolve(dst.getName), payload,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE,
-              java.nio.file.StandardOpenOption.SYNC)
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    case _ =>
-      val tmp = new Path(dst.getParent, s".tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try {
-        out.write(payload)
-        out.hsync() // durable before the rename makes it the commit record
-      } finally out.close()
-      val renamed =
-        try fs.rename(tmp, dst)
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-      if (!renamed) {
-        fs.delete(tmp, false)
-        // fs.rename returns false for PERSISTENT failures too —
-        // permissions, quota, vanished parent — not only an occupied
-        // destination (round-8 advice): without this check those burn
-        // all CAS retries and surface as "lost the CAS 100 times",
-        // pointing the operator at contention when the slot was never
-        // taken. A free slot after a failed rename is an IO fault, not
-        // a collision — fail immediately and name the real problem.
-        if (!fs.exists(dst))
-          throw new java.io.IOException(
-            s"manifest claim rename to $dst failed although the slot is " +
-            "unoccupied — not a CAS collision; check permissions/quota/" +
-            "parent directory on the manifest path")
-      }
-      renamed
-  }
+  /** The create-if-absent primitive — shared with the control plane
+    * ([[Cas.tryClaim]]): hard-link claims locally (with an O_EXCL
+    * fallback for link-less mounts, whose non-atomic content the
+    * header+footer format makes read as a FRESH corrupt file — skipped
+    * by readers, retried by committers inside the stale-claim grace),
+    * temp+rename elsewhere, with rename-on-a-free-slot raised as an IO
+    * fault instead of burning CAS retries as phantom contention. */
+  private def tryClaim(dst: Path, payload: Array[Byte]): Boolean =
+    Cas.tryClaim(fs, dst, payload)
 
   /** Append a batch: publish an immutable hot file, then commit it
     * into the manifest (the visibility point). Returns published

@@ -9,13 +9,14 @@ import org.scalatest.BeforeAndAfterAll
 import graft.SparkSuite
 import graft.storage.ManifestLog
 
-/** TWO LogServer instances sharing ONE ManifestLog storage root — the
-  * multi-gateway deployment the round-8 CAS commit exists for: every
-  * manifest commit from either server races through the version CAS,
-  * and a read through one gateway sees every batch either gateway has
-  * flushed. Each instance keeps its OWN catalog (auth state is
-  * per-gateway, like any sticky-session deployment); only the DATA
-  * tier is shared, via the injected tier factory.
+/** TWO LogServer instances sharing ONE ManifestLog storage root AND
+  * ONE CAS-committed catalog — the full multi-gateway deployment:
+  * every manifest commit from either server races through the version
+  * CAS, a read through one gateway sees every batch either gateway
+  * has flushed, and (round-9) the CONTROL plane spans gateways too — a
+  * token minted on gateway A authorizes on gateway B, duplicate
+  * creation across gateways conflicts exactly once, revocation is
+  * cluster-wide.
   *
   * Read-your-writes is per-gateway by design (a GET flushes ITS
   * server's write-behind buffer, not the peer's) — the cross-instance
@@ -36,7 +37,8 @@ class LogServerMultiInstanceSpec extends SparkSuite with BeforeAndAfterAll {
     sharedData = tempDir("multi-data")
     def make(root: String): LogServer =
       new LogServer(spark, root,
-        makeTier = (sp, _) => new ManifestLog(sp, sharedData)).start()
+        makeTier = (sp, _) => new ManifestLog(sp, sharedData),
+        makeCatalog = LogServer.sharedCatalog(sharedData)).start()
     a = make(tempDir("multi-a"))
     b = make(tempDir("multi-b"))
   }
@@ -79,9 +81,29 @@ class LogServerMultiInstanceSpec extends SparkSuite with BeforeAndAfterAll {
     mapper.readTree(req(server, "GET", s"/api/logs/$c/$s", token = Some(token)).body)
       .get("total_rows").asInt
 
+  test("control plane spans gateways: A's token works on B, duplicates 409 once, revocation propagates") {
+    val ta = login(a)
+    // a token minted on gateway A authorizes gateway B's endpoints —
+    // the round-8 gap (per-gateway catalogs 401'd each other's tokens)
+    assert(req(b, "GET", "/api/containers", token = Some(ta)).statusCode == 200)
+    // one container namespace: create via A, duplicate via B conflicts
+    assert(req(a, "POST", "/api/containers",
+      Some("""{"container_id":"xgw"}"""), Some(ta)).statusCode == 201)
+    assert(req(b, "POST", "/api/containers",
+      Some("""{"container_id":"xgw"}"""), Some(ta)).statusCode == 409)
+    // a session created through B with A's token is readable through A
+    assert(req(b, "POST", "/api/containers/xgw/sessions",
+      Some("""{"session_id":"sx"}"""), Some(ta)).statusCode == 201)
+    assert(req(a, "GET", "/api/logs/xgw/sx", token = Some(ta)).statusCode == 200)
+    // logout through A revokes the token cluster-wide
+    assert(req(a, "POST", "/api/auth/logout", token = Some(ta)).statusCode == 200)
+    assert(req(b, "GET", "/api/containers", token = Some(ta)).statusCode == 401)
+    assert(req(a, "GET", "/api/containers", token = Some(ta)).statusCode == 401)
+  }
+
   test("writes through either gateway are visible through both once each has flushed") {
     val (ta, tb) = (login(a), login(b))
-    setup(a, ta, "shared", "s1"); setup(b, tb, "shared", "s1")
+    setup(a, ta, "shared", "s1") // ONE provisioning — the catalog is shared
     assert(post(a, ta, "shared", "s1", Seq("a1", "a2", "a3")) == 201)
     assert(post(b, tb, "shared", "s1", Seq("b1", "b2")) == 201)
     // each gateway's GET flushes its OWN buffer into the shared store;
@@ -94,7 +116,7 @@ class LogServerMultiInstanceSpec extends SparkSuite with BeforeAndAfterAll {
 
   test("concurrent writers through both gateways: every acked batch lands exactly once") {
     val (ta, tb) = (login(a), login(b))
-    setup(a, ta, "shared", "race"); setup(b, tb, "shared", "race")
+    setup(a, ta, "shared", "race")
     val perThread = 5
     val acked = new java.util.concurrent.atomic.AtomicInteger(0)
     val threads = Seq((a, ta, "A"), (b, tb, "B")).flatMap { case (srv, tok, tag) =>
@@ -113,7 +135,7 @@ class LogServerMultiInstanceSpec extends SparkSuite with BeforeAndAfterAll {
 
   test("compaction through one gateway never loses the other gateway's flushed rows") {
     val (ta, tb) = (login(a), login(b))
-    setup(a, ta, "shared", "cmp"); setup(b, tb, "shared", "cmp")
+    setup(a, ta, "shared", "cmp")
     assert(post(a, ta, "shared", "cmp", Seq("pre-1", "pre-2")) == 201)
     totalRows(a, ta, "shared", "cmp") // flush A
     assert(post(b, tb, "shared", "cmp", Seq("mid-1")) == 201)

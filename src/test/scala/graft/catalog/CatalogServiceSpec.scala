@@ -109,6 +109,78 @@ class CatalogServiceSpec extends AnyFunSuite {
     assert(tokens.forall(_.matches("^[A-Za-z0-9_-]+$"))) // url-safe base64, no padding
   }
 
+  // ---- shared (CAS-committed) mode: the multi-gateway control plane ----
+
+  private def sharedStore(dir: java.nio.file.Path,
+                          keep: Int = 32, graceMs: Long = 60000): CasStateStore = {
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    new CasStateStore(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p,
+      keepVersions = keep, pruneGraceMs = graceMs)
+  }
+
+  test("shared catalog spans instances: tokens, ownership, conflicts and revocation are cluster-wide") {
+    val dir = Files.createTempDirectory("cat-cas")
+    val a = new CatalogService(shared = Some(sharedStore(dir)))
+    val b = new CatalogService(shared = Some(sharedStore(dir)))
+    // a token minted on A authorizes on B — the round-8 gap (per-gateway
+    // catalogs 401'd each other's tokens)
+    val t = a.createToken("admin")
+    assert(b.verifyToken(t) === Some("admin"))
+    // duplicate container creation across instances conflicts exactly once
+    assert(a.createContainer("admin", "app"))
+    assert(!b.createContainer("admin", "app"))
+    // ownership travels: session created via A, access-checked via B
+    assert(a.createSession("admin", "app", "app_run"))
+    assert(b.verifySessionAccess("admin", "app_run"))
+    assert(!b.createSession("admin", "app", "app_run"))
+    // revocation on A is immediately visible on B
+    a.revokeToken(t)
+    assert(b.verifyToken(t) === None)
+    // users created on B can log in via A
+    assert(b.createUser("carol", "pw"))
+    assert(a.verifyPassword("carol", "pw"))
+  }
+
+  test("shared catalog: concurrent same-id creation from two instances — exactly one winner") {
+    val dir = Files.createTempDirectory("cat-cas")
+    val a = new CatalogService(shared = Some(sharedStore(dir)))
+    val b = new CatalogService(shared = Some(sharedStore(dir)))
+    (1 to 10).foreach { i =>
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = Seq(a, b).map(c => new Thread(() => {
+        if (c.createContainer("admin", s"race$i")) wins.incrementAndGet()
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(wins.get == 1, s"container race$i created ${wins.get} times")
+    }
+    // every round's winner is visible to both instances afterwards
+    assert(a.userContainers("admin").size == 10)
+    assert(b.userContainers("admin").size == 10)
+  }
+
+  test("shared catalog: lazy token expiry propagates across instances") {
+    val dir = Files.createTempDirectory("cat-cas")
+    val clock = new FakeClock(Instant.parse("2026-01-01T00:00:00Z"))
+    val a = new CatalogService(clock = clock, shared = Some(sharedStore(dir)))
+    val b = new CatalogService(clock = clock, shared = Some(sharedStore(dir)))
+    val t = a.createToken("admin", expiresInHours = 1)
+    assert(b.verifyToken(t) === Some("admin"))
+    clock.now = clock.now.plus(Duration.ofHours(2))
+    assert(b.verifyToken(t) === None) // B performs the lazy deletion...
+    assert(a.verifyToken(t) === None) // ...and A sees the deletion commit
+  }
+
+  test("shared catalog: version chain stays bounded under sustained mutation (prune)") {
+    val dir = Files.createTempDirectory("cat-cas")
+    val c = new CatalogService(shared = Some(sharedStore(dir, keep = 8, graceMs = 0)))
+    (1 to 40).foreach(i => c.createContainer("admin", s"box$i"))
+    val files = dir.toFile.listFiles((_, n) => n.startsWith("v")).length
+    assert(files <= 9, s"$files version files retained (keep=8)")
+    // the surviving newest state is complete
+    val fresh = new CatalogService(shared = Some(sharedStore(dir)))
+    assert(fresh.userContainers("admin").size == 40)
+  }
+
   test("state survives restart via catalog.json (tokens included)") {
     val dir = Files.createTempDirectory("catalog")
     val c1 = new CatalogService(Some(dir))
