@@ -116,10 +116,24 @@ object ServiceBench {
     } finally servers.foreach(s => try s.close() catch { case _: Exception => () })
   }
 
+  /** One tier run's headline numbers — rows ingested over the write
+    * window, post latency percentiles, errors. `ServiceScaleCheck`
+    * compares these across a 10× session/volume scale-up. */
+  final case class TierResult(rows: Long, dtWrite: Double, posts: Int,
+                              p50Ms: Double, p99Ms: Double, errors: Int) {
+    def rowsPerSec: Double = rows / math.max(dtWrite, 1e-9)
+  }
+
   def runTier(spark: SparkSession, tier: String): Unit = {
+    runTier(spark, tier, nWriters = 8, nBatches = 50, labelSuffix = "")
+    ()
+  }
+
+  def runTier(spark: SparkSession, tier: String, nWriters: Int, nBatches: Int,
+              labelSuffix: String): Option[TierResult] = {
     val root = Scratch.localDir + s"/svcbench-$tier-${System.nanoTime()}"
-    val label = if (tier == "local") "log_service_throughput"
-                else s"log_service_throughput_$tier"
+    val label = (if (tier == "local") "log_service_throughput"
+                 else s"log_service_throughput_$tier") + labelSuffix
     // server startup stays INSIDE the try: a bind/scratch failure must
     // degrade to the FAILED detail line, never escape past the bench's
     // already-printed stdout JSON and kill the process
@@ -143,13 +157,12 @@ object ServiceBench {
       send("POST", "/api/containers", Some("""{"container_id":"bench"}"""), Some(token))
 
       // Sized so the buffered ingest path is measured, not the harness:
-      // 40k rows across 8 concurrent writers is ~2 orders of magnitude
-      // more posts than any fixed cost (JIT, first-flush, first-GET
-      // plan), while still finishing in seconds. The round-5 shape
-      // (4x15x40 = 2.4k rows) was so small that one cold GET dominated
-      // the whole measured window once per-POST Spark jobs went away.
-      val nWriters = 8
-      val nBatches = 50
+      // 40k rows across 8 concurrent writers (the default shape) is ~2
+      // orders of magnitude more posts than any fixed cost (JIT,
+      // first-flush, first-GET plan), while still finishing in seconds.
+      // The round-5 shape (4x15x40 = 2.4k rows) was so small that one
+      // cold GET dominated the whole measured window once per-POST
+      // Spark jobs went away.
       val rowsPerBatch = 100
       (1 to nWriters).foreach { w =>
         send("POST", "/api/containers/bench/sessions",
@@ -159,6 +172,7 @@ object ServiceBench {
       val readsOk = new AtomicInteger(0)
       val rowsRead = new java.util.concurrent.atomic.AtomicLong(0)
       val errors = new AtomicInteger(0)
+      val postNanos = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       @volatile var writing = true
       // a transport-level failure (connection reset while rotation +
       // compaction run mid-traffic) must count as an error and let the
@@ -171,7 +185,9 @@ object ServiceBench {
               val logs = (1 to rowsPerBatch).map(i =>
                 f"""{"level":"INFO","message":"w$w-b$b-r$i payload ${"x" * 64}","timestamp":"2025-01-01T${b % 24}%02d:${i % 60}%02d:00Z"}""")
                 .mkString("[", ",", "]")
+              val p0 = System.nanoTime()
               val r = send("POST", s"/api/logs/bench/w$w", Some(s"""{"logs":$logs}"""), Some(token))
+              postNanos.add(System.nanoTime() - p0)
               if (r.statusCode == 201) appendsOk.incrementAndGet() else errors.incrementAndGet()
             } catch { case _: Exception => errors.incrementAndGet() }
           }
@@ -207,14 +223,21 @@ object ServiceBench {
       readers.foreach(_.join(300000))
       val dt = (System.nanoTime() - t0) / 1e9
       val rows = appendsOk.get.toLong * rowsPerBatch
+      val lats = postNanos.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      def pctMs(q: Double): Double =
+        if (lats.isEmpty) 0.0
+        else lats(math.min(lats.length - 1, (q * lats.length).toInt)) / 1e6
       System.err.println(
         f"[bench] $label%-33s $dt%8.3f s  " +
         f"ingest ${rows / dtWrite}%.0f rows/s (${appendsOk.get / dtWrite}%.1f posts/s over $dtWrite%.3f s), " +
-        f"${readsOk.get / dt}%.1f concurrent reads/s (${rowsRead.get / dt}%.0f rows/s read), errors=${errors.get}" +
+        f"${readsOk.get / dt}%.1f concurrent reads/s (${rowsRead.get / dt}%.0f rows/s read), " +
+        f"post p50 ${pctMs(0.5)}%.1f ms p99 ${pctMs(0.99)}%.1f ms, errors=${errors.get}" +
         f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
+      Some(TierResult(rows, dtWrite, appendsOk.get, pctMs(0.5), pctMs(0.99), errors.get))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+        None
     } finally if (server != null) server.close()
   }
 }

@@ -603,6 +603,33 @@ class ManifestLogSpec extends SparkSuite {
     assert(msgs(log.read("c", "s")) == Seq("one", "two"))
   }
 
+  test("version-hint resolve: foreign commits are probed forward; past the probe cap it falls back to a listing") {
+    val root = tempDir("mlog")
+    val a = new ManifestLog(spark, root)
+    val b = new ManifestLog(spark, root)
+    a.append(batch(("2024-01-01T10:00:00Z", "INFO", "mine")), "c", "s")   // v1: a's hint = 1
+    b.append(batch(("2024-01-01T10:01:00Z", "INFO", "theirs")), "c", "s") // v2 via the peer
+    // a's resolve probes v2 off its stale hint — no listing needed
+    assert(msgs(a.read("c", "s")) == Seq("mine", "theirs"))
+    assert(a.resolve("c", "s")._1 == 2L)
+    // push the frontier far past the probe cap (64) with legacy-format
+    // versions, all referencing v1's hot file
+    val mdir = new java.io.File(s"$root/manifest/container=c/session=s")
+    val hotEntry = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(mdir, f"v${1L}%020d").toPath), "UTF-8")
+      .split("\n").find(_.startsWith("hot/")).get
+    (3L to 90L).foreach { v =>
+      java.nio.file.Files.write(new java.io.File(mdir, f"v$v%020d").toPath,
+        s"$hotEntry\n".getBytes("UTF-8"))
+    }
+    assert(a.resolve("c", "s")._1 == 90L, "cap-exceeded probe must fall back to listing")
+    assert(msgs(a.read("c", "s")) == Seq("mine"))
+    // and commits build on the listed frontier
+    b.append(batch(("2024-01-01T10:02:00Z", "INFO", "after")), "c", "s")
+    assert(b.resolve("c", "s")._1 == 91L)
+    assert(msgs(a.read("c", "s")) == Seq("after", "mine"))
+  }
+
   test("idempotency tags are filename-safe on both stores (':' would parse as a Path scheme)") {
     val ml = new ManifestLog(spark, tempDir("mlog"))
     intercept[IllegalArgumentException] {
