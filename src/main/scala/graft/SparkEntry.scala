@@ -66,6 +66,7 @@ object SparkEntry {
     "log_summary"         -> (LogQueries.logSummary _),
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
     "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
+    "log_snapshot_read"   -> (LogQueries.logSnapshotRead _),
     "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
     "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
     "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
@@ -99,6 +100,9 @@ object SparkEntry {
     // for combo keys that are still hot (round-8, SCALECHECK's
     // "combine them" note made executable)
     "dedup_hamming_wide_salted" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupWideSalted(s, d)),
+    // forecast-driven layout selection: two metadata-priced block-stats
+    // aggregates choose single/wide × plain/salted per corpus (round-9)
+    "dedup_hamming_auto"   -> ((s: SparkSession, d: String) => Dedup.hammingNearDupAuto(s, d)),
     "dedup_admission"      -> ((s: SparkSession, d: String) => Dedup.admissionGate(s, d)),
     // the deployed ingest-gate shape: probes the PERSISTED chunk index
     "dedup_admission_indexed" -> ((s: SparkSession, d: String) => Dedup.admissionGateIndexed(s, d)),
@@ -461,6 +465,7 @@ object SparkEntry {
       "dedup_hamming_salted"  -> "dedup_hamming",
       "dedup_hamming_wide"    -> "dedup_hamming",
       "dedup_hamming_wide_salted" -> "dedup_hamming",
+      "dedup_hamming_auto"    -> "dedup_hamming",
       "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
       "dedup_admission_indexed" -> "dedup_admission",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
@@ -998,6 +1003,15 @@ object SparkEntry {
          |WHERE session IN ('s1', 's5', 's9')
          |  AND "timestamp" >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND "timestamp" <= TIMESTAMP '2024-01-28 23:59:59'
+         |ORDER BY "timestamp", session, message""".stripMargin,
+    // the engine pins manifest v1 (the first append's commit) across a
+    // second append + compaction + GC; the oracle derives the same rows
+    // directly — the time-travel contract, not the query, is under test
+    "log_snapshot_read" ->
+      s"""$logsCte
+         |SELECT * FROM logs
+         |WHERE session = 's7'
+         |  AND "timestamp" < TIMESTAMP '2024-01-15 00:00:00'
          |ORDER BY "timestamp", session, message""".stripMargin,
     "log_dedup_bursts" ->
       s"""$logsCte,

@@ -863,7 +863,13 @@ object Dedup {
     * this report is how you catch it from metadata, at chunk-key
     * aggregation cost, before running the join itself. */
   def blockStats(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
-    chunkRelation(simhashRaw(s, dir), maxDist + 1)
+    blockStatsFrom(simhashRaw(s, dir), maxDist)
+
+  /** [[blockStats]] over a caller-supplied (doc_id, simhash) relation —
+    * the seam [[autoBlockingChoice]] and the constructed-skew specs
+    * price layouts through. */
+  private[ops] def blockStatsFrom(sh: DataFrame, maxDist: Int): DataFrame =
+    chunkRelation(sh, maxDist + 1)
       .groupBy(col("j"), col("ck")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .groupBy(col("j").cast("long").as("chunk_idx"))
@@ -880,7 +886,11 @@ object Dedup {
     * wide candidate volume BEFORE paying for either join (SCALECHECK
     * records both across a 10× scale step). */
   def wideBlockStats(s: SparkSession, dir: String, nChunks: Int = 5): DataFrame =
-    comboRelation(simhashRaw(s, dir), nChunks)
+    wideBlockStatsFrom(simhashRaw(s, dir), nChunks)
+
+  /** [[wideBlockStats]] over a caller-supplied simhash relation. */
+  private[ops] def wideBlockStatsFrom(sh: DataFrame, nChunks: Int): DataFrame =
+    comboRelation(sh, nChunks)
       .groupBy(col("c"), col("k1"), col("k2")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .groupBy(col("c").cast("long").as("combo_idx"))
@@ -889,6 +899,67 @@ object Dedup {
            max(col("n")).as("max_block"),
            sum(expr("n * (n - 1) DIV 2")).as("n_cand_pairs"))
       .orderBy(col("combo_idx"))
+
+  /** FORECAST-DRIVEN blocking selection (round-9): the engine prices
+    * single-chunk vs pair-of-chunks blocking from metadata on every
+    * bench run, but the declared queries chose a layout statically —
+    * this makes the choice DATA-DRIVEN, the way a deployment would run
+    * it. Two metadata-priced aggregates (the [[blockStats]] /
+    * [[wideBlockStats]] forecasts themselves — chunk-key aggregation
+    * cost, never a pair join) pick:
+    *  - the LAYOUT minimizing forecast candidate pairs (wide's 2²⁶ key
+    *    space beats single's 2¹⁶ exactly when birthday collisions
+    *    dominate; ties break to single, whose index is C(n,2)/n×
+    *    smaller);
+    *  - the SKEW GUARD: salting composes whenever the chosen layout's
+    *    largest block exceeds the per-task bound `saltThreshold`.
+    * Returns the layout key: single / single_salted / wide /
+    * wide_salted. All four produce IDENTICAL rows (pigeonhole
+    * exactness + salting identity are property-proven), so the choice
+    * affects only the work shape — [[hammingNearDupAuto]] shares
+    * dedup_hamming's oracle. */
+  private[ops] def autoBlockingChoice(sh: DataFrame, maxDist: Int = 3,
+      nChunks: Int = 5, saltThreshold: Int = 16): String = {
+    def price(df: DataFrame): (Long, Long) = {
+      val rows = df.collect()
+      (rows.map(_.getLong(4)).sum,
+       if (rows.isEmpty) 0L else rows.map(_.getLong(3)).max)
+    }
+    val (singlePairs, singleMax) = price(blockStatsFrom(sh, maxDist))
+    val (widePairs, wideMax) = price(wideBlockStatsFrom(sh, nChunks))
+    val useWide = widePairs < singlePairs
+    val maxBlock = if (useWide) wideMax else singleMax
+    (if (useWide) "wide" else "single") +
+      (if (maxBlock > saltThreshold) "_salted" else "")
+  }
+
+  /** [[hammingNearDup]] with the blocking layout chosen by
+    * [[autoBlockingChoice]] — identical rows under every choice (same
+    * driver oracle as dedup_hamming via the twin-alias map); what the
+    * forecast decides is which candidate join the cluster pays for. */
+  def hammingNearDupAuto(s: SparkSession, dir: String, maxDist: Int = 3,
+      nChunks: Int = 5, saltThreshold: Int = 16, subBlock: Int = 8): DataFrame = {
+    val sh = simhashRaw(s, dir)
+    hammingAutoFrom(sh, maxDist, nChunks, saltThreshold, subBlock)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[hammingNearDupAuto]] over a caller-supplied simhash relation —
+    * the constructed-skew spec's seam. */
+  private[ops] def hammingAutoFrom(sh: DataFrame, maxDist: Int, nChunks: Int,
+      saltThreshold: Int, subBlock: Int): DataFrame =
+    autoBlockingChoice(sh, maxDist, nChunks, saltThreshold) match {
+      case "single" => hammingPairsFrom(sh, maxDist)
+      case "single_salted" =>
+        val n = maxDist + 1
+        saltedPairsFromChunks(chunkRelation(sh, n), n, saltThreshold, subBlock)
+          .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+          .filter(col("dist") <= maxDist)
+          .select(col("doc_a"), col("doc_b"), col("dist"))
+      case "wide" => widePairsFrom(sh, maxDist, nChunks)
+      case "wide_salted" =>
+        hammingNearDupWideSaltedFrom(sh, maxDist, nChunks, saltThreshold, subBlock)
+    }
 
   /** Connected components over an undirected pair list via alternating
     * LARGE-STAR / SMALL-STAR rounds (the MapReduce-era algorithm from

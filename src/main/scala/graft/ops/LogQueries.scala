@@ -229,6 +229,43 @@ object LogQueries {
       graft.model.LogSchema.schema)
   }
 
+  /** SNAPSHOT READ under the oracle (time travel, round-9): one
+    * session's rows are written through [[graft.storage.ManifestLog]]
+    * in two appends, then compacted AND swept (grace-window GC) — and
+    * the query reads the store AS OF VERSION 1, the manifest committed
+    * by the first append. The pinned snapshot must replay exactly the
+    * first append's row set even though its hot file has since been
+    * retired by the compaction swap — the reproducibility hook a
+    * training-data pipeline needs to cite the precise store state a
+    * derivation ran against. The DuckDB oracle computes the same rows
+    * straight from `events`, so any snapshot leakage (post-snapshot
+    * rows visible, pre-compaction rows lost) turns this row red. */
+  def logSnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.storage.ManifestLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-snapshot").toString
+    val log = new ManifestLog(s, root)
+    val src = logsView(s, dir).filter(col("session") === "s7").cache()
+    val c = src.select(col("container")).distinct().collect().head.getString(0)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    log.append(src.filter(col("timestamp") < cut)
+      .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v1 — pinned
+    log.append(src.filter(!(col("timestamp") < cut))
+      .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v2
+    log.compact(c, "s7")                                                 // v3: v1's file retired
+    // GC with a grace window: nothing a reader inside the window can
+    // still reach is deleted — including v1's retired hot file
+    log.expire(c, "s7", java.time.Instant.now().minusSeconds(3600))
+    val rows = log.readAt(c, "s7", 1L)
+      .orderBy(col("timestamp"), col("session"), col("message"))
+      .collect().toSeq
+    src.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      graft.model.LogSchema.schema)
+  }
+
   /** Top-k most frequent messages per container — the log-triage view
     * ("what is spamming this tenant?") every log service grows. Counts
     * aggregate map-side on (container, message); the per-container

@@ -17,6 +17,13 @@ class PlanAuditSpec extends SparkSuite {
   // these run real work (storage writes / convergence loops) during
   // DataFrame construction — audited in LogStoreSpec / DupComponentsSpec
   private val constructive = Set("log_store_roundtrip", "dedup_components",
+    // builds a ManifestLog fixture (appends + compaction + GC) while
+    // constructing its result — audited in ManifestLogSpec
+    "log_snapshot_read",
+    // runs the two metadata-priced block-stats collects to CHOOSE its
+    // layout during construction; every layout it can choose is audited
+    // via the four standalone dedup_hamming* entries
+    "dedup_hamming_auto",
     // runs the whole iterative merge loop while BUILDING its result —
     // audited by its own reference-equivalence spec in TextAnalysisSpec
     "text_bpe_train", "text_bpe_encode",
