@@ -134,7 +134,21 @@ object ScaleCheck {
         "consume: dedup_ngram_indexed" ->
           timed(SparkEntry.queries("dedup_ngram_indexed")(spark, dir).count()),
         "consume: ann_ivf_indexed" ->
-          timed(SparkEntry.queries("ann_ivf_indexed")(spark, dir).count()))
+          timed(SparkEntry.queries("ann_ivf_indexed")(spark, dir).count()),
+        // incremental vs rebuild for the one formerly rebuild-only index
+        // (round-9): segment build ≈ the v2 build minus denormalization;
+        // the APPEND is the per-batch cost a rebuild used to charge the
+        // whole corpus for (batch = 1% of docs, planted twin ids)
+        "build shingle segments" ->
+          timed(ops.IndexTables.ensureShingleSegments(spark, dir)),
+        "append shingle segment (1% batch)" ->
+          timed(ops.IndexTables.appendToShingleIndex(spark, dir,
+            ops.Tables.documents(spark, dir)
+              .filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+              .select((org.apache.spark.sql.functions.col("doc_id") + 500000000L)
+                .as("doc_id"), org.apache.spark.sql.functions.col("text")))),
+        "consume: dedup_ngram_seg" ->
+          timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()))
       r.foreach { case (n, t) =>
         System.err.println(f"[scalecheck] $dir%-24s $n%-32s $t%8.3f s") }
       clean()

@@ -90,6 +90,9 @@ object SparkEntry {
     // plans Exchange-free (IndexTablesSpec proves the physical plan)
     "dedup_hamming_indexed" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupIndexed(s, d)),
     "dedup_ngram_indexed"  -> (Dedup.ngramJaccardIndexed _),
+    // segment-merge shingle index: appends per batch, DF cap at read
+    // time over summed per-segment stats (round-9 incremental form)
+    "dedup_ngram_seg"      -> (Dedup.ngramJaccardSegmented _),
     // skew-guarded twin: hot signature blocks hash-split so no task owns
     // a quadratic block (the blockStats forecast, operationalized)
     "dedup_hamming_salted" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupSalted(s, d)),
@@ -467,6 +470,7 @@ object SparkEntry {
       "dedup_hamming_wide_salted" -> "dedup_hamming",
       "dedup_hamming_auto"    -> "dedup_hamming",
       "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
+      "dedup_ngram_seg"       -> "dedup_ngram_jaccard",
       "dedup_admission_indexed" -> "dedup_admission",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 

@@ -35,16 +35,21 @@ object Dedup {
     * here), so it materializes once per (session, dir) — the shingle
     * INDEX TABLE of a production pipeline. */
   private[ops] def shingles(s: SparkSession, dir: String): DataFrame =
-    memoized("shingles", s, dir) {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sx"))
-        .select(col("doc_id"),
-          expr("CAST(conv(substr(md5(sx), 1, 15), 16, 10) AS BIGINT)").as("s"))
-        .distinct()
-    }
+    memoized("shingles", s, dir) { shinglesOf(Tables.documents(s, dir)) }
+
+  /** The shingle derivation over any (doc_id, text) relation — the one
+    * definition behind the memoized corpus relation AND the segment
+    * appends of the incremental shingle index, so a batch appended
+    * later shingles exactly as the initial build did. */
+  private[ops] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sx"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(sx), 1, 15), 16, 10) AS BIGINT)").as("s"))
+      .distinct()
 
   /** Exact dedup summary per source: how many docs survive dedup by
     * raw text and by normalized (lower/trim) text. Distinctness is
@@ -757,8 +762,23 @@ object Dedup {
     *     (doc_a, doc_b, n_a, n_b) — the two post-aggregation joins
     *     against a per-doc size relation (two more shuffles of the
     *     pair relation at scale) are gone entirely. */
-  def ngramJaccardIndexed(s: SparkSession, dir: String): DataFrame = {
-    val sh = s.table(IndexTables.ensureShingleIndex(s, dir))
+  def ngramJaccardIndexed(s: SparkSession, dir: String): DataFrame =
+    jaccardFromSizedShingles(s.table(IndexTables.ensureShingleIndex(s, dir)))
+
+  /** [[ngramJaccardIndexed]] over the SEGMENTED shingle index
+    * ([[IndexTables.mergedShingleView]]) — the incrementally-maintained
+    * form: segments appended per ingest batch, the corpus-relative DF
+    * cap applied at read/merge time over the summed per-segment stats.
+    * Identical rows to [[ngramJaccard]] (same oracle via the alias
+    * map); what changes is that new documents enter WITHOUT a rebuild. */
+  def ngramJaccardSegmented(s: SparkSession, dir: String): DataFrame =
+    jaccardFromSizedShingles(IndexTables.mergedShingleView(s, dir))
+
+  /** The one Jaccard finisher over any sized capped-shingle relation
+    * (doc_id, s, n): size-compatibility prefilter BEFORE the pair-count
+    * exchange, denormalized sizes, 0.5 gate — shared by the rebuilt and
+    * the segmented index consumers so the two can never drift. */
+  private def jaccardFromSizedShingles(sh: DataFrame): DataFrame =
     sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -771,7 +791,6 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Near-dup ADMISSION check of `incoming` docs against a reference
     * `corpus` — the ingest-time gate of a training pipeline ("is this

@@ -178,6 +178,118 @@ object IndexTables {
       sh.join(sizes, Seq("doc_id"))
     }
 
+  // ---- incremental shingle index (segment merge, round-9) ----
+  //
+  // The DF-capped table above is REBUILD-style: its cap is
+  // corpus-relative, so correct maintenance requires updating document
+  // frequencies. The segmented form fixes that the way a search
+  // engine's segment architecture does: appends land as segments of
+  // UNCAPPED per-doc shingles plus per-segment DF stats, and the
+  // corpus-relative cap is applied at read/merge time over the SUMMED
+  // stats — segments hold disjoint docs, so per-segment DFs sum to
+  // exactly the corpus DF the rebuild would compute. Three tables:
+  //   idx_shingle_seg_<tag>   (doc_id, s)   bucketed by s — the join key
+  //   idx_shingle_df_<tag>    (s, df)       bucketed by s — per-append DFs
+  //   idx_shingle_meta_<tag>  (seg, n_docs) tiny — the cap denominator
+  // The read-time price vs the rebuilt table: one DF-stats aggregate
+  // (shingle-vocabulary-sized, Exchange-free off the bucketed stats
+  // table) and one per-doc size aggregate (the rebuilt table
+  // denormalized `n` at build time). A maintenance rebuild
+  // (ensureShingleIndex after drop) restores the flattened layout —
+  // the serving-segments vs batch-rebuild split every search
+  // deployment makes.
+
+  private def segName(dir: String) = s"idx_shingle_seg_${tag(dir)}"
+  private def segDfName(dir: String) = s"idx_shingle_df_${tag(dir)}"
+  private def segMetaName(dir: String) = s"idx_shingle_meta_${tag(dir)}"
+
+  /** Initial segment = the corpus at `dir`. Idempotent per catalog. */
+  def ensureShingleSegments(s: SparkSession, dir: String): String =
+    ensureShingleSegmentsFrom(s, dir,
+      Tables.documents(s, dir).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+
+  /** Seam for the planted-twin spec: initial segment from an explicit
+    * (doc_id, text) relation. */
+  private[ops] def ensureShingleSegmentsFrom(s: SparkSession, dir: String,
+                                             docs: DataFrame): String = {
+    ensureWith(s, segName(dir)) { n =>
+      // checkpoint: the shingle derivation feeds the segment rows AND
+      // the DF stats — one execution
+      val sh = Dedup.shinglesOf(docs).localCheckpoint()
+      writeBucketed(sh, n, Seq("s"), "overwrite")
+      s.sql(s"DROP TABLE IF EXISTS ${segDfName(dir)}")
+      s.sql(s"DROP TABLE IF EXISTS ${segMetaName(dir)}")
+      writeBucketed(
+        sh.groupBy(org.apache.spark.sql.functions.col("s"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df")),
+        segDfName(dir), Seq("s"), "overwrite")
+      writeMeta(s, dir, "base", docs.count(), "overwrite")
+    }
+    segName(dir)
+  }
+
+  private def writeMeta(s: SparkSession, dir: String, seg: String, nDocs: Long,
+                        mode: String): Unit = {
+    import s.implicits._
+    Seq((seg, nDocs)).toDF("seg", "n_docs")
+      .write.mode(mode).saveAsTable(segMetaName(dir))
+  }
+
+  /** INCREMENTAL shingle-index maintenance: append `newDocs`' shingles
+    * as a new segment with its own DF stats — no rebuild, and the
+    * read-time cap immediately reflects the grown corpus (a shingle
+    * crossing the 20% threshold because of this batch is dropped from
+    * EVERY doc at read time, exactly as a rebuild would). `newDocs` is
+    * (doc_id, text) with ids disjoint from the indexed corpus; returns
+    * shingle rows appended. Docs too short to shingle still count into
+    * the cap denominator, as in the full build. */
+  def appendToShingleIndex(s: SparkSession, dir: String, newDocs: DataFrame): Long = {
+    val name = ensureShingleSegments(s, dir)
+    val sh = Dedup.shinglesOf(newDocs).localCheckpoint()
+    val n = sh.count()
+    if (n > 0) {
+      writeBucketed(sh, name, Seq("s"), "append")
+      writeBucketed(
+        sh.groupBy(org.apache.spark.sql.functions.col("s"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df")),
+        segDfName(dir), Seq("s"), "append")
+      refreshBoth(s, sh, name)
+      refreshBoth(s, sh, segDfName(dir))
+    }
+    writeMeta(s, dir, java.util.UUID.randomUUID().toString, newDocs.count(), "append")
+    refreshBoth(s, newDocs, segMetaName(dir))
+    n
+  }
+
+  /** The merged, CAPPED view over all segments — (doc_id, s, n), the
+    * same shape the rebuilt table serves: summed per-segment DFs give
+    * the corpus DF, the hot set (>20% of total docs) is tiny by
+    * construction → broadcast anti-join, and per-doc sizes are
+    * re-derived post-cap. Checkpointed once per call: the capped
+    * relation feeds both self-join sides and the size aggregate of any
+    * consumer. */
+  def mergedShingleView(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureShingleSegments(s, dir)
+    val seg = s.table(segName(dir))
+    val dfs = s.table(segDfName(dir))
+    val total = s.table(segMetaName(dir))
+      .agg(sum(col("n_docs")).as("n_total")).withColumn("k", lit(1))
+    val hot = dfs.groupBy(col("s")).agg(sum(col("df")).as("df"))
+      .withColumn("k", lit(1))
+      .join(org.apache.spark.sql.functions.broadcast(total), Seq("k"))
+      .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
+      .select(col("s"))
+    val capped = seg
+      .join(org.apache.spark.sql.functions.broadcast(hot), Seq("s"), "left_anti")
+      .localCheckpoint()
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    capped.join(sizes, Seq("doc_id"))
+  }
+
   /** IVF inverted index: every vector's (n_id, n_v, n_norm) under the
     * deterministic seed quantizer, PARTITIONED BY `list_id` — the
     * "normed vectors + IVF assignment" row of SURVEY §11's table map.

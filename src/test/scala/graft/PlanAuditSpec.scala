@@ -24,6 +24,10 @@ class PlanAuditSpec extends SparkSuite {
     // layout during construction; every layout it can choose is audited
     // via the four standalone dedup_hamming* entries
     "dedup_hamming_auto",
+    // materializes the merged capped-shingle view (localCheckpoint)
+    // while building; its pair-join shape is the audited
+    // dedup_ngram_indexed plan over the same bucket keys
+    "dedup_ngram_seg",
     // runs the whole iterative merge loop while BUILDING its result —
     // audited by its own reference-equivalence spec in TextAnalysisSpec
     "text_bpe_train", "text_bpe_encode",
