@@ -39,7 +39,8 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
                       ingestFlushMs: Long = 100,
                       makeTier: (SparkSession, String) => LogTier = LogServer.localTier,
                       maxBodyBytes: Int = 32 * 1024 * 1024,
-                      makeCatalog: (SparkSession, String) => CatalogService = LogServer.localCatalog)
+                      makeCatalog: (SparkSession, String) => CatalogService = LogServer.localCatalog,
+                      maxStreamMs: Long = 10 * 60 * 1000L)
     extends AutoCloseable {
 
   /** Constructor-injected control plane (round-9): per-gateway local
@@ -319,10 +320,23 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
         val out = ex.getResponseBody
         def w(str: String): Unit = out.write(str.getBytes(StandardCharsets.UTF_8))
         w(s"""{"container":${mapper.writeValueAsString(c)},"session":${mapper.writeValueAsString(s)},"logs":[""")
+        // Bounded window (round-8 advice): on the LogStore tier this
+        // loop holds the session's view read lock for the whole
+        // client-paced response — a stalled client would otherwise
+        // block that session's compaction publish INDEFINITELY (and a
+        // queued writer then blocks subsequent readers too). Past the
+        // cap the stream aborts through the mid-stream error contract
+        // below: no closing "]}", so the client sees truncation, never
+        // a complete-looking response. (On ManifestLog the snapshot is
+        // lock-free and the cap is just a slow-client hygiene bound.)
+        val deadline = System.nanoTime() + maxStreamMs * 1000000L
         try {
           head.foreach(w)
           var more = head.isDefined
           while (more) {
+            if (System.nanoTime() > deadline)
+              throw new java.io.IOException(
+                s"response exceeded the $maxStreamMs ms stream cap")
             if (it.hasNext) { w(","); w(it.next()) } else more = false
           }
           w(s"""],"files_scanned":$filesScanned}""")

@@ -248,6 +248,46 @@ abstract class LogServerContractSpec extends SparkSuite with BeforeAndAfterAll {
         mapper.readTree(back.body).get("total_rows").asInt === 1)
     } finally small.close()
   }
+  test("stream cap: a response past maxStreamMs aborts TRUNCATED (no closing brace), releasing the view lock") {
+    // dedicated server with a zero cap: the first loop iteration after
+    // the head row trips the deadline — the body must be cut off before
+    // the closing "]}…" so the client can never mistake it for complete
+    val capped = new LogServer(spark, tempDir("server-cap"),
+      makeTier = LogServer.tierNamed(tierName), maxStreamMs = 0L).start()
+    try {
+      val cbase = s"http://localhost:${capped.boundPort}"
+      def creq(method: String, path: String, body: Option[String],
+               token: Option[String]): HttpResponse[String] = {
+        var b = HttpRequest.newBuilder(URI.create(s"$cbase$path"))
+        b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+          b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+        token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), BodyHandlers.ofString())
+      }
+      val token = mapper.readTree(creq("POST", "/api/auth/login",
+        Some("""{"username":"admin","password":"admin"}"""), None).body).get("token").asText
+      creq("POST", "/api/containers", Some("""{"container_id":"cap"}"""), Some(token))
+      creq("POST", "/api/containers/cap/sessions", Some("""{"session_id":"s"}"""), Some(token))
+      creq("POST", "/api/logs/cap/s", Some(
+        """{"logs":[
+          |  {"level":"INFO","message":"r1","timestamp":"2025-01-01T00:00:00Z"},
+          |  {"level":"INFO","message":"r2","timestamp":"2025-01-01T00:00:01Z"},
+          |  {"level":"INFO","message":"r3","timestamp":"2025-01-01T00:00:02Z"}
+          |]}""".stripMargin), Some(token))
+      val r = creq("GET", "/api/logs/cap/s?stream=true", None, Some(token))
+      // a complete streamed body closes with `],"files_scanned":N}` —
+      // truncation means that footer never arrives
+      assert(!r.body.contains("files_scanned"),
+        s"capped stream returned a complete-looking body: ${r.body}")
+      // the view lock was released at abort: a write + batch read proceed
+      assert(creq("POST", "/api/logs/cap/s",
+        Some("""{"logs":[{"level":"INFO","message":"r4","timestamp":"2025-01-01T00:00:03Z"}]}"""),
+        Some(token)).statusCode === 201)
+      val back = creq("GET", "/api/logs/cap/s", None, Some(token))
+      assert(back.statusCode === 200 &&
+        mapper.readTree(back.body).get("total_rows").asInt === 4)
+    } finally capped.close()
+  }
 }
 
 /** The full contract over the single-node [[graft.storage.LogStore]]. */
