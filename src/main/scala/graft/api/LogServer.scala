@@ -67,6 +67,16 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   })
 
   private val mapper = new ObjectMapper()
+  /** Forces streaming responses past [[maxStreamMs]] to abort even when
+    * the handler thread is parked in a blocked `write` (a client that
+    * stopped reading its socket) — closing the exchange fails the write
+    * with an IOException, which releases the tier's view lock through
+    * the normal mid-stream abort path. The in-loop deadline check alone
+    * cannot reach that state. */
+  private val streamWatchdog =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-stream-watchdog"); t.setDaemon(true); t
+    })
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   http.setExecutor(Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-http"); t.setDaemon(true); t
@@ -103,6 +113,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       }
     step(ingestBuffer.close()) // throws if acked rows could not be drained
     step(compactor.close())
+    step(streamWatchdog.shutdownNow())
     step { graft.ops.Tables.invalidate(spark); () }
     if (primary != null) throw primary
   }
@@ -308,7 +319,14 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       //  - a MID-STREAM failure aborts the body without the closing
       //    "]}"— the client sees truncated/invalid JSON, never a
       //    complete-looking response with silently missing rows.
-      store.withReadSnapshot(c, s) {
+      // two-layer stream bound: the in-loop deadline catches a SLOW
+      // client; the watchdog catches a STOPPED one (handler parked in a
+      // blocked write never reaches the deadline check — closing the
+      // exchange fails the write and the abort path releases the lock)
+      val guard = streamWatchdog.schedule(new Runnable {
+        def run(): Unit = try ex.close() catch { case _: Exception => () }
+      }, maxStreamMs + 1000, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try store.withReadSnapshot(c, s) {
         val it = engine.streamJson(c, s, start, end)
         val head =
           try { if (it.hasNext) Some(it.next()) else None }
@@ -343,7 +361,7 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[server] stream $c/$s aborted mid-response: ${e.getMessage}")
         } finally out.close()
-      }
+      } finally guard.cancel(false)
     } else {
       val rows = store.withReadSnapshot(c, s) { engine.readLogs(c, s, start, end).collect() }
       val o = mapper.createObjectNode()

@@ -96,9 +96,15 @@ final class CasStateStore(fs: FileSystem, dir: Path,
   private def prune(latest: Long): Unit = {
     val horizon = System.currentTimeMillis() - pruneGraceMs
     try fs.listStatus(dir).foreach { st =>
-      if (st.isFile && versionRe.matches(st.getPath.getName) &&
-          versionOf(st.getPath) <= latest - keepVersions &&
-          st.getModificationTime < horizon)
+      val deletable =
+        if (st.isFile && versionRe.matches(st.getPath.getName))
+          versionOf(st.getPath) <= latest - keepVersions
+        // committers killed between temp write and link/rename leave
+        // .tmp- orphans no one else sweeps (the manifest tier's expire
+        // handles its own); the grace window far exceeds any in-flight
+        // few-KB write
+        else st.isFile && st.getPath.getName.startsWith(".tmp-")
+      if (deletable && st.getModificationTime < horizon)
         fs.delete(st.getPath, false)
     } catch { case _: java.io.FileNotFoundException => () }
   }

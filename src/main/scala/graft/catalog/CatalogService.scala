@@ -115,7 +115,16 @@ final class CatalogService(root: Option[Path] = None,
           if (slot == valid) {
             val (a, changed) = f
             if (!changed) return a
-            if (st.tryCommit(valid + 1, stateJson)) { loadedVersion = valid + 1; return a }
+            // a tryCommit that THROWS (IO fault, not a CAS loss) must not
+            // leave the applied-but-uncommitted mutation in the maps with
+            // loadedVersion still at the frontier — this gateway would
+            // serve phantom state until some later commit moved the
+            // version. Poison the loaded version so the next access
+            // force-reloads committed state, then propagate.
+            val committed =
+              try st.tryCommit(valid + 1, stateJson)
+              catch { case t: Throwable => loadedVersion = -1L; throw t }
+            if (committed) { loadedVersion = valid + 1; return a }
             dirty = true // lost the CAS: roll back by force-reloading
           }
           if (System.currentTimeMillis() > deadline)

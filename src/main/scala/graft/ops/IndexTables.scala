@@ -214,18 +214,31 @@ object IndexTables {
   private[ops] def ensureShingleSegmentsFrom(s: SparkSession, dir: String,
                                              docs: DataFrame): String = {
     ensureWith(s, segName(dir)) { n =>
+      // the df/meta tables ride the SEG table's existence check, so
+      // their stale on-disk locations from a previous JVM must be
+      // cleaned the same way ensureWith cleans the guard table's (a
+      // catalog-unknown DROP is a no-op; the leftover managed dir
+      // fails the CREATE — the file-header lesson), and they are
+      // written FIRST: the guard table landing LAST means its
+      // existence implies all three, so a crash mid-build re-runs the
+      // whole build instead of serving a seg table without stats
+      Seq(segDfName(dir), segMetaName(dir)).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(warehouse, t)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       // checkpoint: the shingle derivation feeds the segment rows AND
       // the DF stats — one execution
       val sh = Dedup.shinglesOf(docs).localCheckpoint()
-      writeBucketed(sh, n, Seq("s"), "overwrite")
-      s.sql(s"DROP TABLE IF EXISTS ${segDfName(dir)}")
-      s.sql(s"DROP TABLE IF EXISTS ${segMetaName(dir)}")
       writeBucketed(
         sh.groupBy(org.apache.spark.sql.functions.col("s"))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("df")),
         segDfName(dir), Seq("s"), "overwrite")
       writeMeta(s, dir, "base", docs.count(), "overwrite")
+      writeBucketed(sh, n, Seq("s"), "overwrite")
     }
     segName(dir)
   }

@@ -246,7 +246,12 @@ object LogQueries {
       java.nio.file.Paths.get(graft.Scratch.localDir), "graft-snapshot").toString
     val log = new ManifestLog(s, root)
     val src = logsView(s, dir).filter(col("session") === "s7").cache()
-    val c = src.select(col("container")).distinct().collect().head.getString(0)
+    // session 's<uid>' determines container 'c<uid%4>' by derivation, so
+    // s7 lives in exactly one container; assert it rather than silently
+    // relabeling rows if the corpus derivation ever changes
+    val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
+    require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
+    val c = cs.head
     val cut = lit("2024-01-15 00:00:00").cast("timestamp")
     log.append(src.filter(col("timestamp") < cut)
       .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v1 — pinned

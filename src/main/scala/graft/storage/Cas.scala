@@ -55,17 +55,34 @@ private[graft] object Cas {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          // no link(2) on this mount: O_EXCL create of the final name
-          try {
-            val f = dir.resolve(dst.getName)
-            java.nio.file.Files.write(f, payload,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE,
-              java.nio.file.StandardOpenOption.SYNC)
-            if (ownerOnly) restrict(f)
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+          // FileSystemException covers transient local IO faults
+          // (ENOSPC, EACCES) as well as "mount lacks link(2)" — only
+          // the latter may take the O_EXCL fallback: routing a real IO
+          // error there would write the FINAL name non-atomically and
+          // could leave a partial file wedging the commit slot. One
+          // memoized probe per directory decides which case this is.
+          if (linkSupported(dir)) throw e // real IO fault — propagate
+          else {
+            try {
+              val f = dir.resolve(dst.getName)
+              // claim EMPTY first (the O_EXCL create is the atomic
+              // claim), restrict perms while still empty — credential-
+              // bearing payloads must never be world-readable, even for
+              // the write window — then write + sync the content. A
+              // reader in the window sees an incomplete record, which
+              // every caller format detects and retries/skips.
+              val ch = java.nio.file.Files.newByteChannel(f,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE,
+                java.nio.file.StandardOpenOption.SYNC)
+              try {
+                if (ownerOnly) restrict(f)
+                ch.write(java.nio.ByteBuffer.wrap(payload))
+              } finally ch.close()
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     case _ =>
       val tmp = new Path(dst.getParent, s".tmp-${UUID.randomUUID()}")
@@ -90,6 +107,30 @@ private[graft] object Cas {
       }
       renamed
   }
+
+  /** Memoized per-directory probe: does this mount support link(2)?
+    * Creates a scratch file and hard-links it; only a link-specific
+    * failure marks the mount link-less. Probe infrastructure failures
+    * (cannot even create the scratch file) report "supported" so the
+    * ORIGINAL error propagates instead of taking the fallback. */
+  private val linkProbe = new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
+  private def linkSupported(dir: java.nio.file.Path): Boolean =
+    linkProbe.computeIfAbsent(dir, d => {
+      try {
+        val a = java.nio.file.Files.createTempFile(d, ".linkprobe-", "")
+        val b = d.resolve(s".linkprobe-${UUID.randomUUID()}")
+        try {
+          try { java.nio.file.Files.createLink(b, a); java.lang.Boolean.TRUE }
+          catch {
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              java.lang.Boolean.FALSE
+          }
+        } finally {
+          java.nio.file.Files.deleteIfExists(b)
+          java.nio.file.Files.deleteIfExists(a)
+        }
+      } catch { case _: java.io.IOException => java.lang.Boolean.TRUE }
+    })
 
   private def restrict(p: java.nio.file.Path): Unit =
     try java.nio.file.Files.setPosixFilePermissions(p, java.util.EnumSet.of(

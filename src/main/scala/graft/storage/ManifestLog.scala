@@ -740,10 +740,15 @@ final class ManifestLog(spark: SparkSession, root: String,
           }
         }
       }
-      // a superseded manifest goes when its successor predates the horizon
+      // a superseded manifest goes when its successor predates the horizon.
+      // By mtime monotonicity these deletions are a PREFIX of the valid
+      // chain — no gap ever opens between two surviving VALID versions,
+      // which is what keeps resolveByProbe's "v readable and v+1 absent
+      // ⇒ v is the frontier" argument sound.
+      val deletedValid = scala.collection.mutable.Set[Long]()
       manifests.sliding(2).foreach {
         case Seq((v, _, _), (_, succMtime, _)) if succMtime < cutoff =>
-          if (fs.delete(new Path(dir, f"v$v%020d"), false)) n += 1
+          if (fs.delete(new Path(dir, f"v$v%020d"), false)) { deletedValid += v; n += 1 }
         case _ => ()
       }
       // temp files of claims that crashed between write and rename are
@@ -755,10 +760,19 @@ final class ManifestLog(spark: SparkSession, root: String,
       // corrupt version files strictly below the latest retained valid
       // version serve no one (readers skip them, commit never revisits
       // old slots) — sweep them once past the horizon so external
-      // damage doesn't accumulate forever
-      manifests.lastOption.foreach { case (latest, _, _) =>
+      // damage doesn't accumulate forever. BUT only below the LOWEST
+      // surviving valid version: deleting corrupt v while valid v-1
+      // survives would open a gap a stale version hint could stop in —
+      // a probe would read v-1, conclude it is the frontier, and a
+      // commit from that state would claim the freed slot and be
+      // silently superseded (the round-9 review's lost-update hazard).
+      // Gaps next to surviving CORRUPT files are harmless — a probe can
+      // never conclude at an unreadable version.
+      if (corrupt.nonEmpty) {
+        val minSurvivingValid = manifests.map(_._1)
+          .find(v => !deletedValid.contains(v)).getOrElse(Long.MaxValue)
         corrupt.foreach { case (v, mtime) =>
-          if (v < latest && mtime < cutoff &&
+          if (v < minSurvivingValid && mtime < cutoff &&
               fs.delete(new Path(dir, f"v$v%020d"), false)) n += 1
         }
       }

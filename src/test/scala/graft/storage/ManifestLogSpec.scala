@@ -508,10 +508,15 @@ class ManifestLogSpec extends SparkSuite {
     log.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c", "s")
     log.append(batch(("2024-01-01T10:01:00Z", "INFO", "b")), "c", "s")
     log.append(batch(("2024-01-01T10:02:00Z", "INFO", "c")), "c", "s")
-    // damage v2 (below the v3 frontier) and age it past the horizon
+    // damage v2 (below the v3 frontier) and age it past the horizon;
+    // age v3 too so v1 is deterministically deletable — the corrupt
+    // sweep only runs below the lowest SURVIVING valid version (gap
+    // guard), so v2's deletion requires v1's
     val v2 = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
     java.nio.file.Files.write(v2.toPath, "hot/ghost.parquet\n#commit 9\n".getBytes)
     assert(v2.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    val v3 = new java.io.File(f"$root/manifest/container=c/session=s/v${3L}%020d")
+    assert(v3.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
     // plant a crashed append's staging dir, older than the 24h writer bound
     val staging = new java.io.File(s"$root/.staging-deadbeef")
     assert(staging.mkdirs())
@@ -601,6 +606,27 @@ class ManifestLogSpec extends SparkSuite {
     log.append(batch(("2024-01-01T10:02:00Z", "INFO", "other")), "c", "s2")
     assert(msgs(log.read("c", "s2")) == Seq("other"))
     assert(msgs(log.read("c", "s")) == Seq("one", "two"))
+  }
+
+  test("corrupt sweep never opens a gap above a surviving valid version (stale-hint lost-update guard)") {
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c", "s") // v1
+    log.append(batch(("2024-01-01T10:01:00Z", "INFO", "b")), "c", "s") // v2
+    log.append(batch(("2024-01-01T10:02:00Z", "INFO", "c")), "c", "s") // v3
+    val mdir = s"$root/manifest/container=c/session=s"
+    val v2 = new java.io.File(f"$mdir/v${2L}%020d")
+    java.nio.file.Files.write(v2.toPath, "hot/ghost.parquet\n#commit 9\n".getBytes)
+    // v2 is aged past the horizon but v3 is NOT — so valid v1 must
+    // survive, and therefore corrupt v2 must survive too: deleting it
+    // would leave v1 readable with v2 absent while v3 is the real
+    // frontier, exactly the gap a stale version hint would stop in
+    // (concluding v1 is current and committing into the freed v2 slot)
+    assert(v2.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    log.expire("c", "s", java.time.Instant.now().minusSeconds(60))
+    assert(new java.io.File(f"$mdir/v${1L}%020d").isFile, "v1 should survive (v3 inside grace)")
+    assert(v2.isFile, "corrupt v2 must be kept while valid v1 survives below it")
+    assert(msgs(log.read("c", "s")) == Seq("a", "b", "c"))
   }
 
   test("version-hint resolve: foreign commits are probed forward; past the probe cap it falls back to a listing") {
