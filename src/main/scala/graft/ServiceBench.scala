@@ -222,6 +222,27 @@ object ServiceBench {
       writing = false
       readers.foreach(_.join(300000))
       val dt = (System.nanoTime() - t0) / 1e9
+      // Post-write READ-ONLY phase: sequential GETs over settled
+      // sessions — the stable read-throughput number (mid-write reads
+      // above race the ingest window and vary with scheduling). On the
+      // manifest tier this measures the version-keyed plan cache: an
+      // unchanged session's GET skips file-index construction entirely
+      // (round-9); the local tier re-plans every GET for contrast.
+      val roReads = 40
+      val ro0 = System.nanoTime()
+      var roRows = 0L
+      var roOk = 0
+      (1 to roReads).foreach { i =>
+        try {
+          val resp = send("GET", s"/api/logs/bench/w${i % nWriters + 1}", None, Some(token))
+          if (resp.statusCode == 200) {
+            roOk += 1
+            "\"total_rows\":(\\d+)".r.findFirstMatchIn(resp.body)
+              .foreach(g => roRows += g.group(1).toLong)
+          }
+        } catch { case _: Exception => errors.incrementAndGet() }
+      }
+      val roDt = (System.nanoTime() - ro0) / 1e9
       val rows = appendsOk.get.toLong * rowsPerBatch
       val lats = postNanos.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
       def pctMs(q: Double): Double =
@@ -231,6 +252,7 @@ object ServiceBench {
         f"[bench] $label%-33s $dt%8.3f s  " +
         f"ingest ${rows / dtWrite}%.0f rows/s (${appendsOk.get / dtWrite}%.1f posts/s over $dtWrite%.3f s), " +
         f"${readsOk.get / dt}%.1f concurrent reads/s (${rowsRead.get / dt}%.0f rows/s read), " +
+        f"settled ${roOk / roDt}%.1f reads/s (${roRows / roDt}%.0f rows/s), " +
         f"post p50 ${pctMs(0.5)}%.1f ms p99 ${pctMs(0.99)}%.1f ms, errors=${errors.get}" +
         f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
       Some(TierResult(rows, dtWrite, appendsOk.get, pctMs(0.5), pctMs(0.99), errors.get))

@@ -109,12 +109,15 @@ final class CatalogService(root: Option[Path] = None,
           val (slot, valid, payload) = st.resolve()
           applyShared(valid, payload, force = dirty)
           dirty = false
+          val (a, changed) = f
+          // a call that changed nothing needs no commit — it must NOT
+          // block on an in-flight/unreadable frontier record (e.g. a
+          // valid-token verify while another gateway is mid-commit)
+          if (!changed) return a
           // never claim past an unreadable frontier with state from
           // below it — that would supersede the concurrent commit we
           // could not read (the lost-update hazard)
           if (slot == valid) {
-            val (a, changed) = f
-            if (!changed) return a
             // a tryCommit that THROWS (IO fault, not a CAS loss) must not
             // leave the applied-but-uncommitted mutation in the maps with
             // loadedVersion still at the frontier — this gateway would
@@ -125,8 +128,8 @@ final class CatalogService(root: Option[Path] = None,
               try st.tryCommit(valid + 1, stateJson)
               catch { case t: Throwable => loadedVersion = -1L; throw t }
             if (committed) { loadedVersion = valid + 1; return a }
-            dirty = true // lost the CAS: roll back by force-reloading
           }
+          dirty = true // lost/deferred the claim: roll back by force-reloading
           if (System.currentTimeMillis() > deadline)
             throw new java.io.IOException(
               s"shared-catalog commit blocked past 65s at version slot $slot " +

@@ -170,6 +170,22 @@ class CatalogServiceSpec extends AnyFunSuite {
     assert(a.verifyToken(t) === None) // ...and A sees the deletion commit
   }
 
+  test("shared catalog: an incomplete frontier record degrades reads to the last committed state") {
+    val dir = Files.createTempDirectory("cat-cas")
+    val a = new CatalogService(shared = Some(sharedStore(dir)))
+    val t = a.createToken("admin")
+    // plant a frame-mismatched record ABOVE the committed frontier — a
+    // committer crashed mid-record on an O_EXCL-fallback mount, or
+    // external damage; readers must keep serving the committed state
+    val slot = dir.toFile.listFiles((_, n) => n.matches("v\\d{20}\\.json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong).max
+    Files.write(dir.resolve(f"v${slot + 1}%020d.json"),
+      "#graft-state 9999\n{\"trunca".getBytes("UTF-8"))
+    val b = new CatalogService(shared = Some(sharedStore(dir)))
+    assert(b.verifyToken(t) === Some("admin"))
+    assert(b.verifyPassword("admin", "admin"))
+  }
+
   test("shared catalog: version chain stays bounded under sustained mutation (prune)") {
     val dir = Files.createTempDirectory("cat-cas")
     val c = new CatalogService(shared = Some(sharedStore(dir, keep = 8, graceMs = 0)))
