@@ -29,6 +29,8 @@ final class CasStateStore(fs: FileSystem, dir: Path,
                           keepVersions: Int = 32,
                           pruneGraceMs: Long = 60000L) {
 
+  require(keepVersions >= 1, "keepVersions must retain at least the frontier")
+
   private val versionRe = "v\\d{20}\\.json".r
 
   private def pathOf(v: Long): Path = new Path(dir, f"v$v%020d.json")
@@ -66,21 +68,47 @@ final class CasStateStore(fs: FileSystem, dir: Path,
     * committer must never claim past an in-flight/corrupt frontier
     * with a version built on older state, or it would supersede the
     * concurrent commit it could not read (the lost-update hazard the
-    * manifest commit loop also guards). (0, 0, None) on a fresh dir. */
+    * manifest commit loop also guards). (0, 0, None) on a fresh dir.
+    *
+    * FAST PATH (the manifest tier's version-hint recipe): the catalog
+    * resolve sits on the auth path of EVERY request, and the listing
+    * is a paged LIST per call on object stores. Once a CLEAN frontier
+    * (slot == valid) is known, the next resolve probes `v(slot+1)` for
+    * absence and re-confirms `v(slot)` exists — two existence checks,
+    * no listing, no re-read (records are immutable once complete).
+    * Safe against [[prune]] for the same structural reason as the
+    * manifest probe: pruning deletes ascending and only versions ≤
+    * latest − keepVersions, so "slot readable and slot+1 absent" can
+    * only mean slot IS the frontier; a pruned-under-us hint fails the
+    * re-confirm and falls back to the listing. An UNCLEAN frontier
+    * (valid < slot: in-flight record whose content may complete later)
+    * is never cached. */
   def resolve(): (Long, Long, Option[String]) = {
+    val h = frontierHint
+    if (h != null) {
+      try {
+        if (!fs.exists(pathOf(h._1 + 1)) && fs.exists(pathOf(h._1))) return h
+      } catch { case _: java.io.IOException => () } // fall through to listing
+    }
     if (!fs.exists(dir)) return (0L, 0L, None)
     val files = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && versionRe.matches(st.getPath.getName))
       .sortBy(st => -versionOf(st.getPath))
     val slot = files.headOption.map(st => versionOf(st.getPath)).getOrElse(0L)
-    files.iterator.flatMap { st =>
+    val r = files.iterator.flatMap { st =>
       try readValid(st.getPath).map((versionOf(st.getPath), _))
       catch { case _: java.io.FileNotFoundException => None } // pruned under us
     }.nextOption() match {
       case Some((v, payload)) => (slot, v, Some(payload))
       case None => (slot, 0L, None)
     }
+    frontierHint = if (r._1 > 0 && r._1 == r._2) r else null
+    r
   }
+
+  /** Last known CLEAN frontier: (slot, valid, payload) with
+    * slot == valid. Null until the first clean full resolve. */
+  @volatile private var frontierHint: (Long, Long, Option[String]) = null
 
   /** Claim `version` with `payload`; true = committed (and old
     * versions pruned). False = slot taken — the caller re-resolves,
@@ -89,23 +117,37 @@ final class CasStateStore(fs: FileSystem, dir: Path,
     fs.mkdirs(dir)
     val ok = Cas.tryClaim(fs, pathOf(version),
       frame(payload.getBytes("UTF-8")), ownerOnly = true)
-    if (ok) prune(version)
+    if (ok) {
+      frontierHint = (version, version, Some(payload)) // our commit IS the clean frontier
+      prune(version)
+    }
     ok
   }
 
   private def prune(latest: Long): Unit = {
     val horizon = System.currentTimeMillis() - pruneGraceMs
-    try fs.listStatus(dir).foreach { st =>
-      val deletable =
-        if (st.isFile && versionRe.matches(st.getPath.getName))
-          versionOf(st.getPath) <= latest - keepVersions
-        // committers killed between temp write and link/rename leave
-        // .tmp- orphans no one else sweeps (the manifest tier's expire
-        // handles its own); the grace window far exceeds any in-flight
-        // few-KB write
-        else st.isFile && st.getPath.getName.startsWith(".tmp-")
-      if (deletable && st.getModificationTime < horizon)
-        fs.delete(st.getPath, false)
+    try {
+      val all = fs.listStatus(dir).toSeq
+      // version files are deleted in ASCENDING order — the frontier
+      // probe's safety ("slot readable and slot+1 absent ⇒ slot is the
+      // frontier") requires that no deletion ever removes v+1 while v
+      // still exists, even transiently mid-sweep
+      all.filter(st => st.isFile && versionRe.matches(st.getPath.getName))
+        .sortBy(st => versionOf(st.getPath))
+        .foreach { st =>
+          if (versionOf(st.getPath) <= latest - keepVersions &&
+              st.getModificationTime < horizon)
+            fs.delete(st.getPath, false)
+        }
+      // committers killed between temp write and link/rename leave
+      // .tmp- orphans no one else sweeps (the manifest tier's expire
+      // handles its own); the grace window far exceeds any in-flight
+      // few-KB write
+      all.foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < horizon)
+          fs.delete(st.getPath, false)
+      }
     } catch { case _: java.io.FileNotFoundException => () }
   }
 }
