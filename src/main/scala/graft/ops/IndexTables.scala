@@ -138,6 +138,33 @@ object IndexTables {
     n
   }
 
+  /** MAINTENANCE compaction for the chunk index — the batch-side half
+    * of the at-least-once bargain [[appendChunkSignatures]] strikes:
+    * replayed gate batches accumulate exact duplicate (doc_id, simhash,
+    * j, ck) rows (harmless to the presence-based gate, wasted bytes to
+    * everyone), and every append adds one file per touched bucket,
+    * degrading the write-time sort-elision. Compaction collapses the
+    * duplicates with `distinct()` — chunk rows are deterministic per
+    * (doc, j), so byte-identical rows can ONLY be replays — and
+    * rewrites the table through the shared bucket spec, restoring the
+    * one-file-per-bucket clustered layout. Runs on a maintenance
+    * cadence, exactly like a search deployment's segment merge; the
+    * rewrite cost is the table's size, not the corpus's (signatures,
+    * ~16 B/doc × nChunks). Returns (rows before, rows after). */
+  def compactChunkIndex(s: SparkSession, dir: String, nChunks: Int): (Long, Long) = {
+    val name = ensureChunkIndex(s, dir, nChunks)
+    // checkpoint BEFORE the overwrite: the rewrite reads the table it
+    // replaces, which Spark (rightly) refuses unless the rows are
+    // already materialized off the table's files
+    val rows = s.table(name).localCheckpoint()
+    val before = rows.count()
+    val deduped = rows.distinct().localCheckpoint()
+    val after = deduped.count()
+    writeBucketed(deduped, name, Seq("j", "ck"), "overwrite")
+    s.catalog.refreshTable(name)
+    (before, after)
+  }
+
   /** Invalidate the cached table relation in BOTH sessions that may
     * hold it: the caller's and the one the written rows derive from.
     * Inside a Structured Streaming `foreachBatch`, the batch DataFrame
@@ -275,6 +302,38 @@ object IndexTables {
     writeMeta(s, dir, java.util.UUID.randomUUID().toString, newDocs.count(), "append")
     refreshBoth(s, newDocs, segMetaName(dir))
     n
+  }
+
+  /** MAINTENANCE compaction for the segmented shingle index: fold the
+    * accumulated segments back into one. Appends leave one DF row per
+    * (shingle, append-batch) and one meta row per segment — correct
+    * (the read-time cap SUMS them) but ever-growing, and each append
+    * adds a file per touched bucket. Compaction aggregates the DF
+    * table to one row per shingle, collapses the meta to a single
+    * base row carrying the summed doc count, and re-clusters the seg
+    * table to the one-file-per-bucket layout. Served rows are
+    * unchanged by construction — segments hold disjoint docs, so
+    * summed per-segment DFs ARE the corpus DFs the folded table now
+    * stores — the spec pins consumer row-identity across the fold.
+    * Returns (DF-stats rows before, after). */
+  def compactShingleSegments(s: SparkSession, dir: String): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    ensureShingleSegments(s, dir)
+    // checkpoint BEFORE overwriting: each rewrite reads the table it
+    // replaces
+    val seg = s.table(segName(dir)).localCheckpoint()
+    val dfs = s.table(segDfName(dir)).localCheckpoint()
+    val before = dfs.count()
+    val folded = dfs.groupBy(col("s")).agg(sum(col("df")).as("df")).localCheckpoint()
+    val after = folded.count()
+    val nDocs = s.table(segMetaName(dir))
+      .agg(sum(col("n_docs")).as("n")).head().getLong(0)
+    writeBucketed(seg, segName(dir), Seq("s"), "overwrite")
+    writeBucketed(folded, segDfName(dir), Seq("s"), "overwrite")
+    writeMeta(s, dir, "base", nDocs, "overwrite")
+    Seq(segName(dir), segDfName(dir), segMetaName(dir))
+      .foreach(s.catalog.refreshTable)
+    (before, after)
   }
 
   /** The merged, CAPPED view over all segments — (doc_id, s, n), the

@@ -158,6 +158,34 @@ class CatalogServiceSpec extends AnyFunSuite {
     assert(b.userContainers("admin").size == 10)
   }
 
+  test("shared catalog: no lost updates — concurrent DISTINCT mutations all survive the CAS storm") {
+    // the same-id race above proves exactly-one-winner; this proves the
+    // complementary property: under sustained cross-gateway contention,
+    // a commit that loses the version CAS re-applies its mutation at
+    // the new frontier and NO accepted mutation is silently dropped
+    val dir = Files.createTempDirectory("cat-cas")
+    val a = new CatalogService(shared = Some(sharedStore(dir)))
+    val b = new CatalogService(shared = Some(sharedStore(dir)))
+    val perSide = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = for ((c, side) <- Seq((a, "a"), (b, "b")); i <- 1 to perSide) yield
+      new Thread(() => {
+        try {
+          if (!c.createContainer("admin", s"storm_${side}_$i"))
+            errs.add(new AssertionError(s"storm_${side}_$i rejected as duplicate"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"storm raised: ${errs.peek()}")
+    val expected = (for (side <- Seq("a", "b"); i <- 1 to perSide)
+      yield s"storm_${side}_$i").toSet
+    for (c <- Seq(a, b)) {
+      val seen = c.userContainers("admin").map(_._1).toSet
+      assert(expected.subsetOf(seen),
+        s"lost updates: ${expected diff seen} missing after the storm")
+    }
+  }
+
   test("shared catalog: lazy token expiry propagates across instances") {
     val dir = Files.createTempDirectory("cat-cas")
     val clock = new FakeClock(Instant.parse("2026-01-01T00:00:00Z"))

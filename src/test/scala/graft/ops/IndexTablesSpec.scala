@@ -201,6 +201,41 @@ class IndexTablesSpec extends SparkSuite {
       s"appended twin not found at distance 0: ${hit.toSeq}")
   }
 
+  test("chunk-index compaction collapses replayed at-least-once rows and keeps the bucket join exchange-free") {
+    assume(hasTestData)
+    // nChunks=6 → a dedicated table; the shared nChunks=4/5 tables other
+    // tests mutate or compare against stay untouched
+    val name = IndexTables.ensureChunkIndex(spark, sf, 6)
+    val clean = spark.table(name).count()
+    val batch = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id") + 800000000L as "doc_id", col("text"))
+      .orderBy(col("doc_id")).limit(3)
+    // the same batch lands twice — the streaming gate's replay shape
+    assert(IndexTables.appendToChunkIndex(spark, sf, 6, batch) == 18L)
+    assert(IndexTables.appendToChunkIndex(spark, sf, 6, batch) == 18L)
+    assert(spark.table(name).count() == clean + 36)
+    val pairsBefore = Dedup.pairsFromChunks(spark.table(name), 6)
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    val (before, after) = IndexTables.compactChunkIndex(spark, sf, 6)
+    assert(before == clean + 36 && after == clean + 18,
+      s"compaction must keep exactly one copy of the replayed rows: $before -> $after")
+    // same candidates served, and the re-clustered table still joins
+    // with no Exchange (the rewrite restored the bucket layout)
+    val pairsAfter = Dedup.pairsFromChunks(spark.table(name), 6)
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(pairsAfter == pairsBefore, "compaction changed the candidate pair set")
+    withNoBroadcast {
+      val idx = spark.table(name)
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"compacted index lost bucket-join locality:\n$plan")
+    }
+  }
+
   test("IVF index maintains INCREMENTALLY: new vectors land in their frozen-quantizer lists") {
     // mutates sf0.01's IVF table only — disjoint from the sf0.001
     // twin-identity tables and from StreamingNearDupSpec's sf0.01

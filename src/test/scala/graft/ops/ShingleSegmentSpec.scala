@@ -39,6 +39,31 @@ class ShingleSegmentSpec extends SparkSuite {
     assert(rebuilt.nonEmpty, "corpus produced no near-dup pairs — twin test is vacuous")
   }
 
+  test("segment compaction folds DF stats and meta without changing served rows") {
+    assume(hasTestData)
+    dropSegmentTables()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    IndexTables.ensureShingleSegmentsFrom(spark, sf, docs.filter(col("doc_id") % 7 =!= 0))
+    IndexTables.appendToShingleIndex(spark, sf, docs.filter(col("doc_id") % 7 === 0))
+    def pairs(): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardSegmented(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val metaBefore = spark.table(s"idx_shingle_meta_${IndexTables.dirTag(sf)}")
+    assert(metaBefore.count() == 2L, "base + one append must leave two segments")
+    val docsTotal = metaBefore.agg(sum(col("n_docs"))).head().getLong(0)
+    val servedBefore = pairs()
+    assert(servedBefore.nonEmpty, "no near-dup pairs — fold identity would be vacuous")
+    val (dfBefore, dfAfter) = IndexTables.compactShingleSegments(spark, sf)
+    // per-append DF rows folded to one per shingle; the planted split
+    // guarantees at least one shingle occurs in both segments
+    assert(dfAfter < dfBefore, s"fold did not shrink DF stats: $dfBefore -> $dfAfter")
+    val metaAfter = spark.table(s"idx_shingle_meta_${IndexTables.dirTag(sf)}").collect()
+    assert(metaAfter.length == 1 && metaAfter(0).getLong(1) == docsTotal,
+      "meta must collapse to one base row carrying the summed doc count")
+    assert(pairs() == servedBefore, "compaction changed the served pair set")
+    dropSegmentTables() // leave no partial-corpus index under the real dir tag
+  }
+
   test("a shingle crossing the DF cap because of an APPEND is dropped corpus-wide at read time") {
     assume(hasTestData)
     dropSegmentTables()
