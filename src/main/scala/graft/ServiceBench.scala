@@ -239,7 +239,7 @@ object ServiceBench {
             roOk += 1
             "\"total_rows\":(\\d+)".r.findFirstMatchIn(resp.body)
               .foreach(g => roRows += g.group(1).toLong)
-          }
+          } else errors.incrementAndGet() // a 500/404 must not read as "slow", it reads as an error
         } catch { case _: Exception => errors.incrementAndGet() }
       }
       val roDt = (System.nanoTime() - ro0) / 1e9

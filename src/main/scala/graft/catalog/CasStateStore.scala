@@ -115,6 +115,24 @@ final class CasStateStore(fs: FileSystem, dir: Path,
     * re-applies its mutation, and retries at the new frontier. */
   def tryCommit(version: Long, payload: String): Boolean = {
     fs.mkdirs(dir)
+    // ABA guard: a committer that stalls between resolve and claim for
+    // longer than the prune grace (GC/VM pause) can find its target
+    // slot EMPTY because prune vacated it below the live frontier —
+    // claiming it would "succeed" while every reader lists the higher
+    // frontier, silently dropping the mutation cluster-wide. One
+    // listing immediately before the claim closes the hole: if any
+    // version ≥ the target exists, this attempt already lost. A
+    // version created AFTER this listing cannot have been pruned yet
+    // (prune only deletes files older than the grace window, which
+    // must exceed the listing→claim latency — any real configuration
+    // does; graceMs=0 is a test-only setting).
+    val occupied = try {
+      fs.listStatus(dir).exists { st =>
+        st.isFile && versionRe.matches(st.getPath.getName) &&
+          versionOf(st.getPath) >= version
+      }
+    } catch { case _: java.io.FileNotFoundException => false }
+    if (occupied) { frontierHint = null; return false }
     val ok = Cas.tryClaim(fs, pathOf(version),
       frame(payload.getBytes("UTF-8")), ownerOnly = true)
     if (ok) {

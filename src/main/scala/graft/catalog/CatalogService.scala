@@ -130,13 +130,20 @@ final class CatalogService(root: Option[Path] = None,
             if (committed) { loadedVersion = valid + 1; return a }
           }
           dirty = true // lost/deferred the claim: roll back by force-reloading
-          if (System.currentTimeMillis() > deadline)
+          if (System.currentTimeMillis() > deadline) {
+            // same phantom-state hazard as a throwing tryCommit: the maps
+            // hold this iteration's application of `f` with loadedVersion
+            // still at the committed frontier — poison it so the next
+            // access force-reloads committed state instead of serving the
+            // uncommitted mutation
+            loadedVersion = -1L
             throw new java.io.IOException(
               s"shared-catalog commit blocked past 65s at version slot $slot " +
               (if (slot == valid) "(sustained CAS contention)"
                else s"(unreadable record holds the frontier above committed v$valid " +
                     "— in-flight writer crashed mid-record, or external damage; " +
                     "inspect and remove the file to restore catalog writes)"))
+          }
           Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 8L))
         }
         throw new IllegalStateException("unreachable")

@@ -49,15 +49,61 @@ object IndexTables {
 
   private def ensureWith(s: SparkSession, name: String)
                         (persist: String => Unit): String = synchronized {
+    // a crashed staged-swap (see stagedOverwrite) may have dropped the
+    // final table with the complete staged replacement still present —
+    // completing the rename here recovers rows (appended segments) a
+    // from-dir rebuild could NOT recompute
+    repairStaged(s, name)
     if (!s.catalog.tableExists(name)) {
-      val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(warehouse, name)
-      if (fs.exists(p)) fs.delete(p, true)
+      deleteWarehouseDir(s, name)
       persist(name)
     }
     name
   }
+
+  private def deleteWarehouseDir(s: SparkSession, name: String): Unit = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(warehouse, name)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Complete a crashed staged-swap: final table missing but its
+    * `_stage` twin present and complete → rename it into place. */
+  private[ops] def repairStaged(s: SparkSession, name: String): Unit =
+    if (!s.catalog.tableExists(name) && s.catalog.tableExists(s"${name}_stage"))
+      s.sql(s"ALTER TABLE ${name}_stage RENAME TO $name")
+
+  /** Replace `name` through a staging table so a failure mid-rewrite
+    * never loses rows that only exist in the table (appended segments
+    * are not reconstructible from the source dir): the replacement is
+    * fully written under `<name>_stage` BEFORE the live table is
+    * dropped, and the remaining window is two metastore ops, repaired
+    * at the next ensure/compact by [[repairStaged]]. (A deployment
+    * whose warehouse is a transactional table format gets atomic
+    * overwrite from the format itself; this staging bounds the
+    * exposure on a plain session-catalog warehouse.) */
+  private def stagedOverwrite(s: SparkSession, name: String)
+                             (write: String => Unit): Unit = {
+    val staged = s"${name}_stage"
+    s.sql(s"DROP TABLE IF EXISTS $staged")
+    deleteWarehouseDir(s, staged) // stale dir from a previous JVM
+    write(staged)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    deleteWarehouseDir(s, name) // DROP misses a catalog-unknown stale dir
+    s.sql(s"ALTER TABLE $staged RENAME TO $name")
+  }
+
+  /** In-process serialization of index MUTATIONS (append vs compact)
+    * per table: compaction snapshots the table and rewrites it — an
+    * append landing between the two would be silently erased by the
+    * overwrite. Cross-process, compaction belongs in a maintenance
+    * window with appends quiesced (exactly like the rebuild path); the
+    * lock makes the single-process deployment — streaming gate plus
+    * maintenance thread in one JVM — safe by construction. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withTableLock[A](name: String)(body: => A): A =
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(body)
 
   private def ensure(s: SparkSession, name: String, bucketCols: Seq[String])
                     (build: => DataFrame): String =
@@ -131,7 +177,7 @@ object IndexTables {
     // source) executes twice per append
     val rows = Dedup.chunkRelation(sigs, nChunks).localCheckpoint()
     val n = rows.count()
-    if (n > 0) {
+    if (n > 0) withTableLock(name) {
       writeBucketed(rows, name, Seq("j", "ck"), "append")
       refreshBoth(s, sigs, name)
     }
@@ -153,16 +199,19 @@ object IndexTables {
     * ~16 B/doc × nChunks). Returns (rows before, rows after). */
   def compactChunkIndex(s: SparkSession, dir: String, nChunks: Int): (Long, Long) = {
     val name = ensureChunkIndex(s, dir, nChunks)
-    // checkpoint BEFORE the overwrite: the rewrite reads the table it
-    // replaces, which Spark (rightly) refuses unless the rows are
-    // already materialized off the table's files
-    val rows = s.table(name).localCheckpoint()
-    val before = rows.count()
-    val deduped = rows.distinct().localCheckpoint()
-    val after = deduped.count()
-    writeBucketed(deduped, name, Seq("j", "ck"), "overwrite")
-    s.catalog.refreshTable(name)
-    (before, after)
+    withTableLock(name) { // appends landing mid-rewrite would be erased
+      val before = s.table(name).count()
+      // ONE checkpoint, of the result only: distinct() reads the table
+      // files directly, and the materialized rows are what lets the
+      // staged rewrite replace the files they came from
+      val deduped = s.table(name).distinct().localCheckpoint()
+      try {
+        val after = deduped.count()
+        stagedOverwrite(s, name)(writeBucketed(deduped, _, Seq("j", "ck"), "overwrite"))
+        s.catalog.refreshTable(name)
+        (before, after)
+      } finally Tables.unpersistCheckpoint(deduped) // maintenance must not pin table-sized blocks
+    }
   }
 
   /** Invalidate the cached table relation in BOTH sessions that may
@@ -289,18 +338,20 @@ object IndexTables {
     val name = ensureShingleSegments(s, dir)
     val sh = Dedup.shinglesOf(newDocs).localCheckpoint()
     val n = sh.count()
-    if (n > 0) {
-      writeBucketed(sh, name, Seq("s"), "append")
-      writeBucketed(
-        sh.groupBy(org.apache.spark.sql.functions.col("s"))
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("df")),
-        segDfName(dir), Seq("s"), "append")
-      refreshBoth(s, sh, name)
-      refreshBoth(s, sh, segDfName(dir))
+    withTableLock(name) {
+      if (n > 0) {
+        writeBucketed(sh, name, Seq("s"), "append")
+        writeBucketed(
+          sh.groupBy(org.apache.spark.sql.functions.col("s"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("df")),
+          segDfName(dir), Seq("s"), "append")
+        refreshBoth(s, sh, name)
+        refreshBoth(s, sh, segDfName(dir))
+      }
+      writeMeta(s, dir, java.util.UUID.randomUUID().toString, newDocs.count(), "append")
+      refreshBoth(s, newDocs, segMetaName(dir))
     }
-    writeMeta(s, dir, java.util.UUID.randomUUID().toString, newDocs.count(), "append")
-    refreshBoth(s, newDocs, segMetaName(dir))
     n
   }
 
@@ -319,21 +370,39 @@ object IndexTables {
   def compactShingleSegments(s: SparkSession, dir: String): (Long, Long) = {
     import org.apache.spark.sql.functions._
     ensureShingleSegments(s, dir)
-    // checkpoint BEFORE overwriting: each rewrite reads the table it
-    // replaces
-    val seg = s.table(segName(dir)).localCheckpoint()
-    val dfs = s.table(segDfName(dir)).localCheckpoint()
-    val before = dfs.count()
-    val folded = dfs.groupBy(col("s")).agg(sum(col("df")).as("df")).localCheckpoint()
-    val after = folded.count()
-    val nDocs = s.table(segMetaName(dir))
-      .agg(sum(col("n_docs")).as("n")).head().getLong(0)
-    writeBucketed(seg, segName(dir), Seq("s"), "overwrite")
-    writeBucketed(folded, segDfName(dir), Seq("s"), "overwrite")
-    writeMeta(s, dir, "base", nDocs, "overwrite")
-    Seq(segName(dir), segDfName(dir), segMetaName(dir))
-      .foreach(s.catalog.refreshTable)
-    (before, after)
+    withTableLock(segName(dir)) { // appends landing mid-rewrite would be erased
+      // crashed-swap repair for the two tables that ride seg's guard
+      Seq(segDfName(dir), segMetaName(dir)).foreach(repairStaged(s, _))
+      // ONE checkpoint each, of exactly what the rewrites serve: the
+      // fold and the before-count read the live tables directly
+      val seg = s.table(segName(dir)).localCheckpoint()
+      val before = s.table(segDfName(dir)).count()
+      val folded = s.table(segDfName(dir))
+        .groupBy(col("s")).agg(sum(col("df")).as("df")).localCheckpoint()
+      try {
+        val after = folded.count()
+        val nDocs = s.table(segMetaName(dir))
+          .agg(sum(col("n_docs")).as("n")).head().getLong(0)
+        // each table's fold is independently semantics-preserving (the
+        // read-time cap SUMS DF/meta rows), so any interleaving of the
+        // three staged swaps serves correct rows; the staging bounds
+        // the only real hazard — losing seg's appended segments to a
+        // failed rewrite
+        stagedOverwrite(s, segName(dir))(writeBucketed(seg, _, Seq("s"), "overwrite"))
+        stagedOverwrite(s, segDfName(dir))(writeBucketed(folded, _, Seq("s"), "overwrite"))
+        stagedOverwrite(s, segMetaName(dir)) { staged =>
+          import s.implicits._
+          Seq(("base", nDocs)).toDF("seg", "n_docs")
+            .write.mode("overwrite").saveAsTable(staged)
+        }
+        Seq(segName(dir), segDfName(dir), segMetaName(dir))
+          .foreach(s.catalog.refreshTable)
+        (before, after)
+      } finally { // maintenance must not pin table-sized blocks
+        Tables.unpersistCheckpoint(seg)
+        Tables.unpersistCheckpoint(folded)
+      }
+    }
   }
 
   /** The merged, CAPPED view over all segments — (doc_id, s, n), the
@@ -346,6 +415,9 @@ object IndexTables {
   def mergedShingleView(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     ensureShingleSegments(s, dir)
+    // the df/meta tables ride seg's ensure guard; a crashed compaction
+    // swap may have left either one staged — repair before reading
+    Seq(segDfName(dir), segMetaName(dir)).foreach(repairStaged(s, _))
     val seg = s.table(segName(dir))
     val dfs = s.table(segDfName(dir))
     val total = s.table(segMetaName(dir))

@@ -132,7 +132,7 @@ object Tables {
   /** A localCheckpoint'ed DataFrame's plan is a LogicalRDD over the
     * materialized (persisted) RDD — unpersist that RDD to free its
     * blocks. Non-LogicalRDD plans (nothing to release) are a no-op. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
     org.apache.spark.sql.graftshim.GraftShim.analyzed(df) match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -264,7 +264,20 @@ final class ManifestLog(spark: SparkSession, root: String,
         val next = update(cur)
         if (next eq cur) return cur // update declined — no new version
         val dst = new Path(dir, f"v${v + 1}%020d")
-        if (tryPublish(dst, next)) {
+        // ABA guard: a committer that stalls (GC/VM pause, partition)
+        // past the expire horizon between resolve and claim can find
+        // its target slot EMPTY because expire vacated it below the
+        // live frontier — claiming it would "succeed" invisibly (every
+        // reader resolves the higher frontier) and silently drop acked
+        // rows. Expire's deletions are a PREFIX of the valid chain
+        // (mtime monotonicity, ascending sweep), so one O(1) probe
+        // closes the hole: if the predecessor we resolved still
+        // exists, our slot was never vacated; if it is gone, the
+        // resolve is stale — re-resolve instead of claiming. (v=0 has
+        // no predecessor and nothing below v1 to vacate.)
+        if (!predecessorSurvives(dir, v)) {
+          versionHints.remove((container, session)) // arbitrarily stale
+        } else if (tryPublish(dst, next)) {
           versionHints.put((container, session), v + 1)
           return next
         }
@@ -303,6 +316,16 @@ final class ManifestLog(spark: SparkSession, root: String,
     * NEVER deleted here, because a delete-and-reclaim races a
     * competing committer completing the very same slot and would
     * destroy a real commit. */
+  /** The commit loop's ABA-guard predicate: true iff claiming slot
+    * `resolvedV + 1` cannot be a claim of an expire-vacated slot.
+    * Sound because expire's deletions are a prefix of the valid chain:
+    * for `resolvedV + 1` to have existed and been vacated, `resolvedV`
+    * itself must have been deleted first — so the predecessor still
+    * existing proves the slot was never vacated. `resolvedV == 0` has
+    * no predecessor and nothing below v1 to vacate. */
+  private[storage] def predecessorSurvives(dir: Path, resolvedV: Long): Boolean =
+    resolvedV == 0 || fs.exists(vPath(dir, resolvedV))
+
   private def tryPublish(dst: Path, entries: Seq[String]): Boolean = {
     val payload = (ManifestLog.header(entries) +: entries :+ ManifestLog.footer(entries))
       .mkString("", "\n", "\n").getBytes("UTF-8")

@@ -214,6 +214,22 @@ class CatalogServiceSpec extends AnyFunSuite {
     assert(b.verifyPassword("admin", "admin"))
   }
 
+  test("shared catalog: a pruned version slot cannot be re-claimed below the live frontier (ABA guard)") {
+    // a committer stalled past the prune grace between resolve and
+    // claim finds its target slot EMPTY (prune vacated it); claiming it
+    // would succeed invisibly below the frontier — the commit must be
+    // reported LOST instead
+    val dir = Files.createTempDirectory("cat-cas")
+    val st = sharedStore(dir, keep = 4, graceMs = 0)
+    (1L to 12L).foreach(v => assert(st.tryCommit(v, s"""{"v":$v}""")))
+    // versions ≤ 8 are pruned; slot 2 is empty but far below frontier 12
+    assert(!st.tryCommit(2L, """{"stale":true}"""),
+      "claimed a pruned slot below the live frontier — this commit is invisible to every reader")
+    val (_, valid, payload) = st.resolve()
+    assert(valid == 12L && payload.contains("""{"v":12}"""),
+      "the stale claim must not disturb the live frontier")
+  }
+
   test("shared catalog: version chain stays bounded under sustained mutation (prune)") {
     val dir = Files.createTempDirectory("cat-cas")
     val c = new CatalogService(shared = Some(sharedStore(dir, keep = 8, graceMs = 0)))

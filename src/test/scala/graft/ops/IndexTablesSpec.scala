@@ -236,6 +236,27 @@ class IndexTablesSpec extends SparkSuite {
     }
   }
 
+  test("a crashed compaction swap is repaired from the staged table, not rebuilt from dir") {
+    assume(hasTestData)
+    // nChunks=7 → dedicated table
+    val name = IndexTables.ensureChunkIndex(spark, sf, 7)
+    val marker = spark.createDataFrame(Seq((700000001L, "staged swap survivor row")))
+      .toDF("doc_id", "text")
+    assert(IndexTables.appendToChunkIndex(spark, sf, 7, marker) == 7L)
+    val withMarker = spark.table(name).count()
+    // simulate a crash between "DROP final" and "RENAME staged": the
+    // complete replacement sits under _stage, the final name is gone
+    spark.sql(s"ALTER TABLE $name RENAME TO ${name}_stage")
+    // the next ensure must complete the swap — a from-dir rebuild would
+    // silently lose the appended marker doc
+    IndexTables.ensureChunkIndex(spark, sf, 7)
+    assert(spark.table(name).count() == withMarker,
+      "repair lost rows that only existed in the staged table")
+    assert(spark.table(name).filter(col("doc_id") === 700000001L).count() == 7L,
+      "appended rows not recovered from the staged table")
+    assert(!spark.catalog.tableExists(s"${name}_stage"))
+  }
+
   test("IVF index maintains INCREMENTALLY: new vectors land in their frozen-quantizer lists") {
     // mutates sf0.01's IVF table only — disjoint from the sf0.001
     // twin-identity tables and from StreamingNearDupSpec's sf0.01

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.time.Instant
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import graft.SparkSuite
@@ -627,6 +628,34 @@ class ManifestLogSpec extends SparkSuite {
     assert(new java.io.File(f"$mdir/v${1L}%020d").isFile, "v1 should survive (v3 inside grace)")
     assert(v2.isFile, "corrupt v2 must be kept while valid v1 survives below it")
     assert(msgs(log.read("c", "s")) == Seq("a", "b", "c"))
+  }
+
+  test("commit ABA guard: a committer whose resolved predecessor was expired refuses the vacated slot") {
+    // the hazard: a committer stalls (GC/VM pause) between resolve and
+    // claim while the chain advances and expire's prefix sweep vacates
+    // its target slot — an unguarded claim would "succeed" invisibly
+    // below the live frontier, silently dropping acked rows. Expire
+    // deletes in prefix order, so the guard is O(1): the resolved
+    // predecessor still existing proves the slot was never vacated.
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    (1 to 3).foreach(i =>
+      log.append(batch((s"2024-01-01T10:0$i:00Z", "INFO", s"m$i")), "c", "s"))
+    val dir = new Path(s"$root/manifest/container=c/session=s")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}")).sorted.map(_.stripPrefix("v").toLong)
+    assert(vs.length >= 3)
+    assert(log.predecessorSurvives(dir, vs.init.last), "live chain must pass the guard")
+    // simulate a remote expire: prefix sweep leaves only the frontier
+    vs.init.foreach(v => assert(fs.delete(new Path(dir, f"v$v%020d"), false)))
+    assert(!log.predecessorSurvives(dir, vs.init.last),
+      "a resolve from before the sweep must refuse its (possibly vacated) successor slot")
+    assert(log.predecessorSurvives(dir, vs.last), "the frontier committer still passes")
+    assert(log.predecessorSurvives(dir, 0L), "a fresh session has nothing below v1 to vacate")
+    // the live path re-resolves and continues past the sweep
+    log.append(batch(("2024-01-01T10:09:00Z", "INFO", "post")), "c", "s")
+    assert(msgs(log.read("c", "s")).contains("post"))
   }
 
   test("version-hint resolve: foreign commits are probed forward; past the probe cap it falls back to a listing") {
