@@ -148,6 +148,14 @@ object ScaleCheck {
               .select((org.apache.spark.sql.functions.col("doc_id") + 500000000L)
                 .as("doc_id"), org.apache.spark.sql.functions.col("text")))),
         "consume: dedup_ngram_seg" ->
+          timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()),
+        // maintenance compaction (late round-9): fold the appended
+        // segment's DF/meta rows back to one segment and re-cluster —
+        // the cost is the INDEX's size, not the corpus's, and the
+        // consumer reads identical rows off the folded stats
+        "compact shingle segments" ->
+          timed(ops.IndexTables.compactShingleSegments(spark, dir)),
+        "consume after compaction: dedup_ngram_seg" ->
           timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()))
       r.foreach { case (n, t) =>
         System.err.println(f"[scalecheck] $dir%-24s $n%-32s $t%8.3f s") }

@@ -186,6 +186,11 @@ object SparkEntry {
     "pipe_quality_by_dup" -> (Pipeline.qualityByDup _),
     // Pipeline composition (curation stages chained in one plan)
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
+    // cluster-balanced subsample: the stratum is LEARNED structure (the
+    // IVF coarse quantizer), not the source column — caps dominant
+    // semantic clusters before mixing
+    "pipe_cluster_sample" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterBalancedSample(s, d)),
     "pipe_training_set"      -> (Pipeline.trainingSet _),
     "pipe_funnel"            -> (Pipeline.funnel _),
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
@@ -2185,6 +2190,23 @@ object SparkEntry {
         |SELECT doc_id, source, bucket FROM b
         |WHERE bucket < CASE WHEN source = 'src0' THEN 50 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    "pipe_cluster_sample" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id, cent_id AS list_id FROM (
+         |    SELECT vn.vec_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |ranked AS (
+         |  SELECT list_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY list_id
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM assign)
+         |SELECT list_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= 16 ORDER BY list_id, rk""".stripMargin,
     "pipe_training_set" ->
       s"""WITH $curationCte
          |SELECT doc_id, source, n_tokens, quality_score

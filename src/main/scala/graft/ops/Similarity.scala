@@ -361,6 +361,31 @@ object Similarity {
     * micro-quantized integer sums ([[labelCohesion]]'s determinism
     * contract); the total-count divisor rides the same constant-key
     * broadcast as every in-plan scalar. */
+  /** Cluster-balanced subsample: keep at most `perCell` vectors per
+    * semantic cell (IVF seed assignment), ranked by a deterministic
+    * hash — the diversity-preserving downsampler a curation pipeline
+    * runs when dominant clusters (boilerplate-heavy regions of
+    * embedding space) would otherwise swamp a capped training mix.
+    * Unlike [[graft.ops.Pipeline]]'s stratified sample (per SOURCE),
+    * the stratum here is learned structure: the same coarse quantizer
+    * the ANN index uses, so the op costs one already-memoized
+    * assignment pass plus a per-cell window — partitioned by list_id,
+    * never global, and the md5 rank makes the kept set stable across
+    * runs and engines (the [[ivfTopK]] pool recipe). At 100 TB the
+    * cell count grows with nlist and each window partition is one
+    * inverted list, exactly the IVF serving layout. */
+  def clusterBalancedSample(s: SparkSession, dir: String, perCell: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("list_id"))
+      .orderBy(md5(col("n_id").cast("string")), col("n_id"))
+    seedAssignment(s, dir)
+      .select(col("list_id"), col("n_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select(col("list_id"), col("n_id").as("vec_id"), col("rk"))
+      .orderBy(col("list_id"), col("rk"))
+  }
+
   def ivfCellStats(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
     val cents = seedCentroids(vs)

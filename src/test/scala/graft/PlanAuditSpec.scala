@@ -64,6 +64,9 @@ class PlanAuditSpec extends SparkSuite {
     // (the same intended IVF coarse-quantizer cross shape); the pair
     // join itself is an equi-join on list_id
     "emb_knn_graph",
+    // same 8-row coarse-quantizer cross assignment; the sample window
+    // is partitioned by list_id (one inverted list per partition)
+    "pipe_cluster_sample",
     // the shingle DF cap joins the 1-ROW corpus-count aggregate onto the
     // per-shingle frequencies (DataFrame form of a scalar subquery —
     // the constant join key folds away, leaving a 1-row broadcast BNLJ;
