@@ -87,7 +87,8 @@ import graft.model.LogSchema
   * age out the same way.
   */
 final class ManifestLog(spark: SparkSession, root: String,
-                        targetFileBytes: Long = 128L * 1024 * 1024) extends LogTier {
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        hintFileEvery: Long = 64L) extends LogTier {
 
   private val hotDir = s"$root/hot"
   private val coldDir = s"$root/cold"
@@ -180,6 +181,14 @@ final class ManifestLog(spark: SparkSession, root: String,
     if (hint != null && hint.longValue > 0) {
       val probed = resolveByProbe(dir, hint.longValue)
       if (probed != null) { versionHints.put(key, probed._1); return probed }
+    } else {
+      // cold start: no in-process hint yet — seed the probe from the
+      // persisted hint file before paying the full listing
+      val fh = readHintFile(dir)
+      if (fh > 0) {
+        val probed = resolveByProbe(dir, fh)
+        if (probed != null) { versionHints.put(key, probed._1); return probed }
+      }
     }
     val r = listManifests(dir).reverseIterator.flatMap { st =>
       try Some((st.getPath.getName.stripPrefix("v").toLong, readEntries(st.getPath)))
@@ -197,6 +206,41 @@ final class ManifestLog(spark: SparkSession, root: String,
   /** Frontier hint per session: a version number that existed at some
     * point (from a listing or this instance's own commit). */
   private val versionHints = new ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  // ---- persistent frontier hint (the `_last_checkpoint` recipe) ----
+  //
+  // The in-process hint makes STEADY-STATE resolve O(1), but a fresh
+  // gateway's first resolve per session still lists the whole manifest
+  // dir — O(chain), a paged LIST on object stores. Every
+  // `hintFileEvery`-th commit writes the version number to a `hint`
+  // file (best-effort, temp+rename, last-wins), so a cold instance
+  // seeds the forward probe from it: the frontier is at most
+  // `hintFileEvery` ≤ the probe budget ahead, and the first resolve is
+  // O(delta) existence checks instead of a listing. Safety is the
+  // probe's own: a stale, torn, regressed, or expired-past hint fails
+  // the probe and falls back to the listing — the hint can make a
+  // resolve slower, never wrong. The file name matches neither the
+  // version pattern nor the data layout, so listings, expire's sweeps
+  // and readers all ignore it; its `.tmp-` staging orphans ride the
+  // existing aged-tmp collection.
+  private def hintFilePath(dir: Path): Path = new Path(dir, "hint")
+
+  private def writeHintFile(dir: Path, v: Long): Unit =
+    try {
+      val tmp = new Path(dir, s".tmp-hint-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(hintFilePath(dir), false) // rename-over portability; last-wins race is safe
+      if (!fs.rename(tmp, hintFilePath(dir))) fs.delete(tmp, false)
+    } catch { case _: java.io.IOException => () } // advisory only
+
+  private[storage] def readHintFile(dir: Path): Long =
+    try {
+      val in = fs.open(hintFilePath(dir))
+      val s = try new String(in.readNBytes(32), "UTF-8").trim finally in.close()
+      val v = s.toLong
+      if (v > 0) v else 0L
+    } catch { case _: Exception => 0L } // absent/torn/garbage: no hint
 
   private def vPath(dir: Path, v: Long): Path = new Path(dir, f"v$v%020d")
 
@@ -279,6 +323,7 @@ final class ManifestLog(spark: SparkSession, root: String,
           versionHints.remove((container, session)) // arbitrarily stale
         } else if (tryPublish(dst, next)) {
           versionHints.put((container, session), v + 1)
+          if ((v + 1) % hintFileEvery == 0) writeHintFile(dir, v + 1)
           return next
         }
         // lost the CAS to another instance (or a fresh in-flight claim

@@ -630,6 +630,29 @@ class ManifestLogSpec extends SparkSuite {
     assert(msgs(log.read("c", "s")) == Seq("a", "b", "c"))
   }
 
+  test("persistent hint file: a fresh instance probes from it; garbage or expired-past hints fall back") {
+    val root = tempDir("mlog")
+    // cadence 2 so a 4-append test exercises two hint writes (last wins)
+    val log = new ManifestLog(spark, root, hintFileEvery = 2L)
+    (1 to 4).foreach(i =>
+      log.append(batch((s"2024-01-01T10:0$i:00Z", "INFO", s"m$i")), "c", "s"))
+    val dir = new Path(s"$root/manifest/container=c/session=s")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(log.readHintFile(dir) == 4L, "commits at the cadence boundary must persist the frontier hint")
+    // a FRESH instance (no in-process hint) must serve the true frontier
+    // seeded from the file
+    assert(msgs(new ManifestLog(spark, root).read("c", "s")) == Seq("m1", "m2", "m3", "m4"))
+    // the hint is advisory: torn/garbage content degrades to the listing
+    val g = fs.create(new Path(dir, "hint"), true)
+    g.write("not-a-number".getBytes("UTF-8")); g.close()
+    assert(msgs(new ManifestLog(spark, root).read("c", "s")) == Seq("m1", "m2", "m3", "m4"))
+    // expired-past shape (hint above any existing version): probe fails,
+    // listing still serves
+    val h = fs.create(new Path(dir, "hint"), true)
+    h.write("99999".getBytes("UTF-8")); h.close()
+    assert(msgs(new ManifestLog(spark, root).read("c", "s")) == Seq("m1", "m2", "m3", "m4"))
+  }
+
   test("commit ABA guard: a committer whose resolved predecessor was expired refuses the vacated slot") {
     // the hazard: a committer stalls (GC/VM pause) between resolve and
     // claim while the chain advances and expire's prefix sweep vacates
