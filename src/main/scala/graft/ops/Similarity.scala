@@ -361,6 +361,26 @@ object Similarity {
     * micro-quantized integer sums ([[labelCohesion]]'s determinism
     * contract); the total-count divisor rides the same constant-key
     * broadcast as every in-plan scalar. */
+  def ivfCellStats(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val cents = seedCentroids(vs)
+    val total = vs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
+    seedAssignment(s, dir)
+      .join(broadcast(cents), col("list_id") === col("cent_id"))
+      .withColumn("cosq",
+        floor(dot("cv", "n_v") / (col("cnorm") * col("n_norm")) * 1000000.0).cast("long"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+           (floor(sum(col("cosq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("mean_cos"))
+      .withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .withColumn("load_factor", Tables.trunc6(
+        col("n_vectors").cast("double") * lit(IvfNList) / col("n_total")))
+      .select(col("list_id"), col("n_vectors"), col("mean_cos"), col("load_factor"))
+      .orderBy(col("list_id"))
+  }
+
   /** Cluster-balanced subsample: keep at most `perCell` vectors per
     * semantic cell (IVF seed assignment), ranked by a deterministic
     * hash — the diversity-preserving downsampler a curation pipeline
@@ -384,26 +404,6 @@ object Similarity {
       .filter(col("rk") <= perCell)
       .select(col("list_id"), col("n_id").as("vec_id"), col("rk"))
       .orderBy(col("list_id"), col("rk"))
-  }
-
-  def ivfCellStats(s: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(s, dir)
-    val cents = seedCentroids(vs)
-    val total = vs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    seedAssignment(s, dir)
-      .join(broadcast(cents), col("list_id") === col("cent_id"))
-      .withColumn("cosq",
-        floor(dot("cv", "n_v") / (col("cnorm") * col("n_norm")) * 1000000.0).cast("long"))
-      .groupBy(col("list_id"))
-      .agg(count(lit(1)).as("n_vectors"),
-           (floor(sum(col("cosq")).cast("double") / count(lit(1))) / 1000000.0)
-             .as("mean_cos"))
-      .withColumn("k", lit(1))
-      .join(broadcast(total), Seq("k"))
-      .withColumn("load_factor", Tables.trunc6(
-        col("n_vectors").cast("double") * lit(IvfNList) / col("n_total")))
-      .select(col("list_id"), col("n_vectors"), col("mean_cos"), col("load_factor"))
-      .orderBy(col("list_id"))
   }
 
   /** K-means centroid-update step — the shuffle pattern of distributed

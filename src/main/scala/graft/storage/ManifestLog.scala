@@ -181,9 +181,14 @@ final class ManifestLog(spark: SparkSession, root: String,
     if (hint != null && hint.longValue > 0) {
       val probed = resolveByProbe(dir, hint.longValue)
       if (probed != null) { versionHints.put(key, probed._1); return probed }
-    } else {
+    } else if (hintFileTried.add(key)) {
       // cold start: no in-process hint yet — seed the probe from the
-      // persisted hint file before paying the full listing
+      // persisted hint file before paying the full listing. AT MOST
+      // ONCE per (session, instance): empty/expired sessions resolve
+      // to (0, Nil) and clear their in-process hint, and without this
+      // guard every subsequent resolve would re-pay the fs.open (plus
+      // a doomed probe when a stale hint file outlives its chain) —
+      // a permanent per-read tax on sessions the file cannot help
       val fh = readHintFile(dir)
       if (fh > 0) {
         val probed = resolveByProbe(dir, fh)
@@ -207,6 +212,11 @@ final class ManifestLog(spark: SparkSession, root: String,
     * point (from a listing or this instance's own commit). */
   private val versionHints = new ConcurrentHashMap[(String, String), java.lang.Long]()
 
+  /** Sessions whose hint FILE this instance has already consulted —
+    * the cold-start read happens once per session per process. */
+  private val hintFileTried =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   // ---- persistent frontier hint (the `_last_checkpoint` recipe) ----
   //
   // The in-process hint makes STEADY-STATE resolve O(1), but a fresh
@@ -214,15 +224,21 @@ final class ManifestLog(spark: SparkSession, root: String,
   // dir — O(chain), a paged LIST on object stores. Every
   // `hintFileEvery`-th commit writes the version number to a `hint`
   // file (best-effort, temp+rename, last-wins), so a cold instance
-  // seeds the forward probe from it: the frontier is at most
-  // `hintFileEvery` ≤ the probe budget ahead, and the first resolve is
-  // O(delta) existence checks instead of a listing. Safety is the
-  // probe's own: a stale, torn, regressed, or expired-past hint fails
-  // the probe and falls back to the listing — the hint can make a
-  // resolve slower, never wrong. The file name matches neither the
-  // version pattern nor the data layout, so listings, expire's sweeps
-  // and readers all ignore it; its `.tmp-` staging orphans ride the
-  // existing aged-tmp collection.
+  // seeds the forward probe from it: a healthy chain's frontier is at
+  // most `hintFileEvery - 1` ahead of the hint, which must stay
+  // STRICTLY under the probe budget (the probe returns null AT the
+  // budget) — enforced below, since a larger cadence would silently
+  // defeat the feature. Safety is the probe's own: a stale, torn,
+  // regressed, or expired-past hint (including a crashed writer
+  // leaving the hint a full cadence behind) fails the probe and falls
+  // back to the listing — the hint can make a resolve slower, never
+  // wrong. The file name matches neither the version pattern nor the
+  // data layout, so listings, expire's sweeps and readers all ignore
+  // it; its `.tmp-` staging orphans ride the existing aged-tmp
+  // collection.
+  require(hintFileEvery >= 1 && hintFileEvery <= ManifestLog.ProbeBudget,
+    s"hintFileEvery must be in [1, ${ManifestLog.ProbeBudget}] (the resolve probe budget)")
+
   private def hintFilePath(dir: Path): Path = new Path(dir, "hint")
 
   private def writeHintFile(dir: Path, v: Long): Unit =
@@ -232,7 +248,22 @@ final class ManifestLog(spark: SparkSession, root: String,
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
       fs.delete(hintFilePath(dir), false) // rename-over portability; last-wins race is safe
       if (!fs.rename(tmp, hintFilePath(dir))) fs.delete(tmp, false)
-    } catch { case _: java.io.IOException => () } // advisory only
+    } catch {
+      // advisory only — and it runs AFTER the manifest published, so a
+      // failure here must never make a durable commit look failed (the
+      // caller would retry and double-append). Object-store clients
+      // surface RuntimeExceptions too; swallow everything non-fatal.
+      case scala.util.control.NonFatal(_) => ()
+    }
+
+  /** Bench/test seam: plant or clear the hint file through the real
+    * writer so external measurements can never drift from the store's
+    * actual name/encoding/location contract. */
+  private[graft] def plantHintFile(container: String, session: String, v: Long): Unit =
+    writeHintFile(manifestDir(container, session), v)
+  private[graft] def clearHintFile(container: String, session: String): Unit =
+    try fs.delete(hintFilePath(manifestDir(container, session)), false)
+    catch { case _: java.io.IOException => () }
 
   private[storage] def readHintFile(dir: Path): Long =
     try {
@@ -250,8 +281,8 @@ final class ManifestLog(spark: SparkSession, root: String,
   private def resolveByProbe(dir: Path, hint: Long): (Long, Seq[String]) = {
     var v = hint
     var probes = 0
-    while (probes < 64 && fs.exists(vPath(dir, v + 1))) { v += 1; probes += 1 }
-    if (probes >= 64) return null // far behind: one listing beats N probes
+    while (probes < ManifestLog.ProbeBudget && fs.exists(vPath(dir, v + 1))) { v += 1; probes += 1 }
+    if (probes >= ManifestLog.ProbeBudget) return null // far behind: one listing beats N probes
     try (v, readEntries(vPath(dir, v)))
     catch {
       case _: java.io.FileNotFoundException => null // expired under us
@@ -911,6 +942,12 @@ final class ManifestLog(spark: SparkSession, root: String,
 }
 
 object ManifestLog {
+  /** Forward-probe budget for hint-seeded resolves: past this many
+    * existence checks, one listing beats N probes. The hint-file
+    * cadence must stay ≤ this (class-level require) so a healthy
+    * chain's cold start always probes through. */
+  private[storage] val ProbeBudget = 64
+
   /** Format header (FIRST line): its presence declares "a matching
     * footer must follow", which is what makes tail truncation — the
     * failure mode that destroys the footer first — detectable. */
