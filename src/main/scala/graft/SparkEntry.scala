@@ -144,6 +144,11 @@ object SparkEntry {
     "emb_label_separation" -> (Similarity.labelSeparation _),
     "emb_label_confusion"  -> (Similarity.labelConfusion _),
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // IVF-PQ + exact refine: coarse quantizer prunes to nprobe lists
+    // (literal partition predicate on the persisted code table), PQ
+    // codes ADC-score just those lists, float cosine touches only the
+    // shortlist — the FAISS IVFPQ+refine serving composition
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "emb_dim_stats" -> (Similarity.dimStats _),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
@@ -936,6 +941,63 @@ object SparkEntry {
          |  SELECT l.query_id, co.vec_id AS neighbor_id, CAST(SUM(l.pq) AS BIGINT) AS iscore
          |  FROM codes co JOIN lut l ON co.m = l.m AND co.code_id = l.code_id
          |  WHERE co.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS srk
+         |    FROM scored) t WHERE srk <= 100),
+         |rerank AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos
+         |  FROM short sh
+         |  JOIN vn q ON sh.query_id = q.vec_id
+         |  JOIN vn n ON sh.neighbor_id = n.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM rerank)
+         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+         |  floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "ann_ivf_pq" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id FROM (
+         |    SELECT vn.vec_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id FROM (
+         |    SELECT vn.vec_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
+         |subs AS (
+         |  SELECT vec_id, m, list_slice(v, CAST(m AS INT) * 8 + 1, CAST(m AS INT) * 8 + 8) AS sv
+         |  FROM vn, UNNEST(range(0, 8)) AS u(m)),
+         |cw AS (
+         |  SELECT m, CAST(vec_id - 100 AS BIGINT) AS code_id, sv AS cw,
+         |         list_dot_product(sv, sv) AS cn2
+         |  FROM subs WHERE vec_id >= 100 AND vec_id < 104),
+         |codes AS (
+         |  SELECT vec_id, m, code_id FROM (
+         |    SELECT s.vec_id, s.m, c.code_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_dot_product(s.sv, c.cw) - c.cn2 / 2 DESC, c.code_id) AS crk
+         |    FROM subs s JOIN cw c ON s.m = c.m) t WHERE crk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code_id,
+         |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1000000) AS BIGINT) AS pq
+         |  FROM subs s JOIN cw c ON s.m = c.m WHERE s.vec_id < 8),
+         |scored AS (
+         |  SELECT p.q_id AS query_id, co.vec_id AS neighbor_id,
+         |         CAST(SUM(l.pq) AS BIGINT) AS iscore
+         |  FROM codes co
+         |  JOIN assign a ON co.vec_id = a.n_id
+         |  JOIN probes p ON a.list_id = p.list_id AND co.vec_id <> p.q_id
+         |  JOIN lut l ON l.query_id = p.q_id AND co.m = l.m AND co.code_id = l.code_id
          |  GROUP BY 1, 2),
          |short AS (
          |  SELECT query_id, neighbor_id FROM (

@@ -486,4 +486,47 @@ object IndexTables {
     }
     n
   }
+
+  /** IVF-PQ code table: every vector's product-quantization codes keyed
+    * by its inverted list — (n_id, m, code_id) partitioned by list_id,
+    * the "codes contiguous per inverted list" layout an IVFPQ index
+    * stores on disk. ~PqM bytes of code per vector instead of the
+    * 64-float payload: this is the table a 100 TB deployment can
+    * afford to keep hot while the full vectors stay cold for rerank.
+    * Query-time probes prune to the probed lists' partitions with a
+    * literal predicate ([[graft.ops.Similarity.ivfPqTopK]]), so an ADC
+    * scan reads nprobe lists' codes, never the corpus. Encode (nearest
+    * seed codeword per subspace) and coarse assignment both run once
+    * here at build time. */
+  def ensurePqIndex(s: SparkSession, dir: String): String =
+    ensureWith(s, s"idx_pq_codes_${tag(dir)}") { n =>
+      Similarity.pqCodesWithLists(s, dir)
+        .repartition(org.apache.spark.sql.functions.col("list_id"))
+        .write.partitionBy("list_id")
+        .mode("overwrite").saveAsTable(n)
+    }
+
+  /** INCREMENTAL IVF-PQ maintenance: encode newly-ingested embeddings
+    * under the FROZEN codebook + FROZEN coarse quantizer and append
+    * their code rows into the lists' partitions — same contract as
+    * [[appendToIvfIndex]] (no rebuild, probes see new codes
+    * immediately, partition pruning untouched). The codebook freezes
+    * for the same reason the quantizer does: codes are only comparable
+    * under the codebook that produced them, so retraining is a rebuild
+    * by definition. `newVecs` is (vec_id, embedding); returns vectors
+    * appended (code rows / PqM). */
+  def appendToPqIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
+    val name = ensurePqIndex(s, dir)
+    val coded = Similarity.pqCodesForNew(s, dir, newVecs).localCheckpoint()
+    val n = coded.count() / Similarity.PqM
+    if (n > 0) {
+      coded
+        .repartition(org.apache.spark.sql.functions.col("list_id"))
+        .write.mode("append")
+        .partitionBy("list_id")
+        .saveAsTable(name)
+      refreshBoth(s, coded, name)
+    }
+    n
+  }
 }

@@ -525,40 +525,160 @@ object Similarity {
     * anywhere. */
   def pqTopK(s: SparkSession, dir: String,
              nQueries: Int = 8, k: Int = 5, shortlist: Int = 100): DataFrame = {
-    val M = 8; val subDim = 8; val nCodes = 4
     val vs = vectors(s, dir)
-    val subs = vs.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $subDim + 1, $subDim) AS sv))")).as("e"))
-      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-    val cw = subs.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCodes)
-      .select(col("m"), (col("vec_id") - 100).as("code_id"), col("sv").as("cw"))
-      .withColumn("cn2", expr("graft_dot(cw, cw)"))
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("m")).orderBy(col("score").desc, col("code_id"))
-    val codes = subs.join(broadcast(cw), Seq("m"))
-      .withColumn("score", dot("sv", "cw") - col("cn2") / 2)
-      .withColumn("crk", row_number().over(wEnc))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("m"), col("code_id"))
-    val lut = subs.filter(col("vec_id") < nQueries)
-      .join(broadcast(cw), Seq("m"))
-      .select(col("vec_id").as("query_id"), col("m"), col("code_id"),
-              floor(dot("sv", "cw") * 1000000.0).cast("long").as("pq"))
-    val wShort = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("iscore").desc, col("neighbor_id"))
-    val cands = codes.join(broadcast(lut), Seq("m", "code_id"))
+    val subs = pqSubvectors(vs)
+    val cw = pqCodebook(subs)
+    val cands = pqEncode(subs, cw).join(broadcast(pqLut(subs, cw, nQueries)), Seq("m", "code_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pq")).as("iscore"))
-      .withColumn("srk", row_number().over(wShort))
-      .filter(col("srk") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+    pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k)
+  }
+
+  /** PQ parameters: 64-dim vectors → `PqM` subspaces of `PqSubDim`
+    * dims, `PqNCodes` codewords per subspace from the deterministic
+    * seed vectors 100..100+PqNCodes (oracle contract — the SQL oracles
+    * hardcode all three and say so). */
+  private[ops] val PqM = 8
+  private val PqSubDim = 8
+  private val PqNCodes = 4
+
+  /** Exploded per-subspace view: (vec_id, m, sv) — one row per vector
+    * per subspace, computed at scan rate (no shuffle). */
+  private def pqSubvectors(vs: DataFrame): DataFrame =
+    vs.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(v, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+
+  /** The per-subspace codebook (m, code_id, cw, cn2) — PqM·PqNCodes
+    * rows, always the broadcast side. */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") >= 100 && col("vec_id") < 100 + PqNCodes)
+      .select(col("m"), (col("vec_id") - 100).as("code_id"), col("sv").as("cw"))
+      .withColumn("cn2", expr("graft_dot(cw, cw)"))
+
+  /** Nearest-codeword encoding (vec_id, m, code_id): argmin‖x−c‖² via
+    * the dot identity, (score DESC, code_id ASC) tiebreak. A
+    * map-side-combining max_by per (vector, subspace) — this is the
+    * CORPUS-sized stage of PQ encoding, and a row_number window here
+    * would shuffle and sort all N·PqNCodes scored rows to keep one
+    * ([[nearestCentroids]]' keep=1 rationale; max_by over
+    * (score, -code_id) reproduces the tiebreak exactly). */
+  private def pqEncode(subs: DataFrame, cw: DataFrame): DataFrame =
+    subs.join(broadcast(cw), Seq("m"))
+      .withColumn("score", dot("sv", "cw") - col("cn2") / 2)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("max_by(code_id, named_struct('s', score, 't', -code_id))").as("code_id"))
+
+  /** Query-side asymmetric-distance lookup table (query_id, m, code_id,
+    * pq): micro-quantized integer partials (floor(dot·1e6) as BIGINT)
+    * so the PqM-way ADC sum is exact integer arithmetic —
+    * order-independent on any engine (determinism contract shared with
+    * every mean/cosine report). nQueries·PqM·PqNCodes rows — broadcast. */
+  private def pqLut(subs: DataFrame, cw: DataFrame, nQueries: Int): DataFrame =
+    subs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cw), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code_id"),
+              floor(dot("sv", "cw") * 1000000.0).cast("long").as("pq"))
+
+  /** Shortlist selection from ADC-scored candidates (query_id,
+    * neighbor_id, iscore): per-query best `shortlist` by (iscore DESC,
+    * neighbor_id ASC) through the bounded [[graft.functions.TopKPairs]]
+    * aggregate — map-side combine ships ≤ shortlist pairs per query
+    * into the shuffle instead of windowing the full candidate set (the
+    * integer score is orderable as-is; the oracle replays the ranking
+    * as a row_number window). */
+  private def pqShortlist(cands: DataFrame, shortlist: Int): DataFrame = {
+    graft.functions.TopKPairs.register(cands.sparkSession)
+    cands
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(iscore, neighbor_id, $shortlist)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.payload").as("neighbor_id"))
+  }
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id) shortlist →
+    * [[topK]]. The shortlist (≤ shortlist·Q rows, with query vectors
+    * attached) is the BROADCAST side; the corpus streams through one
+    * broadcast-hash join that surfaces only shortlist members — at
+    * scale the expensive float dot runs on shortlist·Q rows, never N. */
+  private def pqRerank(vs: DataFrame, short: DataFrame,
+                       nQueries: Int, k: Int): DataFrame = {
     val qv = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val nv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("norm").as("nnorm"))
-    topK(cands.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
+    topK(nv.join(broadcast(short.join(broadcast(qv), Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               (dot("qv", "nv") / (col("qnorm") * col("nnorm"))).as("cos")), k)
+  }
+
+  /** The PERSISTED IVF-PQ index payload: every vector's PQ codes keyed
+    * by its inverted list — (n_id, list_id, m, code_id), the
+    * list-partitioned code layout an IVFPQ deployment stores (codes
+    * contiguous per inverted list). Encode + assignment both run once
+    * at index-build time ([[IndexTables.ensurePqIndex]]). */
+  private[ops] def pqCodesWithLists(s: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubvectors(vectors(s, dir))
+    pqEncode(subs, pqCodebook(subs))
+      .join(seedAssignment(s, dir).select(col("n_id"), col("list_id")),
+            col("vec_id") === col("n_id"))
+      .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
+  }
+
+  /** PQ codes for NEWLY-INGESTED embeddings under the FROZEN codebook
+    * and FROZEN coarse quantizer (standard IVFPQ serving: neither
+    * moves at ingest time, only at retrain) — the incremental seam for
+    * [[IndexTables.appendToPqIndex]], mirroring [[assignNew]]. */
+  private[ops] def pqCodesForNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
+    val subsRef = pqSubvectors(vectors(s, dir))
+    val newSubs = pqSubvectors(normify(newVecs.select(col("vec_id"), col("embedding"))))
+    pqEncode(newSubs, pqCodebook(subsRef))
+      .join(assignNew(s, dir, newVecs).select(col("n_id"), col("list_id")),
+            col("vec_id") === col("n_id"))
+      .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
+  }
+
+  /** IVF-PQ with exact refine — the composition a 100 TB ANN service
+    * actually serves (the FAISS `IVFPQ + refine` shape): the coarse
+    * quantizer prunes the scan to `nprobe` inverted lists, the PQ codes
+    * of JUST those lists are ADC-scored with integer lookup tables, and
+    * only the per-query shortlist pays the exact float cosine. Each
+    * stage bounds the next: N → probed lists (partition pruning on the
+    * persisted code table — the same driver-side probe micro-job as
+    * [[ivfTopKIndexed]], whose literal predicate the planner can never
+    * decline) → shortlist·Q (bounded map-side top-k on integer ADC
+    * sums) → k·Q. vs [[pqTopK]]: the ADC scan touches nprobe/nlist of
+    * the codes instead of all N. vs [[ivfTopKIndexed]]: in-list scoring
+    * reads 8 one-byte codes per vector instead of 64 floats — the 32×
+    * scan-side memory cut — and the float dot runs on shortlist rows
+    * only. Deterministic end-to-end (seed quantizer, seed codebook,
+    * integer ADC), so the DuckDB oracle replays every stage. */
+  def ivfPqTopK(s: SparkSession, dir: String,
+                nQueries: Int = 8, k: Int = 5, nprobe: Int = 2,
+                shortlist: Int = 100): DataFrame = {
+    val vs = vectors(s, dir)
+    // Driver-side probe selection, exactly as ivfTopKIndexed: one
+    // bounded micro-job (nQueries × broadcast centroids) whose rows
+    // become BOTH the literal partition predicate and the probe side.
+    val probesPlan = nearestCentroids(
+      vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+    val probeRows = probesPlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val lists = probeRows
+      .map(r => r.getAs[Number](r.fieldIndex("list_id")).longValue()).distinct.sorted
+    val codes = s.table(IndexTables.ensurePqIndex(s, dir))
+      .filter(col("list_id").isin(lists: _*))
+      .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
+    val subs = pqSubvectors(vs)
+    val lut = pqLut(subs, pqCodebook(subs), nQueries)
+    val cands = codes
+      .join(broadcast(probes.select(col("q_id").as("query_id"), col("list_id"))), Seq("list_id"))
+      .filter(col("n_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code_id"))
+      .groupBy(col("query_id"), col("n_id").as("neighbor_id"))
+      .agg(sum(col("pq")).as("iscore"))
+    pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k)
   }
 
   /** Inter-label centroid separation — the counterpart report to

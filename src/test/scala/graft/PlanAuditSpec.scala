@@ -24,6 +24,11 @@ class PlanAuditSpec extends SparkSuite {
     // layout during construction; every layout it can choose is audited
     // via the four standalone dedup_hamming* entries
     "dedup_hamming_auto",
+    // runs the driver-side probe micro-job + PQ index build during
+    // construction (the ivfTopKIndexed shape); its served plan's
+    // pruning is audited in IndexTablesSpec (partitions read == probed
+    // lists over the code table)
+    "ann_ivf_pq",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys

@@ -280,6 +280,70 @@ class IndexTablesSpec extends SparkSuite {
       "appended twin vector not assigned to its twin's inverted list")
   }
 
+  test("IVF-PQ search PRUNES the code table to exactly the probed lists") {
+    assume(hasTestData)
+    IndexTables.ensurePqIndex(spark, sf)
+    // 2 queries × nprobe 2 → at most 4 of the 8 lists probed (the IVF
+    // pruning test's rationale: pruning must be observable)
+    val nQueries = 2
+    val expected = Similarity.probedLists(spark, sf, nQueries, nprobe = 2)
+    assert(expected.size < Similarity.IvfNList,
+      s"probe set covers every list (${expected.size}) — pruning unobservable")
+    val df = Similarity.ivfPqTopK(spark, sf, nQueries = nQueries)
+    df.collect()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ (p.children ++ nested ++ p.subqueries).flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.tableIdentifier.exists(_.table.startsWith("idx_pq_codes_")))
+    assert(scans.nonEmpty, "no FileSourceScan of the PQ code table in the plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(f =>
+        f.toString.contains("list_id") && f.toString.contains("IN")),
+      s"no probe-list IN filter on the code scan; partitionFilters=${scan.partitionFilters}")
+    val partitionsRead = scan.metrics("numPartitions").value
+    assert(partitionsRead == expected.size.toLong,
+      s"scanned $partitionsRead partitions, expected ${expected.size} (lists $expected)")
+  }
+
+  test("PQ code table maintains INCREMENTALLY: a twin vector gets its twin's codes in its twin's list") {
+    // mutates sf0.01's PQ table only (same isolation note as the IVF
+    // append test above)
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").isFile)
+    val name = IndexTables.ensurePqIndex(spark, dir)
+    val before = spark.table(name).count()
+    // PqM code rows per vector, one per subspace
+    assert(before == graft.ops.Tables.embeddings(spark, dir).count() * Similarity.PqM)
+    val twin = graft.ops.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 1L).select(col("embedding")).head().getSeq[Float](0)
+    val newId = 900000002L
+    val newDf = spark.createDataFrame(Seq((newId, twin))).toDF("vec_id", "embedding")
+    assert(IndexTables.appendToPqIndex(spark, dir, newDf) == 1L)
+    val idx = spark.table(name)
+    assert(idx.count() == before + Similarity.PqM)
+    // the frozen codebook + frozen quantizer must reproduce the twin's
+    // exact (m → code_id) encoding AND its inverted list
+    def codesOf(id: Long): Seq[(Long, Long, Long)] =
+      idx.filter(col("n_id") === id)
+        .select(col("m").cast("long"), col("code_id").cast("long"),
+                col("list_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(codesOf(newId) == codesOf(1L),
+      "appended twin's codes/list differ from its identical-vector twin")
+  }
+
   test("index builds are idempotent per catalog (second ensure is a no-op)") {
     assume(hasTestData)
     val t1 = IndexTables.ensureChunkIndex(spark, sf, 4)
