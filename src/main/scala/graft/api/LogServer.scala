@@ -586,9 +586,23 @@ object ServerMain {
     // time-based marker sweep can break streaming exactly-once when an
     // outage outlasts the horizon, and retention deletes data. On the
     // manifest tier, GRAFT_GC_GRACE_HOURS opts into snapshot GC (the
-    // horizon must exceed the longest reader scan / publish stall).
+    // horizon must exceed the longest reader scan / publish stall) and
+    // the sweep is deduplicated cluster-wide through a CAS lease on
+    // the shared root: one gateway owns the GC window, the others skip
+    // it, ownership migrates on shutdown/crash (MaintenanceLeaseSpec).
+    val gcLease = gcGrace.filter(_ => tier == "manifest").map { _ =>
+      val leaseDir = new org.apache.hadoop.fs.Path(s"$root/data/_maintenance/gc-sweep")
+      val fs = leaseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val holder = s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+        s"${ProcessHandle.current.pid}:$port"
+      // TTL must exceed the owner's renewal cadence — the GC sweep runs
+      // at most hourly (Compactor caps the cadence), and the owner only
+      // renews when it sweeps, so anything under ~1 h would let the
+      // lease lapse between renewals and thrash ownership
+      new graft.storage.MaintenanceLease(fs, leaseDir, holder, ttlMs = 3 * 3600 * 1000L)
+    }
     server.compactor.startMaintenance(java.time.Duration.ofSeconds(60),
-      manifestGcGrace = gcGrace)
+      manifestGcGrace = gcGrace, gcLease = gcLease)
     println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier, catalog=$catalogMode")
     // close() THROWS on a lossy ingest drain (by contract) — Spark must
     // still stop deterministically after the server's cleanup, not race

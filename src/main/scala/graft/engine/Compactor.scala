@@ -110,6 +110,7 @@ final class Compactor(store: LogTier,
     }
 
   private var maintenance: Option[java.util.concurrent.ScheduledExecutorService] = None
+  @volatile private var leaseToRelease: Option[graft.storage.MaintenanceLease] = None
 
   /** Background maintenance loop — the operational completeness around
     * rotation: every `period`, each known session gets a listing-based
@@ -140,12 +141,18 @@ final class Compactor(store: LogTier,
     * of its rotation check. One scheduler thread; each tick is
     * driver-cheap listings plus whatever compactions it queues on the
     * bounded pool. Idempotent to call once; stopped by [[close]]. */
+  /** Ticks on which this instance actually ran the manifest GC sweep —
+    * observable seam for the lease spec (a non-owner must stay at 0). */
+  private[graft] val gcSweepTicks = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def startMaintenance(period: java.time.Duration,
                        retention: Option[java.time.Duration] = None,
                        tagHorizon: Option[java.time.Duration] = None,
-                       manifestGcGrace: Option[java.time.Duration] = None): Unit =
+                       manifestGcGrace: Option[java.time.Duration] = None,
+                       gcLease: Option[graft.storage.MaintenanceLease] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
+      leaseToRelease = gcLease
       if ((tagHorizon.isDefined || retention.isDefined) && !store.isInstanceOf[LogStore])
         System.err.println("[compactor] tag/retention sweeps requested but the " +
           "storage tier is not a LogStore — use manifestGcGrace for snapshot GC; sweeps ignored")
@@ -173,6 +180,17 @@ final class Compactor(store: LogTier,
           try {
             val now = java.time.Instant.now()
             val gcTick = tick.getAndIncrement() % gcEveryTicks == 0
+            // Cluster-wide sweep dedup: with a lease configured, only
+            // the current lease OWNER runs the GC sweep this tick —
+            // N gateways on one manifest root pay one expire scan, not
+            // N (acquire IS renew, so a live owner keeps the window;
+            // a crashed owner hands over after one lease TTL). Without
+            // a lease every gateway sweeps — safe (expire is CAS-side
+            // idempotent), just duplicated work.
+            val gcOwner = gcTick && manifestGcGrace.isDefined &&
+              store.isInstanceOf[graft.storage.ManifestLog] &&
+              gcLease.forall(_.tryAcquire())
+            if (gcOwner) gcSweepTicks.incrementAndGet()
             store.sessions().foreach { case (c, s) =>
               guarded("rotation", c, s)(maybeCompact(c, s))
               // marker/TTL sweeps are LogStore machinery (side-channel
@@ -184,7 +202,7 @@ final class Compactor(store: LogTier,
                     guarded("tag sweep", c, s)(ls.tagSweep(c, s, now.minus(h))))
                   retention.foreach(r =>
                     guarded("retention", c, s)(ls.retentionSweep(c, s, now.minus(r))))
-                case ml: graft.storage.ManifestLog if gcTick =>
+                case ml: graft.storage.ManifestLog if gcOwner =>
                   manifestGcGrace.foreach(g =>
                     guarded("manifest gc", c, s)(ml.expire(c, s, now.minus(g))))
                 case _ => ()
@@ -201,6 +219,9 @@ final class Compactor(store: LogTier,
   override def close(): Unit = {
     closed = true
     synchronized { maintenance.foreach(_.shutdownNow()); maintenance = None }
+    // hand the GC window back promptly so a surviving gateway takes
+    // over on its next tick instead of waiting out the lease TTL
+    leaseToRelease.foreach(l => try l.release() catch { case _: Exception => () })
     pool.shutdown()
     pool.awaitTermination(60, TimeUnit.SECONDS)
     flushAll()

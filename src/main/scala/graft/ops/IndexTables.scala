@@ -97,13 +97,33 @@ object IndexTables {
   /** In-process serialization of index MUTATIONS (append vs compact)
     * per table: compaction snapshots the table and rewrites it — an
     * append landing between the two would be silently erased by the
-    * overwrite. Cross-process, compaction belongs in a maintenance
-    * window with appends quiesced (exactly like the rebuild path); the
+    * overwrite. Cross-process, the SAME exclusion is enforced by the
+    * CAS maintenance lease ([[compactionLease]]): a multi-gateway
+    * deployment wraps index compaction in `lease.withLease { ... }`
+    * so one rewriter at a time touches a table, with appends quiesced
+    * for the window (exactly like the rebuild path); the in-process
     * lock makes the single-process deployment — streaming gate plus
     * maintenance thread in one JVM — safe by construction. */
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withTableLock[A](name: String)(body: => A): A =
     tableLocks.computeIfAbsent(name, _ => new Object).synchronized(body)
+
+  /** Cross-process compaction lease for this data dir's index tables,
+    * rooted in the shared warehouse (`_maintenance/` — the underscore
+    * prefix keeps it invisible to table listings, like every metadata
+    * sidecar in this engine). All index tables of one data dir share
+    * one lease: their compactions run on the same maintenance cadence
+    * anyway, and a finer per-table lease would just multiply CAS
+    * traffic. TTL must exceed the longest single compaction rewrite
+    * (holders renew between tables for longer windows). */
+  def compactionLease(s: SparkSession, dir: String, holderId: String,
+                      ttlMs: Long = 10 * 60 * 1000L): graft.storage.MaintenanceLease = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val leaseDir = new org.apache.hadoop.fs.Path(
+      warehouse, s"_maintenance/idx_compact_${tag(dir)}")
+    val fs = leaseDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    new graft.storage.MaintenanceLease(fs, leaseDir, holderId, ttlMs)
+  }
 
   private def ensure(s: SparkSession, name: String, bucketCols: Seq[String])
                     (build: => DataFrame): String =
