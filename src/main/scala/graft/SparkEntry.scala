@@ -154,6 +154,10 @@ object SparkEntry {
     "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "emb_outliers"  -> ((s: SparkSession, d: String) => Similarity.labelOutliers(s, d)),
     "emb_covariance" -> ((s: SparkSession, d: String) => Similarity.covariance(s, d)),
+    // dominant eigenvector + explained-variance share by exact-integer
+    // power iteration (distributed covariance pass, driver-side 64x64
+    // eigen-iteration — the all-but-the-top / whitening pre-flight)
+    "emb_pca" -> ((s: SparkSession, d: String) => Similarity.pcaPower(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -1015,6 +1019,54 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
          |  floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "emb_pca" -> {
+      // the BPE-oracle recipe: the iterative loop UNROLLED into one CTE
+      // chain, every stage exact integer arithmetic (HUGEINT) so both
+      // engines replay bit-identical steps — see Similarity.pcaPower's
+      // determinism contract (L∞ renorm via truncating division on
+      // non-negative operands; convergence deliberately not required)
+      // every step MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and w$k is referenced twice (m$k + it$k) — inlined,
+      // the 10-step chain re-expands exponentially and planning alone
+      // never finishes (measured; mat itself computes in 0.14 s)
+      val steps = (1 to 10).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT m.i, SUM(m.c * p.v) AS w
+           |  FROM mat m JOIN it${k - 1} p ON m.j = p.i GROUP BY m.i),
+           |m$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
+           |it$k AS MATERIALIZED (
+           |  SELECT i, CASE WHEN w < 0 THEN -(((-w) * 1000000) // mx)
+           |                 ELSE ((w * 1000000) // mx) END AS v
+           |  FROM w$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vectorsCte,
+         |ex AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |         CAST(FLOOR(v[i] * 1000000) AS HUGEINT) AS xq
+         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+         |st AS (SELECT i, SUM(xq) AS sx, COUNT(*) AS n FROM ex GROUP BY i),
+         |tri AS (
+         |  SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS sxy
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |mat AS MATERIALIZED (
+         |  SELECT t.i, t.j, sa.n * t.sxy - sa.sx * sb.sx AS c
+         |  FROM tri t JOIN st sa ON t.i = sa.i JOIN st sb ON t.j = sb.i
+         |  UNION ALL
+         |  SELECT t.j, t.i, sa.n * t.sxy - sa.sx * sb.sx AS c
+         |  FROM tri t JOIN st sa ON t.i = sa.i JOIN st sb ON t.j = sb.i
+         |  WHERE t.i < t.j),
+         |it0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM st),
+         |$steps,
+         |wf AS (SELECT m.i, SUM(m.c * p.v) AS w
+         |  FROM mat m JOIN it10 p ON m.j = p.i GROUP BY m.i),
+         |ray AS (SELECT SUM(p.v * w.w) AS num, SUM(p.v * p.v) AS den
+         |  FROM it10 p JOIN wf w ON p.i = w.i),
+         |tr AS (SELECT SUM(c) AS trace FROM mat WHERE i = j),
+         |sh AS (SELECT ((num // den) * 1000000) // trace AS ppm FROM ray, tr)
+         |SELECT p.i, CAST(p.v AS DOUBLE) / 1000000 AS pc,
+         |       CAST(sh.ppm AS DOUBLE) / 1000000 AS ev_share
+         |FROM it10 p, sh ORDER BY p.i""".stripMargin
+    },
     "emb_label_separation" ->
       s"""WITH $vectorsCte,
          |el AS (

@@ -942,6 +942,87 @@ object Similarity {
       .orderBy(col("rk"))
   }
 
+  /** Top principal component by power iteration — the spectral
+    * diagnostic an embedding pipeline runs before dominant-direction
+    * removal (the "all-but-the-top" post-processing recipe) or as the
+    * first step of a PCA whitening/compression pass: the dominant
+    * eigenvector of the covariance matrix plus its explained-variance
+    * share (how anisotropic the space is — a high share means one
+    * direction carries most of the energy and cosine similarities are
+    * inflated by it).
+    *
+    * Scale split, exactly like [[covariance]] + the BPE trainer: the
+    * ONLY N-proportional work is one distributed pass building the
+    * d(d+1)/2 integer covariance entries (map-side-combining aggregate
+    * into 2080 groups for d=64 — corpus-size-independent output); the
+    * 64×64 eigen-iteration is driver-side METADATA work on the
+    * collected matrix, the same bounded-micro-job pattern as the IVF
+    * probe selection and BPE's 1-row argmax.
+    *
+    * Determinism contract (what makes this oracle-replayable when
+    * iterative float linear algebra never is): every stage is EXACT
+    * integer arithmetic — inputs micro-quantized (floor(x·1e6)), the
+    * scaled covariance kept as n·Σxy − ΣxΣy (no division), matvecs as
+    * integer sums, and normalization per iteration by L∞: v′ =
+    * sign(w)·(|w|·1e6 div max|w|) — truncating division on
+    * NON-NEGATIVE operands, where floor and truncate agree on both
+    * engines. Convergence is NOT part of the contract: both engines
+    * replay the same `iters` steps from the same all-ones start, so
+    * the output is identical whether or not the iteration has
+    * converged (the eigengap only affects quality, never equality).
+    * Driver arithmetic is BigInt (unbounded); the SQL oracle rides
+    * DuckDB HUGEINT, whose 1.7e38 bound comfortably holds the
+    * magnitude envelope at test scale (|xq| ≤ 6e5, N ≤ 2e3 →
+    * |C| ≤ 1.3e18, |w| ≤ 8.5e25, Rayleigh numerator ≤ 5.4e33). */
+  def pcaPower(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val d = 64
+    val ex = vectors(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+              floor(col("x") * 1000000.0).cast("long").as("xq"))
+      .localCheckpoint() // feeds the sums job AND the pair-matrix job
+    val stats = ex.groupBy(col("i"))
+      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0).toInt, (BigInt(r.getLong(1)), r.getLong(2))))
+      .toMap
+    val n = BigInt(stats(0)._2)
+    // upper triangle incl. diagonal: products fit long (|xq| ≤ 1e6 →
+    // |xq·xq| ≤ 1e12, summed into DECIMAL for headroom at larger N)
+    val tri = ex.as("a").join(ex.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum((col("a.xq") * col("b.xq")).cast("decimal(38,0)")).as("sxy"))
+      .collect()
+    val c = Array.ofDim[BigInt](d, d)
+    tri.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val sxy = BigInt(r.getDecimal(2).toBigInteger)
+      val cij = n * sxy - stats(i)._1 * stats(j)._1
+      c(i)(j) = cij; c(j)(i) = cij
+    }
+    // L∞-normalized power iteration, all-ones start, exact integers
+    val scale = BigInt(1000000)
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(BigInt(0))((acc, j) => acc + c(i)(j) * v(j)))
+    def renorm(w: Array[BigInt]): Array[BigInt] = {
+      val mx = w.map(_.abs).max
+      if (mx == 0) w else w.map(x => (x.sign: BigInt) * (x.abs * scale / mx))
+    }
+    var v = Array.fill(d)(scale)
+    (0 until iters).foreach(_ => v = renorm(matvec(v)))
+    // Rayleigh quotient in C's units → explained share of the trace
+    val w = matvec(v)
+    val num = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + v(i) * w(i))
+    val den = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + v(i) * v(i))
+    val trace = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + c(i)(i))
+    val ppm = if (den == 0 || trace == 0) BigInt(0) else (num / den) * scale / trace
+    val share = ppm.toDouble / 1000000.0
+    (0 until d).map(i => (i.toLong, v(i).toDouble / 1000000.0, share))
+      .toDF("i", "pc", "ev_share")
+      .orderBy(col("i"))
+  }
+
   /** Symmetric int8 quantization manifest — the storage-compression step
     * an embedding pipeline runs before writing an ANN index (4 bytes →
     * 1 byte per dim): per-vector scale = max|v_i|/127, code_i =

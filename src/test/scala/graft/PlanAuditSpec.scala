@@ -29,6 +29,11 @@ class PlanAuditSpec extends SparkSuite {
     // pruning is audited in IndexTablesSpec (partitions read == probed
     // lists over the code table)
     "ann_ivf_pq",
+    // collects the d(d+1)/2 covariance entries + dim sums during
+    // construction (bounded metadata micro-jobs), then iterates
+    // driver-side; the distributed pass shares emb_covariance's
+    // audited d²-group aggregate shape
+    "emb_pca",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys

@@ -14,6 +14,37 @@ class SimilaritySpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
   private def hasTestData = new java.io.File(s"$sf/embeddings.parquet").isFile
 
+  test("pcaPower: L∞-normalized dominant direction that power iteration actually amplifies") {
+    assume(hasTestData)
+    val rows = Similarity.pcaPower(spark, sf).collect()
+    assert(rows.length == 64)
+    val pc = rows.map(_.getDouble(1))
+    val share = rows.map(_.getDouble(2)).distinct
+    // L∞ normalization: all components in [-1, 1], the max-magnitude one AT 1
+    assert(pc.forall(x => math.abs(x) <= 1.0 + 1e-9))
+    assert(math.abs(pc.map(math.abs).max - 1.0) < 1e-6,
+      "no unit-magnitude component — renormalization contract broken")
+    // one constant share per report, a real fraction of the trace
+    assert(share.length == 1 && share(0) > 0.0 && share(0) <= 1.0)
+    // Not vacuous: the reported direction must capture MORE variance
+    // than a fixed arbitrary direction (e0) — i.e. iteration amplified
+    // something. Rayleigh quotients via the exact centered covariance.
+    val vs = Similarity.vectors(spark, sf).select(col("v")).collect().map(_.getSeq[Double](0))
+    val n = vs.length.toDouble
+    val mean = Array.tabulate(64)(i => vs.map(_(i)).sum / n)
+    def rayleigh(dir: Array[Double]): Double = {
+      val nrm = math.sqrt(dir.map(x => x * x).sum)
+      val d = dir.map(_ / nrm)
+      vs.map { v =>
+        val proj = (0 until 64).map(i => (v(i) - mean(i)) * d(i)).sum
+        proj * proj
+      }.sum / n
+    }
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    assert(rayleigh(pc) > rayleigh(e0),
+      "reported principal direction carries no more variance than a coordinate axis")
+  }
+
   test("embeddingNearDup finds most true cosine>=0.4 same-label pairs (not vacuous)") {
     assume(hasTestData)
     // Ground truth: brute-force all same-label pairs with cosine >= 0.4.

@@ -42,7 +42,13 @@ class MaintenanceLeaseSpec extends SparkSuite {
   }
 
   test("a crashed holder's lease is taken over after the TTL, and its renew then fails") {
-    val (a, b) = leasePair(ttlMs = 300L)
+    // asymmetric TTLs: only the CRASHING holder's lease is short — the
+    // survivor's must outlive the remaining asserts even when parallel
+    // suites steal the CPU for seconds (a shared 300 ms TTL let B's own
+    // takeover lease expire before A's re-acquire probe, flaking)
+    val dir = new Path(tempDir("lease"))
+    val a = new MaintenanceLease(fsFor(dir), dir, "holder-a", ttlMs = 300L)
+    val b = new MaintenanceLease(fsFor(dir), dir, "holder-b", ttlMs = 60000L)
     assert(a.tryAcquire())
     // "crash": a never renews and never releases
     assert(eventually()(b.tryAcquire()), "takeover never happened after TTL expiry")
