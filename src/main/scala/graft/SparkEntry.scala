@@ -48,6 +48,9 @@ object SparkEntry {
     "q27_corr_subquery"  -> (RelationalQueries.q27CorrSubquery _),
     "q28_topk_agg"       -> ((s: SparkSession, d: String) => RelationalQueries.q28TopKAgg(s, d)),
     "q29_sql_interface"  -> (RelationalQueries.q29SqlInterface _),
+    // WITH RECURSIVE hierarchy traversal with exact-integer path sums
+    // (one ANSI text on both engines — the q29 recipe for recursion)
+    "q40_recursive_cte"  -> (RelationalQueries.q40RecursiveCte _),
     "q30_full_outer"     -> (RelationalQueries.q30FullOuter _),
     "q31_moving_avg"     -> (RelationalQueries.q31MovingAvg _),
     "q32_unpivot"        -> (RelationalQueries.q32Unpivot _),
@@ -876,6 +879,26 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_orderkey) li
         |  ON o.o_orderkey = li.l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q40_recursive_cte" ->
+      // ONE ANSI text parsed by both engines (see q40RecursiveCte):
+      // integer-only key-parent arithmetic ((k - k%8)/8 is exact in
+      // double below 2^53, CAST truncates identically), floor-cents
+      // path sums, and the o_orderkey >= 8 guard that breaks key 0's
+      // key-parent self-cycle
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_orderkey, CAST(0 AS BIGINT) AS depth,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS path_cents
+        |  FROM orders WHERE o_orderkey < 8
+        |  UNION ALL
+        |  SELECT o.o_orderkey, c.depth + 1,
+        |         c.path_cents + CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+        |  FROM orders o JOIN chain c
+        |    ON CAST((o.o_orderkey - (o.o_orderkey % 8)) / 8 AS BIGINT) = c.o_orderkey
+        |  WHERE o.o_orderkey >= 8
+        |)
+        |SELECT depth, COUNT(*) AS n_orders,
+        |       CAST(SUM(path_cents) AS BIGINT) AS total_path_cents
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin,
     "q28_topk_agg" ->
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,

@@ -619,6 +619,30 @@ object RelationalQueries {
     s.sql(graft.SparkEntry.oracleSql("q29_sql_interface"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — iterative hierarchy
+    * traversal with PATH aggregation, the one relational shape no
+    * window/join combination expresses: orders form a forest via the
+    * key-derived parent `o_orderkey div 8`, anchors are the root keys
+    * (< 8), and each recursion level extends every chain by one child
+    * generation while accumulating the exact-integer price-path sum
+    * (floor-cents — a double path sum could never hash-match across
+    * engines). The `o_orderkey >= 8` guard is load-bearing: key 0 is
+    * its own key-parent, and without the guard that self-cycle feeds
+    * the whole table back in every round until the recursion limit
+    * (measured — 1500 rows per level, forever).
+    *
+    * One ANSI text evaluated by BOTH engines (the q29 recipe), so the
+    * recursion semantics themselves are what's being proven equal.
+    * Scale shape: each level is one equi-join of the orders scan
+    * against the previous FRONTIER only (standard recursive-CTE
+    * semantics) — a BFS whose round count is log₈(max key), the same
+    * bounded-rounds pattern as the connected-components fixpoint; the
+    * final depth histogram is a map-side-combining aggregate. */
+  def q40RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(graft.SparkEntry.oracleSql("q40_recursive_cte"))
+  }
+
   /** Per-user inter-event gap statistics (lag-window time deltas — the
     * behavioral-cadence feature behind sessionization thresholds and
     * bot detection): one lag over the (user, time) window yields each
