@@ -1052,12 +1052,15 @@ object SparkEntry {
       // reference, and w$k is referenced twice (m$k + it$k) — inlined,
       // the 10-step chain re-expands exponentially and planning alone
       // never finishes (measured; mat itself computes in 0.14 s)
+      // mx = 0 (all-zero covariance) passes w through unscaled — the
+      // Scala renorm's exact guard — instead of dividing by zero
       val steps = (1 to 10).map { k =>
         s"""w$k AS MATERIALIZED (SELECT m.i, SUM(m.c * p.v) AS w
            |  FROM mat m JOIN it${k - 1} p ON m.j = p.i GROUP BY m.i),
            |m$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
            |it$k AS MATERIALIZED (
-           |  SELECT i, CASE WHEN w < 0 THEN -(((-w) * 1000000) // mx)
+           |  SELECT i, CASE WHEN mx = 0 THEN w
+           |                 WHEN w < 0 THEN -(((-w) * 1000000) // mx)
            |                 ELSE ((w * 1000000) // mx) END AS v
            |  FROM w$k, m$k)""".stripMargin
       }.mkString(",\n")
@@ -1085,7 +1088,9 @@ object SparkEntry {
          |ray AS (SELECT SUM(p.v * w.w) AS num, SUM(p.v * p.v) AS den
          |  FROM it10 p JOIN wf w ON p.i = w.i),
          |tr AS (SELECT SUM(c) AS trace FROM mat WHERE i = j),
-         |sh AS (SELECT ((num // den) * 1000000) // trace AS ppm FROM ray, tr)
+         |sh AS (SELECT ((num // (CASE WHEN den = 0 THEN 1 ELSE den END)) * 1000000)
+         |              // (CASE WHEN trace = 0 THEN 1 ELSE trace END) AS ppm
+         |       FROM ray, tr)
          |SELECT p.i, CAST(p.v AS DOUBLE) / 1000000 AS pc,
          |       CAST(sh.ppm AS DOUBLE) / 1000000 AS ev_share
          |FROM it10 p, sh ORDER BY p.i""".stripMargin

@@ -580,16 +580,14 @@ object ServerMain {
       case other => throw new IllegalArgumentException(
         s"unknown catalog mode '$other' (expected local|shared)")
     }
-    val server = new LogServer(spark, root, port,
-      makeTier = LogServer.tierNamed(tier), makeCatalog = makeCatalog).start()
-    // periodic rotation check; marker and TTL sweeps stay opt-in — a
-    // time-based marker sweep can break streaming exactly-once when an
-    // outage outlasts the horizon, and retention deletes data. On the
-    // manifest tier, GRAFT_GC_GRACE_HOURS opts into snapshot GC (the
-    // horizon must exceed the longest reader scan / publish stall) and
-    // the sweep is deduplicated cluster-wide through a CAS lease on
-    // the shared root: one gateway owns the GC window, the others skip
-    // it, ownership migrates on shutdown/crash (MaintenanceLeaseSpec).
+    // GC-sweep lease BEFORE the server starts, like the gcGrace
+    // validation above: InetAddress/getFileSystem can throw, and a
+    // throw after http.start() would leave a degraded server running
+    // with no maintenance loop and no shutdown hook (the same hazard
+    // the pre-start validation comment documents). The sweep is
+    // deduplicated cluster-wide through this CAS lease on the shared
+    // root: one gateway owns the GC window, the others skip it,
+    // ownership migrates on shutdown/crash (MaintenanceLeaseSpec).
     val gcLease = gcGrace.filter(_ => tier == "manifest").map { _ =>
       val leaseDir = new org.apache.hadoop.fs.Path(s"$root/data/_maintenance/gc-sweep")
       val fs = leaseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -601,6 +599,13 @@ object ServerMain {
       // lease lapse between renewals and thrash ownership
       new graft.storage.MaintenanceLease(fs, leaseDir, holder, ttlMs = 3 * 3600 * 1000L)
     }
+    val server = new LogServer(spark, root, port,
+      makeTier = LogServer.tierNamed(tier), makeCatalog = makeCatalog).start()
+    // periodic rotation check; marker and TTL sweeps stay opt-in — a
+    // time-based marker sweep can break streaming exactly-once when an
+    // outage outlasts the horizon, and retention deletes data. On the
+    // manifest tier, GRAFT_GC_GRACE_HOURS opts into snapshot GC (the
+    // horizon must exceed the longest reader scan / publish stall).
     server.compactor.startMaintenance(java.time.Duration.ofSeconds(60),
       manifestGcGrace = gcGrace, gcLease = gcLease)
     println(s"graft log server listening on port ${server.boundPort}, root=$root, tier=$tier, catalog=$catalogMode")

@@ -187,9 +187,17 @@ final class Compactor(store: LogTier,
             // a crashed owner hands over after one lease TTL). Without
             // a lease every gateway sweeps — safe (expire is CAS-side
             // idempotent), just duplicated work.
+            // the acquire is guarded on its own: a transient fault on
+            // the shared root's lease store must read as "not owner
+            // this tick", never abort the whole tick before the
+            // per-session rotation checks even run (review-caught)
             val gcOwner = gcTick && manifestGcGrace.isDefined &&
               store.isInstanceOf[graft.storage.ManifestLog] &&
-              gcLease.forall(_.tryAcquire())
+              gcLease.forall(l =>
+                try l.tryAcquire() catch { case e: Exception =>
+                  System.err.println(s"[compactor] gc lease acquire failed: ${e.getMessage}")
+                  false
+                })
             if (gcOwner) gcSweepTicks.incrementAndGet()
             store.sessions().foreach { case (c, s) =>
               guarded("rotation", c, s)(maybeCompact(c, s))
@@ -218,7 +226,13 @@ final class Compactor(store: LogTier,
   /** Drain pending work, then final flush (reference cleanup_handler). */
   override def close(): Unit = {
     closed = true
-    synchronized { maintenance.foreach(_.shutdownNow()); maintenance = None }
+    // AWAIT the scheduler before releasing the lease: an in-flight
+    // tick can be inside tryAcquire, and release-then-re-acquire would
+    // leave this dead gateway the recorded holder for a full TTL —
+    // exactly the slow handover the release exists to avoid
+    synchronized { maintenance.foreach(_.shutdownNow()); maintenance }
+      .foreach(_.awaitTermination(10, TimeUnit.SECONDS))
+    synchronized { maintenance = None }
     // hand the GC window back promptly so a surviving gateway takes
     // over on its next tick instead of waiting out the lease TTL
     leaseToRelease.foreach(l => try l.release() catch { case _: Exception => () })

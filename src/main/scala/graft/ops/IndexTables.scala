@@ -528,13 +528,20 @@ object IndexTables {
 
   /** INCREMENTAL IVF-PQ maintenance: encode newly-ingested embeddings
     * under the FROZEN codebook + FROZEN coarse quantizer and append
-    * their code rows into the lists' partitions — same contract as
-    * [[appendToIvfIndex]] (no rebuild, probes see new codes
-    * immediately, partition pruning untouched). The codebook freezes
-    * for the same reason the quantizer does: codes are only comparable
-    * under the codebook that produced them, so retraining is a rebuild
-    * by definition. `newVecs` is (vec_id, embedding); returns vectors
-    * appended (code rows / PqM). */
+    * their code rows into the lists' partitions (no rebuild, partition
+    * pruning untouched). The codebook freezes for the same reason the
+    * quantizer does: codes are only comparable under the codebook that
+    * produced them, so retraining is a rebuild by definition.
+    *
+    * END-TO-END serving visibility requires the PAIR of appends: PQ
+    * codes feed the ADC/shortlist stage, but the exact rerank reads
+    * neighbor vectors from the IVF index table — so an ingest batch
+    * appends BOTH ([[appendToIvfIndex]] + this), exactly as a real
+    * IVFPQ deployment writes codes and vectors together. Codes
+    * appended alone are shortlisted and then dropped at the rerank
+    * join (spec'd: the paired append surfaces the new vector in
+    * served results). `newVecs` is (vec_id, embedding); returns
+    * vectors appended (code rows / PqM). */
   def appendToPqIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
     val name = ensurePqIndex(s, dir)
     val coded = Similarity.pqCodesForNew(s, dir, newVecs).localCheckpoint()

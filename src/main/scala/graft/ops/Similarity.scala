@@ -268,32 +268,40 @@ object Similarity {
     * same driver oracle. */
   def ivfTopKIndexed(s: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (probes, lists) = probeSelection(s, dir, nQueries, nprobe)
+    val assigned = s.table(IndexTables.ensureIvfIndex(s, dir))
+      .filter(col("list_id").isin(lists: _*))
+      .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
+    ivfSearchWithProbes(probes, assigned, k)
+  }
+
+  /** THE driver-side probe selection every indexed IVF serving path
+    * shares (plain and PQ — one definition, because the tiebreak and
+    * the literal-predicate construction are oracle contract): ranking
+    * nQueries × nprobe probe assignments is a bounded micro-job (query
+    * vectors × broadcast centroids) run ONCE — its collected rows
+    * become BOTH the literal partition predicate on the index table
+    * AND (as a local relation) the probe side of the search join, so
+    * the serving path pays one probe computation, not two. The literal
+    * predicate is static partition pruning the planner can never
+    * decline (the AQE dynamic-pruning path degrades to
+    * `dynamicpruningexpression(true)` when broadcast reuse fails to
+    * canonicalize, silently scanning every list). IndexTablesSpec
+    * asserts partitions read == probed lists on BOTH index tables. At
+    * 10⁹ vectors and nlist=10⁵ this is the difference between scanning
+    * nprobe inverted lists and scanning the corpus. */
+  private def probeSelection(s: SparkSession, dir: String,
+                             nQueries: Int, nprobe: Int): (DataFrame, Seq[Long]) = {
     val vs = vectors(s, dir)
-    // Probe selection happens DRIVER-SIDE, exactly as in any IVF
-    // serving system: ranking nQueries × nprobe probe assignments is a
-    // bounded micro-job (query vectors × broadcast centroids) run
-    // ONCE — its collected rows become BOTH the literal partition
-    // predicate on the index table AND (as a local relation) the
-    // probe side of the search join, so the serving path pays one
-    // probe computation, not two. The literal predicate is static
-    // partition pruning the planner can never decline (the AQE
-    // dynamic-pruning path degrades to `dynamicpruningexpression(
-    // true)` when broadcast reuse fails to canonicalize, silently
-    // scanning every list). IndexTablesSpec asserts partitions read
-    // == probed lists. At 10⁹ vectors and nlist=10⁵ this is the
-    // difference between scanning nprobe inverted lists and scanning
-    // the corpus.
     val probesPlan = nearestCentroids(
       vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
     val probeRows = probesPlan.collect()
     val probes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     val lists = probeRows
-      .map(r => r.getAs[Number](r.fieldIndex("list_id")).longValue()).distinct.sorted
-    val assigned = s.table(IndexTables.ensureIvfIndex(s, dir))
-      .filter(col("list_id").isin(lists: _*))
-      .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
-    ivfSearchWithProbes(probes, assigned, k)
+      .map(r => r.getAs[Number](r.fieldIndex("list_id")).longValue())
+      .distinct.sorted.toSeq
+    (probes, lists)
   }
 
   /** Test seam: the distinct inverted lists the indexed search probes
@@ -599,14 +607,18 @@ object Similarity {
 
   /** Exact-cosine rerank of a (query_id, neighbor_id) shortlist →
     * [[topK]]. The shortlist (≤ shortlist·Q rows, with query vectors
-    * attached) is the BROADCAST side; the corpus streams through one
-    * broadcast-hash join that surfaces only shortlist members — at
-    * scale the expensive float dot runs on shortlist·Q rows, never N. */
+    * attached) is the BROADCAST side; the neighbor-vector relation
+    * (the base corpus by default, a pruned index slice for IVF-PQ)
+    * streams through one broadcast-hash join that surfaces only
+    * shortlist members — at scale the expensive float dot runs on
+    * shortlist·Q rows, never N. */
   private def pqRerank(vs: DataFrame, short: DataFrame,
-                       nQueries: Int, k: Int): DataFrame = {
+                       nQueries: Int, k: Int,
+                       nvOverride: DataFrame = null): DataFrame = {
     val qv = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val nv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("norm").as("nnorm"))
+    val nv = Option(nvOverride).getOrElse(
+      vs.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("norm").as("nnorm")))
     topK(nv.join(broadcast(short.join(broadcast(qv), Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               (dot("qv", "nv") / (col("qnorm") * col("nnorm"))).as("cos")), k)
@@ -657,16 +669,7 @@ object Similarity {
                 nQueries: Int = 8, k: Int = 5, nprobe: Int = 2,
                 shortlist: Int = 100): DataFrame = {
     val vs = vectors(s, dir)
-    // Driver-side probe selection, exactly as ivfTopKIndexed: one
-    // bounded micro-job (nQueries × broadcast centroids) whose rows
-    // become BOTH the literal partition predicate and the probe side.
-    val probesPlan = nearestCentroids(
-      vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
-    val probeRows = probesPlan.collect()
-    val probes = s.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
-    val lists = probeRows
-      .map(r => r.getAs[Number](r.fieldIndex("list_id")).longValue()).distinct.sorted
+    val (probes, lists) = probeSelection(s, dir, nQueries, nprobe)
     val codes = s.table(IndexTables.ensurePqIndex(s, dir))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
@@ -678,7 +681,20 @@ object Similarity {
       .join(broadcast(lut), Seq("query_id", "m", "code_id"))
       .groupBy(col("query_id"), col("n_id").as("neighbor_id"))
       .agg(sum(col("pq")).as("iscore"))
-    pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k)
+    // Rerank vectors come from the persisted IVF INDEX (pruned to the
+    // same probed lists — shortlist members can only live there), NOT
+    // the base embeddings relation: the index is what appendToIvfIndex
+    // maintains, so a vector appended through the PQ+IVF append pair
+    // is end-to-end servable (review-caught — against the base
+    // relation, appended codes ADC-scored into the shortlist and then
+    // silently vanished at the rerank inner join). Same n_v/n_norm
+    // values by construction (the assignment carries the vector), so
+    // the oracle is unchanged; the rerank scan is also partition-
+    // pruned instead of corpus-wide.
+    val nv = s.table(IndexTables.ensureIvfIndex(s, dir))
+      .filter(col("list_id").isin(lists: _*))
+      .select(col("n_id").as("neighbor_id"), col("n_v").as("nv"), col("n_norm").as("nnorm"))
+    pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k, nv)
   }
 
   /** Inter-label centroid separation — the counterpart report to
@@ -986,6 +1002,11 @@ object Similarity {
       .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0).toInt, (BigInt(r.getLong(1)), r.getLong(2))))
       .toMap
+    // empty corpus: the oracle's CTE chain yields zero rows — match it
+    // (stats(0) would otherwise throw; the degenerate all-zero-C case
+    // is handled below by the mx/den/trace guards, mirrored in SQL)
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Double, Double)].toDF("i", "pc", "ev_share")
     val n = BigInt(stats(0)._2)
     // upper triangle incl. diagonal: products fit long (|xq| ≤ 1e6 →
     // |xq·xq| ≤ 1e12, summed into DECIMAL for headroom at larger N)

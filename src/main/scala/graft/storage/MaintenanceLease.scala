@@ -73,30 +73,73 @@ final class MaintenanceLease(fs: FileSystem, dir: Path,
       else None
     } catch { case _: Exception => None }
 
+  /** First time this instance observed the current unreadable frontier
+    * slot, for the torn-record unwedge path: (slot, firstSeenMs). */
+  @volatile private var tornSince: (Long, Long) = null
+
+  /** Instance-level monitor: threads SHARING one instance serialize
+    * their window lifecycle here — without it, a committed record
+    * carrying this instance's own holderId reads as "mine, extend"
+    * to every thread at once and two threads of one process could
+    * both enter the window (review-caught; the storm spec's bodies
+    * were just too short to trip it). Cross-PROCESS exclusion is the
+    * CAS record's job; holder ids must be process-unique (hostname +
+    * pid in ServerMain). */
+  private val monitor = new Object
+  private var inWindow = false
+
   /** Acquire or extend the lease. True = this process owns the
-    * maintenance window until now+TTL (a holder calling again renews —
-    * acquire IS renew). False = another holder's unexpired lease, an
-    * in-flight commit at the frontier, or a lost CAS race — skip the
-    * window and try again next cadence tick; never block on it. */
-  def tryAcquire(): Boolean = {
+    * maintenance window until now+TTL (the holder calling again
+    * renews — acquire IS renew). False = another holder's unexpired
+    * lease, a same-id record this instance doesn't remember committing
+    * (a crashed predecessor with our id — waited out like any foreign
+    * lease), an in-flight commit at the frontier, or a lost CAS race —
+    * skip the window and try again next cadence tick; never block. */
+  def tryAcquire(): Boolean = monitor.synchronized {
     var attempts = 0
     while (attempts < 8) {
       attempts += 1
       val (slot, valid, body) = store.resolve()
-      if (valid < slot) { heldUntilMs = 0L; return false } // in-flight frontier commit
-      val t = now()
-      val liveOther = body.flatMap(parse).exists { case (h, exp) =>
-        h != holderId && exp > t
+      if (valid < slot) {
+        // Unreadable record at the frontier: normally a commit in
+        // flight — skip this cycle. But a writer that crashed mid-write
+        // on an O_EXCL-fallback mount leaves the slot torn FOREVER, and
+        // "skip" would wedge GC/compaction cluster-wide with nothing
+        // surfaced. A torn record can only matter while it could still
+        // become a live lease, so after watching the SAME slot stay
+        // unreadable for a full TTL, supersede it. Residual exposure:
+        // a writer STALLED (not dead) past the TTL mid-write finishes
+        // into a superseded slot and wrongly believes it holds the
+        // window — the same pause ≫ grace assumption every retention
+        // horizon in this engine documents.
+        heldUntilMs = 0L
+        val t0 = now()
+        val seen = tornSince
+        if (seen == null || seen._1 != slot) { tornSince = (slot, t0); return false }
+        if (t0 - seen._2 <= ttlMs) return false
+        System.err.println(s"[lease] $dir: unreadable record has held slot v$slot " +
+          s"for > ${ttlMs}ms; superseding the torn frontier")
+        val exp = t0 + ttlMs
+        if (store.tryCommit(slot + 1, payload(exp))) {
+          tornSince = null; heldUntilMs = exp; return true
+        }
+        return false
       }
-      if (liveOther) { heldUntilMs = 0L; return false }
+      tornSince = null
+      val t = now()
+      // a live record is OURS only if this instance remembers holding
+      // it (heldUntilMs > 0) — a record with our id but no local belief
+      // is a crashed/duplicate-id predecessor and is waited out
+      val liveForeign = body.flatMap(parse).exists { case (h, exp) =>
+        exp > t && (h != holderId || !held)
+      }
+      if (liveForeign) { heldUntilMs = 0L; return false }
       val exp = t + ttlMs
       if (store.tryCommit(slot + 1, payload(exp))) {
         heldUntilMs = exp
         return true
       }
-      // lost the slot race — re-resolve and re-evaluate (the winner may
-      // be our own holder id's previous commit only in single-instance
-      // misuse; normally it is a contender whose liveness decides)
+      // lost the slot race — re-resolve and re-evaluate
     }
     heldUntilMs = 0L
     false
@@ -111,7 +154,7 @@ final class MaintenanceLease(fs: FileSystem, dir: Path,
     * the next contender acquires immediately instead of waiting out
     * the TTL. Losing this CAS means someone already superseded us
     * (only possible after our expiry) — nothing to release. */
-  def release(): Unit = {
+  def release(): Unit = monitor.synchronized {
     if (heldUntilMs == 0L) return
     heldUntilMs = 0L
     val (slot, valid, body) = store.resolve()
@@ -120,10 +163,18 @@ final class MaintenanceLease(fs: FileSystem, dir: Path,
   }
 
   /** Run `body` inside the window: acquire → run → release. None when
-    * the lease is contended (caller skips this cycle). Long-running
-    * bodies renew() on their own cadence; the TTL bounds how stale a
-    * crashed holder's claim can get. */
-  def withLease[A](body: => A): Option[A] =
-    if (!tryAcquire()) None
-    else try Some(body) finally release()
+    * the lease is contended — including by another thread of THIS
+    * instance mid-window (the inWindow gate; without it the first
+    * thread's release would open the window to a foreign holder while
+    * the second is still inside). Long-running bodies renew() on their
+    * own cadence; the TTL bounds how stale a crashed holder's claim
+    * can get. */
+  def withLease[A](body: => A): Option[A] = {
+    monitor.synchronized {
+      if (inWindow || !tryAcquire()) return None
+      inWindow = true
+    }
+    try Some(body)
+    finally monitor.synchronized { inWindow = false; release() }
+  }
 }

@@ -342,6 +342,38 @@ class IndexTablesSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(codesOf(newId) == codesOf(1L),
       "appended twin's codes/list differ from its identical-vector twin")
+    // END-TO-END serving: the PAIRED append (codes + vectors — the
+    // documented IVFPQ ingest contract) must surface the new vector in
+    // SERVED results, not just in the code table: pick a twin source
+    // that lives in a list the default query set actually probes, so
+    // the appended id reaches the ADC scan, the shortlist, AND the
+    // rerank (which reads the IVF index — codes appended alone would
+    // be shortlisted and then dropped at the rerank join)
+    val probed = Similarity.probedLists(spark, dir, nQueries = 8, nprobe = 2).toSet
+    val ivfIdx = spark.table(IndexTables.ensureIvfIndex(spark, dir))
+    val srcId = ivfIdx
+      .filter(col("list_id").cast("long").isin(probed.toSeq: _*) && col("n_id") >= 200L)
+      .select(col("n_id").cast("long")).orderBy(col("n_id")).head().getLong(0)
+    val srcEmb = graft.ops.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === srcId).select(col("embedding")).head().getSeq[Float](0)
+    val servedId = 900000003L
+    val servedDf = spark.createDataFrame(Seq((servedId, srcEmb))).toDF("vec_id", "embedding")
+    assert(IndexTables.appendToPqIndex(spark, dir, servedDf) == 1L)
+    assert(IndexTables.appendToIvfIndex(spark, dir, servedDf) == 1L)
+    // wide k + shortlist so presence, not rank, is what's asserted
+    val served = Similarity.ivfPqTopK(spark, dir, nQueries = 8, k = 4000, shortlist = 100000)
+      .filter(col("neighbor_id") === servedId || col("neighbor_id") === srcId)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQuery = served.groupBy(_._1)
+    assert(byQuery.nonEmpty, "neither twin served — probe/list selection broken")
+    val twinned = byQuery.values.filter(_.map(_._2).toSet == Set(servedId, srcId))
+    assert(twinned.nonEmpty,
+      s"appended vector never served next to its twin: ${served.toSeq.take(10)}")
+    twinned.foreach { rows =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"identical twin vectors served with different cosines: ${rows.toSeq}")
+    }
   }
 
   test("index builds are idempotent per catalog (second ensure is a no-op)") {

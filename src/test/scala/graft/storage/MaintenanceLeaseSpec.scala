@@ -57,6 +57,25 @@ class MaintenanceLeaseSpec extends SparkSuite {
     assert(!a.tryAcquire(), "expired holder re-acquired over the new owner's live lease")
   }
 
+  test("a torn frontier record wedges acquisition only for one TTL, then is superseded") {
+    // a committer killed mid-write on an O_EXCL-fallback mount leaves
+    // the slot permanently unreadable — without the unwedge, every
+    // gateway would skip GC/compaction forever with nothing surfaced
+    val dir = new Path(tempDir("lease"))
+    val fs = fsFor(dir)
+    fs.mkdirs(dir)
+    val torn = new Path(dir, f"v${1L}%020d.json")
+    val out = fs.create(torn, false)
+    out.write("#graft-state 999\ntruncated".getBytes("UTF-8")) // frame longer than body
+    out.close()
+    val a = new MaintenanceLease(fs, dir, "holder-a", ttlMs = 300L)
+    assert(!a.tryAcquire(), "acquired through an in-flight/torn frontier immediately")
+    assert(!a.tryAcquire(), "torn slot must wedge until a full TTL has passed")
+    Thread.sleep(400)
+    assert(a.tryAcquire(), "torn frontier never superseded after the TTL")
+    assert(a.held)
+  }
+
   test("withLease storm: two instances, eight threads, never two concurrent windows") {
     val (a, b) = leasePair(ttlMs = 60000L)
     val active = new AtomicInteger(0)
