@@ -70,6 +70,9 @@ object SparkEntry {
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
     "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
     "log_snapshot_read"   -> (LogQueries.logSnapshotRead _),
+    // snapshot-pinned derivation manifest: cites the store version it
+    // derived from and proves the citation replays across compaction+GC
+    "pipe_snapshot_pin"   -> (LogQueries.pipeSnapshotPin _),
     "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
     "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
     "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
@@ -1164,6 +1167,19 @@ object SparkEntry {
          |WHERE session = 's7'
          |  AND "timestamp" < TIMESTAMP '2024-01-15 00:00:00'
          |ORDER BY "timestamp", session, message""".stripMargin,
+    // the engine derives this manifest from a PINNED store version and
+    // re-proves the citation replays across compaction+GC before
+    // emitting; the oracle derives the same rows directly from events
+    "pipe_snapshot_pin" ->
+      s"""$logsCte
+         |SELECT container, session, CAST(2 AS BIGINT) AS pinned_version, level,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST('0x' || substr(md5(message), 1, 15) AS BIGINT)
+         |           % 1000000007) AS BIGINT) AS msg_digest,
+         |  CAST(SUM(epoch_us("timestamp") % 1000000007) AS BIGINT) AS ts_digest
+         |FROM logs WHERE session = 's7'
+         |GROUP BY container, session, level
+         |ORDER BY level""".stripMargin,
     "log_dedup_bursts" ->
       s"""$logsCte,
          |flagged AS (

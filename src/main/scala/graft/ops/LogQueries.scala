@@ -271,6 +271,62 @@ object LogQueries {
       graft.model.LogSchema.schema)
   }
 
+  /** SNAPSHOT-PINNED derivation manifest (round-9) — the
+    * reproducibility citation [[logSnapshotRead]]'s time travel exists
+    * FOR, as its own first-class pipeline row: a training-data build
+    * derives statistics (per-level counts + order-independent integer
+    * digests over messages and timestamps) from the store AS OF a
+    * pinned manifest version, records the version in the manifest row,
+    * and any later audit can re-run the derivation against exactly
+    * that state. The op enforces its own contract in-line: after the
+    * citation is computed the store is COMPACTED AND GC-SWEPT (v2's
+    * hot files retired), the derivation replays against the same
+    * pinned version, and the two must be row-identical before
+    * anything is emitted — a manifest this engine publishes is one it
+    * has already proven replayable. Digests are modular integer sums
+    * (md5-derived 60-bit message keys, epoch-micros timestamps), so
+    * they are order-independent, overflow-safe, and exactly
+    * replayable by the DuckDB oracle straight from `events`. */
+  def pipeSnapshotPin(s: SparkSession, dir: String): DataFrame = {
+    import graft.storage.ManifestLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-pin").toString
+    val log = new ManifestLog(s, root)
+    val src = logsView(s, dir).filter(col("session") === "s7").cache()
+    val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
+    require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
+    val c = cs.head
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    log.append(src.filter(col("timestamp") < cut)
+      .select(col("timestamp"), col("level"), col("message")), c, "s7") // v1
+    log.append(src.filter(!(col("timestamp") < cut))
+      .select(col("timestamp"), col("level"), col("message")), c, "s7") // v2 — pinned
+    val pinned = 2L
+    def manifestOf(snap: org.apache.spark.sql.DataFrame) = snap
+      .groupBy(col("container"), col("session"), col("level"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(expr(
+             "CAST(conv(substr(md5(message), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
+             .as("msg_digest"),
+           sum(expr("unix_micros(timestamp) % 1000000007")).as("ts_digest"))
+      .withColumn("pinned_version", lit(pinned))
+      .select(col("container"), col("session"), col("pinned_version"),
+              col("level"), col("n_rows"), col("msg_digest"), col("ts_digest"))
+      .orderBy(col("level"))
+    val citePlan = manifestOf(log.readAt(c, "s7", pinned))
+    val schema = citePlan.schema
+    val cite = citePlan.collect().toSeq
+    log.compact(c, "s7")                                               // v2's files retired
+    log.expire(c, "s7", java.time.Instant.now().minusSeconds(3600))   // swept under grace
+    val replay = manifestOf(log.readAt(c, "s7", pinned)).collect().toSeq
+    require(cite == replay,
+      s"pinned snapshot v$pinned failed to replay after compaction+GC: $cite vs $replay")
+    src.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](cite.asJava), schema)
+  }
+
   /** Top-k most frequent messages per container — the log-triage view
     * ("what is spamming this tenant?") every log service grows. Counts
     * aggregate map-side on (container, message); the per-container

@@ -17,9 +17,9 @@ class PlanAuditSpec extends SparkSuite {
   // these run real work (storage writes / convergence loops) during
   // DataFrame construction — audited in LogStoreSpec / DupComponentsSpec
   private val constructive = Set("log_store_roundtrip", "dedup_components",
-    // builds a ManifestLog fixture (appends + compaction + GC) while
-    // constructing its result — audited in ManifestLogSpec
-    "log_snapshot_read",
+    // build a ManifestLog fixture (appends + compaction + GC) while
+    // constructing their results — audited in ManifestLogSpec
+    "log_snapshot_read", "pipe_snapshot_pin",
     // runs the two metadata-priced block-stats collects to CHOOSE its
     // layout during construction; every layout it can choose is audited
     // via the four standalone dedup_hamming* entries
