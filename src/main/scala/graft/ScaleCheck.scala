@@ -135,6 +135,13 @@ object ScaleCheck {
           timed(SparkEntry.queries("dedup_ngram_indexed")(spark, dir).count()),
         "consume: ann_ivf_indexed" ->
           timed(SparkEntry.queries("ann_ivf_indexed")(spark, dir).count()),
+        // IVF-PQ (round-9): encode+assign paid at build; the consume is
+        // the pruned ADC scan + shortlist + index-side rerank — its
+        // driver is probed-list code volume, never the corpus
+        "build PQ code index" ->
+          timed(ops.IndexTables.ensurePqIndex(spark, dir)),
+        "consume: ann_ivf_pq" ->
+          timed(SparkEntry.queries("ann_ivf_pq")(spark, dir).count()),
         // incremental vs rebuild for the one formerly rebuild-only index
         // (round-9): segment build ≈ the v2 build minus denormalization;
         // the APPEND is the per-batch cost a rebuild used to charge the

@@ -77,6 +77,46 @@ object ServiceScaleCheck {
     }
   }
 
+  /** GC-sweep dedup under the maintenance lease, measured: two
+    * gateways on one manifest root tick a 100 ms maintenance cadence
+    * for a fixed window, with and without the lease. Unleased, both
+    * run every expire sweep (duplicated cluster work — safe, the
+    * sweeps are CAS-side idempotent); leased, only the owner sweeps.
+    * Returns (unleased A, unleased B, leased A, leased B) sweep-tick
+    * counts. */
+  def leaseBench(spark: SparkSession): (Long, Long, Long, Long) = {
+    val root = Scratch.localDir + s"/leasebench-${System.nanoTime()}"
+    val logA = new ManifestLog(spark, root)
+    val logB = new ManifestLog(spark, root)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), "INFO", "x")),
+      graft.model.LogSchema.fileSchema)
+    (0 until 4).foreach { i =>
+      logA.append(df, "c", s"s$i"); logA.append(df, "c", s"s$i")
+      logA.compact("c", s"s$i") // retired manifests → expire has real work
+    }
+    def run(withLease: Boolean): (Long, Long) = {
+      val leaseDir = new org.apache.hadoop.fs.Path(s"$root/_maintenance/gc-$withLease")
+      val fs = leaseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def lease(id: String) = if (!withLease) None
+        else Some(new storage.MaintenanceLease(fs, leaseDir, id, ttlMs = 60000L))
+      val ca = new engine.Compactor(logA)
+      val cb = new engine.Compactor(logB)
+      val period = java.time.Duration.ofMillis(100)
+      val grace = java.time.Duration.ofMillis(1)
+      ca.startMaintenance(period, manifestGcGrace = Some(grace), gcLease = lease("gw-a"))
+      Thread.sleep(400) // A establishes ownership first (deterministic owner)
+      cb.startMaintenance(period, manifestGcGrace = Some(grace), gcLease = lease("gw-b"))
+      Thread.sleep(2000)
+      val r = (ca.gcSweepTicks.get, cb.gcSweepTicks.get)
+      ca.close(); cb.close()
+      r
+    }
+    val (ua, ub) = run(withLease = false)
+    val (la, lb) = run(withLease = true)
+    (ua, ub, la, lb)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -97,6 +137,9 @@ object ServiceScaleCheck {
       labelSuffix = "")
     val scaled = ServiceBench.runTier(spark, "manifest", nWriters = 80, nBatches = 50,
       labelSuffix = "_10x")
+    val (ua, ub, la, lb) = leaseBench(spark)
+    System.err.println(
+      s"[svc-scale] gc sweeps over 2 s @ 100 ms cadence: unleased A=$ua B=$ub, leased A=$la B=$lb")
 
     val sb = new StringBuilder
     sb ++= "## Service tier (ingest/commit path, round-9)\n\n"
@@ -119,6 +162,13 @@ object ServiceScaleCheck {
         sb ++= f"| $name | ${r.rows} | ${r.rowsPerSec}%.0f | ${r.posts} | ${r.p50Ms}%.1f ms | ${r.p99Ms}%.1f ms | ${r.errors} |\n"
       case (name, None) => sb ++= s"| $name | FAILED | | | | | |\n"
     }
+    sb ++= "\nGC-sweep dedup under the maintenance lease (two gateways, one\n"
+    sb ++= "manifest root, 100 ms maintenance cadence, ~2 s window; sweeps are\n"
+    sb ++= "CAS-side idempotent so the unleased duplication is waste, not a\n"
+    sb ++= "correctness issue):\n\n"
+    sb ++= "| mode | gateway A sweeps | gateway B sweeps |\n|---|---|---|\n"
+    sb ++= s"| no lease (both sweep) | $ua | $ub |\n"
+    sb ++= s"| CAS lease (owner only) | $la | $lb |\n"
     sb ++= "\nReading: resolve is one directory listing + one (newest) manifest\n"
     sb ++= "read — the chain-length term is the LISTING. The deployment bound is\n"
     sb ++= "`expire`'s sweep of superseded manifests (grace-windowed); the live\n"
