@@ -164,6 +164,9 @@ object SparkEntry {
     // power iteration (distributed covariance pass, driver-side 64x64
     // eigen-iteration — the all-but-the-top / whitening pre-flight)
     "emb_pca" -> ((s: SparkSession, d: String) => Similarity.pcaPower(s, d)),
+    // per-label energy share along the dominant direction (the
+    // all-but-the-top pre-flight; scan-rate literal-array projection)
+    "emb_top_dir" -> ((s: SparkSession, d: String) => Similarity.topDirEnergy(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -298,6 +301,52 @@ object SparkEntry {
       |  UNION
       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
       |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)""".stripMargin
+
+  // Shared power-iteration CTE chain (emb_pca + emb_top_dir): the
+  // BPE-oracle recipe — the iterative loop UNROLLED, every stage exact
+  // integer arithmetic (HUGEINT) so both engines replay bit-identical
+  // steps; see Similarity.pcaPower's determinism contract (L∞ renorm
+  // via truncating division on non-negative operands; convergence
+  // deliberately not required). Every doubly-referenced step is
+  // MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+  // 10-step chain re-expands exponentially otherwise — planning alone
+  // never finishes (measured; mat itself computes in 0.14 s). mx = 0
+  // (all-zero covariance) passes w through unscaled — the Scala
+  // renorm's exact guard — instead of dividing by zero. Ends at it10
+  // (the direction, scaled 1e6) and wf (one final matvec).
+  private lazy val pcaChainCte: String = {
+    val steps = (1 to 10).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT m.i, SUM(m.c * p.v) AS w
+         |  FROM mat m JOIN it${k - 1} p ON m.j = p.i GROUP BY m.i),
+         |m$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
+         |it$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN mx = 0 THEN w
+         |                 WHEN w < 0 THEN -(((-w) * 1000000) // mx)
+         |                 ELSE ((w * 1000000) // mx) END AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$vectorsCte,
+       |ex AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+       |         CAST(FLOOR(v[i] * 1000000) AS HUGEINT) AS xq
+       |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
+       |st AS (SELECT i, SUM(xq) AS sx, COUNT(*) AS n FROM ex GROUP BY i),
+       |tri AS (
+       |  SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS sxy
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |mat AS MATERIALIZED (
+       |  SELECT t.i, t.j, sa.n * t.sxy - sa.sx * sb.sx AS c
+       |  FROM tri t JOIN st sa ON t.i = sa.i JOIN st sb ON t.j = sb.i
+       |  UNION ALL
+       |  SELECT t.j, t.i, sa.n * t.sxy - sa.sx * sb.sx AS c
+       |  FROM tri t JOIN st sa ON t.i = sa.i JOIN st sb ON t.j = sb.i
+       |  WHERE t.i < t.j),
+       |it0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM st),
+       |$steps,
+       |wf AS (SELECT m.i, SUM(m.c * p.v) AS w
+       |  FROM mat m JOIN it10 p ON m.j = p.i GROUP BY m.i)""".stripMargin
+  }
 
   // Shared DuckDB CTE: double-cast vectors with precomputed norms —
   // the same fold Spark runs (sequential sum in double).
@@ -1045,49 +1094,8 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
          |  floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
-    "emb_pca" -> {
-      // the BPE-oracle recipe: the iterative loop UNROLLED into one CTE
-      // chain, every stage exact integer arithmetic (HUGEINT) so both
-      // engines replay bit-identical steps — see Similarity.pcaPower's
-      // determinism contract (L∞ renorm via truncating division on
-      // non-negative operands; convergence deliberately not required)
-      // every step MATERIALIZED: DuckDB inlines plain CTEs per
-      // reference, and w$k is referenced twice (m$k + it$k) — inlined,
-      // the 10-step chain re-expands exponentially and planning alone
-      // never finishes (measured; mat itself computes in 0.14 s)
-      // mx = 0 (all-zero covariance) passes w through unscaled — the
-      // Scala renorm's exact guard — instead of dividing by zero
-      val steps = (1 to 10).map { k =>
-        s"""w$k AS MATERIALIZED (SELECT m.i, SUM(m.c * p.v) AS w
-           |  FROM mat m JOIN it${k - 1} p ON m.j = p.i GROUP BY m.i),
-           |m$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
-           |it$k AS MATERIALIZED (
-           |  SELECT i, CASE WHEN mx = 0 THEN w
-           |                 WHEN w < 0 THEN -(((-w) * 1000000) // mx)
-           |                 ELSE ((w * 1000000) // mx) END AS v
-           |  FROM w$k, m$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $vectorsCte,
-         |ex AS MATERIALIZED (
-         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
-         |         CAST(FLOOR(v[i] * 1000000) AS HUGEINT) AS xq
-         |  FROM vn, UNNEST(range(1, 65)) AS u(i)),
-         |st AS (SELECT i, SUM(xq) AS sx, COUNT(*) AS n FROM ex GROUP BY i),
-         |tri AS (
-         |  SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS sxy
-         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |  GROUP BY 1, 2),
-         |mat AS MATERIALIZED (
-         |  SELECT t.i, t.j, sa.n * t.sxy - sa.sx * sb.sx AS c
-         |  FROM tri t JOIN st sa ON t.i = sa.i JOIN st sb ON t.j = sb.i
-         |  UNION ALL
-         |  SELECT t.j, t.i, sa.n * t.sxy - sa.sx * sb.sx AS c
-         |  FROM tri t JOIN st sa ON t.i = sa.i JOIN st sb ON t.j = sb.i
-         |  WHERE t.i < t.j),
-         |it0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM st),
-         |$steps,
-         |wf AS (SELECT m.i, SUM(m.c * p.v) AS w
-         |  FROM mat m JOIN it10 p ON m.j = p.i GROUP BY m.i),
+    "emb_pca" ->
+      s"""WITH $pcaChainCte,
          |ray AS (SELECT SUM(p.v * w.w) AS num, SUM(p.v * p.v) AS den
          |  FROM it10 p JOIN wf w ON p.i = w.i),
          |tr AS (SELECT SUM(c) AS trace FROM mat WHERE i = j),
@@ -1096,8 +1104,26 @@ object SparkEntry {
          |       FROM ray, tr)
          |SELECT p.i, CAST(p.v AS DOUBLE) / 1000000 AS pc,
          |       CAST(sh.ppm AS DOUBLE) / 1000000 AS ev_share
-         |FROM it10 p, sh ORDER BY p.i""".stripMargin
-    },
+         |FROM it10 p, sh ORDER BY p.i""".stripMargin,
+    "emb_top_dir" ->
+      // the same power-iteration chain derives the direction; the tail
+      // projects every vector onto it (d as a 64-element list — the
+      // Spark side embeds it as a LITERAL array from the driver-side
+      // iteration, so both engines score against identical doubles:
+      // v_i/1e6 is exact for |v_i| <= 1e6)
+      s"""WITH $pcaChainCte,
+         |dl AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS d FROM it10),
+         |sc AS (
+         |  SELECT vn.label,
+         |    CASE WHEN list_dot_product(dl.d, dl.d) = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(FLOOR(
+         |           list_dot_product(vn.v, dl.d) * list_dot_product(vn.v, dl.d)
+         |           / (vn.norm * vn.norm * list_dot_product(dl.d, dl.d))
+         |           * 1000000) AS BIGINT) END AS shq
+         |  FROM vn, dl WHERE vn.norm > 0)
+         |SELECT label, COUNT(*) AS n_vectors,
+         |  FLOOR(CAST(SUM(shq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_top_share
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     "emb_label_separation" ->
       s"""WITH $vectorsCte,
          |el AS (

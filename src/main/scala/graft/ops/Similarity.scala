@@ -1044,6 +1044,40 @@ object Similarity {
       .orderBy(col("i"))
   }
 
+  /** Energy share along the DOMINANT direction, per label — the report
+    * that decides whether all-but-the-top post-processing is worth
+    * running, and on which slices: for each vector, the fraction of
+    * its squared norm captured by the top principal component
+    * ([[pcaPower]]'s direction), aggregated to a per-label mean. A
+    * label whose share is high rides the corpus's common direction
+    * (cosines inflated, embeddings less discriminative); a low share
+    * marks a slice the dominant direction barely touches.
+    *
+    * Scale split: the direction is [[pcaPower]]'s driver-side output
+    * (metadata), embedded as a LITERAL 64-element array — the scoring
+    * pass is one scan-rate projection over N with no join and no
+    * shuffle before the label aggregate (map-side combine). Shares are
+    * micro-quantized before the mean ([[labelCohesion]]'s determinism
+    * contract); zero vectors carry no direction and are excluded, a
+    * zero direction (degenerate corpus) shares the pca guards and
+    * reports 0. */
+  def topDirEnergy(s: SparkSession, dir: String): DataFrame = {
+    val d = pcaPower(s, dir).collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val vs = vectors(s, dir).filter(col("norm") > 0)
+    vs.select(col("label"), col("v"), col("norm"))
+      .withColumn("d", array(d.map(lit): _*))
+      .withColumn("ddot", expr("graft_dot(d, d)"))
+      .withColumn("proj", expr("graft_dot(v, d)"))
+      .withColumn("shq", when(col("ddot") === 0, lit(0L)).otherwise(
+        floor(col("proj") * col("proj")
+          / (col("norm") * col("norm") * col("ddot")) * 1000000.0).cast("long")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+           (floor(sum(col("shq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("mean_top_share"))
+      .orderBy(col("label"))
+  }
+
   /** Symmetric int8 quantization manifest — the storage-compression step
     * an embedding pipeline runs before writing an ANN index (4 bytes →
     * 1 byte per dim): per-vector scale = max|v_i|/127, code_i =

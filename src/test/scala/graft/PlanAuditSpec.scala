@@ -29,11 +29,12 @@ class PlanAuditSpec extends SparkSuite {
     // pruning is audited in IndexTablesSpec (partitions read == probed
     // lists over the code table)
     "ann_ivf_pq",
-    // collects the d(d+1)/2 covariance entries + dim sums during
-    // construction (bounded metadata micro-jobs), then iterates
+    // collect the d(d+1)/2 covariance entries + dim sums during
+    // construction (bounded metadata micro-jobs), then iterate
     // driver-side; the distributed pass shares emb_covariance's
-    // audited d²-group aggregate shape
-    "emb_pca",
+    // audited d²-group aggregate shape (emb_top_dir then scores a
+    // literal-array projection at scan rate — no join to audit)
+    "emb_pca", "emb_top_dir",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys
