@@ -45,6 +45,23 @@ class SimilaritySpec extends SparkSuite {
       "reported principal direction carries no more variance than a coordinate axis")
   }
 
+  test("topDirEnergy: every label covered, shares are genuine fractions, corpus mean matches ev_share direction") {
+    assume(hasTestData)
+    val rows = Similarity.topDirEnergy(spark, sf).collect()
+    val labels = Similarity.vectors(spark, sf).filter(col("norm") > 0)
+      .select(col("label")).distinct().count()
+    assert(rows.length == labels, "a label with vectors is missing from the report")
+    rows.foreach { r =>
+      val share = r.getDouble(2)
+      assert(share >= 0.0 && share <= 1.0 + 1e-9, s"share out of [0,1]: $r")
+      assert(r.getLong(1) > 0)
+    }
+    // not vacuous: some label must actually carry energy along the
+    // dominant direction (all-zero shares would mean the projection is
+    // broken, not that the corpus is isotropic)
+    assert(rows.map(_.getDouble(2)).max > 0.0, "every label reports zero share")
+  }
+
   test("embeddingNearDup finds most true cosine>=0.4 same-label pairs (not vacuous)") {
     assume(hasTestData)
     // Ground truth: brute-force all same-label pairs with cosine >= 0.4.
