@@ -1129,6 +1129,10 @@ object Similarity {
           trunc6(col("n_hit").cast("double") / col("n_true")).as("recall"))
     per("lsh", lshTopK(s, dir, nQueries, k))
       .unionByName(per("lsh_multiprobe", lshMultiProbeTopK(s, dir, nQueries, k)))
+      // the composed compressed-serving path (coarse pruning + ADC +
+      // refine) measured against the same exact-cosine truth — the
+      // number an IVFPQ deployment tunes nprobe/shortlist against
+      .unionByName(per("ivf_pq", ivfPqTopK(s, dir, nQueries, k)))
       .orderBy(col("method"), col("query_id"))
   }
 

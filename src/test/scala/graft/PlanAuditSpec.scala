@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkSuite {
     // pruning is audited in IndexTablesSpec (partitions read == probed
     // lists over the code table)
     "ann_ivf_pq",
+    // composes ivf_pq since round-9-final, so it inherits the
+    // driver-side probe micro-job + index builds at construction; its
+    // other arms' plans are audited via their standalone entries
+    "ann_recall",
     // collect the d(d+1)/2 covariance entries + dim sums during
     // construction (bounded metadata micro-jobs), then iterate
     // driver-side; the distributed pass shares emb_covariance's
@@ -68,9 +72,6 @@ class PlanAuditSpec extends SparkSuite {
     "emb_label_confusion",
     // all-pairs over a fixed 32-row bottom-k hash sample, both sides broadcast
     "emb_cos_hist",
-    // ann_recall composes the ANN variants above, so it inherits their
-    // intended broadcast-query-set BNLJ
-    "ann_recall",
     // knn-graph assigns every vector to the 8-row seed-centroid table
     // (the same intended IVF coarse-quantizer cross shape); the pair
     // join itself is an equi-join on list_id

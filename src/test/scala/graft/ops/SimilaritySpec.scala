@@ -140,8 +140,8 @@ class SimilaritySpec extends SparkSuite {
     assume(hasTestData)
     val rows = Similarity.annRecall(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(rows.map(r => (r._1, r._2)).distinct.length === 16,
-      "expected 2 methods × 8 queries, one row each")
+    assert(rows.map(r => (r._1, r._2)).distinct.length === 24,
+      "expected 3 methods × 8 queries, one row each")
     rows.foreach { case (m, q, nTrue, nHit, recall) =>
       assert(nTrue === 3L, s"truth set must be exactly k: $m/$q")
       assert(nHit >= 0 && nHit <= nTrue && recall >= 0.0 && recall <= 1.0, s"$m/$q")
@@ -150,5 +150,8 @@ class SimilaritySpec extends SparkSuite {
     assert(byMethod("lsh_multiprobe") >= byMethod("lsh"),
       "probing 4 extra buckets can only add candidates — recall must not drop")
     assert(byMethod("lsh_multiprobe") > 0L, "vacuous recall report: zero hits everywhere")
+    // the composed compressed path must actually find neighbors: its
+    // 100-deep exact rerank recovers whatever the probed lists hold
+    assert(byMethod("ivf_pq") > 0L, "ivf_pq recall vacuously zero")
   }
 }
