@@ -96,6 +96,9 @@ object SparkEntry {
     // plans Exchange-free (IndexTablesSpec proves the physical plan)
     "dedup_hamming_indexed" -> ((s: SparkSession, d: String) => Dedup.hammingNearDupIndexed(s, d)),
     "dedup_ngram_indexed"  -> (Dedup.ngramJaccardIndexed _),
+    // persisted banded-signature twin: candidate generation off the
+    // bucketed (bi, bk) table, Exchange-free; same rows/oracle
+    "dedup_minhash_indexed" -> (Dedup.minhashLshIndexed _),
     // segment-merge shingle index: appends per batch, DF cap at read
     // time over summed per-segment stats (round-9 incremental form)
     "dedup_ngram_seg"      -> (Dedup.ngramJaccardSegmented _),
@@ -539,6 +542,7 @@ object SparkEntry {
       "dedup_hamming_wide_salted" -> "dedup_hamming",
       "dedup_hamming_auto"    -> "dedup_hamming",
       "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
+      "dedup_minhash_indexed" -> "dedup_minhash_lsh",
       "dedup_ngram_seg"       -> "dedup_ngram_jaccard",
       "dedup_admission_indexed" -> "dedup_admission",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }

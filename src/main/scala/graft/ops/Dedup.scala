@@ -239,13 +239,41 @@ object Dedup {
     // here would be a toy-scale optimization that OOMs at scale — leave
     // the choice to AQE.
     val bands = minhashBands(sh)
-    val cand = bands.as("a")
+    val cand = bandCandidates(bands)
+    minhashVerify(sh, cand)
+  }
+
+  /** [[minhashLsh]] reading the PERSISTED band index
+    * ([[IndexTables.ensureMinhashIndex]]) instead of re-deriving
+    * signatures — the serving shape: the shingle→signature→band pass
+    * over the corpus is paid once at index-build time, candidate
+    * generation is a bucket-local self-join over the table (plan-proven
+    * Exchange-free), and only the Jaccard VERIFY still touches the
+    * shingle memo (candidates are a near-dup-density-sized relation,
+    * not a corpus-sized one). Identical rows to [[minhashLsh]]; same
+    * oracle via the alias map. */
+  def minhashLshIndexed(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.table(IndexTables.ensureMinhashIndex(s, dir))
+      .select(col("doc_id"), col("bi"), col("bk"))
+    minhashVerify(shingles(s, dir), bandCandidates(bands))
+  }
+
+  /** Band-bucket candidate generation: ONE equi-join on (bi, bk) over
+    * any (doc_id, bi, bk) relation — in-plan for [[minhashLsh]], the
+    * persisted index for [[minhashLshIndexed]]. */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
       .join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** The exact-Jaccard verify pass shared by both candidate sources:
+    * size + intersection aggregates over the shingle memo, thresholded
+    * at 0.5 — one definition, because the jaccard formula and the
+    * truncation are oracle contract. */
+  private def minhashVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("x")
       .join(cand, col("doc_a") === col("x.doc_id"))

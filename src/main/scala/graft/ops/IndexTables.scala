@@ -247,6 +247,38 @@ object IndexTables {
     if (!(written.sparkSession eq s)) s.catalog.refreshTable(name)
   }
 
+  /** MinHash LSH band index: (doc_id, bi, bk) bucketed AND sorted by
+    * (bi, bk) — the banded-signature layout an LSH deployment persists
+    * (~3 rows/doc: k=6 minhashes, 2-per-band). Candidate generation
+    * over the persisted table is a bucket-local self-join on the exact
+    * bucket keys — no Exchange, no re-derivation of signatures; only
+    * the Jaccard verify still reads shingles, over the candidate-sized
+    * relation. Completes the signature-index family: every blocking
+    * scheme in the engine (simhash chunks, shingles, IVF lists, PQ
+    * codes, minhash bands) now has a persisted serving table. */
+  def ensureMinhashIndex(s: SparkSession, dir: String): String =
+    ensure(s, s"idx_minhash_bands_${tag(dir)}", Seq("bi", "bk")) {
+      Dedup.minhashBands(Dedup.shingles(s, dir))
+    }
+
+  /** INCREMENTAL minhash maintenance: band newly-ingested documents'
+    * signatures into the index — same at-least-once, bucket-preserving
+    * contract as [[appendChunkSignatures]] (minhash functions are
+    * deterministic per document, so replayed rows are byte-identical
+    * and a future compaction's `distinct()` collapses them). `newDocs`
+    * is (doc_id, text); returns band rows appended (3 per doc with
+    * shingles). */
+  def appendToMinhashIndex(s: SparkSession, dir: String, newDocs: DataFrame): Long = {
+    val name = ensureMinhashIndex(s, dir)
+    val rows = Dedup.minhashBands(Dedup.shinglesOf(newDocs)).localCheckpoint()
+    val n = rows.count()
+    if (n > 0) withTableLock(name) {
+      writeBucketed(rows, name, Seq("bi", "bk"), "append")
+      refreshBoth(s, rows, name)
+    }
+    n
+  }
+
   /** DF-capped shingle index: (doc_id, s, n) bucketed by the 60-bit
     * shingle key — the join key of n-gram pair generation and of every
     * decontamination probe. Hot (>20%-DF) shingles never enter the

@@ -280,6 +280,60 @@ class IndexTablesSpec extends SparkSuite {
       "appended twin vector not assigned to its twin's inverted list")
   }
 
+  test("minhash band index: exchange-free self-join, twin identity, incremental append") {
+    assume(hasTestData)
+    val name = IndexTables.ensureMinhashIndex(spark, sf)
+    val idx = spark.table(name)
+    withNoBroadcast {
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"band-index self-join must not shuffle the index:\n$plan")
+    }
+    val viaIndex = Dedup.minhashLshIndexed(spark, sf).collect().map(_.toSeq)
+    val inPlan = Dedup.minhashLsh(spark, sf).collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty, "vacuous: no minhash near-dups at test scale")
+    assert(viaIndex.toSeq === inPlan.toSeq)
+  }
+
+  test("minhash band index maintains INCREMENTALLY: a text twin lands in its twin's buckets") {
+    // mutates sf0.01's band table only — the sf0.001 twin-identity
+    // table above (and the declared query) stay untouched, same
+    // isolation rule as the IVF/PQ append tests
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").isFile)
+    val name = IndexTables.ensureMinhashIndex(spark, dir)
+    val existing = graft.ops.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1).collect()(0)
+    val newId = 910000001L
+    val newDoc = spark.createDataFrame(Seq((newId, existing.getString(1))))
+      .toDF("doc_id", "text")
+    val before = spark.table(name).count()
+    assert(IndexTables.appendToMinhashIndex(spark, dir, newDoc) == 3L)
+    val after = spark.table(name)
+    assert(after.count() == before + 3)
+    def bandsOf(id: Long): Set[(Int, String)] =
+      after.filter(col("doc_id") === id)
+        .select(col("bi"), col("bk")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(bandsOf(newId) == bandsOf(existing.getLong(0)),
+      "appended twin's bands differ from its identical-text twin")
+    // bucket locality survives the append
+    withNoBroadcast {
+      val idx = spark.table(name)
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"appended band index lost bucket-join locality:\n$plan")
+    }
+  }
+
   test("IVF-PQ search PRUNES the code table to exactly the probed lists") {
     assume(hasTestData)
     IndexTables.ensurePqIndex(spark, sf)
