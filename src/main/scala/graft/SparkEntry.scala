@@ -351,6 +351,66 @@ object SparkEntry {
        |  FROM mat m JOIN it10 p ON m.j = p.i GROUP BY m.i)""".stripMargin
   }
 
+  // Shared IVF-PQ serving chain (ann_ivf_pq + ann_recall's ivf_pq
+  // arm): coarse assignment + nprobe probes + PQ encode + integer ADC
+  // + shortlist + exact rerank, ranked. ONE definition because the
+  // serving constants (8 centroids, 4 codewords, nprobe 2, shortlist
+  // 100, micro-quantized LUT) are oracle contract — two inline copies
+  // could silently disagree about the same physical index. Consumers
+  // cut `pqranked` at their own k (both ≤ the shortlist).
+  private val ivfPqRankedCte: String =
+    """pqcents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+      |            WHERE vec_id >= 100 AND vec_id < 108),
+      |pqassign AS (
+      |  SELECT vec_id AS n_id, cent_id AS list_id FROM (
+      |    SELECT vn.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+      |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+      |    FROM vn CROSS JOIN pqcents c) t WHERE crk = 1),
+      |pqprobes AS (
+      |  SELECT vec_id AS q_id, cent_id AS list_id FROM (
+      |    SELECT vn.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+      |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+      |    FROM vn CROSS JOIN pqcents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
+      |pqsubs AS (
+      |  SELECT vec_id, m, list_slice(v, CAST(m AS INT) * 8 + 1, CAST(m AS INT) * 8 + 8) AS sv
+      |  FROM vn, UNNEST(range(0, 8)) AS u(m)),
+      |pqcw AS (
+      |  SELECT m, CAST(vec_id - 100 AS BIGINT) AS code_id, sv AS cw,
+      |         list_dot_product(sv, sv) AS cn2
+      |  FROM pqsubs WHERE vec_id >= 100 AND vec_id < 104),
+      |pqcodes AS (
+      |  SELECT vec_id, m, code_id FROM (
+      |    SELECT s.vec_id, s.m, c.code_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY list_dot_product(s.sv, c.cw) - c.cn2 / 2 DESC, c.code_id) AS crk
+      |    FROM pqsubs s JOIN pqcw c ON s.m = c.m) t WHERE crk = 1),
+      |pqlut AS (
+      |  SELECT s.vec_id AS query_id, s.m, c.code_id,
+      |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1000000) AS BIGINT) AS pq
+      |  FROM pqsubs s JOIN pqcw c ON s.m = c.m WHERE s.vec_id < 8),
+      |pqadc AS (
+      |  SELECT p.q_id AS query_id, co.vec_id AS neighbor_id,
+      |         CAST(SUM(l.pq) AS BIGINT) AS iscore
+      |  FROM pqcodes co
+      |  JOIN pqassign a ON co.vec_id = a.n_id
+      |  JOIN pqprobes p ON a.list_id = p.list_id AND co.vec_id <> p.q_id
+      |  JOIN pqlut l ON l.query_id = p.q_id AND co.m = l.m AND co.code_id = l.code_id
+      |  GROUP BY 1, 2),
+      |pqshort AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS srk
+      |    FROM pqadc) t WHERE srk <= 100),
+      |pqranked AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY sh.query_id
+      |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sh.neighbor_id) AS rk
+      |  FROM pqshort sh
+      |  JOIN vn q ON sh.query_id = q.vec_id
+      |  JOIN vn n ON sh.neighbor_id = n.vec_id)""".stripMargin
+
   // Shared DuckDB CTE: double-cast vectors with precomputed norms —
   // the same fold Spark runs (sequential sum in double).
   private val vectorsCte =
@@ -1043,61 +1103,10 @@ object SparkEntry {
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "ann_ivf_pq" ->
       s"""WITH $vectorsCte,
-         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
-         |          WHERE vec_id >= 100 AND vec_id < 108),
-         |assign AS (
-         |  SELECT vec_id AS n_id, cent_id AS list_id FROM (
-         |    SELECT vn.vec_id, c.cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
-         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_id, cent_id AS list_id FROM (
-         |    SELECT vn.vec_id, c.cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
-         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
-         |subs AS (
-         |  SELECT vec_id, m, list_slice(v, CAST(m AS INT) * 8 + 1, CAST(m AS INT) * 8 + 8) AS sv
-         |  FROM vn, UNNEST(range(0, 8)) AS u(m)),
-         |cw AS (
-         |  SELECT m, CAST(vec_id - 100 AS BIGINT) AS code_id, sv AS cw,
-         |         list_dot_product(sv, sv) AS cn2
-         |  FROM subs WHERE vec_id >= 100 AND vec_id < 104),
-         |codes AS (
-         |  SELECT vec_id, m, code_id FROM (
-         |    SELECT s.vec_id, s.m, c.code_id,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY list_dot_product(s.sv, c.cw) - c.cn2 / 2 DESC, c.code_id) AS crk
-         |    FROM subs s JOIN cw c ON s.m = c.m) t WHERE crk = 1),
-         |lut AS (
-         |  SELECT s.vec_id AS query_id, s.m, c.code_id,
-         |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1000000) AS BIGINT) AS pq
-         |  FROM subs s JOIN cw c ON s.m = c.m WHERE s.vec_id < 8),
-         |scored AS (
-         |  SELECT p.q_id AS query_id, co.vec_id AS neighbor_id,
-         |         CAST(SUM(l.pq) AS BIGINT) AS iscore
-         |  FROM codes co
-         |  JOIN assign a ON co.vec_id = a.n_id
-         |  JOIN probes p ON a.list_id = p.list_id AND co.vec_id <> p.q_id
-         |  JOIN lut l ON l.query_id = p.q_id AND co.m = l.m AND co.code_id = l.code_id
-         |  GROUP BY 1, 2),
-         |short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS srk
-         |    FROM scored) t WHERE srk <= 100),
-         |rerank AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos
-         |  FROM short sh
-         |  JOIN vn q ON sh.query_id = q.vec_id
-         |  JOIN vn n ON sh.neighbor_id = n.vec_id),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM rerank)
+         |$ivfPqRankedCte
          |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
          |  floor(cos * 1000000) / 1000000 AS cos
-         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+         |FROM pqranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "emb_pca" ->
       s"""WITH $pcaChainCte,
          |ray AS (SELECT SUM(p.v * w.w) AS num, SUM(p.v * p.v) AS den
@@ -1713,57 +1722,8 @@ object SparkEntry {
          |      SELECT query_id, qv, qnorm, u.pbucket
          |      FROM q, UNNEST([qbucket, xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4), xor(qbucket, 8)]) AS u(pbucket)
          |    ) p ON vb.bucket = p.pbucket AND vb.vec_id <> p.query_id) t WHERE rk <= 3),
-         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
-         |          WHERE vec_id >= 100 AND vec_id < 108),
-         |assign AS (
-         |  SELECT vec_id AS n_id, cent_id AS list_id FROM (
-         |    SELECT vn.vec_id, c.cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
-         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_id, cent_id AS list_id FROM (
-         |    SELECT vn.vec_id, c.cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
-         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
-         |subs AS (
-         |  SELECT vec_id, m, list_slice(v, CAST(m AS INT) * 8 + 1, CAST(m AS INT) * 8 + 8) AS sv
-         |  FROM vn, UNNEST(range(0, 8)) AS u(m)),
-         |cw AS (
-         |  SELECT m, CAST(vec_id - 100 AS BIGINT) AS code_id, sv AS cw,
-         |         list_dot_product(sv, sv) AS cn2
-         |  FROM subs WHERE vec_id >= 100 AND vec_id < 104),
-         |codes AS (
-         |  SELECT vec_id, m, code_id FROM (
-         |    SELECT s.vec_id, s.m, c.code_id,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY list_dot_product(s.sv, c.cw) - c.cn2 / 2 DESC, c.code_id) AS crk
-         |    FROM subs s JOIN cw c ON s.m = c.m) t WHERE crk = 1),
-         |lut AS (
-         |  SELECT s.vec_id AS query_id, s.m, c.code_id,
-         |    CAST(FLOOR(list_dot_product(s.sv, c.cw) * 1000000) AS BIGINT) AS pq
-         |  FROM subs s JOIN cw c ON s.m = c.m WHERE s.vec_id < 8),
-         |adc AS (
-         |  SELECT p.q_id AS query_id, co.vec_id AS neighbor_id,
-         |         CAST(SUM(l.pq) AS BIGINT) AS iscore
-         |  FROM codes co
-         |  JOIN assign a ON co.vec_id = a.n_id
-         |  JOIN probes p ON a.list_id = p.list_id AND co.vec_id <> p.q_id
-         |  JOIN lut l ON l.query_id = p.q_id AND co.m = l.m AND co.code_id = l.code_id
-         |  GROUP BY 1, 2),
-         |short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS srk
-         |    FROM adc) t WHERE srk <= 100),
-         |ivfpq AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT sh.query_id, sh.neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY sh.query_id
-         |        ORDER BY list_dot_product(qq.v, nn.v) / (qq.norm * nn.norm) DESC, sh.neighbor_id) AS rk
-         |    FROM short sh
-         |    JOIN vn qq ON sh.query_id = qq.vec_id
-         |    JOIN vn nn ON sh.neighbor_id = nn.vec_id) t WHERE rk <= 3),
+         |$ivfPqRankedCte,
+         |ivfpq AS (SELECT query_id, neighbor_id FROM pqranked WHERE rk <= 3),
          |hits AS (
          |  SELECT 'lsh' AS method, t.query_id, COUNT(*) AS n_true,
          |    CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit

@@ -246,29 +246,34 @@ object LogQueries {
       java.nio.file.Paths.get(graft.Scratch.localDir), "graft-snapshot").toString
     val log = new ManifestLog(s, root)
     val src = logsView(s, dir).filter(col("session") === "s7").cache()
-    // session 's<uid>' determines container 'c<uid%4>' by derivation, so
-    // s7 lives in exactly one container; assert it rather than silently
-    // relabeling rows if the corpus derivation ever changes
-    val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
-    require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
-    val c = cs.head
-    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-    log.append(src.filter(col("timestamp") < cut)
-      .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v1 — pinned
-    log.append(src.filter(!(col("timestamp") < cut))
-      .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v2
-    log.compact(c, "s7")                                                 // v3: v1's file retired
-    // GC with a grace window: nothing a reader inside the window can
-    // still reach is deleted — including v1's retired hot file
-    log.expire(c, "s7", java.time.Instant.now().minusSeconds(3600))
-    val rows = log.readAt(c, "s7", 1L)
-      .orderBy(col("timestamp"), col("session"), col("message"))
-      .collect().toSeq
-    src.unpersist()
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
-      graft.model.LogSchema.schema)
+    // cleanup in finally — a firing require must not leak the temp
+    // store + pinned cache on every harness retry (review-caught)
+    try {
+      // session 's<uid>' determines container 'c<uid%4>' by derivation, so
+      // s7 lives in exactly one container; assert it rather than silently
+      // relabeling rows if the corpus derivation ever changes
+      val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
+      require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
+      val c = cs.head
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      log.append(src.filter(col("timestamp") < cut)
+        .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v1 — pinned
+      log.append(src.filter(!(col("timestamp") < cut))
+        .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v2
+      log.compact(c, "s7")                                                 // v3: v1's file retired
+      // GC with a grace window: nothing a reader inside the window can
+      // still reach is deleted — including v1's retired hot file
+      log.expire(c, "s7", java.time.Instant.now().minusSeconds(3600))
+      val rows = log.readAt(c, "s7", 1L)
+        .orderBy(col("timestamp"), col("session"), col("message"))
+        .collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+        graft.model.LogSchema.schema)
+    } finally {
+      src.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
   }
 
   /** SNAPSHOT-PINNED derivation manifest (round-9) — the
@@ -293,38 +298,45 @@ object LogQueries {
       java.nio.file.Paths.get(graft.Scratch.localDir), "graft-pin").toString
     val log = new ManifestLog(s, root)
     val src = logsView(s, dir).filter(col("session") === "s7").cache()
-    val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
-    require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
-    val c = cs.head
-    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-    log.append(src.filter(col("timestamp") < cut)
-      .select(col("timestamp"), col("level"), col("message")), c, "s7") // v1
-    log.append(src.filter(!(col("timestamp") < cut))
-      .select(col("timestamp"), col("level"), col("message")), c, "s7") // v2 — pinned
-    val pinned = 2L
-    def manifestOf(snap: org.apache.spark.sql.DataFrame) = snap
-      .groupBy(col("container"), col("session"), col("level"))
-      .agg(count(lit(1)).as("n_rows"),
-           sum(expr(
-             "CAST(conv(substr(md5(message), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
-             .as("msg_digest"),
-           sum(expr("unix_micros(timestamp) % 1000000007")).as("ts_digest"))
-      .withColumn("pinned_version", lit(pinned))
-      .select(col("container"), col("session"), col("pinned_version"),
-              col("level"), col("n_rows"), col("msg_digest"), col("ts_digest"))
-      .orderBy(col("level"))
-    val citePlan = manifestOf(log.readAt(c, "s7", pinned))
-    val schema = citePlan.schema
-    val cite = citePlan.collect().toSeq
-    log.compact(c, "s7")                                               // v2's files retired
-    log.expire(c, "s7", java.time.Instant.now().minusSeconds(3600))   // swept under grace
-    val replay = manifestOf(log.readAt(c, "s7", pinned)).collect().toSeq
-    require(cite == replay,
-      s"pinned snapshot v$pinned failed to replay after compaction+GC: $cite vs $replay")
-    src.unpersist()
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](cite.asJava), schema)
+    // cleanup in finally: the replay require FIRING (the condition the
+    // op exists to catch) must not leak the temp store + pinned cache
+    // on every harness retry (review-caught; logSnapshotRead's comment
+    // documents the leak shape)
+    try {
+      val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
+      require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
+      val c = cs.head
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      log.append(src.filter(col("timestamp") < cut)
+        .select(col("timestamp"), col("level"), col("message")), c, "s7") // v1
+      log.append(src.filter(!(col("timestamp") < cut))
+        .select(col("timestamp"), col("level"), col("message")), c, "s7") // v2 — pinned
+      val pinned = 2L
+      def manifestOf(snap: org.apache.spark.sql.DataFrame) = snap
+        .groupBy(col("container"), col("session"), col("level"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(expr(
+               "CAST(conv(substr(md5(message), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
+               .as("msg_digest"),
+             sum(expr("unix_micros(timestamp) % 1000000007")).as("ts_digest"))
+        .withColumn("pinned_version", lit(pinned))
+        .select(col("container"), col("session"), col("pinned_version"),
+                col("level"), col("n_rows"), col("msg_digest"), col("ts_digest"))
+        .orderBy(col("level"))
+      val citePlan = manifestOf(log.readAt(c, "s7", pinned))
+      val schema = citePlan.schema
+      val cite = citePlan.collect().toSeq
+      log.compact(c, "s7")                                               // v2's files retired
+      log.expire(c, "s7", java.time.Instant.now().minusSeconds(3600))   // swept under grace
+      val replay = manifestOf(log.readAt(c, "s7", pinned)).collect().toSeq
+      require(cite == replay,
+        s"pinned snapshot v$pinned failed to replay after compaction+GC: $cite vs $replay")
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](cite.asJava), schema)
+    } finally {
+      src.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
   }
 
   /** Top-k most frequent messages per container — the log-triage view

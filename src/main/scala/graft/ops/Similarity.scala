@@ -1063,10 +1063,14 @@ object Similarity {
     * reports 0. */
   def topDirEnergy(s: SparkSession, dir: String): DataFrame = {
     val d = pcaPower(s, dir).collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    // d·d once on the driver with graft_dot's exact left-to-right fold
+    // (== DuckDB's list_dot_product over the same values) — the scan
+    // must not recompute a constant per row (review-caught)
+    val ddot = d.foldLeft(0.0)((acc, x) => acc + x * x)
     val vs = vectors(s, dir).filter(col("norm") > 0)
     vs.select(col("label"), col("v"), col("norm"))
       .withColumn("d", array(d.map(lit): _*))
-      .withColumn("ddot", expr("graft_dot(d, d)"))
+      .withColumn("ddot", lit(ddot))
       .withColumn("proj", expr("graft_dot(v, d)"))
       .withColumn("shq", when(col("ddot") === 0, lit(0L)).otherwise(
         floor(col("proj") * col("proj")

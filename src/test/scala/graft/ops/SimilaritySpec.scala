@@ -138,7 +138,15 @@ class SimilaritySpec extends SparkSuite {
 
   test("ANN recall report: every (method, query) covered, multiprobe ≥ single-bucket") {
     assume(hasTestData)
-    val rows = Similarity.annRecall(spark, sf).collect()
+    val report = Similarity.annRecall(spark, sf)
+    // ann_recall skips PlanAuditSpec (index builds at construction), so
+    // the composed plan carries its own cartesian guard: per()'s truth
+    // joins must stay keyed — a degenerate rename would silently plan
+    // truth × arm (the standalone arms' BNLJ whitelist doesn't cover
+    // the composition)
+    assert(!report.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "recall composition planned a cartesian product")
+    val rows = report.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(rows.map(r => (r._1, r._2)).distinct.length === 24,
       "expected 3 methods × 8 queries, one row each")
