@@ -95,17 +95,30 @@ final class CatalogService(root: Option[Path] = None,
     * the winner's state, so concurrent gateways serialize without a lock
     * and no mutation is ever silently dropped. A frontier blocked by an
     * in-flight/incomplete record (O_EXCL-fallback mounts, external
-    * damage) is retried within a grace window, then surfaced loudly. */
-  private def transact[A](f: => (A, Boolean)): A = synchronized {
-    shared match {
-      case None =>
-        val (a, changed) = f
-        if (changed) persistLocal()
-        a
-      case Some(st) =>
-        val deadline = System.currentTimeMillis() + 65000L
-        var dirty = false
-        while (true) {
+    * damage) is retried within a grace window, then surfaced loudly.
+    *
+    * LOCKING: the instance monitor is held per CAS ITERATION (one
+    * resolve + apply + `f` + tryCommit — bounded IO: a listing and a
+    * file write), never across the backoff sleeps. A blocked commit —
+    * a torn frontier record from a crashed remote writer, or sustained
+    * cross-gateway contention — would otherwise stall every read-only
+    * call on this gateway for up to 65 s, and verifyToken /
+    * verifyContainerAccess sit on the auth path of every request
+    * (round-9 advice). Before the monitor is released for a backoff,
+    * `loadedVersion` is poisoned so reads in the unlocked window
+    * force-reload committed state instead of serving this iteration's
+    * uncommitted application of `f`. */
+  private def transact[A](f: => (A, Boolean)): A = shared match {
+    case None => synchronized {
+      val (a, changed) = f
+      if (changed) persistLocal()
+      a
+    }
+    case Some(st) =>
+      val deadline = System.currentTimeMillis() + 65000L
+      var dirty = false
+      while (true) {
+        val result: Option[A] = synchronized {
           val (slot, valid, payload) = st.resolve()
           applyShared(valid, payload, force = dirty)
           dirty = false
@@ -113,41 +126,49 @@ final class CatalogService(root: Option[Path] = None,
           // a call that changed nothing needs no commit — it must NOT
           // block on an in-flight/unreadable frontier record (e.g. a
           // valid-token verify while another gateway is mid-commit)
-          if (!changed) return a
-          // never claim past an unreadable frontier with state from
-          // below it — that would supersede the concurrent commit we
-          // could not read (the lost-update hazard)
-          if (slot == valid) {
-            // a tryCommit that THROWS (IO fault, not a CAS loss) must not
-            // leave the applied-but-uncommitted mutation in the maps with
-            // loadedVersion still at the frontier — this gateway would
-            // serve phantom state until some later commit moved the
-            // version. Poison the loaded version so the next access
-            // force-reloads committed state, then propagate.
-            val committed =
+          if (!changed) Some(a)
+          else {
+            // never claim past an unreadable frontier with state from
+            // below it — that would supersede the concurrent commit we
+            // could not read (the lost-update hazard)
+            val committed = slot == valid && {
+              // a tryCommit that THROWS (IO fault, not a CAS loss) must
+              // not leave the applied-but-uncommitted mutation in the
+              // maps with loadedVersion still at the frontier — this
+              // gateway would serve phantom state until some later
+              // commit moved the version. Poison the loaded version so
+              // the next access force-reloads committed state, then
+              // propagate.
               try st.tryCommit(valid + 1, stateJson)
               catch { case t: Throwable => loadedVersion = -1L; throw t }
-            if (committed) { loadedVersion = valid + 1; return a }
+            }
+            if (committed) { loadedVersion = valid + 1; Some(a) }
+            else {
+              // lost/deferred the claim: roll back by force-reloading
+              // next iteration, and poison loadedVersion NOW — the
+              // monitor is about to be released for the backoff, and a
+              // read landing in that window must not see the maps'
+              // uncommitted application of `f`
+              dirty = true
+              loadedVersion = -1L
+              if (System.currentTimeMillis() > deadline)
+                throw new java.io.IOException(
+                  s"shared-catalog commit blocked past 65s at version slot $slot " +
+                  (if (slot == valid) "(sustained CAS contention)"
+                   else s"(unreadable record holds the frontier above committed v$valid " +
+                        "— in-flight writer crashed mid-record, or external damage; " +
+                        "inspect and remove the file to restore catalog writes)"))
+              None
+            }
           }
-          dirty = true // lost/deferred the claim: roll back by force-reloading
-          if (System.currentTimeMillis() > deadline) {
-            // same phantom-state hazard as a throwing tryCommit: the maps
-            // hold this iteration's application of `f` with loadedVersion
-            // still at the committed frontier — poison it so the next
-            // access force-reloads committed state instead of serving the
-            // uncommitted mutation
-            loadedVersion = -1L
-            throw new java.io.IOException(
-              s"shared-catalog commit blocked past 65s at version slot $slot " +
-              (if (slot == valid) "(sustained CAS contention)"
-               else s"(unreadable record holds the frontier above committed v$valid " +
-                    "— in-flight writer crashed mid-record, or external damage; " +
-                    "inspect and remove the file to restore catalog writes)"))
-          }
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 8L))
         }
-        throw new IllegalStateException("unreachable")
-    }
+        result match {
+          case Some(a) => return a
+          case None =>
+            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 8L))
+        }
+      }
+      throw new IllegalStateException("unreachable")
   }
 
   /** Shared-mode read barrier: reflect the latest committed state. One

@@ -384,41 +384,74 @@ object IndexTables {
     * crossing the 20% threshold because of this batch is dropped from
     * EVERY doc at read time, exactly as a rebuild would). `newDocs` is
     * (doc_id, text) with ids disjoint from the indexed corpus; returns
-    * shingle rows appended. Docs too short to shingle still count into
-    * the cap denominator, as in the full build. */
+    * shingle rows appended (0 for a detected replay). Docs too short
+    * to shingle still count into the cap denominator, as in the full
+    * build.
+    *
+    * REPLAY-SAFE under at-least-once delivery, like its siblings
+    * ([[appendChunkSignatures]]/[[appendToMinhashIndex]]): the segment
+    * id is a DIGEST of the batch's sorted doc-id set, so a redelivered
+    * batch maps to the same id and the meta table — one row per landed
+    * segment — is the guard: a seg id already present means the whole
+    * batch landed before, and re-appending it would double-count
+    * per-shingle DFs and inflate the cap denominator, silently
+    * changing served rows. (The digest agg collects the batch's ids on
+    * the driver — append batches are bounded by contract; the initial
+    * corpus goes through [[ensureShingleSegments]], never here.) The
+    * residual — two PROCESSES landing the same batch concurrently
+    * (the table lock is in-JVM) — is healed by compaction, which
+    * recomputes DF/meta from distinct rows. */
   def appendToShingleIndex(s: SparkSession, dir: String, newDocs: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
     val name = ensureShingleSegments(s, dir)
-    val sh = Dedup.shinglesOf(newDocs).localCheckpoint()
-    val n = sh.count()
+    val idRow = newDocs.agg(
+      sha2(concat_ws(",",
+        sort_array(collect_list(col("doc_id").cast("string")))), 256).as("seg"),
+      count(lit(1)).as("n")).head()
+    val (segId, nDocs) = (idRow.getString(0), idRow.getLong(1))
+    if (nDocs == 0) return 0L
     withTableLock(name) {
-      if (n > 0) {
-        writeBucketed(sh, name, Seq("s"), "append")
-        writeBucketed(
-          sh.groupBy(org.apache.spark.sql.functions.col("s"))
-            .agg(org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)).as("df")),
-          segDfName(dir), Seq("s"), "append")
-        refreshBoth(s, sh, name)
-        refreshBoth(s, sh, segDfName(dir))
+      val replay =
+        s.table(segMetaName(dir)).filter(col("seg") === segId).limit(1).count() > 0
+      if (replay) 0L
+      else {
+        val sh = Dedup.shinglesOf(newDocs).localCheckpoint()
+        val n = sh.count()
+        if (n > 0) {
+          writeBucketed(sh, name, Seq("s"), "append")
+          writeBucketed(
+            sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
+            segDfName(dir), Seq("s"), "append")
+          refreshBoth(s, sh, name)
+          refreshBoth(s, sh, segDfName(dir))
+        }
+        writeMeta(s, dir, segId, nDocs, "append")
+        refreshBoth(s, newDocs, segMetaName(dir))
+        n
       }
-      writeMeta(s, dir, java.util.UUID.randomUUID().toString, newDocs.count(), "append")
-      refreshBoth(s, newDocs, segMetaName(dir))
     }
-    n
   }
 
   /** MAINTENANCE compaction for the segmented shingle index: fold the
     * accumulated segments back into one. Appends leave one DF row per
     * (shingle, append-batch) and one meta row per segment — correct
     * (the read-time cap SUMS them) but ever-growing, and each append
-    * adds a file per touched bucket. Compaction aggregates the DF
-    * table to one row per shingle, collapses the meta to a single
-    * base row carrying the summed doc count, and re-clusters the seg
-    * table to the one-file-per-bucket layout. Served rows are
-    * unchanged by construction — segments hold disjoint docs, so
-    * summed per-segment DFs ARE the corpus DFs the folded table now
-    * stores — the spec pins consumer row-identity across the fold.
-    * Returns (DF-stats rows before, after). */
+    * adds a file per touched bucket. Compaction dedups the seg table
+    * to distinct (doc_id, s) rows re-clustered to the
+    * one-file-per-bucket layout, RECOMPUTES the DF table from those
+    * distinct rows (DF *is* the count of distinct docs containing a
+    * shingle, so this heals any duplicate rows a cross-process
+    * double-landed batch left behind — the one replay case the append
+    * guard's in-JVM lock cannot stop), and rewrites the meta table to
+    * its distinct (seg, n_docs) rows in one file. Meta rows are
+    * RETAINED per segment, not folded: each row is the append guard's
+    * replay memory, so folding them would re-open the double-count
+    * window for any batch redelivered after a compaction; the table
+    * stays one tiny row per landed batch. Served rows are unchanged
+    * by construction — segments hold disjoint docs, so the recomputed
+    * DFs equal the summed per-segment DFs — the spec pins consumer
+    * row-identity across the fold. Returns (DF-stats rows before,
+    * after). */
   def compactShingleSegments(s: SparkSession, dir: String): (Long, Long) = {
     import org.apache.spark.sql.functions._
     ensureShingleSegments(s, dir)
@@ -426,15 +459,16 @@ object IndexTables {
       // crashed-swap repair for the two tables that ride seg's guard
       Seq(segDfName(dir), segMetaName(dir)).foreach(repairStaged(s, _))
       // ONE checkpoint each, of exactly what the rewrites serve: the
-      // fold and the before-count read the live tables directly
-      val seg = s.table(segName(dir)).localCheckpoint()
+      // dedup'd seg relation feeds both its own rewrite and the DF
+      // recompute; the before-count reads the live table directly
+      val seg = s.table(segName(dir)).distinct().localCheckpoint()
       val before = s.table(segDfName(dir)).count()
-      val folded = s.table(segDfName(dir))
-        .groupBy(col("s")).agg(sum(col("df")).as("df")).localCheckpoint()
+      val folded = seg
+        .groupBy(col("s")).agg(count(lit(1)).as("df")).localCheckpoint()
+      val meta = s.table(segMetaName(dir))
+        .select(col("seg"), col("n_docs")).distinct().localCheckpoint()
       try {
         val after = folded.count()
-        val nDocs = s.table(segMetaName(dir))
-          .agg(sum(col("n_docs")).as("n")).head().getLong(0)
         // each table's fold is independently semantics-preserving (the
         // read-time cap SUMS DF/meta rows), so any interleaving of the
         // three staged swaps serves correct rows; the staging bounds
@@ -443,9 +477,7 @@ object IndexTables {
         stagedOverwrite(s, segName(dir))(writeBucketed(seg, _, Seq("s"), "overwrite"))
         stagedOverwrite(s, segDfName(dir))(writeBucketed(folded, _, Seq("s"), "overwrite"))
         stagedOverwrite(s, segMetaName(dir)) { staged =>
-          import s.implicits._
-          Seq(("base", nDocs)).toDF("seg", "n_docs")
-            .write.mode("overwrite").saveAsTable(staged)
+          meta.coalesce(1).write.mode("overwrite").saveAsTable(staged)
         }
         Seq(segName(dir), segDfName(dir), segMetaName(dir))
           .foreach(s.catalog.refreshTable)
@@ -453,6 +485,7 @@ object IndexTables {
       } finally { // maintenance must not pin table-sized blocks
         Tables.unpersistCheckpoint(seg)
         Tables.unpersistCheckpoint(folded)
+        Tables.unpersistCheckpoint(meta)
       }
     }
   }

@@ -346,13 +346,36 @@ final class ManifestLog(spark: SparkSession, root: String,
         // reader resolves the higher frontier) and silently drop acked
         // rows. Expire's deletions are a PREFIX of the valid chain
         // (mtime monotonicity, ascending sweep), so one O(1) probe
-        // closes the hole: if the predecessor we resolved still
-        // exists, our slot was never vacated; if it is gone, the
-        // resolve is stale — re-resolve instead of claiming. (v=0 has
-        // no predecessor and nothing below v1 to vacate.)
+        // NARROWS the hole to the probe→claim window: if the
+        // predecessor we resolved still exists, our slot was not
+        // vacated as of the probe; if it is gone, the resolve is
+        // stale — re-resolve instead of claiming. (v=0 has no
+        // predecessor and nothing below v1 to vacate.) The residual —
+        // a pause between probe and claim that outlasts the expire
+        // grace — is the same pause>>grace exposure the operational
+        // horizon contract covers; the post-publish re-probe below
+        // turns that silent drop into a loud error.
         if (!predecessorSurvives(dir, v)) {
           versionHints.remove((container, session)) // arbitrarily stale
         } else if (tryPublish(dst, next)) {
+          // Re-probe AFTER the claim: the claim cannot be retracted,
+          // but within the expire contract a just-superseded
+          // predecessor is never deletable yet (its successor — our
+          // file — has a fresh mtime, and sweeps delete v only when
+          // v's successor predates the horizon), so absence here
+          // proves the resolve was stale and our file sits BELOW the
+          // live frontier, invisible to every reader. Fail the commit
+          // loudly instead of acking rows that were silently dropped.
+          if (!predecessorSurvives(dir, v)) {
+            versionHints.remove((container, session))
+            throw new java.io.IOException(
+              s"manifest commit for $container/$session claimed slot v${v + 1} " +
+              "whose predecessor was expire-vacated (a stall between resolve and " +
+              "claim outlasted the expire horizon): the published file is below " +
+              "the live frontier and invisible to readers — the commit is NOT " +
+              "acked; retry it, and widen the expire horizon past worst-case " +
+              "commit stalls")
+          }
           versionHints.put((container, session), v + 1)
           if ((v + 1) % hintFileEvery == 0) writeHintFile(dir, v + 1)
           return next
@@ -901,11 +924,18 @@ final class ManifestLog(spark: SparkSession, root: String,
     *    rest, the stated threat, eats the LAST line first);
     *  - footer but no header: a round-8 file — footer/count check;
     *  - neither: a LEGACY (pre-footer) file, accepted as complete.
-    * Every format only ever published fully-formed files atomically,
-    * so marker absence encodes format age, not partial state — an
-    * existing root upgrades with no migration. Any mismatch is
-    * CORRUPTION (external damage) and throws
-    * [[ManifestLog.IncompleteManifestException]]. */
+    * Every format only ever published fully-formed files atomically
+    * EXCEPT on link-less mounts, where [[Cas.tryClaim]]'s O_EXCL
+    * fallback creates the final name EMPTY and then writes content —
+    * so a racing reader can observe zero bytes or a torn header
+    * prefix. Both are therefore classified IN-FLIGHT (throw), never
+    * legacy-complete: a legitimate empty new-format manifest is
+    * `#graft-manifest 0` + `#commit 0`, two lines, and legacy entry
+    * lines are storage paths that never start with `#`. Beyond those
+    * two shapes, marker absence encodes format age, not partial
+    * state — an existing root upgrades with no migration — and any
+    * header/footer mismatch is CORRUPTION (external damage). All
+    * three throw [[ManifestLog.IncompleteManifestException]]. */
   private def readEntries(p: Path): Seq[String] = {
     val in = fs.open(p)
     val txt = try {
@@ -916,8 +946,14 @@ final class ManifestLog(spark: SparkSession, root: String,
       new String(out.toByteArray, "UTF-8")
     } finally in.close()
     val lines = txt.split("\n").iterator.filter(_.nonEmpty).toSeq
+    if (lines.isEmpty)
+      // zero bytes = the O_EXCL claim-then-write window (or a crash
+      // inside it). Parsing it as a complete legacy file would serve
+      // (v, Nil) — and a concurrent committer would then CAS v+1 with
+      // only its own entry, permanently dropping the chain.
+      throw new ManifestLog.IncompleteManifestException(p.toString)
     lines.headOption match {
-      case Some(h) if h.startsWith("#graft-manifest ") =>
+      case Some(h) if h.startsWith(ManifestLog.HeaderMarker) =>
         val body = lines.drop(1)
         body.lastOption match {
           case Some(f) if f.startsWith("#commit ") &&
@@ -925,6 +961,11 @@ final class ManifestLog(spark: SparkSession, root: String,
               h == ManifestLog.header(body.init) => body.init
           case _ => throw new ManifestLog.IncompleteManifestException(p.toString)
         }
+      case Some(h) if ManifestLog.HeaderMarker.startsWith(h) =>
+        // a strict prefix of the header marker (sub-16-byte partial
+        // write on the O_EXCL arm): a torn NEW-format header, not a
+        // legacy entry — legacy entries are paths, never `#`-prefixed
+        throw new ManifestLog.IncompleteManifestException(p.toString)
       case _ => lines.lastOption match {
         case Some(f) if f.startsWith("#commit ") =>
           if (f == ManifestLog.footer(lines.init)) lines.init
@@ -951,8 +992,9 @@ object ManifestLog {
   /** Format header (FIRST line): its presence declares "a matching
     * footer must follow", which is what makes tail truncation — the
     * failure mode that destroys the footer first — detectable. */
+  private[storage] val HeaderMarker = "#graft-manifest "
   private[storage] def header(entries: Seq[String]): String =
-    s"#graft-manifest ${entries.size}"
+    s"$HeaderMarker${entries.size}"
   /** Commit footer (last line) — survives only when the tail is
     * intact, so header+footer together bracket the entry list. */
   private[storage] def footer(entries: Seq[String]): String = s"#commit ${entries.size}"

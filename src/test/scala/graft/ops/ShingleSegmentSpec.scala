@@ -58,10 +58,41 @@ class ShingleSegmentSpec extends SparkSuite {
     // guarantees at least one shingle occurs in both segments
     assert(dfAfter < dfBefore, s"fold did not shrink DF stats: $dfBefore -> $dfAfter")
     val metaAfter = spark.table(s"idx_shingle_meta_${IndexTables.dirTag(sf)}").collect()
-    assert(metaAfter.length == 1 && metaAfter(0).getLong(1) == docsTotal,
-      "meta must collapse to one base row carrying the summed doc count")
+    // meta rows are RETAINED per segment — each row is the append
+    // guard's replay memory — with the summed denominator unchanged
+    assert(metaAfter.length == 2 && metaAfter.map(_.getLong(1)).sum == docsTotal,
+      "meta must retain one distinct row per segment with the summed doc count unchanged")
     assert(pairs() == servedBefore, "compaction changed the served pair set")
     dropSegmentTables() // leave no partial-corpus index under the real dir tag
+  }
+
+  test("a redelivered append batch is a detected no-op, before AND after compaction") {
+    assume(hasTestData)
+    dropSegmentTables()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val heldOut = docs.filter(col("doc_id") % 7 === 0)
+    IndexTables.ensureShingleSegmentsFrom(spark, sf, docs.filter(col("doc_id") % 7 =!= 0))
+    assert(IndexTables.appendToShingleIndex(spark, sf, heldOut) > 0L)
+    def state() = (
+      Dedup.ngramJaccardSegmented(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      spark.table(s"idx_shingle_df_${IndexTables.dirTag(sf)}").count(),
+      spark.table(s"idx_shingle_meta_${IndexTables.dirTag(sf)}")
+        .agg(sum(col("n_docs"))).head().getLong(0))
+    val before = state()
+    assert(before._1.nonEmpty, "no near-dup pairs — replay identity would be vacuous")
+    // at-least-once redelivery: the batch's doc-id digest already sits
+    // in the meta table, so the append must refuse to double-count
+    assert(IndexTables.appendToShingleIndex(spark, sf, heldOut) == 0L,
+      "redelivered batch was re-appended — DF stats and the cap denominator double-counted")
+    assert(state() == before, "replay changed index state")
+    // the guard must SURVIVE compaction: meta rows are retained per
+    // segment, so a batch redelivered after maintenance is still caught
+    IndexTables.compactShingleSegments(spark, sf)
+    assert(IndexTables.appendToShingleIndex(spark, sf, heldOut) == 0L,
+      "compaction erased the replay guard's memory")
+    assert(state()._1 == before._1, "post-compaction replay changed served rows")
+    dropSegmentTables()
   }
 
   test("a shingle crossing the DF cap because of an APPEND is dropped corpus-wide at read time") {

@@ -556,6 +556,38 @@ class ManifestLogSpec extends SparkSuite {
     assert(msgs(log.read("c", "s")) == Seq("keep"))
   }
 
+  test("a ZERO-BYTE or torn-header manifest is IN-FLIGHT, never legacy-complete (O_EXCL claim window)") {
+    // On link-less mounts Cas.tryClaim's O_EXCL fallback creates the
+    // FINAL name empty before writing content. Parsing that as a
+    // complete legacy file would resolve the frontier as (v, Nil):
+    // reads silently serve zero rows, and a concurrent commit applies
+    // update(Nil) and claims v+1 with only its own entry — permanently
+    // dropping every prior entry (round-9 advice, high).
+    val root = tempDir("mlog")
+    val log = new ManifestLog(spark, root)
+    log.append(batch(("2024-01-01T10:00:00Z", "INFO", "keep")), "c", "s")
+    val v2 = new java.io.File(f"$root/manifest/container=c/session=s/v${2L}%020d")
+    java.nio.file.Files.write(v2.toPath, Array.empty[Byte]) // mid-claim snapshot
+    val skipsBefore = log.corruptManifestSkips
+    assert(msgs(log.read("c", "s")) == Seq("keep"),
+      "empty frontier file must not be served as a committed empty manifest")
+    assert(log.resolve("c", "s")._2.nonEmpty, "resolve returned (v, Nil) for an in-flight claim")
+    assert(log.corruptManifestSkips > skipsBefore, "in-flight skip must be observable")
+    // a torn FIRST line (sub-16-byte partial write) is a header prefix,
+    // not a legacy entry — legacy entries are paths, never #-prefixed
+    java.nio.file.Files.write(v2.toPath, "#graft-man".getBytes("UTF-8"))
+    assert(msgs(log.read("c", "s")) == Seq("keep"))
+    // a committer facing an AGED empty frontier surfaces loudly instead
+    // of committing past state resolved below it (the silent-drop path)
+    java.nio.file.Files.write(v2.toPath, Array.empty[Byte])
+    assert(v2.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    val e = intercept[java.io.IOException] {
+      log.append(batch(("2024-01-01T10:02:00Z", "INFO", "blocked")), "c", "s")
+    }
+    assert(e.getMessage.contains("corrupt"), s"unexpected error: ${e.getMessage}")
+    assert(msgs(log.read("c", "s")) == Seq("keep"), "prior entries must survive")
+  }
+
   test("round-8 (footer-only) manifests still read as complete — no migration") {
     val root = tempDir("mlog")
     val log = new ManifestLog(spark, root)
