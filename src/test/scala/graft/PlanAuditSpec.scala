@@ -33,12 +33,14 @@ class PlanAuditSpec extends SparkSuite {
     // driver-side probe micro-job + index builds at construction; its
     // other arms' plans are audited via their standalone entries
     "ann_recall",
-    // collect the d(d+1)/2 covariance entries + dim sums during
-    // construction (bounded metadata micro-jobs), then iterate
-    // driver-side; the distributed pass shares emb_covariance's
-    // audited d²-group aggregate shape (emb_top_dir then scores a
-    // literal-array projection at scan rate — no join to audit)
-    "emb_pca", "emb_top_dir",
+    // all three consumers of the shared moment relation checkpoint it
+    // (Tables.memoized) during construction — round-10's shuffle-free
+    // moment pass; the build plan itself (zero joins, one Exchange
+    // carrying only partially-aggregated groups) is audited directly
+    // in SimilaritySpec via momentsPlan. emb_pca additionally iterates
+    // driver-side on the collected 2,144-row relation; emb_top_dir
+    // then scores a literal-array projection at scan rate
+    "emb_covariance", "emb_pca", "emb_top_dir",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys
