@@ -142,6 +142,25 @@ object ScaleCheck {
           timed(ops.IndexTables.ensurePqIndex(spark, dir)),
         "consume: ann_ivf_pq" ->
           timed(SparkEntry.queries("ann_ivf_pq")(spark, dir).count()),
+        // ANN lifecycle (round-10): the per-batch append an ingest pays
+        // under the frozen quantizer vs the full retrain+swap a
+        // maintenance cadence pays when the corpus drifts — the rebuild
+        // re-trains (farthest-point seeds + one quantized-Lloyd step)
+        // and re-encodes EVERY current vector, so its cost is the
+        // index's size while the append's is the batch's
+        "append IVF+PQ batch (1% vecs)" -> timed {
+          val batch = ops.Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 600000000L).as("vec_id"), col("embedding"))
+          ops.IndexTables.appendToIvfIndex(spark, dir, batch)
+          ops.IndexTables.appendToPqIndex(spark, dir, batch)
+        },
+        "rebuild ANN generation (retrain + swap)" ->
+          timed(require(
+            ops.IndexTables.rebuildAnnIndexes(spark, dir, "scalecheck").isDefined,
+            "scalecheck rebuild lease contended")),
+        "consume after rebuild: ann_ivf_pq" ->
+          timed(SparkEntry.queries("ann_ivf_pq")(spark, dir).count()),
         // incremental vs rebuild for the one formerly rebuild-only index
         // (round-9): segment build ≈ the v2 build minus denormalization;
         // the APPEND is the per-batch cost a rebuild used to charge the

@@ -537,7 +537,9 @@ object IndexTables {
     }
 
   /** INCREMENTAL IVF maintenance: assign newly-ingested embeddings
-    * under the FROZEN seed quantizer and append them into their lists'
+    * under the CURRENT generation's frozen quantizer (frozen between
+    * retrains — [[rebuildAnnIndexes]] is the migration path) and
+    * append them into their lists'
     * partitions — no rebuild, probes see new vectors immediately, and
     * partition pruning is untouched (appends only add files inside
     * existing/new `list_id=` partitions). `newVecs` is (vec_id,
@@ -550,12 +552,12 @@ object IndexTables {
     * correct maintenance requires updating document frequencies (a
     * periodic rebuild, exactly like a search engine's segment merge). */
   def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
-    val name = ensureIvfIndex(s, dir)
+    val name = currentIvfTable(s, dir)
     // checkpoint: the crossJoin-assignment feeds the count AND the
     // write — one execution, not two, per ingest batch
     val assigned = Similarity.assignNew(s, dir, newVecs).localCheckpoint()
     val n = assigned.count()
-    if (n > 0) {
+    if (n > 0) withTableLock(name) { // a rebuild snapshotting mid-append would drop these rows
       // saveAsTable(append) resolves columns BY NAME against the
       // catalog schema (insertInto is positional — a silent column
       // swap hazard with partition columns reordered to the end). No
@@ -592,11 +594,13 @@ object IndexTables {
     }
 
   /** INCREMENTAL IVF-PQ maintenance: encode newly-ingested embeddings
-    * under the FROZEN codebook + FROZEN coarse quantizer and append
-    * their code rows into the lists' partitions (no rebuild, partition
-    * pruning untouched). The codebook freezes for the same reason the
-    * quantizer does: codes are only comparable under the codebook that
-    * produced them, so retraining is a rebuild by definition.
+    * under the CURRENT generation's frozen codebook + coarse quantizer
+    * and append their code rows into the lists' partitions (no
+    * rebuild, partition pruning untouched). The codebook freezes
+    * between retrains for the same reason the quantizer does: codes
+    * are only comparable under the codebook that produced them, so
+    * retraining is a rebuild by definition — executable as
+    * [[rebuildAnnIndexes]]' staged generation swap.
     *
     * END-TO-END serving visibility requires the PAIR of appends: PQ
     * codes feed the ADC/shortlist stage, but the exact rerank reads
@@ -608,10 +612,10 @@ object IndexTables {
     * served results). `newVecs` is (vec_id, embedding); returns
     * vectors appended (code rows / PqM). */
   def appendToPqIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
-    val name = ensurePqIndex(s, dir)
+    val name = currentPqTable(s, dir)
     val coded = Similarity.pqCodesForNew(s, dir, newVecs).localCheckpoint()
     val n = coded.count() / Similarity.PqM
-    if (n > 0) {
+    if (n > 0) withTableLock(name) { // a rebuild snapshotting mid-append would drop these rows
       coded
         .repartition(org.apache.spark.sql.functions.col("list_id"))
         .write.mode("append")
@@ -620,5 +624,195 @@ object IndexTables {
       refreshBoth(s, coded, name)
     }
     n
+  }
+
+  // ---- ANN index GENERATIONS: rebuild-while-serving (round 10) ----
+  //
+  // Appends run under a FROZEN quantizer + codebook — correct, but a
+  // drifting corpus eventually degrades recall with no migration story.
+  // Retraining is a rebuild by definition (codes are only comparable
+  // under the codebook that produced them), so the rebuild ships as a
+  // staged GENERATION swap, the same serve-old-while-building-new move
+  // as ManifestLog's version chain:
+  //   - generation pointer: CAS version files under
+  //     `_maintenance/ann_gen_<tag>/` (the same create-if-absent
+  //     primitive as every commit in the engine; current = max v)
+  //   - generation g's tables: gen 0 keeps the legacy names (built
+  //     from the deterministic seed quantizer/codebook — value-
+  //     identical to the in-plan twins, which is what keeps the
+  //     oracles exact); gen ≥ 1 adds `idx_ann_{cents,cw}_g<g>_<tag>`
+  //     (the RETRAINED quantizer/codebook — persisted, because after
+  //     a swap the serving paths must score probes under the
+  //     quantizer the lists were assigned with) plus `idx_ivf_g<g>_` /
+  //     `idx_pq_g<g>_` (every current vector re-assigned + re-encoded)
+  //   - serving resolves the pointer at plan time and reads THAT
+  //     generation's tables; a rebuild never touches a live table, so
+  //     an in-flight query keeps serving its pinned generation
+  //     through the swap — old generations are dropped only by
+  //     [[gcAnnGenerations]], the snapshot-expiry grace every table
+  //     format gives its readers.
+
+  private def annGenDir(s: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    new org.apache.hadoop.fs.Path(warehouse, s"_maintenance/ann_gen_${tag(dir)}")
+  }
+
+  /** Highest CLAIMED generation slot — one listing of a directory
+    * whose size is the lifetime rebuild count (maintenance-cadence
+    * small; a deployment retraining daily reaches 365 files a year —
+    * nowhere near the manifest chain's 10⁴-versions regime, so no
+    * hint file needed). Zero-byte claim files (the O_EXCL window)
+    * still count: the pointer's CONTENT is diagnostic only — the
+    * claim's existence is the commit, and its tables were fully
+    * written before the claim (write-then-flip ordering). */
+  private def maxClaimedGen(s: SparkSession, dir: String): Long = {
+    val d = annGenDir(s, dir)
+    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) 0L
+    else fs.listStatus(d).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v")) n.stripPrefix("v").toLongOption else None
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** Current SERVABLE ANN generation for `dir` — 0 until the first
+    * completed [[rebuildAnnIndexes]] swap. On a cluster deployment the
+    * catalog is a shared metastore and the highest claimed slot is
+    * always servable; on a plain SESSION catalog (this harness) the
+    * claim file outlives the JVM while the table registration does
+    * not, so resolution walks down to the highest claimed generation
+    * whose IVF table the catalog can actually resolve — a fresh
+    * process quietly re-serves generation 0 (rebuilt by the usual
+    * ensure) instead of crashing on a pointer it cannot follow, and
+    * the next rebuild claims ABOVE the stale slots (claims are
+    * monotonic, never reused). */
+  def annGeneration(s: SparkSession, dir: String): Long = {
+    var g = maxClaimedGen(s, dir)
+    while (g > 0L && !s.catalog.tableExists(annIvfName(dir, g))) g -= 1
+    g
+  }
+
+  private[ops] def annCentsName(dir: String, g: Long): String =
+    s"idx_ann_cents_g${g}_${tag(dir)}"
+  private[ops] def annCwName(dir: String, g: Long): String =
+    s"idx_ann_cw_g${g}_${tag(dir)}"
+  private[ops] def annIvfName(dir: String, g: Long): String =
+    if (g == 0L) s"idx_ivf_seed_${tag(dir)}" else s"idx_ivf_g${g}_${tag(dir)}"
+  private[ops] def annPqName(dir: String, g: Long): String =
+    if (g == 0L) s"idx_pq_codes_${tag(dir)}" else s"idx_pq_g${g}_${tag(dir)}"
+
+  /** The IVF table the serving paths read NOW: generation-resolved,
+    * with the gen-0 build ensured lazily (a retrained generation was
+    * fully written before its pointer flipped, so it never needs an
+    * ensure). */
+  def currentIvfTable(s: SparkSession, dir: String): String = {
+    val g = annGeneration(s, dir)
+    if (g == 0L) ensureIvfIndex(s, dir) else annIvfName(dir, g)
+  }
+
+  /** The PQ code table the serving paths read now — same resolution. */
+  def currentPqTable(s: SparkSession, dir: String): String = {
+    val g = annGeneration(s, dir)
+    if (g == 0L) ensurePqIndex(s, dir) else annPqName(dir, g)
+  }
+
+  /** REBUILD-WHILE-SERVING: retrain the coarse quantizer and the PQ
+    * codebook on the index's CURRENT vectors (base corpus plus every
+    * appended batch — nothing served disappears), write the next
+    * generation's four tables at names nobody references yet, and
+    * atomically flip the generation pointer. Runs under the
+    * cross-process [[compactionLease]] (one rebuilder at a time;
+    * cross-process appends must quiesce for the window, the same
+    * operational contract as index compaction) and under the
+    * in-process table locks (in-JVM appends serialize against the
+    * snapshot instead of vanishing). Old-generation tables stay on
+    * disk for in-flight readers until [[gcAnnGenerations]].
+    *
+    * Returns Some((newGeneration, vectorsReindexed)) on a completed
+    * swap, None when the lease is contended. A crash anywhere before
+    * the pointer flip leaves serving untouched (the new tables are
+    * unreferenced orphans the next rebuild overwrites); the flip
+    * itself is one atomic create-if-absent. */
+  def rebuildAnnIndexes(s: SparkSession, dir: String,
+                        holderId: String): Option[(Long, Long)] =
+    compactionLease(s, dir, holderId).withLease {
+      val g = annGeneration(s, dir)
+      // claims are monotonic and never reused: a stale pointer slot
+      // from a previous process (claimed, but its table registration
+      // died with that JVM's session catalog) is skipped over, so the
+      // flip below cannot collide with a dead epoch
+      val next = maxClaimedGen(s, dir) + 1
+      val ivfCur = if (g == 0L) ensureIvfIndex(s, dir) else annIvfName(dir, g)
+      val pqCur = if (g == 0L) ensurePqIndex(s, dir) else annPqName(dir, g)
+      withTableLock(ivfCur) { withTableLock(pqCur) {
+        // snapshot the live index content ONCE: it feeds the centroid
+        // retrain, the codebook retrain, and both re-encodes
+        val cur = s.table(ivfCur).localCheckpoint()
+        val curVs = cur.select(
+          org.apache.spark.sql.functions.col("n_id").as("vec_id"),
+          org.apache.spark.sql.functions.col("n_v").as("v"),
+          org.apache.spark.sql.functions.col("n_norm").as("norm"))
+        try {
+          val newCents = Similarity.retrainCentroids(s, cur).localCheckpoint()
+          val newCw = Similarity.retrainCodebook(s, curVs)
+          val (ivf, pq) = Similarity.reindexUnder(curVs, newCents, newCw)
+          // overwrite, not fail-if-exists: a crashed previous attempt's
+          // orphan tables at these names are stale garbage by definition
+          // (their pointer never flipped)
+          Seq(annCentsName(dir, next) -> newCents, annCwName(dir, next) -> newCw)
+            .foreach { case (n, df) =>
+              s.sql(s"DROP TABLE IF EXISTS $n"); deleteWarehouseDir(s, n)
+              df.write.mode("overwrite").saveAsTable(n)
+            }
+          Seq(annIvfName(dir, next) -> ivf, annPqName(dir, next) -> pq)
+            .foreach { case (n, df) =>
+              s.sql(s"DROP TABLE IF EXISTS $n"); deleteWarehouseDir(s, n)
+              df.repartition(org.apache.spark.sql.functions.col("list_id"))
+                .write.partitionBy("list_id").mode("overwrite").saveAsTable(n)
+            }
+          val nVecs = s.table(annIvfName(dir, next)).count()
+          // the FLIP: tables first, pointer last — an atomic
+          // create-if-absent on the next version slot. Under the lease
+          // this cannot lose; a loss anyway means a rebuilder ran
+          // outside the lease (split brain) and MUST surface loudly —
+          // our tables may interleave with the winner's.
+          val d = annGenDir(s, dir)
+          val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.mkdirs(d)
+          val payload = s"holder=$holderId ts=${System.currentTimeMillis()} n=$nVecs\n"
+          if (!graft.storage.Cas.tryClaim(fs,
+              new org.apache.hadoop.fs.Path(d, s"v$next"), payload.getBytes("UTF-8")))
+            throw new IllegalStateException(
+              s"ANN generation $next already claimed for $dir — a rebuild ran " +
+                "outside the maintenance lease; staged tables may be torn")
+          (next, nVecs)
+        } finally Tables.unpersistCheckpoint(cur) // maintenance must not pin index-sized blocks
+      } }
+    }
+
+  /** Drop every ANN generation's tables STRICTLY below the current
+    * pointer — the snapshot-expiry sweep. In-flight queries pinned to
+    * a dropped generation fail at scan time, so a deployment runs this
+    * on the same grace cadence as ManifestLog.expire (after the
+    * longest query deadline). Returns tables dropped. */
+  def gcAnnGenerations(s: SparkSession, dir: String): Int = {
+    val cur = annGeneration(s, dir)
+    var dropped = 0
+    def sweep(g: Long): Unit = {
+      val names = Seq(annIvfName(dir, g), annPqName(dir, g)) ++
+        (if (g > 0L) Seq(annCentsName(dir, g), annCwName(dir, g)) else Seq.empty)
+      names.foreach { n =>
+        if (s.catalog.tableExists(n)) { s.sql(s"DROP TABLE $n"); dropped += 1 }
+        deleteWarehouseDir(s, n)
+      }
+    }
+    (0L until cur).foreach(sweep)
+    // DEAD EPOCHS above the servable generation: slots claimed by a
+    // previous process whose catalog registration died with its JVM —
+    // their warehouse dirs are unreferenced data. Slots ABOVE the max
+    // claim are a concurrent rebuild's in-progress staging and are
+    // never touched.
+    ((cur + 1L) to maxClaimedGen(s, dir)).foreach(sweep)
+    dropped
   }
 }

@@ -256,7 +256,168 @@ object Similarity {
     // foreachBatch that is a clone whose registry predates any main-
     // session registration, and the expressions analyze there
     nearestCentroids(normify(newVecs.select(col("vec_id"), col("embedding"))),
-                     seedCentroids(vectors(s, dir)), 1, "n")
+                     servingCentroids(s, dir), 1, "n")
+
+  /** The coarse quantizer the INDEXED serving paths and the index
+    * appends run under — generation-resolved: the deterministic seed
+    * set while the ANN index has never been retrained (generation 0 —
+    * identical values to [[seedCentroids]], which is what keeps every
+    * oracle row exact), the persisted retrained centroid table after a
+    * [[IndexTables.rebuildAnnIndexes]] swap. The UNINDEXED twins
+    * (ivfTopK, ivfCellStats, SemDeDup...) stay seed-based by design:
+    * they ARE the build-from-corpus pipeline, not the served index. */
+  private[ops] def servingCentroids(s: SparkSession, dir: String): DataFrame = {
+    val g = IndexTables.annGeneration(s, dir)
+    if (g == 0L) seedCentroids(vectors(s, dir))
+    else s.table(IndexTables.annCentsName(dir, g))
+  }
+
+  /** The PQ codebook the serving paths encode/score under — same
+    * generation resolution as [[servingCentroids]] (gen 0 = the seed
+    * codebook, value-identical to [[pqCodebook]]). */
+  private[ops] def servingCodebook(s: SparkSession, dir: String): DataFrame = {
+    val g = IndexTables.annGeneration(s, dir)
+    if (g == 0L) { val subs = pqSubvectors(vectors(s, dir)); pqCodebook(subs) }
+    else s.table(IndexTables.annCwName(dir, g))
+  }
+
+  /** Deterministic farthest-point (Gonzalez) seeding over the CURRENT
+    * corpus, cosine geometry — the retrain init. Starting a retrain
+    * from the OLD parameters cannot adapt to a drifted corpus: a
+    * region the old quantizer collapsed into one cell stays one cell
+    * under any number of Lloyd updates (update steps never split a
+    * cell), which is exactly the recall decay a retrain exists to fix.
+    * Farthest-point seeding places the k seeds in the k most mutually
+    * distant regions of the corpus AS IT IS NOW — a drifted cluster
+    * gets a seed by construction — and is RNG-free (anchor = lowest
+    * vec_id; every round's pick breaks ties by vec_id), so a rebuild
+    * is exactly reproducible. Cost: k bounded aggregate passes over N
+    * (k = nlist, small); at 100 TB a deployment trains on a
+    * deterministic sample first (vec_id mod p), the same move FAISS
+    * makes — the seeding is linear either way. Zero-norm vectors
+    * carry no cosine direction and are excluded from TRAINING only
+    * (they still get assigned and served). */
+  private def maxminSeeds(s: SparkSession, curVs: DataFrame, k: Int): DataFrame = {
+    val pool = curVs.filter(col("norm") > 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+    val anchor = pool.orderBy(col("vec_id")).limit(1).collect()
+    require(anchor.nonEmpty, "cannot retrain an empty index")
+    val chosen = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](anchor(0))
+    while (chosen.size < k) {
+      val seedDf = s.createDataFrame(
+        java.util.Arrays.asList(chosen.toSeq: _*), pool.schema)
+        .select(col("v").as("cv"), col("norm").as("cnorm"))
+      // farthest = the vector whose NEAREST chosen seed is most distant
+      // (min over its max cosine); ties by vec_id ASC. Duplicate picks
+      // (a degenerate all-equal corpus) are tolerated: a repeated seed
+      // just wastes a slot, and the assignment tiebreak is stable.
+      val pick = pool.crossJoin(broadcast(seedDf))
+        .withColumn("ccos", dot("cv", "v") / (col("cnorm") * col("norm")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("ccos")).as("near"),
+             first(col("v")).as("v"), first(col("norm")).as("norm"))
+        .agg(expr("""min_by(named_struct('vec_id', vec_id, 'v', v, 'norm', norm),
+                    |       named_struct('c', near, 't', vec_id))""".stripMargin).as("p"))
+        .select(col("p.vec_id"), col("p.v"), col("p.norm"))
+        .head()
+      chosen += pick
+    }
+    s.createDataFrame(java.util.Arrays.asList(chosen.toSeq: _*), pool.schema)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+  }
+
+  /** Per-subspace farthest-point codebook seeding (L2 geometry — PQ
+    * encodes by argmin ‖x−c‖², so the init must match). All PqM
+    * subspaces seed simultaneously: each of the k rounds is ONE
+    * aggregate pass over the exploded subvectors picking every
+    * subspace's farthest point at once. Same determinism contract as
+    * [[maxminSeeds]] (anchor = lowest vec_id per subspace, vec_id
+    * tiebreaks, duplicates tolerated). */
+  private def maxminCodebook(s: SparkSession, subs: DataFrame, k: Int): DataFrame = {
+    val anchors = subs.groupBy(col("m"))
+      .agg(expr("min_by(sv, vec_id)").as("cw")).withColumn("code_id", lit(0L))
+      .select(col("m"), col("code_id"), col("cw")).collect()
+    var chosen = anchors.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cw",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    (1 until k).foreach { t =>
+      val cwDf = s.createDataFrame(java.util.Arrays.asList(chosen: _*), schema)
+      val picks = subs.join(broadcast(cwDf), Seq("m"))
+        .withColumn("d2", expr(
+          "graft_dot(sv, sv) - 2 * graft_dot(sv, cw) + graft_dot(cw, cw)"))
+        .groupBy(col("m"), col("vec_id"))
+        .agg(min(col("d2")).as("near"), first(col("sv")).as("sv"))
+        .groupBy(col("m"))
+        .agg(expr("""max_by(named_struct('sv', sv),
+                    |       named_struct('d', near, 't', -vec_id))""".stripMargin).as("p"))
+        .select(col("m"), lit(t.toLong).as("code_id"), col("p.sv").as("cw"))
+        .collect()
+      chosen = chosen ++ picks
+    }
+    s.createDataFrame(java.util.Arrays.asList(chosen: _*), schema)
+      .withColumn("cn2", expr("graft_dot(cw, cw)"))
+  }
+
+  /** RETRAIN the coarse quantizer from the index's CURRENT content:
+    * farthest-point seeds over the live vectors ([[maxminSeeds]] — the
+    * step that lets a drifted cluster earn its own inverted list),
+    * then one quantized-Lloyd refinement (assign under the seeds,
+    * re-center each list on the micro-quantized mean of its members —
+    * the engine's one centroid contract). `cur` is the live index
+    * relation (n_id, list_id, n_v, n_norm) — base corpus plus every
+    * appended batch. Lists that attract no members disappear
+    * (standard Lloyd degeneracy; nlist shrinks). */
+  private[ops] def retrainCentroids(s: SparkSession, cur: DataFrame): DataFrame = {
+    val curVs = cur.select(col("n_id").as("vec_id"),
+                           col("n_v").as("v"), col("n_norm").as("norm"))
+    val seeds = maxminSeeds(s, curVs, IvfNList)
+    val assigned = nearestCentroids(curVs, seeds, 1, "n")
+    assembleCentroids(
+      quantizedMeans(assigned.select(col("list_id"), col("n_v").as("v")), "list_id"),
+      "list_id")
+      .select(col("list_id").as("cent_id"), col("cv"), col("cnorm"))
+  }
+
+  /** RETRAIN the PQ codebook from the index's current vectors:
+    * per-subspace farthest-point seeding ([[maxminCodebook]]) + one
+    * quantized-Lloyd refinement — encode every current subvector under
+    * the seed codewords, then each (m, code_id) cell's new codeword is
+    * the micro-quantized mean of its members. `curVs` is (vec_id, v,
+    * norm); returns the (m, code_id, cw, cn2) codebook shape. */
+  private[ops] def retrainCodebook(s: SparkSession, curVs: DataFrame): DataFrame = {
+    // checkpoint: the exploded subvectors feed the k seeding rounds,
+    // the encode, and the mean pass — one execution of the explode
+    val subs = pqSubvectors(curVs).localCheckpoint()
+    try {
+      val init = maxminCodebook(s, subs, PqNCodes)
+      val members = subs.join(pqEncode(subs, init), Seq("vec_id", "m"))
+        .select(col("m"), col("code_id"), col("sv").as("v"))
+      assembleCentroids(quantizedMeans(members, Seq("m", "code_id")), Seq("m", "code_id"))
+        .select(col("m"), col("code_id"), col("cv").as("cw"))
+        .withColumn("cn2", expr("graft_dot(cw, cw)"))
+        .localCheckpoint() // sever lineage: subs is unpersisted below
+    } finally Tables.unpersistCheckpoint(subs)
+  }
+
+  /** Re-assign + re-encode the index's current vectors under a NEW
+    * quantizer + codebook — the staged-generation build inside
+    * [[IndexTables.rebuildAnnIndexes]]. Returns (ivf, pq): the new
+    * generation's two table payloads, shaped exactly like the gen-0
+    * builds so consumers can't tell a rebuilt index from a fresh one. */
+  private[ops] def reindexUnder(curVs: DataFrame, newCents: DataFrame,
+                                newCw: DataFrame): (DataFrame, DataFrame) = {
+    val ivf = nearestCentroids(curVs, newCents, 1, "n")
+    val pq = pqEncode(pqSubvectors(curVs), newCw)
+      .join(ivf.select(col("n_id"), col("list_id")), col("vec_id") === col("n_id"))
+      .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
+    (ivf, pq)
+  }
 
   /** [[ivfTopK]] reading the PERSISTED inverted-list table
     * ([[IndexTables.ensureIvfIndex]]) instead of the memoized
@@ -269,7 +430,7 @@ object Similarity {
   def ivfTopKIndexed(s: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val (probes, lists) = probeSelection(s, dir, nQueries, nprobe)
-    val assigned = s.table(IndexTables.ensureIvfIndex(s, dir))
+    val assigned = s.table(IndexTables.currentIvfTable(s, dir))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
     ivfSearchWithProbes(probes, assigned, k)
@@ -294,7 +455,7 @@ object Similarity {
                              nQueries: Int, nprobe: Int): (DataFrame, Seq[Long]) = {
     val vs = vectors(s, dir)
     val probesPlan = nearestCentroids(
-      vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+      vs.filter(col("vec_id") < nQueries), servingCentroids(s, dir), nprobe, "q")
     val probeRows = probesPlan.collect()
     val probes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
@@ -310,7 +471,7 @@ object Similarity {
   private[ops] def probedLists(s: SparkSession, dir: String,
                                nQueries: Int, nprobe: Int): Seq[Long] = {
     val vs = vectors(s, dir)
-    nearestCentroids(vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+    nearestCentroids(vs.filter(col("vec_id") < nQueries), servingCentroids(s, dir), nprobe, "q")
       .select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
   }
@@ -433,17 +594,25 @@ object Similarity {
     * floor-div), shared by every centroid computation so the oracle-
     * contract quantization scheme exists exactly once. */
   private def quantizedMeans(rel: DataFrame, key: String): DataFrame =
-    rel.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col(key), col("pos").cast("long").as("pos"),
-              floor(col("x") * 1000000.0).cast("long").as("xq"))
-      .groupBy(col(key), col("pos"))
+    quantizedMeans(rel, Seq(key))
+
+  /** Multi-key form — the PQ codebook retrain groups by (m, code_id);
+    * one definition so the quantization scheme can't fork. */
+  private def quantizedMeans(rel: DataFrame, keys: Seq[String]): DataFrame =
+    rel.select(keys.map(col) :+ posexplode(col("v")).as(Seq("pos", "x")): _*)
+      .select(keys.map(col) ++ Seq(col("pos").cast("long").as("pos"),
+              floor(col("x") * 1000000.0).cast("long").as("xq")): _*)
+      .groupBy((keys.map(col) :+ col("pos")): _*)
       .agg(count(lit(1)).as("n_members"), sum(col("xq")).as("sum_q"))
       .withColumn("mean", floor(col("sum_q").cast("double") / col("n_members")) / 1000000.0)
 
   /** Reassemble exploded (key, pos, mean) rows into centroid vectors
     * with norms — the other half of the shared centroid contract. */
   private def assembleCentroids(means: DataFrame, key: String): DataFrame =
-    means.groupBy(col(key))
+    assembleCentroids(means, Seq(key))
+
+  private def assembleCentroids(means: DataFrame, keys: Seq[String]): DataFrame =
+    means.groupBy(keys.map(col): _*)
       .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("cv"))
       .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
 
@@ -642,9 +811,8 @@ object Similarity {
     * moves at ingest time, only at retrain) — the incremental seam for
     * [[IndexTables.appendToPqIndex]], mirroring [[assignNew]]. */
   private[ops] def pqCodesForNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
-    val subsRef = pqSubvectors(vectors(s, dir))
     val newSubs = pqSubvectors(normify(newVecs.select(col("vec_id"), col("embedding"))))
-    pqEncode(newSubs, pqCodebook(subsRef))
+    pqEncode(newSubs, servingCodebook(s, dir))
       .join(assignNew(s, dir, newVecs).select(col("n_id"), col("list_id")),
             col("vec_id") === col("n_id"))
       .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
@@ -670,11 +838,10 @@ object Similarity {
                 shortlist: Int = 100): DataFrame = {
     val vs = vectors(s, dir)
     val (probes, lists) = probeSelection(s, dir, nQueries, nprobe)
-    val codes = s.table(IndexTables.ensurePqIndex(s, dir))
+    val codes = s.table(IndexTables.currentPqTable(s, dir))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
-    val subs = pqSubvectors(vs)
-    val lut = pqLut(subs, pqCodebook(subs), nQueries)
+    val lut = pqLut(pqSubvectors(vs), servingCodebook(s, dir), nQueries)
     val cands = codes
       .join(broadcast(probes.select(col("q_id").as("query_id"), col("list_id"))), Seq("list_id"))
       .filter(col("n_id") =!= col("query_id"))
@@ -691,7 +858,7 @@ object Similarity {
     // values by construction (the assignment carries the vector), so
     // the oracle is unchanged; the rerank scan is also partition-
     // pruned instead of corpus-wide.
-    val nv = s.table(IndexTables.ensureIvfIndex(s, dir))
+    val nv = s.table(IndexTables.currentIvfTable(s, dir))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id").as("neighbor_id"), col("n_v").as("nv"), col("n_norm").as("nnorm"))
     pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k, nv)
