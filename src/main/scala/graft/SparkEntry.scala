@@ -170,6 +170,10 @@ object SparkEntry {
     // per-label energy share along the dominant direction (the
     // all-but-the-top pre-flight; scan-rate literal-array projection)
     "emb_top_dir" -> ((s: SparkSession, d: String) => Similarity.topDirEnergy(s, d)),
+    // the removal itself: dominant-direction deflation with per-label
+    // before/after cohesion deltas (scan-rate zip_with over the
+    // driver-literal direction; round-10)
+    "emb_abtt" -> ((s: SparkSession, d: String) => Similarity.allButTop(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -1137,6 +1141,63 @@ object SparkEntry {
          |SELECT label, COUNT(*) AS n_vectors,
          |  FLOOR(CAST(SUM(shq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean_top_share
          |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    "emb_abtt" ->
+      // the same power-iteration chain derives the direction; the tail
+      // deflates every vector (v' = v - (v·d / d·d)·d — identical
+      // IEEE op order to Spark's zip_with lambda: divide, multiply,
+      // subtract) and replays the labelCohesion recipe on BOTH sides
+      // (micro-quantized centroids + integer cosine sums). After-side
+      // membership excludes v' = 0 (vectors parallel to d) on both
+      // engines; a zero direction passes vectors through.
+      s"""WITH $pcaChainCte,
+         |dl AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS d FROM it10),
+         |dd AS (SELECT list_dot_product(d, d) AS ddot FROM dl),
+         |bv AS (
+         |  SELECT vn.vec_id, vn.label, vn.v, vn.norm,
+         |         list_dot_product(vn.v, dl.d) AS proj
+         |  FROM vn, dl WHERE vn.norm > 0),
+         |vrd AS (
+         |  SELECT b.vec_id, b.label, CAST(i - 1 AS BIGINT) AS pos,
+         |         CASE WHEN dd.ddot = 0 THEN b.v[i]
+         |              ELSE b.v[i] - b.proj / dd.ddot * dl.d[i] END AS xr
+         |  FROM bv b, dl, dd, UNNEST(range(1, 65)) AS u(i)),
+         |vrn AS (
+         |  SELECT vec_id, label, vr, sqrt(list_dot_product(vr, vr)) AS nr
+         |  FROM (SELECT vec_id, label, list(xr ORDER BY pos) AS vr
+         |        FROM vrd GROUP BY vec_id, label) t),
+         |cb AS (
+         |  SELECT label, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |          CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |        FROM bv, UNNEST(range(1, 65)) AS u(i)) t
+         |  GROUP BY label, pos),
+         |cbn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM cb GROUP BY label) t),
+         |bagg AS (
+         |  SELECT b.label, COUNT(*) AS n_vectors,
+         |    FLOOR(CAST(SUM(CAST(FLOOR(
+         |      list_dot_product(c.cv, b.v) / (c.cnorm * b.norm) * 1000000) AS BIGINT))
+         |      AS DOUBLE) / COUNT(*)) / 1000000 AS coh_before
+         |  FROM bv b JOIN cbn c ON b.label = c.label GROUP BY b.label),
+         |ca AS (
+         |  SELECT r.label, r.pos,
+         |    FLOOR(CAST(SUM(CAST(FLOOR(r.xr * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*)) / 1000000 AS mean
+         |  FROM vrd r JOIN vrn n ON r.vec_id = n.vec_id
+         |  WHERE n.nr > 0 GROUP BY r.label, r.pos),
+         |can AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM ca GROUP BY label) t),
+         |aagg AS (
+         |  SELECT n.label,
+         |    FLOOR(CAST(SUM(CAST(FLOOR(
+         |      list_dot_product(c.cv, n.vr) / (c.cnorm * n.nr) * 1000000) AS BIGINT))
+         |      AS DOUBLE) / COUNT(*)) / 1000000 AS coh_after
+         |  FROM vrn n JOIN can c ON n.label = c.label WHERE n.nr > 0 GROUP BY n.label)
+         |SELECT b.label, b.n_vectors, b.coh_before, a.coh_after,
+         |       a.coh_after - b.coh_before AS delta
+         |FROM bagg b JOIN aagg a ON b.label = a.label ORDER BY b.label""".stripMargin,
     "emb_label_separation" ->
       s"""WITH $vectorsCte,
          |el AS (

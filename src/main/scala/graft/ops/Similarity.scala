@@ -1272,6 +1272,63 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** ALL-BUT-THE-TOP as a TRANSFORM — the post-processing step
+    * [[topDirEnergy]]'s report decides on: remove the dominant
+    * direction from every vector (v′ = v − (v·d / d·d)·d, the
+    * rank-one deflation of the common-direction recipe) and ship the
+    * evidence a pipeline needs to accept the rewrite — per label, the
+    * cluster cohesion BEFORE and AFTER removal and the delta. A
+    * positive delta means the label's members agree more once the
+    * corpus-wide direction is gone (the direction was masking
+    * structure); a strongly negative one means that label WAS the
+    * direction and removal would destroy it.
+    *
+    * Scale split, shared with [[topDirEnergy]]: the direction is
+    * [[pcaPower]]'s driver-side output embedded as a LITERAL array, so
+    * the removal is one scan-rate zip_with projection — no join, no
+    * shuffle before the label aggregates; each cohesion side is the
+    * [[labelCohesion]] recipe (micro-quantized centroid + integer
+    * cosine sums, dimension-bounded aggregates). Zero-norm inputs
+    * carry no direction and are excluded; vectors PARALLEL to d
+    * (v′ = 0) are excluded from the after-side only. A zero direction
+    * (degenerate corpus) passes vectors through unchanged. */
+  def allButTop(s: SparkSession, dir: String): DataFrame = {
+    val dArr = pcaPower(s, dir).collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val ddot = dArr.foldLeft(0.0)((acc, x) => acc + x * x)
+    val base = vectors(s, dir).filter(col("norm") > 0)
+      .withColumn("dlit", array(dArr.map(lit): _*))
+      .withColumn("proj", expr("graft_dot(v, dlit)"))
+      .withColumn("ddotc", lit(ddot))
+      .withColumn("vr",
+        if (ddot == 0) col("v")
+        else expr("zip_with(v, dlit, (x, y) -> x - proj / ddotc * y)"))
+      .withColumn("nr", expr("sqrt(graft_dot(vr, vr))"))
+    def cohesionCentroids(rel: DataFrame, vcol: String): DataFrame =
+      assembleCentroids(
+        quantizedMeans(rel.select(col("label"), col(vcol).as("v")), "label"), "label")
+    val before = base
+      .join(broadcast(cohesionCentroids(base, "v")), Seq("label"))
+      .withColumn("cq",
+        floor(dot("cv", "v") / (col("cnorm") * col("norm")) * 1000000.0).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+           (floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("coh_before"))
+    val afterRel = base.filter(col("nr") > 0)
+    val after = afterRel
+      .join(broadcast(cohesionCentroids(afterRel, "vr")), Seq("label"))
+      .withColumn("cq",
+        floor(dot("cv", "vr") / (col("cnorm") * col("nr")) * 1000000.0).cast("long"))
+      .groupBy(col("label"))
+      .agg((floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("coh_after"))
+    before.join(after, Seq("label"))
+      .withColumn("delta", col("coh_after") - col("coh_before"))
+      .select(col("label"), col("n_vectors"), col("coh_before"),
+              col("coh_after"), col("delta"))
+      .orderBy(col("label"))
+  }
+
   /** Symmetric int8 quantization manifest — the storage-compression step
     * an embedding pipeline runs before writing an ANN index (4 bytes →
     * 1 byte per dim): per-vector scale = max|v_i|/127, code_i =

@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSuite {
     // in SimilaritySpec via momentsPlan. emb_pca additionally iterates
     // driver-side on the collected 2,144-row relation; emb_top_dir
     // then scores a literal-array projection at scan rate
-    "emb_covariance", "emb_pca", "emb_top_dir",
+    "emb_covariance", "emb_pca", "emb_top_dir", "emb_abtt",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys

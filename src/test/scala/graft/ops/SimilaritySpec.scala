@@ -90,6 +90,43 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.map(_.getDouble(2)).max > 0.0, "every label reports zero share")
   }
 
+  test("allButTop removes the direction: post-removal share on d is ~0, report is well-formed") {
+    assume(hasTestData)
+    val dArr = Similarity.pcaPower(spark, sf).collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(1))
+    val ddot = dArr.foldLeft(0.0)((a, x) => a + x * x)
+    assert(ddot > 0, "degenerate corpus — the share assertion would be vacuous")
+    // recompute the deflation exactly as the operator does and check
+    // the REMOVED direction really carries ~zero energy afterwards
+    val residual = Similarity.vectors(spark, sf).filter(col("norm") > 0)
+      .withColumn("dlit", array(dArr.map(lit): _*))
+      .withColumn("proj", expr("graft_dot(v, dlit)"))
+      .withColumn("ddotc", lit(ddot))
+      .withColumn("vr", expr("zip_with(v, dlit, (x, y) -> x - proj / ddotc * y)"))
+      .withColumn("nr2", expr("graft_dot(vr, vr)"))
+      .filter(col("nr2") > 0)
+      .withColumn("share",
+        expr("graft_dot(vr, dlit)") * expr("graft_dot(vr, dlit)")
+          / (col("nr2") * lit(ddot)))
+      .agg(max(col("share"))).head().getDouble(0)
+    assert(residual < 1e-9,
+      s"post-removal share on the removed direction is $residual — deflation broken")
+    // and the report itself: every label covered, deltas consistent
+    val rows = Similarity.allButTop(spark, sf).collect()
+    val labels = Similarity.vectors(spark, sf).filter(col("norm") > 0)
+      .select(col("label")).distinct().count()
+    assert(rows.length.toLong == labels)
+    rows.foreach { r =>
+      val (before, after, delta) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(before) <= 1.0 + 1e-9 && math.abs(after) <= 1.0 + 1e-9)
+      assert(math.abs(delta - (after - before)) < 1e-12, s"delta inconsistent: $r")
+      assert(r.getLong(1) > 0)
+    }
+    // not vacuous: removal must CHANGE at least one label's cohesion
+    assert(rows.exists(r => math.abs(r.getDouble(4)) > 1e-6),
+      "all deltas zero — the transform did nothing")
+  }
+
   test("embeddingNearDup finds most true cosine>=0.4 same-label pairs (not vacuous)") {
     assume(hasTestData)
     // Ground truth: brute-force all same-label pairs with cosine >= 0.4.
