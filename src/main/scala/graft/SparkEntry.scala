@@ -239,6 +239,11 @@ object SparkEntry {
     "pipe_incremental_dedup" -> (Pipeline.incrementalDedup _),
     "pipe_gopher_quality"    -> (Pipeline.gopherQuality _),
     "pipe_curation_manifest" -> (Pipeline.curationManifest _),
+    // the executable run: keep/drop + shard receipt + replay-proven
+    // citation committed through ManifestLog under idempotency tags
+    // (resumable — CurationRunSpec kills and resumes it); the row is
+    // the shard receipt read back from the PINNED snapshot (round-10)
+    "pipe_curation_run"      -> (CurationRun.runSelfContained _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — emits the exact
@@ -2311,6 +2316,57 @@ object SparkEntry {
          |         LEFT JOIN f ON d.doc_id = f.doc_id)
          |SELECT source, decision, COUNT(*) AS n_docs
          |FROM j GROUP BY 1, 2 ORDER BY source, decision""".stripMargin,
+    "pipe_curation_run" ->
+      // the run's end artifact: the pipe_curation_manifest decision
+      // chain cut to its KEEP set, sharded by the pipe_shard_manifest
+      // recipe. The manifest-store roundtrip (tagged appends, pinned
+      // read-back, compaction+GC replay proof) is Spark-side plumbing
+      // the oracle can't see — but the CONTENT digest makes the row
+      // sensitive to any corruption the roundtrip could introduce.
+      // pinned_version = 2: stage-1 and stage-2 appends, the version
+      // the citation pins on a clean run.
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |d AS (
+         |  SELECT doc_id, source,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+         |  FROM documents),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         |q AS (
+         |  SELECT doc_id, SUM(n) AS nw, SUM(n * length(tok)) AS sum_len,
+         |    SUM(CASE WHEN tok IN ('the','a','of','and','to') THEN n ELSE 0 END) AS n_stop,
+         |    MAX(n) AS max_tok
+         |  FROM pt GROUP BY 1),
+         |f AS (
+         |  SELECT doc_id,
+         |    (nw >= 25 AND nw <= 90 AND sum_len >= 4 * nw AND sum_len <= 5 * nw
+         |     AND 50 * n_stop >= nw AND 25 * max_tok <= 3 * nw) AS ok_q
+         |  FROM q),
+         |keep AS (
+         |  SELECT d.doc_id
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id
+         |  WHERE NOT d.exact_dup
+         |    AND NOT (c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id)
+         |    AND coalesce(f.ok_q, false)),
+         |b AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS BIGINT) AS shard_id
+         |  FROM keep),
+         |p AS (
+         |  SELECT doc_id, shard_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
+         |  FROM b),
+         |j AS (
+         |  SELECT p.shard_id, p.pos, md5(dd.text) AS dg,
+         |    CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM p JOIN documents dd USING (doc_id))
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest,
+         |  CAST(2 AS BIGINT) AS pinned_version
+         |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "pipe_gopher_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),

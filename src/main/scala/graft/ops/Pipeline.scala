@@ -399,10 +399,15 @@ object Pipeline {
     * at 100 TB you raise nShards to keep shards at the target file size
     * and the per-partition sort stays constant — a single global
     * ORDER BY would be the non-scalable version of this op. */
-  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shuffleShardsOf(Tables.documents(s, dir), nShards)
+
+  /** [[shuffleShards]] over an explicit (doc_id, ...) relation — the
+    * seam [[CurationRun]] shards its KEEP set through. */
+  private[ops] def shuffleShardsOf(docs: DataFrame, nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
       .withColumn("shard_id",
         expr("CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT)") % nShards)
@@ -425,8 +430,13 @@ object Pipeline {
     * bound the export files themselves obey; nothing corpus-sized is
     * ever collected. */
   def shardManifest(s: SparkSession, dir: String, nShards: Int = 8): DataFrame =
-    shuffleShards(s, dir, nShards)
-      .join(Tables.documents(s, dir)
+    shardManifestOf(Tables.documents(s, dir), nShards)
+
+  /** [[shardManifest]] over an explicit (doc_id, text) relation — the
+    * export receipt [[CurationRun]] ships for its KEEP set. */
+  private[ops] def shardManifestOf(docs: DataFrame, nShards: Int): DataFrame =
+    shuffleShardsOf(docs, nShards)
+      .join(docs
         .select(col("doc_id"), md5(col("text")).as("dg"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         Seq("doc_id"))
@@ -683,7 +693,10 @@ object Pipeline {
     * quality flags are already materialized), so the manifest costs
     * two hash joins and a rollup on top of work the pipeline already
     * did — exactly its marginal cost in production. */
-  def curationManifest(s: SparkSession, dir: String): DataFrame = {
+  /** The PER-DOCUMENT decision relation (doc_id, source, decision) —
+    * [[curationManifest]]'s unit, factored out so [[CurationRun]] can
+    * persist the decisions themselves as the keep/drop artifact. */
+  private[ops] def curationDecisions(s: SparkSession, dir: String): DataFrame = {
     val keepers = Window.partitionBy(md5(col("text")))
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
@@ -700,10 +713,14 @@ object Pipeline {
           .when(col("comp_id").isNotNull && col("comp_id") =!= col("doc_id"), "near_dup")
           .when(!coalesce(col("ok_q"), lit(false)), "quality")
           .otherwise("keep"))
+      .select(col("doc_id"), col("source"), col("decision"))
+  }
+
+  def curationManifest(s: SparkSession, dir: String): DataFrame =
+    curationDecisions(s, dir)
       .groupBy(col("source"), col("decision"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("decision"))
-  }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document

@@ -57,7 +57,12 @@ class PlanAuditSpec extends SparkSuite {
     // runs the ngram-pair CC fixpoint while building the split assignment
     "pipe_leakage_split",
     // same CC fixpoint at construction (memoized cluster assignment)
-    "pipe_curation_manifest")
+    "pipe_curation_manifest",
+    // executes the whole manifest-store run (tagged appends, compaction,
+    // GC, replay proof) while building its result — audited in
+    // CurationRunSpec; its stage plans are the audited
+    // pipe_curation_manifest / pipe_shard_manifest shapes
+    "pipe_curation_run")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;
