@@ -117,10 +117,15 @@ object ServiceBench {
   }
 
   /** One tier run's headline numbers — rows ingested over the write
-    * window, post latency percentiles, errors. `ServiceScaleCheck`
-    * compares these across a 10× session/volume scale-up. */
+    * window, post latency percentiles, settled-read throughput +
+    * latency (the version-keyed plan cache's serving numbers), errors.
+    * `ServiceScaleCheck` compares these across a 10× session/volume
+    * scale-up. */
   final case class TierResult(rows: Long, dtWrite: Double, posts: Int,
-                              p50Ms: Double, p99Ms: Double, errors: Int) {
+                              p50Ms: Double, p99Ms: Double,
+                              roReadsPerSec: Double, roRowsPerSec: Double,
+                              readP50Ms: Double, readP99Ms: Double,
+                              errors: Int) {
     def rowsPerSec: Double = rows / math.max(dtWrite, 1e-9)
   }
 
@@ -222,40 +227,61 @@ object ServiceBench {
       writing = false
       readers.foreach(_.join(300000))
       val dt = (System.nanoTime() - t0) / 1e9
-      // Post-write READ-ONLY phase: sequential GETs over settled
+      // Post-write READ-ONLY phase: CONCURRENT GETs over settled
       // sessions — the stable read-throughput number (mid-write reads
       // above race the ingest window and vary with scheduling). On the
       // manifest tier this measures the version-keyed plan cache: an
       // unchanged session's GET skips file-index construction entirely
       // (round-9); the local tier re-plans every GET for contrast.
-      val roReads = 40
+      // Every session is read at least twice (first GET fills the
+      // plan-cache entry, the rest hit it) from 8 parallel clients —
+      // the 10× scale-up (80 sessions) exercises 80 distinct cache
+      // keys against the bounded 256-entry LRU (round-10 verdict #6).
+      val roReads = math.max(40, nWriters * 2)
+      val roThreads = 8
+      val roRowsA = new java.util.concurrent.atomic.AtomicLong(0)
+      val roOkA = new AtomicInteger(0)
+      val readNanos = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val ro0 = System.nanoTime()
-      var roRows = 0L
-      var roOk = 0
-      (1 to roReads).foreach { i =>
-        try {
-          val resp = send("GET", s"/api/logs/bench/w${i % nWriters + 1}", None, Some(token))
-          if (resp.statusCode == 200) {
-            roOk += 1
-            "\"total_rows\":(\\d+)".r.findFirstMatchIn(resp.body)
-              .foreach(g => roRows += g.group(1).toLong)
-          } else errors.incrementAndGet() // a 500/404 must not read as "slow", it reads as an error
-        } catch { case _: Exception => errors.incrementAndGet() }
+      val roRunners = (0 until roThreads).map { t =>
+        new Thread(() => {
+          var i = t
+          while (i < roReads) {
+            try {
+              val g0 = System.nanoTime()
+              val resp = send("GET", s"/api/logs/bench/w${i % nWriters + 1}", None, Some(token))
+              readNanos.add(System.nanoTime() - g0)
+              if (resp.statusCode == 200) {
+                roOkA.incrementAndGet()
+                "\"total_rows\":(\\d+)".r.findFirstMatchIn(resp.body)
+                  .foreach(g => roRowsA.addAndGet(g.group(1).toLong))
+              } else errors.incrementAndGet() // a 500/404 must not read as "slow", it reads as an error
+            } catch { case _: Exception => errors.incrementAndGet() }
+            i += roThreads
+          }
+        }, s"svc-ro-reader-$t")
       }
+      roRunners.foreach(_.start()); roRunners.foreach(_.join(300000))
       val roDt = (System.nanoTime() - ro0) / 1e9
+      val (roOk, roRows) = (roOkA.get, roRowsA.get)
       val rows = appendsOk.get.toLong * rowsPerBatch
-      val lats = postNanos.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
-      def pctMs(q: Double): Double =
+      def pctOf(q: Double, ns: java.util.concurrent.ConcurrentLinkedQueue[Long]): Double = {
+        val lats = ns.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
         if (lats.isEmpty) 0.0
         else lats(math.min(lats.length - 1, (q * lats.length).toInt)) / 1e6
+      }
+      def pctMs(q: Double): Double = pctOf(q, postNanos)
       System.err.println(
         f"[bench] $label%-33s $dt%8.3f s  " +
         f"ingest ${rows / dtWrite}%.0f rows/s (${appendsOk.get / dtWrite}%.1f posts/s over $dtWrite%.3f s), " +
         f"${readsOk.get / dt}%.1f concurrent reads/s (${rowsRead.get / dt}%.0f rows/s read), " +
-        f"settled ${roOk / roDt}%.1f reads/s (${roRows / roDt}%.0f rows/s), " +
+        f"settled ${roOk / roDt}%.1f reads/s (${roRows / roDt}%.0f rows/s, " +
+        f"p50 ${pctOf(0.5, readNanos)}%.1f ms p99 ${pctOf(0.99, readNanos)}%.1f ms over $roThreads clients), " +
         f"post p50 ${pctMs(0.5)}%.1f ms p99 ${pctMs(0.99)}%.1f ms, errors=${errors.get}" +
         f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
-      Some(TierResult(rows, dtWrite, appendsOk.get, pctMs(0.5), pctMs(0.99), errors.get))
+      Some(TierResult(rows, dtWrite, appendsOk.get, pctMs(0.5), pctMs(0.99),
+        roOk / roDt, roRows / roDt, pctOf(0.5, readNanos), pctOf(0.99, readNanos),
+        errors.get))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $label FAILED: ${e.getMessage}")

@@ -117,6 +117,51 @@ object ServiceScaleCheck {
     (ua, ub, la, lb)
   }
 
+  /** Catalog-chain cost at 1 / 10² / 10⁴ mutations (round-10 verdict
+    * #3): per scale, the median COMMIT latency (one catalog mutation —
+    * serialize the full snapshot, O(1) ABA probe, CAS claim, prune),
+    * the median STEADY READ (warm instance: frontier-hint probe, no
+    * state reload), a FRESH-GATEWAY first read (full listing + full
+    * snapshot parse — what a new process pays once), and the snapshot
+    * size. The mutation mix is createUser (one commit each) — the
+    * catalog state grows with the mutation count, so the rows measure
+    * BOTH axes at once: chain/directory growth and snapshot-payload
+    * growth. Returns (mutations, commitMs, readMs, freshMs, bytes). */
+  def catalogBench(): Seq[(Long, Double, Double, Double, Long)] = {
+    val dir = java.nio.file.Paths.get(Scratch.localDir, s"catbench-${System.nanoTime()}")
+    val hp = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def store() = new graft.catalog.CasStateStore(fs, hp)
+    val svc = new graft.catalog.CatalogService(shared = Some(store()))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    var done = 0L
+    Seq(1L, 100L, 10000L).map { target =>
+      while (done < target) {
+        svc.createUser(f"u$done%06d", "pw"); done += 1
+      }
+      val commitMs = median((1 to 21).map { i =>
+        val t0 = System.nanoTime()
+        svc.createContainer("admin", f"bench_${target}_$i%02d")
+        (System.nanoTime() - t0) / 1e6
+      })
+      val readMs = median((1 to 21).map { _ =>
+        val t0 = System.nanoTime()
+        svc.verifyPassword("admin", "admin")
+        (System.nanoTime() - t0) / 1e6
+      })
+      val freshMs = median((1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        new graft.catalog.CatalogService(shared = Some(store()))
+          .verifyPassword("admin", "admin")
+        (System.nanoTime() - t0) / 1e6
+      }.toSeq)
+      val bytes = fs.listStatus(hp).filter(st => st.isFile &&
+          st.getPath.getName.matches("v\\d{20}\\.json"))
+        .map(_.getLen).maxOption.getOrElse(0L)
+      (target, commitMs, readMs, freshMs, bytes)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -132,6 +177,12 @@ object ServiceScaleCheck {
       System.err.println(
         f"[svc-scale] resolve @ chain $n%6d versions: listing $listMs%8.3f ms, " +
         f"cold+hint-file $coldMs%8.3f ms, hinted $warmMs%8.3f ms (medians of 21)")
+    }
+    val cat = catalogBench()
+    cat.foreach { case (n, cMs, rMs, fMs, bytes) =>
+      System.err.println(
+        f"[svc-scale] catalog @ $n%6d mutations: commit $cMs%8.3f ms, " +
+        f"read $rMs%8.3f ms, fresh-gateway $fMs%8.3f ms, snapshot $bytes%9d B")
     }
     val base = ServiceBench.runTier(spark, "manifest", nWriters = 8, nBatches = 50,
       labelSuffix = "")
@@ -153,14 +204,25 @@ object ServiceScaleCheck {
     sb ++= "| chain length | resolve (listing) | resolve (cold start) | resolve (steady) |\n|---|---|---|---|\n"
     chain.foreach { case (n, l, c, w) =>
       sb ++= f"| $n | $l%.3f ms | $c%.3f ms | $w%.3f ms |\n" }
+    sb ++= "\nCatalog (shared CAS state store) at growing mutation counts —\n"
+    sb ++= "commit = one mutation (full-snapshot serialize + O(1) ABA probe +\n"
+    sb ++= "CAS claim + prune; the pre-round-10 listing guard made a mutation\n"
+    sb ++= "burst quadratic in in-grace version files); read = warm-instance\n"
+    sb ++= "verify (frontier-hint probe, no reload); fresh gateway = first\n"
+    sb ++= "resolve of a new process (listing + full snapshot parse, paid once):\n\n"
+    sb ++= "| mutations | commit (median) | steady read | fresh gateway | snapshot |\n|---|---|---|---|---|\n"
+    cat.foreach { case (n, cMs, rMs, fMs, bytes) =>
+      sb ++= f"| $n | $cMs%.3f ms | $rMs%.3f ms | $fMs%.3f ms | ${bytes / 1024}%d KiB |\n" }
     sb ++= "\nService throughput at 1× vs 10× sessions (ManifestLog tier, one\n"
     sb ++= "gateway; 10× = 80 writer sessions → 10× rows, manifest dirs, and\n"
-    sb ++= "compactor work):\n\n"
-    sb ++= "| scale | rows | rows/s | posts | post p50 | post p99 | errors |\n|---|---|---|---|---|---|---|\n"
+    sb ++= "compactor work). Settled reads are CONCURRENT GETs (8 clients) over\n"
+    sb ++= "every session against the version-keyed plan cache (bounded LRU,\n"
+    sb ++= "256 entries — 80 sessions exercise 80 distinct keys):\n\n"
+    sb ++= "| scale | rows | rows/s | posts | post p50 | post p99 | settled reads/s | read rows/s | read p50 | read p99 | errors |\n|---|---|---|---|---|---|---|---|---|---|---|\n"
     Seq("1× (8 sessions)" -> base, "10× (80 sessions)" -> scaled).foreach {
       case (name, Some(r)) =>
-        sb ++= f"| $name | ${r.rows} | ${r.rowsPerSec}%.0f | ${r.posts} | ${r.p50Ms}%.1f ms | ${r.p99Ms}%.1f ms | ${r.errors} |\n"
-      case (name, None) => sb ++= s"| $name | FAILED | | | | | |\n"
+        sb ++= f"| $name | ${r.rows} | ${r.rowsPerSec}%.0f | ${r.posts} | ${r.p50Ms}%.1f ms | ${r.p99Ms}%.1f ms | ${r.roReadsPerSec}%.1f | ${r.roRowsPerSec}%.0f | ${r.readP50Ms}%.1f ms | ${r.readP99Ms}%.1f ms | ${r.errors} |\n"
+      case (name, None) => sb ++= s"| $name | FAILED | | | | | | | | | |\n"
     }
     sb ++= "\nGC-sweep dedup under the maintenance lease (two gateways, one\n"
     sb ++= "manifest root, 100 ms maintenance cadence, ~2 s window; sweeps are\n"

@@ -112,22 +112,39 @@ final class CasStateStore(fs: FileSystem, dir: Path,
 
   /** Claim `version` with `payload`; true = committed (and old
     * versions pruned). False = slot taken — the caller re-resolves,
-    * re-applies its mutation, and retries at the new frontier. */
-  def tryCommit(version: Long, payload: String): Boolean = {
+    * re-applies its mutation, and retries at the new frontier.
+    *
+    * `resolvedAtMs` (0 = unknown) is when the caller's resolve
+    * observed the predecessor frontier — it selects the ABA guard:
+    *
+    *  - FRESH resolve (younger than half the prune grace): ONE
+    *    existence probe of the target slot suffices. The hazard the
+    *    guard exists for is a target slot CLAIMED by someone else and
+    *    then VACATED by prune below the live frontier — but prune only
+    *    deletes files whose mtime predates the grace horizon, and any
+    *    claim of the target after our resolve carries an mtime newer
+    *    than the resolve, so within the half-grace window a vacated
+    *    slot is structurally impossible: a lost slot still HAS its
+    *    file, and the probe sees it. (The target cannot have been
+    *    claimed BEFORE our resolve either — resolve's clean-frontier
+    *    proof is "slot readable ∧ slot+1 absent", and prune deletes
+    *    ascending.) This keeps the commit path at O(1) filesystem ops
+    *    regardless of how many in-grace version files a mutation burst
+    *    has accumulated — the listing guard made a 10⁴-mutation burst
+    *    quadratic (measured in ServiceScaleCheck's catalog rows).
+    *  - STALE/UNKNOWN resolve: the original full listing — if any
+    *    version ≥ the target exists, this attempt already lost. A
+    *    version created AFTER this listing cannot have been pruned yet
+    *    (grace exceeds listing→claim latency in any real config;
+    *    graceMs=0 is test-only). */
+  def tryCommit(version: Long, payload: String,
+                resolvedAtMs: Long = 0L): Boolean = {
     fs.mkdirs(dir)
-    // ABA guard: a committer that stalls between resolve and claim for
-    // longer than the prune grace (GC/VM pause) can find its target
-    // slot EMPTY because prune vacated it below the live frontier —
-    // claiming it would "succeed" while every reader lists the higher
-    // frontier, silently dropping the mutation cluster-wide. One
-    // listing immediately before the claim closes the hole: if any
-    // version ≥ the target exists, this attempt already lost. A
-    // version created AFTER this listing cannot have been pruned yet
-    // (prune only deletes files older than the grace window, which
-    // must exceed the listing→claim latency — any real configuration
-    // does; graceMs=0 is a test-only setting).
+    val freshResolve = resolvedAtMs > 0L &&
+      System.currentTimeMillis() - resolvedAtMs < pruneGraceMs / 2
     val occupied = try {
-      fs.listStatus(dir).exists { st =>
+      if (freshResolve) fs.exists(pathOf(version))
+      else fs.listStatus(dir).exists { st =>
         st.isFile && versionRe.matches(st.getPath.getName) &&
           versionOf(st.getPath) >= version
       }

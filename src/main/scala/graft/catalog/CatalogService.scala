@@ -119,6 +119,7 @@ final class CatalogService(root: Option[Path] = None,
       var dirty = false
       while (true) {
         val result: Option[A] = synchronized {
+          val resolvedAt = System.currentTimeMillis()
           val (slot, valid, payload) = st.resolve()
           applyShared(valid, payload, force = dirty)
           dirty = false
@@ -139,7 +140,11 @@ final class CatalogService(root: Option[Path] = None,
               // commit moved the version. Poison the loaded version so
               // the next access force-reloads committed state, then
               // propagate.
-              try st.tryCommit(valid + 1, stateJson)
+              // resolvedAt selects the O(1) ABA guard: the resolve ran
+              // microseconds ago on this code path, far inside the
+              // half-grace freshness window (a GC pause between the
+              // two falls back to the listing guard by itself)
+              try st.tryCommit(valid + 1, stateJson, resolvedAt)
               catch { case t: Throwable => loadedVersion = -1L; throw t }
             }
             if (committed) { loadedVersion = valid + 1; Some(a) }

@@ -230,6 +230,27 @@ class CatalogServiceSpec extends AnyFunSuite {
       "the stale claim must not disturb the live frontier")
   }
 
+  test("shared catalog: fresh-resolve O(1) ABA guard commits and refuses correctly; stale resolves take the listing guard") {
+    val dir = Files.createTempDirectory("cat-cas")
+    val st = sharedStore(dir, keep = 4, graceMs = 60000)
+    (1L to 5L).foreach(v =>
+      assert(st.tryCommit(v, s"""{"v":$v}""", System.currentTimeMillis())))
+    // fast path: an occupied slot is refused by the single existence probe
+    assert(!st.tryCommit(5L, """{"dup":true}""", System.currentTimeMillis()))
+    // fast path: the real frontier slot commits
+    assert(st.tryCommit(6L, """{"v":6}""", System.currentTimeMillis()))
+    // a resolve older than half the grace must fall back to the listing
+    // guard and still detect a prune-vacated slot (graceMs=0 makes every
+    // resolvedAt stale AND lets prune vacate immediately)
+    val dir2 = Files.createTempDirectory("cat-cas")
+    val st2 = sharedStore(dir2, keep = 4, graceMs = 0)
+    (1L to 12L).foreach(v => assert(st2.tryCommit(v, s"""{"v":$v}""")))
+    assert(!st2.tryCommit(2L, """{"stale":true}""", System.currentTimeMillis()),
+      "a stale-resolve claim of a vacated slot slipped past the listing guard")
+    val (_, valid, _) = st2.resolve()
+    assert(valid == 12L)
+  }
+
   test("shared catalog: version chain stays bounded under sustained mutation (prune)") {
     val dir = Files.createTempDirectory("cat-cas")
     val c = new CatalogService(shared = Some(sharedStore(dir, keep = 8, graceMs = 0)))
