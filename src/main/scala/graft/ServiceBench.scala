@@ -262,6 +262,12 @@ object ServiceBench {
         }, s"svc-ro-reader-$t")
       }
       roRunners.foreach(_.start()); roRunners.foreach(_.join(300000))
+      // a reader hung past the join timeout would let the stats below
+      // be computed while threads still append to readNanos — the tier
+      // must FAIL loudly instead of publishing silently-wrong numbers
+      val stragglers = roRunners.count(_.isAlive)
+      require(stragglers == 0,
+        s"$stragglers read-only client(s) still running after 300s — read stats unusable")
       val roDt = (System.nanoTime() - ro0) / 1e9
       val (roOk, roRows) = (roOkA.get, roRowsA.get)
       val rows = appendsOk.get.toLong * rowsPerBatch

@@ -270,6 +270,31 @@ object SparkEntry {
       |  WHERE len(w) >= 3
       |)""".stripMargin
 
+  // Shared DuckDB CTE chain: the per-document curation gate inputs —
+  // exact-dup window (md5-text groups) + the four Gopher quality flags
+  // folded to ok_q. ONE definition: pipe_curation_manifest and
+  // pipe_curation_run gate on exactly these thresholds, and a future
+  // retune that edited only one copy would leave the other oracle
+  // silently asserting the stale gate (the fork hazard every shared
+  // CTE val here exists to prevent).
+  private val curationGatesCte =
+    """d AS (
+      |  SELECT doc_id, source,
+      |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      |q AS (
+      |  SELECT doc_id, SUM(n) AS nw, SUM(n * length(tok)) AS sum_len,
+      |    SUM(CASE WHEN tok IN ('the','a','of','and','to') THEN n ELSE 0 END) AS n_stop,
+      |    MAX(n) AS max_tok
+      |  FROM pt GROUP BY 1),
+      |f AS (
+      |  SELECT doc_id,
+      |    (nw >= 25 AND nw <= 90 AND sum_len >= 4 * nw AND sum_len <= 5 * nw
+      |     AND 50 * n_stop >= nw AND 25 * max_tok <= 3 * nw) AS ok_q
+      |  FROM q)""".stripMargin
+
   // Shared DuckDB CTE chain: DF-capped shingles → Jaccard≥0.5 near-dup
   // pairs → connected components as a recursive CTE (`comp(doc_id,
   // comp_id)` = true component minimum — converges to the same fixpoint
@@ -2290,22 +2315,7 @@ object SparkEntry {
     "pipe_curation_manifest" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte,
-         |d AS (
-         |  SELECT doc_id, source,
-         |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
-         |  FROM documents),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
-         |q AS (
-         |  SELECT doc_id, SUM(n) AS nw, SUM(n * length(tok)) AS sum_len,
-         |    SUM(CASE WHEN tok IN ('the','a','of','and','to') THEN n ELSE 0 END) AS n_stop,
-         |    MAX(n) AS max_tok
-         |  FROM pt GROUP BY 1),
-         |f AS (
-         |  SELECT doc_id,
-         |    (nw >= 25 AND nw <= 90 AND sum_len >= 4 * nw AND sum_len <= 5 * nw
-         |     AND 50 * n_stop >= nw AND 25 * max_tok <= 3 * nw) AS ok_q
-         |  FROM q),
+         |$curationGatesCte,
          |j AS (
          |  SELECT d.source,
          |    CASE WHEN d.exact_dup THEN 'exact_dup'
@@ -2327,22 +2337,7 @@ object SparkEntry {
       // the citation pins on a clean run.
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte,
-         |d AS (
-         |  SELECT doc_id, source,
-         |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
-         |  FROM documents),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
-         |q AS (
-         |  SELECT doc_id, SUM(n) AS nw, SUM(n * length(tok)) AS sum_len,
-         |    SUM(CASE WHEN tok IN ('the','a','of','and','to') THEN n ELSE 0 END) AS n_stop,
-         |    MAX(n) AS max_tok
-         |  FROM pt GROUP BY 1),
-         |f AS (
-         |  SELECT doc_id,
-         |    (nw >= 25 AND nw <= 90 AND sum_len >= 4 * nw AND sum_len <= 5 * nw
-         |     AND 50 * n_stop >= nw AND 25 * max_tok <= 3 * nw) AS ok_q
-         |  FROM q),
+         |$curationGatesCte,
          |keep AS (
          |  SELECT d.doc_id
          |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id

@@ -25,6 +25,15 @@ import graft.storage.Cas
   * is current-state-only, exactly like the reference's SQLite tables
   * (auth.py:25-84).
   */
+object CasStateStore {
+  /** Minimum prune grace for the O(1) fresh-resolve commit guard: the
+    * freshness window is grace/4, leaving ≥ 3·grace/4 (15 s here) of
+    * slack that must dominate cross-host clock skew — NTP-disciplined
+    * fleets sit at milliseconds; a fleet that can't promise seconds of
+    * agreement should raise the grace, not shrink this. */
+  private[catalog] val MinFastPathGraceMs = 20000L
+}
+
 final class CasStateStore(fs: FileSystem, dir: Path,
                           keepVersions: Int = 32,
                           pruneGraceMs: Long = 60000L) {
@@ -117,13 +126,13 @@ final class CasStateStore(fs: FileSystem, dir: Path,
     * `resolvedAtMs` (0 = unknown) is when the caller's resolve
     * observed the predecessor frontier — it selects the ABA guard:
     *
-    *  - FRESH resolve (younger than half the prune grace): ONE
+    *  - FRESH resolve (younger than a QUARTER of the prune grace): ONE
     *    existence probe of the target slot suffices. The hazard the
     *    guard exists for is a target slot CLAIMED by someone else and
     *    then VACATED by prune below the live frontier — but prune only
     *    deletes files whose mtime predates the grace horizon, and any
     *    claim of the target after our resolve carries an mtime newer
-    *    than the resolve, so within the half-grace window a vacated
+    *    than the resolve, so within the freshness window a vacated
     *    slot is structurally impossible: a lost slot still HAS its
     *    file, and the probe sees it. (The target cannot have been
     *    claimed BEFORE our resolve either — resolve's clean-frontier
@@ -132,6 +141,15 @@ final class CasStateStore(fs: FileSystem, dir: Path,
     *    regardless of how many in-grace version files a mutation burst
     *    has accumulated — the listing guard made a 10⁴-mutation burst
     *    quadratic (measured in ServiceScaleCheck's catalog rows).
+    *    CLOCK CONTRACT: the freshness argument compares THIS host's
+    *    clock against mtimes another gateway's prune judged by ITS
+    *    clock (the same cross-host assumption prune's reader grace
+    *    already makes), so the fast path demands margin: it engages
+    *    only when the grace is large enough that the remaining
+    *    3/4-grace slack dominates any NTP-grade skew
+    *    ([[CasStateStore.MinFastPathGraceMs]] ≥ 20 s grace → ≥ 15 s
+    *    slack), and otherwise falls back to the listing guard, which
+    *    has no clock dependency.
     *  - STALE/UNKNOWN resolve: the original full listing — if any
     *    version ≥ the target exists, this attempt already lost. A
     *    version created AFTER this listing cannot have been pruned yet
@@ -141,7 +159,8 @@ final class CasStateStore(fs: FileSystem, dir: Path,
                 resolvedAtMs: Long = 0L): Boolean = {
     fs.mkdirs(dir)
     val freshResolve = resolvedAtMs > 0L &&
-      System.currentTimeMillis() - resolvedAtMs < pruneGraceMs / 2
+      pruneGraceMs >= CasStateStore.MinFastPathGraceMs &&
+      System.currentTimeMillis() - resolvedAtMs < pruneGraceMs / 4
     val occupied = try {
       if (freshResolve) fs.exists(pathOf(version))
       else fs.listStatus(dir).exists { st =>

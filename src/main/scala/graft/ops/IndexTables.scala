@@ -551,27 +551,70 @@ object IndexTables {
     * DF-capped shingle index does NOT — its cap is corpus-relative, so
     * correct maintenance requires updating document frequencies (a
     * periodic rebuild, exactly like a search engine's segment merge). */
-  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
-    val name = currentIvfTable(s, dir)
-    // checkpoint: the crossJoin-assignment feeds the count AND the
-    // write — one execution, not two, per ingest batch
-    val assigned = Similarity.assignNew(s, dir, newVecs).localCheckpoint()
-    val n = assigned.count()
-    if (n > 0) withTableLock(name) { // a rebuild snapshotting mid-append would drop these rows
-      // saveAsTable(append) resolves columns BY NAME against the
-      // catalog schema (insertInto is positional — a silent column
-      // swap hazard with partition columns reordered to the end). No
-      // format(): the table's provider is whatever ensureIvfIndex
-      // created it with (the session default) — restating one here
-      // would break the append under any other default.
-      assigned
-        .repartition(org.apache.spark.sql.functions.col("list_id"))
-        .write.mode("append")
-        .partitionBy("list_id") // must restate the table's partition spec
-        .saveAsTable(name)
-      refreshBoth(s, assigned, name)
+  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long =
+    appendAnnBatch(s, dir, "n_id", rowsPerVec = 1L,
+      (g: Long) => annIvfTableAt(s, dir, g),
+      (g: Long) => Similarity.assignNewAt(s, dir, newVecs, g))
+
+  /** The generation-safe append shared by the IVF and PQ paths: encode
+    * under ONE resolved generation, then commit under the table lock
+    * ONLY IF that generation is still current — a rebuild flipping the
+    * pointer between the (expensive, unlocked) encode and the write
+    * would otherwise strand the batch in a superseded table the next
+    * GC deletes, while the rebuild's own snapshot (taken under the
+    * same lock) never saw it. On a retry the batch is re-encoded under
+    * the NEW generation's parameters (the old encoding is meaningless
+    * there) and rows whose ids the rebuild already carried over are
+    * anti-joined away: if the sibling append landed before the swap,
+    * the rebuild re-encoded those vectors itself, and appending them
+    * again would double their ADC contributions. Returns vectors
+    * appended (possibly 0 when the rebuild carried the whole batch). */
+  private def appendAnnBatch(s: SparkSession, dir: String,
+                             idCol: String, rowsPerVec: Long,
+                             nameAt: Long => String,
+                             encodeAt: Long => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      val g = annGeneration(s, dir)
+      val name = nameAt(g)
+      // checkpoint: the encode feeds the count AND the write — one
+      // execution, not two, per ingest batch
+      val encodedAll = encodeAt(g).localCheckpoint()
+      val encoded =
+        if (attempt == 0) encodedAll
+        else {
+          // retry after a swap: drop rows the rebuild already re-encoded
+          val present = s.table(name)
+            .select(org.apache.spark.sql.functions.col(idCol)).distinct()
+          val filtered = encodedAll.join(present, Seq(idCol), "left_anti").localCheckpoint()
+          Tables.unpersistCheckpoint(encodedAll)
+          filtered
+        }
+      val n = encoded.count()
+      if (n == 0) { Tables.unpersistCheckpoint(encoded); return 0L }
+      val committed = withTableLock(name) {
+        if (annGeneration(s, dir) != g) false // swapped mid-encode: re-encode for the new generation
+        else {
+          // saveAsTable(append) resolves columns BY NAME against the
+          // catalog schema (insertInto is positional — a silent column
+          // swap hazard with partition columns reordered to the end).
+          // No format(): the table's provider is whatever the gen-0
+          // ensure created it with (the session default) — restating
+          // one here would break the append under any other default.
+          encoded
+            .repartition(org.apache.spark.sql.functions.col("list_id"))
+            .write.mode("append")
+            .partitionBy("list_id") // must restate the table's partition spec
+            .saveAsTable(name)
+          refreshBoth(s, encoded, name)
+          true
+        }
+      }
+      Tables.unpersistCheckpoint(encoded)
+      if (committed) return n / rowsPerVec
+      attempt += 1
     }
-    n
+    0L // unreachable
   }
 
   /** IVF-PQ code table: every vector's product-quantization codes keyed
@@ -611,20 +654,10 @@ object IndexTables {
     * join (spec'd: the paired append surfaces the new vector in
     * served results). `newVecs` is (vec_id, embedding); returns
     * vectors appended (code rows / PqM). */
-  def appendToPqIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long = {
-    val name = currentPqTable(s, dir)
-    val coded = Similarity.pqCodesForNew(s, dir, newVecs).localCheckpoint()
-    val n = coded.count() / Similarity.PqM
-    if (n > 0) withTableLock(name) { // a rebuild snapshotting mid-append would drop these rows
-      coded
-        .repartition(org.apache.spark.sql.functions.col("list_id"))
-        .write.mode("append")
-        .partitionBy("list_id")
-        .saveAsTable(name)
-      refreshBoth(s, coded, name)
-    }
-    n
-  }
+  def appendToPqIndex(s: SparkSession, dir: String, newVecs: DataFrame): Long =
+    appendAnnBatch(s, dir, "n_id", rowsPerVec = Similarity.PqM.toLong,
+      (g: Long) => annPqTableAt(s, dir, g),
+      (g: Long) => Similarity.pqCodesForNewAt(s, dir, newVecs, g))
 
   // ---- ANN index GENERATIONS: rebuild-while-serving (round 10) ----
   //
@@ -701,20 +734,26 @@ object IndexTables {
   private[ops] def annPqName(dir: String, g: Long): String =
     if (g == 0L) s"idx_pq_codes_${tag(dir)}" else s"idx_pq_g${g}_${tag(dir)}"
 
-  /** The IVF table the serving paths read NOW: generation-resolved,
-    * with the gen-0 build ensured lazily (a retrained generation was
-    * fully written before its pointer flipped, so it never needs an
-    * ensure). */
-  def currentIvfTable(s: SparkSession, dir: String): String = {
-    val g = annGeneration(s, dir)
+  /** Generation `g`'s IVF table name, with the gen-0 build ensured
+    * lazily (a retrained generation was fully written before its
+    * pointer flipped, so it never needs an ensure). Callers resolve
+    * `g` ONCE per operation and derive every table from it — the
+    * single-resolution contract ([[Similarity.servingCentroidsAt]]). */
+  private[ops] def annIvfTableAt(s: SparkSession, dir: String, g: Long): String =
     if (g == 0L) ensureIvfIndex(s, dir) else annIvfName(dir, g)
-  }
+
+  private[ops] def annPqTableAt(s: SparkSession, dir: String, g: Long): String =
+    if (g == 0L) ensurePqIndex(s, dir) else annPqName(dir, g)
+
+  /** The IVF table the serving paths read NOW (one-shot resolution —
+    * multi-relation consumers use [[annIvfTableAt]] under one shared
+    * generation instead). */
+  def currentIvfTable(s: SparkSession, dir: String): String =
+    annIvfTableAt(s, dir, annGeneration(s, dir))
 
   /** The PQ code table the serving paths read now — same resolution. */
-  def currentPqTable(s: SparkSession, dir: String): String = {
-    val g = annGeneration(s, dir)
-    if (g == 0L) ensurePqIndex(s, dir) else annPqName(dir, g)
-  }
+  def currentPqTable(s: SparkSession, dir: String): String =
+    annPqTableAt(s, dir, annGeneration(s, dir))
 
   /** REBUILD-WHILE-SERVING: retrain the coarse quantizer and the PQ
     * codebook on the index's CURRENT vectors (base corpus plus every
@@ -752,9 +791,11 @@ object IndexTables {
           org.apache.spark.sql.functions.col("n_id").as("vec_id"),
           org.apache.spark.sql.functions.col("n_v").as("v"),
           org.apache.spark.sql.functions.col("n_norm").as("norm"))
+        var newCents: DataFrame = null
+        var newCw: DataFrame = null
         try {
-          val newCents = Similarity.retrainCentroids(s, cur).localCheckpoint()
-          val newCw = Similarity.retrainCodebook(s, curVs)
+          newCents = Similarity.retrainCentroids(s, cur).localCheckpoint()
+          newCw = Similarity.retrainCodebook(s, curVs)
           val (ivf, pq) = Similarity.reindexUnder(curVs, newCents, newCw)
           // overwrite, not fail-if-exists: a crashed previous attempt's
           // orphan tables at these names are stale garbage by definition
@@ -786,7 +827,11 @@ object IndexTables {
               s"ANN generation $next already claimed for $dir — a rebuild ran " +
                 "outside the maintenance lease; staged tables may be torn")
           (next, nVecs)
-        } finally Tables.unpersistCheckpoint(cur) // maintenance must not pin index-sized blocks
+        } finally { // maintenance must not pin index-sized blocks
+          Tables.unpersistCheckpoint(cur)
+          if (newCents != null) Tables.unpersistCheckpoint(newCents)
+          if (newCw != null) Tables.unpersistCheckpoint(newCw)
+        }
       } }
     }
 
@@ -794,25 +839,36 @@ object IndexTables {
     * pointer — the snapshot-expiry sweep. In-flight queries pinned to
     * a dropped generation fail at scan time, so a deployment runs this
     * on the same grace cadence as ManifestLog.expire (after the
-    * longest query deadline). Returns tables dropped. */
-  def gcAnnGenerations(s: SparkSession, dir: String): Int = {
-    val cur = annGeneration(s, dir)
-    var dropped = 0
-    def sweep(g: Long): Unit = {
-      val names = Seq(annIvfName(dir, g), annPqName(dir, g)) ++
-        (if (g > 0L) Seq(annCentsName(dir, g), annCwName(dir, g)) else Seq.empty)
-      names.foreach { n =>
-        if (s.catalog.tableExists(n)) { s.sql(s"DROP TABLE $n"); dropped += 1 }
-        deleteWarehouseDir(s, n)
+    * longest query deadline). Runs under the SAME maintenance lease as
+    * [[rebuildAnnIndexes]]: an unguarded sweep racing a rebuild could
+    * observe the pre-flip pointer, then classify the freshly-claimed
+    * live generation as a dead epoch and drop it (review-caught). The
+    * one claim listing is taken FIRST and the servable generation
+    * derived from it, so the two can never straddle a flip. Returns
+    * Some(tables dropped), None when the lease is contended. */
+  def gcAnnGenerations(s: SparkSession, dir: String,
+                       holderId: String = "ann-gc"): Option[Int] =
+    compactionLease(s, dir, holderId).withLease {
+      val claimed = maxClaimedGen(s, dir)
+      var cur = claimed
+      while (cur > 0L && !s.catalog.tableExists(annIvfName(dir, cur))) cur -= 1
+      var dropped = 0
+      def sweep(g: Long): Unit = {
+        val names = Seq(annIvfName(dir, g), annPqName(dir, g)) ++
+          (if (g > 0L) Seq(annCentsName(dir, g), annCwName(dir, g)) else Seq.empty)
+        names.foreach { n =>
+          if (s.catalog.tableExists(n)) { s.sql(s"DROP TABLE $n"); dropped += 1 }
+          deleteWarehouseDir(s, n)
+        }
       }
+      (0L until cur).foreach(sweep)
+      // DEAD EPOCHS above the servable generation: slots claimed by a
+      // previous process whose catalog registration died with its JVM —
+      // their warehouse dirs are unreferenced data. Slots ABOVE the max
+      // claim would be a concurrent rebuild's in-progress staging, but
+      // under the lease there is no concurrent rebuild — still never
+      // touched, by construction of the range.
+      ((cur + 1L) to claimed).foreach(sweep)
+      dropped
     }
-    (0L until cur).foreach(sweep)
-    // DEAD EPOCHS above the servable generation: slots claimed by a
-    // previous process whose catalog registration died with its JVM —
-    // their warehouse dirs are unreferenced data. Slots ABOVE the max
-    // claim are a concurrent rebuild's in-progress staging and are
-    // never touched.
-    ((cur + 1L) to maxClaimedGen(s, dir)).foreach(sweep)
-    dropped
-  }
 }

@@ -252,34 +252,41 @@ object Similarity {
     * embedding) in the embeddings-table shape; output matches the
     * persisted index columns (n_id, list_id, n_v, n_norm). */
   private[ops] def assignNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame =
+    assignNewAt(s, dir, newVecs, IndexTables.annGeneration(s, dir))
+
+  /** [[assignNew]] under an EXPLICIT generation — the append retry
+    * loop resolves the generation once and encodes under exactly it. */
+  private[ops] def assignNewAt(s: SparkSession, dir: String, newVecs: DataFrame,
+                               g: Long): DataFrame =
     // normify registers graft_dot on newVecs' OWN session — inside a
     // foreachBatch that is a clone whose registry predates any main-
     // session registration, and the expressions analyze there
     nearestCentroids(normify(newVecs.select(col("vec_id"), col("embedding"))),
-                     servingCentroids(s, dir), 1, "n")
+                     servingCentroidsAt(s, dir, g), 1, "n")
 
-  /** The coarse quantizer the INDEXED serving paths and the index
-    * appends run under — generation-resolved: the deterministic seed
-    * set while the ANN index has never been retrained (generation 0 —
-    * identical values to [[seedCentroids]], which is what keeps every
-    * oracle row exact), the persisted retrained centroid table after a
+  /** The coarse quantizer of ANN generation `g` — the deterministic
+    * seed set at generation 0 (identical values to [[seedCentroids]],
+    * which is what keeps every oracle row exact), the persisted
+    * retrained centroid table after a
     * [[IndexTables.rebuildAnnIndexes]] swap. The UNINDEXED twins
     * (ivfTopK, ivfCellStats, SemDeDup...) stay seed-based by design:
-    * they ARE the build-from-corpus pipeline, not the served index. */
-  private[ops] def servingCentroids(s: SparkSession, dir: String): DataFrame = {
-    val g = IndexTables.annGeneration(s, dir)
+    * they ARE the build-from-corpus pipeline, not the served index.
+    *
+    * Callers resolve the generation ONCE per operation
+    * ([[IndexTables.annGeneration]]) and derive every relation —
+    * centroids, codebook, both index tables — from that one `g`: a
+    * swap landing mid-construction must never mix generations (gen-0
+    * probes filtering a gen-1 code table silently match nothing). */
+  private[ops] def servingCentroidsAt(s: SparkSession, dir: String, g: Long): DataFrame =
     if (g == 0L) seedCentroids(vectors(s, dir))
     else s.table(IndexTables.annCentsName(dir, g))
-  }
 
-  /** The PQ codebook the serving paths encode/score under — same
-    * generation resolution as [[servingCentroids]] (gen 0 = the seed
-    * codebook, value-identical to [[pqCodebook]]). */
-  private[ops] def servingCodebook(s: SparkSession, dir: String): DataFrame = {
-    val g = IndexTables.annGeneration(s, dir)
+  /** The PQ codebook of generation `g` — same single-resolution
+    * contract as [[servingCentroidsAt]] (gen 0 = the seed codebook,
+    * value-identical to [[pqCodebook]]). */
+  private[ops] def servingCodebookAt(s: SparkSession, dir: String, g: Long): DataFrame =
     if (g == 0L) { val subs = pqSubvectors(vectors(s, dir)); pqCodebook(subs) }
     else s.table(IndexTables.annCwName(dir, g))
-  }
 
   /** Deterministic farthest-point (Gonzalez) seeding over the CURRENT
     * corpus, cosine geometry — the retrain init. Starting a retrain
@@ -429,8 +436,11 @@ object Similarity {
     * same driver oracle. */
   def ivfTopKIndexed(s: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val (probes, lists) = probeSelection(s, dir, nQueries, nprobe)
-    val assigned = s.table(IndexTables.currentIvfTable(s, dir))
+    // ONE generation resolution per query: probes AND the table must
+    // come from the same generation (single-resolution contract)
+    val g = IndexTables.annGeneration(s, dir)
+    val (probes, lists) = probeSelection(s, dir, nQueries, nprobe, g)
+    val assigned = s.table(IndexTables.annIvfTableAt(s, dir, g))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
     ivfSearchWithProbes(probes, assigned, k)
@@ -452,10 +462,10 @@ object Similarity {
     * 10⁹ vectors and nlist=10⁵ this is the difference between scanning
     * nprobe inverted lists and scanning the corpus. */
   private def probeSelection(s: SparkSession, dir: String,
-                             nQueries: Int, nprobe: Int): (DataFrame, Seq[Long]) = {
+                             nQueries: Int, nprobe: Int, g: Long): (DataFrame, Seq[Long]) = {
     val vs = vectors(s, dir)
     val probesPlan = nearestCentroids(
-      vs.filter(col("vec_id") < nQueries), servingCentroids(s, dir), nprobe, "q")
+      vs.filter(col("vec_id") < nQueries), servingCentroidsAt(s, dir, g), nprobe, "q")
     val probeRows = probesPlan.collect()
     val probes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
@@ -471,7 +481,8 @@ object Similarity {
   private[ops] def probedLists(s: SparkSession, dir: String,
                                nQueries: Int, nprobe: Int): Seq[Long] = {
     val vs = vectors(s, dir)
-    nearestCentroids(vs.filter(col("vec_id") < nQueries), servingCentroids(s, dir), nprobe, "q")
+    val g = IndexTables.annGeneration(s, dir)
+    nearestCentroids(vs.filter(col("vec_id") < nQueries), servingCentroidsAt(s, dir, g), nprobe, "q")
       .select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
   }
@@ -810,10 +821,16 @@ object Similarity {
     * and FROZEN coarse quantizer (standard IVFPQ serving: neither
     * moves at ingest time, only at retrain) — the incremental seam for
     * [[IndexTables.appendToPqIndex]], mirroring [[assignNew]]. */
-  private[ops] def pqCodesForNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame = {
+  private[ops] def pqCodesForNew(s: SparkSession, dir: String, newVecs: DataFrame): DataFrame =
+    pqCodesForNewAt(s, dir, newVecs, IndexTables.annGeneration(s, dir))
+
+  /** [[pqCodesForNew]] under an EXPLICIT generation ([[assignNewAt]]'s
+    * rationale): codebook and coarse assignment from exactly `g`. */
+  private[ops] def pqCodesForNewAt(s: SparkSession, dir: String, newVecs: DataFrame,
+                                   g: Long): DataFrame = {
     val newSubs = pqSubvectors(normify(newVecs.select(col("vec_id"), col("embedding"))))
-    pqEncode(newSubs, servingCodebook(s, dir))
-      .join(assignNew(s, dir, newVecs).select(col("n_id"), col("list_id")),
+    pqEncode(newSubs, servingCodebookAt(s, dir, g))
+      .join(assignNewAt(s, dir, newVecs, g).select(col("n_id"), col("list_id")),
             col("vec_id") === col("n_id"))
       .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
   }
@@ -837,11 +854,16 @@ object Similarity {
                 nQueries: Int = 8, k: Int = 5, nprobe: Int = 2,
                 shortlist: Int = 100): DataFrame = {
     val vs = vectors(s, dir)
-    val (probes, lists) = probeSelection(s, dir, nQueries, nprobe)
-    val codes = s.table(IndexTables.currentPqTable(s, dir))
+    // ONE generation resolution per query: probes, LUT codebook, code
+    // table and rerank table must all come from the same generation —
+    // a swap between two resolutions would filter a gen-g+1 code table
+    // by gen-g list ids and silently match nothing
+    val g = IndexTables.annGeneration(s, dir)
+    val (probes, lists) = probeSelection(s, dir, nQueries, nprobe, g)
+    val codes = s.table(IndexTables.annPqTableAt(s, dir, g))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
-    val lut = pqLut(pqSubvectors(vs), servingCodebook(s, dir), nQueries)
+    val lut = pqLut(pqSubvectors(vs), servingCodebookAt(s, dir, g), nQueries)
     val cands = codes
       .join(broadcast(probes.select(col("q_id").as("query_id"), col("list_id"))), Seq("list_id"))
       .filter(col("n_id") =!= col("query_id"))
@@ -858,7 +880,7 @@ object Similarity {
     // values by construction (the assignment carries the vector), so
     // the oracle is unchanged; the rerank scan is also partition-
     // pruned instead of corpus-wide.
-    val nv = s.table(IndexTables.currentIvfTable(s, dir))
+    val nv = s.table(IndexTables.annIvfTableAt(s, dir, g))
       .filter(col("list_id").isin(lists: _*))
       .select(col("n_id").as("neighbor_id"), col("n_v").as("nv"), col("n_norm").as("nnorm"))
     pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k, nv)
@@ -1118,6 +1140,15 @@ object Similarity {
     * N-proportional work is the shared moment pass, a map-side
     * projection into a 2,144-group aggregate with no join. */
   def covariance(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // k <= 0 = "report disabled": the retired window form returned
+    // empty rows for it, and graft_topk rejects non-positive k at
+    // analysis time — keep the old contract instead of crashing. The
+    // guard runs BEFORE the moment relation: its memoized build is an
+    // EAGER corpus scan + checkpoint, and a disabled report must cost
+    // nothing (review-caught)
+    if (k <= 0)
+      return s.createDataFrame(Seq.empty[(Long, Long, Double, Long)])
+        .toDF("i", "j", "cov", "rk")
     val m = moments(s, dir)
     val sums = m.filter(col("j") === -1).select(col("i"), col("sxy").as("sx"))
     val pairs = m.filter(col("j") >= 0 && col("i") < col("j"))
@@ -1128,12 +1159,6 @@ object Similarity {
         (col("sxy").cast("double") / col("n")
           - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
         / 1000000000000.0)
-    // k <= 0 = "report disabled": the retired window form returned
-    // empty rows for it, and graft_topk rejects non-positive k at
-    // analysis time — keep the old contract instead of crashing
-    if (k <= 0)
-      return cov.select(col("i"), col("j"), col("cov"),
-        lit(0L).as("rk")).limit(0)
     // Global top-k via the in-house bounded aggregate instead of a
     // single-partition row_number window (round-8, closing the last
     // unpartitioned WindowExec in the engine): partial k-pair buffers

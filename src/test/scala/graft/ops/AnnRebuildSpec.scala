@@ -182,8 +182,8 @@ class AnnRebuildSpec extends SparkSuite {
     assert(IndexTables.rebuildAnnIndexes(spark, fix, "spec-gc").isDefined)
     val gen0Ivf = IndexTables.annIvfName(fix, 0L)
     assert(spark.catalog.tableExists(gen0Ivf), "gen 0 must survive the swap for in-flight readers")
-    val dropped = IndexTables.gcAnnGenerations(spark, fix)
-    assert(dropped == 2, s"expected the 2 gen-0 tables dropped, got $dropped")
+    val dropped = IndexTables.gcAnnGenerations(spark, fix, "spec-gc-sweep")
+    assert(dropped.contains(2), s"expected the 2 gen-0 tables dropped, got $dropped")
     assert(!spark.catalog.tableExists(gen0Ivf))
     assert(spark.catalog.tableExists(IndexTables.annIvfName(fix, 1L)))
     assert(Similarity.ivfPqTopK(spark, fix, nQueries = 4, k = 3).count() > 0)
