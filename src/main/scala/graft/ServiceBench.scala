@@ -250,8 +250,11 @@ object ServiceBench {
             try {
               val g0 = System.nanoTime()
               val resp = send("GET", s"/api/logs/bench/w${i % nWriters + 1}", None, Some(token))
-              readNanos.add(System.nanoTime() - g0)
               if (resp.statusCode == 200) {
+                // sample latency only for successes: a fast 404/500
+                // must not dilute the settled-read percentiles while
+                // also counting as an error
+                readNanos.add(System.nanoTime() - g0)
                 roOkA.incrementAndGet()
                 "\"total_rows\":(\\d+)".r.findFirstMatchIn(resp.body)
                   .foreach(g => roRowsA.addAndGet(g.group(1).toLong))

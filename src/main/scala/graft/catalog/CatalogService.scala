@@ -142,8 +142,9 @@ final class CatalogService(root: Option[Path] = None,
               // propagate.
               // resolvedAt selects the O(1) ABA guard: the resolve ran
               // microseconds ago on this code path, far inside the
-              // half-grace freshness window (a GC pause between the
-              // two falls back to the listing guard by itself)
+              // quarter-grace freshness window CasStateStore.tryCommit
+              // implements (a GC pause between the two falls back to
+              // the listing guard by itself)
               try st.tryCommit(valid + 1, stateJson, resolvedAt)
               catch { case t: Throwable => loadedVersion = -1L; throw t }
             }

@@ -68,6 +68,15 @@ object IndexTables {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Durable (on-disk) presence of a table's warehouse directory —
+    * the truth GC must reason from: session-catalog registration dies
+    * with the JVM, warehouse data does not. */
+  private def warehouseDirExists(s: SparkSession, name: String): Boolean = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(warehouse, name))
+  }
+
   /** Complete a crashed staged-swap: final table missing but its
     * `_stage` twin present and complete → rename it into place. */
   private[ops] def repairStaged(s: SparkSession, name: String): Unit =
@@ -564,32 +573,33 @@ object IndexTables {
     * GC deletes, while the rebuild's own snapshot (taken under the
     * same lock) never saw it. On a retry the batch is re-encoded under
     * the NEW generation's parameters (the old encoding is meaningless
-    * there) and rows whose ids the rebuild already carried over are
-    * anti-joined away: if the sibling append landed before the swap,
-    * the rebuild re-encoded those vectors itself, and appending them
-    * again would double their ADC contributions. Returns vectors
-    * appended (possibly 0 when the rebuild carried the whole batch). */
+    * there). Rows whose ids the target table already carries are
+    * anti-joined away on EVERY attempt, not just retries: the sibling
+    * append can land before a swap, letting the rebuild re-encode
+    * those vectors into the new generation's tables before this append
+    * ever loops — appending them again on attempt 0 would double their
+    * ADC contributions. The unconditional guard also makes the append
+    * idempotent under at-least-once redelivery of an ingest batch.
+    * Returns vectors appended (possibly 0 when the target already has
+    * the whole batch). */
   private def appendAnnBatch(s: SparkSession, dir: String,
                              idCol: String, rowsPerVec: Long,
                              nameAt: Long => String,
                              encodeAt: Long => DataFrame): Long = {
-    var attempt = 0
     while (true) {
       val g = annGeneration(s, dir)
       val name = nameAt(g)
       // checkpoint: the encode feeds the count AND the write — one
       // execution, not two, per ingest batch
       val encodedAll = encodeAt(g).localCheckpoint()
-      val encoded =
-        if (attempt == 0) encodedAll
-        else {
-          // retry after a swap: drop rows the rebuild already re-encoded
-          val present = s.table(name)
-            .select(org.apache.spark.sql.functions.col(idCol)).distinct()
-          val filtered = encodedAll.join(present, Seq(idCol), "left_anti").localCheckpoint()
-          Tables.unpersistCheckpoint(encodedAll)
-          filtered
-        }
+      // drop rows whose ids the target already carries (rebuild
+      // carry-over or a redelivered batch) — on every attempt, because
+      // a rebuild can land between the paired IVF/PQ appends without
+      // this append ever observing a swap
+      val present = s.table(name)
+        .select(org.apache.spark.sql.functions.col(idCol)).distinct()
+      val encoded = encodedAll.join(present, Seq(idCol), "left_anti").localCheckpoint()
+      Tables.unpersistCheckpoint(encodedAll)
       val n = encoded.count()
       if (n == 0) { Tables.unpersistCheckpoint(encoded); return 0L }
       val committed = withTableLock(name) {
@@ -612,7 +622,6 @@ object IndexTables {
       }
       Tables.unpersistCheckpoint(encoded)
       if (committed) return n / rowsPerVec
-      attempt += 1
     }
     0L // unreachable
   }
@@ -850,21 +859,31 @@ object IndexTables {
                        holderId: String = "ann-gc"): Option[Int] =
     compactionLease(s, dir, holderId).withLease {
       val claimed = maxClaimedGen(s, dir)
+      // Servability is derived from DURABLE table-directory presence,
+      // NOT session-catalog registration (same truth source as the
+      // claim files themselves): in a fresh JVM the newest generation's
+      // tables are never registered, and a catalog-derived `cur` would
+      // walk to 0 and classify the durable current generation as a dead
+      // epoch — the sweep below would then permanently destroy all
+      // post-rebuild data (advice-caught). Write-then-flip ordering
+      // guarantees every claimed generation's dirs were complete on
+      // disk at claim time, so a claimed slot with no dir is one a
+      // PREVIOUS sweep already removed — re-sweeping it is a no-op.
       var cur = claimed
-      while (cur > 0L && !s.catalog.tableExists(annIvfName(dir, cur))) cur -= 1
+      while (cur > 0L && !warehouseDirExists(s, annIvfName(dir, cur))) cur -= 1
       var dropped = 0
       def sweep(g: Long): Unit = {
         val names = Seq(annIvfName(dir, g), annPqName(dir, g)) ++
           (if (g > 0L) Seq(annCentsName(dir, g), annCwName(dir, g)) else Seq.empty)
         names.foreach { n =>
           if (s.catalog.tableExists(n)) { s.sql(s"DROP TABLE $n"); dropped += 1 }
+          else if (warehouseDirExists(s, n)) dropped += 1
           deleteWarehouseDir(s, n)
         }
       }
       (0L until cur).foreach(sweep)
-      // DEAD EPOCHS above the servable generation: slots claimed by a
-      // previous process whose catalog registration died with its JVM —
-      // their warehouse dirs are unreferenced data. Slots ABOVE the max
+      // Slots ABOVE the durable current generation are claimed-but-
+      // swept leftovers (no dirs → no-op deletes). Slots above the max
       // claim would be a concurrent rebuild's in-progress staging, but
       // under the lease there is no concurrent rebuild — still never
       // touched, by construction of the range.

@@ -176,6 +176,42 @@ class AnnRebuildSpec extends SparkSuite {
     assert(IndexTables.annGeneration(spark, fix) == 0L)
   }
 
+  test("GC in a fresh JVM never destroys the durable current generation (catalog registration lost, dirs intact)") {
+    assume(hasTestData)
+    val fix = mkDriftFixture(blobSize = 4)
+    assert(IndexTables.rebuildAnnIndexes(spark, fix, "spec-fresh-gc").isDefined)
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirOf(n: String) = new org.apache.hadoop.fs.Path(warehouse, n)
+    // simulate a fresh JVM: the generation-1 claims and warehouse dirs
+    // outlive the session catalog, its table registrations do not.
+    // (DROP TABLE on a managed table deletes data, so park each dir
+    // aside across the drop.)
+    val gen1 = Seq(IndexTables.annIvfName(fix, 1L), IndexTables.annPqName(fix, 1L),
+      IndexTables.annCentsName(fix, 1L), IndexTables.annCwName(fix, 1L))
+    gen1.foreach { n =>
+      val p = dirOf(n); val park = dirOf(n + "__park")
+      assert(fs.rename(p, park), s"park failed for $n")
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      assert(fs.rename(park, p), s"unpark failed for $n")
+    }
+    gen1.foreach(n => assert(!spark.catalog.tableExists(n)))
+    val gen1IvfRows = spark.read.parquet(dirOf(gen1.head).toString).count()
+    assert(gen1IvfRows > 0L)
+    // the sweep must classify gen 1 as the durable current generation
+    // (disk-derived), drop only gen 0 below it, and leave every gen-1
+    // dir byte-identical
+    val dropped = IndexTables.gcAnnGenerations(spark, fix, "spec-fresh-gc-sweep")
+    assert(dropped.isDefined)
+    gen1.foreach { n =>
+      assert(fs.exists(dirOf(n)), s"GC destroyed the durable current generation's $n")
+    }
+    assert(spark.read.parquet(dirOf(gen1.head).toString).count() == gen1IvfRows,
+      "gen-1 IVF data changed under GC")
+    assert(!fs.exists(dirOf(IndexTables.annIvfName(fix, 0L))),
+      "superseded gen-0 dir should still be swept")
+  }
+
   test("generation GC drops only superseded tables; current serving is intact") {
     assume(hasTestData)
     val fix = mkDriftFixture(blobSize = 4)
