@@ -117,21 +117,26 @@ object ServiceScaleCheck {
     (ua, ub, la, lb)
   }
 
-  /** Catalog-chain cost at 1 / 10² / 10⁴ mutations (round-10 verdict
-    * #3): per scale, the median COMMIT latency (one catalog mutation —
-    * serialize the full snapshot, O(1) ABA probe, CAS claim, prune),
-    * the median STEADY READ (warm instance: frontier-hint probe, no
-    * state reload), a FRESH-GATEWAY first read (full listing + full
-    * snapshot parse — what a new process pays once), and the snapshot
-    * size. The mutation mix is createUser (one commit each) — the
-    * catalog state grows with the mutation count, so the rows measure
-    * BOTH axes at once: chain/directory growth and snapshot-payload
-    * growth. Returns (mutations, commitMs, readMs, freshMs, bytes). */
-  def catalogBench(): Seq[(Long, Double, Double, Double, Long)] = {
+  /** Catalog-chain cost at 1 / 10² / 10⁴ mutations under the DELTA
+    * store (checkpointEvery=16 — the production wiring in
+    * LogServer.sharedCatalog; round-10 verdict #1): per scale, the
+    * median COMMIT latency (serialize ONE delta record + O(1) ABA
+    * probe + CAS claim; the prune listing amortizes at checkpoint
+    * cadence), the median STEADY READ (warm instance: frontier-hint
+    * probe, no state reload), a FRESH-GATEWAY first read (listing +
+    * one checkpoint parse + ≤15 delta applies — what a new process
+    * pays once), the newest DELTA record size and the newest
+    * CHECKPOINT size. The mutation mix is createUser (one commit
+    * each), so live state GROWS with the mutation count — the delta
+    * commit and record size must stay flat anyway, while the
+    * checkpoint column shows the O(state) cost now paid only every
+    * 16th version. Returns (mutations, commitMs, readMs, freshMs,
+    * deltaBytes, ckptBytes). */
+  def catalogBench(): Seq[(Long, Double, Double, Double, Long, Long)] = {
     val dir = java.nio.file.Paths.get(Scratch.localDir, s"catbench-${System.nanoTime()}")
     val hp = new org.apache.hadoop.fs.Path(dir.toString)
     val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    def store() = new graft.catalog.CasStateStore(fs, hp)
+    def store() = new graft.catalog.CasStateStore(fs, hp, checkpointEvery = 16)
     val svc = new graft.catalog.CatalogService(shared = Some(store()))
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     var done = 0L
@@ -155,10 +160,16 @@ object ServiceScaleCheck {
           .verifyPassword("admin", "admin")
         (System.nanoTime() - t0) / 1e6
       }.toSeq)
-      val bytes = fs.listStatus(hp).filter(st => st.isFile &&
+      val byKind = fs.listStatus(hp).filter(st => st.isFile &&
           st.getPath.getName.matches("v\\d{20}\\.json"))
-        .map(_.getLen).maxOption.getOrElse(0L)
-      (target, commitMs, readMs, freshMs, bytes)
+        .groupBy { st =>
+          val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong
+          v % 16 == 0
+        }
+      def newest(ckpt: Boolean): Long = byKind.getOrElse(ckpt, Array.empty)
+        .sortBy(-_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+        .headOption.map(_.getLen).getOrElse(0L)
+      (target, commitMs, readMs, freshMs, newest(false), newest(true))
     }
   }
 
@@ -179,10 +190,10 @@ object ServiceScaleCheck {
         f"cold+hint-file $coldMs%8.3f ms, hinted $warmMs%8.3f ms (medians of 21)")
     }
     val cat = catalogBench()
-    cat.foreach { case (n, cMs, rMs, fMs, bytes) =>
+    cat.foreach { case (n, cMs, rMs, fMs, dB, cB) =>
       System.err.println(
         f"[svc-scale] catalog @ $n%6d mutations: commit $cMs%8.3f ms, " +
-        f"read $rMs%8.3f ms, fresh-gateway $fMs%8.3f ms, snapshot $bytes%9d B")
+        f"read $rMs%8.3f ms, fresh-gateway $fMs%8.3f ms, delta $dB%5d B, checkpoint $cB%9d B")
     }
     val base = ServiceBench.runTier(spark, "manifest", nWriters = 8, nBatches = 50,
       labelSuffix = "")
@@ -204,15 +215,20 @@ object ServiceScaleCheck {
     sb ++= "| chain length | resolve (listing) | resolve (cold start) | resolve (steady) |\n|---|---|---|---|\n"
     chain.foreach { case (n, l, c, w) =>
       sb ++= f"| $n | $l%.3f ms | $c%.3f ms | $w%.3f ms |\n" }
-    sb ++= "\nCatalog (shared CAS state store) at growing mutation counts —\n"
-    sb ++= "commit = one mutation (full-snapshot serialize + O(1) ABA probe +\n"
-    sb ++= "CAS claim + prune; the pre-round-10 listing guard made a mutation\n"
-    sb ++= "burst quadratic in in-grace version files); read = warm-instance\n"
-    sb ++= "verify (frontier-hint probe, no reload); fresh gateway = first\n"
-    sb ++= "resolve of a new process (listing + full snapshot parse, paid once):\n\n"
-    sb ++= "| mutations | commit (median) | steady read | fresh gateway | snapshot |\n|---|---|---|---|---|\n"
-    cat.foreach { case (n, cMs, rMs, fMs, bytes) =>
-      sb ++= f"| $n | $cMs%.3f ms | $rMs%.3f ms | $fMs%.3f ms | ${bytes / 1024}%d KiB |\n" }
+    sb ++= "\nCatalog (shared CAS state store, DELTA chain with checkpoint every\n"
+    sb ++= "16th version — the production wiring) at growing mutation counts.\n"
+    sb ++= "commit = one mutation (serialize ONE delta record + O(1) ABA probe +\n"
+    sb ++= "CAS claim; prune's directory listing amortizes at checkpoint\n"
+    sb ++= "cadence). Live state grows with the mutation count here, so a flat\n"
+    sb ++= "commit column and a flat delta column ARE the O(1)-per-mutation\n"
+    sb ++= "claim (the reference's SQLite economics); the checkpoint column is\n"
+    sb ++= "the O(state) cost now paid only every 16th version. read =\n"
+    sb ++= "warm-instance verify (frontier-hint probe, no reload); fresh\n"
+    sb ++= "gateway = first resolve of a new process (listing + one checkpoint\n"
+    sb ++= "parse + <=15 delta applies, paid once):\n\n"
+    sb ++= "| mutations | commit (median) | steady read | fresh gateway | delta record | checkpoint |\n|---|---|---|---|---|---|\n"
+    cat.foreach { case (n, cMs, rMs, fMs, dB, cB) =>
+      sb ++= f"| $n | $cMs%.3f ms | $rMs%.3f ms | $fMs%.3f ms | $dB%d B | ${cB / 1024}%d KiB |\n" }
     sb ++= "\nService throughput at 1× vs 10× sessions (ManifestLog tier, one\n"
     sb ++= "gateway; 10× = 80 writer sessions → 10× rows, manifest dirs, and\n"
     sb ++= "compactor work). Settled reads are CONCURRENT GETs (8 clients) over\n"

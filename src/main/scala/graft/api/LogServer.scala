@@ -529,12 +529,16 @@ object LogServer {
   /** Shared control plane: one CAS-committed catalog at
     * `<sharedRoot>/catalog-cas`, spanning every gateway that mounts the
     * same root — tokens, ownership, conflicts and revocation are
-    * cluster-wide, like the data plane's shared manifests. */
+    * cluster-wide, like the data plane's shared manifests. Delta-chain
+    * mode (checkpoint every 16th version): a mutation commits O(its own
+    * size), not the full catalog snapshot — the SQLite control plane's
+    * O(1)-per-mutation economics at any live-state size. */
   def sharedCatalog(sharedRoot: String): (SparkSession, String) => CatalogService =
     (sp, _) => {
       val dir = new org.apache.hadoop.fs.Path(s"$sharedRoot/catalog-cas")
       val fs = dir.getFileSystem(sp.sparkContext.hadoopConfiguration)
-      new CatalogService(shared = Some(new graft.catalog.CasStateStore(fs, dir)))
+      new CatalogService(shared = Some(
+        new graft.catalog.CasStateStore(fs, dir, checkpointEvery = 16)))
     }
 }
 

@@ -112,10 +112,11 @@ class CatalogServiceSpec extends AnyFunSuite {
   // ---- shared (CAS-committed) mode: the multi-gateway control plane ----
 
   private def sharedStore(dir: java.nio.file.Path,
-                          keep: Int = 32, graceMs: Long = 60000): CasStateStore = {
+                          keep: Int = 32, graceMs: Long = 60000,
+                          ckptEvery: Int = 1): CasStateStore = {
     val p = new org.apache.hadoop.fs.Path(dir.toString)
     new CasStateStore(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p,
-      keepVersions = keep, pruneGraceMs = graceMs)
+      keepVersions = keep, pruneGraceMs = graceMs, checkpointEvery = ckptEvery)
   }
 
   test("shared catalog spans instances: tokens, ownership, conflicts and revocation are cluster-wide") {
@@ -260,6 +261,89 @@ class CatalogServiceSpec extends AnyFunSuite {
     // the surviving newest state is complete
     val fresh = new CatalogService(shared = Some(sharedStore(dir)))
     assert(fresh.userContainers("admin").size == 40)
+  }
+
+  // ---- delta-chain mode (round-10 verdict #1: O(mutation) commits) ----
+
+  test("delta chain: commit payload is O(mutation) at any live-state size; fresh gateway reconstructs checkpoint+tail") {
+    val dir = Files.createTempDirectory("cat-delta")
+    val a = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    (1 to 60).foreach(i => assert(a.createUser(f"user$i%03d", "pw")))
+    val t = a.createToken("user001")
+    assert(a.createContainer("user001", "cbox"))
+    // the newest DELTA record is a few hundred bytes no matter how many
+    // users the catalog holds; the newest CHECKPOINT carries the state
+    val files = dir.toFile.listFiles((_, n) => n.matches("v\\d{20}\\.json"))
+      .sortBy(_.getName)
+    def vOf(f: java.io.File) = f.getName.stripPrefix("v").stripSuffix(".json").toLong
+    val deltas = files.filterNot(f => vOf(f) % 8 == 0)
+    val ckpts = files.filter(f => vOf(f) % 8 == 0)
+    assert(ckpts.nonEmpty, "no checkpoint written by the cadence")
+    assert(deltas.nonEmpty)
+    val maxDelta = deltas.map(_.length()).max
+    val maxCkpt = ckpts.map(_.length()).max
+    assert(maxDelta < 512, s"a delta record weighs $maxDelta B — O(state) leak?")
+    assert(maxCkpt > maxDelta * 4, s"checkpoint $maxCkpt B vs delta $maxDelta B")
+    // a FRESH gateway reconstructs the full state from checkpoint + tail
+    val b = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    assert(b.verifyToken(t) === Some("user001"))
+    assert(b.verifyPassword("user042", "pw"))
+    assert(!b.createContainer("user002", "cbox")) // global id namespace survives
+    assert(b.userContainers("user001").map(_._1) === Seq("cbox"))
+  }
+
+  test("delta chain: cross-gateway mutations stay idempotent and ordered; deletes travel as deltas") {
+    val dir = Files.createTempDirectory("cat-delta")
+    val a = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    val b = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    val t = a.createToken("admin")
+    assert(b.verifyToken(t) === Some("admin")) // B applied A's delta
+    a.revokeToken(t)
+    assert(b.verifyToken(t) === None) // the delete delta travels
+    // interleaved creations from both sides — every one survives, and
+    // per-user listings stay newest-first across gateways
+    (1 to 12).foreach { i =>
+      val c = if (i % 2 == 0) a else b
+      assert(c.createContainer("admin", f"dbox$i%02d"))
+    }
+    assert(a.userContainers("admin").size == 12)
+    assert(b.userContainers("admin").size == 12)
+  }
+
+  test("delta chain: prune keeps the reconstruction window; sustained churn stays bounded") {
+    val dir = Files.createTempDirectory("cat-delta")
+    val c = new CatalogService(shared = Some(sharedStore(dir, keep = 8, graceMs = 0, ckptEvery = 8)))
+    (1 to 40).foreach(i => c.createContainer("admin", s"box$i"))
+    val files = dir.toFile.listFiles((_, n) => n.matches("v\\d{20}\\.json"))
+    assert(files.length <= 9, s"${files.length} version files retained (keep=8)")
+    // a fresh gateway still reconstructs the complete state
+    val fresh = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    assert(fresh.userContainers("admin").size == 40)
+  }
+
+  test("delta chain: a torn frontier record degrades reads to the last committed chain") {
+    val dir = Files.createTempDirectory("cat-delta")
+    val a = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    (1 to 10).foreach(i => a.createUser(s"u$i", "pw"))
+    val t = a.createToken("u3")
+    val slot = dir.toFile.listFiles((_, n) => n.matches("v\\d{20}\\.json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong).max
+    Files.write(dir.resolve(f"v${slot + 1}%020d.json"),
+      "#graft-delta 9999\n{\"trunca".getBytes("UTF-8"))
+    val b = new CatalogService(shared = Some(sharedStore(dir, ckptEvery = 8)))
+    assert(b.verifyToken(t) === Some("u3"))
+    assert(b.verifyPassword("u7", "pw"))
+  }
+
+  test("delta chain: the record kind at each version is structural — a mismatched commit is refused") {
+    val dir = Files.createTempDirectory("cat-delta")
+    val st = sharedStore(dir, ckptEvery = 4)
+    intercept[IllegalArgumentException] {
+      st.tryCommit(4L, "{}", isDelta = true) // v4 must be a checkpoint
+    }
+    intercept[IllegalArgumentException] {
+      st.tryCommit(3L, "{}", isDelta = false) // v3 must be a delta
+    }
   }
 
   test("state survives restart via catalog.json (tokens included)") {
