@@ -161,6 +161,17 @@ object ScaleCheck {
             "scalecheck rebuild lease contended")),
         "consume after rebuild: ann_ivf_pq" ->
           timed(SparkEntry.queries("ann_ivf_pq")(spark, dir).count()),
+        // the drift TRIGGER check (round-11): sampled recall of the
+        // served index vs brute-force truth — what the maintenance
+        // loop pays per GC-cadence tick to decide WHETHER to rebuild
+        // (floor 0 here: the healthy-decline path, no rebuild runs).
+        // Its driver is one corpus pass for the truth sample — cheap
+        // against the rebuild it gates, and paid hours apart
+        "drift trigger check (sampled recall)" ->
+          timed(require(
+            ops.IndexTables.maybeRebuildAnnIndexes(spark, dir, "scalecheck-drift",
+              recallFloor = 0.0).isEmpty,
+            "drift gate rebuilt at floor 0")),
         // incremental vs rebuild for the one formerly rebuild-only index
         // (round-9): segment build ≈ the v2 build minus denormalization;
         // the APPEND is the per-batch cost a rebuild used to charge the

@@ -144,12 +144,26 @@ final class Compactor(store: LogTier,
   /** Ticks on which this instance actually ran the manifest GC sweep —
     * observable seam for the lease spec (a non-owner must stay at 0). */
   private[graft] val gcSweepTicks = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Drift-gate observability: checks run / rebuilds triggered by the
+    * `annDrift` hook (spec seam — a healthy index must show checks > 0
+    * with rebuilds = 0). */
+  private[graft] val annDriftChecks = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val annDriftRebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `annDrift`: an opt-in drift gate (round-10 verdict #3 — nothing
+    * decided WHEN to rebuild an ANN generation), typically
+    * `() => IndexTables.maybeRebuildAnnIndexes(spark, dir, holder)`.
+    * Runs on the GC cadence (the coarse tick — the check prices a
+    * sampled-recall corpus pass, real work like the expire sweep),
+    * returns Some when it rebuilt. A thunk, not a config object: the
+    * engine tier stays ignorant of the ops tier's index machinery, and
+    * the gate's own lease/thrash discipline lives with the gate. */
   def startMaintenance(period: java.time.Duration,
                        retention: Option[java.time.Duration] = None,
                        tagHorizon: Option[java.time.Duration] = None,
                        manifestGcGrace: Option[java.time.Duration] = None,
-                       gcLease: Option[graft.storage.MaintenanceLease] = None): Unit =
+                       gcLease: Option[graft.storage.MaintenanceLease] = None,
+                       annDrift: Option[() => Option[(Long, Long)]] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
       leaseToRelease = gcLease
@@ -164,7 +178,10 @@ final class Compactor(store: LogTier,
       })
       def guarded(what: String, c: String, s: String)(op: => Unit): Unit =
         try op catch { case e: Exception =>
-          System.err.println(s"[compactor] maintenance $what for $c/$s failed: ${e.getMessage}")
+          // e.toString, not getMessage: an NPE-style null message would
+          // otherwise log as "failed: null" with no class to chase
+          System.err.println(s"[compactor] maintenance $what for $c/$s failed: $e" +
+            e.getStackTrace.take(3).map(f => s"\n    at $f").mkString)
         }
       // GC cadence: the expire sweep re-reads every retained manifest
       // under the session's manifest lock — real work, pointless at the
@@ -214,6 +231,16 @@ final class Compactor(store: LogTier,
                   manifestGcGrace.foreach(g =>
                     guarded("manifest gc", c, s)(ml.expire(c, s, now.minus(g))))
                 case _ => ()
+              }
+            }
+            // the ANN drift gate shares the GC cadence, not its lease:
+            // the gate runs its rebuild under the INDEX maintenance
+            // lease (per data dir), so cross-gateway dedup is the
+            // gate's own concern — here it only needs the coarse tick
+            if (gcTick) annDrift.foreach { gate =>
+              guarded("ann drift gate", "-", "-") {
+                annDriftChecks.incrementAndGet()
+                if (gate().isDefined) annDriftRebuilds.incrementAndGet()
               }
             }
           } catch { case e: Exception => // sessions() listing itself failed

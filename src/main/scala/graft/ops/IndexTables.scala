@@ -844,6 +844,66 @@ object IndexTables {
       } }
     }
 
+  /** DRIFT-TRIGGERED rebuild gate (round-10 verdict #3: nothing decided
+    * WHEN to rebuild a generation). The drift signal is SAMPLED RECALL:
+    * the served IVF-PQ index's top-k on `nQueries` sample queries,
+    * scored against the exact brute-force truth — one corpus pass per
+    * check, priced in SCALECHECK and run at the maintenance loop's GC
+    * cadence (hours/days in production), never per query. Recall below
+    * `recallFloor` triggers [[rebuildAnnIndexes]] (staged generation
+    * swap under the maintenance lease; a contended lease skips this
+    * cadence and retries at the next).
+    *
+    * THRASH GUARD: if the rebuild lands and the floor is STILL
+    * unreachable (the corpus itself doesn't separate at k — retraining
+    * the same vectors again cannot do better), a marker records the
+    * produced generation and its vector count; while the served
+    * generation and count are unchanged the gate skips, so an
+    * unreachable floor costs ONE rebuild, not one per cadence. New
+    * appends (count change) or an external rebuild (generation change)
+    * re-arm the gate.
+    *
+    * Returns Some(rebuild result) when a rebuild ran and completed this
+    * call, None otherwise (healthy recall, contended lease, or guard). */
+  def maybeRebuildAnnIndexes(s: SparkSession, dir: String, holderId: String,
+                             recallFloor: Double = 0.7,
+                             nQueries: Int = 8, k: Int = 5,
+                             nprobe: Int = 2, shortlist: Int = 100): Option[(Long, Long)] = {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe/shortlist mirror the SERVING configuration: drift is "the
+    // index the queries actually hit got worse", so the probe must use
+    // the production knobs, not a friendlier shape
+    def recallNow(): Double = {
+      val truth = pairs(Similarity.bruteForceTopK(s, dir, nQueries, k))
+      if (truth.isEmpty) 1.0
+      else (pairs(Similarity.ivfPqTopK(s, dir, nQueries, k, nprobe, shortlist)) & truth)
+        .size.toDouble / truth.size
+    }
+    val g = annGeneration(s, dir)
+    if (recallNow() >= recallFloor) return None
+    val count = s.table(annIvfTableAt(s, dir, g)).count()
+    val markerP = new org.apache.hadoop.fs.Path(annGenDir(s, dir), s"drift_g$g")
+    val fs = markerP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val guarded = fs.exists(markerP) && {
+      val in = fs.open(markerP)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.linesIterator.exists(_.trim == s"n=$count")
+    }
+    if (guarded) return None
+    rebuildAnnIndexes(s, dir, holderId) match {
+      case None => None // lease contended — the next cadence retries
+      case some @ Some((newGen, nVecs)) =>
+        if (recallNow() < recallFloor) {
+          val p = new org.apache.hadoop.fs.Path(annGenDir(s, dir), s"drift_g$newGen")
+          val out = fs.create(p, true)
+          try out.write(s"holder=$holderId\nn=$nVecs\n".getBytes("UTF-8")) finally out.close()
+        }
+        some
+    }
+  }
+
   /** Drop every ANN generation's tables STRICTLY below the current
     * pointer — the snapshot-expiry sweep. In-flight queries pinned to
     * a dropped generation fail at scan time, so a deployment runs this

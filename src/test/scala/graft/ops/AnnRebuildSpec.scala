@@ -176,6 +176,77 @@ class AnnRebuildSpec extends SparkSuite {
     assert(IndexTables.annGeneration(spark, fix) == 0L)
   }
 
+  /** Recall exactly as the gate measures it, under a serving shape the
+    * tiny fixture can discriminate (shortlist 20; the default 100 is
+    * exhaustive at ~130 vectors and masks the drift). */
+  private def gateRecall(dir: String): Double = {
+    val truth = pairs(Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 5))
+    (pairs(Similarity.ivfPqTopK(spark, dir, nQueries = 8, k = 5, nprobe = 2, shortlist = 20)) &
+      truth).size.toDouble / truth.size
+  }
+
+  test("drift gate: low sampled recall triggers ONE rebuild; healthy recall never triggers") {
+    assume(hasTestData)
+    val fix = mkDriftFixture(blobSize = 15)
+    val before = gateRecall(fix)
+    // floor one recall-quantum above the drifted level: the retrain's
+    // strict improvement (proven on this fixture above) clears it
+    val floor = before + 0.01
+    val r1 = IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-direct",
+      recallFloor = floor, shortlist = 20)
+    assert(r1.isDefined && r1.get._1 == 1L)
+    val after = gateRecall(fix)
+    assert(after > before, s"retrain did not improve gate recall: $before -> $after")
+    // ...and the recovered index never re-triggers
+    assert(IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-direct",
+      recallFloor = floor, shortlist = 20).isEmpty)
+    assert(IndexTables.annGeneration(spark, fix) == 1L)
+  }
+
+  test("drift gate thrash guard: an unreachable floor costs one rebuild, not one per cadence; appends re-arm it") {
+    assume(hasTestData)
+    val fix = mkDriftFixture(blobSize = 4)
+    // floor no index can reach: first call rebuilds, records the marker
+    val r1 = IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-thrash", recallFloor = 1.01)
+    assert(r1.isDefined && r1.get._1 == 1L)
+    // same generation, same vectors: retraining again cannot help — skip
+    assert(IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-thrash", recallFloor = 1.01).isEmpty)
+    assert(IndexTables.annGeneration(spark, fix) == 1L)
+    // new data re-arms the gate (the count in the marker no longer matches)
+    val twin = Tables.embeddings(spark, fix)
+      .filter(col("vec_id") === 2L).select(col("embedding")).head().getSeq[Float](0)
+    val newDf = spark.createDataFrame(Seq((920000001L, twin))).toDF("vec_id", "embedding")
+    assert(IndexTables.appendToIvfIndex(spark, fix, newDf) == 1L)
+    assert(IndexTables.appendToPqIndex(spark, fix, newDf) == 1L)
+    val r3 = IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-thrash", recallFloor = 1.01)
+    assert(r3.isDefined && r3.get._1 == 2L, s"append did not re-arm the gate: $r3")
+  }
+
+  test("maintenance loop runs the drift gate on the GC cadence: a drifted corpus rebuilds exactly once") {
+    assume(hasTestData)
+    val fix = mkDriftFixture(blobSize = 15)
+    val floor = gateRecall(fix) + 0.01
+    val store = new graft.storage.LogStore(spark, tempDir("drift-maint"))
+    val compactor = new graft.engine.Compactor(store)
+    try {
+      compactor.startMaintenance(java.time.Duration.ofMillis(100),
+        annDrift = Some(() =>
+          IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-loop",
+            recallFloor = floor, shortlist = 20)))
+      val deadline = System.currentTimeMillis() + 120000L
+      // wait until the gate has run at least twice AFTER the rebuild —
+      // the exactly-once claim needs a post-recovery check to have
+      // declined
+      while (System.currentTimeMillis() < deadline &&
+             (compactor.annDriftRebuilds.get < 1L || compactor.annDriftChecks.get < 3L))
+        Thread.sleep(200)
+      assert(compactor.annDriftChecks.get >= 3L, "drift gate never reached a post-rebuild check")
+      assert(compactor.annDriftRebuilds.get == 1L,
+        s"expected exactly one drift rebuild, got ${compactor.annDriftRebuilds.get}")
+      assert(IndexTables.annGeneration(spark, fix) == 1L)
+    } finally compactor.close()
+  }
+
   test("GC in a fresh JVM never destroys the durable current generation (catalog registration lost, dirs intact)") {
     assume(hasTestData)
     val fix = mkDriftFixture(blobSize = 4)
