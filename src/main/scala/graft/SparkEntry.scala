@@ -244,6 +244,7 @@ object SparkEntry {
     // (resumable — CurationRunSpec kills and resumes it); the row is
     // the shard receipt read back from the PINNED snapshot (round-10)
     "pipe_curation_run"      -> (CurationRun.runSelfContained _),
+    "pipe_curation_delta"    -> (CurationRun.deltaRunSelfContained _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — emits the exact
@@ -2360,6 +2361,46 @@ object SparkEntry {
          |SELECT shard_id, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest,
+         |  CAST(2 AS BIGINT) AS pinned_version
+         |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "pipe_curation_delta" ->
+      // delta ∘ prior ≡ full: the delta run (prior chain over the
+      // bottom-90%-of-ids slice, then index-served admission of the top
+      // decile with corrections) must land on exactly the receipt a
+      // FULL run over the combined corpus produces — so the oracle IS
+      // that full-run receipt, computed from the corpus directly, plus
+      // the per-shard count of batch-origin documents (n_new) the
+      // delta's SHARD artifact records. thr = 9·max(doc_id)//10, the
+      // same integer rule the Spark side derives. pinned_version = 2:
+      // the DELTA chain's stage-D1 and stage-D2 appends.
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |$curationGatesCte,
+         |keep AS (
+         |  SELECT d.doc_id
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id
+         |  WHERE NOT d.exact_dup
+         |    AND NOT (c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id)
+         |    AND coalesce(f.ok_q, false)),
+         |thr AS (SELECT (9 * MAX(doc_id)) // 10 AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS BIGINT) AS shard_id
+         |  FROM keep),
+         |p AS (
+         |  SELECT doc_id, shard_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
+         |  FROM b),
+         |j AS (
+         |  SELECT p.shard_id, p.pos, md5(dd.text) AS dg,
+         |    CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens,
+         |    dd.doc_id > (SELECT t FROM thr) AS is_new
+         |  FROM p JOIN documents dd USING (doc_id))
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest,
+         |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
          |  CAST(2 AS BIGINT) AS pinned_version
          |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "pipe_gopher_quality" ->

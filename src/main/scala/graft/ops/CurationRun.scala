@@ -42,25 +42,38 @@ object CurationRun {
   private val KeepDropTag = "stage1-keepdrop"
   private val ShardsTag = "stage2-shards"
   private val CiteTag = "stage3-cite"
+  private val DeltaKeepDropTag = "delta1-keepdrop"
+  private val DeltaShardsTag = "delta2-shards"
   private val RunTs = "2024-01-01 00:00:00"
 
   def run(s: SparkSession, dir: String, root: String, runId: String,
-          nShards: Int = 8): DataFrame =
+          nShards: Int): DataFrame =
     run(s, dir, root, runId, nShards, Int.MaxValue)
+
+  def run(s: SparkSession, dir: String, root: String, runId: String): DataFrame =
+    run(s, dir, root, runId, 8, Int.MaxValue)
 
   /** `failAfterStage` is the crash-injection seam for the resume spec:
     * the run throws AFTER stage N's commit, exactly the window a real
-    * crash hits. */
+    * crash hits. `maxDocId` restricts the run to the base slice
+    * (`doc_id <= maxDocId`) AS ITS OWN CORPUS — digest minima, the
+    * near-dup component graph and the DF cap all live inside the slice
+    * — which is what "the run that happened before the batch arrived"
+    * means for [[deltaRun]]'s prior chain. */
   private[ops] def run(s: SparkSession, dir: String, root: String, runId: String,
-                       nShards: Int, failAfterStage: Int): DataFrame = {
+                       nShards: Int, failAfterStage: Int,
+                       maxDocId: Long = Long.MaxValue): DataFrame = {
     val log = new graft.storage.ManifestLog(s, root)
     def msgRows(level: String, messages: DataFrame): DataFrame =
       messages.select(lit(RunTs).cast("timestamp").as("timestamp"),
         lit(level).as("level"), col("message"))
 
     // ---- stage 1: per-document keep/drop manifest -------------------
+    val decisions =
+      if (maxDocId == Long.MaxValue) Pipeline.curationDecisions(s, dir)
+      else Pipeline.curationDecisionsUpTo(s, dir, maxDocId)
     log.appendIdempotent(msgRows("KEEP_DROP",
-      Pipeline.curationDecisions(s, dir).select(
+      decisions.select(
         concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
                lit(" dec="), col("decision")).as("message"))),
       Container, runId, KeepDropTag)
@@ -83,18 +96,43 @@ object CurationRun {
       throw new IllegalStateException("injected crash after stage 2")
 
     // ---- stage 3: replay-proven citation of the pinned version ------
-    // The citation IS the run's memory: a re-invocation of a COMPLETED
-    // run reads the pinned version back from the committed CITE row and
-    // skips the maintenance below entirely — replays must not re-pin
-    // (the artifact would drift) or re-compact (version churn for
-    // nothing). A resume that crashed between the compaction and the
-    // CITE commit pins the compacted version instead — same logical
-    // rows by the compaction contract, so the digests cannot differ.
-    val committedCite = log.read(Container, runId)
-      .filter(col("level") === "CITE")
+    val pinned = sealChain(s, log, runId, extra = Seq.empty)
+
+    // the run's return value: the shard receipt parsed back from the
+    // PINNED snapshot — the committed artifact, not the in-plan rows
+    log.readAt(Container, runId, pinned)
+      .filter(col("level") === "SHARD")
+      .select(
+        regexp_extract(col("message"), "shard=(\\d+)", 1).cast("long").as("shard_id"),
+        regexp_extract(col("message"), " n=(\\d+)", 1).cast("long").as("n_docs"),
+        regexp_extract(col("message"), "tok=(\\d+)", 1).cast("long").as("total_tokens"),
+        regexp_extract(col("message"), "dg=([0-9a-f]+)", 1).as("content_digest"))
+      .withColumn("pinned_version", lit(pinned))
+      .orderBy(col("shard_id"))
+  }
+
+  /** The committed pin of a chain's CITE stage, if the chain completed
+    * (rows carrying `pinned=` — the chain-reference row a delta cite
+    * also holds never matches). */
+  private def committedPin(log: graft.storage.ManifestLog, runId: String): Option[Long] =
+    log.read(Container, runId)
+      .filter(col("level") === "CITE" && col("message").contains("pinned="))
       .select(regexp_extract(col("message"), "pinned=(\\d+)", 1).cast("long"))
-      .limit(1).collect()
-    val pinned = if (committedCite.nonEmpty) committedCite(0).getLong(0) else {
+      .limit(1).collect().headOption.map(_.getLong(0))
+
+  /** Stage-3 of both run flavors: the replay-proven citation. The
+    * citation IS the run's memory: a re-invocation of a COMPLETED
+    * run reads the pinned version back from the committed CITE row and
+    * skips the maintenance below entirely — replays must not re-pin
+    * (the artifact would drift) or re-compact (version churn for
+    * nothing). A resume that crashed between the compaction and the
+    * CITE commit pins the compacted version instead — same logical
+    * rows by the compaction contract, so the digests cannot differ.
+    * `extra` rows (the delta chain's prior-run reference) commit with
+    * the citation, atomically part of the same tagged append. */
+  private def sealChain(s: SparkSession, log: graft.storage.ManifestLog,
+                        runId: String, extra: Seq[String]): Long =
+    committedPin(log, runId).getOrElse {
       val v = log.versions(Container, runId).max
       def citationOf(at: Long): Seq[(String, Long, Long)] =
         log.readAt(Container, runId, at)
@@ -111,25 +149,135 @@ object CurationRun {
       val replay = citationOf(v)
       require(cite == replay,
         s"pinned snapshot v$v failed to replay after compaction+GC: $cite vs $replay")
-      log.appendIdempotent(msgRows("CITE",
-        s.createDataFrame(cite.map { case (lv, n, dg) =>
-          Tuple1(s"level=$lv n=$n digest=$dg pinned=$v")
-        }).toDF("message")),
+      log.appendIdempotent(
+        s.createDataFrame(
+          (cite.map { case (lv, n, dg) => Tuple1(s"level=$lv n=$n digest=$dg pinned=$v") } ++
+            extra.map(Tuple1(_))))
+          .toDF("message")
+          .select(lit(RunTs).cast("timestamp").as("timestamp"),
+            lit("CITE").as("level"), col("message")),
         Container, runId, CiteTag)
       v
     }
 
-    // the run's return value: the shard receipt parsed back from the
-    // PINNED snapshot — the committed artifact, not the in-plan rows
+  /** INCREMENTAL curation delta (round-10 verdict #4): admit the
+    * post-`thr` batch against a PRIOR run's committed chain and emit
+    * only what changed, chained to the prior citation:
+    *
+    *   D1. DELTA_KEEP_DROP — the batch documents' decisions on the
+    *       combined corpus, PLUS correction rows for base documents
+    *       whose decision flipped (`was=<prior>`): a batch doc can
+    *       bridge two prior near-dup clusters and demote the larger
+    *       cluster's keeper, and the corpus-relative DF cap shifts
+    *       with corpus size. Decisions come from the PERSISTED
+    *       segment-index components ([[Pipeline.curationDecisionsSeg]])
+    *       — the index is the piece that maintains incrementally
+    *       (batch appended as a segment, cap re-derived at merge), so
+    *       the admission rides served tables, not a from-scratch
+    *       shingle derivation. Pair-level incrementality beyond that
+    *       is deliberately NOT attempted: the DF cap is corpus-
+    *       relative, so a batch can re-hot or un-hot shingles anywhere
+    *       — edge REMOVALS no contraction of the prior component
+    *       assignment can replay (the same non-locality that makes
+    *       the shingle index recompute DF at merge time).
+    *   D2. SHARD — the combined receipt, derived purely from COMMITTED
+    *       artifacts (prior chain's pinned KEEP_DROP overridden by the
+    *       committed D1 rows — a resume cannot fork), with a per-shard
+    *       `new=` count showing where the batch landed.
+    *   D3. CITE — the replay-proven citation, carrying the chain
+    *       reference to the prior run's pin.
+    *
+    * delta ∘ prior ≡ full: the receipt equals a full run's over the
+    * combined corpus (the declared oracle proves it value-by-value;
+    * the bridge/revocation path is spec-proven on a crafted corpus).
+    * Resumable exactly like [[run]] — every stage a tagged idempotent
+    * append, later stages derive from committed artifacts. */
+  private[ops] def deltaRun(s: SparkSession, dir: String, root: String,
+                            priorRunId: String, runId: String, thr: Long,
+                            nShards: Int, failAfterStage: Int): DataFrame = {
+    val log = new graft.storage.ManifestLog(s, root)
+    def msgRows(level: String, messages: DataFrame): DataFrame =
+      messages.select(lit(RunTs).cast("timestamp").as("timestamp"),
+        lit(level).as("level"), col("message"))
+    val priorPinned = committedPin(log, priorRunId).getOrElse(throw new IllegalStateException(
+      s"prior run $priorRunId has no committed citation — complete it before the delta"))
+    val priorDec = log.readAt(Container, priorRunId, priorPinned)
+      .filter(col("level") === "KEEP_DROP")
+      .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
+              regexp_extract(col("message"), "dec=(\\w+)", 1).as("prior_dec"))
+
+    // ---- stage D1: batch admissions + base corrections --------------
+    val combined = Pipeline.curationDecisionsSeg(s, dir)
+    val batchRows = combined.filter(col("doc_id") > thr)
+      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
+                     lit(" dec="), col("decision")).as("message"))
+    val corrections = combined.filter(col("doc_id") <= thr)
+      .join(priorDec, Seq("doc_id"))
+      .filter(col("decision") =!= col("prior_dec"))
+      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
+                     lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
+        .as("message"))
+    log.appendIdempotent(msgRows("DELTA_KEEP_DROP", batchRows.unionByName(corrections)),
+      Container, runId, DeltaKeepDropTag)
+    if (failAfterStage <= 1)
+      throw new IllegalStateException("injected crash after delta stage 1")
+
+    // ---- stage D2: combined receipt from COMMITTED artifacts only ---
+    val d1 = log.read(Container, runId)
+      .filter(col("level") === "DELTA_KEEP_DROP")
+      .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
+              regexp_extract(col("message"), "dec=(\\w+)", 1).as("dec"))
+    val keepIds = priorDec.filter(col("prior_dec") === "keep").select(col("doc_id"))
+      .join(d1, Seq("doc_id"), "left_anti")
+      .unionByName(d1.filter(col("dec") === "keep").select(col("doc_id")))
+    val kept = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(keepIds, Seq("doc_id"))
+      .withColumn("is_new", col("doc_id") > thr)
+    log.appendIdempotent(msgRows("SHARD",
+      Pipeline.shardManifestWithNew(kept, nShards).select(
+        concat(lit("shard="), col("shard_id"), lit(" n="), col("n_docs"),
+               lit(" tok="), col("total_tokens"), lit(" dg="), col("content_digest"),
+               lit(" new="), col("n_new")).as("message"))),
+      Container, runId, DeltaShardsTag)
+    if (failAfterStage <= 2)
+      throw new IllegalStateException("injected crash after delta stage 2")
+
+    // ---- stage D3: citation, chained to the prior run's pin ---------
+    val pinned = sealChain(s, log, runId,
+      extra = Seq(s"chain prior_run=$priorRunId prior_version=$priorPinned"))
+
     log.readAt(Container, runId, pinned)
       .filter(col("level") === "SHARD")
       .select(
         regexp_extract(col("message"), "shard=(\\d+)", 1).cast("long").as("shard_id"),
         regexp_extract(col("message"), " n=(\\d+)", 1).cast("long").as("n_docs"),
         regexp_extract(col("message"), "tok=(\\d+)", 1).cast("long").as("total_tokens"),
-        regexp_extract(col("message"), "dg=([0-9a-f]+)", 1).as("content_digest"))
+        regexp_extract(col("message"), "dg=([0-9a-f]+)", 1).as("content_digest"),
+        regexp_extract(col("message"), "new=(\\d+)", 1).cast("long").as("n_new"))
       .withColumn("pinned_version", lit(pinned))
       .orderBy(col("shard_id"))
+  }
+
+  /** The declared-query wrapper (`pipe_curation_delta`): prior run over
+    * the bottom-90%-of-ids base slice, then the delta admission of the
+    * top decile, both against one throwaway store — the combined
+    * receipt must equal a full run's (the oracle computes the full
+    * run's receipt from the corpus directly). */
+  def deltaRunSelfContained(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-curation-delta").toString
+    try {
+      val maxId = Tables.documents(s, dir)
+        .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+      val thr = 9L * maxId / 10L
+      run(s, dir, root, "run1", 8, Int.MaxValue, maxDocId = thr)
+      val df = deltaRun(s, dir, root, "run1", "run2", thr, 8, Int.MaxValue)
+      val rows = df.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), df.schema)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   /** The declared-query wrapper (`pipe_curation_run`): a one-shot run

@@ -173,6 +173,58 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** STANDALONE near-dup pair relation over an arbitrary docs slice —
+    * the base-corpus-as-its-own-corpus semantics the curation delta's
+    * PRIOR run needs: the DF cap is relative to the SLICE (exactly
+    * what a real run over the then-current corpus computed), not to
+    * whatever the corpus later grew into. Same shingling, cap rule,
+    * pair join and 0.5 gate as [[ngramPairs]]. */
+  private[ops] def ngramPairsOf(docs: DataFrame): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
+    val shAll = shinglesOf(docs)
+    val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
+      .select(col("s"))
+    val sh = shAll.join(broadcast(hot), Seq("s"), "left_anti").localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        trunc6(col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Component assignment over the BASE slice (`doc_id <= thr`) as a
+    * standalone corpus — what the curation delta's prior run persisted
+    * as its decision basis. Memoized per (session, dir, thr): the
+    * prior run and the delta's correction pass read the identical
+    * relation. */
+  private[ops] def ngramComponentsUpTo(s: SparkSession, dir: String, thr: Long): DataFrame =
+    memoized(s"ngramComponentsUpTo$thr", s, dir) {
+      connectedComponents(
+        ngramPairsOf(Tables.documents(s, dir).filter(col("doc_id") <= thr))
+          .select(col("doc_a"), col("doc_b")))
+    }
+
+  /** Component assignment over the PERSISTED segment index's pair
+    * relation ([[ngramJaccardSegmented]] — row-identical to the
+    * in-plan pairs by the dedup_ngram_seg contract): the form the
+    * curation delta run admits new batches through, because the
+    * segment index is the piece that maintains incrementally (batch
+    * appended as a segment; DF cap re-derived at merge time). */
+  private[ops] def ngramComponentsSegmented(s: SparkSession, dir: String): DataFrame =
+    memoized("ngramComponentsSeg", s, dir) {
+      connectedComponents(
+        ngramJaccardSegmented(s, dir).select(col("doc_a"), col("doc_b")))
+    }
+
   /** N-gram Jaccard near-dup: candidate pairs come from a shuffle join
     * on the DF-capped shingle relation (docs sharing ≥1 informative
     * shingle), so cost is proportional to real overlap, not n². */

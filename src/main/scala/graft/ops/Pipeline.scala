@@ -450,6 +450,27 @@ object Pipeline {
              .as("content_digest"))
       .orderBy(col("shard_id"))
 
+  /** [[shardManifestOf]] plus a per-shard count of NEW documents —
+    * `docs` carries an `is_new` flag (batch-origin rows) so a delta
+    * run's receipt shows where the admitted batch landed. Same shard
+    * assignment, digest fold and ordering as the plain recipe — a
+    * delta receipt and a full receipt over the same keep set are
+    * identical in the shared columns. */
+  private[ops] def shardManifestWithNew(docs: DataFrame, nShards: Int): DataFrame =
+    shuffleShardsOf(docs, nShards)
+      .join(docs
+        .select(col("doc_id"), col("is_new"), md5(col("text")).as("dg"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           md5(expr(
+             "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
+             .as("content_digest"),
+           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .orderBy(col("shard_id"))
+
   /** Quality-vs-duplication cross report: mean quality score per
     * near-dup cluster-size bucket (1, 2, 3, 4, 5+) — the analytical
     * check behind every dedup policy decision: if heavily-duplicated
@@ -696,12 +717,33 @@ object Pipeline {
   /** The PER-DOCUMENT decision relation (doc_id, source, decision) —
     * [[curationManifest]]'s unit, factored out so [[CurationRun]] can
     * persist the decisions themselves as the keep/drop artifact. */
-  private[ops] def curationDecisions(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def curationDecisions(s: SparkSession, dir: String): DataFrame =
+    decisionsFrom(s, dir, Tables.documents(s, dir), Dedup.ngramComponents(s, dir))
+
+  /** [[curationDecisions]] over the BASE slice as a standalone corpus
+    * (`doc_id <= thr`): digest-group minima, the component graph and
+    * the DF cap all live inside the slice — exactly what a run over
+    * the then-current corpus computed before the batch arrived. The
+    * quality flags are per-document and corpus-independent, so the
+    * full-corpus relation filters down without drift. */
+  private[ops] def curationDecisionsUpTo(s: SparkSession, dir: String, thr: Long): DataFrame =
+    decisionsFrom(s, dir, Tables.documents(s, dir).filter(col("doc_id") <= thr),
+      Dedup.ngramComponentsUpTo(s, dir, thr))
+
+  /** [[curationDecisions]] with the near-dup layer served from the
+    * PERSISTED segment index ([[Dedup.ngramComponentsSegmented]] —
+    * row-identical components by the dedup_ngram_seg contract): the
+    * form [[CurationRun.deltaRun]] admits a new batch through, because
+    * the segment index is what maintains incrementally. */
+  private[ops] def curationDecisionsSeg(s: SparkSession, dir: String): DataFrame =
+    decisionsFrom(s, dir, Tables.documents(s, dir), Dedup.ngramComponentsSegmented(s, dir))
+
+  private def decisionsFrom(s: SparkSession, dir: String,
+                            documents: DataFrame, comp: DataFrame): DataFrame = {
     val keepers = Window.partitionBy(md5(col("text")))
-    val docs = Tables.documents(s, dir)
+    val docs = documents
       .select(col("doc_id"), col("source"),
         (col("doc_id") =!= min(col("doc_id")).over(keepers)).as("exact_dup"))
-    val comp = Dedup.ngramComponents(s, dir)
     val flags = gopherFlags(s, dir)
       .select(col("doc_id"),
         (col("ok_words") && col("ok_wlen") && col("ok_stop") && col("ok_rep")).as("ok_q"))

@@ -62,7 +62,11 @@ class PlanAuditSpec extends SparkSuite {
     // GC, replay proof) while building its result — audited in
     // CurationRunSpec; its stage plans are the audited
     // pipe_curation_manifest / pipe_shard_manifest shapes
-    "pipe_curation_run")
+    "pipe_curation_run",
+    // prior chain + delta admission (segment-index components) execute
+    // at construction — audited in CurationRunSpec; the stage plans are
+    // the audited curation-manifest / shard / dedup_ngram_seg shapes
+    "pipe_curation_delta")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;

@@ -62,6 +62,135 @@ class CurationRunSpec extends SparkSuite {
       "a replayed completed run added manifest versions")
   }
 
+  // ---- the incremental delta run (round-11) ----
+
+  private def thrOf(dir: String): Long =
+    9L * Tables.documents(spark, dir).agg(max(col("doc_id"))).head().getLong(0) / 10L
+
+  test("delta ∘ prior ≡ full: the delta receipt equals a full run's over the combined corpus") {
+    assume(hasTestData)
+    val thr = thrOf(sf)
+    val root = freshRoot()
+    CurationRun.run(spark, sf, root, "run1", 8, Int.MaxValue, maxDocId = thr)
+    val delta = CurationRun.deltaRun(spark, sf, root, "run1", "run2", thr, 8, Int.MaxValue)
+    val full = CurationRun.run(spark, sf, freshRoot(), "full")
+    val deltaCommon = artifact(delta.select("shard_id", "n_docs", "total_tokens", "content_digest"))
+    val fullCommon = artifact(full.select("shard_id", "n_docs", "total_tokens", "content_digest"))
+    assert(deltaCommon == fullCommon,
+      s"delta ∘ prior diverged from the full run:\n$deltaCommon\nvs\n$fullCommon")
+    // the batch genuinely landed: n_new sums to the combined keep set's
+    // batch members
+    val nNew = delta.agg(sum(col("n_new"))).head().getLong(0)
+    val batchKeep = Pipeline.curationDecisions(spark, sf)
+      .filter(col("decision") === "keep" && col("doc_id") > thr).count()
+    assert(nNew == batchKeep && nNew > 0, s"n_new $nNew vs batch keeps $batchKeep")
+  }
+
+  test("a delta run killed after each stage resumes to byte-identical shards") {
+    assume(hasTestData)
+    val thr = thrOf(sf)
+    val oneRoot = freshRoot()
+    CurationRun.run(spark, sf, oneRoot, "run1", 8, Int.MaxValue, maxDocId = thr)
+    val oneShot = artifact(CurationRun.deltaRun(spark, sf, oneRoot, "run1", "run2", thr, 8, Int.MaxValue))
+    assert(oneShot.nonEmpty)
+    Seq(1, 2).foreach { crashAfter =>
+      val root = freshRoot()
+      CurationRun.run(spark, sf, root, "run1", 8, Int.MaxValue, maxDocId = thr)
+      val crash = intercept[IllegalStateException] {
+        CurationRun.deltaRun(spark, sf, root, "run1", "run2", thr, 8, failAfterStage = crashAfter)
+      }
+      assert(crash.getMessage.contains(s"after delta stage $crashAfter"))
+      val resumed = artifact(CurationRun.deltaRun(spark, sf, root, "run1", "run2", thr, 8, Int.MaxValue))
+      assert(resumed == oneShot,
+        s"delta resumed after stage-$crashAfter crash diverged:\n$resumed\nvs\n$oneShot")
+    }
+  }
+
+  test("a completed delta run re-invoked is a no-op; it refuses to run before the prior chain is sealed") {
+    assume(hasTestData)
+    val thr = thrOf(sf)
+    val root = freshRoot()
+    // no prior chain at all → loud refusal
+    val bare = intercept[IllegalStateException] {
+      CurationRun.deltaRun(spark, sf, root, "run1", "run2", thr, 8, Int.MaxValue)
+    }
+    assert(bare.getMessage.contains("no committed citation"))
+    CurationRun.run(spark, sf, root, "run1", 8, Int.MaxValue, maxDocId = thr)
+    val first = artifact(CurationRun.deltaRun(spark, sf, root, "run1", "run2", thr, 8, Int.MaxValue))
+    val log = new graft.storage.ManifestLog(spark, root)
+    val vMax = log.versions(CurationRun.Container, "run2").max
+    val second = artifact(CurationRun.deltaRun(spark, sf, root, "run1", "run2", thr, 8, Int.MaxValue))
+    assert(second == first)
+    assert(log.versions(CurationRun.Container, "run2").max == vMax,
+      "a replayed completed delta run added manifest versions")
+    // the citation carries the chain reference to the prior pin
+    val chainRows = log.read(CurationRun.Container, "run2")
+      .filter(col("level") === "CITE" && col("message").contains("prior_run=run1")).count()
+    assert(chainRows == 1L, "delta citation lost its prior-run chain reference")
+  }
+
+  /** A corpus where the batch BRIDGES two prior near-dup clusters: base
+    * clusters {A,B} (keeper A) and {C,D} (keeper C); batch doc E is
+    * Jaccard-0.5 to both B and C (E = B ++ C with the junction words
+    * shared so E's shingle set is exactly the union), so the combined
+    * component is {A..E} with keeper A — C's prior `keep` must be
+    * REVOKED by a correction row, and the receipt must still equal a
+    * full run's over the combined corpus. */
+  test("a bridging batch doc revokes a prior keeper; delta still equals the full run") {
+    val w = 30
+    // 4-5 char words, two stopwords per doc part, all-distinct otherwise
+    def words(prefix: String): Seq[String] =
+      (1 to w).map {
+        case 5 => "the"
+        case 20 => "the"
+        case i => f"$prefix${i}%02dxx".take(5)
+      }
+    val bWords = words("b")
+    val cWords = bWords.takeRight(2) ++ words("c").drop(2)
+    val aText = bWords.dropRight(1).mkString(" ")
+    val bText = bWords.mkString(" ")
+    val cText = cWords.mkString(" ")
+    val dText = cWords.dropRight(1).mkString(" ")
+    val eText = (bWords ++ cWords.drop(2)).mkString(" ")
+    val fillers = (4 to 23).map { i =>
+      (i.toLong, (1 to w).map {
+        case 5 => "the"
+        case 20 => "the"
+        case j => f"f$i%02d$j%02dx".take(5)
+      }.mkString(" "))
+    }
+    val rows = (Seq(0L -> aText, 1L -> bText, 2L -> cText, 3L -> dText) ++ fillers ++
+      Seq(24L -> eText)).map { case (id, t) =>
+      (id, t, "en", "web", t.length.toLong)
+    }
+    val dir = tempDir("curation-bridge")
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val thr = 23L
+    val root = freshRoot()
+    CurationRun.run(spark, dir, root, "run1", 4, Int.MaxValue, maxDocId = thr)
+    val log = new graft.storage.ManifestLog(spark, root)
+    // the prior run kept BOTH cluster keepers
+    val priorKeeps = log.read(CurationRun.Container, "run1")
+      .filter(col("level") === "KEEP_DROP" && col("message").endsWith("dec=keep"))
+      .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(priorKeeps.contains(0L) && priorKeeps.contains(2L),
+      s"fixture broken: prior keepers not {0, 2} in $priorKeeps")
+    val delta = CurationRun.deltaRun(spark, dir, root, "run1", "run2", thr, 4, Int.MaxValue)
+    val deltaCommon = artifact(delta.select("shard_id", "n_docs", "total_tokens", "content_digest"))
+    val full = CurationRun.run(spark, dir, freshRoot(), "full", 4)
+    assert(deltaCommon == artifact(full.select("shard_id", "n_docs", "total_tokens", "content_digest")),
+      "bridge case: delta receipt diverged from the full run")
+    // the revocation is explicit in the committed delta artifact
+    val revoked = log.read(CurationRun.Container, "run2")
+      .filter(col("level") === "DELTA_KEEP_DROP" &&
+        col("message").contains("doc=2 ") && col("message").contains("was=keep"))
+      .count()
+    assert(revoked == 1L, "prior keeper 2's revocation row missing from the delta artifact")
+  }
+
   test("the committed shard receipt matches the direct derivation over the keep set") {
     assume(hasTestData)
     val served = artifact(CurationRun.run(spark, sf, freshRoot(), "run1")
