@@ -174,6 +174,8 @@ object SparkEntry {
     // before/after cohesion deltas (scan-rate zip_with over the
     // driver-literal direction; round-10)
     "emb_abtt" -> ((s: SparkSession, d: String) => Similarity.allButTop(s, d)),
+    "emb_pca_topk" -> ((s: SparkSession, d: String) => Similarity.pcaTopK(s, d)),
+    "emb_whiten" -> ((s: SparkSession, d: String) => Similarity.whitenTopK(s, d)),
     // Text analysis + multimodal metadata
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -384,6 +386,56 @@ object SparkEntry {
        |$steps,
        |wf AS (SELECT m.i, SUM(m.c * p.v) AS w
        |  FROM mat m JOIN it10 p ON m.j = p.i GROUP BY m.i)""".stripMargin
+  }
+
+  // Deflation extension of the power-iteration chain (emb_pca_topk +
+  // emb_whiten): components 2 and 3 via Hotelling deflation — λ_t =
+  // sdiv(vᵀCv, vᵀv), C ← C − sdiv(λ_t·v_i·v_j, vᵀv) — with every
+  // division SIGN-SPLIT truncating (BigInt / on the Spark driver
+  // truncates toward zero; bare DuckDB // floors, which differs on
+  // negatives). Dividing the rank-one term back down by den keeps every
+  // deflated matrix at C's magnitude (HUGEINT-safe; the den²-scaled
+  // exact form overflows at component 2). ray_2/lam_2 are COMPONENT
+  // 1's Rayleigh (they feed mat_2), ray_3/lam_3 component 2's,
+  // ray_4/lam_4 component 3's.
+  private lazy val pcaDeflateCte: String = {
+    def steps(sfx: String) = (1 to 10).map { k =>
+      s"""w$k$sfx AS MATERIALIZED (SELECT m.i, SUM(m.c * p.v) AS w
+         |  FROM mat$sfx m JOIN it${k - 1}$sfx p ON m.j = p.i GROUP BY m.i),
+         |m$k$sfx AS (SELECT MAX(ABS(w)) AS mx FROM w$k$sfx),
+         |it$k$sfx AS MATERIALIZED (
+         |  SELECT i, CASE WHEN mx = 0 THEN w
+         |                 WHEN w < 0 THEN -(((-w) * 1000000) // mx)
+         |                 ELSE ((w * 1000000) // mx) END AS v
+         |  FROM w$k$sfx, m$k$sfx)""".stripMargin
+    }.mkString(",\n")
+    def deflate(from: String, to: String): String =
+      s"""ray$to AS (SELECT SUM(p.v * w.w) AS num, SUM(p.v * p.v) AS den
+         |  FROM it10$from p JOIN wf$from w ON p.i = w.i),
+         |lam$to AS (SELECT
+         |    CASE WHEN den = 0 THEN 0
+         |         WHEN num < 0 THEN -((-num) // den)
+         |         ELSE num // den END AS lam,
+         |    CASE WHEN den = 0 THEN 1 ELSE den END AS den FROM ray$to),
+         |mat$to AS MATERIALIZED (
+         |  SELECT m.i, m.j,
+         |    m.c - (CASE WHEN (l.lam * a.v * b.v) < 0
+         |                THEN -((-(l.lam * a.v * b.v)) // l.den)
+         |                ELSE (l.lam * a.v * b.v) // l.den END) AS c
+         |  FROM mat$from m JOIN it10$from a ON m.i = a.i
+         |       JOIN it10$from b ON m.j = b.i, lam$to l),
+         |it0$to AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM st),
+         |${steps(to)},
+         |wf$to AS (SELECT m.i, SUM(m.c * p.v) AS w
+         |  FROM mat$to m JOIN it10$to p ON m.j = p.i GROUP BY m.i)""".stripMargin
+    deflate("", "_2") + ",\n" + deflate("_2", "_3") + ",\n" +
+      s"""ray_4 AS (SELECT SUM(p.v * w.w) AS num, SUM(p.v * p.v) AS den
+         |  FROM it10_3 p JOIN wf_3 w ON p.i = w.i),
+         |lam_4 AS (SELECT
+         |    CASE WHEN den = 0 THEN 0
+         |         WHEN num < 0 THEN -((-num) // den)
+         |         ELSE num // den END AS lam,
+         |    CASE WHEN den = 0 THEN 1 ELSE den END AS den FROM ray_4)""".stripMargin
   }
 
   // Shared IVF-PQ serving chain (ann_ivf_pq + ann_recall's ivf_pq
@@ -1216,6 +1268,109 @@ object SparkEntry {
          |    FLOOR(CAST(SUM(CAST(FLOOR(r.xr * 1000000) AS BIGINT)) AS DOUBLE)
          |      / COUNT(*)) / 1000000 AS mean
          |  FROM vrd r JOIN vrn n ON r.vec_id = n.vec_id
+         |  WHERE n.nr > 0 GROUP BY r.label, r.pos),
+         |can AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM ca GROUP BY label) t),
+         |aagg AS (
+         |  SELECT n.label,
+         |    FLOOR(CAST(SUM(CAST(FLOOR(
+         |      list_dot_product(c.cv, n.vr) / (c.cnorm * n.nr) * 1000000) AS BIGINT))
+         |      AS DOUBLE) / COUNT(*)) / 1000000 AS coh_after
+         |  FROM vrn n JOIN can c ON n.label = c.label WHERE n.nr > 0 GROUP BY n.label)
+         |SELECT b.label, b.n_vectors, b.coh_before, a.coh_after,
+         |       a.coh_after - b.coh_before AS delta
+         |FROM bagg b JOIN aagg a ON b.label = a.label ORDER BY b.label""".stripMargin,
+    "emb_pca_topk" ->
+      // the deflation chain's three directions + each component's
+      // explained share of the ORIGINAL trace (lam_2/lam_3/lam_4 are
+      // components 1/2/3's Rayleigh quotients — see pcaDeflateCte).
+      // Share = sdiv(lam·1e6, trace), sign-split to mirror BigInt
+      // truncation; comp 1 is bit-identical to emb_pca's rows.
+      s"""WITH $pcaChainCte,
+         |$pcaDeflateCte,
+         |tr AS (SELECT SUM(c) AS trace FROM mat WHERE i = j),
+         |shx AS (
+         |  SELECT c.comp, CASE WHEN t.trace = 0 THEN 0
+         |           WHEN (c.lam * 1000000) < 0 THEN -((-(c.lam * 1000000)) // t.trace)
+         |           ELSE (c.lam * 1000000) // t.trace END AS ppm
+         |  FROM (SELECT 1 AS comp, lam FROM lam_2
+         |        UNION ALL SELECT 2, lam FROM lam_3
+         |        UNION ALL SELECT 3, lam FROM lam_4) c, tr t)
+         |SELECT comp, i, pc, ev_share FROM (
+         |  SELECT CAST(1 AS BIGINT) AS comp, p.i,
+         |         CAST(p.v AS DOUBLE) / 1000000 AS pc,
+         |         CAST(s.ppm AS DOUBLE) / 1000000 AS ev_share
+         |  FROM it10 p, shx s WHERE s.comp = 1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), p.i, CAST(p.v AS DOUBLE) / 1000000,
+         |         CAST(s.ppm AS DOUBLE) / 1000000
+         |  FROM it10_2 p, shx s WHERE s.comp = 2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), p.i, CAST(p.v AS DOUBLE) / 1000000,
+         |         CAST(s.ppm AS DOUBLE) / 1000000
+         |  FROM it10_3 p, shx s WHERE s.comp = 3) t
+         |ORDER BY comp, i""".stripMargin,
+    "emb_whiten" ->
+      // the full all-but-the-top: strip directions 1..3 SEQUENTIALLY
+      // (r_t = r_{t-1} − proj/ddot·d_t, identical IEEE op order to
+      // Spark's chained zip_with lambdas), then the emb_abtt cohesion
+      // recipe on both sides. After-side membership excludes r = 0 on
+      // both engines; a zero direction at any step passes through.
+      s"""WITH $pcaChainCte,
+         |$pcaDeflateCte,
+         |dl1 AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS d FROM it10),
+         |dl2 AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS d FROM it10_2),
+         |dl3 AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS d FROM it10_3),
+         |bv AS MATERIALIZED (
+         |  SELECT vn.vec_id, vn.label, vn.v, vn.norm FROM vn WHERE vn.norm > 0),
+         |p1 AS (SELECT b.vec_id, b.label, b.v AS r, list_dot_product(b.v, dl1.d) AS proj
+         |       FROM bv b, dl1),
+         |r1d AS (SELECT p.vec_id, p.label, CAST(i - 1 AS BIGINT) AS pos,
+         |        CASE WHEN list_dot_product(dl1.d, dl1.d) = 0 THEN p.r[i]
+         |             ELSE p.r[i] - p.proj / list_dot_product(dl1.d, dl1.d) * dl1.d[i] END AS xr
+         |        FROM p1 p, dl1, UNNEST(range(1, 65)) AS u(i)),
+         |r1 AS MATERIALIZED (
+         |  SELECT vec_id, label, list(xr ORDER BY pos) AS r FROM r1d GROUP BY vec_id, label),
+         |p2 AS (SELECT t.vec_id, t.label, t.r, list_dot_product(t.r, dl2.d) AS proj
+         |       FROM r1 t, dl2),
+         |r2d AS (SELECT p.vec_id, p.label, CAST(i - 1 AS BIGINT) AS pos,
+         |        CASE WHEN list_dot_product(dl2.d, dl2.d) = 0 THEN p.r[i]
+         |             ELSE p.r[i] - p.proj / list_dot_product(dl2.d, dl2.d) * dl2.d[i] END AS xr
+         |        FROM p2 p, dl2, UNNEST(range(1, 65)) AS u(i)),
+         |r2 AS MATERIALIZED (
+         |  SELECT vec_id, label, list(xr ORDER BY pos) AS r FROM r2d GROUP BY vec_id, label),
+         |p3 AS (SELECT t.vec_id, t.label, t.r, list_dot_product(t.r, dl3.d) AS proj
+         |       FROM r2 t, dl3),
+         |r3d AS MATERIALIZED (
+         |  SELECT p.vec_id, p.label, CAST(i - 1 AS BIGINT) AS pos,
+         |        CASE WHEN list_dot_product(dl3.d, dl3.d) = 0 THEN p.r[i]
+         |             ELSE p.r[i] - p.proj / list_dot_product(dl3.d, dl3.d) * dl3.d[i] END AS xr
+         |        FROM p3 p, dl3, UNNEST(range(1, 65)) AS u(i)),
+         |vrn AS MATERIALIZED (
+         |  SELECT vec_id, label, vr, sqrt(list_dot_product(vr, vr)) AS nr
+         |  FROM (SELECT vec_id, label, list(xr ORDER BY pos) AS vr
+         |        FROM r3d GROUP BY vec_id, label) t),
+         |cb AS (
+         |  SELECT label, pos, FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000 AS mean
+         |  FROM (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |          CAST(FLOOR(v[i] * 1000000) AS BIGINT) AS xq
+         |        FROM bv, UNNEST(range(1, 65)) AS u(i)) t
+         |  GROUP BY label, pos),
+         |cbn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT label, list(mean ORDER BY pos) AS cv FROM cb GROUP BY label) t),
+         |bagg AS (
+         |  SELECT b.label, COUNT(*) AS n_vectors,
+         |    FLOOR(CAST(SUM(CAST(FLOOR(
+         |      list_dot_product(c.cv, b.v) / (c.cnorm * b.norm) * 1000000) AS BIGINT))
+         |      AS DOUBLE) / COUNT(*)) / 1000000 AS coh_before
+         |  FROM bv b JOIN cbn c ON b.label = c.label GROUP BY b.label),
+         |ca AS (
+         |  SELECT r.label, r.pos,
+         |    FLOOR(CAST(SUM(CAST(FLOOR(r.xr * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*)) / 1000000 AS mean
+         |  FROM r3d r JOIN vrn n ON r.vec_id = n.vec_id
          |  WHERE n.nr > 0 GROUP BY r.label, r.pos),
          |can AS (
          |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm

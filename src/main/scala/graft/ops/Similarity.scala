@@ -1259,6 +1259,75 @@ object Similarity {
       .orderBy(col("i"))
   }
 
+  /** TOP-K principal directions by power iteration + Hotelling
+    * deflation — [[pcaPower]] extended past the dominant component:
+    * after extracting direction t, the covariance is deflated
+    * (C ← C − λ·v vᵀ/(vᵀv), with λ = vᵀCv/vᵀv) and the iteration
+    * reruns, so component t+1 emerges from the residual spectrum. One
+    * row per (comp, dimension) plus each component's explained-variance
+    * share of the ORIGINAL trace; comp 1 is bit-identical to
+    * [[pcaPower]]'s output (same iteration, same share formula).
+    *
+    * Determinism contract extends [[pcaPower]]'s: the deflation's two
+    * divisions (λ = num div den; the rank-one update's elementwise
+    * div by den) are TRUNCATING divisions mirrored sign-split in the
+    * oracle, so both engines replay identical integer matrices —
+    * mathematical exactness of the deflation is NOT claimed (the
+    * truncation injects sub-unit noise), replay equality is. This is
+    * also what keeps every deflated matrix inside the oracle's HUGEINT
+    * envelope: dividing the rank-one term back down by den keeps
+    * C_t's entries at C_1's magnitude (~1.3e18) instead of den²-scaled
+    * (~5e45, which would overflow at the second component).
+    *
+    * Scale shape identical to [[pcaPower]]: the only N-proportional
+    * work is the shared memoized [[moments]] pass; everything per
+    * component is driver-side d×d metadata arithmetic. */
+  def pcaTopK(s: SparkSession, dir: String, k: Int = 3, iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val d = 64
+    val mrows = moments(s, dir).collect()
+    val stats = mrows.filter(_.getLong(1) == -1L)
+      .map(r => (r.getLong(0).toInt,
+                 (BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))))
+      .toMap
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)].toDF("comp", "i", "pc", "ev_share")
+    val n = BigInt(stats(0)._2)
+    var c = Array.ofDim[BigInt](d, d)
+    mrows.filter(_.getLong(1) >= 0L).foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val sxy = BigInt(r.getDecimal(2).toBigInteger)
+      val cij = n * sxy - stats(i)._1 * stats(j)._1
+      c(i)(j) = cij; c(j)(i) = cij
+    }
+    val scale = BigInt(1000000)
+    val trace = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + c(i)(i))
+    def matvec(m: Array[Array[BigInt]], v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(BigInt(0))((acc, j) => acc + m(i)(j) * v(j)))
+    def renorm(w: Array[BigInt]): Array[BigInt] = {
+      val mx = w.map(_.abs).max
+      if (mx == 0) w else w.map(x => (x.sign: BigInt) * (x.abs * scale / mx))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+    (1 to k).foreach { t =>
+      var v = Array.fill(d)(scale)
+      (0 until iters).foreach(_ => v = renorm(matvec(c, v)))
+      val w = matvec(c, v)
+      val num = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + v(i) * w(i))
+      val den = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + v(i) * v(i))
+      // BigInt / truncates toward zero — the oracle sign-splits its //
+      // to match (floor != truncate on negatives)
+      val lam = if (den == 0) BigInt(0) else num / den
+      val denG = if (den == 0) BigInt(1) else den
+      val ppm = if (trace == 0) BigInt(0) else (lam * scale) / trace
+      val share = ppm.toDouble / 1000000.0
+      out ++= (0 until d).map(i => (t.toLong, i.toLong, v(i).toDouble / 1000000.0, share))
+      if (t < k)
+        c = Array.tabulate(d, d)((i, j) => c(i)(j) - (lam * v(i) * v(j)) / denG)
+    }
+    out.toSeq.toDF("comp", "i", "pc", "ev_share").orderBy(col("comp"), col("i"))
+  }
+
   /** Energy share along the DOMINANT direction, per label — the report
     * that decides whether all-but-the-top post-processing is worth
     * running, and on which slices: for each vector, the fraction of
@@ -1344,6 +1413,67 @@ object Similarity {
       .join(broadcast(cohesionCentroids(afterRel, "vr")), Seq("label"))
       .withColumn("cq",
         floor(dot("cv", "vr") / (col("cnorm") * col("nr")) * 1000000.0).cast("long"))
+      .groupBy(col("label"))
+      .agg((floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("coh_after"))
+    before.join(after, Seq("label"))
+      .withColumn("delta", col("coh_after") - col("coh_before"))
+      .select(col("label"), col("n_vectors"), col("coh_before"),
+              col("coh_after"), col("delta"))
+      .orderBy(col("label"))
+  }
+
+  /** The FULL all-but-the-top transform (Mu & Viswanath 2018's recipe
+    * completed): remove the top-K principal directions from every
+    * vector by SEQUENTIAL rank-one deflation — r₀ = v, r_t = r_{t−1} −
+    * (r_{t−1}·d_t / d_t·d_t)·d_t — and ship the same per-label
+    * cohesion evidence as [[allButTop]] (which removes only the
+    * dominant direction). Sequential removal, not a joint projection:
+    * the deflated directions from [[pcaTopK]] are only approximately
+    * orthogonal (truncating-integer deflation), and the sequential
+    * fold is exactly replayable per step while a joint least-squares
+    * projection would need a float matrix solve no oracle can replay.
+    *
+    * Scale split identical to [[allButTop]]: the K directions are
+    * driver-side metadata embedded as LITERAL arrays, the removal is K
+    * chained zip_with projections at scan rate (no join, no shuffle
+    * before the label aggregates), and each cohesion side is the
+    * [[labelCohesion]] recipe. Zero-norm inputs excluded; vectors
+    * landing at r = 0 (inside the removed span) excluded from the
+    * after-side only; a zero direction at any step passes through. */
+  def whitenTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val comps = pcaTopK(s, dir, k).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    var base = vectors(s, dir).filter(col("norm") > 0)
+      .withColumn("r", col("v"))
+    comps.zipWithIndex.foreach { case (dt, idx) =>
+      val ddot = dt.foldLeft(0.0)((acc, x) => acc + x * x)
+      base = base
+        .withColumn(s"dl$idx", array(dt.map(lit): _*))
+        .withColumn(s"dd$idx", lit(ddot))
+        .withColumn(s"p$idx", expr(s"graft_dot(r, dl$idx)"))
+        .withColumn("r",
+          if (ddot == 0) col("r")
+          else expr(s"zip_with(r, dl$idx, (x, y) -> x - p$idx / dd$idx * y)"))
+    }
+    base = base.withColumn("nr", expr("sqrt(graft_dot(r, r))"))
+    def cohesionCentroids(rel: DataFrame, vcol: String): DataFrame =
+      assembleCentroids(
+        quantizedMeans(rel.select(col("label"), col(vcol).as("v")), "label"), "label")
+    val before = base
+      .join(broadcast(cohesionCentroids(base, "v")), Seq("label"))
+      .withColumn("cq",
+        floor(dot("cv", "v") / (col("cnorm") * col("norm")) * 1000000.0).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+           (floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
+             .as("coh_before"))
+    val afterRel = base.filter(col("nr") > 0)
+    val after = afterRel
+      .join(broadcast(cohesionCentroids(afterRel, "r")), Seq("label"))
+      .withColumn("cq",
+        floor(dot("cv", "r") / (col("cnorm") * col("nr")) * 1000000.0).cast("long"))
       .groupBy(col("label"))
       .agg((floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
              .as("coh_after"))

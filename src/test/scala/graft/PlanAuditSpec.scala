@@ -41,6 +41,10 @@ class PlanAuditSpec extends SparkSuite {
     // driver-side on the collected 2,144-row relation; emb_top_dir
     // then scores a literal-array projection at scan rate
     "emb_covariance", "emb_pca", "emb_top_dir", "emb_abtt",
+    // same memoized moments collect at construction; pca_topk adds the
+    // driver-side deflation loop, whiten embeds its directions as
+    // literal arrays before the scan-rate removal
+    "emb_pca_topk", "emb_whiten",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys

@@ -90,6 +90,78 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.map(_.getDouble(2)).max > 0.0, "every label reports zero share")
   }
 
+  test("pcaTopK: comp 1 equals pcaPower; later components are non-vacuous, distinct directions") {
+    assume(hasTestData)
+    val rows = Similarity.pcaTopK(spark, sf, k = 3).collect()
+    val byComp = rows.groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    assert(byComp.keySet == Set(1L, 2L, 3L))
+    // comp 1 is bit-identical to the single-direction op (same
+    // iteration, same share formula)
+    val p1 = Similarity.pcaPower(spark, sf).collect().sortBy(_.getLong(0))
+    val t1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(t1.map(_.getDouble(2)).toSeq == p1.map(_.getDouble(1)).toSeq, "comp-1 direction != pcaPower")
+    assert(t1.head.getDouble(3) == p1.head.getDouble(2), "comp-1 share != pcaPower")
+    // every component is a genuine L∞-unit direction (the k-th included
+    // — the deflated matrix still amplifies something)
+    (1L to 3L).foreach { c =>
+      assert(math.abs(byComp(c).map(math.abs).max - 1.0) < 1e-9,
+        s"comp $c is not an L∞-unit direction")
+    }
+    // deflation separates: pairwise near-orthogonal (measured ≤0.07 on
+    // this corpus; 0.5 would already mean the deflation failed)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    for (a <- 1L to 3L; b <- (a + 1) to 3L)
+      assert(math.abs(cos(byComp(a), byComp(b))) < 0.5,
+        s"components $a and $b are not distinct directions: cos=${cos(byComp(a), byComp(b))}")
+    // shares are sane fractions of the trace
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("whitenTopK strips MORE than allButTop: the two reports differ and residual energy on each direction is ~0") {
+    assume(hasTestData)
+    val w = Similarity.whitenTopK(spark, sf).collect().map(r =>
+      r.get(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val a = Similarity.allButTop(spark, sf).collect().map(r =>
+      r.get(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(w.keySet == a.keySet && w.nonEmpty)
+    // before-sides agree (same corpus, same recipe)...
+    w.keySet.foreach(l => assert(w(l)._1 == a(l)._1, s"label $l coh_before diverged"))
+    // ...after-sides differ somewhere: removing 3 directions is not
+    // removing 1 (non-vacuousness of the extra components' removal)
+    assert(w.keySet.exists(l => w(l)._2 != a(l)._2),
+      "whitenTopK's after-side is identical to allButTop's — the extra directions did nothing")
+    // and the residual vectors carry ~no energy along ANY of the three
+    // removed directions (sequential deflation actually cleared them)
+    val comps = Similarity.pcaTopK(spark, sf, k = 3).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    import org.apache.spark.sql.functions._
+    var rel = Similarity.vectors(spark, sf).filter(col("norm") > 0).withColumn("r", col("v"))
+    comps.zipWithIndex.foreach { case (dt, i) =>
+      val ddot = dt.foldLeft(0.0)((acc, x) => acc + x * x)
+      rel = rel.withColumn(s"dl$i", array(dt.map(lit): _*))
+        .withColumn(s"dd$i", lit(ddot))
+        .withColumn(s"p$i", expr(s"graft_dot(r, dl$i)"))
+        .withColumn("r", expr(s"zip_with(r, dl$i, (x, y) -> x - p$i / dd$i * y)"))
+    }
+    comps.indices.foreach { i =>
+      val resid = rel
+        .withColumn("c2", expr(s"graft_dot(r, dl$i) * graft_dot(r, dl$i) / (graft_dot(r, r) * dd$i)"))
+        .filter(expr("graft_dot(r, r) > 0"))
+        .agg(max(col("c2"))).head().getDouble(0)
+      // not exactly 0: the deflated directions are only near-orthogonal
+      // (|cos| ~0.05 here), so each later removal re-introduces an
+      // O(cos²) trace along earlier directions — 0.02 is an order of
+      // magnitude under any vector's real top-dir share while still
+      // proving the span was cleared
+      assert(resid < 0.02, s"residual energy ${resid} left along direction $i after whitening")
+    }
+  }
+
   test("allButTop removes the direction: post-removal share on d is ~0, report is well-formed") {
     assume(hasTestData)
     val dArr = Similarity.pcaPower(spark, sf).collect()
