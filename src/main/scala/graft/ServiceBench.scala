@@ -125,7 +125,8 @@ object ServiceBench {
                               p50Ms: Double, p99Ms: Double,
                               roReadsPerSec: Double, roRowsPerSec: Double,
                               readP50Ms: Double, readP99Ms: Double,
-                              errors: Int) {
+                              errors: Int,
+                              readStages: Seq[(String, Double, Double)] = Seq.empty) {
     def rowsPerSec: Double = rows / math.max(dtWrite, 1e-9)
   }
 
@@ -264,7 +265,13 @@ object ServiceBench {
           }
         }, s"svc-ro-reader-$t")
       }
+      // per-stage attribution of the settled-read path (token / auth /
+      // flush / stats / query / render) — the seam the round-10 p99
+      // question is answered through
+      server.readTimings.clear()
+      server.recordReadTimings = true
       roRunners.foreach(_.start()); roRunners.foreach(_.join(300000))
+      server.recordReadTimings = false
       // a reader hung past the join timeout would let the stats below
       // be computed while threads still append to readNanos — the tier
       // must FAIL loudly instead of publishing silently-wrong numbers
@@ -288,9 +295,23 @@ object ServiceBench {
         f"p50 ${pctOf(0.5, readNanos)}%.1f ms p99 ${pctOf(0.99, readNanos)}%.1f ms over $roThreads clients), " +
         f"post p50 ${pctMs(0.5)}%.1f ms p99 ${pctMs(0.99)}%.1f ms, errors=${errors.get}" +
         f" [${nWriters}w x $nBatches batches x $rowsPerBatch rows, 2 readers, 64KiB rotation]")
+      val byStage = {
+        import scala.jdk.CollectionConverters._
+        server.readTimings.asScala.toSeq.groupBy(_._1)
+      }
+      val stages = graft.api.LogServer.ReadStages.flatMap { st =>
+        byStage.get(st).map { xs =>
+          val q = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+          xs.foreach(x => q.add(x._2))
+          (st, pctOf(0.5, q), pctOf(0.99, q))
+        }
+      }
+      if (stages.nonEmpty)
+        System.err.println("[bench] read stages (p50/p99 ms): " +
+          stages.map { case (st, a, b) => f"$st $a%.1f/$b%.1f" }.mkString("  "))
       Some(TierResult(rows, dtWrite, appendsOk.get, pctMs(0.5), pctMs(0.99),
         roOk / roDt, roRows / roDt, pctOf(0.5, readNanos), pctOf(0.99, readNanos),
-        errors.get))
+        errors.get, stages))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $label FAILED: ${e.getMessage}")

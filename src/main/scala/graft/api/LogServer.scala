@@ -142,6 +142,37 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     } finally ex.close()
   }
 
+  /** Opt-in per-stage timing of the read path — ServiceScaleCheck's
+    * p99 attribution seam (round-10 verdict #2). Off by default; the
+    * disabled cost is the `System.nanoTime()` pairs plus one volatile
+    * read per stage — no allocation, nothing enqueued. Stages
+    * ([[LogServer.ReadStages]]): `token` (bearer verify — catalog
+    * resolve), `auth` (session ownership), `flush` (read-your-writes
+    * buffer flush), `stats` (tier resolve + file stat), `query` (plan
+    * lookup + collect), `render` (JSON assembly + response write).
+    *
+    * Samples are STAGED per request and published only when the
+    * request completes the full batch-read 200 path, so every
+    * published request carries ALL six stages — per-stage percentiles
+    * are computed over ONE population. Streaming GETs, empty-session
+    * short-circuits, POSTs (whose `authed` token check also stages a
+    * sample) and error paths publish nothing; their staged samples
+    * are discarded at the next request's entry. Handlers run
+    * synchronously on one executor thread, so a ThreadLocal buffer
+    * is request-scoped. */
+  @volatile private[graft] var recordReadTimings = false
+  private[graft] val readTimings =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+  private val stagedTimings =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[(String, Long)]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    }
+  private def noteStage(stage: String, nanos: Long): Unit =
+    if (recordReadTimings) stagedTimings.get() += ((stage, nanos))
+  private def publishStagedTimings(): Unit =
+    if (recordReadTimings) stagedTimings.get().foreach(readTimings.add)
+
   /** Bearer authN (auth.py:257-283): 401 on missing header, bad format,
     * or invalid/expired token; otherwise the handler gets (user, token). */
   private def authed(ex: HttpExchange)(f: (String, String) => Unit): Unit = {
@@ -151,7 +182,11 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       case Some(h) =>
         h.split("\\s+").filter(_.nonEmpty) match {
           case Array(scheme, token) if scheme.equalsIgnoreCase("bearer") =>
-            catalog.verifyToken(token) match {
+            if (recordReadTimings) stagedTimings.get().clear()
+            val t0 = System.nanoTime()
+            val who = catalog.verifyToken(token)
+            noteStage("token", System.nanoTime() - t0)
+            who match {
               case Some(user) => f(user, token)
               case None => error(ex, 401, "Invalid or expired token")
             }
@@ -261,7 +296,10 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   // ---- log endpoints (P8-P9, main.py:222-347) ----
 
   private def getLogs(ex: HttpExchange, user: String, c: String, s: String): Unit = {
-    if (!catalog.verifySessionAccess(user, nsKey(c, s)))
+    val ta = System.nanoTime()
+    val allowed = catalog.verifySessionAccess(user, nsKey(c, s))
+    noteStage("auth", System.nanoTime() - ta)
+    if (!allowed)
       return error(ex, 403, "Session not found or access denied")
     val params = queryParams(ex)
     val startRaw = params.get("start_ts")
@@ -269,7 +307,9 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     val streaming = params.get("stream").exists(_.equalsIgnoreCase("true"))
     // Read-your-writes across the ingest buffer: everything acked before
     // this GET began is on disk before the scan lists files.
+    val tf = System.nanoTime()
     ingestBuffer.flush(c, s)
+    noteStage("flush", System.nanoTime() - tf)
 
     val (start, end) =
       try (startRaw.map(parseParamTs), endRaw.map(parseParamTs))
@@ -283,7 +323,9 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
     // stream=true — so a client never sees a schema that depends on
     // whether files happen to exist (round-7 review; round-8 extended
     // to the streaming branch, whose body carries no total_rows/filter).
+    val tst = System.nanoTime()
     val (cf, _, hf, _) = store.tierStats(c, s)
+    noteStage("stats", System.nanoTime() - tst)
     val filesScanned = cf + hf
     if (filesScanned == 0) {
       val o = mapper.createObjectNode()
@@ -363,7 +405,10 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
         } finally out.close()
       } finally guard.cancel(false)
     } else {
+      val tq = System.nanoTime()
       val rows = store.withReadSnapshot(c, s) { engine.readLogs(c, s, start, end).collect() }
+      val tr = System.nanoTime()
+      noteStage("query", tr - tq)
       val o = mapper.createObjectNode()
       o.put("container", c); o.put("session", s)
       val arr = o.putArray("logs")
@@ -374,6 +419,8 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       startRaw.fold(f.putNull("start_ts"))(v => { f.put("start_ts", v); f })
       endRaw.fold(f.putNull("end_ts"))(v => { f.put("end_ts", v); f })
       respond(ex, 200, o)
+      noteStage("render", System.nanoTime() - tr)
+      publishStagedTimings()
     }
   }
 
@@ -504,6 +551,13 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
 }
 
 object LogServer {
+  /** Canonical read-path stage order for the attribution seam
+    * (`recordReadTimings`) — the ONE list ServiceBench and
+    * ServiceScaleCheck render from, so adding a stage is a one-line
+    * change here plus its `noteStage` call. */
+  val ReadStages: Seq[String] =
+    Seq("token", "auth", "flush", "stats", "query", "render")
+
   /** Default tier: the single-node two-tier [[LogStore]]. */
   val localTier: (SparkSession, String) => LogTier =
     (sp, dataRoot) => new LogStore(sp, dataRoot)

@@ -178,10 +178,15 @@ object Dedup {
     * PRIOR run needs: the DF cap is relative to the SLICE (exactly
     * what a real run over the then-current corpus computed), not to
     * whatever the corpus later grew into. Same shingling, cap rule,
-    * pair join and 0.5 gate as [[ngramPairs]]. */
-  private[ops] def ngramPairsOf(docs: DataFrame): DataFrame = {
+    * pair join and 0.5 gate as [[ngramPairs]]. Takes the shingle
+    * relation pre-derived so the sliced prior-run CC can reuse the
+    * MEMOIZED corpus shingles (filtered per doc) instead of
+    * re-exploding the corpus — shingling is per-document, so a
+    * doc-filtered slice of the corpus shingle relation is identical
+    * to shingling the sliced docs. CONTRACT: `shAll` and `docs` must
+    * describe the same slice. */
+  private[ops] def ngramPairsFromShingles(shAll: DataFrame, docs: DataFrame): DataFrame = {
     val total = docs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    val shAll = shinglesOf(docs)
     val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("k", lit(1))
       .join(broadcast(total), Seq("k"))
@@ -209,7 +214,9 @@ object Dedup {
   private[ops] def ngramComponentsUpTo(s: SparkSession, dir: String, thr: Long): DataFrame =
     memoized(s"ngramComponentsUpTo$thr", s, dir) {
       connectedComponents(
-        ngramPairsOf(Tables.documents(s, dir).filter(col("doc_id") <= thr))
+        ngramPairsFromShingles(
+          shingles(s, dir).filter(col("doc_id") <= thr),
+          Tables.documents(s, dir).filter(col("doc_id") <= thr))
           .select(col("doc_a"), col("doc_b")))
     }
 
