@@ -143,6 +143,10 @@ object SparkEntry {
     // executable): assignment paid once at index build, same rows/oracle
     "ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshMultiProbeTopK(s, d)),
+    // selectivity-adaptive filtered search: brute over a selective
+    // predicate's subset, oversampled-probe IVF + post-filter over a
+    // broad one — strategy chosen from exact pass-rate counts
+    "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     // IVF inverted-list balance/skew pre-flight (load factor, cohesion)
@@ -2055,6 +2059,49 @@ object SparkEntry {
          |  floor(CAST(COUNT(*) AS DOUBLE) * 8 / (SELECT COUNT(*) FROM vn) * 1000000) / 1000000
          |    AS load_factor
          |FROM assign GROUP BY list_id ORDER BY list_id""".stripMargin,
+    // Strategy literals are oracle contract: label=3 passes ~10% of
+    // vectors (≤ 1/2 → brute), label<>3 ~90% (> 1/2 → ivf_post with
+    // nprobe 2×2=4) at every SF — the SQL replays the branch each
+    // count selects, and a Spark-side threshold drift breaks the
+    // strategy column before it breaks any row.
+    "ann_filtered_topk" ->
+      s"""WITH $vectorsCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
+         |sel AS (
+         |  SELECT q.query_id, vn.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, vn.v) / (q.qnorm * vn.norm) AS cos
+         |  FROM vn JOIN q ON vn.vec_id <> q.query_id WHERE vn.label = 3),
+         |selr AS (
+         |  SELECT 'selective' AS scenario, 'brute' AS strategy, query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk, cos
+         |  FROM sel),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id, v AS n_v, norm AS n_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id, v AS q_v, norm AS q_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 4),
+         |brd AS (
+         |  SELECT p.q_id AS query_id, a.n_id AS neighbor_id,
+         |    list_dot_product(p.q_v, a.n_v) / (p.q_norm * a.n_norm) AS cos
+         |  FROM probes p JOIN assign a ON p.list_id = a.list_id AND p.q_id <> a.n_id
+         |  JOIN vn f ON f.vec_id = a.n_id AND f.label <> 3),
+         |brdr AS (
+         |  SELECT 'broad' AS scenario, 'ivf_post' AS strategy, query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk, cos
+         |  FROM brd),
+         |unioned AS (SELECT * FROM selr UNION ALL SELECT * FROM brdr)
+         |SELECT scenario, strategy, query_id, neighbor_id, rk,
+         |  floor(cos * 1000000) / 1000000 AS cos
+         |FROM unioned WHERE rk <= 5 ORDER BY scenario, query_id, rk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $vectorsCte,
          |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -446,6 +446,71 @@ object Similarity {
     ivfSearchWithProbes(probes, assigned, k)
   }
 
+  /** Predicate-FILTERED ANN top-k — the "vector search with a WHERE
+    * clause" every retrieval deployment needs (RAG filtering by
+    * tenant/date/source; a training pipeline mining negatives within
+    * one domain). The engine picks its strategy from the EXACT pass
+    * rate of the predicate — two bounded count micro-jobs here; at
+    * 100 TB the same numbers come from the partition statistics every
+    * planner already keeps:
+    *
+    *  - pass rate ≤ 1/2 → BRUTE over the filtered subset. A selective
+    *    filter prunes the corpus below what oversampled probes would
+    *    scan, the scan is one streamed pass against the broadcast
+    *    query set (no shuffle), and the result is exact — the
+    *    pre-filter rule every production vector store applies.
+    *  - pass rate > 1/2 → IVF probes at 2× OVERSAMPLED nprobe,
+    *    post-filtered. Most candidates survive a broad predicate, so
+    *    the inverted lists stay the cheaper scan; oversampling
+    *    compensates the post-filter loss (a deployment scales nprobe
+    *    by 1/pass-rate — at pass rate ≥ 1/2 the fixed 2× covers it).
+    *    The post-filter is a left-semi join on the hashed vec_id —
+    *    the general shape when the predicate is an id SET from
+    *    another relation (docs not yet trained on, un-quarantined
+    *    tenants); for a stored column a deployment materializes the
+    *    predicate column in the index rows and the semi-join becomes
+    *    a scan predicate on the pruned lists. Never all-pairs either
+    *    way.
+    *
+    * Both branches are deterministic and the choice is a pure
+    * function of exact counts, so the oracle replays strategy AND
+    * rows. Declared with two scenarios — `label = 3` (~10%, brute)
+    * and `label ≠ 3` (~90%, ivf_post) — so the adaptive switch is
+    * non-vacuous inside one result at every SF. */
+  def filteredTopK(s: SparkSession, dir: String,
+                   nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, dir)
+    val q = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val nTotal = vs.count()
+    def scenario(name: String, pred: Column): DataFrame = {
+      val cand = vs.filter(pred)
+      val brute = cand.count() * 2 <= nTotal
+      val ranked =
+        if (brute)
+          topK(cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                    (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
+        else {
+          val probes = nearestCentroids(
+            vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe * 2, "q")
+          topK(seedAssignment(s, dir)
+            .join(broadcast(probes), Seq("list_id"))
+            .filter(col("q_id") =!= col("n_id"))
+            .join(cand.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")
+            .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"),
+                    (dot("q_v", "n_v") / (col("q_norm") * col("n_norm"))).as("cos")), k)
+        }
+      ranked.withColumn("scenario", lit(name))
+        .withColumn("strategy", lit(if (brute) "brute" else "ivf_post"))
+    }
+    scenario("selective", col("label") === 3)
+      .unionByName(scenario("broad", col("label") =!= 3))
+      .select(col("scenario"), col("strategy"), col("query_id"),
+              col("neighbor_id"), col("rk"), col("cos"))
+      .orderBy(col("scenario"), col("query_id"), col("rk"))
+  }
+
   /** THE driver-side probe selection every indexed IVF serving path
     * shares (plain and PQ — one definition, because the tiebreak and
     * the literal-predicate construction are oracle contract): ranking
@@ -1457,7 +1522,17 @@ object Similarity {
           if (ddot == 0) col("r")
           else expr(s"zip_with(r, dl$idx, (x, y) -> x - p$idx / dd$idx * y)"))
     }
-    base = base.withColumn("nr", expr("sqrt(graft_dot(r, r))"))
+    // MATERIALIZE the transformed vectors before anything joins on or
+    // explodes them: `r` is a K-deep nested zip_with/graft_dot tree
+    // whose projections each re-evaluate the whole chain (the
+    // HOF-in-join blowup PlanAuditSpec polices — measured 275 s vs
+    // ~1 s at sf0.1 without this). A real pipeline ships the rewritten
+    // embeddings as a table at exactly this point; the checkpoint is
+    // that table, one scan-rate pass.
+    base = base
+      .withColumn("nr", expr("sqrt(graft_dot(r, r))"))
+      .select(col("label"), col("v"), col("norm"), col("r"), col("nr"))
+      .localCheckpoint()
     def cohesionCentroids(rel: DataFrame, vcol: String): DataFrame =
       assembleCentroids(
         quantizedMeans(rel.select(col("label"), col(vcol).as("v")), "label"), "label")

@@ -33,6 +33,11 @@ class PlanAuditSpec extends SparkSuite {
     // driver-side probe micro-job + index builds at construction; its
     // other arms' plans are audited via their standalone entries
     "ann_recall",
+    // runs the two pass-rate count micro-jobs that CHOOSE each
+    // scenario's strategy during construction; the branch plans are
+    // the audited ann_brute_topk / ann_ivf_topk shapes plus a
+    // hashed-key semi-join for the post-filter
+    "ann_filtered_topk",
     // all three consumers of the shared moment relation checkpoint it
     // (Tables.memoized) during construction — round-10's shuffle-free
     // moment pass; the build plan itself (zero joins, one Exchange

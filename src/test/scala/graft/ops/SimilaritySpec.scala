@@ -299,4 +299,42 @@ class SimilaritySpec extends SparkSuite {
     // 100-deep exact rerank recovers whatever the probed lists hold
     assert(byMethod("ivf_pq") > 0L, "ivf_pq recall vacuously zero")
   }
+
+  test("filteredTopK: the selectivity switch is non-vacuous and every neighbor honors its predicate") {
+    assume(hasTestData)
+    val rows = Similarity.filteredTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Number](2).longValue,
+                 r.getAs[Number](3).longValue, r.getAs[Number](4).longValue,
+                 r.getAs[Number](5).doubleValue))
+    // the adaptive choice must actually flip between the scenarios —
+    // a threshold bug that routes both through one branch still
+    // hash-matches rows the oracle computed for that branch
+    val strategies = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(strategies("selective") === Seq("brute"))
+    assert(strategies("broad") === Seq("ivf_post"))
+    // predicate honored: every neighbor the filter admits, none it rejects
+    val labels = Similarity.vectors(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).intValue).toMap
+    rows.foreach { case (scen, _, q, nb, _, _) =>
+      assert(nb != q, "self returned as neighbor")
+      if (scen == "selective") assert(labels(nb) == 3, s"label ${labels(nb)} leaked into label=3 search")
+      else assert(labels(nb) != 3, s"label 3 leaked into label<>3 search")
+    }
+    // full result shape: brute is exact so every query gets k rows; the
+    // probed branch must be non-vacuous for every query too (the 2×
+    // oversampled probes over a 90% predicate cannot come back empty)
+    val perQ = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.length).toMap
+    (0L until 8L).foreach { q =>
+      assert(perQ.getOrElse(("selective", q), 0) === 5, s"selective query $q short of k")
+      assert(perQ.getOrElse(("broad", q), 0) === 5, s"broad query $q short of k")
+    }
+    // ranks are dense and cosine-sorted within each (scenario, query)
+    rows.groupBy(r => (r._1, r._3)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5) === (1L to g.length).toArray.toSeq, "ranks not dense from 1")
+      assert(sorted.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "cos not non-increasing in rank")
+    }
+  }
 }
