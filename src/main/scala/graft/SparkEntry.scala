@@ -147,6 +147,9 @@ object SparkEntry {
     // predicate's subset, oversampled-probe IVF + post-filter over a
     // broad one — strategy chosen from exact pass-rate counts
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
+    // tombstone-masked serving (in-plan twin of the delete lifecycle:
+    // candidates anti-joined against the deterministic tombstone set)
+    "ann_ivf_deleted" -> ((s: SparkSession, d: String) => Similarity.ivfTopKDeleted(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     // IVF inverted-list balance/skew pre-flight (load factor, cohesion)
@@ -167,6 +170,10 @@ object SparkEntry {
     "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "emb_outliers"  -> ((s: SparkSession, d: String) => Similarity.labelOutliers(s, d)),
     "emb_covariance" -> ((s: SparkSession, d: String) => Similarity.covariance(s, d)),
+    // incremental twin: base-slice moments + batch-slice moments
+    // combined by a 2,144-row add, then the same finisher — the
+    // full-corpus oracle is the additivity proof
+    "emb_moments_incr" -> ((s: SparkSession, d: String) => Similarity.covarianceIncremental(s, d)),
     // dominant eigenvector + explained-variance share by exact-integer
     // power iteration (distributed covariance pass, driver-side 64x64
     // eigen-iteration — the all-but-the-top / whitening pre-flight)
@@ -696,6 +703,10 @@ object SparkEntry {
       "dedup_minhash_indexed" -> "dedup_minhash_lsh",
       "dedup_ngram_seg"       -> "dedup_ngram_jaccard",
       "dedup_admission_indexed" -> "dedup_admission",
+      // incremental moment maintenance ≡ full recompute BY ADDITIVITY
+      // of exact integer moments — the shared oracle text IS the proof
+      // obligation (any overlap/gap in the slice combine breaks it)
+      "emb_moments_incr"      -> "emb_covariance",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(
@@ -2102,6 +2113,36 @@ object SparkEntry {
          |SELECT scenario, strategy, query_id, neighbor_id, rk,
          |  floor(cos * 1000000) / 1000000 AS cos
          |FROM unioned WHERE rk <= 5 ORDER BY scenario, query_id, rk""".stripMargin,
+    // The tombstone anti-join replays as a predicate on the candidate
+    // id (tombstone set = ids ≡ 0 mod 7, deterministic at every SF);
+    // queries stay unmasked — a deleted vector can still QUERY the
+    // index, it just can't be served from it.
+    "ann_ivf_deleted" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id, v AS n_v, norm AS n_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id, v AS q_v, norm AS q_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
+         |scored AS (
+         |  SELECT p.q_id AS query_id, a.n_id AS neighbor_id,
+         |    list_dot_product(p.q_v, a.n_v) / (p.q_norm * a.n_norm) AS cos
+         |  FROM probes p JOIN assign a ON p.list_id = a.list_id AND p.q_id <> a.n_id
+         |  WHERE a.n_id % 7 <> 0),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $vectorsCte,
          |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn

@@ -764,6 +764,92 @@ object IndexTables {
   def currentPqTable(s: SparkSession, dir: String): String =
     annPqTableAt(s, dir, annGeneration(s, dir))
 
+  // ---- ANN DELETES: per-generation tombstones (round 11) ----
+  //
+  // The third index mutation, completing the lifecycle (append →
+  // rebuild → delete): a delete cannot rewrite the bucketed index
+  // tables in place (that is a compaction by definition), so it lands
+  // as a TOMBSTONE row the serving paths anti-join away — the same
+  // move as every LSM/segment index (Lucene's deleted-docs bitmap,
+  // Milvus's delta log). Tombstones are PER GENERATION: a rebuild
+  // retrains on the masked rows only, so the next generation is built
+  // clean and starts with an empty tombstone set — the rebuild IS the
+  // purge. Between rebuilds the tombstone set is bounded by the
+  // delete rate since the last swap (≪ corpus), which is what keeps
+  // the serving-side anti-join a broadcast.
+
+  private[ops] def annTombName(dir: String, g: Long): String =
+    s"idx_ann_tomb_g${g}_${tag(dir)}"
+
+  /** Mask generation `g`'s tombstoned ids out of a relation keyed by
+    * `idCol` — the ONE anti-join every serving path shares. Absent
+    * tombstone table (no deletes since the generation was built) =
+    * identity, zero plan overhead. */
+  private[ops] def maskTombstonesAt(s: SparkSession, dir: String, g: Long,
+                                    rel: DataFrame, idCol: String): DataFrame =
+    if (!s.catalog.tableExists(annTombName(dir, g))) rel
+    else rel.join(
+      org.apache.spark.sql.functions.broadcast(
+        s.table(annTombName(dir, g))
+          .select(org.apache.spark.sql.functions.col("n_id").as(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Tombstone `ids` in the CURRENTLY-SERVED generation. Idempotent
+    * (already-tombstoned ids are anti-joined away — a redelivered
+    * delete batch is a no-op) and generation-safe: the write runs
+    * under the generation's IVF TABLE lock with a re-check, the same
+    * serialization as [[appendAnnBatch]] — a rebuild holds that lock
+    * for its whole snapshot→flip window, so a delete either lands
+    * before the snapshot (the rebuild folds it out) or retries into
+    * the new generation (it can never fall into the gap and be
+    * silently resurrected by the swap). Cross-process, deletes
+    * quiesce for the rebuild window under the same operational
+    * contract as appends.
+    *
+    * A tombstone is terminal for its generation: appending a
+    * tombstoned id is a no-op (the row is still physically present,
+    * so the append's presence guard skips it) and the mask keeps
+    * serving without it — an at-least-once REDELIVERED ingest batch
+    * cannot resurrect a deletion. Deliberate re-admission is
+    * rebuild-then-append: the rebuild purges the row and the clean
+    * generation accepts the vector as new. Returns ids newly
+    * tombstoned (0 = the whole batch was already deleted). */
+  def deleteFromAnnIndex(s: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    val batchRows = ids.distinct.map(Tuple1(_))
+    if (batchRows.isEmpty) return 0L
+    while (true) {
+      val g = annGeneration(s, dir)
+      val ivfName = annIvfTableAt(s, dir, g) // ensures gen 0; lock key below
+      val name = annTombName(dir, g)
+      val batch = s.createDataFrame(batchRows).toDF("n_id")
+      val committed = withTableLock(ivfName) {
+        if (annGeneration(s, dir) != g) None // swapped mid-delete: re-aim at the new generation
+        else {
+          val fresh =
+            if (s.catalog.tableExists(name))
+              batch.join(s.table(name), Seq("n_id"), "left_anti")
+            else batch
+          val n = fresh.count()
+          if (n > 0L) {
+            if (s.catalog.tableExists(name))
+              fresh.write.mode("append").saveAsTable(name)
+            else {
+              deleteWarehouseDir(s, name) // stale dir from a previous JVM
+              fresh.write.mode("overwrite").saveAsTable(name)
+            }
+            refreshBoth(s, fresh, name)
+          }
+          Some(n)
+        }
+      }
+      committed match {
+        case Some(n) => return n
+        case None => // retry under the new generation
+      }
+    }
+    0L // unreachable
+  }
+
   /** REBUILD-WHILE-SERVING: retrain the coarse quantizer and the PQ
     * codebook on the index's CURRENT vectors (base corpus plus every
     * appended batch — nothing served disappears), write the next
@@ -794,8 +880,12 @@ object IndexTables {
       val pqCur = if (g == 0L) ensurePqIndex(s, dir) else annPqName(dir, g)
       withTableLock(ivfCur) { withTableLock(pqCur) {
         // snapshot the live index content ONCE: it feeds the centroid
-        // retrain, the codebook retrain, and both re-encodes
-        val cur = s.table(ivfCur).localCheckpoint()
+        // retrain, the codebook retrain, and both re-encodes. The
+        // snapshot is the MASKED view — tombstoned vectors must not
+        // shape the retrained quantizer/codebook and must not be
+        // carried into the new generation: the rebuild is the purge,
+        // and the clean generation starts with no tombstone table.
+        val cur = maskTombstonesAt(s, dir, g, s.table(ivfCur), "n_id").localCheckpoint()
         val curVs = cur.select(
           org.apache.spark.sql.functions.col("n_id").as("vec_id"),
           org.apache.spark.sql.functions.col("n_v").as("v"),
@@ -933,7 +1023,10 @@ object IndexTables {
       while (cur > 0L && !warehouseDirExists(s, annIvfName(dir, cur))) cur -= 1
       var dropped = 0
       def sweep(g: Long): Unit = {
-        val names = Seq(annIvfName(dir, g), annPqName(dir, g)) ++
+        // tombstones die with their generation: a dropped generation's
+        // mask has no readers left, and the current generation was
+        // built from the masked snapshot
+        val names = Seq(annIvfName(dir, g), annPqName(dir, g), annTombName(dir, g)) ++
           (if (g > 0L) Seq(annCentsName(dir, g), annCwName(dir, g)) else Seq.empty)
         names.foreach { n =>
           if (s.catalog.tableExists(n)) { s.sql(s"DROP TABLE $n"); dropped += 1 }

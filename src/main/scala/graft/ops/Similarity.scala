@@ -440,9 +440,13 @@ object Similarity {
     // come from the same generation (single-resolution contract)
     val g = IndexTables.annGeneration(s, dir)
     val (probes, lists) = probeSelection(s, dir, nQueries, nprobe, g)
-    val assigned = s.table(IndexTables.annIvfTableAt(s, dir, g))
-      .filter(col("list_id").isin(lists: _*))
-      .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
+    // deleted vectors are masked at the candidate stage (tombstone
+    // anti-join — identity when the generation has no deletes)
+    val assigned = IndexTables.maskTombstonesAt(s, dir, g,
+      s.table(IndexTables.annIvfTableAt(s, dir, g))
+        .filter(col("list_id").isin(lists: _*))
+        .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm")),
+      "n_id")
     ivfSearchWithProbes(probes, assigned, k)
   }
 
@@ -509,6 +513,30 @@ object Similarity {
       .select(col("scenario"), col("strategy"), col("query_id"),
               col("neighbor_id"), col("rk"), col("cos"))
       .orderBy(col("scenario"), col("query_id"), col("rk"))
+  }
+
+  /** Tombstone-masked IVF search — the in-plan TWIN of the deleted
+    * serving path ([[IndexTables.deleteFromAnnIndex]] +
+    * `maskTombstonesAt`): candidates anti-joined against a tombstone
+    * id relation before ranking, exactly the plan shape the persisted
+    * path serves (broadcast anti-join on the id, never a rewrite of
+    * the index). The declared tombstone set is deterministic
+    * (vec_id ≡ 0 mod `deleteMod`) so the oracle replays it; the
+    * persisted path's full lifecycle — idempotent deletes, redelivery
+    * that cannot resurrect, rebuild-as-purge, generation GC of the
+    * mask — mutates shared tables and is therefore spec'd on fixture
+    * dirs (AnnTombstoneSpec), the same oracle/spec split as
+    * ManifestLog. */
+  def ivfTopKDeleted(s: SparkSession, dir: String,
+                     nQueries: Int = 8, k: Int = 5, nprobe: Int = 2,
+                     deleteMod: Long = 7): DataFrame = {
+    val vs = vectors(s, dir)
+    val probes = nearestCentroids(
+      vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+    val tombs = vs.filter(col("vec_id") % deleteMod === 0)
+      .select(col("vec_id").as("n_id"))
+    ivfSearchWithProbes(probes,
+      seedAssignment(s, dir).join(broadcast(tombs), Seq("n_id"), "left_anti"), k)
   }
 
   /** THE driver-side probe selection every indexed IVF serving path
@@ -925,9 +953,14 @@ object Similarity {
     // by gen-g list ids and silently match nothing
     val g = IndexTables.annGeneration(s, dir)
     val (probes, lists) = probeSelection(s, dir, nQueries, nprobe, g)
-    val codes = s.table(IndexTables.annPqTableAt(s, dir, g))
-      .filter(col("list_id").isin(lists: _*))
-      .select(col("n_id"), col("list_id"), col("m"), col("code_id"))
+    // mask deletes at the ADC stage: a tombstoned vector must not
+    // occupy a shortlist slot (masking only at rerank would silently
+    // shrink k). The rerank join below then never sees it either.
+    val codes = IndexTables.maskTombstonesAt(s, dir, g,
+      s.table(IndexTables.annPqTableAt(s, dir, g))
+        .filter(col("list_id").isin(lists: _*))
+        .select(col("n_id"), col("list_id"), col("m"), col("code_id")),
+      "n_id")
     val lut = pqLut(pqSubvectors(vs), servingCodebookAt(s, dir, g), nQueries)
     val cands = codes
       .join(broadcast(probes.select(col("q_id").as("query_id"), col("list_id"))), Seq("list_id"))
@@ -1178,7 +1211,16 @@ object Similarity {
     * zero joins, and the one Exchange carries only the map-side
     * partially-aggregated groups, never the exploded 64N-row relation. */
   private[ops] def momentsPlan(s: SparkSession, dir: String): DataFrame =
-    vectors(s, dir)
+    momentsPlanOf(vectors(s, dir))
+
+  /** [[momentsPlan]] over an arbitrary slice of the vector relation —
+    * the seam incremental maintenance needs: moments are ADDITIVE in
+    * exact integer arithmetic (Σ over a disjoint union = the sum of
+    * the slices' Σs, and DECIMAL(38,0) sums are order-independent), so
+    * slice moments combine into corpus moments by a 2,144-row add —
+    * see [[covarianceIncremental]]. */
+  private def momentsPlanOf(vs: DataFrame): DataFrame =
+    vs
       .select(expr("transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT))").as("xq"))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(xq) - 1), i ->
@@ -1214,7 +1256,14 @@ object Similarity {
     if (k <= 0)
       return s.createDataFrame(Seq.empty[(Long, Long, Double, Long)])
         .toDF("i", "j", "cov", "rk")
-    val m = moments(s, dir)
+    covarianceFrom(s, moments(s, dir), k)
+  }
+
+  /** The covariance finisher over an arbitrary moment relation
+    * ((i, j, sxy, n) — the memoized corpus build for [[covariance]],
+    * an incrementally-combined one for [[covarianceIncremental]]).
+    * Everything here is O(d²), corpus-size-independent. */
+  private def covarianceFrom(s: SparkSession, m: DataFrame, k: Int): DataFrame = {
     val sums = m.filter(col("j") === -1).select(col("i"), col("sxy").as("sx"))
     val pairs = m.filter(col("j") >= 0 && col("i") < col("j"))
     val cov = pairs
@@ -1242,6 +1291,41 @@ object Similarity {
               col("e.payload.cov").as("cov"),
               (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("rk"))
+  }
+
+  /** INCREMENTALLY-MAINTAINED covariance — the 100-TB answer to "the
+    * corpus grew; do we rescan everything to refresh the moment
+    * stack?" (covariance, PCA, top-direction, ABTT, whitening all read
+    * [[moments]]). No: moments are ADDITIVE — exact integer sums over
+    * a disjoint union equal the sum of the slices' sums — so a
+    * deployment stores the 2,144-row moment relation per corpus
+    * version and each ingest batch contributes ONE scan of the batch,
+    * combined by a d(d+3)/2-row add. This query executes that
+    * maintenance shape end-to-end: it splits the corpus at a
+    * deterministic cut (the "prior corpus" = the first ~4/5 of
+    * vec_ids; the rest is "the batch"), builds each slice's moments
+    * independently, combines them, and runs the covariance finisher on
+    * the COMBINED relation. The declared oracle is emb_covariance's
+    * full-corpus SQL — equality is the additivity proof, replayed on
+    * every CORRECTNESS run: any overlap, gap, or non-additive term in
+    * the combine breaks the hash. (The base-slice scan here exists so
+    * the oracle can see the whole derivation; a deployment reads the
+    * stored base moments and pays only the batch scan.) */
+  def covarianceIncremental(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    if (k <= 0)
+      return s.createDataFrame(Seq.empty[(Long, Long, Double, Long)])
+        .toDF("i", "j", "cov", "rk")
+    val vs = vectors(s, dir)
+    // deterministic cut: a bounded 1-row micro-job (the same driver
+    // pattern as the IVF probe selection); truncating division on
+    // non-negative ids
+    val maxId = vs.agg(max(col("vec_id"))).head().getLong(0)
+    val thr = maxId * 4L / 5L
+    val combined = momentsPlanOf(vs.filter(col("vec_id") <= thr))
+      .unionByName(momentsPlanOf(vs.filter(col("vec_id") > thr)))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("sxy")).as("sxy"), sum(col("n")).as("n"))
+    covarianceFrom(s, combined, k)
   }
 
   /** Top principal component by power iteration — the spectral

@@ -50,6 +50,10 @@ class PlanAuditSpec extends SparkSuite {
     // driver-side deflation loop, whiten embeds its directions as
     // literal arrays before the scan-rate removal
     "emb_pca_topk", "emb_whiten",
+    // runs the 1-row max-vec_id micro-job that places the incremental
+    // cut during construction; the slice plans are the audited
+    // join-free moments shape (SimilaritySpec), twice
+    "emb_moments_incr",
     // materializes the merged capped-shingle view (localCheckpoint)
     // while building; its pair-join shape is the audited
     // dedup_ngram_indexed plan over the same bucket keys
@@ -82,6 +86,9 @@ class PlanAuditSpec extends SparkSuite {
   // the 1-row global-min aggregate in the mixture sampler)
   private val intendedBnlj = Set(
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
+    // same 8-query × 8-centroid probe cross as ann_ivf_topk; the
+    // tombstone mask itself is a broadcast hash ANTI-join on the id
+    "ann_ivf_deleted",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the list
     // join against the persisted IVF table is an equi-join (and picks
     // up dynamic partition pruning on list_id from the probe side)

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** ANN tombstone deletes (round 11) — the third index mutation,
+  * completing the lifecycle: append ([[IndexTables.appendToIvfIndex]]),
+  * rebuild ([[IndexTables.rebuildAnnIndexes]]), delete
+  * ([[IndexTables.deleteFromAnnIndex]]). Deletes land as per-generation
+  * tombstone rows the serving paths anti-join away; the rebuild is the
+  * purge (it retrains on the masked snapshot and the new generation
+  * starts clean); generation GC sweeps the mask with its generation.
+  * Every test runs against a FIXTURE embeddings dir (its own dir tag →
+  * its own tables/generations), so the declared queries' shared tables
+  * are never touched. */
+class AnnTombstoneSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/embeddings.parquet").isFile
+
+  private def mkFixture(): String = {
+    val dir = tempDir("anntomb")
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def served(dir: String): (Set[(Long, Long)], Set[(Long, Long)]) =
+    (pairs(Similarity.ivfTopKIndexed(spark, dir, nQueries = 4, k = 3)),
+     pairs(Similarity.ivfPqTopK(spark, dir, nQueries = 4, k = 3)))
+
+  test("a delete masks BOTH served paths immediately, idempotently, and top-k refills") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    val (ivfBefore, pqBefore) = served(fix)
+    // victim: a vector both paths currently serve (query 0's IVF top-1)
+    val victim = Similarity.ivfTopKIndexed(spark, fix, nQueries = 4, k = 3)
+      .filter(col("query_id") === 0L).orderBy(col("rk"))
+      .select(col("neighbor_id")).head().getLong(0)
+    assert(ivfBefore.contains((0L, victim)))
+
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 1L)
+    // redelivered delete batch: a no-op, not a duplicate tombstone
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 0L)
+
+    val (ivfAfter, pqAfter) = served(fix)
+    assert(!ivfAfter.exists(_._2 == victim), "deleted id still served by ivfTopKIndexed")
+    assert(!pqAfter.exists(_._2 == victim), "deleted id still served by ivfPqTopK")
+    // the mask removes ONE vector, not a list: every query still gets
+    // a full top-k (the slot refills from the remaining candidates)
+    assert(ivfAfter.groupBy(_._1).forall(_._2.size == 3),
+      "top-k did not refill after the delete")
+    // nothing unrelated changed: the only new pairs are refills, and
+    // every surviving old pair is still there
+    assert((ivfBefore -- ivfAfter).forall(_._2 == victim),
+      "pairs not involving the victim disappeared")
+  }
+
+  test("an at-least-once REDELIVERED append cannot resurrect a deletion") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    IndexTables.ensureIvfIndex(spark, fix)
+    IndexTables.ensurePqIndex(spark, fix)
+    // ingest a vector, then delete it, then redeliver its append batch
+    val emb = Tables.embeddings(spark, fix)
+      .filter(col("vec_id") === 0L).select(col("embedding")).head().getSeq[Float](0)
+    val newId = 930000001L
+    val newDf = spark.createDataFrame(Seq((newId, emb))).toDF("vec_id", "embedding")
+    assert(IndexTables.appendToIvfIndex(spark, fix, newDf) == 1L)
+    assert(IndexTables.appendToPqIndex(spark, fix, newDf) == 1L)
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(newId)) == 1L)
+    // the redelivery: rows are still physically present, so the
+    // append's presence guard skips them — and the mask keeps serving
+    // without them
+    assert(IndexTables.appendToIvfIndex(spark, fix, newDf) == 0L)
+    assert(IndexTables.appendToPqIndex(spark, fix, newDf) == 0L)
+    val (ivf, pq) = served(fix)
+    assert(!ivf.exists(_._2 == newId) && !pq.exists(_._2 == newId),
+      "a redelivered append resurrected a deleted vector")
+  }
+
+  test("rebuild is the purge: the new generation is tombstone-free and deliberate re-admission works") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    // victim = query 1's GLOBAL exact-cosine top-1: after re-admission
+    // an all-lists probe must rank it first again — no dependence on
+    // where the retrained quantizer re-assigned it
+    val victim = Similarity.bruteForceTopK(spark, fix, nQueries = 2, k = 1)
+      .filter(col("query_id") === 1L)
+      .select(col("neighbor_id")).head().getLong(0)
+    val gen0Count = spark.table(IndexTables.currentIvfTable(spark, fix)).count()
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 1L)
+
+    val swapped = IndexTables.rebuildAnnIndexes(spark, fix, "tomb-rebuild")
+    assert(swapped.isDefined && swapped.get._1 == 1L)
+    // the masked row was folded out, everything else carried
+    assert(swapped.get._2 == gen0Count - 1L,
+      s"rebuild carried ${swapped.get._2} of $gen0Count rows; expected the one tombstoned row purged")
+    assert(spark.table(IndexTables.annIvfName(fix, 1L))
+      .filter(col("n_id") === victim).count() == 0L,
+      "tombstoned vector physically present in the rebuilt generation")
+    // the clean generation has no tombstone table, and serving at gen 1
+    // still excludes the victim (it is GONE, not masked)
+    assert(!spark.catalog.tableExists(IndexTables.annTombName(fix, 1L)))
+    val (ivf, pq) = served(fix)
+    assert(!ivf.exists(_._2 == victim) && !pq.exists(_._2 == victim))
+
+    // deliberate re-admission is rebuild-then-append: the clean
+    // generation accepts the vector as new, and it serves again
+    val emb = Tables.embeddings(spark, fix)
+      .filter(col("vec_id") === victim).select(col("embedding")).head().getSeq[Float](0)
+    val back = spark.createDataFrame(Seq((victim, emb))).toDF("vec_id", "embedding")
+    assert(IndexTables.appendToIvfIndex(spark, fix, back) == 1L)
+    assert(IndexTables.appendToPqIndex(spark, fix, back) == 1L)
+    assert(spark.table(IndexTables.annIvfName(fix, 1L))
+      .filter(col("n_id") === victim).count() == 1L, "re-admitted row missing from gen 1")
+    // probe every list: the re-admitted vector is query 1's global
+    // top-1 again (the tombstone is gone, not just out-probed)
+    val ivf2 = pairs(Similarity.ivfTopKIndexed(spark, fix, nQueries = 2, k = 1, nprobe = 8))
+    assert(ivf2.contains((1L, victim)), s"re-admitted vector not served: $ivf2")
+  }
+
+  test("generation GC sweeps the superseded generation's tombstone table with its generation") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    val victim = Similarity.ivfTopKIndexed(spark, fix, nQueries = 4, k = 3)
+      .select(col("neighbor_id")).head().getLong(0)
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 1L)
+    assert(spark.catalog.tableExists(IndexTables.annTombName(fix, 0L)))
+    assert(IndexTables.rebuildAnnIndexes(spark, fix, "tomb-gc").isDefined)
+    // gen 0: ivf + pq + tombstones = 3 tables swept
+    val dropped = IndexTables.gcAnnGenerations(spark, fix, "tomb-gc-sweep")
+    assert(dropped.contains(3), s"expected 3 gen-0 tables dropped (ivf, pq, tomb), got $dropped")
+    assert(!spark.catalog.tableExists(IndexTables.annTombName(fix, 0L)))
+    assert(Similarity.ivfPqTopK(spark, fix, nQueries = 4, k = 3).count() > 0)
+  }
+
+  test("oracle twin parity: ivfTopKDeleted rows equal the served path after the same deletes") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    // tombstone exactly the twin's declared set (vec_id ≡ 0 mod 7)
+    val delIds = Similarity.vectors(spark, fix)
+      .filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, delIds) == delIds.size.toLong)
+    val twin = Similarity.ivfTopKDeleted(spark, fix, nQueries = 8, k = 5)
+      .collect().map(_.toSeq).toSet
+    val servedRows = Similarity.ivfTopKIndexed(spark, fix, nQueries = 8, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(twin == servedRows,
+      "in-plan tombstone twin diverged from the persisted masked serving path")
+  }
+}

@@ -300,6 +300,23 @@ class SimilaritySpec extends SparkSuite {
     assert(byMethod("ivf_pq") > 0L, "ivf_pq recall vacuously zero")
   }
 
+  test("covarianceIncremental: both slices non-empty, combined rows BIT-identical to the full build") {
+    assume(hasTestData)
+    // the cut must actually split (an empty batch slice would make the
+    // additivity claim vacuous — full + nothing == full proves nothing)
+    val vs = Similarity.vectors(spark, sf)
+    val maxId = vs.agg(max(col("vec_id"))).head().getLong(0)
+    val thr = maxId * 4L / 5L
+    assert(vs.filter(col("vec_id") <= thr).count() > 0, "base slice empty")
+    assert(vs.filter(col("vec_id") > thr).count() > 0, "batch slice empty")
+    // exact equality, not approximate: integer moment sums are
+    // order-independent and the finisher expression is identical, so
+    // the combined path must reproduce every bit of the full build
+    val full = Similarity.covariance(spark, sf).collect().map(_.toSeq).toSeq
+    val incr = Similarity.covarianceIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    assert(incr == full, "incrementally-combined moments diverged from the full-corpus build")
+  }
+
   test("filteredTopK: the selectivity switch is non-vacuous and every neighbor honors its predicate") {
     assume(hasTestData)
     val rows = Similarity.filteredTopK(spark, sf).collect()
