@@ -125,6 +125,9 @@ object ScaleCheck {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def indexBuilds(dir: String): Seq[(String, Double)] = {
+      // set by the delete-pricing entry, read by the masked consume
+      // (Seq construction is eager and in order)
+      var tombFixture: String = null
       val r = Seq(
         "build chunk index"   -> timed(ops.IndexTables.ensureChunkIndex(spark, dir, 4)),
         "build shingle index" -> timed(ops.IndexTables.ensureShingleIndex(spark, dir)),
@@ -172,6 +175,31 @@ object ScaleCheck {
             ops.IndexTables.maybeRebuildAnnIndexes(spark, dir, "scalecheck-drift",
               recallFloor = 0.0).isEmpty,
             "drift gate rebuilt at floor 0")),
+        // tombstone DELETE (round-11): the delete's cost is the batch
+        // (one tombstone write), never a table rewrite, and the masked
+        // consume adds one broadcast anti-join. Priced on a FIXTURE
+        // copy of the embeddings: the warehouse is shared and
+        // persistent across processes, so tombstoning the real dir
+        // would mask every later Verify/Bench run's serving of the
+        // same tables (the isolation rule AnnTombstoneSpec follows).
+        // Build cost of the fixture's gen-0 tables is excluded — only
+        // the delete itself is timed.
+        "delete 1% ids (tombstone write)" -> {
+          val fix = java.nio.file.Files.createTempDirectory("sc-tomb").toString
+          ops.Tables.embeddings(spark, dir)
+            .write.mode("overwrite").parquet(fix + "/embeddings.parquet")
+          ops.IndexTables.ensureIvfIndex(spark, fix)
+          ops.IndexTables.ensurePqIndex(spark, fix)
+          val ids = ops.Tables.embeddings(spark, fix)
+            .filter(col("vec_id") % 100 === 1).select(col("vec_id"))
+            .collect().map(_.getLong(0)).toSeq
+          tombFixture = fix
+          timed(require(
+            ops.IndexTables.deleteFromAnnIndex(spark, fix, ids) == ids.size.toLong,
+            "tombstone batch not fully applied"))
+        },
+        "consume after delete: ann_ivf_pq (masked)" ->
+          timed(SparkEntry.queries("ann_ivf_pq")(spark, tombFixture).count()),
         // incremental vs rebuild for the one formerly rebuild-only index
         // (round-9): segment build ≈ the v2 build minus denormalization;
         // the APPEND is the per-batch cost a rebuild used to charge the

@@ -150,6 +150,9 @@ object SparkEntry {
     // tombstone-masked serving (in-plan twin of the delete lifecycle:
     // candidates anti-joined against the deterministic tombstone set)
     "ann_ivf_deleted" -> ((s: SparkSession, d: String) => Similarity.ivfTopKDeleted(s, d)),
+    // late-interaction rerank: IVF shortlist re-scored by MaxSim over
+    // the 8-subvector split (Σ_m max_p of floored sub-cosines)
+    "ann_maxsim_topk" -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
     "emb_centroid_update" -> (Similarity.centroidUpdate _),
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => Similarity.ivfRefinedTopK(s, d)),
     // IVF inverted-list balance/skew pre-flight (load factor, cohesion)
@@ -2142,6 +2145,63 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // MaxSim stages replayed row-for-row: the same probe/assign chain
+    // shortlists 50 by whole-vector cosine, UNNEST(range) pairs the
+    // 8×8 subspaces, the sub-cosine floors to an integer, MAX per
+    // query-subspace then an exact integer SUM — rank ties break on
+    // neighbor_id exactly like graft_topk's (score DESC, payload ASC)
+    "ann_maxsim_topk" ->
+      s"""WITH $vectorsCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id, v AS n_v, norm AS n_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id, v AS q_v, norm AS q_norm FROM (
+         |    SELECT vn.vec_id, c.cent_id, vn.v, vn.norm,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |        ORDER BY list_dot_product(c.cv, vn.v) / (c.cnorm * vn.norm) DESC, c.cent_id) AS crk
+         |    FROM vn CROSS JOIN cents c WHERE vn.vec_id < 8) t WHERE crk <= 2),
+         |sc AS (
+         |  SELECT p.q_id AS query_id, a.n_id AS neighbor_id,
+         |    list_dot_product(p.q_v, a.n_v) / (p.q_norm * a.n_norm) AS cos
+         |  FROM probes p JOIN assign a ON p.list_id = a.list_id AND p.q_id <> a.n_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS srk FROM sc) t
+         |  WHERE srk <= 50),
+         |sn AS (
+         |  SELECT vec_id, m,
+         |    sqrt(list_dot_product(v[8*m+1:8*m+8], v[8*m+1:8*m+8])) AS s
+         |  FROM vn, UNNEST(range(0, 8)) AS u(m)),
+         |cells AS (
+         |  SELECT sh.query_id, sh.neighbor_id, mq.m,
+         |    MAX(CASE WHEN snq.s = 0.0 OR snn.s = 0.0 THEN 0
+         |             ELSE CAST(FLOOR(
+         |               list_dot_product(q.v[8*mq.m+1:8*mq.m+8], n.v[8*pp.p+1:8*pp.p+8])
+         |               / (snq.s * snn.s) * 1000000) AS BIGINT) END) AS best
+         |  FROM short sh
+         |  JOIN vn q ON q.vec_id = sh.query_id
+         |  JOIN vn n ON n.vec_id = sh.neighbor_id
+         |  CROSS JOIN UNNEST(range(0, 8)) AS mq(m)
+         |  CROSS JOIN UNNEST(range(0, 8)) AS pp(p)
+         |  JOIN sn snq ON snq.vec_id = sh.query_id AND snq.m = mq.m
+         |  JOIN sn snn ON snn.vec_id = sh.neighbor_id AND snn.m = pp.p
+         |  GROUP BY sh.query_id, sh.neighbor_id, mq.m),
+         |msum AS (
+         |  SELECT query_id, neighbor_id, CAST(SUM(best) AS BIGINT) AS ms
+         |  FROM cells GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ms DESC, neighbor_id) AS rk FROM msum)
+         |SELECT query_id, neighbor_id, rk,
+         |  floor(CAST(ms AS DOUBLE) * 1000000) / 1000000 AS maxsim
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $vectorsCte,

@@ -539,6 +539,57 @@ object Similarity {
       seedAssignment(s, dir).join(broadcast(tombs), Seq("n_id"), "left_anti"), k)
   }
 
+  /** Late-interaction (multi-vector) rerank — the ColBERT-style
+    * serving shape: a cheap single-vector ANN stage shortlists
+    * candidates, then the shortlist is re-scored by MaxSim over the
+    * vectors' SUB-vector decompositions (the PQ subspace split, m =
+    * 8 dims × 8): score(q, n) = Σ_m max_p cos(q_m, n_p). The max lets
+    * a query facet match its best-aligned candidate facet instead of
+    * forcing one global alignment — the retrieval win of
+    * multi-vector models, here demonstrated on the subspace split a
+    * production system would replace with real per-token vectors.
+    *
+    * Scale shape: the expensive kernel (8×8 sub-cosines per pair)
+    * runs on shortlist·Q rows only — the ANN stage bounds it, exactly
+    * like the PQ rerank; probed-list candidate generation bounds the
+    * ANN stage. Determinism: each sub-cosine is floored to an integer
+    * (the micro-quantization contract), so the per-m max and the
+    * final sum are exact integer ops — aggregation order can never
+    * shift a rank — and the oracle replays every stage. Sub-dots use
+    * the same left-to-right fold as graft_dot / list_dot_product. */
+  def maxSimTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                 nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    val vs = vectors(s, dir)
+    val probes = nearestCentroids(
+      vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
+    val scored = seedAssignment(s, dir).join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"),
+              (dot("q_v", "n_v") / (col("q_norm") * col("n_norm"))).as("cos"))
+    val short = topK(scored, shortlist).select(col("query_id"), col("neighbor_id"))
+    val subNorms =
+      "transform(sequence(0, 7), m -> sqrt(graft_dot(slice(v, 8*m+1, 8), slice(v, 8*m+1, 8))))"
+    val qside = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              expr(subNorms).as("snq"))
+    val nside = vs
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+              expr(subNorms).as("snn"))
+    val ranked = short
+      .join(broadcast(qside), Seq("query_id"))
+      .join(nside, Seq("neighbor_id"))
+      .withColumn("ms", expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> acc +
+          |  array_max(transform(sequence(0, 7), p ->
+          |    CASE WHEN snq[m] = CAST(0.0 AS DOUBLE) OR snn[p] = CAST(0.0 AS DOUBLE)
+          |         THEN CAST(0 AS BIGINT)
+          |         ELSE CAST(FLOOR(graft_dot(slice(qv, 8*m+1, 8), slice(nv, 8*p+1, 8))
+          |                         / (snq[m] * snn[p]) * 1000000.0) AS BIGINT) END)))"""
+          .stripMargin))
+      .select(col("query_id"), col("neighbor_id"), col("ms").cast("double").as("cos"))
+    topK(ranked, k).withColumnRenamed("cos", "maxsim")
+  }
+
   /** THE driver-side probe selection every indexed IVF serving path
     * shares (plain and PQ — one definition, because the tiebreak and
     * the literal-predicate construction are oracle contract): ranking

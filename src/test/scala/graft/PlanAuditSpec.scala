@@ -89,6 +89,9 @@ class PlanAuditSpec extends SparkSuite {
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the
     // tombstone mask itself is a broadcast hash ANTI-join on the id
     "ann_ivf_deleted",
+    // same probe cross for the shortlist stage; the MaxSim rerank
+    // joins are equi-joins on the shortlist's plain id keys
+    "ann_maxsim_topk",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the list
     // join against the persisted IVF table is an equi-join (and picks
     // up dynamic partition pruning on list_id from the probe side)

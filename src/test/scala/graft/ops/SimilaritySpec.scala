@@ -300,6 +300,31 @@ class SimilaritySpec extends SparkSuite {
     assert(byMethod("ivf_pq") > 0L, "ivf_pq recall vacuously zero")
   }
 
+  test("maxSimTopK: full top-k per query, scores in range, and the rerank genuinely reorders the shortlist") {
+    assume(hasTestData)
+    val rows = Similarity.maxSimTopK(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+                 r.getAs[Number](2).longValue, r.getAs[Number](3).doubleValue))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 8 && byQ.values.forall(_.size == 5),
+      "expected 8 queries x full top-5")
+    // MaxSim = Σ of 8 subspace maxima, each a micro-quantized cosine
+    // (floor(cos·1e6)): the score stays at the integer scale, in
+    // (-8e6, 8e6]
+    rows.foreach { case (q, n, _, ms) =>
+      assert(n != q, "self served")
+      assert(ms > -8e6 && ms <= 8e6, s"maxsim $ms out of range for ($q,$n)")
+    }
+    // the late-interaction stage must DO something: if MaxSim's top-5
+    // always equaled the whole-vector cosine top-5, the rerank would
+    // be a vacuous re-sort of the shortlist head
+    val single = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val multi = rows.map(r => (r._1, r._2)).toSet
+    assert((multi -- single).nonEmpty,
+      "MaxSim top-k identical to single-vector top-k — rerank is vacuous here")
+  }
+
   test("covarianceIncremental: both slices non-empty, combined rows BIT-identical to the full build") {
     assume(hasTestData)
     // the cut must actually split (an empty batch slice would make the
