@@ -261,6 +261,10 @@ object SparkEntry {
     // the shard receipt read back from the PINNED snapshot (round-10)
     "pipe_curation_run"      -> (CurationRun.runSelfContained _),
     "pipe_curation_delta"    -> (CurationRun.deltaRunSelfContained _),
+    // takedown ∘ prior ≡ full-on-filtered: remove doc_id ≡ 0 (mod 13)
+    // from a completed run's corpus, emit removals + survivor
+    // corrections, receipt must equal a full run minus the removed set
+    "pipe_takedown"          -> (CurationRun.takedownSelfContained _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — emits the exact
@@ -2704,6 +2708,45 @@ object SparkEntry {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest,
          |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(2 AS BIGINT) AS pinned_version
+         |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "pipe_takedown" ->
+      // takedown ∘ prior ≡ full run over the corpus MINUS the removed
+      // set: the oracle computes that filtered-corpus receipt directly.
+      // The shared curation CTEs read `documents` by name, so they are
+      // REBASED textually onto the filtered td_docs relation — one
+      // mechanical substitution of the table reference, keeping the
+      // gate/component/shard logic single-sourced with every other
+      // curation oracle (a hand copy would fork the thresholds).
+      // pinned_version = 2: the takedown chain's T1 and T2 appends.
+      s"""WITH RECURSIVE td_docs AS (
+         |  SELECT * FROM documents WHERE doc_id % 13 <> 0),
+         |${Seq(shinglesCte, ngramComponentsCte, curationGatesCte)
+             .mkString(",\n")
+             .replace("FROM documents", "FROM td_docs")
+             .replace("JOIN documents", "JOIN td_docs")},
+         |keep AS (
+         |  SELECT d.doc_id
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id
+         |  WHERE NOT d.exact_dup
+         |    AND NOT (c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id)
+         |    AND coalesce(f.ok_q, false)),
+         |b AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS BIGINT) AS shard_id
+         |  FROM keep),
+         |p AS (
+         |  SELECT doc_id, shard_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
+         |  FROM b),
+         |j AS (
+         |  SELECT p.shard_id, p.pos, md5(dd.text) AS dg,
+         |    CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM p JOIN td_docs dd USING (doc_id))
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest,
          |  CAST(2 AS BIGINT) AS pinned_version
          |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "pipe_gopher_quality" ->

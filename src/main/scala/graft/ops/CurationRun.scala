@@ -44,6 +44,8 @@ object CurationRun {
   private val CiteTag = "stage3-cite"
   private val DeltaKeepDropTag = "delta1-keepdrop"
   private val DeltaShardsTag = "delta2-shards"
+  private val TakedownKeepDropTag = "takedown1-keepdrop"
+  private val TakedownShardsTag = "takedown2-shards"
   private val RunTs = "2024-01-01 00:00:00"
 
   def run(s: SparkSession, dir: String, root: String, runId: String,
@@ -256,6 +258,122 @@ object CurationRun {
         regexp_extract(col("message"), "new=(\\d+)", 1).cast("long").as("n_new"))
       .withColumn("pinned_version", lit(pinned))
       .orderBy(col("shard_id"))
+  }
+
+  /** TAKEDOWN run (right-to-be-forgotten) — the INVERSE of
+    * [[deltaRun]]: remove a document set from a prior run's committed
+    * corpus and emit only what changed, chained to the prior citation.
+    * The removal set is `doc_id ≡ 0 mod `mod`` (deterministic, so the
+    * declared oracle replays it; a deployment passes an explicit id
+    * list the same way).
+    *
+    *   T1. TAKEDOWN_KEEP_DROP — one `dec=removed was=<prior>` row per
+    *       removed document, PLUS correction rows for SURVIVORS whose
+    *       decision flips on the shrunken corpus: a removed exact-dup
+    *       keeper re-admits its copies (the new digest-group minimum
+    *       becomes keep), a removed near-dup keeper re-elects its
+    *       cluster, and the corpus-relative DF cap shifts both ways
+    *       (removals un-hot shingles AND lower the cap), so flips go
+    *       in both directions — the same non-locality argument as the
+    *       delta run, which is why the decisions re-derive over the
+    *       filtered corpus ([[Pipeline.curationDecisionsExcluding]])
+    *       instead of patching pairs.
+    *   T2. SHARD — the post-takedown receipt, derived purely from
+    *       COMMITTED artifacts (prior pinned KEEP_DROP overridden by
+    *       the committed T1 rows — a resume cannot fork). A removed
+    *       doc's T1 row is `dec=removed`, so the override drops it
+    *       from the keep set with no special casing.
+    *   T3. CITE — the replay-proven citation, chained to the prior pin.
+    *
+    * takedown ∘ prior ≡ full-on-filtered: the receipt equals a full
+    * run over the corpus minus the removed set (the declared oracle
+    * proves it value-by-value; the keeper-re-election path is
+    * spec-proven on a crafted corpus). The persisted-index side of a
+    * takedown is the ANN tombstone path ([[IndexTables
+    * .deleteFromAnnIndex]]); the shingle admission indexes recompute
+    * DF at their next merge, exactly as their compaction contract
+    * states. Resumable like every run flavor here. */
+  private[ops] def takedownRun(s: SparkSession, dir: String, root: String,
+                               priorRunId: String, runId: String, mod: Long,
+                               nShards: Int, failAfterStage: Int): DataFrame = {
+    val log = new graft.storage.ManifestLog(s, root)
+    def msgRows(level: String, messages: DataFrame): DataFrame =
+      messages.select(lit(RunTs).cast("timestamp").as("timestamp"),
+        lit(level).as("level"), col("message"))
+    val priorPinned = committedPin(log, priorRunId).getOrElse(throw new IllegalStateException(
+      s"prior run $priorRunId has no committed citation — complete it before the takedown"))
+    val priorDec = log.readAt(Container, priorRunId, priorPinned)
+      .filter(col("level") === "KEEP_DROP")
+      .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
+              regexp_extract(col("message"), "src=(\\w+)", 1).as("prior_src"),
+              regexp_extract(col("message"), "dec=(\\w+)", 1).as("prior_dec"))
+
+    // ---- stage T1: removals + survivor corrections ------------------
+    val after = Pipeline.curationDecisionsExcluding(s, dir, mod)
+    val removedRows = priorDec.filter(col("doc_id") % mod === 0)
+      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("prior_src"),
+                     lit(" dec=removed was="), col("prior_dec")).as("message"))
+    val corrections = after.join(priorDec, Seq("doc_id"))
+      .filter(col("decision") =!= col("prior_dec"))
+      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
+                     lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
+        .as("message"))
+    log.appendIdempotent(msgRows("TAKEDOWN_KEEP_DROP", removedRows.unionByName(corrections)),
+      Container, runId, TakedownKeepDropTag)
+    if (failAfterStage <= 1)
+      throw new IllegalStateException("injected crash after takedown stage 1")
+
+    // ---- stage T2: post-takedown receipt from COMMITTED artifacts ---
+    val t1 = log.read(Container, runId)
+      .filter(col("level") === "TAKEDOWN_KEEP_DROP")
+      .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
+              regexp_extract(col("message"), "dec=(\\w+)", 1).as("dec"))
+    val keepIds = priorDec.filter(col("prior_dec") === "keep").select(col("doc_id"))
+      .join(t1, Seq("doc_id"), "left_anti")
+      .unionByName(t1.filter(col("dec") === "keep").select(col("doc_id")))
+    val kept = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(keepIds, Seq("doc_id"))
+    log.appendIdempotent(msgRows("SHARD",
+      Pipeline.shardManifestOf(kept, nShards).select(
+        concat(lit("shard="), col("shard_id"), lit(" n="), col("n_docs"),
+               lit(" tok="), col("total_tokens"), lit(" dg="), col("content_digest"))
+          .as("message"))),
+      Container, runId, TakedownShardsTag)
+    if (failAfterStage <= 2)
+      throw new IllegalStateException("injected crash after takedown stage 2")
+
+    // ---- stage T3: citation, chained to the prior run's pin ---------
+    val pinned = sealChain(s, log, runId,
+      extra = Seq(s"chain prior_run=$priorRunId prior_version=$priorPinned removed_mod=$mod"))
+
+    log.readAt(Container, runId, pinned)
+      .filter(col("level") === "SHARD")
+      .select(
+        regexp_extract(col("message"), "shard=(\\d+)", 1).cast("long").as("shard_id"),
+        regexp_extract(col("message"), " n=(\\d+)", 1).cast("long").as("n_docs"),
+        regexp_extract(col("message"), "tok=(\\d+)", 1).cast("long").as("total_tokens"),
+        regexp_extract(col("message"), "dg=([0-9a-f]+)", 1).as("content_digest"))
+      .withColumn("pinned_version", lit(pinned))
+      .orderBy(col("shard_id"))
+  }
+
+  /** The declared-query wrapper (`pipe_takedown`): a full prior run,
+    * then the takedown of `doc_id ≡ 0 mod 13` against its chain, both
+    * in one throwaway store — the post-takedown receipt must equal a
+    * full run over the corpus minus the removed set (the oracle
+    * computes that receipt from the filtered corpus directly). */
+  def takedownSelfContained(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-curation-takedown").toString
+    try {
+      run(s, dir, root, "run1")
+      val df = takedownRun(s, dir, root, "run1", "run2", 13L, 8, Int.MaxValue)
+      val rows = df.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), df.schema)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   /** The declared-query wrapper (`pipe_curation_delta`): prior run over

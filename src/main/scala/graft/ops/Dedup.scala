@@ -220,6 +220,23 @@ object Dedup {
           .select(col("doc_a"), col("doc_b")))
     }
 
+  /** Component assignment over the corpus EXCLUDING a takedown set
+    * (`doc_id ≢ 0 mod m`) as a standalone corpus — the post-removal
+    * near-dup graph a takedown run must re-derive: the DF cap is
+    * corpus-relative, so removals can both un-hot shingles (new pairs
+    * appear) and lower the cap (pairs vanish) — the same non-locality
+    * that rules out pair-level incrementality for the delta run rules
+    * it out here. Reuses the memoized corpus shingles (per-document,
+    * so the doc filter commutes). */
+  private[ops] def ngramComponentsExcluding(s: SparkSession, dir: String, mod: Long): DataFrame =
+    memoized(s"ngramComponentsExcl$mod", s, dir) {
+      connectedComponents(
+        ngramPairsFromShingles(
+          shingles(s, dir).filter(col("doc_id") % mod =!= 0),
+          Tables.documents(s, dir).filter(col("doc_id") % mod =!= 0))
+          .select(col("doc_a"), col("doc_b")))
+    }
+
   /** Component assignment over the PERSISTED segment index's pair
     * relation ([[ngramJaccardSegmented]] — row-identical to the
     * in-plan pairs by the dedup_ngram_seg contract): the form the

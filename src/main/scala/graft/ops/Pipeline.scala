@@ -730,6 +730,16 @@ object Pipeline {
     decisionsFrom(s, dir, Tables.documents(s, dir).filter(col("doc_id") <= thr),
       Dedup.ngramComponentsUpTo(s, dir, thr))
 
+  /** [[curationDecisions]] over the corpus EXCLUDING a takedown set
+    * (`doc_id ≢ 0 mod m`) as its own corpus — what the corpus IS after
+    * a removal: exact-dup minima re-elect among survivors (a removed
+    * keeper's copies re-admit), the near-dup graph re-derives under
+    * the shifted DF cap ([[Dedup.ngramComponentsExcluding]]), and the
+    * per-document quality flags filter down unchanged. */
+  private[ops] def curationDecisionsExcluding(s: SparkSession, dir: String, mod: Long): DataFrame =
+    decisionsFrom(s, dir, Tables.documents(s, dir).filter(col("doc_id") % mod =!= 0),
+      Dedup.ngramComponentsExcluding(s, dir, mod))
+
   /** [[curationDecisions]] with the near-dup layer served from the
     * PERSISTED segment index ([[Dedup.ngramComponentsSegmented]] —
     * row-identical components by the dedup_ngram_seg contract): the

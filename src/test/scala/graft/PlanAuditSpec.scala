@@ -79,7 +79,11 @@ class PlanAuditSpec extends SparkSuite {
     // prior chain + delta admission (segment-index components) execute
     // at construction — audited in CurationRunSpec; the stage plans are
     // the audited curation-manifest / shard / dedup_ngram_seg shapes
-    "pipe_curation_delta")
+    "pipe_curation_delta",
+    // prior chain + filtered-corpus re-derivation execute at
+    // construction — audited in CurationRunSpec; the stage plans are
+    // the audited curation-manifest / shard shapes over the survivors
+    "pipe_takedown")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;

@@ -207,4 +207,115 @@ class CurationRunSpec extends SparkSuite {
     val keptN = keep.count()
     assert(keptN > 0 && keptN < total, s"degenerate keep set: $keptN of $total")
   }
+
+  // ---- the takedown run (round-11) ----
+
+  test("takedown ∘ prior ≡ full-on-filtered: the receipt equals a full run minus the removed set") {
+    assume(hasTestData)
+    val root = freshRoot()
+    CurationRun.run(spark, sf, root, "run1")
+    val td = CurationRun.takedownRun(spark, sf, root, "run1", "run2", 13L, 8, Int.MaxValue)
+    // the ground truth: a from-scratch run over a physically filtered corpus
+    val filteredDir = tempDir("takedown-filtered")
+    Tables.documents(spark, sf).filter(col("doc_id") % 13 =!= 0)
+      .write.parquet(s"$filteredDir/documents.parquet")
+    val full = CurationRun.run(spark, filteredDir, freshRoot(), "full")
+    assert(artifact(td.select("shard_id", "n_docs", "total_tokens", "content_digest")) ==
+           artifact(full.select("shard_id", "n_docs", "total_tokens", "content_digest")),
+      "takedown receipt diverged from the full run over the filtered corpus")
+    // every removed doc has its removal row in the committed artifact
+    val log = new graft.storage.ManifestLog(spark, root)
+    val removedRows = log.read(CurationRun.Container, "run2")
+      .filter(col("level") === "TAKEDOWN_KEEP_DROP" && col("message").contains("dec=removed"))
+      .count()
+    val removedDocs = Tables.documents(spark, sf).filter(col("doc_id") % 13 === 0).count()
+    assert(removedRows == removedDocs && removedDocs > 0,
+      s"removal rows $removedRows vs removed docs $removedDocs")
+  }
+
+  test("a takedown run killed after each stage resumes to byte-identical shards") {
+    assume(hasTestData)
+    val oneRoot = freshRoot()
+    CurationRun.run(spark, sf, oneRoot, "run1")
+    val oneShot = artifact(CurationRun.takedownRun(spark, sf, oneRoot, "run1", "run2", 13L, 8, Int.MaxValue))
+    assert(oneShot.nonEmpty)
+    Seq(1, 2).foreach { crashAfter =>
+      val root = freshRoot()
+      CurationRun.run(spark, sf, root, "run1")
+      val crash = intercept[IllegalStateException] {
+        CurationRun.takedownRun(spark, sf, root, "run1", "run2", 13L, 8, failAfterStage = crashAfter)
+      }
+      assert(crash.getMessage.contains(s"after takedown stage $crashAfter"))
+      val resumed = artifact(CurationRun.takedownRun(spark, sf, root, "run1", "run2", 13L, 8, Int.MaxValue))
+      assert(resumed == oneShot,
+        s"takedown resumed after stage-$crashAfter crash diverged:\n$resumed\nvs\n$oneShot")
+    }
+  }
+
+  test("removing a keeper re-admits its suppressed duplicates — both exact and near-dup re-election") {
+    val w = 30
+    def words(prefix: String): Seq[String] =
+      (1 to w).map {
+        case 5 => "the"
+        case 20 => "the"
+        case i => f"$prefix${i}%02dxx".take(5)
+      }
+    // exact-dup pair: 13 (keeper, removed) and 20 (suppressed copy)
+    val dupText = words("d").mkString(" ")
+    // near-dup trio: 26 (component-min keeper, removed), 27, 28
+    val nWords = words("n")
+    val t26 = nWords.mkString(" ")
+    val t27 = nWords.dropRight(1).mkString(" ")
+    val t28 = (nWords.take(1) ++ nWords.drop(2)).mkString(" ")
+    val fillerIds = ((1 to 12) ++ (14 to 19) ++ (21 to 25)).map(_.toLong)
+    val fillers = fillerIds.map { i =>
+      (i, (1 to w).map {
+        case 5 => "the"
+        case 20 => "the"
+        case j => f"f$i%02d$j%02dx".take(5)
+      }.mkString(" "))
+    }
+    val rows = (fillers ++ Seq(13L -> dupText, 20L -> dupText,
+      26L -> t26, 27L -> t27, 28L -> t28)).map { case (id, t) =>
+      (id, t, "en", "web", t.length.toLong)
+    }
+    val dir = tempDir("takedown-reelect")
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val root = freshRoot()
+    CurationRun.run(spark, dir, root, "run1", 4)
+    val log = new graft.storage.ManifestLog(spark, root)
+    def decOf(runId: String, level: String): Map[Long, String] =
+      log.read(CurationRun.Container, runId)
+        .filter(col("level") === level)
+        .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long"),
+                regexp_extract(col("message"), "dec=(\\w+)", 1))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prior = decOf("run1", "KEEP_DROP")
+    assert(prior(13L) == "keep" && prior(20L) == "exact_dup",
+      s"fixture broken: exact pair decisions ${prior(13L)}/${prior(20L)}")
+    assert(prior(26L) == "keep" && prior(27L) == "near_dup" && prior(28L) == "near_dup",
+      s"fixture broken: trio decisions ${prior(26L)}/${prior(27L)}/${prior(28L)}")
+
+    val td = CurationRun.takedownRun(spark, dir, root, "run1", "run2", 13L, 4, Int.MaxValue)
+    val t1 = decOf("run2", "TAKEDOWN_KEEP_DROP")
+    // removals recorded with their prior decision
+    assert(t1(13L) == "removed" && t1(26L) == "removed")
+    // the re-elections are explicit correction rows
+    assert(t1.get(20L).contains("keep"),
+      s"exact-dup copy not re-admitted after its keeper's removal: $t1")
+    assert(t1.get(27L).contains("keep"),
+      s"near-dup cluster did not re-elect a keeper: $t1")
+    assert(!t1.contains(28L) || t1(28L) == "near_dup",
+      "the non-minimum survivor must stay suppressed under the re-elected keeper")
+    // and the receipt still equals a full run over the filtered corpus
+    val filteredDir = tempDir("takedown-reelect-f")
+    Tables.documents(spark, dir).filter(col("doc_id") % 13 =!= 0)
+      .write.parquet(s"$filteredDir/documents.parquet")
+    val full = CurationRun.run(spark, filteredDir, freshRoot(), "full", 4)
+    assert(artifact(td.select("shard_id", "n_docs", "total_tokens", "content_digest")) ==
+           artifact(full.select("shard_id", "n_docs", "total_tokens", "content_digest")),
+      "re-election case: takedown receipt diverged from the filtered full run")
+  }
 }
