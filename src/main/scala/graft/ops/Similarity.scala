@@ -1372,7 +1372,13 @@ object Similarity {
     // non-negative ids
     val maxId = vs.agg(max(col("vec_id"))).head().getLong(0)
     val thr = maxId * 4L / 5L
-    val combined = momentsPlanOf(vs.filter(col("vec_id") <= thr))
+    // the base slice's moments are MEMOIZED — in a deployment they are
+    // the stored per-version relation, so a maintenance tick pays the
+    // batch scan only; the memo is the single-JVM stand-in for that
+    // stored table (2,144 rows, checkpointed once per session/dir)
+    val baseMoments = Tables.memoized(s"momentsBase$thr", s, dir)(
+      momentsPlanOf(vs.filter(col("vec_id") <= thr)))
+    val combined = baseMoments
       .unionByName(momentsPlanOf(vs.filter(col("vec_id") > thr)))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("sxy")).as("sxy"), sum(col("n")).as("n"))
