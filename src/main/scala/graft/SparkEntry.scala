@@ -265,6 +265,8 @@ object SparkEntry {
     // from a completed run's corpus, emit removals + survivor
     // corrections, receipt must equal a full run minus the removed set
     "pipe_takedown"          -> (CurationRun.takedownSelfContained _),
+    // per-source release datasheet: curation outcomes + token budget
+    "pipe_data_card"         -> (Pipeline.dataCard _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — emits the exact
@@ -2749,6 +2751,37 @@ object SparkEntry {
          |  md5(string_agg(dg, '' ORDER BY pos)) AS content_digest,
          |  CAST(2 AS BIGINT) AS pinned_version
          |FROM j GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "pipe_data_card" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |$curationGatesCte,
+         |dec AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN d.exact_dup THEN 'exact_dup'
+         |         WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id THEN 'near_dup'
+         |         WHEN NOT coalesce(f.ok_q, false) THEN 'quality'
+         |         ELSE 'keep' END AS decision
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id),
+         |tk AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (
+         |  SELECT dec.source,
+         |    COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |    CAST(SUM(CASE WHEN decision = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |    CAST(SUM(CASE WHEN decision = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |    CAST(SUM(CASE WHEN decision = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |    CAST(SUM(CASE WHEN decision = 'keep' THEN tk.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  FROM dec JOIN tk USING (doc_id) GROUP BY dec.source)
+         |SELECT source, n_docs, n_keep, n_exact_dup, n_near_dup, n_quality,
+         |  floor(CAST(n_keep AS DOUBLE) / n_docs * 1000000) / 1000000 AS keep_rate,
+         |  kept_tokens,
+         |  CASE WHEN n_keep > 0
+         |       THEN CAST(FLOOR(CAST(kept_tokens AS DOUBLE) / n_keep) AS BIGINT)
+         |       ELSE 0 END AS mean_keep_tokens
+         |FROM g ORDER BY source""".stripMargin,
     "pipe_gopher_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),

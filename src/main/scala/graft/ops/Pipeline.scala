@@ -768,6 +768,40 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("decision"))
   }
 
+  /** DATA CARD — the per-source release documentation a training team
+    * ships WITH the corpus (the "datasheet" row block: what went in,
+    * what survived curation, and the token budget the keeps
+    * contribute): per source, document counts by curation outcome,
+    * the keep rate, the kept-token total and the mean kept-document
+    * length. Everything composes relations the pipeline already
+    * derived — the decision relation (memoized component graph +
+    * per-doc gates) joined to whitespace token counts — so the card
+    * costs one doc-keyed hash join and a per-source rollup on top of
+    * work curation already did: exactly its marginal cost in
+    * production, where the card is regenerated per corpus version.
+    * keep_rate and mean length go through the trunc6 / floored-
+    * integer-division contracts so both engines agree exactly. */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val dec = curationDecisions(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    dec.join(toks, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("decision") === "keep", 1L).otherwise(0L)).as("n_keep"),
+           sum(when(col("decision") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+           sum(when(col("decision") === "near_dup", 1L).otherwise(0L)).as("n_near_dup"),
+           sum(when(col("decision") === "quality", 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("decision") === "keep", col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("keep_rate", Tables.trunc6(col("n_keep").cast("double") / col("n_docs")))
+      .withColumn("mean_keep_tokens",
+        when(col("n_keep") > 0, floor(col("kept_tokens") / col("n_keep"))).otherwise(lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_keep"), col("n_exact_dup"),
+              col("n_near_dup"), col("n_quality"), col("keep_rate"),
+              col("kept_tokens"), col("mean_keep_tokens"))
+      .orderBy(col("source"))
+  }
+
   def curationManifest(s: SparkSession, dir: String): DataFrame =
     curationDecisions(s, dir)
       .groupBy(col("source"), col("decision"))

@@ -71,6 +71,10 @@ class PlanAuditSpec extends SparkSuite {
     "pipe_leakage_split",
     // same CC fixpoint at construction (memoized cluster assignment)
     "pipe_curation_manifest",
+    // same memoized CC fixpoint at construction (the decision relation
+    // the card rolls up); the card's own plan is one doc-keyed hash
+    // join + a per-source rollup
+    "pipe_data_card",
     // executes the whole manifest-store run (tagged appends, compaction,
     // GC, replay proof) while building its result — audited in
     // CurationRunSpec; its stage plans are the audited

@@ -330,4 +330,34 @@ class PipelineSpec extends SparkSuite {
       rm(tmp)
     }
   }
+
+  test("data card: outcomes partition each source, rates are genuine fractions, token budget is real") {
+    val rows = Pipeline.dataCard(spark, sf).collect()
+    assert(rows.nonEmpty, "empty data card")
+    rows.foreach { r =>
+      val (nDocs, nKeep, nEx, nNear, nQ) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"), r.getAs[Long]("n_exact_dup"),
+         r.getAs[Long]("n_near_dup"), r.getAs[Long]("n_quality"))
+      // one decision per document: the four outcomes partition the source
+      assert(nKeep + nEx + nNear + nQ == nDocs,
+        s"${r.getAs[String]("source")}: outcomes don't partition ($nKeep+$nEx+$nNear+$nQ != $nDocs)")
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (nKeep > 0) {
+        assert(r.getAs[Long]("kept_tokens") > 0, "keeps with zero tokens")
+        assert(r.getAs[Long]("mean_keep_tokens") > 0)
+      } else assert(r.getAs[Long]("kept_tokens") == 0)
+    }
+    // the card's outcome counts must agree with the declared manifest
+    val manifest = Pipeline.curationManifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_keep") == manifest.getOrElse((src, "keep"), 0L),
+        s"$src keep count disagrees with pipe_curation_manifest")
+    }
+    // non-vacuous: at least one source actually dropped something
+    assert(rows.exists(r => r.getAs[Long]("n_keep") < r.getAs[Long]("n_docs")),
+      "no source dropped anything — the gates did no work on this corpus")
+  }
 }
