@@ -125,9 +125,19 @@ object ScaleCheck {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def indexBuilds(dir: String): Seq[(String, Double)] = {
-      // set by the delete-pricing entry, read by the masked consume
-      // (Seq construction is eager and in order)
-      var tombFixture: String = null
+      // fixture for the tombstone-delete pricing, built up front (its
+      // gen-0 index builds are excluded from every timed entry) and
+      // torn down after the sweep — the shared warehouse is persistent
+      // across processes, so the copy and its tables must not leak
+      val tombFixture = {
+        val fix = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(Scratch.localDir), "sc-tomb").toString
+        ops.Tables.embeddings(spark, dir)
+          .write.mode("overwrite").parquet(fix + "/embeddings.parquet")
+        ops.IndexTables.ensureIvfIndex(spark, fix)
+        ops.IndexTables.ensurePqIndex(spark, fix)
+        fix
+      }
       val r = Seq(
         "build chunk index"   -> timed(ops.IndexTables.ensureChunkIndex(spark, dir, 4)),
         "build shingle index" -> timed(ops.IndexTables.ensureShingleIndex(spark, dir)),
@@ -177,25 +187,18 @@ object ScaleCheck {
             "drift gate rebuilt at floor 0")),
         // tombstone DELETE (round-11): the delete's cost is the batch
         // (one tombstone write), never a table rewrite, and the masked
-        // consume adds one broadcast anti-join. Priced on a FIXTURE
-        // copy of the embeddings: the warehouse is shared and
-        // persistent across processes, so tombstoning the real dir
-        // would mask every later Verify/Bench run's serving of the
-        // same tables (the isolation rule AnnTombstoneSpec follows).
-        // Build cost of the fixture's gen-0 tables is excluded — only
-        // the delete itself is timed.
+        // consume adds one broadcast anti-join. Priced on the FIXTURE
+        // copy of the embeddings: tombstoning the real dir would mask
+        // every later Verify/Bench run's serving of the same tables
+        // (the isolation rule AnnTombstoneSpec follows). The fixture's
+        // gen-0 builds ran before the sweep — only the delete itself
+        // is timed.
         "delete 1% ids (tombstone write)" -> {
-          val fix = java.nio.file.Files.createTempDirectory("sc-tomb").toString
-          ops.Tables.embeddings(spark, dir)
-            .write.mode("overwrite").parquet(fix + "/embeddings.parquet")
-          ops.IndexTables.ensureIvfIndex(spark, fix)
-          ops.IndexTables.ensurePqIndex(spark, fix)
-          val ids = ops.Tables.embeddings(spark, fix)
+          val ids = ops.Tables.embeddings(spark, tombFixture)
             .filter(col("vec_id") % 100 === 1).select(col("vec_id"))
             .collect().map(_.getLong(0)).toSeq
-          tombFixture = fix
           timed(require(
-            ops.IndexTables.deleteFromAnnIndex(spark, fix, ids) == ids.size.toLong,
+            ops.IndexTables.deleteFromAnnIndex(spark, tombFixture, ids) == ids.size.toLong,
             "tombstone batch not fully applied"))
         },
         "consume after delete: ann_ivf_pq (masked)" ->
@@ -222,6 +225,10 @@ object ScaleCheck {
           timed(ops.IndexTables.compactShingleSegments(spark, dir)),
         "consume after compaction: dedup_ngram_seg" ->
           timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()))
+      // tear the pricing fixture down: tables out of the shared
+      // persistent warehouse, the corpus copy off disk
+      ops.IndexTables.dropAnnFixtureTables(spark, tombFixture)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tombFixture))
       r.foreach { case (n, t) =>
         System.err.println(f"[scalecheck] $dir%-24s $n%-32s $t%8.3f s") }
       clean()

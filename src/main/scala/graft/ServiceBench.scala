@@ -281,11 +281,13 @@ object ServiceBench {
       val roDt = (System.nanoTime() - ro0) / 1e9
       val (roOk, roRows) = (roOkA.get, roRowsA.get)
       val rows = appendsOk.get.toLong * rowsPerBatch
-      def pctOf(q: Double, ns: java.util.concurrent.ConcurrentLinkedQueue[Long]): Double = {
-        val lats = ns.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      def pctSeq(q: Double, samples: Seq[Long]): Double = {
+        val lats = samples.sorted
         if (lats.isEmpty) 0.0
         else lats(math.min(lats.length - 1, (q * lats.length).toInt)) / 1e6
       }
+      def pctOf(q: Double, ns: java.util.concurrent.ConcurrentLinkedQueue[Long]): Double =
+        pctSeq(q, ns.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq)
       def pctMs(q: Double): Double = pctOf(q, postNanos)
       System.err.println(
         f"[bench] $label%-33s $dt%8.3f s  " +
@@ -301,9 +303,7 @@ object ServiceBench {
       }
       val stages = graft.api.LogServer.ReadStages.flatMap { st =>
         byStage.get(st).map { xs =>
-          val q = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-          xs.foreach(x => q.add(x._2))
-          (st, pctOf(0.5, q), pctOf(0.99, q))
+          (st, pctSeq(0.5, xs.map(_._2)), pctSeq(0.99, xs.map(_._2)))
         }
       }
       if (stages.nonEmpty)

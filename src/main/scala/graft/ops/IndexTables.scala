@@ -794,6 +794,17 @@ object IndexTables {
           .select(org.apache.spark.sql.functions.col("n_id").as(idCol))),
       Seq(idCol), "left_anti")
 
+  /** Drop a THROWAWAY dir's generation-0 ANN tables (IVF, PQ,
+    * tombstones) — harness fixtures only: the shared warehouse is
+    * persistent across processes, so a pricing fixture must remove
+    * what it created or every run leaks a corpus copy plus three
+    * orphan tables (review-caught in ScaleCheck's delete pricing). */
+  def dropAnnFixtureTables(s: SparkSession, dir: String): Unit =
+    Seq(annIvfName(dir, 0L), annPqName(dir, 0L), annTombName(dir, 0L)).foreach { n =>
+      s.sql(s"DROP TABLE IF EXISTS $n")
+      deleteWarehouseDir(s, n)
+    }
+
   /** Tombstone `ids` in the CURRENTLY-SERVED generation. Idempotent
     * (already-tombstoned ids are anti-joined away — a redelivered
     * delete batch is a no-op) and generation-safe: the write runs
@@ -964,9 +975,18 @@ object IndexTables {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     // nprobe/shortlist mirror the SERVING configuration: drift is "the
     // index the queries actually hit got worse", so the probe must use
-    // the production knobs, not a friendlier shape
+    // the production knobs, not a friendlier shape. The ground truth
+    // ranks only the SERVABLE corpus — tombstoned vectors are masked
+    // out of the brute pass exactly as serving masks them, otherwise
+    // every legitimate delete reads as recall loss and triggers a
+    // rebuild that cannot restore it (review-caught). A deleted QUERY
+    // vector drops out of the truth sample the same way; the served
+    // side's hits for it then count toward no denominator.
     def recallNow(): Double = {
-      val truth = pairs(Similarity.bruteForceTopK(s, dir, nQueries, k))
+      val gNow = annGeneration(s, dir)
+      val servable = maskTombstonesAt(s, dir, gNow,
+        Similarity.vectors(s, dir), "vec_id")
+      val truth = pairs(Similarity.bruteForceTopKOver(servable, nQueries, k))
       if (truth.isEmpty) 1.0
       else (pairs(Similarity.ivfPqTopK(s, dir, nQueries, k, nprobe, shortlist)) & truth)
         .size.toDouble / truth.size

@@ -83,8 +83,15 @@ object Similarity {
     * and the [[topK]] finisher aggregates map-side, so the only shuffled
     * rows are k pairs per query, never the N scored candidates. */
   def bruteForceTopK(s: SparkSession, dir: String,
-                     nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val vs = vectors(s, dir)
+                     nQueries: Int = 8, k: Int = 5): DataFrame =
+    bruteForceTopKOver(vectors(s, dir), nQueries, k)
+
+  /** [[bruteForceTopK]] over an arbitrary slice of the vector relation
+    * — the seam the drift gate needs: its ground truth must rank only
+    * the SERVABLE corpus (tombstoned vectors excluded), or legitimate
+    * deletes read as index drift. */
+  private[ops] def bruteForceTopKOver(vs: DataFrame,
+                                      nQueries: Int, k: Int): DataFrame = {
     val q = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     topK(vs.join(broadcast(q), col("vec_id") =!= col("query_id"))

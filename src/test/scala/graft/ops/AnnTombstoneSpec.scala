@@ -140,6 +140,25 @@ class AnnTombstoneSpec extends SparkSuite {
     assert(Similarity.ivfPqTopK(spark, fix, nQueries = 4, k = 3).count() > 0)
   }
 
+  test("legitimate deletes do not read as drift: the gate's ground truth ranks only the servable corpus") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    // delete every sample query's exact top-1 neighbor — the harshest
+    // delete for an unmasked truth (8 of the 8×5 truth pairs become
+    // permanently unservable, recall would read <= 0.8 forever)
+    val top1 = Similarity.bruteForceTopK(spark, fix, nQueries = 8, k = 1)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).distinct.toSeq
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, top1) == top1.size.toLong)
+    // all lists probed + exhaustive shortlist: the served path is an
+    // exact scan of the servable corpus, so against a MASKED truth the
+    // recall is exactly 1.0 — a gate still comparing against the
+    // unfiltered corpus would read 0.8 and rebuild-spin on deletes
+    val r = IndexTables.maybeRebuildAnnIndexes(spark, fix, "tomb-drift",
+      recallFloor = 0.9, nprobe = 8, shortlist = 600)
+    assert(r.isEmpty, "the drift gate treated tombstoned vectors as recall loss and rebuilt")
+    assert(IndexTables.annGeneration(spark, fix) == 0L)
+  }
+
   test("oracle twin parity: ivfTopKDeleted rows equal the served path after the same deletes") {
     assume(hasTestData)
     val fix = mkFixture()
