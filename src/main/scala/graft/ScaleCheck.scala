@@ -40,6 +40,10 @@ object ScaleCheck {
     // linear brute-force ground truth
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
     "emb_knn_graph",
+    // round-11 retrieval additions: the selectivity-adaptive filtered
+    // search (both strategy branches in one run) and the shortlist-
+    // bounded late-interaction rerank
+    "ann_filtered_topk", "ann_maxsim_topk",
     // BPE — the O(rounds) driver-coordination loop
     "text_bpe_train", "text_bpe_encode")
 
