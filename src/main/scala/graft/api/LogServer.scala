@@ -592,8 +592,37 @@ object LogServer {
       val dir = new org.apache.hadoop.fs.Path(s"$sharedRoot/catalog-cas")
       val fs = dir.getFileSystem(sp.sparkContext.hadoopConfiguration)
       new CatalogService(shared = Some(
-        new graft.catalog.CasStateStore(fs, dir, checkpointEvery = 16)))
+        new graft.catalog.CasStateStore(fs, dir,
+          checkpointEvery = deltaFormatCadence(fs, dir))))
     }
+
+  /** Delta-format compatibility gate for a SHARED catalog root
+    * (review-caught): a gateway still running a pre-delta binary
+    * parses only `#graft-state` records, so the first `#graft-delta`
+    * landing in a mixed-version fleet would read there as a torn
+    * frontier — auth up to a checkpoint interval stale, mutations
+    * stalling on the unreadable-frontier path. Delta commits are
+    * therefore gated on a marker file: claimed atomically when THIS
+    * binary initializes a FRESH root (no catalog state exists yet, so
+    * no older gateway can have mounted it), honored ever after. A
+    * root initialized by an older binary keeps full-snapshot commits
+    * — cadence 1, readable by every version — until an operator
+    * creates the marker after upgrading the whole fleet. */
+  private[graft] def deltaFormatCadence(fs: org.apache.hadoop.fs.FileSystem,
+                                        dir: org.apache.hadoop.fs.Path): Int = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "format-delta-v1")
+    if (fs.exists(marker)) 16
+    else if (!fs.exists(dir) || fs.listStatus(dir).isEmpty) {
+      fs.mkdirs(dir)
+      graft.storage.Cas.tryClaim(fs, marker, "delta-chain v1\n".getBytes("UTF-8"))
+      16
+    } else {
+      System.err.println(s"[catalog] pre-delta root $dir has no format-delta-v1 " +
+        "marker - committing full snapshots; create the marker to enable delta " +
+        "commits once every gateway is upgraded")
+      1
+    }
+  }
 }
 
 /** Standalone entry point:

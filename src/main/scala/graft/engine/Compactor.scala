@@ -153,7 +153,8 @@ final class Compactor(store: LogTier,
   /** `annDrift`: an opt-in drift gate (round-10 verdict #3 — nothing
     * decided WHEN to rebuild an ANN generation), typically
     * `() => IndexTables.maybeRebuildAnnIndexes(spark, dir, holder)`.
-    * Runs on the GC cadence (the coarse tick — the check prices a
+    * Runs on its OWN coarse cadence (`annDriftEvery`, default = the
+    * GC cadence floored at ~10 minutes — the check prices a
     * sampled-recall corpus pass, real work like the expire sweep),
     * returns Some when it rebuilt. A thunk, not a config object: the
     * engine tier stays ignorant of the ops tier's index machinery, and
@@ -163,7 +164,8 @@ final class Compactor(store: LogTier,
                        tagHorizon: Option[java.time.Duration] = None,
                        manifestGcGrace: Option[java.time.Duration] = None,
                        gcLease: Option[graft.storage.MaintenanceLease] = None,
-                       annDrift: Option[() => Option[(Long, Long)]] = None): Unit =
+                       annDrift: Option[() => Option[(Long, Long)]] = None,
+                       annDriftEvery: Option[java.time.Duration] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
       leaseToRelease = gcLease
@@ -191,12 +193,24 @@ final class Compactor(store: LogTier,
       val gcEveryTicks = manifestGcGrace.map { g =>
         math.max(1L, math.min(3600000L, g.toMillis / 24) / math.max(1L, period.toMillis))
       }.getOrElse(1L)
+      // The drift check prices a sampled-recall CORPUS pass — real
+      // work, so it gets its own cadence (review-caught: it previously
+      // inherited the GC tick, whose no-grace default is EVERY tick —
+      // an instance running annDrift without snapshot GC paid a corpus
+      // scan per rotation period, serialized on this one thread).
+      // `annDriftEvery` sets the target interval between checks;
+      // default = the GC cadence floored at ~10 minutes.
+      val annDriftEveryTicks = annDriftEvery
+        .map(d => math.max(1L, d.toMillis / math.max(1L, period.toMillis)))
+        .getOrElse(math.max(gcEveryTicks, 600000L / math.max(1L, period.toMillis)))
       val tick = new java.util.concurrent.atomic.AtomicLong(0L)
       sched.scheduleWithFixedDelay(new Runnable {
         def run(): Unit =
           try {
             val now = java.time.Instant.now()
-            val gcTick = tick.getAndIncrement() % gcEveryTicks == 0
+            val t = tick.getAndIncrement()
+            val gcTick = t % gcEveryTicks == 0
+            val driftTick = t % annDriftEveryTicks == 0
             // Cluster-wide sweep dedup: with a lease configured, only
             // the current lease OWNER runs the GC sweep this tick —
             // N gateways on one manifest root pay one expire scan, not
@@ -233,11 +247,11 @@ final class Compactor(store: LogTier,
                 case _ => ()
               }
             }
-            // the ANN drift gate shares the GC cadence, not its lease:
-            // the gate runs its rebuild under the INDEX maintenance
-            // lease (per data dir), so cross-gateway dedup is the
-            // gate's own concern — here it only needs the coarse tick
-            if (gcTick) annDrift.foreach { gate =>
+            // the ANN drift gate has its OWN coarse cadence (not the
+            // GC lease): the gate runs its rebuild under the INDEX
+            // maintenance lease (per data dir), so cross-gateway dedup
+            // is the gate's own concern — here it only needs the tick
+            if (driftTick) annDrift.foreach { gate =>
               guarded("ann drift gate", "-", "-") {
                 annDriftChecks.incrementAndGet()
                 if (gate().isDefined) annDriftRebuilds.incrementAndGet()

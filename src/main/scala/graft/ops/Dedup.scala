@@ -118,20 +118,25 @@ object Dedup {
     * near-dup signal (they match everything), and the cap is relative to
     * corpus size so the plan behaves identically at 100× the data. The
     * hot set is tiny by construction → broadcast anti-join, no shuffle. */
-  private[ops] def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    // The 20%-of-corpus cap is derived IN-PLAN: the 1-row corpus count
-    // joins the per-shingle DF aggregate on a constant key (a broadcast
-    // hash join, not a BNLJ), so building a shingle-family query no
-    // longer dispatches an eager count() job per invocation.
-    val total = Tables.documents(s, dir)
-      .agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    val sh = shingles(s, dir)
-    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+  private[ops] def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    cappedShinglesOf(shingles(s, dir), Tables.documents(s, dir))
+
+  /** The DF cap over an ARBITRARY (shingles, docs) slice pair — ONE
+    * definition of the 20% rule, shared by the corpus path above and
+    * every sliced re-derivation (the curation delta's prior run, the
+    * takedown's filtered corpus). The cap is derived IN-PLAN: the
+    * 1-row corpus count joins the per-shingle DF aggregate on a
+    * constant key (a broadcast hash join, not a BNLJ), so building a
+    * shingle-family query dispatches no eager count() job. CONTRACT:
+    * `shAll` and `docs` must describe the same slice. */
+  private[ops] def cappedShinglesOf(shAll: DataFrame, docs: DataFrame): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
+    val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("k", lit(1))
       .join(broadcast(total), Seq("k"))
       .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
       .select(col("s"))
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+    shAll.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
   /** Shared overlap stats over the DF-capped shingle relation:
@@ -150,24 +155,37 @@ object Dedup {
       // leakage, method agreement) finish this identical pair relation
       // differently, and it is near-dup-sized (not corpus-sized), so
       // pinning it is cheap at any scale.
-      val sh = cappedShingles(s, dir).localCheckpoint()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-        .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("c"),
-          col("x.n").as("n_a"), col("y.n").as("n_b"))
+      shinglePairStatsOf(cappedShingles(s, dir))
     }
+
+  /** The pair-generation join over an already-capped shingle relation
+    * — ONE definition of the self-join + size stats, shared by the
+    * memoized corpus path and the sliced re-derivations. */
+  private[ops] def shinglePairStatsOf(capped: DataFrame): DataFrame = {
+    val sh = capped.localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("c"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+  }
 
   /** [[ngramJaccard]] without the presentation sort — the form every
     * composite consumer (components, cluster stats, method agreement)
     * wants: they re-shuffle the pairs anyway, so a global orderBy here
     * would be pure discarded work. */
   private[ops] def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    shinglePairStats(s, dir)
+    jaccardGate(shinglePairStats(s, dir))
+
+  /** The Jaccard≥0.5 finisher over a pair-stats relation — the one
+    * definition of the gate both the memoized corpus path and the
+    * sliced re-derivations apply. */
+  private def jaccardGate(stats: DataFrame): DataFrame =
+    stats
       .withColumn("jaccard",
         trunc6(col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))))
       .filter(col("jaccard") >= 0.5)
@@ -184,27 +202,12 @@ object Dedup {
     * re-exploding the corpus — shingling is per-document, so a
     * doc-filtered slice of the corpus shingle relation is identical
     * to shingling the sliced docs. CONTRACT: `shAll` and `docs` must
-    * describe the same slice. */
-  private[ops] def ngramPairsFromShingles(shAll: DataFrame, docs: DataFrame): DataFrame = {
-    val total = docs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .withColumn("k", lit(1))
-      .join(broadcast(total), Seq("k"))
-      .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
-      .select(col("s"))
-    val sh = shAll.join(broadcast(hot), Seq("s"), "left_anti").localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("jaccard",
-        trunc6(col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+    * describe the same slice. Composes the SAME three stages as the
+    * corpus path — [[cappedShinglesOf]] → [[shinglePairStatsOf]] →
+    * the jaccardGate — so the cap rule, pair join and 0.5 gate cannot
+    * drift between the two (review-caught duplication). */
+  private[ops] def ngramPairsFromShingles(shAll: DataFrame, docs: DataFrame): DataFrame =
+    jaccardGate(shinglePairStatsOf(cappedShinglesOf(shAll, docs)))
 
   /** Component assignment over the BASE slice (`doc_id <= thr`) as a
     * standalone corpus — what the curation delta's prior run persisted

@@ -1041,6 +1041,22 @@ object IndexTables {
       // PREVIOUS sweep already removed — re-sweeping it is a no-op.
       var cur = claimed
       while (cur > 0L && !warehouseDirExists(s, annIvfName(dir, cur))) cur -= 1
+      // The sweep floor is the MINIMUM of the durable current
+      // generation and the generation THIS SESSION actually serves
+      // (review-caught): in a fresh JVM the session catalog has no
+      // gen ≥ 1 registrations, so annGeneration falls back to gen 0 —
+      // serving AND appending there — while `cur` is disk-derived. A
+      // disk-only floor would sweep gen 0 out from under this very
+      // process, permanently destroying vectors whose only home is
+      // the re-ensured gen-0 table. Sweeping below min(cur, served)
+      // is safe in both worlds: on a shared-metastore deployment
+      // served == cur and behavior is unchanged; on a session catalog
+      // a fresh process sweeps nothing until it can itself serve the
+      // durable frontier. Dead generations below a durable frontier a
+      // fresh process cannot read are collected by any process that
+      // CAN (the one that rebuilt, or any metastore-backed one).
+      val served = annGeneration(s, dir)
+      val sweepBelow = math.min(cur, served)
       var dropped = 0
       def sweep(g: Long): Unit = {
         // tombstones die with their generation: a dropped generation's
@@ -1054,7 +1070,7 @@ object IndexTables {
           deleteWarehouseDir(s, n)
         }
       }
-      (0L until cur).foreach(sweep)
+      (0L until sweepBelow).foreach(sweep)
       // Slots ABOVE the durable current generation are claimed-but-
       // swept leftovers (no dirs → no-op deletes). Slots above the max
       // claim would be a concurrent rebuild's in-progress staging, but

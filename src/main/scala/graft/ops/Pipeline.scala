@@ -435,41 +435,39 @@ object Pipeline {
   /** [[shardManifest]] over an explicit (doc_id, text) relation — the
     * export receipt [[CurationRun]] ships for its KEEP set. */
   private[ops] def shardManifestOf(docs: DataFrame, nShards: Int): DataFrame =
-    shuffleShardsOf(docs, nShards)
-      .join(docs
-        .select(col("doc_id"), md5(col("text")).as("dg"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        Seq("doc_id"))
-      .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_tokens")).as("total_tokens"),
-           // collect_list has no deterministic order under shuffles —
-           // sort the (pos, digest) pairs explicitly before folding
-           md5(expr(
-             "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
-             .as("content_digest"))
-      .orderBy(col("shard_id"))
+    shardManifestBuilt(docs, nShards, withNew = false)
 
   /** [[shardManifestOf]] plus a per-shard count of NEW documents —
     * `docs` carries an `is_new` flag (batch-origin rows) so a delta
     * run's receipt shows where the admitted batch landed. Same shard
-    * assignment, digest fold and ordering as the plain recipe — a
-    * delta receipt and a full receipt over the same keep set are
+    * assignment, digest fold and ordering as the plain recipe BY
+    * CONSTRUCTION (one shared builder — review-caught duplication):
+    * a delta receipt and a full receipt over the same keep set are
     * identical in the shared columns. */
   private[ops] def shardManifestWithNew(docs: DataFrame, nShards: Int): DataFrame =
+    shardManifestBuilt(docs, nShards, withNew = true)
+
+  private def shardManifestBuilt(docs: DataFrame, nShards: Int,
+                                 withNew: Boolean): DataFrame = {
+    val payload =
+      if (withNew) docs.select(col("doc_id"), col("is_new"), md5(col("text")).as("dg"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      else docs.select(col("doc_id"), md5(col("text")).as("dg"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val aggs = Seq(
+      sum(col("n_tokens")).as("total_tokens"),
+      // collect_list has no deterministic order under shuffles —
+      // sort the (pos, digest) pairs explicitly before folding
+      md5(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
+        .as("content_digest")) ++
+      (if (withNew) Seq(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")) else Seq.empty)
     shuffleShardsOf(docs, nShards)
-      .join(docs
-        .select(col("doc_id"), col("is_new"), md5(col("text")).as("dg"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        Seq("doc_id"))
+      .join(payload, Seq("doc_id"))
       .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_tokens")).as("total_tokens"),
-           md5(expr(
-             "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
-             .as("content_digest"),
-           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
       .orderBy(col("shard_id"))
+  }
 
   /** Quality-vs-duplication cross report: mean quality score per
     * near-dup cluster-size bucket (1, 2, 3, 4, 5+) — the analytical

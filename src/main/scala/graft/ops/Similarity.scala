@@ -1610,6 +1610,20 @@ object Similarity {
         if (ddot == 0) col("v")
         else expr("zip_with(v, dlit, (x, y) -> x - proj / ddotc * y)"))
       .withColumn("nr", expr("sqrt(graft_dot(vr, vr))"))
+    cohesionDeltaReport(base, "vr", "nr")
+  }
+
+  /** Per-label cohesion BEFORE (over `v`/`norm`) and AFTER (over the
+    * transformed residual columns) with the delta — the shared
+    * evidence tail of [[allButTop]] and [[whitenTopK]], factored to
+    * ONE definition because the micro-quantized centroid + integer
+    * cosine-mean recipe is oracle contract on BOTH declared queries
+    * (review-caught duplication: a quantization tweak applied to one
+    * copy would silently break the other's oracle). Input carries
+    * (label, v, norm, residCol, residNormCol); rows at residNorm = 0
+    * are excluded from the after-side only. */
+  private def cohesionDeltaReport(base: DataFrame,
+                                  residCol: String, residNormCol: String): DataFrame = {
     def cohesionCentroids(rel: DataFrame, vcol: String): DataFrame =
       assembleCentroids(
         quantizedMeans(rel.select(col("label"), col(vcol).as("v")), "label"), "label")
@@ -1621,11 +1635,12 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
            (floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
              .as("coh_before"))
-    val afterRel = base.filter(col("nr") > 0)
+    val afterRel = base.filter(col(residNormCol) > 0)
     val after = afterRel
-      .join(broadcast(cohesionCentroids(afterRel, "vr")), Seq("label"))
+      .join(broadcast(cohesionCentroids(afterRel, residCol)), Seq("label"))
       .withColumn("cq",
-        floor(dot("cv", "vr") / (col("cnorm") * col("nr")) * 1000000.0).cast("long"))
+        floor(dot("cv", residCol) / (col("cnorm") * col(residNormCol)) * 1000000.0)
+          .cast("long"))
       .groupBy(col("label"))
       .agg((floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
              .as("coh_after"))
@@ -1681,30 +1696,7 @@ object Similarity {
       .withColumn("nr", expr("sqrt(graft_dot(r, r))"))
       .select(col("label"), col("v"), col("norm"), col("r"), col("nr"))
       .localCheckpoint()
-    def cohesionCentroids(rel: DataFrame, vcol: String): DataFrame =
-      assembleCentroids(
-        quantizedMeans(rel.select(col("label"), col(vcol).as("v")), "label"), "label")
-    val before = base
-      .join(broadcast(cohesionCentroids(base, "v")), Seq("label"))
-      .withColumn("cq",
-        floor(dot("cv", "v") / (col("cnorm") * col("norm")) * 1000000.0).cast("long"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vectors"),
-           (floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
-             .as("coh_before"))
-    val afterRel = base.filter(col("nr") > 0)
-    val after = afterRel
-      .join(broadcast(cohesionCentroids(afterRel, "r")), Seq("label"))
-      .withColumn("cq",
-        floor(dot("cv", "r") / (col("cnorm") * col("nr")) * 1000000.0).cast("long"))
-      .groupBy(col("label"))
-      .agg((floor(sum(col("cq")).cast("double") / count(lit(1))) / 1000000.0)
-             .as("coh_after"))
-    before.join(after, Seq("label"))
-      .withColumn("delta", col("coh_after") - col("coh_before"))
-      .select(col("label"), col("n_vectors"), col("coh_before"),
-              col("coh_after"), col("delta"))
-      .orderBy(col("label"))
+    cohesionDeltaReport(base, "r", "nr")
   }
 
   /** Symmetric int8 quantization manifest — the storage-compression step

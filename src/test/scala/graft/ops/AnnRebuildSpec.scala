@@ -232,7 +232,10 @@ class AnnRebuildSpec extends SparkSuite {
       compactor.startMaintenance(java.time.Duration.ofMillis(100),
         annDrift = Some(() =>
           IndexTables.maybeRebuildAnnIndexes(spark, fix, "drift-loop",
-            recallFloor = floor, shortlist = 20)))
+            recallFloor = floor, shortlist = 20)),
+        // opt into a fast check cadence: the production default floors
+        // the gate at ~10 min between corpus passes
+        annDriftEvery = Some(java.time.Duration.ofMillis(100)))
       val deadline = System.currentTimeMillis() + 120000L
       // wait until the gate has run at least twice AFTER the rebuild —
       // the exactly-once claim needs a post-recovery check to have
@@ -270,17 +273,23 @@ class AnnRebuildSpec extends SparkSuite {
     val gen1IvfRows = spark.read.parquet(dirOf(gen1.head).toString).count()
     assert(gen1IvfRows > 0L)
     // the sweep must classify gen 1 as the durable current generation
-    // (disk-derived), drop only gen 0 below it, and leave every gen-1
-    // dir byte-identical
+    // (disk-derived) and leave every gen-1 dir byte-identical — AND it
+    // must not touch gen 0 either: with the registrations gone this
+    // session SERVES (and would append into) gen 0, so sweeping it
+    // would destroy data out from under the very process running the
+    // GC (review-caught — the sweep floor is min(durable, served)).
+    // A fresh session-catalog process therefore sweeps nothing; the
+    // process that performed the rebuild (or any metastore-backed
+    // one) collects gen 0, as the non-fresh GC test proves.
     val dropped = IndexTables.gcAnnGenerations(spark, fix, "spec-fresh-gc-sweep")
-    assert(dropped.isDefined)
+    assert(dropped.contains(0), s"a fresh JVM's sweep must drop nothing, got $dropped")
     gen1.foreach { n =>
       assert(fs.exists(dirOf(n)), s"GC destroyed the durable current generation's $n")
     }
     assert(spark.read.parquet(dirOf(gen1.head).toString).count() == gen1IvfRows,
       "gen-1 IVF data changed under GC")
-    assert(!fs.exists(dirOf(IndexTables.annIvfName(fix, 0L))),
-      "superseded gen-0 dir should still be swept")
+    assert(fs.exists(dirOf(IndexTables.annIvfName(fix, 0L))),
+      "GC swept the generation this session serves out from under itself")
   }
 
   test("generation GC drops only superseded tables; current serving is intact") {
