@@ -120,6 +120,9 @@ object SparkEntry {
     "dedup_admission_indexed" -> ((s: SparkSession, d: String) => Dedup.admissionGateIndexed(s, d)),
     "dedup_keep_best"      -> (Dedup.keepBest _),
     "dedup_containment"    -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    // threshold tuning report: pairs/docs/corpus-fraction the Jaccard
+    // gate would admit at 0.3/0.5/0.7/0.9, off the memoized pair stats
+    "dedup_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d)),
     "dedup_method_agreement" -> (Dedup.methodAgreement _),
     "dedup_cluster_stats"  -> (Dedup.clusterStats _),
     "dedup_block_stats"    -> ((s: SparkSession, d: String) => Dedup.blockStats(s, d)),
@@ -1589,6 +1592,33 @@ object SparkEntry {
          |            JOIN sizes y ON doc_b = y.doc_id
          |WHERE floor(CAST(c AS DOUBLE) / LEAST(x.n, y.n) * 1000000) / 1000000 >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Zero-pair thresholds drop from the report on both engines
+    // identically (no row survives the >= filter); the affected-rate
+    // divisor is the whole corpus, not the candidate-doc count.
+    "dedup_threshold_sweep" ->
+      s"""WITH $shinglesCte,
+         |$pairStatsCte,
+         |jp AS (
+         |  SELECT doc_a, doc_b,
+         |    floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 AS jaccard
+         |  FROM common JOIN sizes x ON doc_a = x.doc_id
+         |              JOIN sizes y ON doc_b = y.doc_id),
+         |t AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold),
+         |pa AS (
+         |  SELECT t.threshold, jp.doc_a, jp.doc_b
+         |  FROM jp JOIN t ON jp.jaccard >= t.threshold),
+         |np AS (SELECT threshold, COUNT(*) AS n_pairs FROM pa GROUP BY threshold),
+         |nd AS (
+         |  SELECT threshold, COUNT(DISTINCT d) AS n_docs FROM (
+         |    SELECT threshold, doc_a AS d FROM pa
+         |    UNION ALL SELECT threshold, doc_b FROM pa) u
+         |  GROUP BY threshold),
+         |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+         |SELECT threshold, n_pairs, n_docs,
+         |  floor(CAST(n_docs AS DOUBLE) / (SELECT n_total FROM tot) * 1000000) / 1000000
+         |    AS affected_rate
+         |FROM np JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin,
     "dedup_method_agreement" ->
       s"""WITH $shinglesCte,
          |$ngramPairsCte,

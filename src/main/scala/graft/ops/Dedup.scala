@@ -181,6 +181,39 @@ object Dedup {
   private[ops] def ngramPairs(s: SparkSession, dir: String): DataFrame =
     jaccardGate(shinglePairStats(s, dir))
 
+  /** THRESHOLD SWEEP — the tuning report behind the 0.5 gate every
+    * near-dup consumer applies: at each candidate threshold, how many
+    * pairs the gate would admit, how many distinct documents those
+    * pairs touch, and the fraction of the corpus affected. A curation
+    * team reads this before committing a dedup policy (0.5 admitting
+    * 40% of the corpus means the gate is really a clustering knob;
+    * 0.9 admitting nothing means near-dedup is free). One pass over
+    * the MEMOIZED candidate-pair stats — the sweep costs four
+    * aggregates over a near-dup-sized relation, never a re-join; the
+    * corpus total rides the usual 1-row constant-key broadcast.
+    * Thresholds with zero admitted pairs drop from the report on both
+    * engines identically. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val ths = Seq(0.3, 0.5, 0.7, 0.9)
+    val pa = shinglePairStats(s, dir)
+      .withColumn("jaccard",
+        trunc6(col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))))
+      .withColumn("threshold", explode(array(ths.map(lit): _*)))
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), col("doc_a"), col("doc_b"))
+    val nPairs = pa.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pa
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold")).agg(countDistinct(col("d")).as("n_docs"))
+    val total = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
+    nPairs.join(nDocs, Seq("threshold"))
+      .withColumn("k", lit(1)).join(broadcast(total), Seq("k"))
+      .select(col("threshold"), col("n_pairs"), col("n_docs"),
+              trunc6(col("n_docs").cast("double") / col("n_total")).as("affected_rate"))
+      .orderBy(col("threshold"))
+  }
+
   /** The Jaccard≥0.5 finisher over a pair-stats relation — the one
     * definition of the gate both the memoized corpus path and the
     * sliced re-derivations apply. */

@@ -130,6 +130,9 @@ class PlanAuditSpec extends SparkSuite {
     // same 1-row scalar-subquery shape: the corpus token total N_c joins
     // the bounded per-source relation on a folded constant key
     "text_source_drift",
+    // same 1-row corpus-count scalar join (the affected-rate divisor)
+    // onto the 4-row threshold report
+    "dedup_threshold_sweep",
     // same shape again: the corpus doc total joins the k-row top-bigram
     // relation on a folded constant key (the lift denominator)
     "text_collocations",

@@ -171,4 +171,28 @@ class DedupBlockingSpec extends SparkSuite {
     assert(viaAgg === viaProj)
     assert(viaAgg.values.toSet.size === 5, "distinct texts must hash apart")
   }
+
+  test("threshold sweep: monotone in the threshold, consistent with the 0.5 gate, rates are fractions") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    val rows = Dedup.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "sweep found no admitted pairs at any threshold")
+    // raising the threshold can only shed pairs and docs
+    rows.sliding(2).foreach {
+      case Array((t1, p1, d1, _), (t2, p2, d2, _)) =>
+        assert(t1 < t2 && p1 >= p2 && d1 >= d2,
+          s"sweep not monotone: ($t1,$p1,$d1) -> ($t2,$p2,$d2)")
+      case _ => ()
+    }
+    // the 0.5 row IS the production gate: its pair count must equal
+    // the declared near-dup pair relation's
+    val gate = Dedup.ngramPairs(spark, sf).count()
+    val at05 = rows.find(_._1 == 0.5).map(_._2).getOrElse(0L)
+    assert(at05 == gate, s"0.5 sweep row $at05 != ngramPairs $gate")
+    rows.foreach { case (_, p, d, rate) =>
+      assert(d <= 2 * p, "more affected docs than pair endpoints")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+  }
 }
