@@ -206,6 +206,9 @@ object SparkEntry {
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_resize_stub"     -> ((s: SparkSession, d: String) => Multimodal.resizeStub(s, d)),
     "mm_phash_neardup"   -> ((s: SparkSession, d: String) => Multimodal.phashNearDup(s, d)),
+    // persisted decode-once twin: candidate join off the bucketed
+    // media chunk index, zero decodes at query time
+    "mm_phash_indexed"   -> ((s: SparkSession, d: String) => Multimodal.phashNearDupIndexed(s, d)),
     "mm_audio_energy"    -> (Multimodal.audioEnergy _),
     "text_bigram_rarity" -> (TextAnalysis.bigramRarity _),
     "text_top_terms"     -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
@@ -719,6 +722,8 @@ object SparkEntry {
       // of exact integer moments — the shared oracle text IS the proof
       // obligation (any overlap/gap in the slice combine breaks it)
       "emb_moments_incr"      -> "emb_covariance",
+      // the persisted media chunk index serves the identical pair set
+      "mm_phash_indexed"      -> "mm_phash_neardup",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(

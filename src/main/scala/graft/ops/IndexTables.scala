@@ -170,6 +170,19 @@ object IndexTables {
       Dedup.chunkRelation(Dedup.simhashRaw(s, dir), nChunks)
     }
 
+  /** Persisted MEDIA pHash chunk index — the decode-once serving
+    * table for media near-dup ([[graft.ops.Multimodal
+    * .phashNearDupIndexed]]): the signature derivation pays the codec
+    * seam's decode pass per payload (THE expensive step in the media
+    * domain), so the build decodes once and persists the ~16 B/doc
+    * chunked signatures; every consumer joins the bucketed table with
+    * zero decodes. Same bucket spec and chunk relation as the text
+    * chunk index — the blocking layout is signature-agnostic. */
+  def ensurePhashIndex(s: SparkSession, dir: String, nChunks: Int): String =
+    ensure(s, s"idx_phash_chunks_${nChunks}_${tag(dir)}", Seq("j", "ck")) {
+      Dedup.chunkRelation(Multimodal.phashRaw(s, dir), nChunks)
+    }
+
   /** INCREMENTAL index maintenance: append newly-ingested documents'
     * chunk rows to the persisted chunk index WITHOUT a rebuild — the
     * operation an ingest pipeline runs per accepted batch so the

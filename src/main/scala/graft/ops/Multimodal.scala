@@ -203,8 +203,33 @@ object Multimodal {
     // the scans and lambda inlining re-derived hex(blob) per element,
     // measured 468 s vs ~1 s. The mapPartitions codec path is immune,
     // but the materialize-your-index shape is right regardless.)
-    val ph = Tables.memoized("phash64", s, dir) { phashSignatures(s, dir) }
-    Dedup.hammingPairsFrom(ph, maxDist)
+    Dedup.hammingPairsFrom(phashRaw(s, dir), maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The memoized (doc_id, simhash) media-signature relation — ONE
+    * decode pass per payload, then ~12 B/doc forever ([[phashNearDup]]
+    * and the persisted index build share it). */
+  private[ops] def phashRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.memoized("phash64", s, dir) { phashSignatures(s, dir) }
+
+  /** [[phashNearDup]] reading the PERSISTED media chunk index
+    * ([[IndexTables.ensurePhashIndex]]) — the media-domain twin of
+    * `dedup_hamming_indexed`, and the domain where the persisted index
+    * matters MOST: the signature derivation pays the codec seam's
+    * decode per payload (THE expensive step for media), so a
+    * deployment decodes once at index build and every consumer joins
+    * the ~16 B/doc chunk rows with zero decodes. Same bucket spec as
+    * the text chunk index: candidate generation is a bucket-local
+    * sort-merge join, no Exchange, no per-query Sort. Identical rows
+    * to [[phashNearDup]]; same driver oracle. */
+  def phashNearDupIndexed(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val n = maxDist + 1
+    val idx = s.table(IndexTables.ensurePhashIndex(s, dir, n))
+    Dedup.pairsFromChunks(idx, n)
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -438,4 +438,24 @@ class IndexTablesSpec extends SparkSuite {
     assert(t1 === t2)
     assert(spark.table(t2).count() === countBefore)
   }
+
+  test("persisted media pHash index: identical pair set to the in-plan twin, Exchange-free self-join") {
+    assume(hasTestData)
+    val viaIndex = Multimodal.phashNearDupIndexed(spark, sf).collect().map(_.toSeq)
+    val inPlan = Multimodal.phashNearDup(spark, sf).collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty, "vacuous: no media near-dups at test scale")
+    assert(viaIndex.toSeq === inPlan.toSeq)
+    // the decode-once table joins bucket-locally like every chunk index
+    val idx = spark.table(IndexTables.ensurePhashIndex(spark, sf, 4))
+    withNoBroadcast {
+      val joined = idx.as("a").join(idx.as("b"),
+        col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"media index self-join must not shuffle the index:\n$plan")
+    }
+  }
 }
