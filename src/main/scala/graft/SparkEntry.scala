@@ -76,6 +76,9 @@ object SparkEntry {
     "log_dedup_bursts"    -> (LogQueries.logDedupBursts _),
     "log_volume_anomaly"  -> (LogQueries.logVolumeAnomaly _),
     "log_error_rate_sli"  -> (LogQueries.logErrorRateSli _),
+    // SRE multi-window burn-rate paging over the SLI: day + trailing-7d
+    // windows must BOTH exceed 2x budget before the alert fires
+    "log_burn_rate"       -> (LogQueries.logBurnRate _),
     "log_top_messages"    -> ((s: SparkSession, d: String) => LogQueries.topMessages(s, d)),
     "log_hourly_profile"  -> (LogQueries.logHourlyProfile _),
     "log_cooccurrence"    -> (LogQueries.errorCooccurrence _),
@@ -1520,6 +1523,33 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          |  CAST(10000 * SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS rate_bp
          |FROM logs GROUP BY 1, 2 ORDER BY container, day""".stripMargin,
+    // Non-negative integer divisions throughout, so DuckDB's flooring
+    // `//` and Spark's truncating `div` agree; the 7-day window rides
+    // the q31 day_no RANGE recipe.
+    "log_burn_rate" ->
+      s"""$logsCte,
+         |daily AS (
+         |  SELECT container, date_trunc('day', "timestamp") AS day,
+         |    COUNT(*) AS n_total,
+         |    CAST(SUM(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+         |  FROM logs GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT *, CAST(FLOOR(date_part('epoch', day) / 86400) AS BIGINT) AS day_no
+         |  FROM daily),
+         |w AS (
+         |  SELECT container, day, n_total, n_errors,
+         |    CAST(SUM(n_total) OVER win AS BIGINT) AS w_total,
+         |    CAST(SUM(n_errors) OVER win AS BIGINT) AS w_errors
+         |  FROM d2
+         |  WINDOW win AS (PARTITION BY container ORDER BY day_no
+         |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT container, day, n_total, n_errors,
+         |  CAST(100 * (10000 * n_errors // n_total) // 1000 AS BIGINT) AS short_burn_c,
+         |  CAST(100 * (10000 * w_errors // w_total) // 1000 AS BIGINT) AS long_burn_c,
+         |  CAST(CASE WHEN 100 * (10000 * n_errors // n_total) // 1000 > 200
+         |             AND 100 * (10000 * w_errors // w_total) // 1000 > 200
+         |            THEN 1 ELSE 0 END AS BIGINT) AS page
+         |FROM w ORDER BY container, day""".stripMargin,
     "log_top_messages" ->
       s"""$logsCte,
          |counts AS (

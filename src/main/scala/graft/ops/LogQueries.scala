@@ -132,6 +132,43 @@ object LogQueries {
       .withColumn("rate_bp", expr("10000 * n_errors div n_total"))
       .orderBy(col("container"), col("day"))
 
+  /** Multi-window SLO BURN-RATE alert — the SRE-workbook paging policy
+    * over the error-rate SLI: with a 90% availability SLO the error
+    * budget is 1000 bp (matched to this synthetic stream's error
+    * density so the threshold sits mid-distribution — on real logs
+    * the budget is the product SLO), and the burn rate is how many times faster than
+    * budget the service is consuming it. A single window either pages
+    * on every blip (short) or pages hours late (long); the standard
+    * fix alerts only when BOTH a short window (here one day) and a
+    * long window (trailing 7 days, the `q31` rolling-RANGE recipe)
+    * burn above the threshold (2× budget) — fast onset detection that
+    * a one-day spike alone cannot page. All integer arithmetic
+    * (basis-point rates, centi-multiple burns, non-negative floored
+    * divisions), so the report replays exactly. Plan shape: one
+    * map-side-combined (container, day) aggregate, then a
+    * per-container window over #days rows — tiny at any corpus
+    * scale. */
+  def logBurnRate(s: SparkSession, dir: String): DataFrame = {
+    val daily = logsView(s, dir)
+      .groupBy(col("container"), date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("level") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("day_no", expr("CAST(floor(unix_timestamp(day) / 86400) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("container")).orderBy(col("day_no"))
+      .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("w_total", sum(col("n_total")).over(w))
+      .withColumn("w_errors", sum(col("n_errors")).over(w))
+      .withColumn("short_burn_c", expr("100 * (10000 * n_errors div n_total) div 1000"))
+      .withColumn("long_burn_c", expr("100 * (10000 * w_errors div w_total) div 1000"))
+      .withColumn("page",
+        when(col("short_burn_c") > 200 && col("long_burn_c") > 200, 1L).otherwise(0L))
+      .select(col("container"), col("day"), col("n_total"), col("n_errors"),
+              col("short_burn_c"), col("long_burn_c"), col("page"))
+      .orderBy(col("container"), col("day"))
+  }
+
   /** Hour-of-day traffic profile per container — the seasonality view
     * behind capacity planning and anomaly baselines (a volume alert that
     * ignores diurnal shape pages on every morning ramp). Share is
