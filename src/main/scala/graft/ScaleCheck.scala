@@ -142,7 +142,11 @@ object ScaleCheck {
         ops.IndexTables.ensurePqIndex(spark, fix)
         fix
       }
-      val r = Seq(
+      // fixture teardown MUST survive a failing timed entry (advice-
+      // caught): any throw below — a require on the drift gate or the
+      // delete count — would otherwise leak the corpus copy plus three
+      // tables into the shared persistent warehouse
+      val r = try { Seq(
         "build chunk index"   -> timed(ops.IndexTables.ensureChunkIndex(spark, dir, 4)),
         "build shingle index" -> timed(ops.IndexTables.ensureShingleIndex(spark, dir)),
         "build IVF index"     -> timed(ops.IndexTables.ensureIvfIndex(spark, dir)),
@@ -229,10 +233,12 @@ object ScaleCheck {
           timed(ops.IndexTables.compactShingleSegments(spark, dir)),
         "consume after compaction: dedup_ngram_seg" ->
           timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()))
-      // tear the pricing fixture down: tables out of the shared
-      // persistent warehouse, the corpus copy off disk
-      ops.IndexTables.dropAnnFixtureTables(spark, tombFixture)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tombFixture))
+      } finally {
+        // tear the pricing fixture down: tables out of the shared
+        // persistent warehouse, the corpus copy off disk
+        ops.IndexTables.dropAnnFixtureTables(spark, tombFixture)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tombFixture))
+      }
       r.foreach { case (n, t) =>
         System.err.println(f"[scalecheck] $dir%-24s $n%-32s $t%8.3f s") }
       clean()

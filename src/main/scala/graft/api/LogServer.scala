@@ -171,7 +171,18 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
   private def noteStage(stage: String, nanos: Long): Unit =
     if (recordReadTimings) stagedTimings.get() += ((stage, nanos))
   private def publishStagedTimings(): Unit =
-    if (recordReadTimings) stagedTimings.get().foreach(readTimings.add)
+    if (recordReadTimings) {
+      val staged = stagedTimings.get()
+      // Publish ONLY a complete stage set in canonical order
+      // (advice-caught): a request already past `authed` when the flag
+      // flipped on staged a suffix only, and a buffer left from a
+      // previous measurement window (the flag flipped off before this
+      // thread's next `authed` cleared it) carries another tier's
+      // samples — either would mix populations in the per-stage
+      // percentiles. Always clear, so nothing leaks across windows.
+      if (staged.map(_._1) == LogServer.ReadStages) staged.foreach(readTimings.add)
+      staged.clear()
+    }
 
   /** Bearer authN (auth.py:257-283): 401 on missing header, bad format,
     * or invalid/expired token; otherwise the handler gets (user, token). */
@@ -615,7 +626,26 @@ object LogServer {
     else if (!fs.exists(dir) || fs.listStatus(dir).isEmpty) {
       fs.mkdirs(dir)
       graft.storage.Cas.tryClaim(fs, marker, "delta-chain v1\n".getBytes("UTF-8"))
-      16
+      // TOCTOU re-check (advice-caught): between the emptiness listing
+      // and the claim, a PRE-DELTA gateway can mount the same fresh
+      // root and commit a full-snapshot v1 — it never looks for the
+      // marker, so claiming it does not exclude that writer. If the
+      // re-list shows any version file already present, this process
+      // cannot prove it was the root's first mount: fall back to
+      // cadence 1 (full snapshots, readable by every binary) for this
+      // process; the claimed marker is honored from the next restart,
+      // by which time the mixed-fleet window has passed.
+      val versionsPresent = fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        n != marker.getName && n.startsWith("v")
+      }
+      if (versionsPresent) {
+        System.err.println(s"[catalog] root $dir gained version files between " +
+          "the emptiness check and the marker claim - a pre-delta gateway may " +
+          "share it; committing full snapshots this process (the marker takes " +
+          "effect on restart)")
+        1
+      } else 16
     } else {
       System.err.println(s"[catalog] pre-delta root $dir has no format-delta-v1 " +
         "marker - committing full snapshots; create the marker to enable delta " +

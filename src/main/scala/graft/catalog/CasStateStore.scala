@@ -161,14 +161,21 @@ final class CasStateStore(fs: FileSystem, dir: Path,
         if (!fs.exists(pathOf(h.valid + 1)) && fs.exists(pathOf(h.valid))) return h
       } catch { case _: java.io.IOException => () } // fall through to listing
     }
-    var attempts = 0
+    // a chain record pruned under our walk means a concurrent committer
+    // advanced the frontier AND its checkpoint — re-listing always sees
+    // a strictly newer chain, so each retry makes progress. Under
+    // sustained checkpoint-cadence churn across many gateways a small
+    // fixed cap could be exhausted on the auth path (advice-caught:
+    // the pre-chain resolve degraded gracefully per-record); retry on a
+    // time budget with a short backoff instead, and only then propagate
+    // (at that point the FNF is indistinguishable from external damage).
+    val deadline = System.nanoTime() + 2_000_000_000L
     while (true) {
       try return resolveByListing(frontierHint)
       catch {
-        // a chain record pruned under our walk (a concurrent committer
-        // advanced the frontier and its checkpoint): re-list and walk
-        // the fresher chain
-        case _: java.io.FileNotFoundException if attempts < 3 => attempts += 1
+        case e: java.io.FileNotFoundException =>
+          if (System.nanoTime() > deadline) throw e
+          Thread.sleep(20L)
       }
     }
     throw new IllegalStateException("unreachable")

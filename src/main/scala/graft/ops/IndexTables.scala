@@ -794,16 +794,41 @@ object IndexTables {
   private[ops] def annTombName(dir: String, g: Long): String =
     s"idx_ann_tomb_g${g}_${tag(dir)}"
 
+  /** Tombstones are PATH-BASED parquet under the warehouse, never a
+    * catalog table (round-12, advice-caught): a session catalog's
+    * registration dies with the JVM while the data does not, so a
+    * registration-keyed mask would silently resurrect every deletion
+    * on restart — and a create-path that clears an
+    * unregistered-but-durable dir would permanently destroy the prior
+    * tombstone set on the first post-restart delete. Deriving
+    * existence, reads, and appends from the DURABLE directory (the
+    * same truth source as the generation claim files) makes the
+    * right-to-be-forgotten durability structural: there is no
+    * registration to lose. On a shared-metastore deployment the two
+    * truths coincide and behavior is identical. */
+  private def annTombPath(s: SparkSession, dir: String, g: Long): org.apache.hadoop.fs.Path = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    new org.apache.hadoop.fs.Path(warehouse, annTombName(dir, g))
+  }
+
+  /** Durable presence of generation `g`'s tombstone set — the only
+    * existence check any tombstone consumer may use. */
+  private[ops] def tombstoneExists(s: SparkSession, dir: String, g: Long): Boolean =
+    warehouseDirExists(s, annTombName(dir, g))
+
+  private def tombstoneIds(s: SparkSession, dir: String, g: Long): DataFrame =
+    s.read.parquet(annTombPath(s, dir, g).toString)
+
   /** Mask generation `g`'s tombstoned ids out of a relation keyed by
     * `idCol` — the ONE anti-join every serving path shares. Absent
-    * tombstone table (no deletes since the generation was built) =
+    * tombstone set (no deletes since the generation was built) =
     * identity, zero plan overhead. */
   private[ops] def maskTombstonesAt(s: SparkSession, dir: String, g: Long,
                                     rel: DataFrame, idCol: String): DataFrame =
-    if (!s.catalog.tableExists(annTombName(dir, g))) rel
+    if (!tombstoneExists(s, dir, g)) rel
     else rel.join(
       org.apache.spark.sql.functions.broadcast(
-        s.table(annTombName(dir, g))
+        tombstoneIds(s, dir, g)
           .select(org.apache.spark.sql.functions.col("n_id").as(idCol))),
       Seq(idCol), "left_anti")
 
@@ -844,25 +869,23 @@ object IndexTables {
     while (true) {
       val g = annGeneration(s, dir)
       val ivfName = annIvfTableAt(s, dir, g) // ensures gen 0; lock key below
-      val name = annTombName(dir, g)
       val batch = s.createDataFrame(batchRows).toDF("n_id")
       val committed = withTableLock(ivfName) {
         if (annGeneration(s, dir) != g) None // swapped mid-delete: re-aim at the new generation
         else {
+          // existence and the idempotency anti-join read the DURABLE
+          // dir, never the session catalog: a dir surviving a JVM
+          // restart holds real deletions that must be honored, not
+          // cleared (advice-caught — see annTombPath). parquet append
+          // creates the dir when absent, so there is no create branch
+          // to get wrong.
           val fresh =
-            if (s.catalog.tableExists(name))
-              batch.join(s.table(name), Seq("n_id"), "left_anti")
+            if (tombstoneExists(s, dir, g))
+              batch.join(tombstoneIds(s, dir, g), Seq("n_id"), "left_anti")
             else batch
           val n = fresh.count()
-          if (n > 0L) {
-            if (s.catalog.tableExists(name))
-              fresh.write.mode("append").saveAsTable(name)
-            else {
-              deleteWarehouseDir(s, name) // stale dir from a previous JVM
-              fresh.write.mode("overwrite").saveAsTable(name)
-            }
-            refreshBoth(s, fresh, name)
-          }
+          if (n > 0L)
+            fresh.write.mode("append").parquet(annTombPath(s, dir, g).toString)
           Some(n)
         }
       }

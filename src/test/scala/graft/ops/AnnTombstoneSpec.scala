@@ -104,9 +104,9 @@ class AnnTombstoneSpec extends SparkSuite {
     assert(spark.table(IndexTables.annIvfName(fix, 1L))
       .filter(col("n_id") === victim).count() == 0L,
       "tombstoned vector physically present in the rebuilt generation")
-    // the clean generation has no tombstone table, and serving at gen 1
+    // the clean generation has no tombstone set, and serving at gen 1
     // still excludes the victim (it is GONE, not masked)
-    assert(!spark.catalog.tableExists(IndexTables.annTombName(fix, 1L)))
+    assert(!IndexTables.tombstoneExists(spark, fix, 1L))
     val (ivf, pq) = served(fix)
     assert(!ivf.exists(_._2 == victim) && !pq.exists(_._2 == victim))
 
@@ -131,12 +131,12 @@ class AnnTombstoneSpec extends SparkSuite {
     val victim = Similarity.ivfTopKIndexed(spark, fix, nQueries = 4, k = 3)
       .select(col("neighbor_id")).head().getLong(0)
     assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 1L)
-    assert(spark.catalog.tableExists(IndexTables.annTombName(fix, 0L)))
+    assert(IndexTables.tombstoneExists(spark, fix, 0L))
     assert(IndexTables.rebuildAnnIndexes(spark, fix, "tomb-gc").isDefined)
     // gen 0: ivf + pq + tombstones = 3 tables swept
     val dropped = IndexTables.gcAnnGenerations(spark, fix, "tomb-gc-sweep")
     assert(dropped.contains(3), s"expected 3 gen-0 tables dropped (ivf, pq, tomb), got $dropped")
-    assert(!spark.catalog.tableExists(IndexTables.annTombName(fix, 0L)))
+    assert(!IndexTables.tombstoneExists(spark, fix, 0L))
     assert(Similarity.ivfPqTopK(spark, fix, nQueries = 4, k = 3).count() > 0)
   }
 
@@ -157,6 +157,42 @@ class AnnTombstoneSpec extends SparkSuite {
       recallFloor = 0.9, nprobe = 8, shortlist = 600)
     assert(r.isEmpty, "the drift gate treated tombstoned vectors as recall loss and rebuilt")
     assert(IndexTables.annGeneration(spark, fix) == 0L)
+  }
+
+  test("tombstones survive a session-catalog restart: durable state, never registration-keyed") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    val victim = Similarity.ivfTopKIndexed(spark, fix, nQueries = 4, k = 3)
+      .filter(col("query_id") === 0L).orderBy(col("rk"))
+      .select(col("neighbor_id")).head().getLong(0)
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 1L)
+    // the tombstone set is never catalog-registered: its existence is
+    // durable directory presence, so there is no registration for a
+    // JVM restart to lose (the advice-caught hazard: a registration-
+    // keyed mask resurrects deletions; a registration-keyed create
+    // destroys the prior set)
+    assert(!spark.catalog.tableExists(IndexTables.annTombName(fix, 0L)))
+    assert(IndexTables.tombstoneExists(spark, fix, 0L))
+    // simulate the restart's worst case: the gen-0 index tables are
+    // dropped from the catalog (registration lost) and re-ensured by
+    // the fallback path — the durable tombstones must still mask
+    Seq(IndexTables.annIvfName(fix, 0L), IndexTables.annPqName(fix, 0L))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val (ivf, pq) = served(fix) // re-ensures gen 0 from the fixture dir
+    assert(!ivf.exists(_._2 == victim) && !pq.exists(_._2 == victim),
+      "a catalog restart resurrected a deleted vector")
+    // a post-restart delete APPENDS into the durable set — the first
+    // victim must stay deleted alongside the new one
+    val second = Similarity.ivfTopKIndexed(spark, fix, nQueries = 4, k = 3)
+      .filter(col("query_id") === 1L).orderBy(col("rk"))
+      .select(col("neighbor_id")).head().getLong(0)
+    assert(second != victim)
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(second)) == 1L)
+    assert(IndexTables.deleteFromAnnIndex(spark, fix, Seq(victim)) == 0L,
+      "a post-restart delete destroyed the prior tombstone set")
+    val (ivf2, pq2) = served(fix)
+    assert(!ivf2.exists(p => p._2 == victim || p._2 == second) &&
+           !pq2.exists(p => p._2 == victim || p._2 == second))
   }
 
   test("oracle twin parity: ivfTopKDeleted rows equal the served path after the same deletes") {
