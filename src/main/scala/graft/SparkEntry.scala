@@ -70,6 +70,9 @@ object SparkEntry {
     "log_partition_slice" -> (LogQueries.logPartitionSlice _),
     "log_store_roundtrip" -> (LogQueries.logStoreRoundtrip _),
     "log_snapshot_read"   -> (LogQueries.logSnapshotRead _),
+    // physical row-level purge: rewriteExcluding + expire, then the
+    // single surviving readable version is read back under the oracle
+    "log_purge"           -> (LogQueries.logPurge _),
     // snapshot-pinned derivation manifest: cites the store version it
     // derived from and proves the citation replays across compaction+GC
     "pipe_snapshot_pin"   -> (LogQueries.pipeSnapshotPin _),
@@ -1487,6 +1490,16 @@ object SparkEntry {
          |SELECT * FROM logs
          |WHERE session = 's7'
          |  AND "timestamp" < TIMESTAMP '2024-01-15 00:00:00'
+         |ORDER BY "timestamp", session, message""".stripMargin,
+    // the engine appends+compacts s7, physically purges every error row
+    // (staged rewrite-then-swap), closes the GC grace window, and reads
+    // back the single surviving version; the oracle derives the
+    // survivor rows directly — the row-level deletion contract is
+    // under test, not the query
+    "log_purge" ->
+      s"""$logsCte
+         |SELECT * FROM logs
+         |WHERE session = 's7' AND level <> 'error'
          |ORDER BY "timestamp", session, message""".stripMargin,
     // the engine derives this manifest from a PINNED store version and
     // re-proves the citation replays across compaction+GC before

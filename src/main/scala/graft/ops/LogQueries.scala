@@ -313,6 +313,58 @@ object LogQueries {
     }
   }
 
+  /** PHYSICAL ROW-LEVEL PURGE under the oracle (round-12): the
+    * deletion-request path against the store's own rows, end-to-end.
+    * One session is written through [[graft.storage.ManifestLog]] in
+    * two appends and compacted; then every `level = 'error'` row is
+    * purged through [[graft.storage.ManifestLog.rewriteExcluding]]
+    * (staged rewrite-then-swap — the takedown a tombstone mask or
+    * curation correction alone cannot honor, because the stored rows
+    * survive those) and the grace window is closed with
+    * [[graft.storage.ManifestLog.expire]]. The purge+GC pair is the
+    * fulfillment contract: after it, the query REQUIRES exactly one
+    * readable version to remain (no time-travel path back to a purged
+    * row — the multi-version sweep is spec'd file-by-file in
+    * RewriteExcludingSpec) and reads the store back. The DuckDB
+    * oracle computes the survivor rows straight from `events`, so a
+    * purge that loses a survivor, keeps a matching row, or corrupts a
+    * timestamp in the rewrite turns this row red. */
+  def logPurge(s: SparkSession, dir: String): DataFrame = {
+    import graft.storage.ManifestLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-purge").toString
+    val log = new ManifestLog(s, root)
+    val src = logsView(s, dir).filter(col("session") === "s7").cache()
+    try {
+      val cs = src.select(col("container")).distinct().collect().map(_.getString(0))
+      require(cs.length == 1, s"session s7 spans containers ${cs.toSeq} — fixture assumption broken")
+      val c = cs.head
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      log.append(src.filter(col("timestamp") < cut)
+        .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v1
+      log.append(src.filter(!(col("timestamp") < cut))
+        .select(col("timestamp"), col("level"), col("message")), c, "s7")  // v2
+      log.compact(c, "s7")                                                 // v3
+      val purged = log.rewriteExcluding(c, "s7", col("level") === "error") // v4
+      require(purged > 0, "purge fixture: the corpus has no error rows for s7")
+      // close the grace window: after this, no reader — pinned,
+      // time-traveling, or current — can reach a purged row
+      log.expire(c, "s7", java.time.Instant.now().plusSeconds(60))
+      val vs = log.versions(c, "s7")
+      require(vs.size == 1,
+        s"purge+GC left ${vs.size} readable versions (${vs.mkString(",")}) — time travel could resurrect purged rows")
+      val rows = log.read(c, "s7")
+        .orderBy(col("timestamp"), col("session"), col("message"))
+        .collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+        graft.model.LogSchema.schema)
+    } finally {
+      src.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   /** SNAPSHOT-PINNED derivation manifest (round-9) — the
     * reproducibility citation [[logSnapshotRead]]'s time travel exists
     * FOR, as its own first-class pipeline row: a training-data build

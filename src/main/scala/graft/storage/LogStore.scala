@@ -325,6 +325,81 @@ final class LogStore(spark: SparkSession, root: String,
     } finally wl.unlock()
   }
 
+  /** PHYSICAL ROW-LEVEL PURGE — [[ManifestLog.rewriteExcluding]]'s
+    * single-node mirror on the directory-as-truth store: rewrite every
+    * file (either tier) holding rows that match `pred` with those rows
+    * dropped, publish the replacements cold, and delete the affected
+    * originals. `pred` ranges over the file columns (timestamp, level,
+    * message); NULL keeps the row. Files with no matching row are
+    * untouched (the affected set comes from one `input_file_name()`
+    * pass). Unlike the manifest tier there is no version chain, so the
+    * deletion is immediate and complete — no expire step needed; the
+    * crash window between rename-all and delete-all leaves survivor
+    * duplicates plus still-present matching rows (never loss), exactly
+    * compaction's contract, and a re-run purges what remains. Retired
+    * tagged files get their durable replay markers backfilled first,
+    * so a redelivered ingest batch cannot re-append purged rows.
+    * Returns rows purged. */
+  def rewriteExcluding(container: String, session: String,
+                       pred: org.apache.spark.sql.Column): Long =
+    compactLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
+      val all = walkFiles(s"$hotDir/container=$container/session=$session") ++
+        walkFiles(s"$coldDir/container=$container/session=$session")
+      if (all.isEmpty) return 0L
+      val hit = pred <=> lit(true) // null-safe: NULL keeps the row
+      val affectedPaths = spark.read.schema(LogSchema.fileSchema)
+        .parquet(all.map(_.getPath.toString): _*)
+        .filter(hit).select(input_file_name().as("f")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      val snapshot = all.filter(st => affectedPaths.contains(st.getPath.toUri.getPath))
+      if (snapshot.isEmpty) return 0L
+      val bytes = snapshot.map(_.getLen).sum
+      val aff = spark.read.schema(LogSchema.fileSchema)
+        .parquet(snapshot.map(_.getPath.toString): _*)
+      val purged = aff.filter(hit).count()
+      val survivors = aff.filter(!hit)
+      val nSurv = survivors.count()
+      val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
+      if (nSurv > 0) {
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        survivors.repartitionByRange(nOut, col("timestamp"), col("message"))
+          .sortWithinPartitions(col("timestamp"))
+          .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      }
+      val target = new Path(s"$coldDir/container=$container/session=$session")
+      fs.mkdirs(target)
+      // PUBLISH + RETIRE under the view write-lock, like compact: the
+      // heavy rewrite above ran lock-free; readers only wait for the
+      // renames and deletes
+      val wl = viewLock(container, session).writeLock
+      wl.lock()
+      try {
+        if (nSurv > 0) {
+          val staged = listFiles(staging.toString)
+          if (staged.isEmpty)
+            throw new java.io.IOException(
+              s"purge: staging $staging lists no files for $nSurv surviving rows; snapshot retained")
+          staged.foreach { p =>
+            val dst = new Path(target, s"purge-${UUID.randomUUID()}.parquet")
+            if (!fs.rename(p, dst))
+              throw new java.io.IOException(s"purge: rename $p -> $dst failed; snapshot retained")
+          }
+          fs.delete(staging, true)
+        }
+        snapshot.foreach { st =>
+          val name = st.getPath.getName.stripSuffix(".parquet")
+          if (!name.startsWith("append-") && !name.startsWith("compact-") &&
+              !name.startsWith("purge-")) {
+            val m = tagMarker(container, session, name)
+            fs.mkdirs(m.getParent)
+            if (!fs.exists(m)) fs.create(m, true).close()
+          }
+          fs.delete(st.getPath, false)
+        }
+        purged
+      } finally wl.unlock()
+    }
+
   /** Retention sweep: delete cold files whose entire contents predate
     * `cutoff`, decided from each file's parquet FOOTER max-timestamp
     * statistic — file-level TTL with no data scan, the same min/max

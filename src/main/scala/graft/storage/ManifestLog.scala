@@ -786,6 +786,118 @@ final class ManifestLog(spark: SparkSession, root: String,
       bytes
     }
 
+  /** PHYSICAL ROW-LEVEL PURGE (right-to-be-forgotten for the data
+    * plane): rewrite every live file that holds rows matching `pred`
+    * with those rows dropped, through the same staged
+    * rewrite-then-swap as [[compact]] — publish replacement files
+    * nobody references, then commit a manifest that swaps them in as
+    * the LAST step. Tombstone masks and curation corrections fix the
+    * derived artifacts; THIS is what makes a deletion request against
+    * the stored rows themselves honorable end-to-end.
+    *
+    * `pred` ranges over the file columns (timestamp, level, message);
+    * rows where it evaluates NULL are KEPT (a takedown must name its
+    * rows — null is "not this row", the same null-safety rule as the
+    * curation gates). Files with no matching row are NOT rewritten:
+    * the affected set comes from one `input_file_name()` pass, so the
+    * purge cost scales with the data that actually changes, not the
+    * session (at 100 TB with time-clustered cold files, a
+    * user-scoped purge touches the files whose footers admit the
+    * predicate — the same pruning economics as the read path).
+    *
+    * Durability of the purge vs snapshot isolation: the swap removes
+    * the rows from the CURRENT version immediately, but readers
+    * pinned to older versions (and [[readAt]] time travel) can still
+    * reach the retired files until [[expire]]'s grace window passes —
+    * exactly the table-format contract (Delta VACUUM after DELETE,
+    * public docs). A deletion request is therefore FULFILLED when
+    * purge + expire-past-grace have both run; RewriteExcludingSpec
+    * proves no version readable after that pair resurrects a purged
+    * row. Crash anywhere before the commit leaves every row visible
+    * and the staged files as expire-collectable orphans (no partial
+    * purge is ever observable); a competing compaction retiring part
+    * of the affected snapshot makes the commit DECLINE (return 0) —
+    * the caller re-runs against the new file set, rows never
+    * duplicate or vanish.
+    *
+    * Returns rows purged (0 = nothing matched, or the commit declined
+    * to a concurrent rewrite — re-run to distinguish). */
+  def rewriteExcluding(container: String, session: String,
+                       pred: org.apache.spark.sql.Column): Long =
+    compactLocks.computeIfAbsent((container, session), _ => new Object).synchronized {
+      val (_, entries) = resolve(container, session)
+      val live = entries.filterNot(_.startsWith("#"))
+      if (live.isEmpty) return 0L
+      val hit = pred <=> lit(true) // null-safe: NULL keeps the row
+      val affectedPaths = spark.read.schema(LogSchema.fileSchema)
+        .parquet(live.map(abs): _*)
+        .filter(hit).select(input_file_name().as("f")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      val snapshot = live.filter(e =>
+        affectedPaths.contains(new Path(abs(e)).toUri.getPath))
+      if (snapshot.isEmpty) return 0L
+      val bytes = snapshot.map(e => fs.getFileStatus(new Path(abs(e))).getLen).sum
+      val aff = spark.read.schema(LogSchema.fileSchema).parquet(snapshot.map(abs): _*)
+      val purged = aff.filter(hit).count()
+      val survivors = aff.filter(!hit)
+      val nSurv = survivors.count()
+      // replacement files: cold-tier, range-clustered like compact's
+      // output (a purge rewrite IS a compaction of the affected files)
+      val coldRel: Seq[String] =
+        if (nSurv == 0) Seq.empty
+        else {
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
+          survivors.repartitionByRange(nOut, col("timestamp"), col("message"))
+            .sortWithinPartitions(col("timestamp"))
+            .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          val staged = walk(staging)
+          if (staged.isEmpty)
+            throw new java.io.IOException(
+              s"purge: staging $staging lists no files for $nSurv surviving rows")
+          val target = new Path(s"$coldDir/container=$container/session=$session")
+          fs.mkdirs(target)
+          val rels = staged.map { st =>
+            val dst = new Path(target, s"purge-${UUID.randomUUID()}.parquet")
+            if (!publishExclusive(st.getPath, dst))
+              throw new java.io.IOException(s"purge: publish ${st.getPath} -> $dst failed")
+            rel(dst)
+          }
+          fs.delete(staging, true)
+          rels
+        }
+      beforeSwap()
+      // retired tag files keep their tags committed via tombstones, so
+      // a batch replay after its file was purged still no-ops — the
+      // same replay contract as compaction (a purged row must not come
+      // back through a redelivered ingest batch)
+      val retired = snapshot.toSet
+      val tombstones = snapshot.flatMap(fileTag).map(tagEntry)
+      var applied = false
+      commit(container, session) { cur =>
+        // a competing instance's compaction/purge already retired part
+        // of our snapshot: its rewrite carries those rows (or their
+        // absence) — applying ours anyway would re-add survivor rows
+        // its output also carries. Decline; the caller re-runs.
+        if (!snapshot.forall(cur.toSet)) { applied = false; cur }
+        else {
+          coldRel.foreach { e =>
+            if (!fs.exists(new Path(abs(e))))
+              throw new java.io.IOException(
+                s"purge: staged file $e vanished before the swap " +
+                "(publish stalled past the GC grace window); snapshot retained")
+          }
+          applied = true
+          cur.filterNot(retired) ++ coldRel ++ tombstones
+        }
+      }
+      if (!applied) {
+        coldRel.foreach(e => fs.delete(new Path(abs(e)), false))
+        return 0L
+      }
+      purged
+    }
+
   /** Snapshot GC. `olderThan` is the reader grace window: any scan (or
     * in-flight append/compaction publish) started before that horizon
     * has finished. The deletion rule keys on when a file became

@@ -20,6 +20,9 @@ class PlanAuditSpec extends SparkSuite {
     // build a ManifestLog fixture (appends + compaction + GC) while
     // constructing their results — audited in ManifestLogSpec
     "log_snapshot_read", "pipe_snapshot_pin",
+    // builds a ManifestLog fixture AND runs the purge rewrite + expire
+    // sweep during construction — audited in RewriteExcludingSpec
+    "log_purge",
     // runs the two metadata-priced block-stats collects to CHOOSE its
     // layout during construction; every layout it can choose is audited
     // via the four standalone dedup_hamming* entries
