@@ -248,6 +248,9 @@ object SparkEntry {
     "pipe_funnel"            -> (Pipeline.funnel _),
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
+    // the same shard math denominated in TRAINED-TOKENIZER (BPE) tokens
+    // — the denominator a trainer actually provisions by
+    "pipe_token_shards_bpe"  -> ((s: SparkSession, d: String) => Pipeline.tokenShardsBpe(s, d)),
     // chop-vs-pad sequence-packing forecast at a 512-token budget
     "pipe_packing_plan"      -> ((s: SparkSession, d: String) => Pipeline.packingPlan(s, d)),
     // near-dup-cluster-keyed train/val/test assignment (no split leakage)
@@ -2682,6 +2685,34 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+    // the shard math of pipe_token_shards with n_tokens = the trained
+    // tokenizer's per-doc symbol count (the bpe_encode oracle's chain
+    // carried through the same window + rollup); docs that encode to 0
+    // tokens keep their shard slot via the left join
+    "pipe_token_shards_bpe" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |enc AS (
+         |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
+         |  FROM t10),
+         |dt AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_bpe
+         |  FROM dt JOIN enc USING (tok)
+         |  WHERE tok <> ''
+         |  GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.doc_id, d.source, COALESCE(pd.n_bpe, CAST(0 AS BIGINT)) AS n_tokens
+         |  FROM documents d LEFT JOIN pd USING (doc_id)),
+         |c AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS shard_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
     "pipe_leakage_split" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte,

@@ -62,7 +62,7 @@ object CurationRun {
     * near-dup component graph and the DF cap all live inside the slice
     * — which is what "the run that happened before the batch arrived"
     * means for [[deltaRun]]'s prior chain. */
-  private[ops] def run(s: SparkSession, dir: String, root: String, runId: String,
+  private[graft] def run(s: SparkSession, dir: String, root: String, runId: String,
                        nShards: Int, failAfterStage: Int,
                        maxDocId: Long = Long.MaxValue): DataFrame = {
     val log = new graft.storage.ManifestLog(s, root)
@@ -194,7 +194,7 @@ object CurationRun {
     * the bridge/revocation path is spec-proven on a crafted corpus).
     * Resumable exactly like [[run]] — every stage a tagged idempotent
     * append, later stages derive from committed artifacts. */
-  private[ops] def deltaRun(s: SparkSession, dir: String, root: String,
+  private[graft] def deltaRun(s: SparkSession, dir: String, root: String,
                             priorRunId: String, runId: String, thr: Long,
                             nShards: Int, failAfterStage: Int): DataFrame = {
     val log = new graft.storage.ManifestLog(s, root)
@@ -293,7 +293,7 @@ object CurationRun {
     * .deleteFromAnnIndex]]); the shingle admission indexes recompute
     * DF at their next merge, exactly as their compaction contract
     * states. Resumable like every run flavor here. */
-  private[ops] def takedownRun(s: SparkSession, dir: String, root: String,
+  private[graft] def takedownRun(s: SparkSession, dir: String, root: String,
                                priorRunId: String, runId: String, mod: Long,
                                nShards: Int, failAfterStage: Int): DataFrame = {
     val log = new graft.storage.ManifestLog(s, root)

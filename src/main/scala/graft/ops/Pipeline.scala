@@ -160,6 +160,38 @@ object Pipeline {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** [[tokenShards]] denominated in TRAINED-TOKENIZER tokens (round-12
+    * verdict #3): the packing/budget family counted whitespace tokens
+    * while the engine's own BPE trainer owns real subword counts — a
+    * trainer provisions shards in the tokens it will actually consume,
+    * so the budget denominators must agree. Per-document counts come
+    * from [[TextAnalysis.bpeEncode]]'s committed join+aggregate (ONE
+    * definition — this op selects its `n_symbols`, never re-derives
+    * the encode), and the shard math is byte-identical to
+    * [[tokenShards]] above it. Documents whose every token is empty
+    * encode to 0 tokens but still occupy their shard slot (left join +
+    * coalesce), exactly as the whitespace twin counts them. The
+    * whitespace twin stays declared for continuity; this is the twin a
+    * deployment budgets with. Scale shape unchanged: the encode rides
+    * the type-relation join, the cumsum is per-source windowed. */
+  def tokenShardsBpe(s: SparkSession, dir: String, budget: Long = 512,
+                     nMerges: Int = 10): DataFrame = {
+    val perDoc = TextAnalysis.bpeEncode(s, dir, nMerges)
+      .select(col("doc_id"), col("n_symbols").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("shard_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   /** Sequence-PACKING plan: the cost forecast for turning the curated
     * corpus into fixed-`budget`-token training sequences, per source,
     * under the two standard policies —

@@ -62,8 +62,9 @@ class PlanAuditSpec extends SparkSuite {
     // dedup_ngram_indexed plan over the same bucket keys
     "dedup_ngram_seg",
     // runs the whole iterative merge loop while BUILDING its result —
-    // audited by its own reference-equivalence spec in TextAnalysisSpec
-    "text_bpe_train", "text_bpe_encode",
+    // audited by its own reference-equivalence spec in TextAnalysisSpec;
+    // the BPE-denominated shard twin inherits the loop via bpeEncode
+    "text_bpe_train", "text_bpe_encode", "pipe_token_shards_bpe",
     // run the CC fixpoint / localCheckpoint their constituent pair
     // pipelines while building — the join shapes they reuse are audited
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
