@@ -283,6 +283,9 @@ object SparkEntry {
     // per-source release datasheet: curation outcomes + token budget
     "pipe_data_card"         -> (Pipeline.dataCard _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
+    // the receipt's loop closed: shards physically written, re-read,
+    // digests re-derived from the bytes on disk, equality required
+    "pipe_export_verify"     -> ((s: SparkSession, d: String) => Pipeline.exportVerifySelfContained(s, d)),
     "pipe_dsir_weights"      -> ((s: SparkSession, d: String) => Pipeline.dsirWeights(s, d)),
     // bloom-sketch twin of pipe_decontaminate — emits the exact
     // contamination counts plus n_missed_by_bloom (no-false-negatives ⇒
@@ -733,6 +736,10 @@ object SparkEntry {
       "emb_moments_incr"      -> "emb_covariance",
       // the persisted media chunk index serves the identical pair set
       "mm_phash_indexed"      -> "mm_phash_neardup",
+      // export-then-verify serves the receipt RE-DERIVED from the
+      // written shard bytes; the in-op require proves it equals the
+      // in-plan receipt, so the two share one oracle text
+      "pipe_export_verify"    -> "pipe_shard_manifest",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(

@@ -501,6 +501,121 @@ object Pipeline {
       .orderBy(col("shard_id"))
   }
 
+  /** PHYSICAL shard export + verification (round-12 verdict #4) — the
+    * loop [[shardManifest]]'s receipt exists FOR, closed: write one
+    * parquet file per shard_id under `outDir`, RE-READ the written
+    * bytes, re-derive every shard's digest from them, and REQUIRE
+    * equality with the in-plan receipt before returning the verified
+    * manifest (the CurationRun replay-proof pattern, applied to bytes
+    * on disk — an export this engine hands over is one it has already
+    * proven readable and intact).
+    *
+    * Write path: ONE Spark job writes every MISSING shard into a
+    * staging dir partitioned by shard_id (hash repartition on the
+    * shard key → exactly one file per shard), then each file publishes
+    * with an atomic rename to its final `shard-<k>.parquet` name.
+    * RESUMABLE by construction: a crash mid-export leaves completed
+    * shards in place and the staging dir as an orphan; a re-run skips
+    * the completed names (files are immutable once published — the
+    * same publish discipline as the log stores) and writes only what
+    * is missing, so the export converges with no duplicated work. The
+    * verify pass re-reads whatever is on disk, so a shard corrupted or
+    * truncated BETWEEN export and verify fails loudly too.
+    *
+    * Scale shape: the export is one partitionBy write (the shuffle is
+    * the shard assignment the receipt already paid), the verify is one
+    * scan of the written files with a per-shard fold — both bounded by
+    * shard count × shard size, nothing corpus-sized on the driver
+    * beyond the nShards-row manifest. */
+  def exportShards(s: SparkSession, dir: String, outDir: String,
+                   nShards: Int = 8): DataFrame =
+    exportShardsOf(s, Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      outDir, nShards)
+
+  /** [[exportShards]] over an explicit (doc_id, text) relation — the
+    * seam a curation run exports its KEEP set through. */
+  private[graft] def exportShardsOf(s: SparkSession, docs: DataFrame,
+                                    outDir: String, nShards: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(out)
+    def shardFile(k: Long) = new Path(out, f"shard-$k%05d.parquet")
+    // the receipt this export must reproduce, from the SAME relation
+    val receipt = shardManifestOf(docs, nShards)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val missing = receipt.keys.toSeq.sorted.filterNot(k => fs.exists(shardFile(k)))
+    if (missing.nonEmpty) {
+      val staging = new Path(out, s".staging-${java.util.UUID.randomUUID()}")
+      shuffleShardsOf(docs, nShards)
+        .filter(col("shard_id").isin(missing: _*))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("shard_id"), col("pos"), col("doc_id"), col("text"))
+        // hash repartition on the shard key: every shard's rows land in
+        // ONE task → exactly one file per shard_id partition dir
+        .repartition(missing.size, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("pos"))
+        .write.partitionBy("shard_id").mode("overwrite").parquet(staging.toString)
+      missing.foreach { k =>
+        val files = graft.storage.StoreFiles.walkParquet(fs, new Path(staging, s"shard_id=$k"))
+        require(files.size == 1,
+          s"export: shard $k staged ${files.size} files; expected exactly one")
+        if (!fs.rename(files.head.getPath, shardFile(k)))
+          throw new java.io.IOException(
+            s"export: publish ${files.head.getPath} -> ${shardFile(k)} failed")
+      }
+      fs.delete(staging, true)
+    } else {
+      // a previous run completed the export; stale staging orphans from
+      // a crashed attempt are garbage (their shards were re-written)
+      fs.listStatus(out).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+          fs.delete(st.getPath, true)
+      }
+    }
+    // VERIFY from the written bytes: re-read every shard file, re-fold
+    // its digest, and require equality with the in-plan receipt
+    val written = s.read
+      .parquet(receipt.keys.toSeq.sorted.map(shardFile(_).toString): _*)
+      .withColumn("shard_id",
+        regexp_extract(input_file_name(), "shard-(\\d+)\\.parquet", 1).cast("long"))
+    val verified = written
+      .select(col("shard_id"), col("pos"), md5(col("text")).as("dg"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           md5(expr(
+             "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
+             .as("content_digest"))
+      .orderBy(col("shard_id"))
+    val verifiedRows = verified.collect().toSeq
+    val onDisk = verifiedRows
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    require(onDisk == receipt,
+      s"export verification FAILED: written shards diverge from the receipt — " +
+        s"disk=$onDisk receipt=$receipt")
+    // serve the already-verified rows (one scan, and callers may clean
+    // the export dir before consuming the result)
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(verifiedRows).asJava),
+      verified.schema)
+  }
+
+  /** The declared-query wrapper (`pipe_export_verify`): export the
+    * corpus's shards to a throwaway dir, verify them from the written
+    * bytes, and serve the verified manifest — identical rows to
+    * `pipe_shard_manifest` BY THE REQUIRE in [[exportShardsOf]], which
+    * is why the two share one oracle text (the alias-map contract). */
+  def exportVerifySelfContained(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-export").toString
+    try exportShards(s, dir, out)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   /** Quality-vs-duplication cross report: mean quality score per
     * near-dup cluster-size bucket (1, 2, 3, 4, 5+) — the analytical
     * check behind every dedup policy decision: if heavily-duplicated

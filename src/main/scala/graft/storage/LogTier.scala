@@ -65,7 +65,7 @@ trait LogTier {
   * can never diverge on which staged files count as publishable):
   * recursive descent, hidden (`_`/`.`) names skipped, parquet files
   * only, vanished directories treated as empty. */
-private[storage] object StoreFiles {
+private[graft] object StoreFiles {
   def walkParquet(fs: org.apache.hadoop.fs.FileSystem,
                   dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     def go(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =

@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSuite {
     // builds a ManifestLog fixture AND runs the purge rewrite + expire
     // sweep during construction — audited in RewriteExcludingSpec
     "log_purge",
+    // writes + re-reads + verifies physical shard files during
+    // construction — audited in ExportShardsSpec
+    "pipe_export_verify",
     // runs the two metadata-priced block-stats collects to CHOOSE its
     // layout during construction; every layout it can choose is audited
     // via the four standalone dedup_hamming* entries

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Export-integrity loop (round-12 verdict #4): [[Pipeline.exportShards]]
+  * writes one parquet file per shard, re-reads the WRITTEN BYTES,
+  * re-derives every digest from them, and requires equality with the
+  * in-plan receipt. Proven here: the verified manifest equals the
+  * receipt; a partial export (crash after some shards published)
+  * resumes without rewriting completed shards; and a tampered shard
+  * file fails the verify loudly instead of shipping. */
+class ExportShardsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/documents.parquet").isFile
+
+  private def fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("export-then-verify equals the in-plan receipt, value by value") {
+    assume(hasTestData)
+    val out = tempDir("export")
+    val verified = Pipeline.exportShards(spark, sf, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val receipt = Pipeline.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(verified == receipt)
+    // one physical file per shard, at the published names
+    receipt.foreach { case (k, _, _, _) =>
+      assert(fs.exists(new Path(out, f"shard-$k%05d.parquet")), s"shard $k missing")
+    }
+  }
+
+  test("a crashed export resumes: completed shards are not rewritten, missing ones are") {
+    assume(hasTestData)
+    val out = tempDir("export")
+    Pipeline.exportShards(spark, sf, out)
+    val all = fs.listStatus(new Path(out)).filter(_.getPath.getName.startsWith("shard-"))
+    assert(all.length >= 3)
+    // simulate the crash window: some shards published, some not, and a
+    // staging orphan left behind
+    val (kept, lost) = all.sortBy(_.getPath.getName).splitAt(all.length / 2)
+    lost.foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(new Path(out, ".staging-orphan"))
+    val keptM = kept.map(st => st.getPath.getName -> st.getModificationTime).toMap
+    Thread.sleep(20) // mtime resolution guard
+    val verified = Pipeline.exportShards(spark, sf, out).collect()
+    assert(verified.length == all.length, "resume did not restore every shard")
+    // completed shards were skipped, not rewritten (immutable once published)
+    fs.listStatus(new Path(out)).filter(st => keptM.contains(st.getPath.getName))
+      .foreach { st =>
+        assert(st.getModificationTime == keptM(st.getPath.getName),
+          s"${st.getPath.getName} was rewritten on resume")
+      }
+    // a COMPLETED export sweeps crashed attempts' staging orphans
+    Pipeline.exportShards(spark, sf, out)
+    assert(!fs.exists(new Path(out, ".staging-orphan")),
+      "completed export left a stale staging orphan")
+  }
+
+  test("a tampered shard file fails the verify instead of shipping") {
+    assume(hasTestData)
+    val out = tempDir("export")
+    val rows = Pipeline.exportShards(spark, sf, out).collect()
+    assert(rows.length >= 2)
+    // swap one shard's bytes for another's: files all exist, so the
+    // writer skips — the verify pass must catch the divergence
+    val a = new Path(out, f"shard-${rows(0).getLong(0)}%05d.parquet")
+    val b = new Path(out, f"shard-${rows(1).getLong(0)}%05d.parquet")
+    fs.delete(a, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, b, fs, a, false,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException](Pipeline.exportShards(spark, sf, out))
+    assert(e.getMessage.contains("export verification FAILED"))
+  }
+}
