@@ -276,8 +276,10 @@ object Similarity {
     * which is what keeps every oracle row exact), the persisted
     * retrained centroid table after a
     * [[IndexTables.rebuildAnnIndexes]] swap. The UNINDEXED twins
-    * (ivfTopK, ivfCellStats, SemDeDup...) stay seed-based by design:
-    * they ARE the build-from-corpus pipeline, not the served index.
+    * (ivfTopK, SemDeDup...) stay seed-based by design: they ARE the
+    * build-from-corpus pipeline, not the served index ([[ivfCellStats]]
+    * is the exception since round 12 — a balance report prices the
+    * layout being served, so it follows the generation).
     *
     * Callers resolve the generation ONCE per operation
     * ([[IndexTables.annGeneration]]) and derive every relation —
@@ -378,19 +380,54 @@ object Similarity {
       .withColumn("cn2", expr("graft_dot(cw, cw)"))
   }
 
+  /** Rebuild-time inverted-list budget (round-12 verdict #6): the
+    * retrained quantizer sizes nlist from the CORPUS IT RETRAINS ON —
+    * ⌈√N⌉, the standard IVF dimensioning (probe cost ∝ N/nlist per
+    * list × nprobe, balanced against nlist centroid scores at √N) —
+    * clamped to [IvfNList, 65536] (the floor keeps degenerate corpora
+    * at the seed layout; the cap is the practical codebook bound
+    * SURVEY §11's O(10⁴-10⁵) deployment figure states). Generation 0
+    * NEVER re-dimensions: the seed quantizer's fixed [[IvfNList]] is
+    * the oracle contract — re-dimensioning happens exactly where
+    * retraining already does, at the staged generation swap, so
+    * generations grow their layout as the corpus grows. */
+  private[ops] def rebuildNList(n: Long): Int =
+    math.min(65536L, math.max(IvfNList.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Deterministic SAMPLED seeding for large k: the top-k vectors in
+    * md5(vec_id) order — one top-k job regardless of k. Farthest-point
+    * ([[maxminSeeds]]) pays one driver round PER SEED, the right trade
+    * at the seed-layout scale (its drift-adaptation quality is what
+    * the rebuild spec pins) but infeasible at the ⌈√N⌉ budget a grown
+    * corpus earns (10⁴ seeds = 10⁴ jobs); a hash-ordered sample is the
+    * standard sampled k-means init, deterministic across runs and
+    * engines, and the quantized-Lloyd step below refines it exactly as
+    * it refines the farthest-point seeds. */
+  private def hashSeeds(curVs: DataFrame, k: Int): DataFrame =
+    curVs.filter(col("norm") > 0)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+
   /** RETRAIN the coarse quantizer from the index's CURRENT content:
-    * farthest-point seeds over the live vectors ([[maxminSeeds]] — the
-    * step that lets a drifted cluster earn its own inverted list),
-    * then one quantized-Lloyd refinement (assign under the seeds,
-    * re-center each list on the micro-quantized mean of its members —
-    * the engine's one centroid contract). `cur` is the live index
+    * seeds over the live vectors (farthest-point at the seed-layout
+    * scale — the step that lets a drifted cluster earn its own
+    * inverted list; hash-sampled once the ⌈√N⌉ budget outgrows
+    * per-seed driver rounds — [[rebuildNList]]), then one
+    * quantized-Lloyd refinement (assign under the seeds, re-center
+    * each list on the micro-quantized mean of its members — the
+    * engine's one centroid contract). `cur` is the live index
     * relation (n_id, list_id, n_v, n_norm) — base corpus plus every
     * appended batch. Lists that attract no members disappear
     * (standard Lloyd degeneracy; nlist shrinks). */
   private[ops] def retrainCentroids(s: SparkSession, cur: DataFrame): DataFrame = {
     val curVs = cur.select(col("n_id").as("vec_id"),
                            col("n_v").as("v"), col("n_norm").as("norm"))
-    val seeds = maxminSeeds(s, curVs, IvfNList)
+    val k = rebuildNList(curVs.count())
+    val seeds =
+      if (k <= 2 * IvfNList) maxminSeeds(s, curVs, k)
+      else hashSeeds(curVs, k)
     val assigned = nearestCentroids(curVs, seeds, 1, "n")
     assembleCentroids(
       quantizedMeans(assigned.select(col("list_id"), col("n_v").as("v")), "list_id"),
@@ -693,10 +730,28 @@ object Similarity {
     * contract); the total-count divisor rides the same constant-key
     * broadcast as every in-plan scalar. */
   def ivfCellStats(s: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(s, dir)
-    val cents = seedCentroids(vs)
-    val total = vs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    seedAssignment(s, dir)
+    // GENERATION-AWARE (round-12 verdict #6): the report prices the
+    // layout the queries actually hit. At generation 0 this is the
+    // in-plan seed assignment under the fixed IvfNList — byte-
+    // identical to the oracle, which hardcodes 8 and says so. After a
+    // rebuild swap it reads the SERVED generation's table + persisted
+    // centroids, and the load-factor divisor is that generation's own
+    // nlist (⌈√N⌉-dimensioned — rebuildNList), so the forecast follows
+    // the re-dimensioned layout instead of describing a quantizer
+    // nobody serves anymore.
+    val g = IndexTables.annGeneration(s, dir)
+    val (assigned, cents, nLists, totalSrc) =
+      if (g == 0L)
+        (seedAssignment(s, dir), seedCentroids(vectors(s, dir)), IvfNList.toLong,
+         vectors(s, dir))
+      else {
+        val c = servingCentroidsAt(s, dir, g)
+        val t = s.table(IndexTables.annIvfTableAt(s, dir, g))
+          .select(col("n_id"), col("list_id"), col("n_v"), col("n_norm"))
+        (t, c, c.count(), t)
+      }
+    val total = totalSrc.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
+    assigned
       .join(broadcast(cents), col("list_id") === col("cent_id"))
       .withColumn("cosq",
         floor(dot("cv", "n_v") / (col("cnorm") * col("n_norm")) * 1000000.0).cast("long"))
@@ -707,7 +762,7 @@ object Similarity {
       .withColumn("k", lit(1))
       .join(broadcast(total), Seq("k"))
       .withColumn("load_factor", Tables.trunc6(
-        col("n_vectors").cast("double") * lit(IvfNList) / col("n_total")))
+        col("n_vectors").cast("double") * lit(nLists) / col("n_total")))
       .select(col("list_id"), col("n_vectors"), col("mean_cos"), col("load_factor"))
       .orderBy(col("list_id"))
   }

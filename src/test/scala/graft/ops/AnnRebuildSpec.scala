@@ -143,6 +143,36 @@ class AnnRebuildSpec extends SparkSuite {
       s"post-swap append not served: $found")
   }
 
+  test("a grown corpus's rebuild re-dimensions nlist (ceil sqrt N, capped) and serving stays row-correct") {
+    assume(hasTestData)
+    val fix = mkDriftFixture(blobSize = 15) // ~612 vectors: ceil(sqrt N) = 25 > 8
+    val n = Similarity.vectors(spark, fix).count()
+    val budget = Similarity.rebuildNList(n)
+    assert(budget > Similarity.IvfNList, s"fixture too small to exercise the policy: n=$n")
+    assert(IndexTables.rebuildAnnIndexes(spark, fix, "spec-nlist").isDefined)
+    // the retrained generation carries MORE lists than the seed layout
+    // (up to the budget — Lloyd drops empty lists), and the persisted
+    // centroid table is the new quantizer
+    val gen1Lists = spark.table(IndexTables.annIvfName(fix, 1L))
+      .select(col("list_id")).distinct().count()
+    assert(gen1Lists > Similarity.IvfNList && gen1Lists <= budget,
+      s"rebuild did not re-dimension: $gen1Lists lists (seed=${Similarity.IvfNList}, budget=$budget)")
+    assert(spark.table(IndexTables.annCentsName(fix, 1L)).count() == gen1Lists)
+    // serving stays row-correct at the new layout: probing EVERY list
+    // with index-side exact rerank reproduces the brute-force truth
+    val truth = pairs(Similarity.bruteForceTopK(spark, fix, nQueries = 4, k = 3))
+    val served = pairs(Similarity.ivfTopKIndexed(spark, fix,
+      nQueries = 4, k = 3, nprobe = 100000))
+    assert(served == truth,
+      s"all-lists probe at the re-dimensioned layout diverged from exact truth")
+    // the balance report prices the layout being SERVED: one row per
+    // live list, load factors on the new nlist, all vectors accounted
+    val stats = Similarity.ivfCellStats(spark, fix).collect()
+    assert(stats.length == gen1Lists,
+      s"ann_cell_stats still describes the seed layout: ${stats.length} rows")
+    assert(stats.map(_.getLong(1)).sum == n)
+  }
+
   test("a crashed rebuild (tables staged, pointer unflipped) leaves serving untouched; the rerun completes") {
     assume(hasTestData)
     val fix = mkDriftFixture(blobSize = 4)

@@ -119,9 +119,11 @@ class AnnTombstoneSpec extends SparkSuite {
     assert(IndexTables.appendToPqIndex(spark, fix, back) == 1L)
     assert(spark.table(IndexTables.annIvfName(fix, 1L))
       .filter(col("n_id") === victim).count() == 1L, "re-admitted row missing from gen 1")
-    // probe every list: the re-admitted vector is query 1's global
-    // top-1 again (the tombstone is gone, not just out-probed)
-    val ivf2 = pairs(Similarity.ivfTopKIndexed(spark, fix, nQueries = 2, k = 1, nprobe = 8))
+    // probe every list (nprobe beyond any re-dimensioned nlist — the
+    // rebuilt generation sizes ⌈√N⌉ lists since round 12): the
+    // re-admitted vector is query 1's global top-1 again (the
+    // tombstone is gone, not just out-probed)
+    val ivf2 = pairs(Similarity.ivfTopKIndexed(spark, fix, nQueries = 2, k = 1, nprobe = 100000))
     assert(ivf2.contains((1L, victim)), s"re-admitted vector not served: $ivf2")
   }
 
