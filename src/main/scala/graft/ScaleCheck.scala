@@ -276,13 +276,20 @@ object ScaleCheck {
       finally Seq(rootA, rootB).foreach(r =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))
     }
-    val curation = curationBench(src)
-    curation.foreach { case (n, t) =>
-      System.err.println(f"[scalecheck] $src%-24s $n%-40s $t%8.3f s") }
     val baseIdx = indexBuilds(src)
     val base = run(src)
     val baseFc = forecast(spark, src)
     val baseWide = forecastWide(spark, src)
+    // AFTER indexBuilds/run (review-caught ordering): the delta run
+    // rides the persisted shingle segment index, so running this first
+    // would (a) fold that one-time build into the "delta-only" number
+    // this table exists to isolate, and (b) turn indexBuilds' "build
+    // shingle segments" row into a no-op ensure — corrupting the
+    // base/scaled ratio. Here the builds are already priced above and
+    // delta-only measures exactly the steady-state per-batch cost.
+    val curation = curationBench(src)
+    curation.foreach { case (n, t) =>
+      System.err.println(f"[scalecheck] $src%-24s $n%-40s $t%8.3f s") }
     clean()
     val scaledIdx = indexBuilds(dst)
     val scaled = run(dst)

@@ -188,6 +188,13 @@ object ServiceScaleCheck {
   def purgeBench(spark: SparkSession): Seq[(String, Double, Long, Long)] = {
     import org.apache.spark.sql.functions._
     val root = Scratch.localDir + s"/purgebench-${System.nanoTime()}"
+    try purgeBenchAt(spark, root)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  private def purgeBenchAt(spark: SparkSession,
+                           root: String): Seq[(String, Double, Long, Long)] = {
+    import org.apache.spark.sql.functions._
     val log = new ManifestLog(spark, root, targetFileBytes = 256L * 1024)
     val n = 200000L
     val df = spark.range(n).select(
@@ -217,10 +224,8 @@ object ServiceScaleCheck {
     val t0 = System.nanoTime()
     log.expire("c", "s", java.time.Instant.now().plusSeconds(60))
     val expireMs = (System.nanoTime() - t0) / 1e6
-    val r = Seq(noMatch, narrow, scattered,
+    Seq(noMatch, narrow, scattered,
       ("expire sweep (closes the grace window)", expireMs, 0L, 0L))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    r
   }
 
   def main(args: Array[String]): Unit = {

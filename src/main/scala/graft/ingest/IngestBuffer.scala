@@ -211,18 +211,41 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     * means someone must, and that residual IS the bench's p99 term
     * (its settled-read phase starts within ms of quiesce). */
   private def flushIdle(): Unit = {
-    val horizon = System.nanoTime() - idleFlushMs * 1000000L
+    val now = System.nanoTime()
+    val horizon = now - idleFlushMs * 1000000L
+    // a session whose LAST idle flush failed backs off to the periodic
+    // timer's cadence (review-caught): quietFlush re-buffers on
+    // failure without touching lastAddNanos, so without this guard a
+    // storage outage would have the sweeper re-dispatching (and
+    // error-logging) every quiet session's doomed flush at the 25 ms
+    // cadence — 4× the retry pressure of the 100 ms timer, against a
+    // backend that is already struggling
+    val retryHorizon = now - flushIntervalMs * 1000000L
     bufs.entrySet().asScala.foreach { e =>
       val key = e.getKey
       val idle = e.getValue.synchronized(
         e.getValue.rows.nonEmpty && e.getValue.lastAddNanos < horizon)
-      if (idle && idleInFlight.add(key))
-        idlePool.execute(() =>
-          try quietFlush(key._1, key._2) finally idleInFlight.remove(key))
+      val backedOff = {
+        val f = idleFailedAt.get(key)
+        f != null && f.longValue > retryHorizon
+      }
+      if (idle && !backedOff && idleInFlight.add(key))
+        idlePool.execute { () =>
+          try {
+            flush(key._1, key._2)
+            idleFailedAt.remove(key)
+          } catch {
+            case scala.util.control.NonFatal(e2) =>
+              idleFailedAt.put(key, System.nanoTime())
+              System.err.println(s"[ingest] idle flush ${key._1}/${key._2} " +
+                s"failed (buffered, backing off to timer cadence): ${e2.getMessage}")
+          } finally idleInFlight.remove(key)
+        }
     }
   }
 
   private val idleInFlight = ConcurrentHashMap.newKeySet[(String, String)]()
+  private val idleFailedAt = new ConcurrentHashMap[(String, String), java.lang.Long]()
   private val idlePool = Executors.newFixedThreadPool(4, r => {
     val t = new Thread(r, "graft-ingest-idle"); t.setDaemon(true); t
   })

@@ -513,7 +513,9 @@ object Pipeline {
     * Write path: ONE Spark job writes every MISSING shard into a
     * staging dir partitioned by shard_id (hash repartition on the
     * shard key → exactly one file per shard), then each file publishes
-    * with an atomic rename to its final `shard-<k>.parquet` name.
+    * with an atomic rename to its final `shard-<k>-of-<nShards>.parquet`
+    * name (the layout is part of the name, so exports under different
+    * shard counts never collide and re-exports converge).
     * RESUMABLE by construction: a crash mid-export leaves completed
     * shards in place and the staging dir as an orphan; a re-run skips
     * the completed names (files are immutable once published — the
@@ -540,11 +542,45 @@ object Pipeline {
     val out = new Path(outDir)
     val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(out)
-    def shardFile(k: Long) = new Path(out, f"shard-$k%05d.parquet")
+    // nShards is part of the NAME: two exports of the same dir under
+    // different layouts can never collide on a file, so the stale
+    // sweep below fully converges a re-export (review-caught: with
+    // layout-agnostic names, an nShards=4 re-export over an nShards=8
+    // dir trusted the existing shard-0..3 files and the verify failed
+    // on content that was never this layout's)
+    def shardFile(k: Long) = new Path(out, f"shard-$k%05d-of-$nShards%d.parquet")
     // the receipt this export must reproduce, from the SAME relation
     val receipt = shardManifestOf(docs, nShards)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
+    val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("total_tokens",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("content_digest",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    // STALE-SHARD SWEEP (review-caught): a prior export of the same
+    // dir under a different nShards (or a shrunken keep set) left
+    // shard files the current receipt never names — the verify pass
+    // below only reads receipt-named files, so without this sweep a
+    // consumer globbing shard-*.parquet would train on stale content
+    // the "verified" return value said nothing about. The export owns
+    // its output names; the dir must equal exactly the receipt.
+    val valid = receipt.keys.map(k => shardFile(k).getName).toSet
+    fs.listStatus(out).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("shard-") && n.endsWith(".parquet") &&
+          !valid.contains(n))
+        fs.delete(st.getPath, false)
+    }
+    // empty keep set (a takedown can empty a source): a valid export
+    // of zero shards — nothing to write, nothing to verify
+    if (receipt.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
     val missing = receipt.keys.toSeq.sorted.filterNot(k => fs.exists(shardFile(k)))
     if (missing.nonEmpty) {
       val staging = new Path(out, s".staging-${java.util.UUID.randomUUID()}")
@@ -579,7 +615,7 @@ object Pipeline {
     val written = s.read
       .parquet(receipt.keys.toSeq.sorted.map(shardFile(_).toString): _*)
       .withColumn("shard_id",
-        regexp_extract(input_file_name(), "shard-(\\d+)\\.parquet", 1).cast("long"))
+        regexp_extract(input_file_name(), "shard-(\\d+)-of-\\d+\\.parquet", 1).cast("long"))
     val verified = written
       .select(col("shard_id"), col("pos"), md5(col("text")).as("dg"),
               size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -594,7 +630,9 @@ object Pipeline {
     val onDisk = verifiedRows
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     require(onDisk == receipt,
-      s"export verification FAILED: written shards diverge from the receipt — " +
+      s"export verification FAILED: written shards diverge from the receipt " +
+        s"(tampered/truncated files, or a prior export of a DIFFERENT corpus " +
+        s"under the same layout — remove the stale files and re-export) — " +
         s"disk=$onDisk receipt=$receipt")
     // serve the already-verified rows (one scan, and callers may clean
     // the export dir before consuming the result)

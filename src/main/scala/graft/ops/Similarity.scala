@@ -652,8 +652,27 @@ object Similarity {
   private def probeSelection(s: SparkSession, dir: String,
                              nQueries: Int, nprobe: Int, g: Long): (DataFrame, Seq[Long]) = {
     val vs = vectors(s, dir)
+    val cents = servingCentroidsAt(s, dir, g)
+    // FRACTION-PRESERVING probe scaling (round-12 review): nprobe is
+    // calibrated against the seed layout (nprobe of IvfNList lists). A
+    // re-dimensioned generation (rebuildNList: ⌈√N⌉ lists) would
+    // silently shrink the probed fraction from nprobe/8 to
+    // nprobe/nlist — measured recall collapses after the first grown
+    // rebuild, and the drift gate (which probes at production knobs)
+    // would then retrain every cadence without ever recovering it.
+    // Scaling by nlist/IvfNList keeps the probed FRACTION — and with
+    // it the scanned-candidate count (≈ nprobe/IvfNList × N) and the
+    // recall operating point — invariant across re-dimensioning.
+    // Generation 0 IS the seed layout: unscaled, oracle-exact, and no
+    // count job runs. For g ≥ 1 the count is one scan of the tiny
+    // persisted centroid table, inside a path that collects probes
+    // driver-side anyway.
+    val effNprobe =
+      if (g == 0L) nprobe
+      else math.max(nprobe.toLong,
+        math.ceil(nprobe.toDouble * cents.count() / IvfNList).toLong).toInt
     val probesPlan = nearestCentroids(
-      vs.filter(col("vec_id") < nQueries), servingCentroidsAt(s, dir, g), nprobe, "q")
+      vs.filter(col("vec_id") < nQueries), cents, effNprobe, "q")
     val probeRows = probesPlan.collect()
     val probes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)

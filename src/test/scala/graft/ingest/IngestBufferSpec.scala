@@ -142,12 +142,14 @@ class IngestBufferSpec extends AnyFunSuite {
 
   test("a hot session is never idle-flushed: batching (and ingest throughput) is untouched") {
     val flushes = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 10× margin between the add cadence (~20 ms) and the idle horizon
+    // (500 ms): a scheduler hiccup long enough to fake idleness here
+    // would be a half-second stall, not normal CI jitter
     val buf = new IngestBuffer(flushBytes = Long.MaxValue,
-      flushIntervalMs = 3600000, idleFlushMs = 25)({ (_, _, _) => flushes.incrementAndGet() })
+      flushIntervalMs = 3600000, idleFlushMs = 500)({ (_, _, _) => flushes.incrementAndGet() })
     try {
-      // keep adding faster than the idle horizon for ~8 horizons
-      (1 to 40).foreach { i =>
-        buf.add("c", "hot", Seq(row(s"m$i"))); Thread.sleep(5)
+      (1 to 15).foreach { i =>
+        buf.add("c", "hot", Seq(row(s"m$i"))); Thread.sleep(20)
       }
       assert(flushes.get() == 0,
         s"idle sweeper flushed a session that never went quiet (${flushes.get()} times)")

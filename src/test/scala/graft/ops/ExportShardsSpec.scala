@@ -28,7 +28,7 @@ class ExportShardsSpec extends SparkSuite {
     assert(verified == receipt)
     // one physical file per shard, at the published names
     receipt.foreach { case (k, _, _, _) =>
-      assert(fs.exists(new Path(out, f"shard-$k%05d.parquet")), s"shard $k missing")
+      assert(fs.exists(new Path(out, f"shard-$k%05d-of-8.parquet")), s"shard $k missing")
     }
   }
 
@@ -59,6 +59,27 @@ class ExportShardsSpec extends SparkSuite {
       "completed export left a stale staging orphan")
   }
 
+  test("re-export with a different nShards sweeps stale shard files; an empty keep set exports cleanly") {
+    assume(hasTestData)
+    val out = tempDir("export")
+    Pipeline.exportShards(spark, sf, out, nShards = 8)
+    val before = fs.listStatus(new Path(out)).count(_.getPath.getName.startsWith("shard-"))
+    val after4 = Pipeline.exportShards(spark, sf, out, nShards = 4).collect()
+    val left = fs.listStatus(new Path(out))
+      .map(_.getPath.getName).filter(_.startsWith("shard-")).toSet
+    // the dir equals exactly the new receipt — no stale nShards=8
+    // files survive for a consumer's shard-*.parquet glob
+    assert(left == after4.map(r => f"shard-${r.getLong(0)}%05d-of-4.parquet").toSet,
+      s"stale shards survived the re-export: $left (was $before files)")
+    // empty keep set (a takedown can empty a source): zero shards,
+    // zero files, an empty verified manifest — not an AnalysisException
+    val empty = tempDir("export")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(0)
+    assert(Pipeline.exportShardsOf(spark, docs, empty, 8).collect().isEmpty)
+    assert(!fs.listStatus(new Path(empty)).exists(_.getPath.getName.startsWith("shard-")))
+  }
+
   test("a tampered shard file fails the verify instead of shipping") {
     assume(hasTestData)
     val out = tempDir("export")
@@ -66,8 +87,8 @@ class ExportShardsSpec extends SparkSuite {
     assert(rows.length >= 2)
     // swap one shard's bytes for another's: files all exist, so the
     // writer skips — the verify pass must catch the divergence
-    val a = new Path(out, f"shard-${rows(0).getLong(0)}%05d.parquet")
-    val b = new Path(out, f"shard-${rows(1).getLong(0)}%05d.parquet")
+    val a = new Path(out, f"shard-${rows(0).getLong(0)}%05d-of-8.parquet")
+    val b = new Path(out, f"shard-${rows(1).getLong(0)}%05d-of-8.parquet")
     fs.delete(a, false)
     org.apache.hadoop.fs.FileUtil.copy(fs, b, fs, a, false,
       spark.sparkContext.hadoopConfiguration)
