@@ -324,13 +324,24 @@ object ScaleCheck {
     sb ++= "declared `pipe_curation_delta` / `pipe_takedown` queries are\n"
     sb ++= "self-contained oracle contracts — each EXECUTES ITS PRIOR RUN per\n"
     sb ++= "invocation, so their bench lines fold prior + incremental into one\n"
-    sb ++= "number. Split out, a deployment's steady-state cost per batch is\n"
-    sb ++= "the delta-only row (admission over the SERVED segment indexes +\n"
-    sb ++= "batch rows + the combined receipt), not the full-run row it\n"
-    sb ++= "replaces; the takedown-only row prices a right-to-be-forgotten\n"
-    sb ++= "request against an existing chain (survivor re-derivation over the\n"
-    sb ++= "filtered corpus — keeper elections and the DF cap are non-local,\n"
-    sb ++= "so this is the correct, documented floor):\n\n"
+    sb ++= "number; this table splits that fold. Reading the split honestly:\n"
+    sb ++= "delta-only and takedown-only are CORPUS-bounded, not batch-bounded,\n"
+    sb ++= "BY DESIGN — corrections are non-local (a batch doc can bridge two\n"
+    sb ++= "prior clusters; a removal re-elects keepers; the corpus-relative DF\n"
+    sb ++= "cap shifts both ways), so decisions re-derive over the combined/\n"
+    sb ++= "filtered corpus via the SERVED segment indexes. What IS O(batch) is\n"
+    sb ++= "the index maintenance an incremental run rides ('append shingle\n"
+    sb ++= "segment' vs 'build shingle segments' in the index table above) and\n"
+    sb ++= "what is AVOIDED is any from-scratch index derivation. Rows below are\n"
+    sb ++= "single measurements in one process: the full-run row reads warmer\n"
+    sb ++= "memoized corpus relations than the slice rows (documented\n"
+    sb ++= "memo-layer behavior), so cross-row deltas are approximate — the\n"
+    sb ++= "table's purpose is the bench-tail ATTRIBUTION (the declared\n"
+    sb ++= "lifecycle queries' cost is two runs folded into one line), not a\n"
+    sb ++= "claim that an incremental run beats a full one at this corpus size\n"
+    sb ++= "(at 60k docs the corpus pass dominates; the incremental design\n"
+    sb ++= "pays off where the INDEX build does — at scale, where re-deriving\n"
+    sb ++= "the shingle index per batch is the forbidden cost):\n\n"
     sb ++= "| stage | s |\n|---|---|\n"
     curation.foreach { case (n, t) => sb ++= f"| $n | $t%.3f |\n" }
     sb ++= "\n"

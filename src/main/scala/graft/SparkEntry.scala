@@ -248,9 +248,12 @@ object SparkEntry {
     "pipe_funnel"            -> (Pipeline.funnel _),
     "pipe_balanced_mixture"  -> (Pipeline.balancedMixture _),
     "pipe_token_shards"      -> ((s: SparkSession, d: String) => Pipeline.tokenShards(s, d)),
-    // the same shard math denominated in TRAINED-TOKENIZER (BPE) tokens
-    // — the denominator a trainer actually provisions by
+    // the shard/packing/budget math denominated in TRAINED-TOKENIZER
+    // (BPE) tokens — the denominator a trainer actually provisions by;
+    // all three ride one shared per-doc relation (bpeTokenRelation)
     "pipe_token_shards_bpe"  -> ((s: SparkSession, d: String) => Pipeline.tokenShardsBpe(s, d)),
+    "pipe_packing_plan_bpe"  -> ((s: SparkSession, d: String) => Pipeline.packingPlanBpe(s, d)),
+    "pipe_token_quota_bpe"   -> ((s: SparkSession, d: String) => Pipeline.tokenQuotaBpe(s, d)),
     // chop-vs-pad sequence-packing forecast at a 512-token budget
     "pipe_packing_plan"      -> ((s: SparkSession, d: String) => Pipeline.packingPlan(s, d)),
     // near-dup-cluster-keyed train/val/test assignment (no split leakage)
@@ -709,6 +712,25 @@ object SparkEntry {
        |WHERE tok <> ''
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // Per-document trained-tokenizer token counts — the shared
+  // denominator CTE tail of every `*_bpe` packing/budget oracle
+  // (mirrors Pipeline.bpeTokenRelation: docs encoding to 0 tokens keep
+  // their rows via the left join). Requires bpeRoundsCte(10) in scope.
+  private val bpePerDocCte: String =
+    """enc AS (
+      |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
+      |  FROM t10),
+      |dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |pd AS (
+      |  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_bpe
+      |  FROM dt JOIN enc USING (tok)
+      |  WHERE tok <> ''
+      |  GROUP BY doc_id),
+      |t AS (
+      |  SELECT d.doc_id, d.source, COALESCE(pd.n_bpe, CAST(0 AS BIGINT)) AS n_tokens
+      |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -2698,19 +2720,7 @@ object SparkEntry {
     // tokens keep their shard slot via the left join
     "pipe_token_shards_bpe" ->
       s"""WITH ${bpeRoundsCte(10)},
-         |enc AS (
-         |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
-         |  FROM t10),
-         |dt AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |pd AS (
-         |  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_bpe
-         |  FROM dt JOIN enc USING (tok)
-         |  WHERE tok <> ''
-         |  GROUP BY doc_id),
-         |t AS (
-         |  SELECT d.doc_id, d.source, COALESCE(pd.n_bpe, CAST(0 AS BIGINT)) AS n_tokens
-         |  FROM documents d LEFT JOIN pd USING (doc_id)),
+         |$bpePerDocCte,
          |c AS (
          |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -2720,6 +2730,50 @@ object SparkEntry {
          |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+    // the packing forecast under the trained tokenizer — same body as
+    // pipe_packing_plan over the shared BPE denominator; the
+    // n_tokens > 0 guard keeps a zero-token doc from reading as a
+    // boundary straddle (and keeps cum - 1 out of negative division,
+    // where the engines' div semantics differ)
+    "pipe_packing_plan_bpe" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |$bpePerDocCte,
+         |c AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST((MAX(cum) + 511) // 512 AS BIGINT) AS chop_seqs,
+         |  CAST(SUM(CASE WHEN n_tokens > 0 AND (cum - n_tokens) // 512 <> (cum - 1) // 512
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS chop_split_docs,
+         |  CAST(SUM(CASE WHEN n_tokens > 512 THEN n_tokens - 512 ELSE 0 END) AS BIGINT)
+         |    AS pad_truncated,
+         |  CAST(SUM(512 - LEAST(n_tokens, 512)) AS BIGINT) AS pad_waste,
+         |  floor(CAST(SUM(n_tokens) AS DOUBLE)
+         |        / (CAST((MAX(cum) + 511) // 512 AS BIGINT) * 512) * 1000000) / 1000000
+         |    AS chop_efficiency,
+         |  floor(CAST(SUM(n_tokens) - SUM(CASE WHEN n_tokens > 512 THEN n_tokens - 512 ELSE 0 END) AS DOUBLE)
+         |        / (COUNT(*) * 512) * 1000000) / 1000000 AS pad_efficiency
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // the per-source token budget under the trained tokenizer — same
+    // hash-ranked admission as pipe_token_quota over the shared BPE
+    // denominator
+    "pipe_token_quota_bpe" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |$bpePerDocCte,
+         |c AS (
+         |  SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  floor(CAST(SUM(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |        / 800 * 1000000) / 1000000 AS utilization
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "pipe_leakage_split" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte,

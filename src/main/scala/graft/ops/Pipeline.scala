@@ -176,12 +176,8 @@ object Pipeline {
     * the type-relation join, the cumsum is per-source windowed. */
   def tokenShardsBpe(s: SparkSession, dir: String, budget: Long = 512,
                      nMerges: Int = 10): DataFrame = {
-    val perDoc = TextAnalysis.bpeEncode(s, dir, nMerges)
-      .select(col("doc_id"), col("n_symbols").as("n_tokens"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+    bpeTokenRelation(s, dir, nMerges)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
       .groupBy(col("source"), col("shard_id"))
@@ -191,6 +187,19 @@ object Pipeline {
            max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("shard_id"))
   }
+
+  /** The ONE BPE denominator of the packing/budget family: (doc_id,
+    * source, n_tokens) with n_tokens = [[TextAnalysis.bpeEncode]]'s
+    * per-doc symbol count under the trained vocabulary, 0 for docs
+    * that encode to nothing (left join + coalesce — they keep their
+    * slots, exactly as the whitespace twins count them). Every
+    * `*_bpe` twin derives from this relation, so the family can never
+    * disagree on what a token is. */
+  private def bpeTokenRelation(s: SparkSession, dir: String, nMerges: Int): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(TextAnalysis.bpeEncode(s, dir, nMerges)
+        .select(col("doc_id"), col("n_symbols").as("n_tokens")), Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
 
   /** Sequence-PACKING plan: the cost forecast for turning the curated
     * corpus into fixed-`budget`-token training sequences, per source,
@@ -213,10 +222,32 @@ object Pipeline {
     * (each source scans sequentially within its partition; at 100 TB
     * sub-shard the window key like [[shuffleShards]] does) and one
     * bounded per-source rollup. */
-  def packingPlan(s: SparkSession, dir: String, budget: Long = 512): DataFrame = {
+  def packingPlan(s: SparkSession, dir: String, budget: Long = 512): DataFrame =
+    packingPlanOver(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget)
+
+  /** [[packingPlan]] denominated in TRAINED-TOKENIZER tokens — the
+    * packing decision a trainer actually makes is over the tokens its
+    * tokenizer produces, not whitespace ([[tokenShardsBpe]]'s
+    * rationale, applied to the sequence-packing forecast). One shared
+    * body with the whitespace twin ([[packingPlanOver]]), one shared
+    * denominator with every `*_bpe` op ([[bpeTokenRelation]]). */
+  def packingPlanBpe(s: SparkSession, dir: String, budget: Long = 512,
+                     nMerges: Int = 10): DataFrame =
+    packingPlanOver(bpeTokenRelation(s, dir, nMerges), budget)
+
+  /** THE packing-plan body over an explicit (doc_id, source, n_tokens)
+    * relation — one definition for the whitespace and BPE twins. The
+    * `n_tokens > 0` guard on chop_split_docs: a zero-token doc cannot
+    * straddle a boundary (and without the guard, `cum - 1` at cum = 0
+    * goes negative, where Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — the sign-split oracle lesson). Whitespace
+    * token counts are always ≥ 1, so the guard is a no-op there. */
+  private def packingPlanOver(rel: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    rel
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -224,7 +255,8 @@ object Pipeline {
            // integer DIV, not `/`: Column./ is double division, and a
            // floor-through-double would lose exactness past 2^52 tokens
            expr(s"CAST((max(cum) + $budget - 1) DIV $budget AS BIGINT)").as("chop_seqs"),
-           sum(when(expr(s"(cum - n_tokens) div $budget") =!=
+           sum(when(col("n_tokens") > 0 &&
+                    expr(s"(cum - n_tokens) div $budget") =!=
                     expr(s"(cum - 1) div $budget"), 1L).otherwise(0L))
              .as("chop_split_docs"),
            sum(when(col("n_tokens") > budget, col("n_tokens") - budget)
@@ -739,13 +771,29 @@ object Pipeline {
     * [[tokenShards]] scale shape) and a bounded rollup; the selection
     * rule is a pure function of (doc_id, n_tokens, budget), so resumed
     * or re-partitioned runs keep EXACTLY the same documents. */
-  def tokenQuota(s: SparkSession, dir: String, budget: Long = 800): DataFrame = {
+  def tokenQuota(s: SparkSession, dir: String, budget: Long = 800): DataFrame =
+    tokenQuotaOver(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget)
+
+  /** [[tokenQuota]] denominated in TRAINED-TOKENIZER tokens — the
+    * budget a mixture pipeline provisions is in the tokens it trains
+    * on ([[tokenShardsBpe]]'s rationale). Same shared-body /
+    * shared-denominator contract as [[packingPlanBpe]]. */
+  def tokenQuotaBpe(s: SparkSession, dir: String, budget: Long = 800,
+                    nMerges: Int = 10): DataFrame =
+    tokenQuotaOver(bpeTokenRelation(s, dir, nMerges), budget)
+
+  /** THE quota body over an explicit (doc_id, source, n_tokens)
+    * relation — one definition for both twins; the hash rank is
+    * derived here so the admission order can never differ between
+    * denominators. */
+  private def tokenQuotaOver(rel: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("h"))
+    rel
+      .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

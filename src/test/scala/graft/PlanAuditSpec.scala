@@ -66,8 +66,9 @@ class PlanAuditSpec extends SparkSuite {
     "dedup_ngram_seg",
     // runs the whole iterative merge loop while BUILDING its result —
     // audited by its own reference-equivalence spec in TextAnalysisSpec;
-    // the BPE-denominated shard twin inherits the loop via bpeEncode
+    // the BPE-denominated packing twins inherit the loop via bpeEncode
     "text_bpe_train", "text_bpe_encode", "pipe_token_shards_bpe",
+    "pipe_packing_plan_bpe", "pipe_token_quota_bpe",
     // run the CC fixpoint / localCheckpoint their constituent pair
     // pipelines while building — the join shapes they reuse are audited
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries

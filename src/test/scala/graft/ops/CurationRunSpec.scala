@@ -208,6 +208,28 @@ class CurationRunSpec extends SparkSuite {
     assert(keptN > 0 && keptN < total, s"degenerate keep set: $keptN of $total")
   }
 
+  test("the committed receipt matches a PHYSICAL export of the keep set, byte-for-byte (round-12)") {
+    assume(hasTestData)
+    // the full loop a release actually ships: run → committed receipt
+    // → write the shard FILES → re-derive every digest from the bytes
+    // on disk → equality. exportShardsOf requires disk == its own
+    // receipt internally; this pins the remaining edge — that ITS
+    // receipt over the keep set is the RUN'S committed one.
+    val served = artifact(CurationRun.run(spark, sf, freshRoot(), "run1")
+      .select("shard_id", "n_docs", "total_tokens", "content_digest"))
+    val keep = Pipeline.curationDecisions(spark, sf)
+      .filter(col("decision") === "keep").select(col("doc_id"))
+    val kept = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .join(keep, Seq("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.localDir), "curation-export").toString
+    try {
+      val exported = artifact(Pipeline.exportShardsOf(spark, kept, out, 8))
+      assert(exported == served,
+        "bytes on disk verify against a receipt that is NOT the run's committed one")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   // ---- the takedown run (round-11) ----
 
   test("takedown ∘ prior ≡ full-on-filtered: the receipt equals a full run minus the removed set") {
