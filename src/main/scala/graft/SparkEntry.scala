@@ -145,6 +145,10 @@ object SparkEntry {
     "text_lm_bigram"       -> ((s: SparkSession, d: String) => TextAnalysis.lmBigram(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    // Matryoshka truncation evaluation: prefix-dim recall vs full-dim
+    // exact truth, per prefix length (the pre-flight for an 8x
+    // storage/bandwidth cut via truncated embeddings)
+    "emb_prefix_recall" -> ((s: SparkSession, d: String) => Similarity.prefixRecall(s, d)),
     "emb_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -2037,6 +2041,48 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // prefix-dim brute top-k vs the full-dim truth: overlap counts are
+    // exact integers (float cos ranks replay — list_dot_product and
+    // graft_dot are the same left-to-right fold, slices 1-based both
+    // sides), recall is one final trunc6 division; zero prefixes are
+    // excluded on both sides (pnorm > 0)
+    "emb_prefix_recall" ->
+      s"""WITH $vectorsCte,
+         |tq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
+         |tscored AS (
+         |  SELECT tq.query_id, vn.vec_id AS neighbor_id,
+         |    list_dot_product(tq.qv, vn.v) / (tq.qnorm * vn.norm) AS cos
+         |  FROM vn JOIN tq ON vn.vec_id <> tq.query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM tscored) z
+         |  WHERE rk <= 5),
+         |dims AS (SELECT unnest([8, 16, 32, 64]) AS m),
+         |pvn AS (
+         |  SELECT d.m, vn.vec_id, vn.v[1:d.m] AS pv,
+         |         sqrt(list_dot_product(vn.v[1:d.m], vn.v[1:d.m])) AS pnorm
+         |  FROM vn CROSS JOIN dims d
+         |  WHERE sqrt(list_dot_product(vn.v[1:d.m], vn.v[1:d.m])) > 0),
+         |pq AS (SELECT m, vec_id AS query_id, pv AS qv, pnorm AS qnorm FROM pvn WHERE vec_id < 8),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY m, query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM (
+         |    SELECT p.m, q.query_id, p.vec_id AS neighbor_id,
+         |      list_dot_product(q.qv, p.pv) / (q.qnorm * p.pnorm) AS cos
+         |    FROM pvn p JOIN pq q ON p.m = q.m AND p.vec_id <> q.query_id) sc),
+         |hits AS (
+         |  SELECT r.m, COUNT(*) AS n_hits
+         |  FROM ranked r JOIN truth t
+         |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+         |  WHERE r.rk <= 5
+         |  GROUP BY r.m)
+         |SELECT CAST(d.m AS BIGINT) AS prefix_dims,
+         |  CAST(8 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 40 * 1000000) / 1000000 AS recall
+         |FROM dims d LEFT JOIN hits h ON d.m = h.m
+         |ORDER BY prefix_dims""".stripMargin,
     "emb_hard_negatives" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm

@@ -99,6 +99,51 @@ object Similarity {
               (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
 
+  /** MATRYOSHKA / truncated-embedding evaluation (round-12): recall of
+    * PREFIX-dimension cosine search against the full-dimension exact
+    * truth, per prefix length — the measurement a deployment runs
+    * before switching its index to truncated embeddings (an 8× dim
+    * cut is an 8× cut in vector storage, ADC bandwidth and rerank
+    * FLOPs; MRL-trained models keep prefixes usable, and this report
+    * says whether YOURS did, on YOUR corpus). For each m ∈ dims:
+    * brute top-k under cosine over v[1..m] (prefix RE-NORMED —
+    * truncation breaks unit norms; zero prefixes are excluded on both
+    * sides) scored against the full-dim top-k. Overlap counts are
+    * exact integers; recall is one final trunc6 division — so the
+    * oracle replays every row. The m = full-dims row is the built-in
+    * sanity check (recall 1.0 by construction). Scale shape: each
+    * prefix pass is the brute scan (one streamed pass against the
+    * broadcast query set, bounded top-k agg, no shuffle of the
+    * corpus) — an offline, sampled evaluation, never a serving path. */
+  def prefixRecall(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                   dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val vs = vectors(s, dir)
+    val truth = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val perDim = dims.map { m =>
+      val pv = vs.select(col("vec_id"), expr(s"slice(v, 1, $m)").as("pv"))
+        .withColumn("pnorm", expr("sqrt(graft_dot(pv, pv))"))
+        .filter(col("pnorm") > 0)
+      val q = pv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv"),
+                col("pnorm").as("qnorm"))
+      val top = topK(pv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                (dot("qv", "pv") / (col("qnorm") * col("pnorm"))).as("cos")), k)
+      top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy().agg(count(lit(1)).as("n_hits"))
+        .select(lit(m.toLong).as("prefix_dims"), col("n_hits"))
+    }
+    perDim.reduce(_ unionByName _)
+      .withColumn("n_queries", lit(nQueries.toLong))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall",
+        trunc6(col("n_hits").cast("double") / (nQueries.toLong * k)))
+      .select(col("prefix_dims"), col("n_queries"), col("k"),
+              col("n_hits"), col("recall"))
+      .orderBy(col("prefix_dims"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining — the candidate-generation step
     * of a metric-learning / embedding-finetune data pipeline (the
     * DPR/SimCSE-style training-set recipe: anchors paired with their

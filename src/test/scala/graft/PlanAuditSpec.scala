@@ -102,6 +102,9 @@ class PlanAuditSpec extends SparkSuite {
   // the 1-row global-min aggregate in the mixture sampler)
   private val intendedBnlj = Set(
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_refined", "emb_centroid_update",
+    // the same broadcast-query-set brute scan as ann_brute_topk, once
+    // per prefix length (plus the full-dim truth pass)
+    "emb_prefix_recall",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the
     // tombstone mask itself is a broadcast hash ANTI-join on the id
     "ann_ivf_deleted",
