@@ -149,6 +149,9 @@ object SparkEntry {
     // exact truth, per prefix length (the pre-flight for an 8x
     // storage/bandwidth cut via truncated embeddings)
     "emb_prefix_recall" -> ((s: SparkSession, d: String) => Similarity.prefixRecall(s, d)),
+    // binary (sign-bit) quantization evaluation: integer-Hamming top-k
+    // scored per query against the float-cosine truth (the 32x cut)
+    "emb_sign_recall" -> ((s: SparkSession, d: String) => Similarity.signRecall(s, d)),
     "emb_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -2083,6 +2086,41 @@ object SparkEntry {
          |  floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 40 * 1000000) / 1000000 AS recall
          |FROM dims d LEFT JOIN hits h ON d.m = h.m
          |ORDER BY prefix_dims""".stripMargin,
+    // sign-bit Hamming ranks replay exactly (integer distances, id
+    // tiebreak); hits against the float-cosine truth are a semi-join
+    // on exact pairs, recall one trunc6 division
+    "emb_sign_recall" ->
+      s"""WITH $vectorsCte,
+         |tq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT tq.query_id, vn.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY tq.query_id
+         |        ORDER BY list_dot_product(tq.qv, vn.v) / (tq.qnorm * vn.norm) DESC,
+         |                 vn.vec_id) AS rk
+         |    FROM vn JOIN tq ON vn.vec_id <> tq.query_id) z
+         |  WHERE rk <= 5),
+         |bits AS (
+         |  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+         |  FROM vn),
+         |qbit AS (SELECT vec_id AS query_id, b AS qbits FROM bits WHERE vec_id < 8),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+         |  FROM (
+         |    SELECT q.query_id, bits.vec_id AS neighbor_id,
+         |      CAST(list_sum(list_transform(range(1, len(bits.b) + 1),
+         |        i -> CASE WHEN bits.b[i] <> q.qbits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |    FROM bits JOIN qbit q ON bits.vec_id <> q.query_id) sc)
+         |SELECT r.query_id,
+         |  COUNT(*) AS n_ranked,
+         |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  MIN(r.hamming) AS min_hamming, MAX(r.hamming) AS max_hamming,
+         |  floor(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / 5 * 1000000) / 1000000 AS recall
+         |FROM ranked r LEFT JOIN truth t
+         |  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+         |WHERE r.rk <= 5
+         |GROUP BY r.query_id ORDER BY r.query_id""".stripMargin,
     "emb_hard_negatives" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm

@@ -144,6 +144,49 @@ object Similarity {
       .orderBy(col("prefix_dims"))
   }
 
+  /** BINARY (sign-bit) embedding evaluation — [[prefixRecall]]'s
+    * sibling for the other standard compression axis: quantize every
+    * dimension to its SIGN (1 bit/dim — a 32× cut vs float32, the
+    * binary-embedding deployment shape), rank neighbors by integer
+    * Hamming distance over the sign bits, and score the top-k against
+    * the full-precision cosine truth per query. Distances are exact
+    * integers end-to-end (no float enters the ranking), so the oracle
+    * replays every row bit-for-bit; recall is the one final trunc6
+    * division. Per-query rows rather than one aggregate: binary
+    * quantization degrades UNEVENLY (queries near the axes keep their
+    * neighborhoods, centroid-adjacent ones lose them), and the
+    * per-query spread is what the deployment decision actually reads.
+    * Scale shape: the same broadcast-query brute scan as
+    * [[bruteForceTopK]]; in production the bit vectors are 64-bit
+    * words and the scan is XOR+popcount — the layout changes, the
+    * report does not. */
+  def signRecall(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val vs = vectors(s, dir)
+    val truth = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val bits = vs.select(col("vec_id"),
+      expr("transform(v, x -> CASE WHEN x > 0 THEN 1L ELSE 0L END)").as("b"))
+    val q = bits.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("b").as("qb"))
+    // integer Hamming, negated into the shared (score DESC, id ASC)
+    // top-k contract: -hamming is exact in double far below 2^52
+    val scored = bits.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("""-CAST(aggregate(zip_with(b, qb, (x, y) -> CASE WHEN x <> y THEN 1L ELSE 0L END),
+               |0L, (acc, e) -> acc + e) AS DOUBLE)""".stripMargin).as("cos"))
+    topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+              (-col("cos")).cast("long").as("hamming"))
+      .join(truth.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+           min(col("hamming")).as("min_hamming"),
+           max(col("hamming")).as("max_hamming"))
+      .withColumn("recall", trunc6(col("n_hits").cast("double") / k))
+      .orderBy(col("query_id"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining — the candidate-generation step
     * of a metric-learning / embedding-finetune data pipeline (the
     * DPR/SimCSE-style training-set recipe: anchors paired with their

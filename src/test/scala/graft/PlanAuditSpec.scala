@@ -105,6 +105,8 @@ class PlanAuditSpec extends SparkSuite {
     // the same broadcast-query-set brute scan as ann_brute_topk, once
     // per prefix length (plus the full-dim truth pass)
     "emb_prefix_recall",
+    // same shape over the sign-bit vectors + the truth pass
+    "emb_sign_recall",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the
     // tombstone mask itself is a broadcast hash ANTI-join on the id
     "ann_ivf_deleted",
