@@ -186,7 +186,6 @@ object ServiceScaleCheck {
     * economics are actually visible. Returns (label, ms, rowsPurged,
     * filesRewritten). */
   def purgeBench(spark: SparkSession): Seq[(String, Double, Long, Long)] = {
-    import org.apache.spark.sql.functions._
     val root = Scratch.localDir + s"/purgebench-${System.nanoTime()}"
     try purgeBenchAt(spark, root)
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

@@ -159,7 +159,14 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
         }
       }
       if (snapshot.nonEmpty) {
-        try flushFn(container, session, snapshot)
+        try {
+          flushFn(container, session, snapshot)
+          // ANY successful flush clears the idle-backoff marker —
+          // sessions drained by the timer or the read path must not
+          // leave dead (container, session) keys accumulating in a
+          // long-lived gateway (second review pass)
+          idleFailedAt.remove((container, session))
+        }
         catch {
           case e: Throwable =>
             buf.synchronized {
@@ -231,10 +238,9 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
       }
       if (idle && !backedOff && idleInFlight.add(key))
         idlePool.execute { () =>
-          try {
-            flush(key._1, key._2)
-            idleFailedAt.remove(key)
-          } catch {
+          // success clears the backoff marker inside flush() itself
+          try flush(key._1, key._2)
+          catch {
             case scala.util.control.NonFatal(e2) =>
               idleFailedAt.put(key, System.nanoTime())
               System.err.println(s"[ingest] idle flush ${key._1}/${key._2} " +
@@ -304,6 +310,6 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
     if (stranded.nonEmpty)
       throw new IllegalStateException(
         s"ingest close(): acked rows still buffered after retries — ${stranded.mkString(", ")}")
-    bufs.clear(); flushLocks.clear()
+    bufs.clear(); flushLocks.clear(); idleFailedAt.clear()
   }
 }

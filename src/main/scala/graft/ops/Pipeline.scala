@@ -582,37 +582,39 @@ object Pipeline {
     // on content that was never this layout's)
     def shardFile(k: Long) = new Path(out, f"shard-$k%05d-of-$nShards%d.parquet")
     // the receipt this export must reproduce, from the SAME relation
-    val receipt = shardManifestOf(docs, nShards)
+    val manifest = shardManifestOf(docs, nShards)
+    val receipt = manifest
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
-    val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("shard_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_docs",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("total_tokens",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("content_digest",
-        org.apache.spark.sql.types.StringType, nullable = true)))
     // STALE-SHARD SWEEP (review-caught): a prior export of the same
-    // dir under a different nShards (or a shrunken keep set) left
-    // shard files the current receipt never names — the verify pass
-    // below only reads receipt-named files, so without this sweep a
-    // consumer globbing shard-*.parquet would train on stale content
-    // the "verified" return value said nothing about. The export owns
-    // its output names; the dir must equal exactly the receipt.
-    val valid = receipt.keys.map(k => shardFile(k).getName).toSet
-    fs.listStatus(out).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && n.startsWith("shard-") && n.endsWith(".parquet") &&
-          !valid.contains(n))
-        fs.delete(st.getPath, false)
+    // dir under a different layout (or a shrunken keep set) left shard
+    // files the current receipt never names — the verify pass only
+    // reads receipt-named files, so without the sweep a consumer
+    // globbing shard-*.parquet would train on stale content the
+    // "verified" return value said nothing about. The export owns its
+    // output names; after a COMPLETED export the dir equals exactly
+    // the receipt. Layout-distinct names never collide, so the sweep
+    // can run AFTER the new export verifies (second review pass: an
+    // eager sweep would destroy the previous complete export when a
+    // re-export fails mid-write — availability first; the purge path
+    // for must-delete-now content is rewriteExcluding, not re-export).
+    def sweepStale(): Unit = {
+      val valid = receipt.keys.map(k => shardFile(k).getName).toSet
+      fs.listStatus(out).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("shard-") && n.endsWith(".parquet") &&
+            !valid.contains(n))
+          fs.delete(st.getPath, false)
+      }
     }
     // empty keep set (a takedown can empty a source): a valid export
-    // of zero shards — nothing to write, nothing to verify
-    if (receipt.isEmpty)
+    // of zero shards — prior layouts are stale by definition and
+    // nothing below can fail before the sweep
+    if (receipt.isEmpty) {
+      sweepStale()
       return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifest.schema)
+    }
     val missing = receipt.keys.toSeq.sorted.filterNot(k => fs.exists(shardFile(k)))
     if (missing.nonEmpty) {
       val staging = new Path(out, s".staging-${java.util.UUID.randomUUID()}")
@@ -666,6 +668,9 @@ object Pipeline {
         s"(tampered/truncated files, or a prior export of a DIFFERENT corpus " +
         s"under the same layout — remove the stale files and re-export) — " +
         s"disk=$onDisk receipt=$receipt")
+    // only now that THIS export is complete and verified: retire the
+    // previous layout's files
+    sweepStale()
     // serve the already-verified rows (one scan, and callers may clean
     // the export dir before consuming the result)
     s.createDataFrame(

@@ -755,12 +755,8 @@ object Similarity {
     // count job runs. For g ≥ 1 the count is one scan of the tiny
     // persisted centroid table, inside a path that collects probes
     // driver-side anyway.
-    val effNprobe =
-      if (g == 0L) nprobe
-      else math.max(nprobe.toLong,
-        math.ceil(nprobe.toDouble * cents.count() / IvfNList).toLong).toInt
     val probesPlan = nearestCentroids(
-      vs.filter(col("vec_id") < nQueries), cents, effNprobe, "q")
+      vs.filter(col("vec_id") < nQueries), cents, effectiveNprobe(nprobe, g, cents), "q")
     val probeRows = probesPlan.collect()
     val probes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
@@ -770,14 +766,29 @@ object Similarity {
     (probes, lists)
   }
 
+  /** The ONE probe-count resolution (review-caught: the test seam and
+    * the serving path must compute it identically or pruning
+    * assertions diverge at g ≥ 1): generation 0 is the seed layout —
+    * unscaled, oracle-exact, no count job; a retrained generation
+    * scales by nlist/IvfNList to preserve the probed fraction across
+    * [[rebuildNList]] re-dimensioning. */
+  private def effectiveNprobe(nprobe: Int, g: Long, cents: DataFrame): Int =
+    if (g == 0L) nprobe
+    else math.max(nprobe.toLong,
+      math.ceil(nprobe.toDouble * cents.count() / IvfNList).toLong).toInt
+
   /** Test seam: the distinct inverted lists the indexed search probes
     * for a given query set — what the partitioned-scan pruning must
-    * reduce the table read to (IndexTablesSpec). */
+    * reduce the table read to (IndexTablesSpec). Shares
+    * [[effectiveNprobe]] with the serving path, so it predicts the
+    * REAL probed set at every generation. */
   private[ops] def probedLists(s: SparkSession, dir: String,
                                nQueries: Int, nprobe: Int): Seq[Long] = {
     val vs = vectors(s, dir)
     val g = IndexTables.annGeneration(s, dir)
-    nearestCentroids(vs.filter(col("vec_id") < nQueries), servingCentroidsAt(s, dir, g), nprobe, "q")
+    val cents = servingCentroidsAt(s, dir, g)
+    nearestCentroids(vs.filter(col("vec_id") < nQueries), cents,
+        effectiveNprobe(nprobe, g, cents), "q")
       .select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
   }
