@@ -87,6 +87,9 @@ object SparkEntry {
     "log_cooccurrence"    -> (LogQueries.errorCooccurrence _),
     // Training-data pipeline: dedup (builder prompt + SURVEY §7.1 ops/)
     "dedup_exact_summary"  -> (Dedup.exactSummary _),
+    // authority-based keeper election: integer-exact PageRank over the
+    // near-dup graph, keeper per component by (pr DESC, doc_id)
+    "dedup_pagerank"       -> ((s: SparkSession, d: String) => Dedup.pagerankKeepers(s, d)),
     "dedup_exact_keepers"  -> (Dedup.exactKeepers _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
@@ -1780,6 +1783,47 @@ object SparkEntry {
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte
          |SELECT doc_id, comp_id FROM comp ORDER BY doc_id""".stripMargin,
+    // PageRank unrolled to 3 integer-exact iterations (pr0 = 1e9;
+    // teleport 0.15e9; contribution (85*pr)//(100*deg) — non-negative
+    // operands, so // here equals Spark's div); keeper per component
+    // by (pr DESC, doc_id). em is MATERIALIZED: deg + 3 iterations
+    // re-reference the edge set, and DuckDB inlines plain CTEs per
+    // reference
+    "dedup_pagerank" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |em AS MATERIALIZED (SELECT u, v FROM edges),
+         |deg AS MATERIALIZED (SELECT u AS doc_id, COUNT(*) AS deg FROM em GROUP BY u),
+         |pr0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+         |pr1 AS MATERIALIZED (
+         |  SELECT d.doc_id, CAST(150000000 + COALESCE(SUM((85 * p.pr) // (100 * dg.deg)), 0) AS BIGINT) AS pr
+         |  FROM deg d
+         |  LEFT JOIN em e ON e.v = d.doc_id
+         |  LEFT JOIN pr0 p ON p.doc_id = e.u
+         |  LEFT JOIN deg dg ON dg.doc_id = e.u
+         |  GROUP BY d.doc_id),
+         |pr2 AS MATERIALIZED (
+         |  SELECT d.doc_id, CAST(150000000 + COALESCE(SUM((85 * p.pr) // (100 * dg.deg)), 0) AS BIGINT) AS pr
+         |  FROM deg d
+         |  LEFT JOIN em e ON e.v = d.doc_id
+         |  LEFT JOIN pr1 p ON p.doc_id = e.u
+         |  LEFT JOIN deg dg ON dg.doc_id = e.u
+         |  GROUP BY d.doc_id),
+         |pr3 AS MATERIALIZED (
+         |  SELECT d.doc_id, CAST(150000000 + COALESCE(SUM((85 * p.pr) // (100 * dg.deg)), 0) AS BIGINT) AS pr
+         |  FROM deg d
+         |  LEFT JOIN em e ON e.v = d.doc_id
+         |  LEFT JOIN pr2 p ON p.doc_id = e.u
+         |  LEFT JOIN deg dg ON dg.doc_id = e.u
+         |  GROUP BY d.doc_id),
+         |ranked AS (
+         |  SELECT c.comp_id, c.doc_id, p.pr,
+         |    ROW_NUMBER() OVER (PARTITION BY c.comp_id ORDER BY p.pr DESC, c.doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY c.comp_id) AS n_members
+         |  FROM comp c JOIN pr3 p ON p.doc_id = c.doc_id)
+         |SELECT comp_id, doc_id AS keeper, pr AS keeper_pr,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rk = 1 ORDER BY comp_id""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte,

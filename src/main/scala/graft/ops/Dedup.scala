@@ -1232,6 +1232,55 @@ object Dedup {
   def dupComponents(s: SparkSession, dir: String): DataFrame =
     ngramComponents(s, dir).orderBy(col("doc_id"))
 
+  /** AUTHORITY-BASED keeper election (round-12): integer-exact
+    * PageRank over the near-dup pair graph, then one keeper per
+    * connected component by (pr DESC, doc_id ASC). Min-id election
+    * ([[exactKeepers]] / the curation gates) is arbitrary under
+    * transitive chains; the PR keeper is the document most LINKED-TO
+    * by near-duplicates — in a scrape, the most-copied version is
+    * usually the canonical original, and this is the standard
+    * centrality recipe for electing it. DETERMINISM: pr₀ = SCALE;
+    * prₜ₊₁(i) = 0.15·SCALE + Σ_{j∈N(i)} (85·prₜ(j)) div (100·deg(j))
+    * — every operand non-negative integer, so Spark's truncating
+    * `div` equals DuckDB's flooring `//` and the oracle replays every
+    * iteration bit-for-bit (the unrolled-loop recipe of the PCA/BPE
+    * oracles; convergence is not the contract, replay is). SCALE=1e9
+    * keeps 85·Σpr far inside BIGINT at any plausible component size
+    * while the 1/(100·deg) division still retains 7 digits. Scale
+    * shape: edges are the near-dup pair set (near-dup mass, not
+    * corpus); each of the 3 unrolled iterations is one edge-sized
+    * groupBy — the same bound as the CC fixpoint this complements. */
+  def pagerankKeepers(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val Scale = 1000000000L
+    val pairs = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // checkpoint: the pair derivation feeds deg + every iteration join
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("doc_a").as("doc_id"), lit(Scale).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("doc_a"), col("pr")), Seq("doc_a"))
+        .join(deg, Seq("doc_a"))
+        .groupBy(col("doc_b"))
+        .agg(sum(expr("(85 * pr) div (100 * deg)")).as("c"))
+        .select(col("doc_b").as("doc_id"), col("c"))
+      pr = deg.select(col("doc_a").as("doc_id"))
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(15L * Scale / 100L) + coalesce(col("c"), lit(0L))).as("pr"))
+    }
+    ngramComponents(s, dir).join(pr, Seq("doc_id"))
+      .groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("n_members"),
+           expr("""max_by(named_struct('doc_id', doc_id, 'pr', pr),
+                  |       named_struct('p', pr, 't', -doc_id))""".stripMargin).as("kp"))
+      .select(col("comp_id"), col("kp.doc_id").as("keeper"),
+              col("kp.pr").as("keeper_pr"), col("n_members"))
+      .orderBy(col("comp_id"))
+  }
+
   /** Near-dup METHOD-AGREEMENT matrix: for each pair of detection
     * methods (n-gram Jaccard, Hamming-blocked SimHash, edit-distance),
     * how many candidate pairs each finds and how many they share — the

@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSuite {
     // pipelines while building — the join shapes they reuse are audited
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
     "dedup_cluster_stats", "dedup_keep_best", "dedup_method_agreement",
+    // checkpoints its edge relation + the memoized CC fixpoint while
+    // building; its iteration joins are edge-sized equi-joins
+    "dedup_pagerank",
     // same CC fixpoint at construction, over within-list embedding pairs
     "dedup_semantic",
     // runs the ngram-pair CC fixpoint while building the split assignment
