@@ -159,14 +159,7 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
         }
       }
       if (snapshot.nonEmpty) {
-        try {
-          flushFn(container, session, snapshot)
-          // ANY successful flush clears the idle-backoff marker —
-          // sessions drained by the timer or the read path must not
-          // leave dead (container, session) keys accumulating in a
-          // long-lived gateway (second review pass)
-          idleFailedAt.remove((container, session))
-        }
+        try flushFn(container, session, snapshot)
         catch {
           case e: Throwable =>
             buf.synchronized {
@@ -178,6 +171,15 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
             throw e
         }
       }
+      // reaching here — a successful flush OR an already-empty buffer —
+      // proves the session is drained, so clear any idle-backoff
+      // marker. Clearing on the EMPTY case too closes a race (third
+      // review pass): a failing idle flush's marker-put can land after
+      // a concurrent timer flush drained its re-buffered rows; the
+      // timer's flushAll revisits every buffered session each tick and
+      // lands here with an empty snapshot, so such a raced-in marker
+      // lives at most one tick, never until close().
+      idleFailedAt.remove((container, session))
     }
   }
 

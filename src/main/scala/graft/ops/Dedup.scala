@@ -1248,16 +1248,37 @@ object Dedup {
     * keeps 85·Σpr far inside BIGINT at any plausible component size
     * while the 1/(100·deg) division still retains 7 digits. Scale
     * shape: edges are the near-dup pair set (near-dup mass, not
-    * corpus); each of the 3 unrolled iterations is one edge-sized
-    * groupBy — the same bound as the CC fixpoint this complements. */
-  def pagerankKeepers(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    * corpus); each of the 3 unrolled iterations is two edge-sized
+    * equi-joins + one edge-sized groupBy against the checkpointed
+    * edge/degree relations — the same bound as the CC fixpoint this
+    * complements. Memoized per (session, dir): the checkpointed
+    * intermediates materialize once per process, like every derived
+    * relation in the engine. */
+  def pagerankKeepers(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    memoized(s"pagerankKeepers$iters", s, dir) { pagerankKeepersBuild(s, dir, iters) }
+
+  private def pagerankKeepersBuild(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val Scale = 1000000000L
     val pairs = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // checkpoint: the pair derivation feeds deg + every iteration join
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    // deg is referenced twice per iteration plus the init — checkpoint
+    // the node-sized aggregate once instead of re-running an
+    // edge-sized groupBy per reference (third review pass; the oracle
+    // MATERIALIZEs deg for the same reason)
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // loud overflow guard, symmetric with DuckDB's BIGINT range error:
+    // max pr ≤ 0.15·S + 0.85·S·n, so 85·pr stays inside Long while
+    // n < ~10⁸ graph nodes; past that Spark's non-ANSI multiply would
+    // WRAP silently (electing a wrong keeper) where the oracle throws.
+    // A 10⁸-member near-dup graph means the gate admitted an absurd
+    // fraction of the corpus — fail loudly and point at the gate.
+    val n = deg.count()
+    require(n < 100000000L,
+      s"pagerankKeepers: $n near-dup graph nodes would overflow the fixed-point " +
+        "range — the Jaccard gate is admitting too much; tune it (dedup_threshold_sweep)")
     var pr = deg.select(col("doc_a").as("doc_id"), lit(Scale).as("pr"))
     (1 to iters).foreach { _ =>
       val contrib = edges

@@ -607,10 +607,32 @@ object Pipeline {
           fs.delete(st.getPath, false)
       }
     }
+    // ATOMIC export manifest — the consumer contract (third review
+    // pass): between a failed re-export and its converging re-run the
+    // dir can transiently hold the old complete layout PLUS partial
+    // new-layout files, so a consumer must never glob
+    // shard-*.parquet; it reads `_export_manifest.json`, which is
+    // written via temp+rename as the LAST step of a verified export
+    // and names exactly the verified file set with its digests. A
+    // failed re-export leaves it pointing at the old, still-intact
+    // export — fully consistent either way.
+    def publishManifest(): Unit = {
+      val body = receipt.toSeq.sortBy(_._1).map { case (k, (n, tok, dg)) =>
+        s"""{"file":"${shardFile(k).getName}","shard_id":$k,"n_docs":$n,""" +
+          s""""total_tokens":$tok,"content_digest":"$dg"}"""
+      }.mkString("[", ",", "]")
+      val tmp = new Path(out, s".tmp-manifest-${java.util.UUID.randomUUID()}")
+      val os = fs.create(tmp, true)
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      fs.delete(new Path(out, "_export_manifest.json"), false)
+      if (!fs.rename(tmp, new Path(out, "_export_manifest.json")))
+        throw new java.io.IOException(s"export: manifest publish failed in $out")
+    }
     // empty keep set (a takedown can empty a source): a valid export
     // of zero shards — prior layouts are stale by definition and
     // nothing below can fail before the sweep
     if (receipt.isEmpty) {
+      publishManifest()
       sweepStale()
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifest.schema)
@@ -668,8 +690,13 @@ object Pipeline {
         s"(tampered/truncated files, or a prior export of a DIFFERENT corpus " +
         s"under the same layout — remove the stale files and re-export) — " +
         s"disk=$onDisk receipt=$receipt")
-    // only now that THIS export is complete and verified: retire the
-    // previous layout's files
+    // only now that THIS export is complete and verified: flip the
+    // consumer-facing manifest atomically, then retire the previous
+    // layout's files (a reader holding the OLD manifest keeps a
+    // consistent view until the sweep — the same snapshot-expiry
+    // grace contract as the log stores; run re-exports on a cadence
+    // longer than the longest consumer read)
+    publishManifest()
     sweepStale()
     // serve the already-verified rows (one scan, and callers may clean
     // the export dir before consuming the result)

@@ -71,6 +71,16 @@ class ExportShardsSpec extends SparkSuite {
     // files survive for a consumer's shard-*.parquet glob
     assert(left == after4.map(r => f"shard-${r.getLong(0)}%05d-of-4.parquet").toSet,
       s"stale shards survived the re-export: $left (was $before files)")
+    // the atomic consumer manifest names exactly the verified files
+    val mf = new String(
+      org.apache.commons.io.IOUtils.toByteArray(
+        fs.open(new Path(out, "_export_manifest.json"))), "UTF-8")
+    after4.foreach { r =>
+      assert(mf.contains(f"shard-${r.getLong(0)}%05d-of-4.parquet") &&
+             mf.contains(r.getString(3)),
+        s"manifest missing shard ${r.getLong(0)} or its digest")
+    }
+    assert(!mf.contains("-of-8.parquet"), "manifest still names the old layout")
     // empty keep set (a takedown can empty a source): zero shards,
     // zero files, an empty verified manifest — not an AnalysisException
     val empty = tempDir("export")
@@ -94,5 +104,14 @@ class ExportShardsSpec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration)
     val e = intercept[IllegalArgumentException](Pipeline.exportShards(spark, sf, out))
     assert(e.getMessage.contains("export verification FAILED"))
+    // the FAILED re-export never re-published the consumer manifest:
+    // it still describes the original verified export (consistent
+    // even though the dir's bytes are now tampered — a consumer
+    // verifying digests against the manifest catches the tamper too)
+    val mf = new String(
+      org.apache.commons.io.IOUtils.toByteArray(
+        fs.open(new Path(out, "_export_manifest.json"))), "UTF-8")
+    rows.foreach(r => assert(mf.contains(r.getString(3)),
+      "a failed re-export corrupted the consumer manifest"))
   }
 }
