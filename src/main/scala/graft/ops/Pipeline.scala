@@ -567,13 +567,29 @@ object Pipeline {
       outDir, nShards)
 
   /** [[exportShards]] over an explicit (doc_id, text) relation — the
-    * seam a curation run exports its KEEP set through. */
+    * seam a curation run exports its KEEP set through. One writer per
+    * export dir at a time (the run orchestration's contract, like
+    * compaction's lease); `staleGrace` is the reader retention window
+    * the stale-layout sweep honors — zero (the throwaway/test default)
+    * retires a superseded layout as soon as the new one verifies, a
+    * deployment passes its longest consumer read (the same
+    * snapshot-expiry grace contract as [[graft.storage.ManifestLog
+    * .expire]]). */
   private[graft] def exportShardsOf(s: SparkSession, docs: DataFrame,
-                                    outDir: String, nShards: Int): DataFrame = {
+                                    outDir: String, nShards: Int,
+                                    staleGrace: java.time.Duration =
+                                      java.time.Duration.ZERO): DataFrame = {
     import org.apache.hadoop.fs.Path
     val out = new Path(outDir)
     val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(out)
+    // crashed manifest publishes leave .tmp-manifest-* orphans nothing
+    // references (the rename either happened or it didn't); single
+    // writer per dir, so anything present at entry is garbage
+    fs.listStatus(out).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-manifest-"))
+        fs.delete(st.getPath, false)
+    }
     // nShards is part of the NAME: two exports of the same dir under
     // different layouts can never collide on a file, so the stale
     // sweep below fully converges a re-export (review-caught: with
@@ -598,7 +614,22 @@ object Pipeline {
     // eager sweep would destroy the previous complete export when a
     // re-export fails mid-write — availability first; the purge path
     // for must-delete-now content is rewriteExcluding, not re-export).
+    // a stale file was last name-able by a manifest no newer than the
+    // manifest THIS export replaces, so readers holding it started
+    // before that manifest's publish time — the prior flip's mtime is
+    // the conservative clock the retention grace runs from (the
+    // ManifestLog.expire recipe). Captured at entry, BEFORE this
+    // export's own flip overwrites it.
+    val priorFlipMs =
+      try fs.getFileStatus(new Path(out, "_export_manifest.json")).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MinValue }
     def sweepStale(): Unit = {
+      // grace not yet elapsed since the prior flip: every stale file
+      // may still be mid-read under the old manifest — leave them for
+      // a later invocation (grace ZERO, the throwaway/test default,
+      // sweeps immediately)
+      if (priorFlipMs != Long.MinValue &&
+          System.currentTimeMillis() < priorFlipMs + staleGrace.toMillis) return
       val valid = receipt.keys.map(k => shardFile(k).getName).toSet
       fs.listStatus(out).foreach { st =>
         val n = st.getPath.getName
@@ -617,16 +648,25 @@ object Pipeline {
     // failed re-export leaves it pointing at the old, still-intact
     // export — fully consistent either way.
     def publishManifest(): Unit = {
-      val body = receipt.toSeq.sortBy(_._1).map { case (k, (n, tok, dg)) =>
-        s"""{"file":"${shardFile(k).getName}","shard_id":$k,"n_docs":$n,""" +
-          s""""total_tokens":$tok,"content_digest":"$dg"}"""
-      }.mkString("[", ",", "]")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.createArrayNode()
+      receipt.toSeq.sortBy(_._1).foreach { case (k, (n, tok, dg)) =>
+        val o = arr.addObject()
+        o.put("file", shardFile(k).getName)
+        o.put("shard_id", k); o.put("n_docs", n)
+        o.put("total_tokens", tok); o.put("content_digest", dg)
+      }
       val tmp = new Path(out, s".tmp-manifest-${java.util.UUID.randomUUID()}")
       val os = fs.create(tmp, true)
-      try os.write(body.getBytes("UTF-8")) finally os.close()
-      fs.delete(new Path(out, "_export_manifest.json"), false)
-      if (!fs.rename(tmp, new Path(out, "_export_manifest.json")))
-        throw new java.io.IOException(s"export: manifest publish failed in $out")
+      try os.write(mapper.writeValueAsBytes(arr)) finally os.close()
+      // single-step OVERWRITE rename (fourth review pass): delete-then-
+      // rename leaves a no-manifest window (and a crash there strands
+      // the dir manifest-less) — FileContext renames atomically over
+      // the destination where the filesystem can
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(out.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(tmp, new Path(out, "_export_manifest.json"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     // empty keep set (a takedown can empty a source): a valid export
     // of zero shards — prior layouts are stale by definition and
