@@ -270,6 +270,9 @@ object SparkEntry {
     "pipe_leakage_split"     -> ((s: SparkSession, d: String) => Pipeline.leakageSafeSplit(s, d)),
     // deterministic token-budget quota fill per source (hash-order cumsum)
     "pipe_token_quota"       -> ((s: SparkSession, d: String) => Pipeline.tokenQuota(s, d)),
+    // epoch/repeat plan under a per-source budget: data-constrained
+    // scaling's 4-epoch usable-repetition cap, exact integers
+    "pipe_epochs_plan"       -> ((s: SparkSession, d: String) => Pipeline.epochsPlan(s, d)),
     "pipe_temperature_mixture" -> (Pipeline.temperatureMixture _),
     "pipe_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     // MinHash-banded NEAR-DUP decontamination: flags docs that ARE an
@@ -2863,6 +2866,22 @@ object SparkEntry {
     // n_tokens > 0 guard keeps a zero-token doc from reading as a
     // boundary straddle (and keeps cum - 1 out of negative division,
     // where the engines' div semantics differ)
+    // every derived column is integer arithmetic off one per-source
+    // aggregate; // floors and % matches Spark's div/% on non-negative
+    // operands; repeat_factor is the one trunc6 ratio
+    "pipe_epochs_plan" ->
+      """WITH t AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST(1000000 // total_tokens AS BIGINT) AS epochs_full,
+        |  CAST(1000000 % total_tokens AS BIGINT) AS tail_tokens,
+        |  floor(CAST(1000000 AS DOUBLE) / total_tokens * 1000000) / 1000000
+        |    AS repeat_factor,
+        |  CAST(LEAST(1000000, 4 * total_tokens) AS BIGINT) AS usable_tokens,
+        |  CAST(1000000 - LEAST(1000000, 4 * total_tokens) AS BIGINT) AS shortfall
+        |FROM t ORDER BY source""".stripMargin,
     "pipe_packing_plan_bpe" ->
       s"""WITH ${bpeRoundsCte(10)},
          |$bpePerDocCte,

@@ -834,6 +834,37 @@ object Pipeline {
              .as("mean_quality"))
       .orderBy(col("phase"))
 
+  /** EPOCH / REPEAT plan (data-constrained scaling): when the training
+    * budget EXCEEDS a source's unique token mass, the pipeline repeats
+    * the source — and the published scaling analyses put the value of
+    * repeated data at roughly four epochs before returns collapse, so
+    * the plan caps useful repetition there. Per source, against a
+    * fixed per-source token budget: the unique token mass, full epochs
+    * the budget buys (`budget div total`), the partial-epoch tail
+    * (`budget mod total`), the repeat factor (trunc6 of
+    * budget/total — what the mixture weights multiply by), and the
+    * budget actually USABLE under the 4-epoch cap
+    * (`min(budget, 4·total)`) with its shortfall — the number that
+    * says "this source cannot absorb its share; reweight the mix".
+    * Exact integer arithmetic except the one trunc6 ratio. One
+    * corpus-scan aggregate per source — nothing beyond the token pass
+    * every packing op shares. */
+  def epochsPlan(s: SparkSession, dir: String, budget: Long = 1000000L): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("epochs_full", expr(s"$budget div total_tokens"))
+      .withColumn("tail_tokens", expr(s"$budget % total_tokens"))
+      .withColumn("repeat_factor",
+        trunc6(lit(budget).cast("double") / col("total_tokens")))
+      .withColumn("usable_tokens", least(lit(budget), lit(4L) * col("total_tokens")))
+      .withColumn("shortfall", lit(budget) - col("usable_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+              col("epochs_full"), col("tail_tokens"), col("repeat_factor"),
+              col("usable_tokens"), col("shortfall"))
+      .orderBy(col("source"))
+
   /** TOKEN-QUOTA sampling — the budget-constrained selection every
     * mixture recipe bottoms out in ("fill N tokens from this source"):
     * documents enter in deterministic md5-hash order (an unbiased,
