@@ -583,11 +583,11 @@ object Pipeline {
     val out = new Path(outDir)
     val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(out)
-    // crashed manifest publishes leave .tmp-manifest-* orphans nothing
+    // crashed manifest publishes leave .tmp-* orphans nothing
     // references (the rename either happened or it didn't); single
     // writer per dir, so anything present at entry is garbage
     fs.listStatus(out).foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith(".tmp-manifest-"))
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-"))
         fs.delete(st.getPath, false)
     }
     // nShards is part of the NAME: two exports of the same dir under
@@ -614,28 +614,44 @@ object Pipeline {
     // eager sweep would destroy the previous complete export when a
     // re-export fails mid-write — availability first; the purge path
     // for must-delete-now content is rewriteExcluding, not re-export).
-    // a stale file was last name-able by a manifest no newer than the
-    // manifest THIS export replaces, so readers holding it started
-    // before that manifest's publish time — the prior flip's mtime is
-    // the conservative clock the retention grace runs from (the
-    // ManifestLog.expire recipe). Captured at entry, BEFORE this
-    // export's own flip overwrites it.
-    val priorFlipMs =
-      try fs.getFileStatus(new Path(out, "_export_manifest.json")).getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MinValue }
+    // Retention bookkeeping, captured at entry BEFORE this export's
+    // own flip: the PRIOR manifest's publish mtime and its file list.
+    // A stale file splits into two cases (fifth review pass — the
+    // first grace anchored to the wrong flip):
+    //  - named by the PRIOR manifest: it is being retired by THIS
+    //    flip, and a reader can have fetched that manifest any moment
+    //    up to the flip — deletable only `staleGrace` AFTER NOW, i.e.
+    //    never in this call unless the grace is zero;
+    //  - not named even by the prior manifest: some EARLIER flip
+    //    retired it, no later than the prior manifest's publish —
+    //    deletable once `now ≥ priorFlip + grace` (conservative: the
+    //    prior flip is an upper bound on its retirement time). This is
+    //    ManifestLog.expire's successor-mtime rule, re-anchored.
+    val manifestPath = new Path(out, "_export_manifest.json")
+    val (priorFlipMs, priorFiles) =
+      try {
+        val mtime = fs.getFileStatus(manifestPath).getModificationTime
+        val in = fs.open(manifestPath)
+        val body = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val names = (0 until node.size()).map(i => node.get(i).get("file").asText()).toSet
+        (mtime, names)
+      } catch { case _: java.io.FileNotFoundException => (Long.MinValue, Set.empty[String]) }
     def sweepStale(): Unit = {
-      // grace not yet elapsed since the prior flip: every stale file
-      // may still be mid-read under the old manifest — leave them for
-      // a later invocation (grace ZERO, the throwaway/test default,
-      // sweeps immediately)
-      if (priorFlipMs != Long.MinValue &&
-          System.currentTimeMillis() < priorFlipMs + staleGrace.toMillis) return
+      val now = System.currentTimeMillis()
+      val graceMs = staleGrace.toMillis
       val valid = receipt.keys.map(k => shardFile(k).getName).toSet
       fs.listStatus(out).foreach { st =>
         val n = st.getPath.getName
         if (st.isFile && n.startsWith("shard-") && n.endsWith(".parquet") &&
-            !valid.contains(n))
-          fs.delete(st.getPath, false)
+            !valid.contains(n)) {
+          val deletable =
+            if (graceMs <= 0L) true // test/throwaway default: converge now
+            else if (priorFiles.contains(n)) false // retired by THIS flip: grace starts now
+            else priorFlipMs == Long.MinValue || now >= priorFlipMs + graceMs
+          if (deletable) fs.delete(st.getPath, false)
+        }
       }
     }
     // ATOMIC export manifest — the consumer contract (third review
@@ -656,17 +672,14 @@ object Pipeline {
         o.put("shard_id", k); o.put("n_docs", n)
         o.put("total_tokens", tok); o.put("content_digest", dg)
       }
-      val tmp = new Path(out, s".tmp-manifest-${java.util.UUID.randomUUID()}")
-      val os = fs.create(tmp, true)
-      try os.write(mapper.writeValueAsBytes(arr)) finally os.close()
-      // single-step OVERWRITE rename (fourth review pass): delete-then-
-      // rename leaves a no-manifest window (and a crash there strands
-      // the dir manifest-less) — FileContext renames atomically over
-      // the destination where the filesystem can
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(out.toUri, s.sparkContext.hadoopConfiguration)
-        .rename(tmp, new Path(out, "_export_manifest.json"),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // single-step OVERWRITE publish where the filesystem offers one
+      // (delete-then-rename leaves a no-manifest window, and a crash
+      // there strands the dir manifest-less), delete+rename fallback
+      // on schemes without an AbstractFileSystem binding — the shared
+      // storage recipe
+      graft.storage.Cas.publishOverwrite(fs,
+        s.sparkContext.hadoopConfiguration, manifestPath,
+        mapper.writeValueAsBytes(arr))
     }
     // empty keep set (a takedown can empty a source): a valid export
     // of zero shards — prior layouts are stale by definition and

@@ -132,6 +132,31 @@ private[graft] object Cas {
       } catch { case _: java.io.IOException => java.lang.Boolean.TRUE }
     })
 
+  /** Publish `payload` at `dst`, REPLACING any existing file: stage to
+    * a temp name, then a single-step overwrite rename where the
+    * filesystem offers one (FileContext OVERWRITE — no window with the
+    * destination absent), falling back to delete+rename on schemes
+    * with no AbstractFileSystem binding (stock s3a/gs/abfs configs —
+    * there the brief no-destination window is the documented cost of
+    * the fallback, strictly no worse than the pre-helper behavior).
+    * For last-wins pointer/manifest files; commit RECORDS use
+    * [[tryClaim]] (create-if-absent), never this. */
+  def publishOverwrite(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                       dst: Path, payload: Array[Byte]): Unit = {
+    val tmp = new Path(dst.getParent, s".tmp-${dst.getName}-${UUID.randomUUID()}")
+    val os = fs.create(tmp, true)
+    try os.write(payload) finally os.close()
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"publishOverwrite: rename $tmp -> $dst failed")
+    }
+  }
+
   private def restrict(p: java.nio.file.Path): Unit =
     try java.nio.file.Files.setPosixFilePermissions(p, java.util.EnumSet.of(
       java.nio.file.attribute.PosixFilePermission.OWNER_READ,

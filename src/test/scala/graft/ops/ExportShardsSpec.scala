@@ -90,6 +90,37 @@ class ExportShardsSpec extends SparkSuite {
     assert(!fs.listStatus(new Path(empty)).exists(_.getPath.getName.startsWith("shard-")))
   }
 
+  test("a retention grace keeps the retired layout readable for in-flight old-manifest readers") {
+    assume(hasTestData)
+    val out = tempDir("export")
+    Pipeline.exportShards(spark, sf, out, nShards = 8)
+    val old8 = fs.listStatus(new Path(out))
+      .map(_.getPath.getName).filter(_.endsWith("-of-8.parquet")).toSet
+    assert(old8.nonEmpty)
+    val grace = java.time.Duration.ofHours(1)
+    // flip to nShards=4 under a 1h grace: the 8-layout was named by
+    // the manifest THIS flip replaces, so a reader that fetched it
+    // just before the flip keeps every file — nothing retires yet
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    Pipeline.exportShardsOf(spark, docs, out, 4, grace)
+    val afterFlip = fs.listStatus(new Path(out)).map(_.getPath.getName).toSet
+    assert(old8.forall(afterFlip.contains),
+      "grace-protected layout was swept at the flip that retired it")
+    // a SECOND graced export moments later: the 8-layout is now an
+    // earlier flip's retiree, but the prior flip is seconds old —
+    // still inside the grace, still protected
+    Pipeline.exportShardsOf(spark, docs, out, 4, grace)
+    val afterSecond = fs.listStatus(new Path(out)).map(_.getPath.getName).toSet
+    assert(old8.forall(afterSecond.contains),
+      "stale layout swept before the grace elapsed since its retiring flip")
+    // zero grace converges immediately (the throwaway/test default)
+    Pipeline.exportShardsOf(spark, docs, out, 4)
+    val afterZero = fs.listStatus(new Path(out))
+      .map(_.getPath.getName).filter(_.startsWith("shard-")).toSet
+    assert(afterZero.forall(_.endsWith("-of-4.parquet")),
+      s"zero-grace export did not converge: $afterZero")
+  }
+
   test("a tampered shard file fails the verify instead of shipping") {
     assume(hasTestData)
     val out = tempDir("export")
