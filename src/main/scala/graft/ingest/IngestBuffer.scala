@@ -239,7 +239,7 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
         f != null && f.longValue > retryHorizon
       }
       if (idle && !backedOff && idleInFlight.add(key))
-        idlePool.execute { () =>
+        try idlePool.execute { () =>
           // success clears the backoff marker inside flush() itself
           try flush(key._1, key._2)
           catch {
@@ -248,6 +248,16 @@ final class IngestBuffer(flushBytes: Long = 4L * 1024 * 1024,
               System.err.println(s"[ingest] idle flush ${key._1}/${key._2} " +
                 s"failed (buffered, backing off to timer cadence): ${e2.getMessage}")
           } finally idleInFlight.remove(key)
+        } catch {
+          // pool shut down by close() while this sweep was mid-iteration
+          // (the only rejection path of an unbounded-queue fixed pool):
+          // the task never ran, so ITS key cleanup never ran — release
+          // the in-flight claim here, and don't let the rejection abort
+          // the scheduled sweep task (round-12 advice: the leaked key
+          // would pin the session out of idle flushing forever if the
+          // sweeper were ever reused past a close/reopen cycle)
+          case _: java.util.concurrent.RejectedExecutionException =>
+            idleInFlight.remove(key)
         }
     }
   }

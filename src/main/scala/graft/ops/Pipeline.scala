@@ -545,9 +545,13 @@ object Pipeline {
     * Write path: ONE Spark job writes every MISSING shard into a
     * staging dir partitioned by shard_id (hash repartition on the
     * shard key → exactly one file per shard), then each file publishes
-    * with an atomic rename to its final `shard-<k>-of-<nShards>.parquet`
-    * name (the layout is part of the name, so exports under different
-    * shard counts never collide and re-exports converge).
+    * with an atomic rename to its final
+    * `shard-<k>-of-<nShards>-<digest8>.parquet` name. Layout AND
+    * content epoch live in the name, so exports under different shard
+    * counts never collide, and a re-export after a keep-set change at
+    * the SAME shard count writes fresh names instead of trusting (and
+    * then failing verification against) stale same-name files —
+    * re-export converges for every kind of change.
     * RESUMABLE by construction: a crash mid-export leaves completed
     * shards in place and the staging dir as an orphan; a re-run skips
     * the completed names (files are immutable once published — the
@@ -590,18 +594,27 @@ object Pipeline {
       if (st.isFile && st.getPath.getName.startsWith(".tmp-"))
         fs.delete(st.getPath, false)
     }
-    // nShards is part of the NAME: two exports of the same dir under
-    // different layouts can never collide on a file, so the stale
-    // sweep below fully converges a re-export (review-caught: with
-    // layout-agnostic names, an nShards=4 re-export over an nShards=8
-    // dir trusted the existing shard-0..3 files and the verify failed
-    // on content that was never this layout's)
-    def shardFile(k: Long) = new Path(out, f"shard-$k%05d-of-$nShards%d.parquet")
     // the receipt this export must reproduce, from the SAME relation
     val manifest = shardManifestOf(docs, nShards)
     val receipt = manifest
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
+    // layout AND content epoch are part of the NAME: nShards
+    // (review-caught: with layout-agnostic names, an nShards=4
+    // re-export over an nShards=8 dir trusted the existing shard-0..3
+    // files and the verify failed on content that was never this
+    // layout's) plus a prefix of the shard's receipt digest (round-12
+    // advice: with content-agnostic names, a re-export after ANY
+    // keep-set change at the SAME nShards could never converge —
+    // every file "existed", nothing was rewritten, and the verify
+    // failed forever on the stale bytes). Content-addressed names make
+    // re-export idempotent by construction: unchanged shards keep
+    // their file, changed shards get a fresh name and the superseded
+    // file ages out through the stale sweep's grace — published shard
+    // files stay immutable, and a reader holding the old manifest
+    // keeps a consistent view of the old content.
+    def shardFile(k: Long) =
+      new Path(out, f"shard-$k%05d-of-$nShards%d-${receipt(k)._3.take(8)}%s.parquet")
     // STALE-SHARD SWEEP (review-caught): a prior export of the same
     // dir under a different layout (or a shrunken keep set) left shard
     // files the current receipt never names — the verify pass only
@@ -724,7 +737,7 @@ object Pipeline {
     val written = s.read
       .parquet(receipt.keys.toSeq.sorted.map(shardFile(_).toString): _*)
       .withColumn("shard_id",
-        regexp_extract(input_file_name(), "shard-(\\d+)-of-\\d+\\.parquet", 1).cast("long"))
+        regexp_extract(input_file_name(), "shard-(\\d+)-of-\\d+-[0-9a-f]+\\.parquet", 1).cast("long"))
     val verified = written
       .select(col("shard_id"), col("pos"), md5(col("text")).as("dg"),
               size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -740,9 +753,9 @@ object Pipeline {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     require(onDisk == receipt,
       s"export verification FAILED: written shards diverge from the receipt " +
-        s"(tampered/truncated files, or a prior export of a DIFFERENT corpus " +
-        s"under the same layout — remove the stale files and re-export) — " +
-        s"disk=$onDisk receipt=$receipt")
+        s"(names are content-addressed, so this means a file was tampered " +
+        s"with or truncated AFTER an export wrote it — remove the bad files " +
+        s"and re-export) — disk=$onDisk receipt=$receipt")
     // only now that THIS export is complete and verified: flip the
     // consumer-facing manifest atomically, then retire the previous
     // layout's files (a reader holding the OLD manifest keeps a

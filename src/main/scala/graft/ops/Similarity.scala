@@ -756,7 +756,8 @@ object Similarity {
     // persisted centroid table, inside a path that collects probes
     // driver-side anyway.
     val probesPlan = nearestCentroids(
-      vs.filter(col("vec_id") < nQueries), cents, effectiveNprobe(nprobe, g, cents), "q")
+      vs.filter(col("vec_id") < nQueries), cents,
+      effectiveNprobe(nprobe, g, if (g == 0L) 0L else nlistAt(s, dir, g, cents)), "q")
     val probeRows = probesPlan.collect()
     val probes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
@@ -772,10 +773,23 @@ object Similarity {
     * unscaled, oracle-exact, no count job; a retrained generation
     * scales by nlist/IvfNList to preserve the probed fraction across
     * [[rebuildNList]] re-dimensioning. */
-  private def effectiveNprobe(nprobe: Int, g: Long, cents: DataFrame): Int =
+  private def effectiveNprobe(nprobe: Int, g: Long, nlist: Long): Int =
     if (g == 0L) nprobe
     else math.max(nprobe.toLong,
-      math.ceil(nprobe.toDouble * cents.count() / IvfNList).toLong).toInt
+      math.ceil(nprobe.toDouble * nlist / IvfNList).toLong).toInt
+
+  /** Memoized centroid count per (dir, generation). A generation's
+    * centroid table is immutable once its claim flips (write-then-flip,
+    * claims never reused), so the count can never go stale; without the
+    * memo every probe resolution at g ≥ 1 ran a count job over the
+    * centroid table — and paths that consult both the serving side and
+    * the [[probedLists]] seam paid it twice per operation (round-12
+    * advice). Gen 0 never reaches here (no count job, by contract).
+    * The map is bounded by rebuild count × index dirs per process. */
+  private val nlistCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private def nlistAt(s: SparkSession, dir: String, g: Long, cents: => DataFrame): Long =
+    nlistCache.computeIfAbsent((dir, g), _ => cents.count()).longValue()
 
   /** Test seam: the distinct inverted lists the indexed search probes
     * for a given query set — what the partitioned-scan pruning must
@@ -788,7 +802,7 @@ object Similarity {
     val g = IndexTables.annGeneration(s, dir)
     val cents = servingCentroidsAt(s, dir, g)
     nearestCentroids(vs.filter(col("vec_id") < nQueries), cents,
-        effectiveNprobe(nprobe, g, cents), "q")
+        effectiveNprobe(nprobe, g, if (g == 0L) 0L else nlistAt(s, dir, g, cents)), "q")
       .select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
   }

@@ -146,16 +146,47 @@ private[graft] object Cas {
     val tmp = new Path(dst.getParent, s".tmp-${dst.getName}-${UUID.randomUUID()}")
     val os = fs.create(tmp, true)
     try os.write(payload) finally os.close()
+    renameOverwrite(fs, conf, tmp, dst)
+  }
+
+  /** The well-known fallback name [[renameOverwrite]] retires the old
+    * destination to on schemes without a single-step overwrite rename:
+    * a reader that finds `dst` absent (the fallback's brief window, or
+    * a crash inside it) may read `dst.getName + PrevSuffix` — the last
+    * successfully-published value — instead of concluding "nothing was
+    * ever published". */
+  val PrevSuffix = ".prev"
+
+  /** Rename `src` onto `dst`, REPLACING any existing file: a
+    * single-step overwrite rename where the filesystem offers one
+    * (FileContext OVERWRITE — no window with the destination absent).
+    * On schemes with no AbstractFileSystem binding (stock s3a/gs/abfs
+    * configs) the fallback first RETIRES the old destination to the
+    * well-known `<name>.prev` instead of deleting it, so a crash
+    * between the two renames strands consumers with a readable
+    * previous value rather than with nothing (round-12 advice: the
+    * old delete+rename fallback left the export-manifest consumers —
+    * contracted to read only the manifest — seeing 'no export' while
+    * every data file of the old layout sat intact next to them). */
+  def renameOverwrite(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                      src: Path, dst: Path): Unit =
     try
       org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"publishOverwrite: rename $tmp -> $dst failed")
+        val prev = new Path(dst.getParent, dst.getName + PrevSuffix)
+        try {
+          fs.delete(prev, false)
+          if (!fs.rename(dst, prev)) fs.delete(dst, false)
+        } catch {
+          // retiring to .prev is best-effort availability, never a
+          // reason to fail the publish itself
+          case _: java.io.IOException => fs.delete(dst, false)
+        }
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"renameOverwrite: rename $src -> $dst failed")
     }
-  }
 
   private def restrict(p: java.nio.file.Path): Unit =
     try java.nio.file.Files.setPosixFilePermissions(p, java.util.EnumSet.of(
