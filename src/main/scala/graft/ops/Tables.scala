@@ -129,6 +129,49 @@ object Tables {
     n
   }
 
+  /** CACHE COHERENCE ON STORE MUTATION (round-12 verdict #2): the memo
+    * layer's stated contract is that a key's data dir is immutable for
+    * the life of a session — true for every parquet scan of the test
+    * tables, and violated by exactly one thing in the engine: the
+    * row-level purge ([[graft.storage.ManifestLog.rewriteExcluding]] /
+    * [[graft.storage.LogStore.rewriteExcluding]]), which is the first
+    * in-store MUTATOR. Without this hook a long-lived serving process
+    * that purges and then reads a memoized derived relation keeps
+    * serving the purged rows until restart — a right-to-be-forgotten
+    * hole at the cache layer. Both purge paths call this with their
+    * store root after a successful swap.
+    *
+    * Scope: every entry whose key dir OVERLAPS the mutated dir (equal,
+    * contains it, or is contained by it — a relation memoized over a
+    * parent dir can transitively derive from the mutated store), in
+    * EVERY session (the mutation is to shared storage, not to one
+    * session's view). Compaction does NOT invalidate: its rewrite is
+    * bag-equal by contract, so memoized VALUES stay correct and the
+    * checkpoint blocks hold rows, not file references. Returns entries
+    * dropped. */
+  def invalidateDir(dir: String): Int = {
+    def norm(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      if (u.length > 1 && u.endsWith("/")) u.dropRight(1) else u
+    }
+    val d = norm(dir)
+    def overlaps(other: String): Boolean = {
+      val o = norm(other)
+      o == d || o.startsWith(d + "/") || d.startsWith(o + "/")
+    }
+    val it = relCache.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (overlaps(e.getKey._3)) {
+        it.remove(); n += 1
+        if (!e.getKey._2.sparkContext.isStopped)
+          try unpersistCheckpoint(e.getValue) catch { case _: Exception => () }
+      }
+    }
+    n
+  }
+
   /** A localCheckpoint'ed DataFrame's plan is a LogicalRDD over the
     * materialized (persisted) RDD — unpersist that RDD to free its
     * blocks. Non-LogicalRDD plans (nothing to release) are a no-op. */

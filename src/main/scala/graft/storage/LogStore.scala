@@ -396,6 +396,9 @@ final class LogStore(spark: SparkSession, root: String,
           }
           fs.delete(st.getPath, false)
         }
+        // drop memoized derived relations over this root — the purge
+        // mutated the store under them (see ManifestLog.rewriteExcluding)
+        graft.ops.Tables.invalidateDir(root)
         purged
       } finally wl.unlock()
     }

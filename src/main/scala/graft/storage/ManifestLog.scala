@@ -895,6 +895,12 @@ final class ManifestLog(spark: SparkSession, root: String,
         coldRel.foreach(e => fs.delete(new Path(abs(e)), false))
         return 0L
       }
+      // the purge is the engine's only in-store MUTATOR: memoized
+      // derived relations over this root (any session) now hold rows
+      // the store no longer does — drop them so the next read
+      // re-derives (round-12 verdict: the right-to-be-forgotten story
+      // had a hole at the cache layer)
+      graft.ops.Tables.invalidateDir(root)
       purged
     }
 
