@@ -148,6 +148,10 @@ object SparkEntry {
     "text_lm_bigram"       -> ((s: SparkSession, d: String) => TextAnalysis.lmBigram(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    // two-stage Matryoshka serving: prefix-dim shortlist (32 of 64
+    // dims, re-normed) + exact full-dim rerank — the deployment shape
+    // emb_prefix_recall's report justifies (round-13)
+    "ann_prefix_topk" -> ((s: SparkSession, d: String) => Similarity.prefixTopK(s, d)),
     // Matryoshka truncation evaluation: prefix-dim recall vs full-dim
     // exact truth, per prefix length (the pre-flight for an 8x
     // storage/bandwidth cut via truncated embeddings)
@@ -264,6 +268,13 @@ object SparkEntry {
     "pipe_token_shards_bpe"  -> ((s: SparkSession, d: String) => Pipeline.tokenShardsBpe(s, d)),
     "pipe_packing_plan_bpe"  -> ((s: SparkSession, d: String) => Pipeline.packingPlanBpe(s, d)),
     "pipe_token_quota_bpe"   -> ((s: SparkSession, d: String) => Pipeline.tokenQuotaBpe(s, d)),
+    // round-13: the rest of the budget family re-denominated in BPE
+    // tokens — epoch planning, both mixtures, and the data card's
+    // token columns all ride the SAME bpeTokenRelation denominator
+    "pipe_epochs_plan_bpe"   -> ((s: SparkSession, d: String) => Pipeline.epochsPlanBpe(s, d)),
+    "pipe_temperature_mixture_bpe" -> ((s: SparkSession, d: String) => Pipeline.temperatureMixtureBpe(s, d)),
+    "pipe_balanced_mixture_bpe" -> ((s: SparkSession, d: String) => Pipeline.balancedMixtureBpe(s, d)),
+    "pipe_data_card_bpe"     -> ((s: SparkSession, d: String) => Pipeline.dataCardBpe(s, d)),
     // chop-vs-pad sequence-packing forecast at a 512-token budget
     "pipe_packing_plan"      -> ((s: SparkSession, d: String) => Pipeline.packingPlan(s, d)),
     // near-dup-cluster-keyed train/val/test assignment (no split leakage)
@@ -296,6 +307,12 @@ object SparkEntry {
     // from a completed run's corpus, emit removals + survivor
     // corrections, receipt must equal a full run minus the removed set
     "pipe_takedown"          -> (CurationRun.takedownSelfContained _),
+    // batch-bounded frozen-stat admission of the top decile + the
+    // measured frozen-vs-exact divergence (the staleness price) —
+    // round-12 verdict #1; the indexed twin probes the persisted
+    // digest index + base-slice shingle segments
+    "pipe_curation_admit"    -> (Pipeline.curationAdmit _),
+    "pipe_curation_admit_indexed" -> (Pipeline.curationAdmitIndexed _),
     // per-source release datasheet: curation outcomes + token budget
     "pipe_data_card"         -> (Pipeline.dataCard _),
     "pipe_shard_manifest"    -> ((s: SparkSession, d: String) => Pipeline.shardManifest(s, d)),
@@ -775,6 +792,10 @@ object SparkEntry {
       // written shard bytes; the in-op require proves it equals the
       // in-plan receipt, so the two share one oracle text
       "pipe_export_verify"    -> "pipe_shard_manifest",
+      // the index-served frozen admission shares the in-plan form's
+      // decision body (admissionFrozenOver) — identical rows by
+      // construction, proven in AdmissionFrozenSpec
+      "pipe_curation_admit_indexed" -> "pipe_curation_admit",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(
@@ -2091,6 +2112,32 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // two-stage prefix serving: the 32-dim re-normed shortlist (top-64
+    // by prefix cosine, id tiebreak) reranked by the exact full-dim
+    // cosine — both stages rank raw doubles (the shared fold), the
+    // served score is trunc6'd like every ANN row
+    "ann_prefix_topk" ->
+      s"""WITH $vectorsCte,
+         |pn AS (
+         |  SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pnorm
+         |  FROM (SELECT vec_id, list_slice(v, 1, 32) AS pv FROM vn) x
+         |  WHERE list_dot_product(pv, pv) > 0),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.pv, n.pv) / (q.pnorm * n.pnorm) DESC, n.vec_id) AS srk
+         |    FROM pn q JOIN pn n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 8) t WHERE srk <= 64),
+         |ranked AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sl.neighbor_id) AS rk
+         |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
+         |          JOIN vn n ON sl.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // prefix-dim brute top-k vs the full-dim truth: overlap counts are
     // exact integers (float cos ranks replay — list_dot_product and
     // graft_dot are the same left-to-right fold, slices 1-based both
@@ -2921,6 +2968,60 @@ object SparkEntry {
          |  floor(CAST(SUM(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS DOUBLE)
          |        / 800 * 1000000) / 1000000 AS utilization
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // the epoch/repeat plan under the trained tokenizer — same integer
+    // math as pipe_epochs_plan over the shared BPE denominator
+    "pipe_epochs_plan_bpe" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |$bpePerDocCte,
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST(1000000 // total_tokens AS BIGINT) AS epochs_full,
+         |  CAST(1000000 % total_tokens AS BIGINT) AS tail_tokens,
+         |  floor(CAST(1000000 AS DOUBLE) / total_tokens * 1000000) / 1000000
+         |    AS repeat_factor,
+         |  CAST(LEAST(1000000, 4 * total_tokens) AS BIGINT) AS usable_tokens,
+         |  CAST(1000000 - LEAST(1000000, 4 * total_tokens) AS BIGINT) AS shortfall
+         |FROM g ORDER BY source""".stripMargin,
+    // temperature flattening with mass = trained-tokenizer tokens —
+    // same rate derivation as pipe_temperature_mixture over the shared
+    // BPE denominator
+    "pipe_temperature_mixture_bpe" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |$bpePerDocCte,
+         |counts AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS mass FROM t GROUP BY source),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(FLOOR(100.0 * sqrt(CAST((SELECT MIN(mass) FROM counts) AS DOUBLE) / mass)) AS BIGINT) AS rate
+         |  FROM counts),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+         |  FROM t)
+         |SELECT b.doc_id, b.source, b.bucket, r.rate
+         |FROM b JOIN rates r ON b.source = r.source
+         |WHERE b.bucket < r.rate
+         |ORDER BY doc_id""".stripMargin,
+    // balanced mixture with mass = trained-tokenizer tokens (target =
+    // half the smallest source's BPE token mass) — same integer rate
+    // rule as pipe_balanced_mixture over the shared BPE denominator
+    "pipe_balanced_mixture_bpe" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |$bpePerDocCte,
+         |counts AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS cnt FROM t GROUP BY source),
+         |rates AS (
+         |  SELECT source, CAST(100 * ((SELECT MIN(cnt) FROM counts) // 2) // cnt AS BIGINT) AS rate
+         |  FROM counts),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+         |  FROM t)
+         |SELECT b.doc_id, b.source, b.bucket, r.rate
+         |FROM b JOIN rates r ON b.source = r.source
+         |WHERE b.bucket < r.rate
+         |ORDER BY doc_id""".stripMargin,
     "pipe_leakage_split" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$ngramComponentsCte,
@@ -3099,6 +3200,107 @@ object SparkEntry {
          |       THEN CAST(FLOOR(CAST(kept_tokens AS DOUBLE) / n_keep) AS BIGINT)
          |       ELSE 0 END AS mean_keep_tokens
          |FROM g ORDER BY source""".stripMargin,
+    // the data card's token columns under the trained tokenizer — the
+    // decision chain is shared verbatim with pipe_data_card; only the
+    // token join swaps to the shared BPE denominator (CTE `t`)
+    "pipe_data_card_bpe" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |$curationGatesCte,
+         |${bpeRoundsCte(10)},
+         |$bpePerDocCte,
+         |dec AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN d.exact_dup THEN 'exact_dup'
+         |         WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id THEN 'near_dup'
+         |         WHEN NOT coalesce(f.ok_q, false) THEN 'quality'
+         |         ELSE 'keep' END AS decision
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id),
+         |g AS (
+         |  SELECT dec.source,
+         |    COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |    CAST(SUM(CASE WHEN decision = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |    CAST(SUM(CASE WHEN decision = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |    CAST(SUM(CASE WHEN decision = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |    CAST(SUM(CASE WHEN decision = 'keep' THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  FROM dec JOIN t USING (doc_id) GROUP BY dec.source)
+         |SELECT source, n_docs, n_keep, n_exact_dup, n_near_dup, n_quality,
+         |  floor(CAST(n_keep AS DOUBLE) / n_docs * 1000000) / 1000000 AS keep_rate,
+         |  kept_tokens,
+         |  CASE WHEN n_keep > 0
+         |       THEN CAST(FLOOR(CAST(kept_tokens AS DOUBLE) / n_keep) AS BIGINT)
+         |       ELSE 0 END AS mean_keep_tokens
+         |FROM g ORDER BY source""".stripMargin,
+    // frozen-stat admission: the batch (top decile by the delta split
+    // rule) gated against the BASE slice's frozen statistics — frozen
+    // keeper digests (bdig), the base slice's OWN 20% hot set (hotf,
+    // capping BOTH sides — the freeze), batch-internal exact keepers
+    // (min doc_id per digest), per-doc Gopher flags — plus the exact
+    // combined-corpus decision (the shared comp/d/f chain) for the
+    // n_divergent staleness price
+    "pipe_curation_admit" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$ngramComponentsCte,
+         |$curationGatesCte,
+         |thr AS (SELECT (9 * MAX(doc_id)) // 10 AS t FROM documents),
+         |bdig AS (
+         |  SELECT DISTINCT md5(text) AS digest FROM documents
+         |  WHERE doc_id <= (SELECT t FROM thr)),
+         |batk AS (
+         |  SELECT doc_id, source, digest,
+         |    MIN(doc_id) OVER (PARTITION BY digest) AS batch_keep
+         |  FROM (SELECT doc_id, source, md5(text) AS digest FROM documents
+         |        WHERE doc_id > (SELECT t FROM thr)) z),
+         |nbase AS (SELECT COUNT(*) AS n_total FROM documents
+         |          WHERE doc_id <= (SELECT t FROM thr)),
+         |hotf AS (
+         |  SELECT s FROM sh WHERE doc_id <= (SELECT t FROM thr)
+         |  GROUP BY s
+         |  HAVING COUNT(*) > GREATEST(2, CAST(FLOOR(0.2 * (SELECT n_total FROM nbase)) AS BIGINT))),
+         |bcap AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE doc_id <= (SELECT t FROM thr) AND s NOT IN (SELECT s FROM hotf)),
+         |tcap AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE doc_id > (SELECT t FROM thr) AND s NOT IN (SELECT s FROM hotf)),
+         |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bcap GROUP BY doc_id),
+         |tsz AS (SELECT doc_id, COUNT(*) AS n FROM tcap GROUP BY doc_id),
+         |ncommon AS (
+         |  SELECT a.doc_id AS batch_doc, b.doc_id AS base_doc, COUNT(*) AS c
+         |  FROM tcap a JOIN bcap b ON a.s = b.s GROUP BY 1, 2),
+         |nhit AS (
+         |  SELECT DISTINCT batch_doc AS doc_id
+         |  FROM ncommon JOIN tsz x ON batch_doc = x.doc_id
+         |               JOIN bsz y ON base_doc = y.doc_id
+         |  WHERE floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 1000000) / 1000000 >= 0.5),
+         |froz AS (
+         |  SELECT k.doc_id, k.source,
+         |    CASE WHEN bd.digest IS NOT NULL OR k.doc_id <> k.batch_keep THEN 'exact_dup'
+         |         WHEN nh.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN NOT coalesce(f.ok_q, false) THEN 'quality'
+         |         ELSE 'keep' END AS decision
+         |  FROM batk k LEFT JOIN bdig bd ON k.digest = bd.digest
+         |       LEFT JOIN nhit nh ON k.doc_id = nh.doc_id
+         |       LEFT JOIN f ON k.doc_id = f.doc_id),
+         |ex AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.exact_dup THEN 'exact_dup'
+         |         WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id THEN 'near_dup'
+         |         WHEN NOT coalesce(f.ok_q, false) THEN 'quality'
+         |         ELSE 'keep' END AS exact_decision
+         |  FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         LEFT JOIN f ON d.doc_id = f.doc_id
+         |  WHERE d.doc_id > (SELECT t FROM thr))
+         |SELECT froz.source, COUNT(*) AS n_batch,
+         |  CAST(SUM(CASE WHEN froz.decision = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN froz.decision = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN froz.decision = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(SUM(CASE WHEN froz.decision = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN froz.decision <> ex.exact_decision THEN 1 ELSE 0 END) AS BIGINT) AS n_divergent
+         |FROM froz JOIN ex USING (doc_id)
+         |GROUP BY froz.source ORDER BY froz.source""".stripMargin,
     "pipe_gopher_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -129,14 +129,21 @@ object Dedup {
     * constant key (a broadcast hash join, not a BNLJ), so building a
     * shingle-family query dispatches no eager count() job. CONTRACT:
     * `shAll` and `docs` must describe the same slice. */
-  private[ops] def cappedShinglesOf(shAll: DataFrame, docs: DataFrame): DataFrame = {
+  private[ops] def cappedShinglesOf(shAll: DataFrame, docs: DataFrame): DataFrame =
+    shAll.join(broadcast(hotShingleSet(shAll, docs)), Seq("s"), "left_anti")
+
+  /** THE 20%-DF hot-shingle rule over a (shingles, docs) slice pair —
+    * factored out of [[cappedShinglesOf]] so the frozen-admission path
+    * ([[Pipeline.curationAdmit]]) can apply ONE slice's hot set to a
+    * DIFFERENT slice's shingles (the batch, capped by the base
+    * corpus's FROZEN statistics) without forking the rule. */
+  private[ops] def hotShingleSet(shAll: DataFrame, docs: DataFrame): DataFrame = {
     val total = docs.agg(count(lit(1)).as("n_total")).withColumn("k", lit(1))
-    val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("k", lit(1))
       .join(broadcast(total), Seq("k"))
       .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
       .select(col("s"))
-    shAll.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
   /** Shared overlap stats over the DF-capped shingle relation:

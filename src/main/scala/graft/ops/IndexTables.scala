@@ -520,26 +520,62 @@ object IndexTables {
     * relation feeds both self-join sides and the size aggregate of any
     * consumer. */
   def mergedShingleView(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     ensureShingleSegments(s, dir)
+    mergedShingleViewEnsured(s, dir)
+  }
+
+  /** [[mergedShingleView]] over an ALREADY-ENSURED segment key — the
+    * frozen-admission path persists the base slice's segments under a
+    * synthetic key ([[ensureShingleSegmentsFrom]]), for which the plain
+    * entry point's ensure would wrongly try to read `key` as a data
+    * dir. Caller contract: the segments for `key` exist. */
+  private[ops] def mergedShingleViewEnsured(s: SparkSession, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     // the df/meta tables ride seg's ensure guard; a crashed compaction
     // swap may have left either one staged — repair before reading
-    Seq(segDfName(dir), segMetaName(dir)).foreach(repairStaged(s, _))
-    val seg = s.table(segName(dir))
-    val dfs = s.table(segDfName(dir))
-    val total = s.table(segMetaName(dir))
-      .agg(sum(col("n_docs")).as("n_total")).withColumn("k", lit(1))
-    val hot = dfs.groupBy(col("s")).agg(sum(col("df")).as("df"))
-      .withColumn("k", lit(1))
-      .join(org.apache.spark.sql.functions.broadcast(total), Seq("k"))
-      .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
-      .select(col("s"))
+    Seq(segDfName(key), segMetaName(key)).foreach(repairStaged(s, _))
+    val seg = s.table(segName(key))
     val capped = seg
-      .join(org.apache.spark.sql.functions.broadcast(hot), Seq("s"), "left_anti")
+      .join(org.apache.spark.sql.functions.broadcast(segmentHotSet(s, key)),
+        Seq("s"), "left_anti")
       .localCheckpoint()
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     capped.join(sizes, Seq("doc_id"))
   }
+
+  /** The SERVED hot-shingle set of a segment key: per-segment DFs
+    * summed (segments hold disjoint docs, so the sum IS the corpus DF)
+    * against the summed meta denominator — the one definition of the
+    * segment-side 20% rule, shared by [[mergedShingleViewEnsured]] and
+    * the frozen-admission probe (which must cap BATCH shingles by the
+    * INDEX's committed hot set, not a re-derived one). */
+  private[ops] def segmentHotSet(s: SparkSession, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dfs = s.table(segDfName(key))
+    val total = s.table(segMetaName(key))
+      .agg(sum(col("n_docs")).as("n_total")).withColumn("k", lit(1))
+    dfs.groupBy(col("s")).agg(sum(col("df")).as("df"))
+      .withColumn("k", lit(1))
+      .join(org.apache.spark.sql.functions.broadcast(total), Seq("k"))
+      .filter(col("df") > greatest(lit(2L), floor(lit(0.2) * col("n_total")).cast("long")))
+      .select(col("s"))
+  }
+
+  /** FROZEN keeper-digest index (round-13, the admission gate's
+    * exact-dup probe): the distinct md5 text digests of the base slice
+    * (`doc_id <= thr`), bucketed by digest so a batch's admission
+    * probe is an Exchange-free equi-join on the digest key. In a
+    * deployment this table is maintained by the curation run that
+    * committed the slice (append a batch's digests when the batch is
+    * admitted); here it builds once per (catalog, dir, thr) and every
+    * subsequent admission probes it. ~32 B/doc — the smallest index in
+    * the engine. */
+  def ensureAdmissionDigests(s: SparkSession, dir: String, thr: Long): String =
+    ensure(s, s"idx_admit_digest_${tag(dir)}_$thr", Seq("digest")) {
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, dir).filter(col("doc_id") <= thr)
+        .select(md5(col("text")).as("digest")).distinct()
+    }
 
   /** IVF inverted index: every vector's (n_id, n_v, n_norm) under the
     * deterministic seed quantizer, PARTITIONED BY `list_id` — the

@@ -90,14 +90,31 @@ object Pipeline {
     * (map-side combined, rows = #sources), joined back broadcast-style
     * onto one scan. The sampled manifest is deterministic: reruns and
     * retries pick the same docs. */
-  def balancedMixture(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+  def balancedMixture(s: SparkSession, dir: String): DataFrame =
+    balancedMixtureOver(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), lit(1L).as("n_tokens")))
+
+  /** [[balancedMixture]] denominated in TRAINED-TOKENIZER tokens
+    * (round-12 verdict #4, final leg): "balanced" for a trainer means
+    * balanced TOKEN mass, not document counts — a source of long
+    * documents is over-represented per document. Target budget = half
+    * the smallest source's BPE token mass; each source's keep rate is
+    * the same integer-percent derivation. Shared body + the ONE
+    * [[bpeTokenRelation]] denominator, so this twin can never disagree
+    * with the packing family about what a token is. */
+  def balancedMixtureBpe(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    balancedMixtureOver(bpeTokenRelation(s, dir, nMerges))
+
+  /** THE balanced-mixture body over an explicit (doc_id, source,
+    * n_tokens) mass relation — mass 1 per doc reproduces the original
+    * document-count balancing; BPE counts give token-mass balancing. */
+  private def balancedMixtureOver(rel: DataFrame): DataFrame = {
+    val counts = rel.groupBy(col("source")).agg(sum(col("n_tokens")).as("cnt"))
     val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
     val rates = counts.crossJoin(broadcast(minCnt))
       .withColumn("rate", expr("CAST(100 * (min_cnt div 2) div cnt AS BIGINT)"))
       .select(col("source"), col("rate"))
-    docs
+    rel
       .withColumn("bucket", sampleBucket)
       .join(broadcast(rates), Seq("source"))
       .filter(col("bucket") < col("rate"))
@@ -116,16 +133,29 @@ object Pipeline {
     * non-integer step), then the same deterministic md5-bucket keep
     * decision every sampler here uses. Two-pass shape at any scale:
     * tiny per-source aggregate joined back broadcast onto one scan. */
-  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-    val counts = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("mass"))
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame =
+    temperatureMixtureOver(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** [[temperatureMixture]] with mass denominated in TRAINED-TOKENIZER
+    * tokens — temperature flattening rebalances the token budget a
+    * trainer consumes, so the mass it flattens must be counted in the
+    * tokens the trainer counts ([[tokenShardsBpe]]'s rationale). Shared
+    * body, shared [[bpeTokenRelation]] denominator. */
+  def temperatureMixtureBpe(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    temperatureMixtureOver(bpeTokenRelation(s, dir, nMerges))
+
+  /** THE temperature-mixture body over an explicit (doc_id, source,
+    * n_tokens) mass relation — one definition for both denominators. */
+  private def temperatureMixtureOver(rel: DataFrame): DataFrame = {
+    val counts = rel.groupBy(col("source")).agg(sum(col("n_tokens")).as("mass"))
     val minMass = counts.agg(min(col("mass")).as("min_mass"))
     val rates = counts.crossJoin(broadcast(minMass))
       .withColumn("rate",
         floor(lit(100.0) * sqrt(col("min_mass").cast("double") / col("mass"))).cast("long"))
       .select(col("source"), col("rate"))
-    docs
+    rel
       .withColumn("bucket", sampleBucket)
       .join(broadcast(rates), Seq("source"))
       .filter(col("bucket") < col("rate"))
@@ -876,8 +906,24 @@ object Pipeline {
     * corpus-scan aggregate per source — nothing beyond the token pass
     * every packing op shares. */
   def epochsPlan(s: SparkSession, dir: String, budget: Long = 1000000L): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    epochsPlanOver(
+      Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget)
+
+  /** [[epochsPlan]] denominated in TRAINED-TOKENIZER tokens — an epoch
+    * budget is consumed in the tokens the trainer reads, so the
+    * repeat/cap math must count them ([[tokenShardsBpe]]'s rationale;
+    * round-12 verdict #4). Shared body, shared [[bpeTokenRelation]]
+    * denominator — the budget family agrees on one token definition. */
+  def epochsPlanBpe(s: SparkSession, dir: String, budget: Long = 1000000L,
+                    nMerges: Int = 10): DataFrame =
+    epochsPlanOver(bpeTokenRelation(s, dir, nMerges), budget)
+
+  /** THE epoch-plan body over an explicit (source, n_tokens) relation —
+    * one definition for both denominators. */
+  private def epochsPlanOver(rel: DataFrame, budget: Long): DataFrame =
+    rel
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .withColumn("epochs_full", expr(s"$budget div total_tokens"))
@@ -1029,7 +1075,14 @@ object Pipeline {
   /** Per-document rule flags — the unit [[gopherQuality]] aggregates and
     * [[curationManifest]] folds into its keep/drop decision. */
   private[ops] def gopherFlags(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    gopherFlagsOf(Tables.documents(s, dir))
+
+  /** The Gopher rule flags over an explicit (doc_id, source, text)
+    * relation — the per-document gate is corpus-independent, so the
+    * frozen-admission path can flag a BATCH without touching base
+    * text. One definition of the four thresholds. */
+  private[ops] def gopherFlagsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("source"), col("tok"))
@@ -1128,6 +1181,166 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("decision"))
   }
 
+  /** BATCH-BOUNDED curation admission against FROZEN prior statistics
+    * (round-12 verdict #1) — the O(batch) decision path the exact
+    * delta run deliberately lacks: [[CurationRun.deltaRun]] re-derives
+    * decisions over the COMBINED corpus per batch (exact, but
+    * SCALECHECK shows delta-only costing more than a full run), while
+    * a production pipeline ADMITS each batch against the statistics
+    * the prior run already committed, with bounded staleness. The
+    * frozen rule, per batch document (`doc_id > thr`), gate order as
+    * every curation decision here:
+    *
+    *  1. `exact_dup` — its digest exists in the BASE corpus (every
+    *     base digest group already elected a keeper — frozen keepers),
+    *     or an earlier batch document in this batch has the same
+    *     digest (within-batch keeper = the group's minimum doc_id);
+    *  2. `near_dup` — capped-shingle Jaccard ≥ 0.5 against some BASE
+    *     document, where BOTH sides are capped by the base corpus's
+    *     FROZEN hot set (the 20% DF cap as of the prior run — batch
+    *     mass can neither re-hot nor un-hot a shingle until the next
+    *     full/delta run);
+    *  3. `quality` — fails a [[gopherFlags]] rule (per-document,
+    *     corpus-independent — identical to the exact gate);
+    *  4. `keep`.
+    *
+    * What the frozen rule does NOT see is exactly the staleness being
+    * bought: batch-internal near-dup pairs admit together, DF-cap
+    * drift is invisible, and keeper re-elections can't happen — the
+    * declared query measures that price as `n_divergent`, the count
+    * of batch docs where this rule and the exact combined-corpus
+    * decision ([[curationDecisions]]) disagree.
+    *
+    * Scale shape (the point of the op): every input the rule probes is
+    * either BATCH-derived (batch digests, batch shingles, batch
+    * quality flags — all O(batch)) or a FROZEN asset the prior run
+    * already paid for (the digest set, the hot set, the base capped
+    * shingles — persisted index tables in [[admissionFrozenIndexed]],
+    * probed by bucket-key equi-joins); the candidate join is bounded
+    * by batch×matched overlap, never corpus². */
+  private[ops] def admissionFrozen(s: SparkSession, dir: String, thr: Long): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") <= thr)
+    val batch = docs.filter(col("doc_id") > thr)
+    val shAll = Dedup.shingles(s, dir)
+    val baseSh = shAll.filter(col("doc_id") <= thr)
+    // ONE hot set — the base slice's (Dedup.hotShingleSet, the shared
+    // 20% rule) — caps BOTH sides: that asymmetry IS the freeze
+    val hot = Dedup.hotShingleSet(baseSh, base)
+    val baseCapped = baseSh.join(broadcast(hot), Seq("s"), "left_anti")
+    val batchCapped = shAll.filter(col("doc_id") > thr)
+      .join(broadcast(hot), Seq("s"), "left_anti")
+    admissionFrozenOver(batch, batchCapped,
+      base.select(md5(col("text")).as("digest")).distinct(), baseCapped)
+  }
+
+  /** [[admissionFrozen]] probing PERSISTED frozen assets — the deployed
+    * shape: the base slice's keeper digests live in a bucketed digest
+    * index ([[IndexTables.ensureAdmissionDigests]]) and its capped
+    * shingles + hot set are SERVED from the segment index built over
+    * the base docs under a slice key ([[IndexTables
+    * .ensureShingleSegmentsFrom]] — the committed statistics, not a
+    * re-derivation). Identical rows to the in-plan form BY the shared
+    * decision body (AdmissionFrozenSpec proves it), which is why the
+    * declared twin shares one oracle text. */
+  private[ops] def admissionFrozenIndexed(s: SparkSession, dir: String, thr: Long): DataFrame = {
+    val key = s"$dir#admit$thr"
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") > thr)
+    IndexTables.ensureShingleSegmentsFrom(s, key,
+      docs.filter(col("doc_id") <= thr).select(col("doc_id"), col("text")))
+    val digests = s.table(IndexTables.ensureAdmissionDigests(s, dir, thr))
+    // batch shingles capped by the INDEX's committed hot set — the
+    // same frozen asymmetry as the in-plan form
+    val hot = IndexTables.segmentHotSet(s, key)
+    val batchCapped = Dedup.shinglesOf(batch.select(col("doc_id"), col("text")))
+      .join(broadcast(hot), Seq("s"), "left_anti")
+    val baseCapped = IndexTables.mergedShingleViewEnsured(s, key)
+      .select(col("doc_id"), col("s"))
+    admissionFrozenOver(batch, batchCapped, digests, baseCapped)
+  }
+
+  /** THE frozen-admission decision body — one definition for the
+    * in-plan and index-served variants, so the gate rule cannot drift
+    * between the oracle contract and the deployed probe. Inputs:
+    * `batch` (doc_id, source, text), `batchCapped`/`baseCapped`
+    * (doc_id, s) both capped by the SAME frozen hot set, `baseDigests`
+    * (digest). */
+  private def admissionFrozenOver(batch: DataFrame, batchCapped: DataFrame,
+                                  baseDigests: DataFrame,
+                                  baseCapped: DataFrame): DataFrame = {
+    val wDigest = Window.partitionBy(col("digest"))
+    val dig = batch.select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+      .withColumn("batch_keep", min(col("doc_id")).over(wDigest))
+      .join(baseDigests.select(col("digest")).withColumn("in_base", lit(1L)),
+        Seq("digest"), "left")
+    val bsz = baseCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val tsz = batchCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // batch→base candidates on shared informative shingles: bounded by
+    // real overlap (the capped join key), never batch × corpus
+    val common = batchCapped.as("a").join(baseCapped.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("base_doc"))
+      .agg(count(lit(1)).as("c"))
+    val nearHits = common
+      .join(tsz.as("x"), col("batch_doc") === col("x.doc_id"))
+      .join(bsz.as("y"), col("base_doc") === col("y.doc_id"))
+      .withColumn("jaccard",
+        trunc6(col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("batch_doc").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1L))
+    val flags = gopherFlagsOf(batch)
+      .select(col("doc_id"),
+        (col("ok_words") && col("ok_wlen") && col("ok_stop") && col("ok_rep")).as("ok_q"))
+    dig
+      .join(nearHits, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("in_base").isNotNull || col("doc_id") =!= col("batch_keep"), "exact_dup")
+          .when(col("near_hit").isNotNull, "near_dup")
+          .when(!coalesce(col("ok_q"), lit(false)), "quality")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("source"), col("decision"))
+  }
+
+  /** The declared-query rollup (`pipe_curation_admit`): frozen-rule
+    * admission of the top decile (the [[CurationRun.deltaRun]] batch
+    * split) with the measured staleness price — per source, the frozen
+    * decision counts plus `n_divergent`, how many batch docs the
+    * frozen rule and the exact combined-corpus decision disagree on.
+    * The exact side exists FOR the divergence column (the report is
+    * how a deployment decides its re-derivation cadence); the
+    * admission path itself never needs it — SCALECHECK prices the two
+    * separately. */
+  def curationAdmit(s: SparkSession, dir: String): DataFrame =
+    curationAdmitFrom(s, dir, admissionFrozen(s, dir, _))
+
+  /** [[curationAdmit]] with the frozen side probing the persisted
+    * index tables — identical rows by the shared decision body, one
+    * shared oracle text (the twin-alias contract). */
+  def curationAdmitIndexed(s: SparkSession, dir: String): DataFrame =
+    curationAdmitFrom(s, dir, admissionFrozenIndexed(s, dir, _))
+
+  private def curationAdmitFrom(s: SparkSession, dir: String,
+                                frozenOf: Long => DataFrame): DataFrame = {
+    // the same integer split rule as the delta run (bounded 1-row job)
+    val maxId = Tables.documents(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+    val thr = 9L * maxId / 10L
+    val frozen = frozenOf(thr)
+    val exact = curationDecisions(s, dir).filter(col("doc_id") > thr)
+      .select(col("doc_id"), col("decision").as("exact_decision"))
+    frozen.join(exact, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+           sum(when(col("decision") === "keep", 1L).otherwise(0L)).as("n_keep"),
+           sum(when(col("decision") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+           sum(when(col("decision") === "near_dup", 1L).otherwise(0L)).as("n_near_dup"),
+           sum(when(col("decision") === "quality", 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("decision") =!= col("exact_decision"), 1L).otherwise(0L))
+             .as("n_divergent"))
+      .orderBy(col("source"))
+  }
+
   /** DATA CARD — the per-source release documentation a training team
     * ships WITH the corpus (the "datasheet" row block: what went in,
     * what survived curation, and the token budget the keeps
@@ -1141,10 +1354,25 @@ object Pipeline {
     * production, where the card is regenerated per corpus version.
     * keep_rate and mean length go through the trunc6 / floored-
     * integer-division contracts so both engines agree exactly. */
-  def dataCard(s: SparkSession, dir: String): DataFrame = {
+  def dataCard(s: SparkSession, dir: String): DataFrame =
+    dataCardOver(s, dir,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** [[dataCard]] with the token-budget columns (kept_tokens,
+    * mean_keep_tokens) denominated in TRAINED-TOKENIZER tokens — the
+    * datasheet a release ships quotes the budget a trainer will consume
+    * ([[tokenShardsBpe]]'s rationale; round-12 verdict #4). The curation
+    * decisions are token-denomination-independent and shared verbatim;
+    * only the token join changes, through [[bpeTokenRelation]]. */
+  def dataCardBpe(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    dataCardOver(s, dir,
+      bpeTokenRelation(s, dir, nMerges).select(col("doc_id"), col("n_tokens")))
+
+  /** THE data-card body over an explicit (doc_id, n_tokens) relation —
+    * one definition for both denominators. */
+  private def dataCardOver(s: SparkSession, dir: String, toks: DataFrame): DataFrame = {
     val dec = curationDecisions(s, dir)
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     dec.join(toks, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -187,6 +187,54 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** TWO-STAGE prefix-dim ANN serving (round-12 verdict #6) — the
+    * retrieval shape [[prefixRecall]]'s report exists to justify:
+    * stage 1 shortlists `shortlist` candidates per query by cosine
+    * over the first `prefixDims` dimensions (prefix RE-NORMED, zero
+    * prefixes excluded — [[prefixRecall]]'s conventions, so the
+    * report's recall numbers predict THIS server's shortlist), and
+    * stage 2 reranks only the shortlist with the EXACT full-dim
+    * cosine. The standard Matryoshka deployment: the prefix scan
+    * touches half the bytes (32 of 64 dims — these synthetic
+    * embeddings are near-isotropic, so prefix signal is proportional
+    * to dims kept; an MRL-trained model concentrates it and the same
+    * op serves 8-of-64), and full-precision FLOPs are paid on
+    * `shortlist` rows per query instead of N.
+    *
+    * Scale shape: stage 1 is the broadcast-query brute scan over the
+    * SLICED vectors (at 100 TB the prefix columns live in their own
+    * index table so the scan reads prefix bytes only; the slice here
+    * stands in for that projection), bounded by the native top-k
+    * aggregate; stage 2's joins are hash equi-joins on plain ids over
+    * shortlist·Q rows. Determinism: both stages rank raw double cosine
+    * with id tiebreaks (the exact fold DuckDB replays); the served
+    * score is the full-dim cosine, trunc6 like every ANN row. Recall
+    * < 1 is possible BY DESIGN (the shortlist can miss a true
+    * neighbor whose prefix disagrees) — SimilaritySpec proves the
+    * stage is non-vacuous (shortlist ≠ full ordering) and that the
+    * final top-k stays near the brute truth. */
+  def prefixTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                 prefixDims: Int = 32, shortlist: Int = 64): DataFrame = {
+    val vs = vectors(s, dir)
+    val pv = vs.select(col("vec_id"), expr(s"slice(v, 1, $prefixDims)").as("pv"))
+      .withColumn("pnorm", expr("sqrt(graft_dot(pv, pv))"))
+      .filter(col("pnorm") > 0)
+    val q = pv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pv").as("qv"), col("pnorm").as("qnorm"))
+    val short = topK(pv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              (dot("qv", "pv") / (col("qnorm") * col("pnorm"))).as("cos")), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    topK(short
+      .join(vs.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
+        Seq("neighbor_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
+  }
+
   /** Contrastive HARD-NEGATIVE mining — the candidate-generation step
     * of a metric-learning / embedding-finetune data pipeline (the
     * DPR/SimCSE-style training-set recipe: anchors paired with their

@@ -69,6 +69,14 @@ class PlanAuditSpec extends SparkSuite {
     // the BPE-denominated packing twins inherit the loop via bpeEncode
     "text_bpe_train", "text_bpe_encode", "pipe_token_shards_bpe",
     "pipe_packing_plan_bpe", "pipe_token_quota_bpe",
+    // round-13 BPE twins inherit the same merge loop at construction
+    "pipe_epochs_plan_bpe", "pipe_temperature_mixture_bpe",
+    "pipe_balanced_mixture_bpe",
+    // merge loop (bpeTokenRelation) AND the memoized CC fixpoint (the
+    // decision relation) both execute at construction — the stage
+    // plans are the audited pipe_data_card shapes with the token join
+    // swapped to the BPE denominator
+    "pipe_data_card_bpe",
     // run the CC fixpoint / localCheckpoint their constituent pair
     // pipelines while building — the join shapes they reuse are audited
     // via the standalone dedup_ngram_jaccard/hamming/fuzzy entries
@@ -98,7 +106,14 @@ class PlanAuditSpec extends SparkSuite {
     // prior chain + filtered-corpus re-derivation execute at
     // construction — audited in CurationRunSpec; the stage plans are
     // the audited curation-manifest / shard shapes over the survivors
-    "pipe_takedown")
+    "pipe_takedown",
+    // runs the 1-row max-doc_id split micro-job + the memoized CC
+    // fixpoint (the exact side of the divergence column) at
+    // construction; the frozen side's join shapes are capped-shingle
+    // equi-joins + a digest hash join, audited in AdmissionFrozenSpec
+    // (the indexed twin additionally builds the digest/segment tables
+    // on first call)
+    "pipe_curation_admit", "pipe_curation_admit_indexed")
 
   // intended BroadcastNestedLoopJoin: broadcast-tiny build side with
   // non-equi (ANN query set) or cross semantics (8-row centroid table;
@@ -108,6 +123,9 @@ class PlanAuditSpec extends SparkSuite {
     // the same broadcast-query-set brute scan as ann_brute_topk, once
     // per prefix length (plus the full-dim truth pass)
     "emb_prefix_recall",
+    // the same broadcast-query-set scan for its stage-1 prefix
+    // shortlist; the stage-2 rerank joins are hash equi-joins on ids
+    "ann_prefix_topk",
     // same shape over the sign-bit vectors + the truth pass
     "emb_sign_recall",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the

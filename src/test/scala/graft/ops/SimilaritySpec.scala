@@ -379,4 +379,34 @@ class SimilaritySpec extends SparkSuite {
         "cos not non-increasing in rank")
     }
   }
+
+  test("prefixTopK: shortlist stage is non-vacuous, final top-k stays near the brute truth") {
+    assume(hasTestData)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf))
+    // TIGHT shortlist (= the bare prefix top-5, reranked): the prefix
+    // ordering must genuinely differ from the full-dim ordering —
+    // otherwise the two-stage op is a disguised brute scan and the
+    // recall report it exists to justify is measuring nothing
+    val tight = pairs(Similarity.prefixTopK(spark, sf, shortlist = 5))
+    assert((truth diff tight).nonEmpty,
+      "prefix-dim ordering identical to full-dim ordering — shortlist stage is vacuous")
+    // DEFAULT shortlist (32): the rerank recovers (nearly) the truth —
+    // the two-stage server is a usable stand-in for the brute scan
+    val served = Similarity.prefixTopK(spark, sf)
+    val rows = served.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    (0L until 8L).foreach { q =>
+      assert(rows.count(_._1 == q) == 5, s"query $q short of k")
+    }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to g.length).toSeq, "ranks not dense from 1")
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "served cos not non-increasing in rank")
+    }
+    val recall = pairs(served).intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"two-stage recall $recall below 0.8 — shortlist too lossy to serve")
+  }
 }
