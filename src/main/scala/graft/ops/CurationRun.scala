@@ -113,6 +113,15 @@ object CurationRun {
       .orderBy(col("shard_id"))
   }
 
+  /** Whether a run chain completed (its CITE pin is committed) — the
+    * resume short-circuit [[Takedown]] needs BEFORE re-invoking
+    * [[takedownRun]]: after the orchestration's store purge + expire,
+    * the chain's pinned version may be expired, and takedownRun's
+    * final readAt would throw on a re-run even though the chain's
+    * artifacts are all committed. */
+  private[graft] def chainComplete(s: SparkSession, root: String, runId: String): Boolean =
+    committedPin(new graft.storage.ManifestLog(s, root), runId).isDefined
+
   /** The committed pin of a chain's CITE stage, if the chain completed
     * (rows carrying `pinned=` — the chain-reference row a delta cite
     * also holds never matches). */

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** END-TO-END takedown orchestration (round-12 verdict #3): one audited
+  * flow that makes a removal set unreachable from EVERY surface the
+  * engine serves, composing the four seams that each existed (and were
+  * each individually spec'd) but that nothing previously chained:
+  *
+  *   1. CURATION CORRECTION — [[CurationRun.takedownRun]]: the
+  *      committed keep/drop chain re-derives over the shrunken corpus
+  *      (keeper re-elections, DF-cap shifts), chained to the prior
+  *      citation. Resumable via its idempotency tags.
+  *   2. STORE PURGE — [[graft.storage.ManifestLog.rewriteExcluding]]
+  *      on BOTH chains' committed rows naming a removed doc (the prior
+  *      run's KEEP_DROP rows and the takedown's own removal/correction
+  *      rows both carry `doc=<id>` — a fulfilled deletion cannot leave
+  *      the id sitting in committed history), then [[graft.storage
+  *      .ManifestLog.expire]] to close the time-travel window: the
+  *      deletion request is FULFILLED only when purge + expire-past-
+  *      grace have both run (the RewriteExcludingSpec contract).
+  *   3. ANN TOMBSTONE — [[IndexTables.deleteFromAnnIndex]]: the
+  *      removal set masked out of every served ANN path, durably,
+  *      idempotently, generation-safely.
+  *   4. RE-EXPORT — [[Pipeline.exportShardsOf]] over the
+  *      post-takedown keep set: content-addressed shard names converge,
+  *      the atomic manifest flip retires the pre-takedown layout, and
+  *      the stale sweep (grace zero here; a deployment passes its
+  *      consumer read grace) deletes the superseded bytes.
+  *
+  * The flow then AUDITS all four surfaces — store rows at every
+  * readable version of both chains, ANN top-k neighbors, the committed
+  * keep set, and the export manifest's actual bytes — and REQUIRES
+  * zero reachability before returning the per-surface report. That
+  * report is the artifact a deletion request closes with.
+  *
+  * CRASH-RESUMABLE at every seam (TakedownE2ESpec kills after each
+  * step and re-runs): step 1 no-ops via the chain's committed pin
+  * (checked here BEFORE re-invoking, because after step 2's expire the
+  * pinned version may no longer be readable); step 2 is the purge's
+  * own crash contract (no partial purge observable; re-run completes);
+  * step 3 is a durable idempotent tombstone append; step 4 converges
+  * by content-addressed construction. Keep-set derivation reads the
+  * chain's CURRENT version, never the pin — after the purge the
+  * removed docs' rows are gone from every input, so a resume derives
+  * the identical keep set the pre-purge run did.
+  *
+  * Scale shape: every step inherits its component's audited story
+  * (purge touches affected files only; tombstones are delete-rate-
+  * sized; the export is one partitionBy job); the removal-id collect
+  * is request-sized by the takedown contract. */
+object Takedown {
+
+  /** `pred` over a chain's message rows: true iff the row names a
+    * removed doc (`doc=<id>` with id ≡ 0 mod `mod`). Rows without a
+    * doc reference (SHARD/CITE rows) extract to '' — explicitly mapped
+    * to NULL (ANSI mode makes a bare cast THROW on '') so they are
+    * KEPT by the purge's null-safety. */
+  private def namesRemoved(mod: Long): Column = {
+    val idStr = regexp_extract(col("message"), "doc=(\\d+)", 1)
+    when(idStr === "", lit(null).cast("long"))
+      .otherwise(idStr.cast("long")) % mod === 0
+  }
+
+  def takedownEverywhere(s: SparkSession, dir: String, root: String,
+                         priorRunId: String, runId: String, mod: Long,
+                         exportDir: String, nShards: Int = 8,
+                         expireOlderThan: java.time.Instant =
+                           java.time.Instant.now().plusSeconds(60),
+                         failAfterStep: Int = Int.MaxValue): DataFrame = {
+    val log = new graft.storage.ManifestLog(s, root)
+
+    // ---- step 1: curation correction (resumable tagged chain) -------
+    if (!CurationRun.chainComplete(s, root, runId))
+      CurationRun.takedownRun(s, dir, root, priorRunId, runId, mod, nShards,
+        Int.MaxValue)
+    if (failAfterStep <= 1)
+      throw new IllegalStateException("injected crash after takedown step 1")
+
+    // ---- step 2: physical store purge + expire-past-grace -----------
+    Seq(priorRunId, runId).foreach { sess =>
+      log.rewriteExcluding(CurationRun.Container, sess, namesRemoved(mod))
+      log.expire(CurationRun.Container, sess, expireOlderThan)
+    }
+    if (failAfterStep <= 2)
+      throw new IllegalStateException("injected crash after takedown step 2")
+
+    // ---- step 3: ANN tombstones (request-sized id set) --------------
+    val removedIds = Tables.documents(s, dir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    IndexTables.deleteFromAnnIndex(s, dir, removedIds)
+    if (failAfterStep <= 3)
+      throw new IllegalStateException("injected crash after takedown step 3")
+
+    // ---- step 4: re-export the post-takedown keep set ---------------
+    // keep set from the chain's CURRENT version (post-purge the removed
+    // docs' rows are gone from both inputs, so the derivation below is
+    // purge-stable): prior keeps overridden by the takedown's rows
+    def decRows(sess: String, level: String) = log.read(CurationRun.Container, sess)
+      .filter(col("level") === level)
+      .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
+              regexp_extract(col("message"), "dec=(\\w+)", 1).as("dec"))
+    val t1 = decRows(runId, "TAKEDOWN_KEEP_DROP")
+    val keepIds = decRows(priorRunId, "KEEP_DROP").filter(col("dec") === "keep")
+      .select(col("doc_id"))
+      .join(t1, Seq("doc_id"), "left_anti")
+      .unionByName(t1.filter(col("dec") === "keep").select(col("doc_id")))
+    val kept = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(keepIds, Seq("doc_id"))
+    Pipeline.exportShardsOf(s, kept, exportDir, nShards)
+
+    // ---- audit: zero reachability on every surface ------------------
+    val storeReach = Seq(priorRunId, runId).map { sess =>
+      log.versions(CurationRun.Container, sess).map { v =>
+        log.readAt(CurationRun.Container, sess, v)
+          .filter(namesRemoved(mod) <=> lit(true)).count()
+      }.sum
+    }.sum
+    val annReach = Similarity.ivfTopKIndexed(s, dir, nQueries = 4, k = 3)
+      .filter(col("neighbor_id") % mod === 0).count()
+    val keepReach = keepIds.filter(col("doc_id") % mod === 0).count()
+    val exportReach = {
+      val out = new org.apache.hadoop.fs.Path(exportDir)
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(out, "_export_manifest.json"))
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val files = (0 until node.size()).map(i =>
+        new org.apache.hadoop.fs.Path(out, node.get(i).get("file").asText()).toString)
+      if (files.isEmpty) 0L
+      else s.read.parquet(files: _*).filter(col("doc_id") % mod === 0).count()
+    }
+    val report = Seq(
+      ("store_versions", storeReach),
+      ("ann_topk", annReach),
+      ("curation_keep", keepReach),
+      ("export_manifest", exportReach))
+    require(report.forall(_._2 == 0L),
+      s"takedown NOT fulfilled — removed docs still reachable: " +
+        report.filter(_._2 != 0L).mkString(", "))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        report.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("surface",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_reachable",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+}
