@@ -152,6 +152,9 @@ object SparkEntry {
     // dims, re-normed) + exact full-dim rerank — the deployment shape
     // emb_prefix_recall's report justifies (round-13)
     "ann_prefix_topk" -> ((s: SparkSession, d: String) => Similarity.prefixTopK(s, d)),
+    // stage 1 served from the persisted NARROW prefix table — the
+    // half-width scan the two-stage design exists for
+    "ann_prefix_indexed" -> ((s: SparkSession, d: String) => Similarity.prefixTopKIndexed(s, d)),
     // Matryoshka truncation evaluation: prefix-dim recall vs full-dim
     // exact truth, per prefix length (the pre-flight for an 8x
     // storage/bandwidth cut via truncated embeddings)
@@ -246,6 +249,9 @@ object SparkEntry {
     "text_bpe_train"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     // the trained merges applied back to the corpus (per-doc symbol counts)
     "text_bpe_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    // encode served from the PERSISTED vocab table — train once, every
+    // encode is a join (the deployed tokenizer shape; round-13)
+    "text_bpe_encode_table" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncodeTable(s, d)),
     // sketch twin of text_length_quantiles — emits exact quantiles plus
     // per-percentile rank-error-bound flags, so the oracle hash-checks
     // the sketch contract (same pattern as q21_approx_distinct)
@@ -796,6 +802,15 @@ object SparkEntry {
       // decision body (admissionFrozenOver) — identical rows by
       // construction, proven in AdmissionFrozenSpec
       "pipe_curation_admit_indexed" -> "pipe_curation_admit",
+      // encode from the persisted vocab table shares the loop-trained
+      // form's encode body (encodeOver) — identical rows by
+      // construction, proven at oracle-unreachable merge depths in
+      // BpeVocabSpec
+      "text_bpe_encode_table" -> "text_bpe_encode",
+      // stage 1 off the persisted prefix table shares the in-plan
+      // two-stage body (prefixTopKOver) and the ONE prefix derivation
+      // (prefixVectors) — identical rows by construction
+      "ann_prefix_indexed" -> "ann_prefix_topk",
     ).map { case (twin, original) => twin -> oracleSqlLiteral(original) }
 
   private def oracleSqlLiteral: Map[String, String] = Map(

@@ -577,6 +577,33 @@ object IndexTables {
         .select(md5(col("text")).as("digest")).distinct()
     }
 
+  /** TRAINED BPE VOCABULARY table (round-12 verdict #5): the final
+    * (tok, n_syms) type state under `nMerges` merges, bucketed by the
+    * token key — the committed tokenizer artifact. The merge LOOP (the
+    * trainer's O(rounds) driver coordination) runs ONCE at build;
+    * every later encode of any corpus slice is an Exchange-friendly
+    * equi-join against this table plus a per-doc rollup. The merge
+    * depth is part of the table name, like every layout parameter
+    * here: vocabularies at different depths coexist and can never be
+    * served to the wrong consumer. */
+  def ensureBpeVocab(s: SparkSession, dir: String, nMerges: Int): String =
+    ensure(s, s"idx_bpe_vocab_${tag(dir)}_m$nMerges", Seq("tok")) {
+      TextAnalysis.encodedVocab(s, dir, nMerges)
+    }
+
+  /** NARROW prefix-vector table (round-13): (vec_id, pv, pnorm) with
+    * pv = the first `m` dims re-normed, zero prefixes excluded — the
+    * stage-1 scan relation of two-stage Matryoshka serving
+    * ([[Similarity.prefixTopKIndexed]]). The point is the WIDTH: at
+    * m = 32 of 64 the shortlist scan reads half the vector bytes (an
+    * MRL-trained deployment cuts 8×), and full-width rows are touched
+    * only for the shortlist·Q rerank. Prefix depth is part of the
+    * table name, like every layout parameter. */
+  def ensurePrefixIndex(s: SparkSession, dir: String, m: Int): String =
+    ensure(s, s"idx_emb_prefix_${tag(dir)}_d$m", Seq("vec_id")) {
+      Similarity.prefixVectors(s, dir, m)
+    }
+
   /** IVF inverted index: every vector's (n_id, n_v, n_norm) under the
     * deterministic seed quantizer, PARTITIONED BY `list_id` — the
     * "normed vectors + IVF assignment" row of SURVEY §11's table map.

@@ -1243,12 +1243,10 @@ object Pipeline {
     * re-derivation). Identical rows to the in-plan form BY the shared
     * decision body (AdmissionFrozenSpec proves it), which is why the
     * declared twin shares one oracle text. */
-  private[ops] def admissionFrozenIndexed(s: SparkSession, dir: String, thr: Long): DataFrame = {
-    val key = s"$dir#admit$thr"
-    val docs = Tables.documents(s, dir)
-    val batch = docs.filter(col("doc_id") > thr)
-    IndexTables.ensureShingleSegmentsFrom(s, key,
-      docs.filter(col("doc_id") <= thr).select(col("doc_id"), col("text")))
+  private[graft] def admissionFrozenIndexed(s: SparkSession, dir: String, thr: Long): DataFrame = {
+    val key = admissionKey(dir, thr)
+    ensureAdmissionAssets(s, dir, thr)
+    val batch = Tables.documents(s, dir).filter(col("doc_id") > thr)
     val digests = s.table(IndexTables.ensureAdmissionDigests(s, dir, thr))
     // batch shingles capped by the INDEX's committed hot set — the
     // same frozen asymmetry as the in-plan form
@@ -1258,6 +1256,19 @@ object Pipeline {
     val baseCapped = IndexTables.mergedShingleViewEnsured(s, key)
       .select(col("doc_id"), col("s"))
     admissionFrozenOver(batch, batchCapped, digests, baseCapped)
+  }
+
+  private def admissionKey(dir: String, thr: Long): String = s"$dir#admit$thr"
+
+  /** Build/ensure the frozen-admission assets for (dir, thr) WITHOUT
+    * running an admission — the one-time index cost SCALECHECK prices
+    * separately from the per-batch probe (the build-vs-consume split
+    * every persisted index here gets). */
+  private[graft] def ensureAdmissionAssets(s: SparkSession, dir: String, thr: Long): Unit = {
+    IndexTables.ensureShingleSegmentsFrom(s, admissionKey(dir, thr),
+      Tables.documents(s, dir).filter(col("doc_id") <= thr)
+        .select(col("doc_id"), col("text")))
+    IndexTables.ensureAdmissionDigests(s, dir, thr)
   }
 
   /** THE frozen-admission decision body — one definition for the

@@ -214,11 +214,41 @@ object Similarity {
     * stage is non-vacuous (shortlist ≠ full ordering) and that the
     * final top-k stays near the brute truth. */
   def prefixTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
-                 prefixDims: Int = 32, shortlist: Int = 64): DataFrame = {
-    val vs = vectors(s, dir)
-    val pv = vs.select(col("vec_id"), expr(s"slice(v, 1, $prefixDims)").as("pv"))
+                 prefixDims: Int = 32, shortlist: Int = 64): DataFrame =
+    prefixTopKOver(s, dir, prefixVectors(s, dir, prefixDims), nQueries, k, shortlist)
+
+  /** [[prefixTopK]] with stage 1 reading the PERSISTED prefix table
+    * ([[IndexTables.ensurePrefixIndex]]) — the claim in the in-plan
+    * form's doc made real: at scale the prefix columns live in their
+    * own NARROW table (half the vector bytes at 32-of-64), so the
+    * shortlist scan never touches full-width rows; only the
+    * shortlist·Q rerank rows do. Identical output BY the shared body;
+    * shares `ann_prefix_topk`'s oracle text (the twin-alias
+    * contract). */
+  def prefixTopKIndexed(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                        prefixDims: Int = 32, shortlist: Int = 64): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.TopKPairs.register(s)
+    prefixTopKOver(s, dir,
+      s.table(IndexTables.ensurePrefixIndex(s, dir, prefixDims)),
+      nQueries, k, shortlist)
+  }
+
+  /** The sliced, re-normed, zero-excluded prefix relation — ONE
+    * definition for the in-plan path and the persisted index build
+    * ([[prefixRecall]]'s conventions, which is what makes its report
+    * predictive of this server's shortlist). */
+  private[ops] def prefixVectors(s: SparkSession, dir: String, m: Int): DataFrame =
+    vectors(s, dir)
+      .select(col("vec_id"), expr(s"slice(v, 1, $m)").as("pv"))
       .withColumn("pnorm", expr("sqrt(graft_dot(pv, pv))"))
       .filter(col("pnorm") > 0)
+
+  /** THE two-stage body over an explicit (vec_id, pv, pnorm) prefix
+    * relation — shortlist by prefix cosine, exact full-dim rerank. */
+  private def prefixTopKOver(s: SparkSession, dir: String, pv: DataFrame,
+                             nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+    val vs = vectors(s, dir)
     val q = pv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pv").as("qv"), col("pnorm").as("qnorm"))
     val short = topK(pv.join(broadcast(q), col("vec_id") =!= col("query_id"))

@@ -67,6 +67,9 @@ class PlanAuditSpec extends SparkSuite {
     // runs the whole iterative merge loop while BUILDING its result —
     // audited by its own reference-equivalence spec in TextAnalysisSpec;
     // the BPE-denominated packing twins inherit the loop via bpeEncode
+    // the table-served encode builds the vocab table (the merge loop)
+    // on its first call — audited in BpeVocabSpec
+    "text_bpe_encode_table",
     "text_bpe_train", "text_bpe_encode", "pipe_token_shards_bpe",
     "pipe_packing_plan_bpe", "pipe_token_quota_bpe",
     // round-13 BPE twins inherit the same merge loop at construction
@@ -126,6 +129,9 @@ class PlanAuditSpec extends SparkSuite {
     // the same broadcast-query-set scan for its stage-1 prefix
     // shortlist; the stage-2 rerank joins are hash equi-joins on ids
     "ann_prefix_topk",
+    // identical shape with stage 1 scanning the persisted narrow
+    // prefix table (built at construction on first call)
+    "ann_prefix_indexed",
     // same shape over the sign-bit vectors + the truth pass
     "emb_sign_recall",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the

@@ -408,5 +408,11 @@ class SimilaritySpec extends SparkSuite {
     }
     val recall = pairs(served).intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.8, s"two-stage recall $recall below 0.8 — shortlist too lossy to serve")
+    // the persisted-prefix-table twin serves IDENTICAL rows (the
+    // narrow-scan deployment shape; shared body + shared derivation)
+    val indexed = Similarity.prefixTopKIndexed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(indexed.sortBy(r => (r._1, r._3)).toSeq == rows.sortBy(r => (r._1, r._3)).toSeq,
+      "prefix-table serving diverged from the in-plan two-stage form")
   }
 }
