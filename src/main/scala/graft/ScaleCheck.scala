@@ -232,7 +232,16 @@ object ScaleCheck {
         "compact shingle segments" ->
           timed(ops.IndexTables.compactShingleSegments(spark, dir)),
         "consume after compaction: dedup_ngram_seg" ->
-          timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()))
+          timed(SparkEntry.queries("dedup_ngram_seg")(spark, dir).count()),
+        // trained-tokenizer economics (round-13, verdict #5): the merge
+        // LOOP is the train-time cost, paid once into the vocab table;
+        // encode-from-table is a join + rollup — contrast with the
+        // declared text_bpe_encode row above, which re-runs the loop
+        // per invocation (its oracle contract)
+        "build BPE vocab table (the merge loop)" ->
+          timed(ops.IndexTables.ensureBpeVocab(spark, dir, 10)),
+        "consume: text_bpe_encode_table" ->
+          timed(SparkEntry.queries("text_bpe_encode_table")(spark, dir).count()))
       } finally {
         // tear the pricing fixture down: tables out of the shared
         // persistent warehouse, the corpus copy off disk
@@ -260,20 +269,43 @@ object ScaleCheck {
       val maxId = ops.Tables.documents(spark, dir)
         .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
       val thr = 9L * maxId / 10L
-      val rootA = mkRoot(); val rootB = mkRoot()
+      val thr99 = 99L * maxId / 100L
+      val rootA = mkRoot(); val rootB = mkRoot(); val rootC = mkRoot()
       try Seq(
         "full curation run (whole corpus)" ->
           t(ops.CurationRun.run(spark, dir, rootA, "full", 8, Int.MaxValue).collect()),
         "prior run (90% slice)" ->
           t(ops.CurationRun.run(spark, dir, rootB, "prior", 8, Int.MaxValue,
             maxDocId = thr).collect()),
-        "delta-only (top-decile batch vs prior)" ->
+        "delta-only (10% batch vs prior)" ->
           t(ops.CurationRun.deltaRun(spark, dir, rootB, "prior", "delta", thr,
             8, Int.MaxValue).collect()),
+        // delta cost is CORPUS-bounded by design: shrinking the batch
+        // 10× barely moves it (the decision pass re-derives over the
+        // combined corpus either way)
+        "prior run (99% slice)" ->
+          t(ops.CurationRun.run(spark, dir, rootC, "prior99", 8, Int.MaxValue,
+            maxDocId = thr99).collect()),
+        "delta-only (1% batch vs prior)" ->
+          t(ops.CurationRun.deltaRun(spark, dir, rootC, "prior99", "delta99",
+            thr99, 8, Int.MaxValue).collect()),
+        // frozen-stat admission (round-13, verdict #1): the asset build
+        // is the one-time prior-run cost; the PROBE is what a
+        // deployment pays per batch — and it tracks the BATCH size
+        // (contrast the two admit rows) where delta-only tracks the
+        // corpus (contrast the two delta rows above)
+        "build frozen admission assets (90% base)" ->
+          t(ops.Pipeline.ensureAdmissionAssets(spark, dir, thr)),
+        "admit-only (10% batch, frozen probe)" ->
+          t(ops.Pipeline.admissionFrozenIndexed(spark, dir, thr).count()),
+        "build frozen admission assets (99% base)" ->
+          t(ops.Pipeline.ensureAdmissionAssets(spark, dir, thr99)),
+        "admit-only (1% batch, frozen probe)" ->
+          t(ops.Pipeline.admissionFrozenIndexed(spark, dir, thr99).count()),
         "takedown-only (mod 13 vs full)" ->
           t(ops.CurationRun.takedownRun(spark, dir, rootA, "full", "td", 13L,
             8, Int.MaxValue).collect()))
-      finally Seq(rootA, rootB).foreach(r =>
+      finally Seq(rootA, rootB, rootC).foreach(r =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))
     }
     val baseIdx = indexBuilds(src)
@@ -341,7 +373,21 @@ object ScaleCheck {
     sb ++= "claim that an incremental run beats a full one at this corpus size\n"
     sb ++= "(at 60k docs the corpus pass dominates; the incremental design\n"
     sb ++= "pays off where the INDEX build does — at scale, where re-deriving\n"
-    sb ++= "the shingle index per batch is the forbidden cost):\n\n"
+    sb ++= "the shingle index per batch is the forbidden cost).\n"
+    sb ++= "Round-13 rows — the O(batch) admission path the exact delta\n"
+    sb ++= "deliberately lacks: 'admit-only' probes the FROZEN committed\n"
+    sb ++= "prior statistics (persisted digest index + base-slice shingle\n"
+    sb ++= "segments; asset builds priced separately as the one-time prior\n"
+    sb ++= "cost). The comparison to read is admit vs delta AT THE SAME\n"
+    sb ++= "BATCH: the admit probe costs a fraction of the delta at both\n"
+    sb ++= "batch sizes, and shrinking the batch shrinks the probe, because\n"
+    sb ++= "every input it touches is batch-derived or a served index —\n"
+    sb ++= "while every delta row carries the corpus-bounded decision pass.\n"
+    sb ++= "(The two delta rows are NOT directly comparable to each other:\n"
+    sb ++= "the first pays the one-time memoized segment-component fixpoint\n"
+    sb ++= "the second reuses — documented memo behavior.) The staleness\n"
+    sb ++= "bought is measured per-run by pipe_curation_admit's n_divergent\n"
+    sb ++= "column:\n\n"
     sb ++= "| stage | s |\n|---|---|\n"
     curation.foreach { case (n, t) => sb ++= f"| $n | $t%.3f |\n" }
     sb ++= "\n"

@@ -185,17 +185,19 @@ object ServiceScaleCheck {
     * compacted session spans many cold files and the affected-subset
     * economics are actually visible. Returns (label, ms, rowsPurged,
     * filesRewritten). */
-  def purgeBench(spark: SparkSession): Seq[(String, Double, Long, Long)] = {
-    val root = Scratch.localDir + s"/purgebench-${System.nanoTime()}"
-    try purgeBenchAt(spark, root)
-    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-  }
+  def purgeBench(spark: SparkSession): Seq[(String, Double, Long, Long)] =
+    Seq(("1×", 200000L), ("10×", 2000000L)).flatMap { case (scale, n) =>
+      val root = Scratch.localDir + s"/purgebench-${System.nanoTime()}"
+      try purgeBenchAt(spark, root, n).map { case (l, ms, p, r) =>
+        (s"$scale $l", ms, p, r)
+      }
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
 
-  private def purgeBenchAt(spark: SparkSession,
-                           root: String): Seq[(String, Double, Long, Long)] = {
+  private def purgeBenchAt(spark: SparkSession, root: String,
+                           n: Long): Seq[(String, Double, Long, Long)] = {
     import org.apache.spark.sql.functions._
     val log = new ManifestLog(spark, root, targetFileBytes = 256L * 1024)
-    val n = 200000L
     val df = spark.range(n).select(
       timestamp_seconds(lit(1735689600L) + col("id")).as("timestamp"),
       when(col("id") % 100 === 0, "error").otherwise("info").as("level"),
@@ -353,14 +355,20 @@ object ServiceScaleCheck {
     sb ++= "| mode | gateway A sweeps | gateway B sweeps |\n|---|---|---|\n"
     sb ++= s"| no lease (both sweep) | $ua | $ub |\n"
     sb ++= s"| CAS lease (owner only) | $la | $lb |\n"
-    sb ++= "\nRow-level purge (`ManifestLog.rewriteExcluding`, round-12): the\n"
-    sb ++= "deletion-request price on a 200k-row session compacted into\n"
-    sb ++= "time-clustered cold files. The detection pass is one scan (no\n"
-    sb ++= "rewrite); a NARROW purge rewrites only the files that hold matching\n"
-    sb ++= "rows (the user-scoped takedown shape — cost scales with affected\n"
-    sb ++= "data, not the session); a SCATTERED purge that matches in every\n"
-    sb ++= "file degenerates to a full compaction, by construction. `expire`\n"
-    sb ++= "closes the snapshot grace window and completes the deletion:\n\n"
+    sb ++= "\nRow-level purge (`ManifestLog.rewriteExcluding`, round-12; 10×\n"
+    sb ++= "line round-13): the deletion-request price on a 200k-row (1×) and\n"
+    sb ++= "2M-row (10×) session, each compacted into time-clustered cold\n"
+    sb ++= "files. The detection pass is one scan (no rewrite); a NARROW purge\n"
+    sb ++= "— the SAME 1,000 time-adjacent rows at both scales — rewrites only\n"
+    sb ++= "the files that hold matching rows, so its REWRITE cost is\n"
+    sb ++= "~flat across the 10× step (the measured form of the\n"
+    sb ++= "'purge cost scales with affected data, not session size' claim in\n"
+    sb ++= "ManifestLog.rewriteExcluding; the residual growth in the narrow\n"
+    sb ++= "line is the detection scan, which at 100 TB prunes on footer\n"
+    sb ++= "stats for clustered predicates); a SCATTERED purge that matches\n"
+    sb ++= "in every file degenerates to a full compaction and grows with\n"
+    sb ++= "the session, by construction — the ~10× line. `expire` closes\n"
+    sb ++= "the snapshot grace window and completes the deletion:\n\n"
     sb ++= "| operation | time | rows purged | files rewritten |\n|---|---|---|---|\n"
     purge.foreach { case (label, ms, purged, rewritten) =>
       sb ++= f"| $label | $ms%.1f ms | $purged | $rewritten |\n" }
