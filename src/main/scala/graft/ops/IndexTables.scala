@@ -591,6 +591,37 @@ object IndexTables {
       TextAnalysis.encodedVocab(s, dir, nMerges)
     }
 
+  /** GATE EVOLUTION for the admission digest index: append a batch's
+    * text digests after the batch is admitted, so LATER batches gate
+    * against everything already accepted, not just the frozen base —
+    * the cross-batch exact-dup catch a streaming admission gate needs
+    * (within one batch the keeper window handles it; ACROSS batches
+    * only the index can). Replay-safe: already-present digests are
+    * anti-joined away, so a redelivered batch appends nothing; the
+    * in-JVM table lock serializes against concurrent appends (the
+    * same contract as every index append here). Returns digests newly
+    * recorded. NOTE: the DECLARED `pipe_curation_admit*` queries gate
+    * against the PURE base slice (their oracle contract) — this
+    * append is the deployed evolution, exercised on fixture dirs by
+    * AdmitRunSpec/StreamingAdmissionSpec, never on the shared
+    * testdata-keyed tables. */
+  def appendToAdmissionDigests(s: SparkSession, dir: String, thr: Long,
+                               docs: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val name = ensureAdmissionDigests(s, dir, thr)
+    withTableLock(name) {
+      val fresh = docs.select(md5(col("text")).as("digest")).distinct()
+        .join(s.table(name), Seq("digest"), "left_anti")
+        .localCheckpoint()
+      val n = fresh.count()
+      if (n > 0) {
+        writeBucketed(fresh, name, Seq("digest"), "append")
+        refreshBoth(s, fresh, name)
+      }
+      n
+    }
+  }
+
   /** NARROW prefix-vector table (round-13): (vec_id, pv, pnorm) with
     * pv = the first `m` dims re-normed, zero prefixes excluded — the
     * stage-1 scan relation of two-stage Matryoshka serving

@@ -1243,10 +1243,22 @@ object Pipeline {
     * re-derivation). Identical rows to the in-plan form BY the shared
     * decision body (AdmissionFrozenSpec proves it), which is why the
     * declared twin shares one oracle text. */
-  private[graft] def admissionFrozenIndexed(s: SparkSession, dir: String, thr: Long): DataFrame = {
+  private[graft] def admissionFrozenIndexed(s: SparkSession, dir: String, thr: Long): DataFrame =
+    admissionFrozenOf(s, dir, thr,
+      Tables.documents(s, dir).filter(col("doc_id") > thr))
+
+  /** The index-served frozen gate over an EXPLICIT batch relation
+    * (doc_id, source, text, ...) — the streaming/orchestration seam:
+    * a micro-batch probes the same persisted assets regardless of how
+    * its ids relate to the split threshold, and the gate works
+    * unchanged inside a `foreachBatch` (StreamingAdmissionSpec drives
+    * exactly that). The digest table may have GROWN past the base
+    * slice via [[IndexTables.appendToAdmissionDigests]] — the gate
+    * evolution that catches cross-batch exact dups. */
+  private[graft] def admissionFrozenOf(s: SparkSession, dir: String, thr: Long,
+                                       batch: DataFrame): DataFrame = {
     val key = admissionKey(dir, thr)
     ensureAdmissionAssets(s, dir, thr)
-    val batch = Tables.documents(s, dir).filter(col("doc_id") > thr)
     val digests = s.table(IndexTables.ensureAdmissionDigests(s, dir, thr))
     // batch shingles capped by the INDEX's committed hot set — the
     // same frozen asymmetry as the in-plan form
