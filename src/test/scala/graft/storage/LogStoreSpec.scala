@@ -183,7 +183,16 @@ class LogStoreSpec extends SparkSuite {
     store.append(batch(("2024-01-01T10:00:00Z", "INFO", "a")), "c1", "s1")
     store.append(batch(("2024-01-01T10:00:00Z", "INFO", "b")), "c2", "s2")
     store.compact("c1", "s1")
-    val plan = store.read("c1", "s1").queryExecution.executedPlan.toString
+    // the scan prints its PartitionFilters truncated at
+    // maxMetadataStringLength (default 100) — late in a full-suite run
+    // the session's accumulated expression ids are long enough to push
+    // the session clause past the cut, failing the regex on a plan that
+    // is actually pruned (order-dependent flake). Widen for this plan.
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val plan =
+      try store.read("c1", "s1").queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     // the namespace predicate must prune DIRECTORIES (PartitionFilters on
     // the scan), not run as a post-scan row filter — this is what replaces
     // the reference's SQLite file catalog lookup (metadata.py:44-53)
