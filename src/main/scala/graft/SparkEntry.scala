@@ -155,6 +155,9 @@ object SparkEntry {
     // stage 1 served from the persisted NARROW prefix table — the
     // half-width scan the two-stage design exists for
     "ann_prefix_indexed" -> ((s: SparkSession, d: String) => Similarity.prefixTopKIndexed(s, d)),
+    // the two scale levers composed: IVF list pruning OVER the prefix
+    // space, then the exact full-dim rerank (round-13)
+    "ann_prefix_ivf" -> ((s: SparkSession, d: String) => Similarity.prefixIvfTopK(s, d)),
     // Matryoshka truncation evaluation: prefix-dim recall vs full-dim
     // exact truth, per prefix length (the pre-flight for an 8x
     // storage/bandwidth cut via truncated embeddings)
@@ -2144,6 +2147,45 @@ object SparkEntry {
          |        ORDER BY list_dot_product(q.pv, n.pv) / (q.pnorm * n.pnorm) DESC, n.vec_id) AS srk
          |    FROM pn q JOIN pn n ON n.vec_id <> q.vec_id
          |    WHERE q.vec_id < 8) t WHERE srk <= 64),
+         |ranked AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sl.neighbor_id) AS rk
+         |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
+         |          JOIN vn n ON sl.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // prefix-space IVF shortlist (the one IVF machinery over (pv,
+    // pnorm): same centroid ids, assignment rule and tiebreaks) +
+    // exact full-dim rerank — list pruning composed with truncation
+    "ann_prefix_ivf" ->
+      s"""WITH $vectorsCte,
+         |pn AS (
+         |  SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pnorm
+         |  FROM (SELECT vec_id, list_slice(v, 1, 32) AS pv FROM vn) x
+         |  WHERE list_dot_product(pv, pv) > 0),
+         |cents AS (SELECT vec_id AS cent_id, pv AS cv, pnorm AS cnorm FROM pn
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cent_id AS list_id, pv AS n_v, pnorm AS n_norm FROM (
+         |    SELECT pn.vec_id, c.cent_id, pn.pv, pn.pnorm,
+         |      ROW_NUMBER() OVER (PARTITION BY pn.vec_id
+         |        ORDER BY list_dot_product(c.cv, pn.pv) / (c.cnorm * pn.pnorm) DESC, c.cent_id) AS crk
+         |    FROM pn CROSS JOIN cents c) t WHERE crk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS list_id, pv AS q_v, pnorm AS q_norm FROM (
+         |    SELECT pn.vec_id, c.cent_id, pn.pv, pn.pnorm,
+         |      ROW_NUMBER() OVER (PARTITION BY pn.vec_id
+         |        ORDER BY list_dot_product(c.cv, pn.pv) / (c.cnorm * pn.pnorm) DESC, c.cent_id) AS crk
+         |    FROM pn CROSS JOIN cents c WHERE pn.vec_id < 8) t WHERE crk <= 4),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.q_id AS query_id, a.n_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |        ORDER BY list_dot_product(p.q_v, a.n_v) / (p.q_norm * a.n_norm) DESC, a.n_id) AS srk
+         |    FROM probes p JOIN assign a ON p.list_id = a.list_id AND p.q_id <> a.n_id) t
+         |  WHERE srk <= 64),
          |ranked AS (
          |  SELECT sl.query_id, sl.neighbor_id,
          |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,

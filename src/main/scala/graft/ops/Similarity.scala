@@ -248,13 +248,48 @@ object Similarity {
     * relation — shortlist by prefix cosine, exact full-dim rerank. */
   private def prefixTopKOver(s: SparkSession, dir: String, pv: DataFrame,
                              nQueries: Int, k: Int, shortlist: Int): DataFrame = {
-    val vs = vectors(s, dir)
     val q = pv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pv").as("qv"), col("pnorm").as("qnorm"))
     val short = topK(pv.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               (dot("qv", "pv") / (col("qnorm") * col("pnorm"))).as("cos")), shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    fullDimRerank(s, dir, short, nQueries, k)
+  }
+
+  /** IVF over the PREFIX space — the two scale levers COMPOSED: the
+    * stage-1 shortlist scans only the PROBED inverted lists
+    * (candidates ÷ nlist/nprobe) of the NARROW prefix relation (bytes
+    * ÷ dims/prefixDims), and stage 2 still reranks with the exact
+    * full-dim cosine. Quantizer, assignment, probes and tiebreaks are
+    * the engine's ONE IVF machinery ([[seedCentroids]]'s id
+    * convention sliced into prefix space; [[nearestCentroids]];
+    * [[ivfSearchWithProbes]]) — applied to (pv, pnorm) instead of
+    * (v, norm), so the oracle replays every stage with the same SQL
+    * recipes. nprobe = 4 of 8 lists: with prefix loss stacked on list
+    * pruning, probing half the space keeps the composed recall
+    * serviceable (measured in SimilaritySpec against the brute truth);
+    * the deployment knob is the same nprobe/recall trade every IVF
+    * variant here documents. */
+  def prefixIvfTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                    prefixDims: Int = 32, shortlist: Int = 64, nprobe: Int = 4): DataFrame = {
+    val pv = prefixVectors(s, dir, prefixDims)
+      .select(col("vec_id"), col("pv").as("v"), col("pnorm").as("norm"))
+    val cents = pv.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfNList)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val short = ivfSearchWithProbes(
+      nearestCentroids(pv.filter(col("vec_id") < nQueries), cents, nprobe, "q"),
+      nearestCentroids(pv, cents, 1, "n"), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    fullDimRerank(s, dir, short, nQueries, k)
+  }
+
+  /** Stage 2 of every two-stage prefix server: exact full-dim cosine
+    * over a (query_id, neighbor_id) shortlist — hash equi-joins on
+    * plain ids, shortlist·Q rows, one definition. */
+  private def fullDimRerank(s: SparkSession, dir: String, short: DataFrame,
+                            nQueries: Int, k: Int): DataFrame = {
+    val vs = vectors(s, dir)
     val qf = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     topK(short

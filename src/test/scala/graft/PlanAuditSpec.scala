@@ -132,6 +132,9 @@ class PlanAuditSpec extends SparkSuite {
     // identical shape with stage 1 scanning the persisted narrow
     // prefix table (built at construction on first call)
     "ann_prefix_indexed",
+    // the same 8-row centroid cross (assignment + probes) as
+    // ann_ivf_topk, applied in prefix space; the rerank is equi-joins
+    "ann_prefix_ivf",
     // same shape over the sign-bit vectors + the truth pass
     "emb_sign_recall",
     // same 8-query × 8-centroid probe cross as ann_ivf_topk; the
