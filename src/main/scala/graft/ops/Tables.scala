@@ -74,7 +74,21 @@ object Tables {
         relCache.remove(key, existing)
         try unpersistCheckpoint(existing) catch { case _: Exception => () }
       }
-      val built = build.localCheckpoint()
+      // DISK_ONLY, not the default MEMORY_AND_DISK (round-14, closing the
+      // r13 bench regression): the memo holds tens of relations for the
+      // life of the process, and deserialized heap blocks (a) squeeze the
+      // unified-memory region every other query shuffles in, and (b) make
+      // every full GC walk a large tenured object graph — measured as a
+      // uniform ~+0.4-0.6 s tax on UNRELATED carried queries once the
+      // r13 relations landed. The scratch dir is RAM-backed tmpfs
+      // (Scratch.scala), so "disk" blocks still read at memory bandwidth;
+      // consumers pay one deserialization per read, which benchmarks as
+      // noise next to the reclaimed execution memory. On a real cluster
+      // this maps to executors' NVMe-backed block storage — same
+      // reasoning: pinned index relations do not belong in the heap that
+      // prices every shuffle.
+      val built = build.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val prev = relCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
