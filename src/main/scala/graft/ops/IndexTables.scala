@@ -570,11 +570,21 @@ object IndexTables {
     * admitted); here it builds once per (catalog, dir, thr) and every
     * subsequent admission probes it. ~32 B/doc — the smallest index in
     * the engine. */
+  /** Base-slice keeper digests, bucketed by digest. Rows carry an
+    * `origin` column ('base' here, 'batch' on every
+    * [[appendToAdmissionDigests]] row): the DECLARED
+    * `pipe_curation_admit*` twins probe `origin = 'base'` ONLY, so
+    * gate evolution on the same (dir, thr) can never drift the twin
+    * off its oracle text — the pure-base contract is structural, not
+    * a test-fixture convention (round-13 advice). v2 in the name: the
+    * v1 layout had no origin column, and a stale v1 table must not be
+    * read as if it had one. */
   def ensureAdmissionDigests(s: SparkSession, dir: String, thr: Long): String =
-    ensure(s, s"idx_admit_digest_${tag(dir)}_$thr", Seq("digest")) {
+    ensure(s, s"idx_admit_digest_v2_${tag(dir)}_$thr", Seq("digest")) {
       import org.apache.spark.sql.functions._
       Tables.documents(s, dir).filter(col("doc_id") <= thr)
         .select(md5(col("text")).as("digest")).distinct()
+        .withColumn("origin", lit("base"))
     }
 
   /** TRAINED BPE VOCABULARY table (round-12 verdict #5): the final
@@ -602,9 +612,18 @@ object IndexTables {
     * same contract as every index append here). Returns digests newly
     * recorded. NOTE: the DECLARED `pipe_curation_admit*` queries gate
     * against the PURE base slice (their oracle contract) — this
-    * append is the deployed evolution, exercised on fixture dirs by
-    * AdmitRunSpec/StreamingAdmissionSpec, never on the shared
-    * testdata-keyed tables. */
+    * append is the deployed evolution, and its rows land with
+    * `origin = 'batch'`, so the declared twins' base-only probe is
+    * unaffected no matter which dir the gate evolves on.
+    *
+    * REPLAY CAVEAT (round-13 advice): the append itself is idempotent,
+    * but a probe-then-append consumer under at-least-once redelivery
+    * must commit its DECISIONS before this call — a crash between the
+    * append and the consumer's own commit means the redelivered batch
+    * re-probes AGAINST ITS OWN DIGESTS and every 'keep' flips to
+    * 'exact_dup'. [[graft.ops.CurationRun.admitRun]] gets this right
+    * (tagged A1 append first); StreamingAdmissionSpec proves the
+    * foreachBatch shape with a per-batch decision commit. */
   def appendToAdmissionDigests(s: SparkSession, dir: String, thr: Long,
                                docs: DataFrame): Long = {
     import org.apache.spark.sql.functions._
@@ -612,6 +631,7 @@ object IndexTables {
     withTableLock(name) {
       val fresh = docs.select(md5(col("text")).as("digest")).distinct()
         .join(s.table(name), Seq("digest"), "left_anti")
+        .withColumn("origin", lit("batch"))
         .localCheckpoint()
       val n = fresh.count()
       if (n > 0) {
@@ -957,13 +977,28 @@ object IndexTables {
     * rebuild-then-append: the rebuild purges the row and the clean
     * generation accepts the vector as new. Returns ids newly
     * tombstoned (0 = the whole batch was already deleted). */
-  def deleteFromAnnIndex(s: SparkSession, dir: String, ids: Seq[Long]): Long = {
-    val batchRows = ids.distinct.map(Tuple1(_))
-    if (batchRows.isEmpty) return 0L
+  def deleteFromAnnIndex(s: SparkSession, dir: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else deleteFromAnnIndex(s, dir,
+      s.createDataFrame(ids.distinct.map(Tuple1(_))).toDF("n_id"))
+
+  /** [[deleteFromAnnIndex]] over a DISTRIBUTED id relation (round-13
+    * verdict #6): same locked, idempotent, generation-safe append, but
+    * the id set never materializes on the driver — the shape for a
+    * takedown whose removal set is predicate-derived from the corpus
+    * (request-sized sets go through the Seq overload, which delegates
+    * here). The one id column is cast to long and deduplicated; the
+    * anti-join and the appended parquet are executor-side end to end.
+    * localCheckpoint pins the fresh set so the count and the write see
+    * one consistent snapshot even though the input may read mutable
+    * state. */
+  def deleteFromAnnIndex(s: SparkSession, dir: String, ids: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val idCol = ids.columns.head
     while (true) {
       val g = annGeneration(s, dir)
       val ivfName = annIvfTableAt(s, dir, g) // ensures gen 0; lock key below
-      val batch = s.createDataFrame(batchRows).toDF("n_id")
+      val batch = ids.select(col(idCol).cast("long").as("n_id")).distinct()
       val committed = withTableLock(ivfName) {
         if (annGeneration(s, dir) != g) None // swapped mid-delete: re-aim at the new generation
         else {
@@ -973,13 +1008,17 @@ object IndexTables {
           // cleared (advice-caught — see annTombPath). parquet append
           // creates the dir when absent, so there is no create branch
           // to get wrong.
+          // checkpoint BEFORE count: the count and the parquet append
+          // must see one snapshot of a possibly-lazy input relation
+          // (the DataFrame overload's ids can derive from live state)
           val fresh =
-            if (tombstoneExists(s, dir, g))
+            (if (tombstoneExists(s, dir, g))
               batch.join(tombstoneIds(s, dir, g), Seq("n_id"), "left_anti")
-            else batch
+            else batch).localCheckpoint()
           val n = fresh.count()
           if (n > 0L)
             fresh.write.mode("append").parquet(annTombPath(s, dir, g).toString)
+          Tables.unpersistCheckpoint(fresh)
           Some(n)
         }
       }

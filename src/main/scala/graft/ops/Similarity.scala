@@ -187,6 +187,65 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** INT8 SCALAR-QUANTIZATION evaluation (round 14) — the third
+    * compression lever beside prefix truncation ([[prefixRecall]],
+    * 2-8×) and sign binarization ([[signRecall]], 32×): symmetric
+    * per-DIMENSION absmax quantization to 8-bit codes (the standard
+    * int8 serving format, 4× vs float32), neighbors ranked by the
+    * EXACT integer dot product of the codes, top-k scored against the
+    * full-precision cosine truth per query. Completes the
+    * storage/recall frontier a deployment reads before choosing its
+    * vector format. ([[quantizeInt8]] is the write-side verification
+    * MANIFEST of the per-vector-scale variant; this is the
+    * retrieval-quality read of the per-dim-scale variant an int8
+    * serving tier actually deploys — shared scales are what let the
+    * scan use one SIMD kernel.)
+    *
+    * Determinism: the per-dim scales are max(|x|) over exact doubles;
+    * x/s·127 is two correctly-rounded IEEE ops in a fixed order;
+    * floor lands on exact integers; code products and sums stay
+    * integral (≤ 64·127² ≪ 2⁵³), so the ranking is pure integer order
+    * with id tiebreaks — the oracle replays every row bit-for-bit and
+    * recall is the one final trunc6 division.
+    *
+    * Scale shape: the scale pass is dimStats' posexplode →
+    * map-side-combined 64-group aggregate (the Exchange carries ≤64
+    * rows per upstream partition); the 64 scales are a bounded driver
+    * constant like every centroid seed here; the scan is the same
+    * broadcast-query brute shape as [[bruteForceTopK]], finishing on
+    * the bounded native top-k. In production the codes live in their
+    * own 64 B/vector table and the scan is SIMD int8 dot — the layout
+    * changes, the report does not. */
+  def sq8Recall(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val vs = vectors(s, dir)
+    val truth = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val scales = vs.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x"))).as("mx"))
+      .orderBy(col("pos"))
+      .collect().map { r => val m = r.getDouble(1); if (m == 0.0) 1.0 else m }
+    val scaleArr = array(scales.map(lit(_)): _*)
+    val codes = vs.select(col("vec_id"),
+      zip_with(col("v"), scaleArr, (x, sc) => floor(x / sc * lit(127.0))).as("q8"))
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("q8"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, e) => acc + e).cast("double").as("cos"))
+    topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+              col("cos").cast("long").as("dot8"))
+      .join(truth.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+           min(col("dot8")).as("min_dot8"),
+           max(col("dot8")).as("max_dot8"))
+      .withColumn("recall", trunc6(col("n_hits").cast("double") / k))
+      .orderBy(col("query_id"))
+  }
+
   /** TWO-STAGE prefix-dim ANN serving (round-12 verdict #6) — the
     * retrieval shape [[prefixRecall]]'s report exists to justify:
     * stage 1 shortlists `shortlist` candidates per query by cosine
@@ -215,7 +274,8 @@ object Similarity {
     * final top-k stays near the brute truth. */
   def prefixTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
                  prefixDims: Int = 32, shortlist: Int = 64): DataFrame =
-    prefixTopKOver(s, dir, prefixVectors(s, dir, prefixDims), nQueries, k, shortlist)
+    prefixTopKOver(s, dir, prefixVectors(s, dir, prefixDims), nQueries, k,
+      shortlist, tombstoneCorpusMask(s, dir))
 
   /** [[prefixTopK]] with stage 1 reading the PERSISTED prefix table
     * ([[IndexTables.ensurePrefixIndex]]) — the claim in the in-plan
@@ -231,7 +291,25 @@ object Similarity {
     graft.functions.TopKPairs.register(s)
     prefixTopKOver(s, dir,
       s.table(IndexTables.ensurePrefixIndex(s, dir, prefixDims)),
-      nQueries, k, shortlist)
+      nQueries, k, shortlist, tombstoneCorpusMask(s, dir))
+  }
+
+  /** The declared TOMBSTONE TWIN of [[prefixTopK]] (`ann_prefix_deleted`
+    * — round 14): the two-stage prefix server with the deterministic
+    * delete set `vec_id ≡ 0 mod 7` masked out of the CANDIDATE side,
+    * the declared-oracle replay of "prefix serving after
+    * `deleteFromAnnIndex` of that set" ([[ivfTopKDeleted]]'s pattern,
+    * applied to the round-13 prefix family). One shared body
+    * ([[prefixTopKOver]]) means the twin and the served path cannot
+    * drift: AnnTombstoneSpec proves row equality between this and
+    * [[prefixTopK]] after the same physical deletes on a fixture. */
+  def prefixTopKDeleted(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                        prefixDims: Int = 32, shortlist: Int = 64,
+                        deleteMod: Long = 7): DataFrame = {
+    val pv = prefixVectors(s, dir, prefixDims)
+    val tombs = pv.filter(col("vec_id") % deleteMod === 0).select(col("vec_id"))
+    prefixTopKOver(s, dir, pv, nQueries, k, shortlist,
+      rel => rel.join(broadcast(tombs), Seq("vec_id"), "left_anti"))
   }
 
   /** The sliced, re-normed, zero-excluded prefix relation — ONE
@@ -245,17 +323,34 @@ object Similarity {
       .filter(col("pnorm") > 0)
 
   /** THE two-stage body over an explicit (vec_id, pv, pnorm) prefix
-    * relation — shortlist by prefix cosine, exact full-dim rerank. */
+    * relation — shortlist by prefix cosine, exact full-dim rerank.
+    * `corpusMask` filters the NEIGHBOR side before the shortlist is
+    * taken (queries are never masked — ivfTopKDeleted's convention):
+    * serving passes the tombstone mask, the declared deleted twin the
+    * explicit mod-set anti-join — one body, so the twin IS the served
+    * path's semantics (a masked-out vector never consumes a shortlist
+    * slot; the top-k refills from survivors). */
   private def prefixTopKOver(s: SparkSession, dir: String, pv: DataFrame,
-                             nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+                             nQueries: Int, k: Int, shortlist: Int,
+                             corpusMask: DataFrame => DataFrame): DataFrame = {
     val q = pv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pv").as("qv"), col("pnorm").as("qnorm"))
-    val short = topK(pv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val short = topK(corpusMask(pv).join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               (dot("qv", "pv") / (col("qnorm") * col("pnorm"))).as("cos")), shortlist)
       .select(col("query_id"), col("neighbor_id"))
     fullDimRerank(s, dir, short, nQueries, k)
   }
+
+  /** The serving-path corpus mask: current-generation tombstones
+    * anti-joined on `vec_id` (round-13 advice — the prefix servers
+    * must be as delete-safe as the IVF paths; identity when no
+    * tombstone set exists, so clean dirs keep the declared-oracle
+    * contract untouched). */
+  private def tombstoneCorpusMask(s: SparkSession, dir: String)
+                                 (rel: DataFrame): DataFrame =
+    IndexTables.maskTombstonesAt(s, dir,
+      IndexTables.annGeneration(s, dir), rel, "vec_id")
 
   /** IVF over the PREFIX space — the two scale levers COMPOSED: the
     * stage-1 shortlist scans only the PROBED inverted lists
@@ -277,16 +372,28 @@ object Similarity {
       .select(col("vec_id"), col("pv").as("v"), col("pnorm").as("norm"))
     val cents = pv.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfNList)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // tombstones mask the NEIGHBOR assignment before candidates are
+    // drawn (ivfTopKIndexed's convention — a deleted vector never
+    // consumes a shortlist slot); identity on clean dirs
+    val neighbors = IndexTables.maskTombstonesAt(s, dir,
+      IndexTables.annGeneration(s, dir),
+      nearestCentroids(pv, cents, 1, "n"), "n_id")
     val short = ivfSearchWithProbes(
       nearestCentroids(pv.filter(col("vec_id") < nQueries), cents, nprobe, "q"),
-      nearestCentroids(pv, cents, 1, "n"), shortlist)
+      neighbors, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     fullDimRerank(s, dir, short, nQueries, k)
   }
 
   /** Stage 2 of every two-stage prefix server: exact full-dim cosine
     * over a (query_id, neighbor_id) shortlist — hash equi-joins on
-    * plain ids, shortlist·Q rows, one definition. */
+    * plain ids, shortlist·Q rows, one definition. Tombstones are
+    * already masked UPSTREAM, at each server's candidate stage
+    * (round-13 advice; see [[tombstoneCorpusMask]] and
+    * [[prefixIvfTopK]]'s neighbor mask) — before the shortlist is
+    * taken, so a deleted vector never consumes a rerank slot and the
+    * top-k refills from survivors, the same semantics as the IVF/PQ
+    * serving paths. */
   private def fullDimRerank(s: SparkSession, dir: String, short: DataFrame,
                             nQueries: Int, k: Int): DataFrame = {
     val vs = vectors(s, dir)
@@ -1561,7 +1668,7 @@ object Similarity {
     * Memoized once per (session, dir): emb_covariance, emb_pca and
     * emb_top_dir all read the same 2,144-row checkpoint, so the pair
     * pass over N is paid once, not three times. */
-  private def moments(s: SparkSession, dir: String): DataFrame =
+  private[ops] def moments(s: SparkSession, dir: String): DataFrame =
     Tables.memoized("moments", s, dir)(momentsPlan(s, dir))
 
   /** The un-memoized moment build — separated so SimilaritySpec can

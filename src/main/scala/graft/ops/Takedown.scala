@@ -86,11 +86,15 @@ object Takedown {
     if (failAfterStep <= 2)
       throw new IllegalStateException("injected crash after takedown step 2")
 
-    // ---- step 3: ANN tombstones (request-sized id set) --------------
-    val removedIds = Tables.documents(s, dir)
-      .filter(col("doc_id") % mod === 0)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    IndexTables.deleteFromAnnIndex(s, dir, removedIds)
+    // ---- step 3: ANN tombstones (distributed id relation) -----------
+    // predicate-derived from the corpus, so the set is corpus-sized in
+    // the worst case — it stays a DataFrame end to end (round-13
+    // verdict #6: no driver materialization; a real request's explicit
+    // id list goes through the Seq overload, which delegates to this).
+    IndexTables.deleteFromAnnIndex(s, dir,
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % mod === 0)
+        .select(col("doc_id")))
     if (failAfterStep <= 3)
       throw new IllegalStateException("injected crash after takedown step 3")
 
@@ -118,8 +122,19 @@ object Takedown {
           .filter(namesRemoved(mod) <=> lit(true)).count()
       }.sum
     }.sum
+    // EVERY served ANN path, not just the IVF index (round-13 advice):
+    // the prefix servers mask tombstones at their shared rerank, and
+    // the audit proves it — a deployment serving ann_prefix_* must not
+    // read "deletion fulfilled" off an IVF-only check.
     val annReach = Similarity.ivfTopKIndexed(s, dir, nQueries = 4, k = 3)
       .filter(col("neighbor_id") % mod === 0).count()
+    val annPrefixReach =
+      Similarity.prefixTopK(s, dir, nQueries = 4, k = 3)
+        .filter(col("neighbor_id") % mod === 0).count() +
+      Similarity.prefixTopKIndexed(s, dir, nQueries = 4, k = 3)
+        .filter(col("neighbor_id") % mod === 0).count() +
+      Similarity.prefixIvfTopK(s, dir, nQueries = 4, k = 3)
+        .filter(col("neighbor_id") % mod === 0).count()
     val keepReach = keepIds.filter(col("doc_id") % mod === 0).count()
     val exportReach = {
       val out = new org.apache.hadoop.fs.Path(exportDir)
@@ -136,6 +151,7 @@ object Takedown {
     val report = Seq(
       ("store_versions", storeReach),
       ("ann_topk", annReach),
+      ("ann_prefix", annPrefixReach),
       ("curation_keep", keepReach),
       ("export_manifest", exportReach))
     require(report.forall(_._2 == 0L),

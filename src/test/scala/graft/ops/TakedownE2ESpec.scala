@@ -39,7 +39,7 @@ class TakedownE2ESpec extends SparkSuite {
   private def reportOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
     df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  test("the full flow leaves zero reachability on all four surfaces (non-vacuously)") {
+  test("the full flow leaves zero reachability on all five surfaces (non-vacuously)") {
     assume(hasTestData)
     val fix = mkFixture()
     val root = freshRoot()
@@ -58,11 +58,23 @@ class TakedownE2ESpec extends SparkSuite {
       .filter(col("neighbor_id") % mod === 0).count() > 0,
       "fixture broken: ANN serves no removed doc before the takedown")
 
+    // non-vacuous on the prefix surface too: at least one prefix path
+    // must serve a removed doc BEFORE the takedown, or the new audit
+    // row proves nothing (round-13 advice: the prefix servers were
+    // un-audited and un-masked)
+    val prefixBefore =
+      Similarity.prefixTopK(spark, fix, nQueries = 4, k = 3)
+        .filter(col("neighbor_id") % mod === 0).count() +
+      Similarity.prefixIvfTopK(spark, fix, nQueries = 4, k = 3)
+        .filter(col("neighbor_id") % mod === 0).count()
+
     val report = reportOf(Takedown.takedownEverywhere(
       spark, fix, root, "run1", "run2", mod, exportDir))
-    assert(report.keySet == Set("store_versions", "ann_topk", "curation_keep",
-      "export_manifest"))
+    assert(report.keySet == Set("store_versions", "ann_topk", "ann_prefix",
+      "curation_keep", "export_manifest"))
     assert(report.values.forall(_ == 0L), s"reachability after takedown: $report")
+    assert(prefixBefore > 0,
+      "fixture vacuous for the prefix audit: no prefix path served a removed doc")
     // the export genuinely shipped the survivors (non-empty manifest)
     val files = new java.io.File(exportDir).listFiles()
       .filter(_.getName.startsWith("shard-"))
