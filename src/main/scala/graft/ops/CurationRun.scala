@@ -415,10 +415,18 @@ object CurationRun {
       admitted.select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
                              lit(" dec="), col("decision")).as("message"))),
       Container, runId, AdmitKeepDropTag)
-    // gate evolution: later batches see this batch's digests (its own
-    // idempotency makes the resumed-run re-append a no-op)
+    // gate evolution: later batches see this batch's ADMITTED digests
+    // (keeps only, per the stage doc — a rejected doc's digest must NOT
+    // enter the accepted set, or a later copy of it would be classified
+    // exact_dup instead of by its own gate, skewing the decision mix
+    // and n_divergent; round-13 advice). Replay-safe: A1 is committed
+    // above, and the append's own idempotency makes a resumed-run
+    // re-append a no-op.
     IndexTables.appendToAdmissionDigests(s, dir, thr,
-      Tables.documents(s, dir).filter(col("doc_id") > thr).select(col("text")))
+      Tables.documents(s, dir).filter(col("doc_id") > thr)
+        .join(admitted.filter(col("decision") === "keep").select(col("doc_id")),
+          Seq("doc_id"))
+        .select(col("text")))
     if (failAfterStage <= 1)
       throw new IllegalStateException("injected crash after admit stage 1")
 
@@ -457,45 +465,80 @@ object CurationRun {
       .orderBy(col("shard_id"))
   }
 
-  /** The declared-query wrapper (`pipe_takedown`): a full prior run,
-    * then the takedown of `doc_id ≡ 0 mod 13` against its chain, both
-    * in one throwaway store — the post-takedown receipt must equal a
-    * full run over the corpus minus the removed set (the oracle
-    * computes that receipt from the filtered corpus directly). */
-  def takedownSelfContained(s: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-curation-takedown").toString
-    try {
-      run(s, dir, root, "run1")
-      val df = takedownRun(s, dir, root, "run1", "run2", 13L, 8, Int.MaxValue)
-      val rows = df.collect().toSeq
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), df.schema)
-    } finally
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  // ---- persistent PRIOR-RUN fixtures for the lifecycle queries ------
+  //
+  // Round-13 verdict #5: `pipe_takedown`/`pipe_curation_delta` timed a
+  // temp store + a FULL prior curation run + the operator in one row —
+  // fixture churn conflated with operator cost, and the rows sat at
+  // ~8 s while the operator itself is ~half that. The prior-run store
+  // is now a DETERMINISTIC, REUSABLE fixture per (dir, flavor):
+  //  - ensure semantics — built once (resumably, via run()'s
+  //    idempotency tags) under the scratch dir, reused by every later
+  //    invocation in any process; Bench prices it as an explicit
+  //    `build:fixture_*` row, so the timed query pays the OPERATOR.
+  //  - invocation-stable receipts — each operator call uses a FRESH
+  //    runId; manifest versions are per (container, session), so the
+  //    new chain pins at version 2 (the declared oracle's constant)
+  //    no matter how many prior invocations' chains share the store,
+  //    and neither operator mutates run1's chain or the corpus.
+  //  - bench honesty — a fresh runId per call means a re-measure pays
+  //    the full operator again, never a committed-chain replay.
+  private val fixtureRunSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def freshOperatorRunId(): String =
+    s"run2_p${ProcessHandle.current().pid()}_${fixtureRunSeq.incrementAndGet()}"
+
+  private def fixtureRoot(dir: String, flavor: String): String =
+    s"${graft.Scratch.localDir}/graft-fixture-$flavor-${IndexTables.dirTag(dir)}"
+
+  /** Ensure the takedown queries' prior-run store (full-corpus run1). */
+  def ensureTakedownFixture(s: SparkSession, dir: String): String = {
+    val root = fixtureRoot(dir, "takedown")
+    if (!chainComplete(s, root, "run1")) run(s, dir, root, "run1")
+    root
   }
 
-  /** The declared-query wrapper (`pipe_curation_delta`): prior run over
-    * the bottom-90%-of-ids base slice, then the delta admission of the
-    * top decile, both against one throwaway store — the combined
-    * receipt must equal a full run's (the oracle computes the full
-    * run's receipt from the corpus directly). */
-  def deltaRunSelfContained(s: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(graft.Scratch.localDir), "graft-curation-delta").toString
-    try {
-      val maxId = Tables.documents(s, dir)
-        .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
-      val thr = 9L * maxId / 10L
+  /** Ensure the delta queries' prior-run store (run1 over the
+    * bottom-90%-of-ids base slice; thr is corpus-derived, so the
+    * fixture is deterministic per dir). Returns (root, thr). */
+  def ensureDeltaFixture(s: SparkSession, dir: String): (String, Long) = {
+    val maxId = Tables.documents(s, dir)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val thr = 9L * maxId / 10L
+    val root = fixtureRoot(dir, "delta")
+    if (!chainComplete(s, root, "run1"))
       run(s, dir, root, "run1", 8, Int.MaxValue, maxDocId = thr)
-      val df = deltaRun(s, dir, root, "run1", "run2", thr, 8, Int.MaxValue)
-      val rows = df.collect().toSeq
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), df.schema)
-    } finally
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    (root, thr)
+  }
+
+  private def collected(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.collect().toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), df.schema)
+  }
+
+  /** The declared-query wrapper (`pipe_takedown`): the takedown of
+    * `doc_id ≡ 0 mod 13` against the fixture's prior chain — the
+    * post-takedown receipt must equal a full run over the corpus minus
+    * the removed set (the oracle computes that receipt from the
+    * filtered corpus directly). Self-contained: first call on a dir
+    * builds the prior-run fixture; the nShards-sized receipt is
+    * collected so nothing served holds the store. */
+  def takedownSelfContained(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTakedownFixture(s, dir)
+    collected(s,
+      takedownRun(s, dir, root, "run1", freshOperatorRunId(), 13L, 8, Int.MaxValue))
+  }
+
+  /** The declared-query wrapper (`pipe_curation_delta`): the delta
+    * admission of the top id-decile against the fixture's base-slice
+    * prior chain — the combined receipt must equal a full run's (the
+    * oracle computes the full run's receipt from the corpus
+    * directly). Self-contained like the takedown wrapper. */
+  def deltaRunSelfContained(s: SparkSession, dir: String): DataFrame = {
+    val (root, thr) = ensureDeltaFixture(s, dir)
+    collected(s,
+      deltaRun(s, dir, root, "run1", freshOperatorRunId(), thr, 8, Int.MaxValue))
   }
 
   /** The declared-query wrapper (`pipe_curation_run`): a one-shot run

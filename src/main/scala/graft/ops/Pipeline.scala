@@ -1242,10 +1242,15 @@ object Pipeline {
     * .ensureShingleSegmentsFrom]] — the committed statistics, not a
     * re-derivation). Identical rows to the in-plan form BY the shared
     * decision body (AdmissionFrozenSpec proves it), which is why the
-    * declared twin shares one oracle text. */
+    * declared twin shares one oracle text. The digest probe is pinned
+    * to `origin = 'base'` rows (round-13 advice): gate evolution
+    * ([[IndexTables.appendToAdmissionDigests]]) on the same (dir, thr)
+    * appends 'batch' rows the declared twin can never see, so the
+    * oracle contract holds structurally rather than by fixture-dir
+    * convention. */
   private[graft] def admissionFrozenIndexed(s: SparkSession, dir: String, thr: Long): DataFrame =
     admissionFrozenOf(s, dir, thr,
-      Tables.documents(s, dir).filter(col("doc_id") > thr))
+      Tables.documents(s, dir).filter(col("doc_id") > thr), baseOnly = true)
 
   /** The index-served frozen gate over an EXPLICIT batch relation
     * (doc_id, source, text, ...) — the streaming/orchestration seam:
@@ -1256,10 +1261,13 @@ object Pipeline {
     * slice via [[IndexTables.appendToAdmissionDigests]] — the gate
     * evolution that catches cross-batch exact dups. */
   private[graft] def admissionFrozenOf(s: SparkSession, dir: String, thr: Long,
-                                       batch: DataFrame): DataFrame = {
+                                       batch: DataFrame,
+                                       baseOnly: Boolean = false): DataFrame = {
     val key = admissionKey(dir, thr)
     ensureAdmissionAssets(s, dir, thr)
-    val digests = s.table(IndexTables.ensureAdmissionDigests(s, dir, thr))
+    val digestsAll = s.table(IndexTables.ensureAdmissionDigests(s, dir, thr))
+    val digests = (if (baseOnly) digestsAll.filter(col("origin") === "base")
+                   else digestsAll).select(col("digest"))
     // batch shingles capped by the INDEX's committed hot set — the
     // same frozen asymmetry as the in-plan form
     val hot = IndexTables.segmentHotSet(s, key)

@@ -49,23 +49,47 @@ class StreamingAdmissionSpec extends SparkSuite {
 
     val in = tempDir("stream-admit-in")
     val ckpt = tempDir("stream-admit-ckpt")
+    val decDir = tempDir("stream-admit-dec")
     val decisions = scala.collection.mutable.Map.empty[Long, String]
+    // THE documented probe-then-append foreachBatch body, replay-safe
+    // (round-13 advice): decisions COMMIT keyed by batch id BEFORE the
+    // digest append — the streaming analog of admitRun's tagged A1
+    // order. Under at-least-once redelivery (crash between the append
+    // and the sink's checkpoint commit) the redelivered batch finds its
+    // committed decision artifact and replays it instead of re-probing
+    // against its own digests, which would flip every 'keep' to
+    // 'exact_dup'. Only ADMITTED (keep) digests grow the gate, matching
+    // admitRun's stage doc.
+    def admitBatch(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      val marker = java.nio.file.Paths.get(decDir, s"batch-$batchId.tsv")
+      if (!java.nio.file.Files.exists(marker)) {
+        val rows = Pipeline.admissionFrozenOf(spark, fix, thr, batch).collect()
+          .map(r => s"${r.getLong(0)}\t${r.getString(2)}")
+        val tmp = java.nio.file.Paths.get(decDir, s".batch-$batchId.tmp")
+        java.nio.file.Files.write(tmp, rows.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE) // the decision COMMIT
+        val keepIds = rows.map(_.split("\t")).collect {
+          case Array(id, "keep") => id.toLong
+        }.toSeq
+        IndexTables.appendToAdmissionDigests(spark, fix, thr,
+          batch.filter(col("doc_id").isin(keepIds: _*)).select(col("text")))
+      }
+      // serve the COMMITTED artifact (first delivery and replays alike)
+      java.nio.file.Files.readAllLines(marker).forEach { line =>
+        val Array(id, dec) = line.split("\t")
+        decisions(id.toLong) = dec
+      }
+    }
     def drain(): Unit = {
       val q = spark.readStream.schema(inSchema).json(in)
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            // probe first (against base + previously admitted), THEN
-            // grow the digest index — the admitRun stage-A1 order
-            Pipeline.admissionFrozenOf(spark, fix, thr, batch)
-              .collect().foreach(r => decisions(r.getLong(0)) = r.getString(2))
-            IndexTables.appendToAdmissionDigests(spark, fix, thr,
-              batch.select(col("text")))
-          }
-          ()
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          admitBatch(batch, batchId)
         }
         .start()
       q.awaitTermination(120000)
@@ -95,5 +119,18 @@ class StreamingAdmissionSpec extends SparkSuite {
     val redelivered = spark.createDataFrame(Seq(Tuple1(wText))).toDF("text")
     assert(IndexTables.appendToAdmissionDigests(spark, fix, thr, redelivered) == 0L,
       "a redelivered batch's digests re-appended")
+    // AT-LEAST-ONCE REDELIVERY of a whole batch (crash between the
+    // digest append and the checkpoint commit): the committed-decision
+    // replay must hold every 'keep' — an unprotected re-probe would
+    // find the batch's own digests and flip 45 to exact_dup
+    val before = decisions.toMap
+    val b2replay = spark.createDataFrame(
+      Seq((43L, "web", wText), (44L, "web", vNear), (45L, "web", text("q"))))
+      .toDF("doc_id", "source", "text")
+    admitBatch(b2replay, 1L) // same batchId the sink assigned batch 2
+    assert(decisions.toMap == before,
+      s"redelivered batch flipped committed decisions: $before -> $decisions")
+    assert(decisions(45L) == "keep",
+      "replay flipped an admitted doc to exact_dup against its own digests")
   }
 }
