@@ -165,6 +165,10 @@ object SparkEntry {
     // binary (sign-bit) quantization evaluation: integer-Hamming top-k
     // scored per query against the float-cosine truth (the 32x cut)
     "emb_sign_recall" -> ((s: SparkSession, d: String) => Similarity.signRecall(s, d)),
+    // int8 symmetric absmax quantization (4x): exact integer-dot
+    // ranking of the codes vs the float-cosine truth — completes the
+    // prefix (2-8x) / int8 (4x) / sign (32x) compression frontier
+    "emb_sq8_recall" -> ((s: SparkSession, d: String) => Similarity.sq8Recall(s, d)),
     "emb_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -179,6 +183,11 @@ object SparkEntry {
     // tombstone-masked serving (in-plan twin of the delete lifecycle:
     // candidates anti-joined against the deterministic tombstone set)
     "ann_ivf_deleted" -> ((s: SparkSession, d: String) => Similarity.ivfTopKDeleted(s, d)),
+    // the prefix family's tombstone twin (round 14): two-stage prefix
+    // serving with the declared delete set masked at the candidate
+    // stage — one shared body with the served path, so the oracle
+    // pins the delete semantics of all three prefix servers
+    "ann_prefix_deleted" -> ((s: SparkSession, d: String) => Similarity.prefixTopKDeleted(s, d)),
     // late-interaction rerank: IVF shortlist re-scored by MaxSim over
     // the 8-subvector split (Σ_m max_p of floored sub-cosines)
     "ann_maxsim_topk" -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
@@ -698,21 +707,26 @@ object SparkEntry {
   // replace() gets NULL args → coalesce falls back to w), so t{n} is the
   // final encoded vocabulary even under early exhaustion — while the
   // trainer's output rows, which read only the m_k CTEs, are unaffected.
+  // Every CTE in the chain is AS MATERIALIZED: each t_k is referenced by
+  // both p_{k+1} and t_{k+1}, and the chain's tail (t10) by multiple
+  // consumers in the *_bpe oracles — DuckDB's default inlining
+  // re-evaluates the whole 10-round chain once per reference (measured
+  // 265 s → 0.7 s at sf0.01 for pipe_temperature_mixture_bpe).
   private def bpeRoundsCte(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { k =>
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(tf) AS BIGINT) AS n
          |  FROM (SELECT tf, string_split(trim(w, ' '), '  ') AS s FROM t${k - 1}) q,
          |       UNNEST(range(1, len(s))) AS u(i)
          |  GROUP BY 1, 2),
-         |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-         |t$k AS (
+         |m$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |t$k AS MATERIALIZED (
          |  SELECT tok,
          |    coalesce(replace(w, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), w) AS w,
          |    tf
          |  FROM t${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""t0 AS (
+    s"""t0 AS MATERIALIZED (
        |  SELECT tok, regexp_replace(tok, '(.)', ' \\1 ', 'g') AS w, COUNT(*) AS tf
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
        |  GROUP BY tok),
@@ -736,10 +750,10 @@ object SparkEntry {
   // exactly TextAnalysis.bpeEncode's join+agg replayed in SQL.
   private val bpeEncodeOracle: String =
     s"""WITH ${bpeRoundsCte(10)},
-       |enc AS (
+       |enc AS MATERIALIZED (
        |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
        |  FROM t10),
-       |dt AS (
+       |dt AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |SELECT doc_id,
        |  COUNT(*) AS n_tokens,
@@ -757,17 +771,17 @@ object SparkEntry {
   // (mirrors Pipeline.bpeTokenRelation: docs encoding to 0 tokens keep
   // their rows via the left join). Requires bpeRoundsCte(10) in scope.
   private val bpePerDocCte: String =
-    """enc AS (
+    """enc AS MATERIALIZED (
       |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
       |  FROM t10),
-      |dt AS (
+      |dt AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |pd AS (
+      |pd AS MATERIALIZED (
       |  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_bpe
       |  FROM dt JOIN enc USING (tok)
       |  WHERE tok <> ''
       |  GROUP BY doc_id),
-      |t AS (
+      |t AS MATERIALIZED (
       |  SELECT d.doc_id, d.source, COALESCE(pd.n_bpe, CAST(0 AS BIGINT)) AS n_tokens
       |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin
 
@@ -2156,6 +2170,34 @@ object SparkEntry {
          |          JOIN vn n ON sl.neighbor_id = n.vec_id)
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // the prefix tombstone twin: ann_prefix_topk's two stages with the
+    // deterministic delete set (vec_id ≡ 0 mod 7) excluded from the
+    // CANDIDATE side before the shortlist is taken — a deleted vector
+    // never consumes a shortlist slot and the top-k refills, exactly
+    // the served mask semantics (queries are never masked, the
+    // ann_ivf_deleted convention)
+    "ann_prefix_deleted" ->
+      s"""WITH $vectorsCte,
+         |pn AS (
+         |  SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pnorm
+         |  FROM (SELECT vec_id, list_slice(v, 1, 32) AS pv FROM vn) x
+         |  WHERE list_dot_product(pv, pv) > 0),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.pv, n.pv) / (q.pnorm * n.pnorm) DESC, n.vec_id) AS srk
+         |    FROM pn q JOIN pn n ON n.vec_id <> q.vec_id AND n.vec_id % 7 <> 0
+         |    WHERE q.vec_id < 8) t WHERE srk <= 64),
+         |ranked AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sl.neighbor_id) AS rk
+         |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
+         |          JOIN vn n ON sl.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // prefix-space IVF shortlist (the one IVF machinery over (pv,
     // pnorm): same centroid ids, assignment rule and tiebreaks) +
     // exact full-dim rerank — list pruning composed with truncation
@@ -2266,6 +2308,47 @@ object SparkEntry {
          |  COUNT(*) AS n_ranked,
          |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  MIN(r.hamming) AS min_hamming, MAX(r.hamming) AS max_hamming,
+         |  floor(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / 5 * 1000000) / 1000000 AS recall
+         |FROM ranked r LEFT JOIN truth t
+         |  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+         |WHERE r.rk <= 5
+         |GROUP BY r.query_id ORDER BY r.query_id""".stripMargin,
+    // int8 absmax quantization recall: per-dim scales are exact double
+    // max(|x|); x/s*127 is two fixed-order IEEE ops; floor lands on
+    // integers, so code dots are exact and the ranking replays
+    // bit-for-bit (list_dot_product over integral doubles ≪ 2^53)
+    "emb_sq8_recall" ->
+      s"""WITH $vectorsCte,
+         |tq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT tq.query_id, vn.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY tq.query_id
+         |        ORDER BY list_dot_product(tq.qv, vn.v) / (tq.qnorm * vn.norm) DESC,
+         |                 vn.vec_id) AS rk
+         |    FROM vn JOIN tq ON vn.vec_id <> tq.query_id) z
+         |  WHERE rk <= 5),
+         |sc AS MATERIALIZED (
+         |  SELECT list(CASE WHEN mx = 0 THEN 1.0 ELSE mx END ORDER BY pos) AS scl
+         |  FROM (SELECT i AS pos, MAX(abs(x.v[i])) AS mx
+         |        FROM vn x, UNNEST(range(1, len(x.v) + 1)) AS u(i)
+         |        GROUP BY i) m),
+         |qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(v) + 1), i -> floor(v[i] / scl[i] * 127.0)) AS q8
+         |  FROM vn, sc),
+         |qq AS (SELECT vec_id AS query_id, q8 AS qc FROM qv WHERE vec_id < 8),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot8 DESC, neighbor_id) AS rk
+         |  FROM (
+         |    SELECT q.query_id, n.vec_id AS neighbor_id,
+         |      CAST(list_dot_product(n.q8, q.qc) AS BIGINT) AS dot8
+         |    FROM qv n JOIN qq q ON n.vec_id <> q.query_id) s)
+         |SELECT r.query_id,
+         |  COUNT(*) AS n_ranked,
+         |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  MIN(r.dot8) AS min_dot8, MAX(r.dot8) AS max_dot8,
          |  floor(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |        / 5 * 1000000) / 1000000 AS recall
          |FROM ranked r LEFT JOIN truth t
@@ -3048,7 +3131,7 @@ object SparkEntry {
     "pipe_temperature_mixture_bpe" ->
       s"""WITH ${bpeRoundsCte(10)},
          |$bpePerDocCte,
-         |counts AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS mass FROM t GROUP BY source),
+         |counts AS MATERIALIZED (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS mass FROM t GROUP BY source),
          |rates AS (
          |  SELECT source,
          |    CAST(FLOOR(100.0 * sqrt(CAST((SELECT MIN(mass) FROM counts) AS DOUBLE) / mass)) AS BIGINT) AS rate
@@ -3067,7 +3150,7 @@ object SparkEntry {
     "pipe_balanced_mixture_bpe" ->
       s"""WITH ${bpeRoundsCte(10)},
          |$bpePerDocCte,
-         |counts AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS cnt FROM t GROUP BY source),
+         |counts AS MATERIALIZED (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS cnt FROM t GROUP BY source),
          |rates AS (
          |  SELECT source, CAST(100 * ((SELECT MIN(cnt) FROM counts) // 2) // cnt AS BIGINT) AS rate
          |  FROM counts),
