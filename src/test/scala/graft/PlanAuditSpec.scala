@@ -132,6 +132,13 @@ class PlanAuditSpec extends SparkSuite {
     // identical shape with stage 1 scanning the persisted narrow
     // prefix table (built at construction on first call)
     "ann_prefix_indexed",
+    // the same stage-1 broadcast-query prefix scan with the declared
+    // delete set anti-joined out (a broadcast hash ANTI-join on the
+    // id, like ann_ivf_deleted's mask); the rerank is equi-joins
+    "ann_prefix_deleted",
+    // the same broadcast-query-set scan over the int8 code arrays,
+    // plus the full-dim truth pass (emb_sign_recall's shape)
+    "emb_sq8_recall",
     // the same 8-row centroid cross (assignment + probes) as
     // ann_ivf_topk, applied in prefix space; the rerank is equi-joins
     "ann_prefix_ivf",
