@@ -169,6 +169,10 @@ object SparkEntry {
     // ranking of the codes vs the float-cosine truth — completes the
     // prefix (2-8x) / int8 (4x) / sign (32x) compression frontier
     "emb_sq8_recall" -> ((s: SparkSession, d: String) => Similarity.sq8Recall(s, d)),
+    // the int8 report made a SERVER: integer-dot shortlist over the
+    // 64 B/vector codes, exact full-dim rerank (the shared two-stage
+    // tail) — the 4x-bandwidth serving shape sq8_recall prices
+    "ann_sq8_topk" -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
     "emb_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "ann_lsh_topk"   -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"   -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -264,6 +268,10 @@ object SparkEntry {
     // encode served from the PERSISTED vocab table — train once, every
     // encode is a join (the deployed tokenizer shape; round-13)
     "text_bpe_encode_table" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncodeTable(s, d)),
+    // per-source tokenizer fertility (tokens/word) + compression
+    // (chars/token) under the trained vocabulary — the tokenizer-health
+    // read the mixture/packing planners consume
+    "text_bpe_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
     // sketch twin of text_length_quantiles — emits exact quantiles plus
     // per-percentile rank-error-bound flags, so the oracle hash-checks
     // the sketch contract (same pattern as q21_approx_distinct)
@@ -2355,6 +2363,37 @@ object SparkEntry {
          |  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
          |WHERE r.rk <= 5
          |GROUP BY r.query_id ORDER BY r.query_id""".stripMargin,
+    // int8 two-stage serving: integer-dot shortlist over the codes
+    // (exact integer order, id tiebreaks), exact full-dim cosine
+    // rerank — the same two-stage replay as ann_prefix_topk with the
+    // quantized relation as stage 1
+    "ann_sq8_topk" ->
+      s"""WITH $vectorsCte,
+         |sc AS MATERIALIZED (
+         |  SELECT list(CASE WHEN mx = 0 THEN 1.0 ELSE mx END ORDER BY pos) AS scl
+         |  FROM (SELECT i AS pos, MAX(abs(x.v[i])) AS mx
+         |        FROM vn x, UNNEST(range(1, len(x.v) + 1)) AS u(i)
+         |        GROUP BY i) m),
+         |qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(v) + 1), i -> floor(v[i] / scl[i] * 127.0)) AS q8
+         |  FROM vn, sc),
+         |qq AS (SELECT vec_id AS query_id, q8 AS qc FROM qv WHERE vec_id < 8),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, n.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(n.q8, q.qc) DESC, n.vec_id) AS srk
+         |    FROM qv n JOIN qq q ON n.vec_id <> q.query_id) t WHERE srk <= 64),
+         |ranked AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sl.neighbor_id) AS rk
+         |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
+         |          JOIN vn n ON sl.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "emb_hard_negatives" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm
@@ -2818,6 +2857,36 @@ object SparkEntry {
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
+    // per-source fertility/compression under the trained vocabulary:
+    // the encode join's per-doc rollup re-aggregated by source, docs
+    // encoding to nothing kept via the left join
+    "text_bpe_fertility" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |enc AS MATERIALIZED (
+         |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
+         |  FROM t10),
+         |dt AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |j AS (
+         |  SELECT doc_id, COUNT(*) AS w, CAST(SUM(n_syms) AS BIGINT) AS b,
+         |    CAST(SUM(length(tok)) AS BIGINT) AS c
+         |  FROM dt JOIN enc USING (tok)
+         |  WHERE tok <> ''
+         |  GROUP BY doc_id),
+         |g AS (
+         |  SELECT d.source, COUNT(*) AS n_docs,
+         |    CAST(COALESCE(SUM(j.w), 0) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(SUM(j.b), 0) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(COALESCE(SUM(j.c), 0) AS BIGINT) AS n_chars
+         |  FROM documents d LEFT JOIN j USING (doc_id) GROUP BY d.source)
+         |SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
+         |  CASE WHEN n_words > 0
+         |    THEN floor(CAST(n_bpe_tokens AS DOUBLE) / n_words * 1000000) / 1000000
+         |    ELSE 0.0 END AS fertility,
+         |  CASE WHEN n_bpe_tokens > 0
+         |    THEN floor(CAST(n_chars AS DOUBLE) / n_bpe_tokens * 1000000) / 1000000
+         |    ELSE 0.0 END AS chars_per_token
+         |FROM g ORDER BY source""".stripMargin,
     "pipe_dup_weights" ->
       s"""WITH $simhashCte,
          |sizes AS (SELECT simhash, COUNT(*) AS cluster_size FROM shash GROUP BY simhash)

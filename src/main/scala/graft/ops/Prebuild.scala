@@ -37,6 +37,7 @@ object Prebuild {
     "vectors"            -> ((s, d) => { Similarity.vectors(s, d); () }),
     "ivf_seed_assign"    -> ((s, d) => { Similarity.seedAssignment(s, d); () }),
     "moments"            -> ((s, d) => { Similarity.moments(s, d); () }),
+    "sq8_codes"          -> ((s, d) => Similarity.ensureSq8Codes(s, d)),
     // ---- media signatures (memoized; decode-once contract) ----
     "phash"              -> ((s, d) => { Multimodal.phashRaw(s, d); () }),
     // ---- persisted index tables (warehouse, ensure-once) ----

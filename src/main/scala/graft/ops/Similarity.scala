@@ -216,17 +216,34 @@ object Similarity {
     * the bounded native top-k. In production the codes live in their
     * own 64 B/vector table and the scan is SIMD int8 dot — the layout
     * changes, the report does not. */
+  /** The (vec_id, q8) INT8 CODE relation under per-dim absmax scales —
+    * one derivation for the recall report and the serving path, and
+    * the single-JVM stand-in for the 64 B/vector code table an int8
+    * tier persists. Memoized like every signature index here: the
+    * scale pass (a map-side-combined 64-group aggregate + a bounded
+    * 64-value driver constant) and the quantization projection run
+    * once per (session, dir). */
+  private def sq8Codes(s: SparkSession, dir: String): DataFrame =
+    Tables.memoized("sq8Codes", s, dir) {
+      val vs = vectors(s, dir)
+      val scales = vs.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(max(abs(col("x"))).as("mx"))
+        .orderBy(col("pos"))
+        .collect().map { r => val m = r.getDouble(1); if (m == 0.0) 1.0 else m }
+      val scaleArr = array(scales.map(lit(_)): _*)
+      vs.select(col("vec_id"),
+        zip_with(col("v"), scaleArr, (x, sc) => floor(x / sc * lit(127.0))).as("q8"))
+    }
+
+  /** Force the int8 code relation (the bench's `build:sq8_codes` row). */
+  private[ops] def ensureSq8Codes(s: SparkSession, dir: String): Unit = {
+    sq8Codes(s, dir); ()
+  }
+
   def sq8Recall(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val vs = vectors(s, dir)
     val truth = bruteForceTopK(s, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val scales = vs.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(max(abs(col("x"))).as("mx"))
-      .orderBy(col("pos"))
-      .collect().map { r => val m = r.getDouble(1); if (m == 0.0) 1.0 else m }
-    val scaleArr = array(scales.map(lit(_)): _*)
-    val codes = vs.select(col("vec_id"),
-      zip_with(col("v"), scaleArr, (x, sc) => floor(x / sc * lit(127.0))).as("q8"))
+    val codes = sq8Codes(s, dir)
     val q = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q8").as("qq"))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -244,6 +261,30 @@ object Similarity {
            max(col("dot8")).as("max_dot8"))
       .withColumn("recall", trunc6(col("n_hits").cast("double") / k))
       .orderBy(col("query_id"))
+  }
+
+  /** INT8 two-stage SERVING (round 14) — [[sq8Recall]]'s report made a
+    * server, completing the report→server pattern the prefix family
+    * set: stage 1 shortlists by the EXACT integer dot product over the
+    * int8 codes (the 64 B/vector scan an int8 tier runs with one SIMD
+    * kernel — 4× less bandwidth than float32), stage 2 reranks the
+    * shortlist with the exact full-dim cosine — the one
+    * [[fullDimRerank]] every two-stage server here shares. Tombstones
+    * mask the candidate side like every served path
+    * ([[tombstoneCorpusMask]]); stage-1 ordering is pure integer with
+    * id tiebreaks, so the oracle replays both stages bit-for-bit. */
+  def sq8TopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+              shortlist: Int = 64): DataFrame = {
+    val codes = sq8Codes(s, dir)
+    val corpus = tombstoneCorpusMask(s, dir)(codes)
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    val short = topK(corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("q8"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, e) => acc + e).cast("double").as("cos")), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    fullDimRerank(s, dir, short, nQueries, k)
   }
 
   /** TWO-STAGE prefix-dim ANN serving (round-12 verdict #6) — the

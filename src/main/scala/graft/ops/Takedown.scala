@@ -135,6 +135,8 @@ object Takedown {
         .filter(col("neighbor_id") % mod === 0).count() +
       Similarity.prefixIvfTopK(s, dir, nQueries = 4, k = 3)
         .filter(col("neighbor_id") % mod === 0).count()
+    val annSq8Reach = Similarity.sq8TopK(s, dir, nQueries = 4, k = 3)
+      .filter(col("neighbor_id") % mod === 0).count()
     val keepReach = keepIds.filter(col("doc_id") % mod === 0).count()
     val exportReach = {
       val out = new org.apache.hadoop.fs.Path(exportDir)
@@ -152,6 +154,7 @@ object Takedown {
       ("store_versions", storeReach),
       ("ann_topk", annReach),
       ("ann_prefix", annPrefixReach),
+      ("ann_sq8", annSq8Reach),
       ("curation_keep", keepReach),
       ("export_manifest", exportReach))
     require(report.forall(_._2 == 0L),

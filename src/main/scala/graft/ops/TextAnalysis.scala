@@ -513,6 +513,39 @@ object TextAnalysis {
   def bpeEncodeTable(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
     encodeOver(s, dir, s.table(IndexTables.ensureBpeVocab(s, dir, nMerges)))
 
+  /** TOKENIZER FERTILITY by source (round 14) — the standard
+    * tokenizer-health read before a training run: per source,
+    * whitespace words vs trained-tokenizer tokens (fertility =
+    * tokens/word — the metric multilingual tokenizer evaluations
+    * report per language/domain, here per source slice) and
+    * chars/token (compression). A source whose fertility is an
+    * outlier is paying disproportionate sequence budget for the same
+    * text mass — the input to the mixture/packing decisions the
+    * `pipe_*_bpe` family plans. One groupBy(source) over the per-doc
+    * encode rollup ([[bpeEncode]] — the memoized vocabulary join the
+    * BPE family already materializes); docs encoding to nothing keep
+    * their doc slots via the left join, like every BPE denominator. */
+  def bpeFertility(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(bpeEncode(s, dir, nMerges)
+        .select(col("doc_id"), col("n_tokens").as("w"),
+                col("n_symbols").as("b"), col("n_chars").as("c")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           coalesce(sum(col("w")), lit(0L)).as("n_words"),
+           coalesce(sum(col("b")), lit(0L)).as("n_bpe_tokens"),
+           coalesce(sum(col("c")), lit(0L)).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          trunc6(col("n_bpe_tokens").cast("double") / col("n_words")))
+          .otherwise(lit(0.0)))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") > 0,
+          trunc6(col("n_chars").cast("double") / col("n_bpe_tokens")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("source"))
+
   /** The trained (tok, n_syms) vocabulary relation — the unit
     * [[IndexTables.ensureBpeVocab]] persists and [[bpeEncode]] joins
     * in-plan. ONE derivation off the trainer's final type state,

@@ -139,6 +139,9 @@ class PlanAuditSpec extends SparkSuite {
     // the same broadcast-query-set scan over the int8 code arrays,
     // plus the full-dim truth pass (emb_sign_recall's shape)
     "emb_sq8_recall",
+    // the serving form of the same scan: integer-dot shortlist over
+    // the codes, then the equi-join full-dim rerank
+    "ann_sq8_topk",
     // the same 8-row centroid cross (assignment + probes) as
     // ann_ivf_topk, applied in prefix space; the rerank is equi-joins
     "ann_prefix_ivf",

@@ -250,7 +250,8 @@ class AnnTombstoneSpec extends SparkSuite {
       "pq"         -> Similarity.ivfPqTopK(spark, fix, nQueries = 4, k = 3),
       "prefix"     -> Similarity.prefixTopK(spark, fix, nQueries = 4, k = 3),
       "prefix_idx" -> Similarity.prefixTopKIndexed(spark, fix, nQueries = 4, k = 3),
-      "prefix_ivf" -> Similarity.prefixIvfTopK(spark, fix, nQueries = 4, k = 3))
+      "prefix_ivf" -> Similarity.prefixIvfTopK(spark, fix, nQueries = 4, k = 3),
+      "sq8"        -> Similarity.sq8TopK(spark, fix, nQueries = 4, k = 3))
     all.foreach { case (name, df) =>
       assert(df.filter(col("neighbor_id") % 10 === 0).count() == 0L,
         s"deleted ids still served by the $name path")

@@ -273,6 +273,50 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("sq8Recall: per-query coverage, integer dots in range, quantization non-vacuous but usable") {
+    assume(hasTestData)
+    val rows = Similarity.sq8Recall(spark, sf).collect()
+    assert(rows.length == 8, "one row per query expected")
+    rows.foreach { r =>
+      val (q, nRanked, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (minD, maxD, recall) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(q >= 0 && q < 8 && nRanked == 5L)
+      assert(nHits >= 0L && nHits <= 5L)
+      // |dot8| ≤ 64·127² by construction — out-of-range means a scale
+      // or floor drifted off the int8 contract
+      assert(math.abs(minD) <= 64L * 127 * 127 && maxD <= 64L * 127 * 127,
+        s"integer dot out of int8 range: $r")
+      assert(minD <= maxD && recall == nHits.toDouble / 5.0)
+    }
+    // usable (the 4x format keeps most neighborhoods) but NOT a
+    // disguised brute scan (some query must lose a true neighbor to
+    // quantization, or the report is measuring nothing)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total >= 20L, s"int8 recall collapsed: $total/40 hits")
+    assert(total < 40L, "int8 ranking identical to float truth — quantization vacuous")
+  }
+
+  test("sq8TopK: integer shortlist is non-vacuous, rerank recovers the truth's neighborhood") {
+    assume(hasTestData)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf))
+    // bare int8 top-5 (shortlist = k, no rerank slack): must differ
+    // from the float truth, or stage 1 is a disguised brute scan
+    val tight = pairs(Similarity.sq8TopK(spark, sf, shortlist = 5))
+    assert((truth diff tight).nonEmpty,
+      "int8 ordering identical to full-dim ordering — quantized stage is vacuous")
+    val served = Similarity.sq8TopK(spark, sf)
+    val rows = served.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    (0L until 8L).foreach { q => assert(rows.count(_._1 == q) == 5, s"query $q short of k") }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.sortBy(_._3).map(_._3).toSeq == (1L to g.length).toSeq, "ranks not dense")
+    }
+    val recall = pairs(served).intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"int8 two-stage recall $recall below 0.8")
+  }
+
   test("ANN recall report: every (method, query) covered, multiprobe ≥ single-bucket") {
     assume(hasTestData)
     val report = Similarity.annRecall(spark, sf)

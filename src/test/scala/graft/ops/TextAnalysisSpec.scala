@@ -159,6 +159,28 @@ class TextAnalysisSpec extends SparkSuite {
       "no merge ever fired — encode check is vacuous")
   }
 
+  test("bpeFertility reconciles with the per-doc encode rollup and is non-degenerate") {
+    assume(hasTestData)
+    val rows = TextAnalysis.bpeFertility(spark, sf).collect()
+    assert(rows.length > 1, "fertility must split by source — one row is a degenerate report")
+    // totals reconcile with the per-doc encode relation it aggregates
+    val enc = TextAnalysis.bpeEncode(spark, sf).agg(
+      sum(col("n_tokens")), sum(col("n_symbols")), sum(col("n_chars"))).head()
+    assert(rows.map(_.getLong(2)).sum == enc.getLong(0), "n_words total mismatch")
+    assert(rows.map(_.getLong(3)).sum == enc.getLong(1), "n_bpe_tokens total mismatch")
+    assert(rows.map(_.getLong(4)).sum == enc.getLong(2), "n_chars total mismatch")
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
+      "every document keeps its slot (left-join contract)")
+    rows.foreach { r =>
+      val (fert, cpt) = (r.getDouble(5), r.getDouble(6))
+      // a 10-merge vocabulary still splits most words into several
+      // symbols: fertility must sit strictly above 1 token/word, and
+      // compression strictly above 0 chars/token
+      assert(fert > 1.0 && fert < 20.0, s"implausible fertility: $r")
+      assert(cpt > 0.0 && cpt < 10.0, s"implausible chars/token: $r")
+    }
+  }
+
   test("bigram LM score: probability mass normalizes and icp is well-formed") {
     assume(hasTestData)
     val rows = TextAnalysis.lmBigram(spark, sf).collect()
