@@ -44,6 +44,11 @@ object ScaleCheck {
     // search (both strategy branches in one run) and the shortlist-
     // bounded late-interaction rerank
     "ann_filtered_topk", "ann_maxsim_topk",
+    // round-14 two-stage servers: narrow-prefix shortlist + rerank,
+    // and the int8 integer-dot shortlist + rerank — both read a
+    // reduced-width stage-1 relation, so their growth should track
+    // the brute scan's, not exceed it
+    "ann_prefix_topk", "ann_sq8_topk",
     // BPE — the O(rounds) driver-coordination loop
     "text_bpe_train", "text_bpe_encode")
 
