@@ -33,6 +33,24 @@ class MemoizedRelationSpec extends SparkSuite {
     assert(a === b, "racing consumers saw different component relations")
   }
 
+  test("memoized checkpoint blocks live at DISK_ONLY, not in the heap") {
+    assume(hasTestData)
+    // the round-14 contract: pinned index relations must not occupy the
+    // unified-memory region every other query shuffles in (a silent
+    // revert to MEMORY_AND_DISK re-opens the measured ~0.4-0.6 s/query
+    // GC tax). The scratch tier is RAM-backed, so DISK_ONLY costs
+    // bandwidth-nothing here and maps to NVMe block storage on a real
+    // executor.
+    val df = Dedup.shingles(spark, sf)
+    org.apache.spark.sql.graftshim.GraftShim.analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        assert(lr.rdd.getStorageLevel ==
+          org.apache.spark.storage.StorageLevel.DISK_ONLY,
+          s"memo checkpoint at ${lr.rdd.getStorageLevel}, expected DISK_ONLY")
+      case other => fail(s"memoized relation is not a checkpoint: $other")
+    }
+  }
+
   test("memoized relations survive clearCache and stay row-identical") {
     assume(hasTestData)
     val before = Dedup.ngramComponents(spark, sf).collect().toSet
