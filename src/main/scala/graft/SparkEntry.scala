@@ -98,6 +98,10 @@ object SparkEntry {
     "dedup_fuzzy_edit"   -> ((s: SparkSession, d: String) => Dedup.fuzzyEditDistance(s, d)),
     "dedup_embedding"      -> (Similarity.embeddingNearDup _),
     "dedup_semantic"       -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    // keeper election reading the PERSISTED component table — the
+    // SemDeDup deployment shape (assignment materialized once per
+    // corpus version, every report probes it by doc_id)
+    "dedup_semantic_indexed" -> ((s: SparkSession, d: String) => Similarity.semanticDedupIndexed(s, d)),
     "dedup_components"     -> ((s: SparkSession, d: String) => Dedup.dupComponents(s, d)),
     "dedup_hamming"        -> ((s: SparkSession, d: String) => Dedup.hammingNearDup(s, d)),
     // persisted-index consumers (SURVEY §11): same rows as their twins,
@@ -810,6 +814,8 @@ object SparkEntry {
       "dedup_hamming_wide_salted" -> "dedup_hamming",
       "dedup_hamming_auto"    -> "dedup_hamming",
       "dedup_ngram_indexed"   -> "dedup_ngram_jaccard",
+      // persisted SemDeDup component table serves the identical rollup
+      "dedup_semantic_indexed" -> "dedup_semantic",
       "dedup_minhash_indexed" -> "dedup_minhash_lsh",
       "dedup_ngram_seg"       -> "dedup_ngram_jaccard",
       "dedup_admission_indexed" -> "dedup_admission",

@@ -601,6 +601,21 @@ object IndexTables {
       TextAnalysis.encodedVocab(s, dir, nMerges)
     }
 
+  /** Persisted SemDeDup COMPONENT table (round 14): the (doc_id,
+    * comp_id) semantic-duplicate cluster assignment at threshold
+    * `tau`, bucketed by doc_id — every keeper election, cluster
+    * report, and curation join probes by doc_id, so consumers are
+    * bucket-local. The threshold rides the table name in micro-units
+    * (like every layout parameter here), so assignments at different
+    * taus coexist and can never serve the wrong consumer. This was the
+    * last memoized-only cluster relation; the memo remains the
+    * hot-path accelerator, this table is the durable/shared form (the
+    * [[Tables.memoized]] recovery-boundary doctrine). */
+  def ensureSemanticComponents(s: SparkSession, dir: String, tau: Double): String =
+    ensure(s, s"idx_sem_comp_${tag(dir)}_t${math.round(tau * 1e6)}", Seq("doc_id")) {
+      Similarity.semanticComponents(s, dir, tau)
+    }
+
   /** GATE EVOLUTION for the admission digest index: append a batch's
     * text digests after the batch is admitted, so LATER batches gate
     * against everything already accepted, not just the frozen base —

@@ -52,6 +52,7 @@ object Prebuild {
     "idx_prefix"         -> ((s, d) => { IndexTables.ensurePrefixIndex(s, d, 32); () }),
     "idx_ivf"            -> ((s, d) => { IndexTables.ensureIvfIndex(s, d); () }),
     "idx_pq"             -> ((s, d) => { IndexTables.ensurePqIndex(s, d); () }),
+    "idx_sem_comp"       -> ((s, d) => { IndexTables.ensureSemanticComponents(s, d, 0.4); () }),
     // ---- admission assets (digest index + base-slice segments) ----
     "admission_assets"   -> ((s, d) => {
       val maxId = Tables.documents(s, d)

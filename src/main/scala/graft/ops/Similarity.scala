@@ -1621,7 +1621,7 @@ object Similarity {
   /** Memoized SemDeDup cluster assignment (component over within-list
     * pairs at cosine ≥ tau) — the semantic-duplicate GROUP relation, a
     * materialized artifact like the text-side cluster assignments. */
-  private def semanticComponents(s: SparkSession, dir: String, tau: Double): DataFrame =
+  private[ops] def semanticComponents(s: SparkSession, dir: String, tau: Double): DataFrame =
     Tables.memoized(s"semanticComponents-$tau", s, dir) {
       val assigned = seedAssignment(s, dir)
       val a = assigned.select(col("list_id"), col("n_id").as("vec_a"),
@@ -1635,7 +1635,26 @@ object Similarity {
       Dedup.connectedComponents(pairs)
     }
 
-  def semanticDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  def semanticDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame =
+    semanticDedupOver(s, dir, semanticComponents(s, dir, tau))
+
+  /** [[semanticDedup]] reading the PERSISTED component table
+    * ([[IndexTables.ensureSemanticComponents]]) — the last
+    * memoized-only cluster relation given its durable index-table form
+    * (round 14): a SemDeDup deployment materializes the component
+    * assignment once per corpus version and every keeper
+    * election/report reads the table. Identical rows BY the shared
+    * rollup body; shares `dedup_semantic`'s oracle text (the
+    * twin-alias contract). */
+  def semanticDedupIndexed(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame =
+    semanticDedupOver(s, dir,
+      s.table(IndexTables.ensureSemanticComponents(s, dir, tau)))
+
+  /** THE keeper-election rollup over an explicit (doc_id, comp_id)
+    * component relation — one definition for the memoized and
+    * persisted-table forms. */
+  private def semanticDedupOver(s: SparkSession, dir: String,
+                                comps: DataFrame): DataFrame = {
     val vs = vectors(s, dir)
     val cents = seedCentroids(vs)
     val assigned = seedAssignment(s, dir)
@@ -1643,7 +1662,7 @@ object Similarity {
       .select(col("n_id").as("doc_id"),
         floor(dot("n_v", "cv") / (col("n_norm") * col("cnorm")) * 1e6)
           .cast("long").as("ccos_u"))
-    semanticComponents(s, dir, tau)
+    comps
       .join(centCos, Seq("doc_id"))
       .groupBy(col("comp_id").as("group_id"))
       .agg(count(lit(1)).as("n_members"),

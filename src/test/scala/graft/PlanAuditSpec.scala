@@ -89,6 +89,10 @@ class PlanAuditSpec extends SparkSuite {
     "dedup_pagerank",
     // same CC fixpoint at construction, over within-list embedding pairs
     "dedup_semantic",
+    // builds/ensures the persisted component table on first call (the
+    // same CC fixpoint feeding a bucketed write); the served rollup is
+    // a doc-keyed hash join + group-by
+    "dedup_semantic_indexed",
     // runs the ngram-pair CC fixpoint while building the split assignment
     "pipe_leakage_split",
     // same CC fixpoint at construction (memoized cluster assignment)

@@ -296,6 +296,17 @@ class SimilaritySpec extends SparkSuite {
     assert(total < 40L, "int8 ranking identical to float truth — quantization vacuous")
   }
 
+  test("semanticDedupIndexed: persisted component table serves rows identical to the memoized form") {
+    assume(hasTestData)
+    val served = Similarity.semanticDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val indexed = Similarity.semanticDedupIndexed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty, "semantic dedup found no groups — vacuous corpus")
+    assert(indexed == served,
+      "persisted-component serving diverged from the memoized rollup")
+    val name = IndexTables.ensureSemanticComponents(spark, sf, 0.4)
+    assert(spark.catalog.tableExists(name), "component table not catalog-resolvable")
+  }
+
   test("sq8TopK: integer shortlist is non-vacuous, rerank recovers the truth's neighborhood") {
     assume(hasTestData)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
