@@ -383,15 +383,28 @@ object Similarity {
     fullDimRerank(s, dir, short, nQueries, k)
   }
 
-  /** The serving-path corpus mask: current-generation tombstones
-    * anti-joined on `vec_id` (round-13 advice — the prefix servers
-    * must be as delete-safe as the IVF paths; identity when no
-    * tombstone set exists, so clean dirs keep the declared-oracle
-    * contract untouched). */
+  /** THE serving-path tombstone mask (round 14, completing the
+    * round-13 advice): current-generation tombstones anti-joined out
+    * of a candidate relation BEFORE any shortlist is taken — identity
+    * when no tombstone set exists, so clean dirs keep every declared
+    * oracle untouched. EVERY top-k SERVING path applies this at its
+    * candidate stage (in-plan and indexed alike — a deployment's
+    * "which index backs this query" choice must not change which
+    * vectors are deleted): ivf/lsh/prefix/pq/maxsim/filtered/sq8 and
+    * their indexed twins. Deliberately NOT masked: the ground-truth
+    * REPORT scans (bruteForceTopK — recall evaluations compare methods
+    * against it; the drift gate builds its own masked truth) and the
+    * corpus-analysis ops (knn graph, hard negatives, semantic dedup,
+    * moments/PCA, cell stats), whose deletion surface is the store
+    * purge, not the index mask — the takedown audit checks both. */
+  private def servingMask(s: SparkSession, dir: String,
+                          rel: DataFrame, idCol: String): DataFrame =
+    IndexTables.maskTombstonesAt(s, dir,
+      IndexTables.annGeneration(s, dir), rel, idCol)
+
   private def tombstoneCorpusMask(s: SparkSession, dir: String)
                                  (rel: DataFrame): DataFrame =
-    IndexTables.maskTombstonesAt(s, dir,
-      IndexTables.annGeneration(s, dir), rel, "vec_id")
+    servingMask(s, dir, rel, "vec_id")
 
   /** IVF over the PREFIX space — the two scale levers COMPOSED: the
     * stage-1 shortlist scans only the PROBED inverted lists
@@ -501,7 +514,8 @@ object Similarity {
     val q = vs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("norm").as("qnorm"), col("bucket").as("qbucket"))
-    topK(vs.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    topK(servingMask(s, dir, vs, "vec_id")
+      .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
@@ -523,7 +537,8 @@ object Similarity {
         col("qbucket"),
         expr("CAST(qbucket ^ 1 AS BIGINT)"), expr("CAST(qbucket ^ 2 AS BIGINT)"),
         expr("CAST(qbucket ^ 4 AS BIGINT)"), expr("CAST(qbucket ^ 8 AS BIGINT)"))))
-    topK(vs.join(broadcast(q), col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+    topK(servingMask(s, dir, vs, "vec_id")
+      .join(broadcast(q), col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
@@ -539,7 +554,8 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String,
               nQueries: Int = 8, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val vs = vectors(s, dir)
-    ivfSearch(vs, seedCentroids(vs), seedAssignment(s, dir), nQueries, k, nprobe)
+    ivfSearch(vs, seedCentroids(vs),
+      servingMask(s, dir, seedAssignment(s, dir), "n_id"), nQueries, k, nprobe)
   }
 
   /** Inverted-list count of the deterministic seed quantizer — the ONE
@@ -882,16 +898,19 @@ object Similarity {
     val nTotal = vs.count()
     def scenario(name: String, pred: Column): DataFrame = {
       val cand = vs.filter(pred)
+      // strategy selection stays on the UNMASKED pass-rate (the
+      // selectivity statistic); the served candidates are masked below
       val brute = cand.count() * 2 <= nTotal
       val ranked =
         if (brute)
-          topK(cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          topK(servingMask(s, dir, cand, "vec_id")
+            .join(broadcast(q), col("vec_id") =!= col("query_id"))
             .select(col("query_id"), col("vec_id").as("neighbor_id"),
                     (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
         else {
           val probes = nearestCentroids(
             vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe * 2, "q")
-          topK(seedAssignment(s, dir)
+          topK(servingMask(s, dir, seedAssignment(s, dir), "n_id")
             .join(broadcast(probes), Seq("list_id"))
             .filter(col("q_id") =!= col("n_id"))
             .join(cand.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")
@@ -955,7 +974,8 @@ object Similarity {
     val vs = vectors(s, dir)
     val probes = nearestCentroids(
       vs.filter(col("vec_id") < nQueries), seedCentroids(vs), nprobe, "q")
-    val scored = seedAssignment(s, dir).join(broadcast(probes), Seq("list_id"))
+    val scored = servingMask(s, dir, seedAssignment(s, dir), "n_id")
+      .join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id").as("query_id"), col("n_id").as("neighbor_id"),
               (dot("q_v", "n_v") / (col("q_norm") * col("n_norm"))).as("cos"))
@@ -1106,7 +1126,9 @@ object Similarity {
     val vs = vectors(s, dir)
     val refined = assembleCentroids(centroidUpdate(s, dir), "list_id")
       .select(col("list_id").as("cent_id"), col("cv"), col("cnorm"))
-    ivfSearch(vs, refined, nearestCentroids(vs, refined, 1, "n"), nQueries, k, nprobe)
+    ivfSearch(vs, refined,
+      servingMask(s, dir, nearestCentroids(vs, refined, 1, "n"), "n_id"),
+      nQueries, k, nprobe)
   }
 
   /** IVF inverted-LIST balance report — the pre-flight an ANN
@@ -1319,7 +1341,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pq")).as("iscore"))
-    pqRerank(vs, pqShortlist(cands, shortlist), nQueries, k)
+    pqRerank(vs,
+      pqShortlist(servingMask(s, dir, cands, "neighbor_id"), shortlist),
+      nQueries, k)
   }
 
   /** PQ parameters: 64-dim vectors → `PqM` subspaces of `PqSubDim`

@@ -137,6 +137,18 @@ object Takedown {
         .filter(col("neighbor_id") % mod === 0).count()
     val annSq8Reach = Similarity.sq8TopK(s, dir, nQueries = 4, k = 3)
       .filter(col("neighbor_id") % mod === 0).count()
+    // the in-plan serving family (round-14: every top-k SERVER masks at
+    // its candidate stage — which index backs a query must not change
+    // which vectors are deleted)
+    val annInPlanReach = Seq(
+      Similarity.ivfTopK(s, dir, nQueries = 4, k = 3),
+      Similarity.ivfRefinedTopK(s, dir, nQueries = 4, k = 3),
+      Similarity.lshTopK(s, dir, nQueries = 4, k = 3),
+      Similarity.lshMultiProbeTopK(s, dir, nQueries = 4, k = 3),
+      Similarity.maxSimTopK(s, dir, nQueries = 4, k = 3),
+      Similarity.pqTopK(s, dir, nQueries = 4, k = 3),
+      Similarity.filteredTopK(s, dir, nQueries = 4, k = 3))
+      .map(_.filter(col("neighbor_id") % mod === 0).count()).sum
     val keepReach = keepIds.filter(col("doc_id") % mod === 0).count()
     val exportReach = {
       val out = new org.apache.hadoop.fs.Path(exportDir)
@@ -155,6 +167,7 @@ object Takedown {
       ("ann_topk", annReach),
       ("ann_prefix", annPrefixReach),
       ("ann_sq8", annSq8Reach),
+      ("ann_inplan", annInPlanReach),
       ("curation_keep", keepReach),
       ("export_manifest", exportReach))
     require(report.forall(_._2 == 0L),

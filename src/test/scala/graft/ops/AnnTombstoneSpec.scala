@@ -251,7 +251,15 @@ class AnnTombstoneSpec extends SparkSuite {
       "prefix"     -> Similarity.prefixTopK(spark, fix, nQueries = 4, k = 3),
       "prefix_idx" -> Similarity.prefixTopKIndexed(spark, fix, nQueries = 4, k = 3),
       "prefix_ivf" -> Similarity.prefixIvfTopK(spark, fix, nQueries = 4, k = 3),
-      "sq8"        -> Similarity.sq8TopK(spark, fix, nQueries = 4, k = 3))
+      "sq8"        -> Similarity.sq8TopK(spark, fix, nQueries = 4, k = 3),
+      // the in-plan serving family (round-14: candidate-stage masks)
+      "ivf_inplan" -> Similarity.ivfTopK(spark, fix, nQueries = 4, k = 3),
+      "ivf_refined" -> Similarity.ivfRefinedTopK(spark, fix, nQueries = 4, k = 3),
+      "lsh"        -> Similarity.lshTopK(spark, fix, nQueries = 4, k = 3),
+      "lsh_mp"     -> Similarity.lshMultiProbeTopK(spark, fix, nQueries = 4, k = 3),
+      "maxsim"     -> Similarity.maxSimTopK(spark, fix, nQueries = 4, k = 3),
+      "pq_inplan"  -> Similarity.pqTopK(spark, fix, nQueries = 4, k = 3),
+      "filtered"   -> Similarity.filteredTopK(spark, fix, nQueries = 4, k = 3))
     all.foreach { case (name, df) =>
       assert(df.filter(col("neighbor_id") % 10 === 0).count() == 0L,
         s"deleted ids still served by the $name path")

@@ -39,7 +39,7 @@ class TakedownE2ESpec extends SparkSuite {
   private def reportOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
     df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  test("the full flow leaves zero reachability on all six surfaces (non-vacuously)") {
+  test("the full flow leaves zero reachability on all seven surfaces (non-vacuously)") {
     assume(hasTestData)
     val fix = mkFixture()
     val root = freshRoot()
@@ -71,7 +71,7 @@ class TakedownE2ESpec extends SparkSuite {
     val report = reportOf(Takedown.takedownEverywhere(
       spark, fix, root, "run1", "run2", mod, exportDir))
     assert(report.keySet == Set("store_versions", "ann_topk", "ann_prefix",
-      "ann_sq8", "curation_keep", "export_manifest"))
+      "ann_sq8", "ann_inplan", "curation_keep", "export_manifest"))
     assert(report.values.forall(_ == 0L), s"reachability after takedown: $report")
     assert(prefixBefore > 0,
       "fixture vacuous for the prefix audit: no prefix path served a removed doc")
