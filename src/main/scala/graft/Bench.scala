@@ -72,29 +72,38 @@ object Bench {
       clean()
       (name, dt, ok)
     }
+    // Per-query min-of-N (round-15 verdict #3 — the old "re-measure only
+    // past 2 s" policy left every sub-2 s query exposed to CPU-steal
+    // noise, and round-over-round comparisons chased phantom 10-20%
+    // swings; identical code measured 139-210 s totals). This host shows
+    // real steal bursts (multi-10s stalls hitting one random query per
+    // run — /proc/stat steal ≫ 0); standard practice is min-of-N, and
+    // the min is the right estimator for additive noise. Policy (named
+    // `timing` in the JSON so cross-round tooling sees which definition
+    // it's comparing): EVERY query is measured twice — re-measures are
+    // cheap since the memoized relations survive clean(), so a second
+    // run pays the marginal plan, not an index build — and only when
+    // the two disagree by >10% is a third run paid; the reported number
+    // is the min. Cache/GC hygiene between samples is the same as
+    // between queries, and any sample's failure flag is honored (a slow
+    // success followed by a failing retry surfaces as failed, never
+    // hides in a timing).
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (dt0, ok0) = timeOnce(name, fn)
-      // This host shows real CPU-steal bursts (multi-10s stalls that hit
-      // one random query per run — /proc/stat steal ≫ 0). A single
-      // measurement under a burst misreports the PLAN as slow; standard
-      // benchmark practice is min-of-N. Bound the cost: only re-measure
-      // queries whose first run is implausibly slow — with the same
-      // cache/GC hygiene BETWEEN the runs as between queries, and the
-      // retry's own failure flag honored (a slow success followed by a
-      // failing retry must surface as failed, not hide in a timing).
-      // (threshold 2 s, was 3 s: after the round-6 memoized-index work
-      // the slowest legitimate plans sit at ~1-2.5 s, so a steal burst
-      // shows up exactly in the 2-3 s band the old threshold ignored;
-      // retries are cheap now — the memoized relations survive clean(),
-      // so a re-measure pays the marginal plan, not the index build)
-      val (dt, ok) = if (ok0 && dt0 > 2.0) {
+      var samples = List(dt0)
+      var ok = ok0
+      def again(): Unit = {
         clean()
-        val (dt1, ok1) = timeOnce(name, fn)
-        if (ok1) (math.min(dt0, dt1), true)
-        else { System.err.println(s"[bench] $name retry FAILED"); (dt0, false) }
-      } else (dt0, ok0)
+        val (dt, okN) = timeOnce(name, fn)
+        if (okN) samples ::= dt
+        else { System.err.println(s"[bench] $name re-measure FAILED"); ok = false }
+      }
+      if (ok) {
+        again()
+        if (ok && math.abs(samples(0) - samples(1)) / samples.min > 0.10) again()
+      }
       clean()
-      (name, dt, ok)
+      (name, samples.min, ok)
     }
     val results = queryResults
     // Full per-query detail goes to STDERR — the driver's harness keeps
@@ -150,7 +159,14 @@ object Bench {
     // `queries` lists the slowest first, greedily added while the whole
     // line stays under the tail window (sub-second entries that fall
     // off contribute only to the total).
-    val counts = s""""n_queries":${queryResults.size},"n_builds":${buildResults.size},"builds_sec":${sec(buildsSec)}"""
+    // metric_version 2 (round-14 advice): `value` is the marginal
+    // serving total under the min-of-N policy; `total_with_builds`
+    // restores a combined number comparable to the pre-r14 definition
+    // so cross-round tooling can't silently compare two different
+    // metrics; `timing` names the sampling policy.
+    val counts = s""""metric_version":2,"timing":"min2+3@10pct",""" +
+      s""""total_with_builds":${sec(total + buildsSec)},""" +
+      s""""n_queries":${queryResults.size},"n_builds":${buildResults.size},"builds_sec":${sec(buildsSec)}"""
     val fixed = s"""{"metric":"total","value":${sec(total)},"unit":"sec",$counts,"failed":$failed,"sf":"$sfDir","queries":{}}"""
     var budget = 1600 - fixed.length
     val kept = results.sortBy(-_._2).iterator.map { case (k, v, _) =>

@@ -267,8 +267,18 @@ object SparkEntry {
     // (see bpeTrainOracle); also verified against a sequential
     // reference implementation in TextAnalysisSpec
     "text_bpe_train"     -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    // sampled-corpus training (round-15): the driver-paced merge loop
+    // prices only the deterministic doc_id%100<50 half — the 32k-merge
+    // production shape; oracle replays the sampled chain
+    "text_bpe_train_sampled" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrain(s, d, sampleFraction = 0.5)),
     // the trained merges applied back to the corpus (per-doc symbol counts)
     "text_bpe_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    // sample-trained merges applied to the FULL corpus in one
+    // distributed pass (round-15) — training cost bounded by the
+    // sample, encode coverage identical to full training
+    "text_bpe_encode_sampled" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncodeSampled(s, d)),
     // encode served from the PERSISTED vocab table — train once, every
     // encode is a join (the deployed tokenizer shape; round-13)
     "text_bpe_encode_table" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncodeTable(s, d)),
@@ -724,7 +734,7 @@ object SparkEntry {
   // consumers in the *_bpe oracles — DuckDB's default inlining
   // re-evaluates the whole 10-round chain once per reference (measured
   // 265 s → 0.7 s at sf0.01 for pipe_temperature_mixture_bpe).
-  private def bpeRoundsCte(nMerges: Int): String = {
+  private def bpeRoundsCte(nMerges: Int, docWhere: String = ""): String = {
     val rounds = (1 to nMerges).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(tf) AS BIGINT) AS n
@@ -740,7 +750,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""t0 AS MATERIALIZED (
        |  SELECT tok, regexp_replace(tok, '(.)', ' \\1 ', 'g') AS w, COUNT(*) AS tf
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents$docWhere) x
        |  GROUP BY tok),
        |$rounds""".stripMargin
   }
@@ -754,6 +764,58 @@ object SparkEntry {
        |SELECT * FROM (
        |  $finals) z
        |ORDER BY rk""".stripMargin
+  }
+
+  // SAMPLED trainer oracle (round-15): the same unrolled chain with t0
+  // restricted to the deterministic doc_id % 100 < 50 half-corpus —
+  // exactly TextAnalysis.bpeTrain(sampleFraction = 0.5).
+  private val bpeTrainSampledOracle: String = {
+    val nMerges = 10
+    val finals = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rk, l AS "left", r AS "right", l || r AS merged, n FROM m$k"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeRoundsCte(nMerges, " WHERE doc_id % 100 < 50")}
+       |SELECT * FROM (
+       |  $finals) z
+       |ORDER BY rk""".stripMargin
+  }
+
+  // Sampled-train / full-encode oracle (round-15): the m_k merges come
+  // from the SAMPLED chain, then a second chain f0..f10 applies them —
+  // the identical replace() apply — to the FULL corpus's type relation,
+  // whose tail f10 is the vocabulary the (doc, token) stream joins.
+  // This replays TextAnalysis.bpeEncodeSampled: the iterative argmax
+  // loop prices only the sample; the full corpus pays one merge-apply
+  // pass plus the usual encode join.
+  private val bpeEncodeSampledOracle: String = {
+    val fullApply = (1 to 10).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT tok,
+         |    coalesce(replace(w, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), w) AS w,
+         |    tf
+         |  FROM f${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundsCte(10, " WHERE doc_id % 100 < 50")},
+       |f0 AS MATERIALIZED (
+       |  SELECT tok, regexp_replace(tok, '(.)', ' \\1 ', 'g') AS w, COUNT(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
+       |  GROUP BY tok),
+       |$fullApply,
+       |enc AS MATERIALIZED (
+       |  SELECT tok, CAST(len(string_split(trim(w, ' '), '  ')) AS BIGINT) AS n_syms
+       |  FROM f10),
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_tokens,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       |  CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+       |  floor(CAST(SUM(length(tok)) AS DOUBLE) / SUM(n_syms) * 1000000) / 1000000
+       |    AS chars_per_symbol
+       |FROM dt JOIN enc USING (tok)
+       |WHERE tok <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   // Encode oracle: the trainer chain's FINAL type state t10 is the
@@ -2862,7 +2924,9 @@ object SparkEntry {
         |SELECT pair, n, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_train_sampled" -> bpeTrainSampledOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
+    "text_bpe_encode_sampled" -> bpeEncodeSampledOracle,
     // per-source fertility/compression under the trained vocabulary:
     // the encode join's per-doc rollup re-aggregated by source, docs
     // encoding to nothing kept via the left join

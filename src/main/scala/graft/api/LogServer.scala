@@ -40,7 +40,8 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
                       makeTier: (SparkSession, String) => LogTier = LogServer.localTier,
                       maxBodyBytes: Int = 32 * 1024 * 1024,
                       makeCatalog: (SparkSession, String) => CatalogService = LogServer.localCatalog,
-                      maxStreamMs: Long = 10 * 60 * 1000L)
+                      maxStreamMs: Long = 10 * 60 * 1000L,
+                      maxNonStreamRows: Int = 100000)
     extends AutoCloseable {
 
   /** Constructor-injected control plane (round-9): per-gateway local
@@ -417,9 +418,25 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       } finally guard.cancel(false)
     } else {
       val tq = System.nanoTime()
-      val rows = store.withReadSnapshot(c, s) { engine.readLogs(c, s, start, end).collect() }
+      // Bounded batch response (round-15): the non-stream path
+      // materializes the whole filtered result on this gateway's heap
+      // before rendering — the one remaining unbounded driver-side
+      // collect. LIMIT cap+1 keeps the bound inside the Spark plan (the
+      // scan stops early; nothing past the cap ever reaches the driver),
+      // and cap+1 distinguishes "exactly at the bound" from "over it"
+      // without a separate count job. Over the bound → 413 with the
+      // stream=true hint, matching the reference's own stance that big
+      // reads stream (reader.py:148-179); the chunked path has no row
+      // bound (its memory is one partition via toLocalIterator, and its
+      // time bound is the deadline + watchdog pair above).
+      val rows = store.withReadSnapshot(c, s) {
+        engine.readLogs(c, s, start, end).limit(maxNonStreamRows + 1).collect()
+      }
       val tr = System.nanoTime()
       noteStage("query", tr - tq)
+      if (rows.length > maxNonStreamRows)
+        return error(ex, 413,
+          s"Result exceeds the $maxNonStreamRows-row batch response cap; re-request with stream=true")
       val o = mapper.createObjectNode()
       o.put("container", c); o.put("session", s)
       val arr = o.putArray("logs")

@@ -149,6 +149,12 @@ final class Compactor(store: LogTier,
     * with rebuilds = 0). */
   private[graft] val annDriftChecks = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] val annDriftRebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** ANN generation-GC observability (round-15 verdict #2): sweeps this
+    * instance actually RAN (lease held) and tables dropped across them.
+    * A lease-contended attempt counts toward neither — the spec's
+    * non-owner instance must stay at 0 sweeps. */
+  private[graft] val annGcSweeps = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val annGcDropped = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** `annDrift`: an opt-in drift gate (round-10 verdict #3 — nothing
     * decided WHEN to rebuild an ANN generation), typically
@@ -165,7 +171,8 @@ final class Compactor(store: LogTier,
                        manifestGcGrace: Option[java.time.Duration] = None,
                        gcLease: Option[graft.storage.MaintenanceLease] = None,
                        annDrift: Option[() => Option[(Long, Long)]] = None,
-                       annDriftEvery: Option[java.time.Duration] = None): Unit =
+                       annDriftEvery: Option[java.time.Duration] = None,
+                       annGc: Option[() => Option[Int]] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
       leaseToRelease = gcLease
@@ -255,6 +262,24 @@ final class Compactor(store: LogTier,
               guarded("ann drift gate", "-", "-") {
                 annDriftChecks.incrementAndGet()
                 if (gate().isDefined) annDriftRebuilds.incrementAndGet()
+              }
+            }
+            // ANN generation GC (round-15 verdict #2 — previously a
+            // manual call, so a long-lived deployment accumulated
+            // superseded generations until someone swept by hand).
+            // Opt-in thunk, typically
+            // `() => IndexTables.gcAnnGenerations(spark, dir, holder)`;
+            // runs on the GC cadence. Cross-gateway dedup is the
+            // sweep's own per-data-dir maintenance lease (the SAME
+            // lease rebuilds hold, so a sweep can never race a flip):
+            // a contended attempt returns None and counts as nothing —
+            // only the lease owner's sweeps show up in [[annGcSweeps]].
+            if (gcTick) annGc.foreach { sweep =>
+              guarded("ann generation gc", "-", "-") {
+                sweep().foreach { dropped =>
+                  annGcSweeps.incrementAndGet()
+                  annGcDropped.addAndGet(dropped.toLong)
+                }
               }
             }
           } catch { case e: Exception => // sessions() listing itself failed

@@ -487,12 +487,28 @@ object CurationRun {
   private def freshOperatorRunId(): String =
     s"run2_p${ProcessHandle.current().pid()}_${fixtureRunSeq.incrementAndGet()}"
 
-  private def fixtureRoot(dir: String, flavor: String): String =
-    s"${graft.Scratch.localDir}/graft-fixture-$flavor-${IndexTables.dirTag(dir)}"
+  /** Cheap corpus fingerprint folded into the fixture root (round-14
+    * advice): keyed on the dir tag ALONE, a corpus regenerated at the
+    * same path within one boot would reuse a stale run1 chain and the
+    * lifecycle receipts would silently diverge from the oracle (which
+    * replays the CURRENT corpus). (row count, max doc_id) is read
+    * FRESH on every ensure — never memoized, that would recreate the
+    * staleness — and changes whenever the generator re-emits the
+    * table; a mismatch lands on a new root and rebuilds. One
+    * count+max footer-cheap aggregate per ensure. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val r = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m")).head()
+    s"${r.getLong(0)}x${r.getLong(1)}"
+  }
+
+  private def fixtureRoot(s: SparkSession, dir: String, flavor: String): String =
+    s"${graft.Scratch.localDir}/graft-fixture-$flavor-${IndexTables.dirTag(dir)}" +
+      s"-${corpusFingerprint(s, dir)}"
 
   /** Ensure the takedown queries' prior-run store (full-corpus run1). */
   def ensureTakedownFixture(s: SparkSession, dir: String): String = {
-    val root = fixtureRoot(dir, "takedown")
+    val root = fixtureRoot(s, dir, "takedown")
     if (!chainComplete(s, root, "run1")) run(s, dir, root, "run1")
     root
   }
@@ -504,7 +520,7 @@ object CurationRun {
     val maxId = Tables.documents(s, dir)
       .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
     val thr = 9L * maxId / 10L
-    val root = fixtureRoot(dir, "delta")
+    val root = fixtureRoot(s, dir, "delta")
     if (!chainComplete(s, root, "run1"))
       run(s, dir, root, "run1", 8, Int.MaxValue, maxDocId = thr)
     (root, thr)

@@ -579,13 +579,21 @@ object IndexTables {
     * a test-fixture convention (round-13 advice). v2 in the name: the
     * v1 layout had no origin column, and a stale v1 table must not be
     * read as if it had one. */
-  def ensureAdmissionDigests(s: SparkSession, dir: String, thr: Long): String =
+  def ensureAdmissionDigests(s: SparkSession, dir: String, thr: Long): String = {
+    // v1 hygiene (round-14 advice): the v1→v2 layout rename orphans any
+    // v1 table already committed in a persistent warehouse — never read
+    // again, never dropped, a slow leak. Collect it here, the one place
+    // that knows both names (mirrors dropAnnFixtureTables).
+    val v1 = s"idx_admit_digest_${tag(dir)}_$thr"
+    if (s.catalog.tableExists(v1)) s.sql(s"DROP TABLE $v1")
+    deleteWarehouseDir(s, v1)
     ensure(s, s"idx_admit_digest_v2_${tag(dir)}_$thr", Seq("digest")) {
       import org.apache.spark.sql.functions._
       Tables.documents(s, dir).filter(col("doc_id") <= thr)
         .select(md5(col("text")).as("digest")).distinct()
         .withColumn("origin", lit("base"))
     }
+  }
 
   /** TRAINED BPE VOCABULARY table (round-12 verdict #5): the final
     * (tok, n_syms) type state under `nMerges` merges, bucketed by the
@@ -1009,6 +1017,12 @@ object IndexTables {
     * state. */
   def deleteFromAnnIndex(s: SparkSession, dir: String, ids: DataFrame): Long = {
     import org.apache.spark.sql.functions.col
+    // Exactly one column, by contract (round-14 advice): silently
+    // taking columns.head would let a caller who forgot `.select`
+    // tombstone whatever column happens to be first — a wrong-column
+    // delete is unrecoverable once appended, so it must fail loudly.
+    require(ids.columns.length == 1,
+      s"deleteFromAnnIndex expects a single id column, got [${ids.columns.mkString(", ")}] — .select the id column")
     val idCol = ids.columns.head
     while (true) {
       val g = annGeneration(s, dir)

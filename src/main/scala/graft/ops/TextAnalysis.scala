@@ -429,14 +429,60 @@ object TextAnalysis {
     * against a sequential reference implementation in `TextAnalysisSpec`
     * AND a full DuckDB oracle that replays the merge rounds as an
     * unrolled chain of CTEs (`bpeTrainOracle` in SparkEntry). */
-  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10,
+               sampleFraction: Double = 1.0): DataFrame = {
     import s.implicits._
-    val (merges, _) = trainState(s, dir, nMerges)
+    val (merges, _) = trainState(s, dir, nMerges, sampleFraction)
     merges.toDF("rk", "left", "right", "n")
       .withColumn("merged", concat(col("left"), col("right")))
       .select(col("rk"), col("left"), col("right"), col("merged"), col("n"))
       .orderBy(col("rk"))
   }
+
+  /** SAMPLED-corpus BPE training + FULL-corpus encode (round-15 verdict
+    * #5) — the shape a production vocabulary needs: the trainer's merge
+    * loop is driver-paced (one argmax collect per merge round), fine
+    * for the declared 10 merges but not for a 32k-merge tokenizer over
+    * 100 TB. The standard escape is to PRICE training on a bounded
+    * sample and APPLY the learned merges to everything: here the
+    * nMerges sequential rounds iterate only the sampled type relation,
+    * and the full corpus pays exactly ONE distributed pass — its type
+    * relation is built once and each type's symbols get the learned
+    * merge list folded in rank order (the tokenizer's apply), then
+    * [[encodeOver]]'s equi-join prices the occurrence stream as usual.
+    * Sampling is deterministic and SQL-expressible (`doc_id % 100 <
+    * round(fraction*100)`) so the DuckDB oracle replays it exactly;
+    * `sampleFraction = 1.0` short-circuits the filter and is
+    * byte-identical to [[bpeEncode]] (proven in TextAnalysisSpec). */
+  def bpeEncodeSampled(s: SparkSession, dir: String, nMerges: Int = 10,
+                       sampleFraction: Double = 0.5): DataFrame =
+    encodeOver(s, dir, sampledVocab(s, dir, nMerges, sampleFraction))
+
+  /** The (tok, n_syms) vocabulary of the FULL corpus under merges
+    * trained on a sample — memoized per (session, dir, merges, pct)
+    * like [[encodedVocab]]. Every full-corpus word type appears (the
+    * merge list only changes how types split, never which exist), so
+    * the encode join's coverage is identical to full-corpus training. */
+  private[ops] def sampledVocab(s: SparkSession, dir: String, nMerges: Int,
+                                sampleFraction: Double): DataFrame =
+    Tables.memoized(
+        s"bpeVocabS${nMerges}_${math.round(sampleFraction * 100)}", s, dir) {
+      import s.implicits._
+      val (merges, _) = trainState(s, dir, nMerges, sampleFraction)
+      val ms = merges.map { case (_, l, r, _) => (l, r) }
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .as[(String, Long)]
+        .map { case (t, _) =>
+          val syms = ms.foldLeft(TextAnalysis.codePointSymbols(t)) {
+            case (ss, (l, r)) => TextAnalysis.applyMerge(ss, l, r)
+          }
+          (t, syms.length.toLong)
+        }
+        .toDF("tok", "n_syms")
+    }
 
   /** The trainer's loop, exposing BOTH outputs: the ranked merge list
     * and the final (token, symbols, tf) type state — the encoded
@@ -445,11 +491,20 @@ object TextAnalysis {
     * string per TYPE row (not per occurrence) and is what lets the
     * encode step be a plain equi-join instead of re-running the merge
     * cascade over the token stream. */
-  private def trainState(s: SparkSession, dir: String, nMerges: Int)
+  private def trainState(s: SparkSession, dir: String, nMerges: Int,
+                         sampleFraction: Double = 1.0)
       : (Seq[(Long, String, String, Long)],
          org.apache.spark.sql.Dataset[(String, Seq[String], Long)]) = {
     import s.implicits._
-    var types = Tables.documents(s, dir)
+    // Deterministic percent sampling on doc_id — reproducible across
+    // runs AND expressible in the DuckDB oracle (no RNG; hundredth
+    // granularity is plenty for a training-cost bound). >= 1.0 keeps
+    // the plan byte-identical to the unsampled trainer.
+    val corpus =
+      if (sampleFraction >= 1.0) Tables.documents(s, dir)
+      else Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(100L)) < lit(math.round(sampleFraction * 100)))
+    var types = corpus
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .as[(String, Long)]

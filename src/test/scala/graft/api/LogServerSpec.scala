@@ -248,6 +248,54 @@ abstract class LogServerContractSpec extends SparkSuite with BeforeAndAfterAll {
         mapper.readTree(back.body).get("total_rows").asInt === 1)
     } finally small.close()
   }
+  test("413 contract: non-stream GET past maxNonStreamRows is rejected with the stream=true hint (and streams fine)") {
+    // dedicated server with a 2-row batch cap: 3 rows must 413 on the
+    // batch path but stream completely — the bound protects the
+    // gateway heap, not the data
+    val capped = new LogServer(spark, tempDir("server-rowcap"),
+      makeTier = LogServer.tierNamed(tierName), maxNonStreamRows = 2).start()
+    try {
+      val cbase = s"http://localhost:${capped.boundPort}"
+      def creq(method: String, path: String, body: Option[String],
+               token: Option[String]): HttpResponse[String] = {
+        var b = HttpRequest.newBuilder(URI.create(s"$cbase$path"))
+        b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+          b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+        token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), BodyHandlers.ofString())
+      }
+      val token = mapper.readTree(creq("POST", "/api/auth/login",
+        Some("""{"username":"admin","password":"admin"}"""), None).body).get("token").asText
+      creq("POST", "/api/containers", Some("""{"container_id":"rowcap"}"""), Some(token))
+      creq("POST", "/api/containers/rowcap/sessions", Some("""{"session_id":"s"}"""), Some(token))
+      creq("POST", "/api/logs/rowcap/s", Some(
+        """{"logs":[
+          |  {"level":"INFO","message":"r1","timestamp":"2025-01-01T00:00:00Z"},
+          |  {"level":"INFO","message":"r2","timestamp":"2025-01-01T00:00:01Z"},
+          |  {"level":"INFO","message":"r3","timestamp":"2025-01-01T00:00:02Z"}
+          |]}""".stripMargin), Some(token))
+      // over the bound → 413 with the hint, NOT a truncated 200
+      val over = creq("GET", "/api/logs/rowcap/s", None, Some(token))
+      assert(over.statusCode === 413, s"expected 413, got ${over.statusCode}: ${over.body}")
+      assert(mapper.readTree(over.body).get("error").asText.contains("stream=true"))
+      // a filtered read UNDER the bound keeps the exact batch shape
+      val under = creq("GET",
+        "/api/logs/rowcap/s?start_ts=2025-01-01T00:00:00Z&end_ts=2025-01-01T00:00:01Z",
+        None, Some(token))
+      assert(under.statusCode === 200)
+      val ub = mapper.readTree(under.body)
+      assert(ub.get("total_rows").asInt === 2 && ub.get("logs").size === 2)
+      assert(ub.get("filter").get("start_ts").asText === "2025-01-01T00:00:00Z")
+      // exactly AT the bound is still a complete 200 (cap+1 probe row)
+      assert(ub.get("total_rows").asInt === 2)
+      // the same oversized read streams completely
+      val streamed = creq("GET", "/api/logs/rowcap/s?stream=true", None, Some(token))
+      assert(streamed.statusCode === 200)
+      val sb = mapper.readTree(streamed.body)
+      assert(sb.get("logs").size === 3 && sb.get("files_scanned").asInt >= 1)
+    } finally capped.close()
+  }
+
   test("stream cap: a response past maxStreamMs aborts TRUNCATED (no closing brace), releasing the view lock") {
     // dedicated server with a zero cap: the first loop iteration after
     // the head row trips the deadline — the body must be cut off before

@@ -280,6 +280,44 @@ class AnnRebuildSpec extends SparkSuite {
     } finally compactor.close()
   }
 
+  test("maintenance loop sweeps superseded ANN generations (round-15); a non-owner instance sweeps 0") {
+    assume(hasTestData)
+    val fix = mkDriftFixture(blobSize = 4)
+    assert(IndexTables.rebuildAnnIndexes(spark, fix, "spec-gc-loop").isDefined)
+    val gen0Ivf = IndexTables.annIvfName(fix, 0L)
+    assert(spark.catalog.tableExists(gen0Ivf), "gen 0 must survive the swap for in-flight readers")
+    // phase 1 — a foreign holder owns this data dir's index lease (the
+    // SAME lease rebuilds run under): the loop's sweep attempts must
+    // decline with None, count NOTHING, and drop nothing. This is the
+    // verdict's "non-owner instance sweeps 0".
+    val foreign = IndexTables.compactionLease(spark, fix, "foreign-gc-holder")
+    assert(foreign.tryAcquire(), "foreign holder could not take the lease")
+    val store = new graft.storage.LogStore(spark, tempDir("anngc-maint"))
+    val compactor = new graft.engine.Compactor(store)
+    try {
+      compactor.startMaintenance(java.time.Duration.ofMillis(100),
+        annGc = Some(() => IndexTables.gcAnnGenerations(spark, fix, "gc-loop")))
+      // several GC ticks under the foreign lease (no-grace cadence =
+      // every tick)
+      Thread.sleep(1000)
+      assert(compactor.annGcSweeps.get == 0L,
+        s"a non-owner instance ran ${compactor.annGcSweeps.get} sweeps")
+      assert(spark.catalog.tableExists(gen0Ivf), "a contended sweep dropped tables")
+      // phase 2 — hand the lease back: the loop's next tick owns the
+      // window and collects the superseded generation
+      foreign.release()
+      val deadline = System.currentTimeMillis() + 60000L
+      while (System.currentTimeMillis() < deadline && compactor.annGcSweeps.get < 1L)
+        Thread.sleep(100)
+      assert(compactor.annGcSweeps.get >= 1L, "maintenance loop never swept after release")
+      assert(compactor.annGcDropped.get == 2L,
+        s"expected the 2 gen-0 tables dropped, got ${compactor.annGcDropped.get}")
+      assert(!spark.catalog.tableExists(gen0Ivf))
+      assert(spark.catalog.tableExists(IndexTables.annIvfName(fix, 1L)))
+      assert(Similarity.ivfPqTopK(spark, fix, nQueries = 4, k = 3).count() > 0)
+    } finally compactor.close()
+  }
+
   test("GC in a fresh JVM never destroys the durable current generation (catalog registration lost, dirs intact)") {
     assume(hasTestData)
     val fix = mkDriftFixture(blobSize = 4)

@@ -216,6 +216,15 @@ class AnnTombstoneSpec extends SparkSuite {
   test("prefix oracle twin parity: prefixTopKDeleted rows equal the served prefix path after the same deletes") {
     assume(hasTestData)
     val fix = mkFixture()
+    // baseline BEFORE the delete (round-14 advice: the old
+    // "no served neighbor is mod-7" check was implied by parity and
+    // passed vacuously if no mod-7 vector ever made a top-k) — the
+    // non-vacuity proof is that the delete actually CHANGED some
+    // query's served result vs this captured set
+    val before = Similarity.prefixTopK(spark, fix)
+      .collect().map(_.toSeq).toSet
+    assert(before.exists(r => r(1).asInstanceOf[Long] % 7 == 0),
+      "fixture too small to exercise the delete: no mod-7 neighbor in any pre-delete top-k")
     val delIds = Similarity.vectors(spark, fix)
       .filter(col("vec_id") % 7 === 0).select(col("vec_id"))
     assert(IndexTables.deleteFromAnnIndex(spark, fix, delIds) > 0L)
@@ -225,11 +234,9 @@ class AnnTombstoneSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(twin == servedRows,
       "in-plan prefix tombstone twin diverged from the masked served prefix path")
-    // and the twin is NON-VACUOUS: some query's result changed vs the
-    // undeleted declared set (at least one mod-7 neighbor was served)
-    assert(twin.forall { r =>
-      r(1).asInstanceOf[Long] % 7 != 0
-    }, "twin served a deleted neighbor")
+    assert(twin != before, "delete did not change any served prefix result")
+    assert(twin.forall(r => r(1).asInstanceOf[Long] % 7 != 0),
+      "twin served a deleted neighbor")
   }
 
   test("DataFrame-set delete (10% of corpus, no driver collect) masks every served path, prefix included") {

