@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** CROSS-PROCESS delete-vs-rebuild chaos (round-15 verdict #7): two real
+  * JVMs against one durable warehouse — a forked [[AnnChaosDeleter]]
+  * streaming DataFrame tombstone deletes while THIS process runs
+  * [[IndexTables.rebuildAnnIndexes]] twice. In-process, the IVF table
+  * lock serializes the two; across processes no such lock exists, so a
+  * delete can commit its tombstone append inside the rebuild's
+  * snapshot→flip window. The invariant under proof: **no acked delete
+  * is ever served after any flip** — closed from both sides by the
+  * rebuild's post-flip tombstone carry-forward and the deleter's
+  * post-append generation re-check (both round-15).
+  *
+  * Non-vacuity: the spec asserts at least one acked id is PHYSICALLY
+  * present in the final generation's IVF table (i.e. the rebuild's
+  * snapshot did NOT fold it out — it survived only because the carry
+  * -forward / re-delivery tombstoned it), proving the race actually
+  * straddled a flip rather than serializing cleanly.
+  */
+class AnnCrossProcessChaosSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def hasTestData = new java.io.File(s"$sf/embeddings.parquet").isFile
+
+  private def mkFixture(): String = {
+    val dir = tempDir("annchaos")
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** The test JVM's own --add-opens set (sbt injects Spark's JDK17
+    * module options into forked test JVMs; the chaos JVM needs the
+    * same ones to build a SparkSession). */
+  private def inheritedJvmArgs: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+  }
+
+  test("two JVMs: tombstone deletes racing rebuildAnnIndexes — no acked delete is served across the flips") {
+    assume(hasTestData)
+    val fix = mkFixture()
+    IndexTables.ensureIvfIndex(spark, fix)
+    IndexTables.ensurePqIndex(spark, fix)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val scratch = tempDir("annchaos-io")
+    val ackFile = s"$scratch/acks.csv"
+    val stopFile = s"$scratch/stop"
+    val logFile = new java.io.File(s"$scratch/deleter.log")
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ inheritedJvmArgs ++ Seq("-Xmx3g", "-cp", cp,
+      "graft.ops.AnnChaosDeleter", warehouse, fix, ackFile, stopFile)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    val proc = pb.start()
+
+    def ackLines(): Seq[(Long, Long, Long)] = {
+      val f = new java.io.File(ackFile)
+      if (!f.isFile) Seq.empty
+      else scala.io.Source.fromFile(f).getLines().toSeq.flatMap { l =>
+        l.split(",") match {
+          case Array(id, n, g) => Some((id.toLong, n.toLong, g.toLong))
+          case _ => None // torn tail line mid-write
+        }
+      }
+    }
+    def waitFor(cond: => Boolean, what: String, ms: Long = 180000L): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!cond) {
+        assert(proc.isAlive || cond, s"deleter JVM died before: $what (log: " +
+          scala.util.Try(scala.io.Source.fromFile(logFile).getLines()
+            .toSeq.takeRight(5).mkString(" | ")).getOrElse("?") + ")")
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting for: $what")
+        Thread.sleep(250)
+      }
+    }
+
+    try {
+      // phase 1: the deleter is live and acking against generation 0
+      waitFor(ackLines().size >= 3, "first 3 acks")
+      // phase 2: two rebuilds, each racing the live delete stream
+      val r1 = IndexTables.rebuildAnnIndexes(spark, fix, "chaos-rebuilder-1")
+      assert(r1.isDefined, "rebuild 1 declined (lease contended?)")
+      val after1 = ackLines().size
+      waitFor(ackLines().size >= after1 + 3, "3 acks after rebuild 1")
+      val r2 = IndexTables.rebuildAnnIndexes(spark, fix, "chaos-rebuilder-2")
+      assert(r2.isDefined, "rebuild 2 declined")
+      waitFor(ackLines().size >= after1 + 6, "3 acks after rebuild 2")
+    } finally {
+      new java.io.FileWriter(stopFile).close()
+      proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+    assert(new java.io.File(ackFile + ".done").isFile,
+      "deleter did not shut down cleanly; acks may be incomplete")
+
+    val acked = ackLines()
+    assert(acked.size >= 9, s"too few acked deletes to be meaningful: ${acked.size}")
+    val ackedIds = acked.map(_._1).toSet
+
+    // THE invariant: the final generation's masked serving view
+    // contains no acked id — a delete acked by the OTHER process
+    // before we read the acks can never be served by this one.
+    val gCur = IndexTables.annGeneration(spark, fix)
+    assert(gCur >= 2L, s"expected two flips, generation is $gCur")
+    val servedIds = IndexTables.maskTombstonesAt(spark, fix, gCur,
+        spark.table(IndexTables.annIvfName(fix, gCur)), "n_id")
+      .select(col("n_id")).collect().map(_.getLong(0)).toSet
+    val resurrected = ackedIds & servedIds
+    assert(resurrected.isEmpty,
+      s"acked deletes served after the flips: ${resurrected.take(5)} (of ${resurrected.size})")
+
+    // ...and the full served ANN path agrees (query side of the mask)
+    val neighbors = Similarity.ivfPqTopK(spark, fix, nQueries = 8, k = 5)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert((ackedIds & neighbors).isEmpty,
+      "served top-k contains an acked delete")
+
+    // Non-vacuity: at least one acked id is still physically present in
+    // the final generation's tables (purge missed it — only the
+    // carry-forward / re-delivery tombstone keeps it out of serving),
+    // so the race genuinely straddled a flip.
+    val physical = spark.table(IndexTables.annIvfName(fix, gCur))
+      .select(col("n_id")).collect().map(_.getLong(0)).toSet
+    val carried = ackedIds & physical
+    assert(carried.nonEmpty,
+      "every delete serialized cleanly before a snapshot — the race never straddled a flip; " +
+        "increase the delete stream or rebuild count")
+  }
+}
