@@ -313,6 +313,43 @@ object ScaleCheck {
       finally Seq(rootA, rootB, rootC).foreach(r =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))
     }
+    // Two-stage server quality (round-15 verdict #6): stage-1 shortlist
+    // cost vs end-to-end cost, plus recall@k against the exact brute
+    // truth, at PRODUCTION knobs (k=5, shortlist=64, prefixDims=32,
+    // nprobe=4, nQueries=8). The stage-1 accessors are the servers' own
+    // shared bodies (Similarity.sq8Shortlist etc.), so the priced stage
+    // is the served stage. Recall < 1 is by design for every two-stage
+    // path (the shortlist can miss a true neighbor whose reduced-space
+    // score disagrees); the SQ8 spec's >= 0.8 bound is asserted at test
+    // scale — this table is the same number measured at sf0.1 and 10x.
+    def twoStage(dir: String): Seq[(String, Double, Double, Double)] = {
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairs(ops.Similarity.bruteForceTopK(spark, dir, 8, 5))
+      def row(name: String, stage1: => org.apache.spark.sql.DataFrame,
+              full: => org.apache.spark.sql.DataFrame) = {
+        val t1 = timed(stage1.count()); clean()
+        var out: Set[(Long, Long)] = Set.empty
+        val t2 = timed { out = pairs(full) }; clean()
+        val rec = if (truth.isEmpty) 1.0 else (out & truth).size.toDouble / truth.size
+        System.err.println(f"[scalecheck] $dir%-24s $name%-40s s1 $t1%6.3f  total $t2%6.3f  recall $rec%.3f")
+        (name, t1, t2, rec)
+      }
+      Seq(
+        row("sq8 int8 (shortlist 64 → full-dim rerank)",
+          ops.Similarity.sq8Shortlist(spark, dir),
+          ops.Similarity.sq8TopK(spark, dir)),
+        row("prefix 32-of-64 (shortlist 64 → rerank)",
+          ops.Similarity.prefixShortlist(spark, dir),
+          ops.Similarity.prefixTopK(spark, dir)),
+        row("prefix indexed (narrow persisted stage 1)",
+          ops.Similarity.prefixShortlistIndexed(spark, dir),
+          ops.Similarity.prefixTopKIndexed(spark, dir)),
+        row("prefix-IVF (nprobe 4 of 8, prefix lists)",
+          ops.Similarity.prefixIvfShortlist(spark, dir),
+          ops.Similarity.prefixIvfTopK(spark, dir)))
+    }
     val baseIdx = indexBuilds(src)
     val base = run(src)
     val baseFc = forecast(spark, src)
@@ -328,8 +365,10 @@ object ScaleCheck {
     curation.foreach { case (n, t) =>
       System.err.println(f"[scalecheck] $src%-24s $n%-40s $t%8.3f s") }
     clean()
+    val baseTwoStage = twoStage(src)
     val scaledIdx = indexBuilds(dst)
     val scaled = run(dst)
+    val scaledTwoStage = twoStage(dst)
     val scaledFc = forecast(spark, dst)
     val scaledWide = forecastWide(spark, dst)
     val nDocsBase = ops.Tables.documents(spark, src).count()
@@ -395,6 +434,21 @@ object ScaleCheck {
     sb ++= "column:\n\n"
     sb ++= "| stage | s |\n|---|---|\n"
     curation.foreach { case (n, t) => sb ++= f"| $n | $t%.3f |\n" }
+    sb ++= "\n"
+    sb ++= "Two-stage server quality (round-15 verdict #6): stage-1 shortlist\n"
+    sb ++= "cost vs end-to-end cost and recall@5 against the exact brute truth,\n"
+    sb ++= "at production knobs (k=5, shortlist=64, prefixDims=32, nprobe=4,\n"
+    sb ++= "nQueries=8). Stage-1 accessors are the servers' own shared bodies,\n"
+    sb ++= "so the priced stage IS the served stage; recall < 1 is the two-stage\n"
+    sb ++= "design trade (the shortlist can miss a neighbor whose reduced-space\n"
+    sb ++= "score disagrees) — the spec-asserted SQ8 bound (>= 0.8) measured at\n"
+    sb ++= "sf0.1 and 10x:\n\n"
+    sb ++= "| server | base s1 | base total | base recall@5 | scaled s1 | scaled total | scaled recall@5 |\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
+    baseTwoStage.zip(scaledTwoStage).foreach {
+      case ((n, b1, bt2, br), (_, s1, st2, sr)) =>
+        sb ++= f"| $n | $b1%.3f | $bt2%.3f | $br%.3f | $s1%.3f | $st2%.3f | $sr%.3f |\n"
+    }
     sb ++= "\n"
     sb ++= "Blocking forecasts (metadata-priced candidate-pair totals — the\n"
     sb ++= "pair-join work the plans actually dispatch):\n\n"
