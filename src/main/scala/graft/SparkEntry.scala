@@ -262,6 +262,13 @@ object SparkEntry {
     "text_vocab_stats"   -> (TextAnalysis.vocabStats _),
     "text_source_signatures" -> ((s: SparkSession, d: String) => TextAnalysis.sourceSignatures(s, d)),
     "text_source_drift"  -> (TextAnalysis.sourceDrift _),
+    // BM25 lexical retrieval (round 15): more-like-this top-k over the
+    // query docs' terms — integer micro-unit scoring so both engines
+    // rank identically (the DSIR ln-truncation convention)
+    "text_bm25_topk"     -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
+    // the same probe off the persisted bucketed postings table (the
+    // inverted-index deployment shape; twin-alias oracle)
+    "text_bm25_indexed"  -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopKIndexed(s, d)),
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // iterative merge training — oracle unrolls the 10 merge rounds
     // (see bpeTrainOracle); also verified against a sequential
@@ -900,6 +907,8 @@ object SparkEntry {
       // construction, proven at oracle-unreachable merge depths in
       // BpeVocabSpec
       "text_bpe_encode_table" -> "text_bpe_encode",
+      // the persisted-postings BM25 probe shares the in-plan body
+      "text_bm25_indexed"     -> "text_bm25_topk",
       // stage 1 off the persisted prefix table shares the in-plan
       // two-stage body (prefixTopKOver) and the ONE prefix derivation
       // (prefixVectors) — identical rows by construction
@@ -2923,6 +2932,40 @@ object SparkEntry {
         |r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM p)
         |SELECT pair, n, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "text_bm25_topk" ->
+      """WITH posts AS MATERIALIZED (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) x
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM posts GROUP BY 1),
+        |corp AS MATERIALIZED (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
+        |dfr AS MATERIALIZED (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY 1),
+        |q AS MATERIALIZED (
+        |  SELECT doc_id AS query_id, term FROM posts WHERE doc_id < 8),
+        |idf AS MATERIALIZED (
+        |  SELECT term,
+        |    CAST(FLOOR(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT) AS idf_u
+        |  FROM (SELECT DISTINCT term FROM q) t JOIN dfr USING (term), corp),
+        |scored AS MATERIALIZED (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(SUM(CAST(FLOOR(idf_u * (p.tf * 2.2) /
+        |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl * c.n / CAST(c.tl AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS score_u
+        |  FROM q JOIN posts p USING (term)
+        |       JOIN idf USING (term)
+        |       JOIN dl d ON p.doc_id = d.doc_id, corp c
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score_u,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, score_u,
+        |       CAST(score_u AS DOUBLE) / 1000000.0 AS score
+        |FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_train_sampled" -> bpeTrainSampledOracle,
     "text_bpe_encode" -> bpeEncodeOracle,

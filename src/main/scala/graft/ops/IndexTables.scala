@@ -595,6 +595,18 @@ object IndexTables {
     }
   }
 
+  /** UNIGRAM POSTINGS (inverted index) table — (term, doc_id, tf)
+    * bucketed by term (round 15): the lexical retrieval family's
+    * durable form. The corpus-sized tokenize + per-(term, doc) count
+    * is paid once here; every BM25 probe equi-joins its (tiny,
+    * broadcast) query-term set against the bucketed table. One row
+    * per distinct (term, doc) — the classic inverted-index size, well
+    * under the shingle index's one-row-per-occurrence. */
+  def ensurePostingsIndex(s: SparkSession, dir: String): String =
+    ensure(s, s"idx_postings_${tag(dir)}", Seq("term")) {
+      TextAnalysis.unigramPostings(s, dir)
+    }
+
   /** TRAINED BPE VOCABULARY table (round-12 verdict #5): the final
     * (tok, n_syms) type state under `nMerges` merges, bucketed by the
     * token key — the committed tokenizer artifact. The merge LOOP (the

@@ -117,6 +117,90 @@ object TextAnalysis {
     * is keyed on the token, the same partitioning dedup already uses.
     * Rank is recovered from the array position; df from the negated
     * score field — no join back, no window. */
+  /** The unigram POSTINGS relation — (term, doc_id, tf), the inverted
+    * index's row set and the one tokenize+count pass every lexical
+    * scorer here shares. */
+  private[ops] def unigramPostings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** BM25 LEXICAL RETRIEVAL (round 15) — the keyword-side twin of the
+    * ANN family, completing hybrid search: per query document (vec-
+    * family convention: doc_id < nQueries), the top-k OTHER documents
+    * by Okapi BM25 over the query's terms (more-like-this — the shape
+    * fuzzy decontamination lookups and lexical RAG baselines run).
+    * k1 = 1.2, b = 0.75 (the standard constants).
+    *
+    * Exact cross-engine replay (the DSIR convention): idf is truncated
+    * to INTEGER MICRO-UNITS immediately after the one ln() —
+    * `floor(ln((N - df + 0.5)/(df + 0.5) + 1) * 1e6)` over exact
+    * BIGINT corpus stats — and each term's contribution is floored to
+    * micro-units before the per-document SUM, so the aggregate is
+    * integer-exact and ORDER-FREE (a double sum's partition order
+    * would make ranks nondeterministic). Ranking is (score_u DESC,
+    * doc_id ASC) via the native bounded top-k aggregate.
+    *
+    * Scale shape: the candidate set is docs sharing ≥ 1 query term
+    * (the inverted-index bound — never all-pairs); the query-term,
+    * idf, and corpus-stat relations are query-sized and broadcast; the
+    * postings relation streams once. ≤ k rows per query cross the
+    * final shuffle. The persisted twin ([[bm25TopKIndexed]]) reads the
+    * postings off the bucketed index table so the probe is a bucket-
+    * local join with no tokenize pass. */
+  def bm25TopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    bm25Over(s, unigramPostings(s, dir), nQueries, k)
+
+  /** [[bm25TopK]] served from the PERSISTED postings table
+    * ([[IndexTables.ensurePostingsIndex]], bucketed by term) — the
+    * inverted-index deployment shape: the corpus-sized tokenize +
+    * count pass is paid once at build; every query probes the table
+    * (the df/dl stats remain one narrow pass over the index — at a
+    * real deployment those land in their own stats tables on the same
+    * maintenance cadence). Identical rows BY the shared body; shares
+    * `text_bm25_topk`'s oracle text (the twin-alias contract). */
+  def bm25TopKIndexed(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    bm25Over(s, s.table(IndexTables.ensurePostingsIndex(s, dir)), nQueries, k)
+
+  private def bm25Over(s: SparkSession, posts: DataFrame,
+                       nQueries: Int, k: Int): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val dl = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corp = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+    val dfr = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = posts.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // idf of QUERY terms only — query-sized, broadcastable
+    val idf = q.select(col("term")).distinct()
+      .join(dfr, Seq("term"))
+      .crossJoin(broadcast(corp))
+      .select(col("term"), expr(
+        "CAST(FLOOR(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT)")
+        .as("idf_u"))
+    val scored = posts
+      .join(broadcast(q), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corp))
+      // micro-unit term contribution: every double op is the same
+      // left-associated expression on both engines, floored before the
+      // order-free integer SUM
+      .select(col("query_id"), col("doc_id"), expr(
+        "CAST(FLOOR(idf_u * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / CAST(tl AS DOUBLE)))) AS BIGINT)")
+        .as("term_u"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_u")).as("score_u"))
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(score_u, doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.payload").as("doc_id"),
+              (col("pos") + 1).cast("long").as("rk"), col("e.score").as("score_u"))
+      .withColumn("score", col("score_u").cast("double") / lit(1000000.0))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def topTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.TopKPairs.register(s)
     val toks = Tables.documents(s, dir)

@@ -190,6 +190,11 @@ class PlanAuditSpec extends SparkSuite {
     // same 1-row corpus-count scalar join (the affected-rate divisor)
     // onto the 4-row threshold report
     "dedup_threshold_sweep",
+    // the 1-ROW (N, total-length) corpus-stat aggregate joins the
+    // query-term idf relation and the scored candidates on a folded
+    // constant key (the scalar-subquery shape again — both sides of
+    // every real join are equi-joins on term/doc_id)
+    "text_bm25_topk", "text_bm25_indexed",
     // same shape again: the corpus doc total joins the k-row top-bigram
     // relation on a folded constant key (the lift denominator)
     "text_collocations",

@@ -159,6 +159,52 @@ class TextAnalysisSpec extends SparkSuite {
       "no merge ever fired — encode check is vacuous")
   }
 
+  test("BM25 retrieval matches a sequential reference ranking; the postings-table twin is row-identical") {
+    assume(hasTestData)
+    val got = TextAnalysis.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "BM25 returned nothing — vacuous corpus")
+    assert(got.map(_._1).distinct.length >= 2, "fewer than 2 queries ranked")
+    assert(got.exists(_._4 > 0L), "no ranked doc scored > 0")
+
+    // independent sequential reference: same integer micro-unit math
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    val tf: Map[Long, Map[String, Long]] =
+      docs.map { case (id, ts) => id -> ts.groupMapReduce(identity)(_ => 1L)(_ + _) }
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val n = dl.size.toLong
+    val tl = dl.values.sum
+    val df: Map[String, Long] =
+      tf.values.flatMap(_.keys).groupMapReduce(identity)(_ => 1L)(_ + _)
+    def idfU(t: String): Long =
+      math.floor(math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * 1000000).toLong
+    val want = (0L until 8L).filter(tf.contains).flatMap { qid =>
+      val qTerms = tf(qid).keys.toSeq
+      // candidates = docs sharing >= 1 query term (the join's row set);
+      // a shared-term doc whose contributions all floor to 0 still ranks
+      val scores = tf.keys.filter(_ != qid).flatMap { d =>
+        val contribs = qTerms.flatMap { t =>
+          tf(d).get(t).map { f =>
+            math.floor(idfU(t) * (f * 2.2) /
+              (f + 1.2 * (0.25 + 0.75 * dl(d) * n / tl.toDouble))).toLong
+          }
+        }
+        if (contribs.nonEmpty) Some(d -> contribs.sum) else None
+      }.toSeq
+      scores.sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex.map {
+        case ((d, s), i) => (qid, d, (i + 1).toLong, s)
+      }
+    }
+    assert(got.toSeq == want,
+      s"BM25 diverged from the sequential reference (first got: ${got.take(3).toSeq}, want: ${want.take(3)})")
+
+    // the persisted-postings twin serves identical rows
+    val twin = TextAnalysis.bm25TopKIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(twin.toSeq == got.toSeq, "postings-table BM25 diverged from the in-plan form")
+  }
+
   test("sampled BPE training: sample=1.0 is byte-identical to full training; a 0.5 sample still encodes the WHOLE corpus") {
     assume(hasTestData)
     // sample=1.0 short-circuits to the unsampled plan — train rows and
