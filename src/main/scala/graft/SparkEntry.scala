@@ -152,6 +152,10 @@ object SparkEntry {
     "text_lm_bigram"       -> ((s: SparkSession, d: String) => TextAnalysis.lmBigram(s, d)),
     // Similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    // hybrid lexical+vector retrieval (round 15): reciprocal-rank
+    // fusion (k0=60) of the BM25 top-20 and exact-cosine top-20 —
+    // rank-based, so the two score scales need no calibration
+    "ann_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRrfTopK(s, d)),
     // two-stage Matryoshka serving: prefix-dim shortlist (32 of 64
     // dims, re-normed) + exact full-dim rerank — the deployment shape
     // emb_prefix_recall's report justifies (round-13)
@@ -772,6 +776,43 @@ object SparkEntry {
        |  $finals) z
        |ORDER BY rk""".stripMargin
   }
+
+  // Shared BM25 CTE chain ending in `lexranked` (query_id, doc_id,
+  // score_u, rk) — the DSIR ln-truncation convention: idf in integer
+  // micro-units off exact BIGINT corpus stats, per-term contributions
+  // floored before the order-free integer SUM (round 15). Used by the
+  // text_bm25_topk oracle (rk <= 5) and the hybrid-RRF oracle (rk <=
+  // pool) — one text, so the lexical leg cannot drift between them.
+  private val bm25RankedCte: String =
+    """posts AS MATERIALIZED (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) x
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |dl AS MATERIALIZED (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM posts GROUP BY 1),
+      |corp AS MATERIALIZED (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
+      |dfr AS MATERIALIZED (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY 1),
+      |qt AS MATERIALIZED (
+      |  SELECT doc_id AS query_id, term FROM posts WHERE doc_id < 8),
+      |idf AS MATERIALIZED (
+      |  SELECT term,
+      |    CAST(FLOOR(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT) AS idf_u
+      |  FROM (SELECT DISTINCT term FROM qt) t JOIN dfr USING (term), corp),
+      |lexscored AS MATERIALIZED (
+      |  SELECT qt.query_id, p.doc_id,
+      |    CAST(SUM(CAST(FLOOR(idf_u * (p.tf * 2.2) /
+      |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl * c.n / CAST(c.tl AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS score_u
+      |  FROM qt JOIN posts p USING (term)
+      |       JOIN idf USING (term)
+      |       JOIN dl d ON p.doc_id = d.doc_id, corp c
+      |  WHERE p.doc_id <> qt.query_id
+      |  GROUP BY 1, 2),
+      |lexranked AS MATERIALIZED (
+      |  SELECT query_id, doc_id, score_u,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+      |  FROM lexscored)""".stripMargin
 
   // SAMPLED trainer oracle (round-15): the same unrolled chain with t0
   // restricted to the deterministic doc_id % 100 < 50 half-corpus —
@@ -2217,6 +2258,33 @@ object SparkEntry {
          |SELECT group_id, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
          |  CAST(min_u AS DOUBLE) / 1000000 AS keep_ccos
          |FROM ranked WHERE rk = 1 ORDER BY group_id""".stripMargin,
+    "ann_hybrid_rrf" ->
+      s"""WITH $bm25RankedCte,
+         |$vectorsCte,
+         |vq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
+         |vscored AS (
+         |  SELECT vq.query_id, vn.vec_id AS doc_id,
+         |    list_dot_product(vq.qv, vn.v) / (vq.qnorm * vn.norm) AS cos
+         |  FROM vn JOIN vq ON vn.vec_id <> vq.query_id),
+         |vranked AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rk
+         |  FROM vscored),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |         COALESCE(1.0 / (l.rk + 60), 0.0) + COALESCE(1.0 / (v.rk + 60), 0.0) AS rrf,
+         |         l.rk AS lex_rk, v.rk AS vec_rk
+         |  FROM (SELECT * FROM lexranked WHERE rk <= 20) l
+         |  FULL OUTER JOIN (SELECT * FROM vranked WHERE rk <= 20) v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM fused)
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk,
+         |       floor(rrf * 1000000) / 1000000 AS rrf, lex_rk, vec_rk
+         |FROM r WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
@@ -2933,38 +3001,10 @@ object SparkEntry {
         |SELECT pair, n, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "text_bm25_topk" ->
-      """WITH posts AS MATERIALIZED (
-        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) x
-        |  WHERE term <> '' GROUP BY 1, 2),
-        |dl AS MATERIALIZED (
-        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM posts GROUP BY 1),
-        |corp AS MATERIALIZED (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
-        |dfr AS MATERIALIZED (
-        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY 1),
-        |q AS MATERIALIZED (
-        |  SELECT doc_id AS query_id, term FROM posts WHERE doc_id < 8),
-        |idf AS MATERIALIZED (
-        |  SELECT term,
-        |    CAST(FLOOR(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT) AS idf_u
-        |  FROM (SELECT DISTINCT term FROM q) t JOIN dfr USING (term), corp),
-        |scored AS MATERIALIZED (
-        |  SELECT q.query_id, p.doc_id,
-        |    CAST(SUM(CAST(FLOOR(idf_u * (p.tf * 2.2) /
-        |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl * c.n / CAST(c.tl AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS score_u
-        |  FROM q JOIN posts p USING (term)
-        |       JOIN idf USING (term)
-        |       JOIN dl d ON p.doc_id = d.doc_id, corp c
-        |  WHERE p.doc_id <> q.query_id
-        |  GROUP BY 1, 2),
-        |r AS (
-        |  SELECT query_id, doc_id, score_u,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
-        |  FROM scored)
+      s"""WITH $bm25RankedCte
         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, score_u,
         |       CAST(score_u AS DOUBLE) / 1000000.0 AS score
-        |FROM r WHERE rk <= 5
+        |FROM lexranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_train_sampled" -> bpeTrainSampledOracle,

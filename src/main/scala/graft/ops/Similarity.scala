@@ -499,6 +499,42 @@ object Similarity {
               (dot("qv", "v") / (col("qnorm") * col("norm"))).as("cos")), k)
   }
 
+  /** HYBRID RETRIEVAL (round 15) — reciprocal-rank fusion of the
+    * lexical (BM25, [[TextAnalysis.bm25TopK]]) and vector (exact
+    * cosine, [[bruteForceTopK]]) rankings over the SAME id space:
+    * rrf(d) = Σ_source 1/(k0 + rank_source(d)) with the standard
+    * k0 = 60, each source contributing its top-`pool` per query — the
+    * fusion every hybrid search stack (lexical + dense) serves,
+    * rank-based so the two engines' incomparable score scales never
+    * need calibration. Determinism: ranks are exact integers, the two
+    * reciprocal terms are added in one fixed-order expression (IEEE-
+    * identical on both engines), ties break on doc_id.
+    *
+    * Scale shape: both inputs are already bounded top-`pool` relations
+    * (≤ 2·pool rows per query reach the fusion), so the final
+    * per-query window sorts a constant-size list — the expensive work
+    * happens inside the two source retrievals, each with its own
+    * documented scale story (inverted-index bound; broadcast-query
+    * scan with bounded top-k, or any indexed ANN path at deployment). */
+  def hybridRrfTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                    pool: Int = 20, k0: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(s, dir, nQueries, pool)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    val vec = bruteForceTopK(s, dir, nQueries, pool)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk").as("vec_rk"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("lex_rk") + lit(k0)), lit(0.0)) +
+        coalesce(lit(1.0) / (col("vec_rk") + lit(k0)), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk"),
+              trunc6(col("rrf")).as("rrf"), col("lex_rk"), col("vec_rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining — the candidate-generation step
     * of a metric-learning / embedding-finetune data pipeline (the
     * DPR/SimCSE-style training-set recipe: anchors paired with their

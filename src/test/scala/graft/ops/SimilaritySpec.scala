@@ -502,4 +502,33 @@ class SimilaritySpec extends SparkSuite {
     val recall = pairs(served).intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.5, s"composed recall $recall below 0.5 — pruning too aggressive to serve")
   }
+
+  test("hybrid RRF fuses the lexical and vector rankings exactly; fusion is non-vacuous") {
+    assume(hasTestData)
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    val pool = 20
+    val lex = TextAnalysis.bm25TopK(spark, sf, 8, pool).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vec = Similarity.bruteForceTopK(spark, sf, 8, pool).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent reference fusion: rrf = sum of 1/(60+rank) over the
+    // sources that ranked the doc, ties on doc_id
+    val want = (lex.keySet ++ vec.keySet).groupBy(_._1).toSeq.flatMap { case (q, keys) =>
+      keys.toSeq.map { k =>
+        val s = lex.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+                vec.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+        (k._2, s)
+      }.sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex.map {
+        case ((d, _), i) => (q, d, (i + 1).toLong)
+      }
+    }.sortBy(t => (t._1, t._3))
+    val got = Similarity.hybridRrfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"fusion diverged (got ${got.take(5)}, want ${want.take(5)})")
+    // non-vacuous: the fused top-5 is not just either source's top-5 —
+    // at least one served row was ranked by ONLY one source
+    val gotKeys = got.map(t => (t._1, t._2)).toSet
+    assert(gotKeys.exists(k => lex.contains(k) ^ vec.contains(k)),
+      "every fused row was ranked by both sources — fusion untested")
+  }
 }
