@@ -981,7 +981,40 @@ object IndexTables {
     warehouseDirExists(s, annTombName(dir, g))
 
   private def tombstoneIds(s: SparkSession, dir: String, g: Long): DataFrame =
-    s.read.parquet(annTombPath(s, dir, g).toString)
+    // explicit schema: a concurrent first append can expose the dir
+    // with only its hidden staging inside — inference over zero
+    // visible files would error, while a declared schema reads the
+    // moment's truth (empty) and the mask stays the identity
+    s.read.schema("n_id BIGINT").parquet(annTombPath(s, dir, g).toString)
+
+  /** CONCURRENT-SAFE parquet append into a tombstone dir (round 15):
+    * `df.write.mode("append")` from two PROCESSES shares one
+    * `_temporary` committer staging path — job A's commit deletes job
+    * B's staged files mid-write (the clash the chaos deleter hit).
+    * Here each append stages under its own `_staging_<uuid>` (the
+    * underscore prefix keeps it invisible to every parquet listing),
+    * then MOVES the part files into the dir under staging-unique
+    * names — renames are per-file atomic, so a reader sees each part
+    * fully or not at all, and two concurrent appends can never touch
+    * each other's files. A crashed append leaves only a hidden
+    * staging dir (ignored by readers; swept by the generation GC with
+    * its dir). */
+  private def appendTombstones(s: SparkSession, df: DataFrame,
+                               target: org.apache.hadoop.fs.Path): Unit = {
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(target, s"_staging_$stamp")
+    df.write.mode("overwrite").parquet(staging.toString)
+    try {
+      fs.listStatus(staging).iterator
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (st, i) =>
+          val dst = new org.apache.hadoop.fs.Path(target, s"part-$stamp-$i.parquet")
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"tombstone append rename failed: ${st.getPath} -> $dst")
+        }
+    } finally fs.delete(staging, true)
+  }
 
   /** Mask generation `g`'s tombstoned ids out of a relation keyed by
     * `idCol` — the ONE anti-join every serving path shares. Absent
@@ -1093,7 +1126,7 @@ object IndexTables {
             else batch).localCheckpoint()
           val n = fresh.count()
           if (n > 0L)
-            fresh.write.mode("append").parquet(annTombPath(s, dir, g).toString)
+            appendTombstones(s, fresh, annTombPath(s, dir, g))
           Tables.unpersistCheckpoint(fresh)
           // fresh-JVM recovery mode: this session serves below the
           // frontier — mask its own served generation as well (same
@@ -1106,7 +1139,7 @@ object IndexTables {
               else batch).localCheckpoint()
             try {
               if (local.count() > 0L)
-                local.write.mode("append").parquet(annTombPath(s, dir, localServed).toString)
+                appendTombstones(s, local, annTombPath(s, dir, localServed))
             } finally Tables.unpersistCheckpoint(local)
           }
           Some(n)
@@ -1238,7 +1271,7 @@ object IndexTables {
               .localCheckpoint()
             try {
               if (late.count() > 0L)
-                late.write.mode("append").parquet(annTombPath(s, dir, next).toString)
+                appendTombstones(s, late, annTombPath(s, dir, next))
             } finally Tables.unpersistCheckpoint(late)
           }
           (next, nVecs)
