@@ -518,7 +518,10 @@ object Similarity {
     * scan with bounded top-k, or any indexed ANN path at deployment). */
   def hybridRrfTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
                     pool: Int = 20, k0: Int = 60): DataFrame = {
-    val lex = TextAnalysis.bm25TopK(s, dir, nQueries, pool)
+    // lexical leg off the persisted postings table — row-identical to
+    // the in-plan form (BM25 twin identity, spec-proven), and the
+    // tokenize pass is the index build's cost, not this query's
+    val lex = TextAnalysis.bm25TopKIndexed(s, dir, nQueries, pool)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
     val vec = bruteForceTopK(s, dir, nQueries, pool)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk").as("vec_rk"))
