@@ -607,6 +607,36 @@ object IndexTables {
       TextAnalysis.unigramPostings(s, dir)
     }
 
+  /** PURGE doc rows from the postings index (round 15) — the lexical
+    * analog of the ANN rebuild's purge: BM25 off the postings table is
+    * a SERVING surface, and ANN tombstones cannot cover it (they are
+    * generation-scoped and cleared by rebuilds the lexical index never
+    * participates in), so a takedown REWRITES the bucketed table
+    * without the removed docs — one index-sized bucketed job through
+    * the crash-safe staged swap. Ensure-first: if the index was never
+    * built (or this JVM lost its registration), it is built and then
+    * purged, so the post-takedown state is always "index exists and
+    * excludes the removed set" — the invariant the audit asserts.
+    * In-process mutation exclusion via the table lock; cross-process
+    * rewrites ride the dir's maintenance lease like every index
+    * compaction. Returns postings rows removed. */
+  def deleteFromPostingsIndex(s: SparkSession, dir: String, ids: DataFrame): Long = {
+    require(ids.columns.length == 1,
+      s"deleteFromPostingsIndex expects a single id column, got [${ids.columns.mkString(", ")}]")
+    val tbl = ensurePostingsIndex(s, dir)
+    withTableLock(tbl) {
+      import org.apache.spark.sql.functions.col
+      val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+        .distinct().localCheckpoint()
+      try {
+        val before = s.table(tbl).count()
+        val kept = s.table(tbl).join(del, Seq("doc_id"), "left_anti")
+        stagedOverwrite(s, tbl)(writeBucketed(kept, _, Seq("term"), "overwrite"))
+        before - s.table(tbl).count()
+      } finally Tables.unpersistCheckpoint(del)
+    }
+  }
+
   /** TRAINED BPE VOCABULARY table (round-12 verdict #5): the final
     * (tok, n_syms) type state under `nMerges` merges, bucketed by the
     * token key — the committed tokenizer artifact. The merge LOOP (the

@@ -523,7 +523,13 @@ object Similarity {
     // tokenize pass is the index build's cost, not this query's
     val lex = TextAnalysis.bm25TopKIndexed(s, dir, nQueries, pool)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
-    val vec = bruteForceTopK(s, dir, nQueries, pool)
+    // vector leg masked at the candidate stage like every served ANN
+    // path (identity on clean dirs — the declared-oracle contract);
+    // the lexical leg's deletion surface is the postings-table purge
+    // (Takedown's lexical step, audited) — ANN tombstones are
+    // generation-scoped and cannot cover an index rebuilds never touch
+    val vec = bruteForceTopKOver(
+        tombstoneCorpusMask(s, dir)(vectors(s, dir)), nQueries, pool)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk").as("vec_rk"))
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",

@@ -95,6 +95,17 @@ object Takedown {
       Tables.documents(s, dir)
         .filter(col("doc_id") % mod === 0)
         .select(col("doc_id")))
+    // ---- step 3b: lexical index purge (round 15) --------------------
+    // BM25 off the postings table is a serving surface the ANN
+    // tombstones cannot cover (generation-scoped; rebuilds never touch
+    // the lexical index), so the takedown rewrites the bucketed table
+    // without the removed docs — ensure-first, so the post-takedown
+    // invariant is "the index exists and excludes the removed set".
+    // Idempotent (a resume's anti-join removes nothing new).
+    IndexTables.deleteFromPostingsIndex(s, dir,
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % mod === 0)
+        .select(col("doc_id")))
     if (failAfterStep <= 3)
       throw new IllegalStateException("injected crash after takedown step 3")
 
@@ -137,6 +148,14 @@ object Takedown {
         .filter(col("neighbor_id") % mod === 0).count()
     val annSq8Reach = Similarity.sq8TopK(s, dir, nQueries = 4, k = 3)
       .filter(col("neighbor_id") % mod === 0).count()
+    // the lexical retrieval surface (round 15): the purged postings
+    // table must serve no removed doc — through the direct BM25 probe
+    // AND the hybrid fusion (whose vector leg the tombstones mask)
+    val lexReach =
+      TextAnalysis.bm25TopKIndexed(s, dir, nQueries = 4, k = 3)
+        .filter(col("doc_id") % mod === 0).count() +
+      Similarity.hybridRrfTopK(s, dir, nQueries = 4, k = 3)
+        .filter(col("doc_id") % mod === 0).count()
     // the in-plan serving family (round-14: every top-k SERVER masks at
     // its candidate stage — which index backs a query must not change
     // which vectors are deleted)
@@ -168,6 +187,7 @@ object Takedown {
       ("ann_prefix", annPrefixReach),
       ("ann_sq8", annSq8Reach),
       ("ann_inplan", annInPlanReach),
+      ("lexical_bm25", lexReach),
       ("curation_keep", keepReach),
       ("export_manifest", exportReach))
     require(report.forall(_._2 == 0L),

@@ -68,11 +68,19 @@ class TakedownE2ESpec extends SparkSuite {
       Similarity.prefixIvfTopK(spark, fix, nQueries = 4, k = 3)
         .filter(col("neighbor_id") % mod === 0).count()
 
+    // non-vacuous on the lexical surface (round 15): the postings-table
+    // BM25 probe must serve a removed doc BEFORE the takedown, or the
+    // new audit row proves nothing
+    val lexBefore = TextAnalysis.bm25TopKIndexed(spark, fix, nQueries = 4, k = 20)
+      .filter(col("doc_id") % mod === 0).count()
+
     val report = reportOf(Takedown.takedownEverywhere(
       spark, fix, root, "run1", "run2", mod, exportDir))
     assert(report.keySet == Set("store_versions", "ann_topk", "ann_prefix",
-      "ann_sq8", "ann_inplan", "curation_keep", "export_manifest"))
+      "ann_sq8", "ann_inplan", "lexical_bm25", "curation_keep", "export_manifest"))
     assert(report.values.forall(_ == 0L), s"reachability after takedown: $report")
+    assert(lexBefore > 0,
+      "fixture broken: BM25 served no removed doc before the takedown — lexical audit row vacuous")
     assert(prefixBefore > 0,
       "fixture vacuous for the prefix audit: no prefix path served a removed doc")
     // the export genuinely shipped the survivors (non-empty manifest)
