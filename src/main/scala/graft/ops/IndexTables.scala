@@ -607,34 +607,200 @@ object IndexTables {
       TextAnalysis.unigramPostings(s, dir)
     }
 
+  /** The postings index's four-table family: the postings rows plus
+    * the three CORPUS-STAT side tables a BM25 probe needs (round-16
+    * verdict #1 — previously the probe re-aggregated the corpus-sized
+    * postings relation for dl/df/N per query). All four are built,
+    * appended, purged and compacted TOGETHER, so a probe reading them
+    * sees one corpus membership. */
+  final case class PostingsTables(postings: String, dl: String,
+                                  df: String, corp: String)
+
+  private def postingsNames(dir: String): PostingsTables = PostingsTables(
+    s"idx_postings_${tag(dir)}",
+    s"idx_postings_dl_${tag(dir)}",
+    s"idx_postings_df_${tag(dir)}",
+    s"idx_postings_corp_${tag(dir)}")
+
+  /** Ensure postings + stat tables and return their names. The stats
+    * build FROM THE POSTINGS TABLE (not the source dir), so a table
+    * that already carries incremental segments from a previous process
+    * gets stats that match its actual content. dl is bucketed by
+    * doc_id (the probe's candidate join key), df by term (the
+    * query-term join key); corp is a single (n, tl) totals row —
+    * appends add DELTA rows to df/corp, which the probe sums at query
+    * size ([[graft.ops.TextAnalysis]] bm25Over). */
+  def postingsIndexTables(s: SparkSession, dir: String): PostingsTables = {
+    import org.apache.spark.sql.functions._
+    val t = postingsNames(dir)
+    ensurePostingsIndex(s, dir)
+    ensure(s, t.dl, Seq("doc_id")) {
+      s.table(t.postings).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    }
+    ensure(s, t.df, Seq("term")) {
+      s.table(t.postings).groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
+    ensure(s, t.corp, Seq("n")) {
+      s.table(t.postings).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+    }
+    t
+  }
+
+  /** INCREMENTAL postings maintenance (round-16 verdict #4): tokenize a
+    * newly-ingested (doc_id, text) batch into its term buckets and the
+    * stat side tables WITHOUT a rebuild — the same bucket-preserving
+    * append contract as the minhash band and chunk indexes, completing
+    * the lexical index's membership story (previously build-once +
+    * purge: docs admitted after the build were visible to the hybrid
+    * vector leg but invisible to BM25 — the round-15 ADVICE staleness).
+    * Replay-safe: the batch anti-joins the dl table (the per-doc
+    * membership relation), so a redelivered batch appends nothing.
+    * WRITE ORDER is the crash contract: dl (the replay gate) commits
+    * FIRST — a crash mid-append leaves a doc counted in stats but
+    * absent from serving (bounded staleness, healed by
+    * [[compactPostingsIndex]]), never double-counted tf rows, which
+    * would mis-score live queries. Returns postings rows appended. */
+  def appendToPostingsIndex(s: SparkSession, dir: String,
+                            newDocs: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val t = postingsIndexTables(s, dir)
+    withTableLock(t.postings) {
+      val fresh = newDocs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .join(s.table(t.dl), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      try {
+        val posts = TextAnalysis.unigramPostingsOf(fresh).localCheckpoint()
+        try {
+          val n = posts.count()
+          if (n > 0) {
+            val dlRows = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+            writeBucketed(dlRows, t.dl, Seq("doc_id"), "append")
+            writeBucketed(posts, t.postings, Seq("term"), "append")
+            writeBucketed(
+              posts.groupBy(col("term")).agg(count(lit(1)).as("df")),
+              t.df, Seq("term"), "append")
+            writeBucketed(
+              posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+                .agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
+              t.corp, Seq("n"), "append")
+            Seq(t.postings, t.dl, t.df, t.corp)
+              .foreach(refreshBoth(s, fresh, _))
+          }
+          n
+        } finally Tables.unpersistCheckpoint(posts)
+      } finally Tables.unpersistCheckpoint(fresh)
+    }
+  }
+
+  /** MAINTENANCE compaction for the postings family — the batch-side
+    * half of the append contract: collapses replayed byte-identical
+    * postings rows (`distinct()` — (term, doc_id, tf) is deterministic
+    * per doc), RE-DERIVES all three stat tables from the compacted
+    * postings rows (healing any crash-window stats drift: the postings
+    * table is the family's ledger, stats are derived replicas), and
+    * restores the one-file-per-bucket clustered layout appends degrade.
+    * Cross-process exclusion via the dir's maintenance lease, like
+    * every index rewrite; None when the lease is contended. Returns
+    * (postings rows before, after). */
+  def compactPostingsIndex(s: SparkSession, dir: String,
+                           holderId: String): Option[(Long, Long)] =
+    compactionLease(s, dir, holderId).withLease {
+      val t = postingsIndexTables(s, dir)
+      withTableLock(t.postings) {
+        val before = s.table(t.postings).count()
+        val deduped = s.table(t.postings).distinct().localCheckpoint()
+        try {
+          val after = deduped.count()
+          stagedOverwrite(s, t.postings)(
+            writeBucketed(deduped, _, Seq("term"), "overwrite"))
+          rewritePostingsStats(s, t, deduped)
+          Seq(t.postings, t.dl, t.df, t.corp).foreach(s.catalog.refreshTable)
+          (before, after)
+        } finally Tables.unpersistCheckpoint(deduped)
+      }
+    }
+
+  /** Staged-rewrite the three stat tables from a (checkpointed)
+    * postings relation — shared by purge and compaction so the two
+    * can never diverge on the stats derivation. */
+  private def rewritePostingsStats(s: SparkSession, t: PostingsTables,
+                                   posts: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val dl = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    stagedOverwrite(s, t.dl)(writeBucketed(dl, _, Seq("doc_id"), "overwrite"))
+    stagedOverwrite(s, t.df)(writeBucketed(
+      posts.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      _, Seq("term"), "overwrite"))
+    stagedOverwrite(s, t.corp)(writeBucketed(
+      posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
+      _, Seq("n"), "overwrite"))
+  }
+
   /** PURGE doc rows from the postings index (round 15) — the lexical
     * analog of the ANN rebuild's purge: BM25 off the postings table is
     * a SERVING surface, and ANN tombstones cannot cover it (they are
     * generation-scoped and cleared by rebuilds the lexical index never
     * participates in), so a takedown REWRITES the bucketed table
     * without the removed docs — one index-sized bucketed job through
-    * the crash-safe staged swap. Ensure-first: if the index was never
-    * built (or this JVM lost its registration), it is built and then
-    * purged, so the post-takedown state is always "index exists and
-    * excludes the removed set" — the invariant the audit asserts.
-    * In-process mutation exclusion via the table lock; cross-process
-    * rewrites ride the dir's maintenance lease like every index
-    * compaction. Returns postings rows removed. */
+    * the crash-safe staged swap, then re-derives the three stat side
+    * tables from the kept rows (a purged doc must leave the corpus
+    * stats too, or surviving docs' idf would still count it). Ensure-
+    * first: if the index was never built (or this JVM lost its
+    * registration), it is built and then purged, so the post-takedown
+    * state is always "index exists and excludes the removed set" — the
+    * invariant the audit asserts. In-process mutation exclusion via
+    * the table lock; cross-process exclusion via the dir's maintenance
+    * lease, ACQUIRED HERE (round-16 ADVICE: the lease was previously a
+    * caller convention Takedown itself didn't follow — two concurrent
+    * rewriters could interleave the staged swap and silently resurrect
+    * purged docs on a right-to-be-forgotten surface). Contention
+    * retries briefly, then FAILS LOUDLY — a takedown must never
+    * silently skip the rewrite. WRITE ORDER: postings (the serving
+    * membership) first, stats after — a crash between them leaves
+    * ghost docs in the stats (mild idf skew, healed by
+    * [[compactPostingsIndex]]), never a purged doc served. Returns
+    * postings rows removed. */
   def deleteFromPostingsIndex(s: SparkSession, dir: String, ids: DataFrame): Long = {
     require(ids.columns.length == 1,
       s"deleteFromPostingsIndex expects a single id column, got [${ids.columns.mkString(", ")}]")
-    val tbl = ensurePostingsIndex(s, dir)
-    withTableLock(tbl) {
-      import org.apache.spark.sql.functions.col
-      val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-        .distinct().localCheckpoint()
-      try {
-        val before = s.table(tbl).count()
-        val kept = s.table(tbl).join(del, Seq("doc_id"), "left_anti")
-        stagedOverwrite(s, tbl)(writeBucketed(kept, _, Seq("term"), "overwrite"))
-        before - s.table(tbl).count()
-      } finally Tables.unpersistCheckpoint(del)
+    val t = postingsIndexTables(s, dir)
+    val holder = s"postings-purge-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
+    val lease = compactionLease(s, dir, holder)
+    var attempt = 0
+    var result = Option.empty[Long]
+    while (result.isEmpty) {
+      val done = lease.withLease {
+        withTableLock(t.postings) {
+          import org.apache.spark.sql.functions.col
+          val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+            .distinct().localCheckpoint()
+          try {
+            val before = s.table(t.postings).count()
+            val kept = s.table(t.postings).join(del, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            try {
+              stagedOverwrite(s, t.postings)(
+                writeBucketed(kept, _, Seq("term"), "overwrite"))
+              rewritePostingsStats(s, t, kept)
+              Seq(t.postings, t.dl, t.df, t.corp).foreach(s.catalog.refreshTable)
+              before - s.table(t.postings).count()
+            } finally Tables.unpersistCheckpoint(kept)
+          } finally Tables.unpersistCheckpoint(del)
+        }
+      }
+      done match {
+        case Some(n) => result = Some(n)
+        case None =>
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"deleteFromPostingsIndex: maintenance lease for $dir contended after $attempt attempts — " +
+              "refusing to skip a takedown rewrite; retry when the concurrent index maintenance completes")
+          Thread.sleep(200L * attempt)
+      }
     }
+    result.get
   }
 
   /** TRAINED BPE VOCABULARY table (round-12 verdict #5): the final

@@ -49,8 +49,9 @@ object Prebuild {
     // segment-served components ride the segment index (dedup_ngram_seg)
     "ngram_components_seg" -> ((s, d) => { Dedup.ngramComponentsSegmented(s, d); () }),
     "idx_bpe_vocab"      -> ((s, d) => { IndexTables.ensureBpeVocab(s, d, 10); () }),
-    // bucketed unigram postings (round-15; text_bm25_indexed)
-    "idx_postings"       -> ((s, d) => { IndexTables.ensurePostingsIndex(s, d); () }),
+    // bucketed unigram postings + dl/df/corp stat side tables
+    // (round-15/16; text_bm25_indexed, ann_hybrid_rrf)
+    "idx_postings"       -> ((s, d) => { IndexTables.postingsIndexTables(s, d); () }),
     // sample-trained full-corpus vocabulary (round-15; text_bpe_encode_sampled)
     "bpe_vocab_sampled"  -> ((s, d) => { TextAnalysis.sampledVocab(s, d, 10, 0.5); () }),
     "idx_prefix"         -> ((s, d) => { IndexTables.ensurePrefixIndex(s, d, 32); () }),

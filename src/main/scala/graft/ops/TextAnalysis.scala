@@ -121,7 +121,16 @@ object TextAnalysis {
     * index's row set and the one tokenize+count pass every lexical
     * scorer here shares. */
   private[ops] def unigramPostings(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    unigramPostingsOf(Tables.documents(s, dir))
+
+  /** [[unigramPostings]] over an arbitrary (doc_id, text) relation —
+    * the incremental form the postings-index APPEND path tokenizes a
+    * newly-ingested batch with ([[IndexTables.appendToPostingsIndex]]):
+    * one derivation for builds and appends, so the two can never
+    * diverge on tokenization (the same single-definition rule every
+    * signature family here follows — simhashOf, shinglesOf). */
+  private[ops] def unigramPostingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -149,31 +158,54 @@ object TextAnalysis {
     * final shuffle. The persisted twin ([[bm25TopKIndexed]]) reads the
     * postings off the bucketed index table so the probe is a bucket-
     * local join with no tokenize pass. */
-  def bm25TopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
-    bm25Over(s, unigramPostings(s, dir), nQueries, k)
-
-  /** [[bm25TopK]] served from the PERSISTED postings table
-    * ([[IndexTables.ensurePostingsIndex]], bucketed by term) — the
-    * inverted-index deployment shape: the corpus-sized tokenize +
-    * count pass is paid once at build; every query probes the table
-    * (the df/dl stats remain one narrow pass over the index — at a
-    * real deployment those land in their own stats tables on the same
-    * maintenance cadence). Identical rows BY the shared body; shares
-    * `text_bm25_topk`'s oracle text (the twin-alias contract). */
-  def bm25TopKIndexed(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
-    bm25Over(s, s.table(IndexTables.ensurePostingsIndex(s, dir)), nQueries, k)
-
-  private def bm25Over(s: SparkSession, posts: DataFrame,
-                       nQueries: Int, k: Int): DataFrame = {
-    graft.functions.TopKPairs.register(s)
+  def bm25TopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val posts = unigramPostings(s, dir)
     val dl = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corp = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
     val dfr = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Over(s, posts, dl, dfr, corp, nQueries, k)
+  }
+
+  /** [[bm25TopK]] served from the PERSISTED postings table
+    * ([[IndexTables.ensurePostingsIndex]], bucketed by term) AND its
+    * corpus-stat SIDE TABLES (round-16 verdict #1): dl (per-doc
+    * length, bucketed by doc_id), df (per-term document frequency,
+    * bucketed by term) and the (n, tl) corpus totals are READ, never
+    * re-derived — the probe pays no corpus-sized aggregate. The stat
+    * tables are delta relations maintained by the same append/purge
+    * paths as the postings rows ([[IndexTables.appendToPostingsIndex]]
+    * / [[IndexTables.deleteFromPostingsIndex]]); [[bm25Over]] sums df
+    * AFTER the query-term join (query-sized) and the corpus totals
+    * over the handful of delta rows, so incremental segments never
+    * cost a table-wide pass at probe time. Identical rows BY the
+    * shared body; shares `text_bm25_topk`'s oracle text (the
+    * twin-alias contract). */
+  def bm25TopKIndexed(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val t = IndexTables.postingsIndexTables(s, dir)
+    bm25Over(s, s.table(t.postings), s.table(t.dl), s.table(t.df),
+      s.table(t.corp), nQueries, k)
+  }
+
+  /** The shared BM25 body. `dl` is one (doc_id, dl) row per document
+    * (the stat tables' append gate guarantees it); `dfr` may carry
+    * DELTA rows per term (incremental segments) — df is summed after
+    * the query-term join, so deltas merge at query cost; `corpDeltas`
+    * is any number of (n, tl) delta rows, totaled here (bounded by
+    * segment count, never corpus size). */
+  private def bm25Over(s: SparkSession, posts: DataFrame, dl: DataFrame,
+                       dfr: DataFrame, corpDeltas: DataFrame,
+                       nQueries: Int, k: Int): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val corp = corpDeltas.agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
     val q = posts.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    // idf of QUERY terms only — query-sized, broadcastable
+    // idf of QUERY terms only — query-sized, broadcastable; the df sum
+    // lands AFTER the join, so a delta-segmented df table merges at
+    // query size (for the in-plan single-row-per-term form the sum is
+    // the identity)
     val idf = q.select(col("term")).distinct()
       .join(dfr, Seq("term"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .crossJoin(broadcast(corp))
       .select(col("term"), expr(
         "CAST(FLOOR(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT)")
@@ -575,10 +607,12 @@ object TextAnalysis {
     * string per TYPE row (not per occurrence) and is what lets the
     * encode step be a plain equi-join instead of re-running the merge
     * cascade over the token stream. */
-  private def trainState(s: SparkSession, dir: String, nMerges: Int,
-                         sampleFraction: Double = 1.0)
+  /** [[trainState]] plus the executed ROUND COUNT — the driver-paced
+    * Spark-job rounds the batched trainer exists to shrink. */
+  private[ops] def trainStateWithRounds(s: SparkSession, dir: String, nMerges: Int,
+                         sampleFraction: Double = 1.0, batchMerges: Int = 1)
       : (Seq[(Long, String, String, Long)],
-         org.apache.spark.sql.Dataset[(String, Seq[String], Long)]) = {
+         org.apache.spark.sql.Dataset[(String, Seq[String], Long)], Int) = {
     import s.implicits._
     // Deterministic percent sampling on doc_id — reproducible across
     // runs AND expressible in the DuckDB oracle (no RNG; hundredth
@@ -595,9 +629,9 @@ object TextAnalysis {
       .map { case (t, f) => (t, TextAnalysis.codePointSymbols(t), f) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var round = 1
+    var rounds = 0
     var exhausted = false
-    while (round <= nMerges && !exhausted) {
+    while (merges.size < nMerges && !exhausted) {
       // adjacent pairs: element i pairs with i+1, one generate per type
       val counts = types.toDF("tok", "syms", "tf")
         // fully-merged single-symbol types carry no pairs — and sequence()
@@ -607,17 +641,51 @@ object TextAnalysis {
           "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("tf")).as("n"))
-      val best = counts.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      // BATCHED merge selection (round-16 verdict #7): accept up to
+      // `want` SYMBOL-DISJOINT pairs from one count pass — the standard
+      // batched-BPE trick. Disjointness is what makes the batch exact
+      // per pair: merging (a,b) only perturbs counts of pairs touching
+      // a or b (it consumes those symbols and mints "ab"), so the
+      // accepted pairs' counts are the same numbers sequential rounds
+      // would have seen, and their applications commute. What batching
+      // DOES trade away is the chance for a freshly-minted symbol to
+      // out-count a later accepted pair — sequential picks it, batched
+      // defers it one round (vocab parity on disjoint-pair corpora is
+      // spec-proven; at batchMerges=1 the loop is byte-identical to the
+      // sequential trainer, which is what every declared oracle runs).
+      val want = math.min(math.max(batchMerges, 1), nMerges - merges.size)
+      // over-fetch: overlapping candidates are skipped, so pull a few
+      // extra rows (still a bounded, want-sized driver constant)
+      val top = counts.orderBy(col("n").desc, col("l"), col("r"))
+        .limit(want * 4).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round.toLong, l, r, n))
-        types = types.map { case (t, syms, f) => (t, TextAnalysis.applyMerge(syms, l, r), f) }
-          .localCheckpoint()
-        round += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        top.iterator.takeWhile(_ => accepted.size < want).foreach { row =>
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r)) { accepted += ((l, r, n)); used += l; used += r }
+        }
+        accepted.foreach { case (l, r, n) =>
+          merges += ((merges.size + 1L, l, r, n))
+        }
+        val batch = accepted.toSeq
+        types = types.map { case (t, syms, f) =>
+          (t, batch.foldLeft(syms) { case (ss, (l, r, _)) =>
+            TextAnalysis.applyMerge(ss, l, r) }, f)
+        }.localCheckpoint()
+        rounds += 1
       }
     }
-    (merges.toSeq, types)
+    (merges.toSeq, types, rounds)
+  }
+
+  private def trainState(s: SparkSession, dir: String, nMerges: Int,
+                         sampleFraction: Double = 1.0)
+      : (Seq[(Long, String, String, Long)],
+         org.apache.spark.sql.Dataset[(String, Seq[String], Long)]) = {
+    val (m, t, _) = trainStateWithRounds(s, dir, nMerges, sampleFraction)
+    (m, t)
   }
 
   /** BPE ENCODE — the trained merges applied back to the corpus, the

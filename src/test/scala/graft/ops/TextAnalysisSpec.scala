@@ -303,4 +303,40 @@ class TextAnalysisSpec extends SparkSuite {
     assert(plan.contains("partial_graft_topk"),
       "graft_topk is not partially aggregated map-side")
   }
+
+  test("batched BPE merges: ~m× fewer driver rounds, identical vocabulary on a disjoint-pair corpus") {
+    // five word types whose top pairs share no symbols — the regime
+    // where batched selection is EXACT (disjoint merges commute and
+    // their counts are invariant under each other); distinct
+    // frequencies pin the acceptance order
+    val dir = tempDir("bpebatch")
+    spark.createDataFrame(Seq(
+      (0L, ("ab " * 50).trim), (1L, ("cd " * 40).trim),
+      (2L, ("ef " * 30).trim), (3L, ("gh " * 20).trim),
+      (4L, ("ij " * 10).trim)
+    )).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val (seqMerges, seqTypes, seqRounds) =
+      TextAnalysis.trainStateWithRounds(spark, dir, 5, 1.0, batchMerges = 1)
+    val (batMerges, batTypes, batRounds) =
+      TextAnalysis.trainStateWithRounds(spark, dir, 5, 1.0, batchMerges = 5)
+    assert(seqRounds == 5, s"sequential trainer ran $seqRounds rounds, expected 5")
+    assert(batRounds == 1, s"batched trainer ran $batRounds rounds, expected 1 (5× fewer)")
+    assert(seqMerges == batMerges,
+      s"batched merge list diverged:\n seq=$seqMerges\n bat=$batMerges")
+    assert(seqTypes.collect().sortBy(_._1).toSeq == batTypes.collect().sortBy(_._1).toSeq,
+      "batched final type state diverged from sequential")
+
+    // overlap safety: when candidates SHARE symbols the batch accepts
+    // only the disjoint prefix and defers the rest — never applies two
+    // merges whose interleaving could disagree with sequential ranks
+    val dir2 = tempDir("bpebatch2")
+    // "aba": pairs (a,b) and (b,a) overlap on both symbols
+    spark.createDataFrame(Seq((0L, ("aba " * 50).trim))).toDF("doc_id", "text")
+      .write.parquet(s"$dir2/documents.parquet")
+    val (m1, _, _) = TextAnalysis.trainStateWithRounds(spark, dir2, 2, 1.0, batchMerges = 1)
+    val (m2, _, r2) = TextAnalysis.trainStateWithRounds(spark, dir2, 2, 1.0, batchMerges = 2)
+    assert(m1 == m2, s"overlapping candidates broke batched parity:\n seq=$m1\n bat=$m2")
+    assert(r2 == 2, "overlapping pairs must NOT land in one batch")
+  }
 }
