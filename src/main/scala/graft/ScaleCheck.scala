@@ -350,6 +350,31 @@ object ScaleCheck {
           ops.Similarity.prefixIvfShortlist(spark, dir),
           ops.Similarity.prefixIvfTopK(spark, dir)))
     }
+    // Lexical + hybrid serving (round-15 verdict #6): build vs probe
+    // split for the newest serving family. Build = the postings family
+    // (postings + dl/df/corp stat tables) from a dropped state; probes
+    // are the served bodies themselves (bm25TopKIndexed at the hybrid
+    // pool depth, the sq8 vector leg, the fused ranking), so fusion
+    // overhead = fused − (lex leg + vec leg) is directly readable.
+    def lexical(dir: String): Seq[(String, Double)] = {
+      val t = ops.IndexTables.postingsIndexTables(spark, dir)
+      Seq(t.postings, t.dl, t.df, t.corp)
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      clean()
+      val tBuild = timed { ops.IndexTables.postingsIndexTables(spark, dir) }; clean()
+      val tLex = timed { ops.TextAnalysis.bm25TopKIndexed(spark, dir, 8, 20).count() }; clean()
+      val tVec = timed { ops.Similarity.sq8TopK(spark, dir, 8, 20).count() }; clean()
+      val tHyb = timed { ops.Similarity.hybridRrfTopKIndexed(spark, dir).count() }; clean()
+      val rows = Seq(
+        ("build postings + stat tables", tBuild),
+        ("BM25 indexed probe (pool 20)", tLex),
+        ("sq8 vector leg (pool 20)", tVec),
+        ("hybrid RRF indexed (fused top-5)", tHyb),
+        ("fusion overhead (fused − legs)", tHyb - tLex - tVec))
+      rows.foreach { case (n, s) =>
+        System.err.println(f"[scalecheck] $dir%-24s $n%-40s $s%8.3f s") }
+      rows
+    }
     val baseIdx = indexBuilds(src)
     val base = run(src)
     val baseFc = forecast(spark, src)
@@ -366,9 +391,11 @@ object ScaleCheck {
       System.err.println(f"[scalecheck] $src%-24s $n%-40s $t%8.3f s") }
     clean()
     val baseTwoStage = twoStage(src)
+    val baseLex = lexical(src)
     val scaledIdx = indexBuilds(dst)
     val scaled = run(dst)
     val scaledTwoStage = twoStage(dst)
+    val scaledLex = lexical(dst)
     val scaledFc = forecast(spark, dst)
     val scaledWide = forecastWide(spark, dst)
     val nDocsBase = ops.Tables.documents(spark, src).count()
@@ -448,6 +475,17 @@ object ScaleCheck {
     baseTwoStage.zip(scaledTwoStage).foreach {
       case ((n, b1, bt2, br), (_, s1, st2, sr)) =>
         sb ++= f"| $n | $b1%.3f | $bt2%.3f | $br%.3f | $s1%.3f | $st2%.3f | $sr%.3f |\n"
+    }
+    sb ++= "\n"
+    sb ++= "Lexical + hybrid serving (round-16 verdict #6): the BM25/hybrid\n"
+    sb ++= "family priced like the other two-stage servers — build (postings\n"
+    sb ++= "table + dl/df/corp stat side tables, from dropped state) vs probe\n"
+    sb ++= "(the served bodies at the hybrid pool depth, 8 queries). Fusion\n"
+    sb ++= "overhead is fused − (lex + vec legs): the RRF join/window over\n"
+    sb ++= "≤2·pool rows per query, expected near-constant at any corpus size:\n\n"
+    sb ++= "| stage | base s | scaled s |\n|---|---|---|\n"
+    baseLex.zip(scaledLex).foreach { case ((n, b), (_, s)) =>
+      sb ++= f"| $n | $b%.3f | $s%.3f |\n"
     }
     sb ++= "\n"
     sb ++= "Blocking forecasts (metadata-priced candidate-pair totals — the\n"

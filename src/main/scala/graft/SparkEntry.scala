@@ -156,6 +156,11 @@ object SparkEntry {
     // fusion (k0=60) of the BM25 top-20 and exact-cosine top-20 —
     // rank-based, so the two score scales need no calibration
     "ann_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRrfTopK(s, d)),
+    // the deployment form of the hybrid (round 16): BOTH legs indexed —
+    // BM25 off the bucketed postings + stat side tables, the vector
+    // pool off the int8 two-stage server (sq8 shortlist 64 + exact
+    // rerank); the oracle replays the indexed legs deterministically
+    "ann_hybrid_rrf_indexed" -> ((s: SparkSession, d: String) => Similarity.hybridRrfTopKIndexed(s, d)),
     // two-stage Matryoshka serving: prefix-dim shortlist (32 of 64
     // dims, re-normed) + exact full-dim rerank — the deployment shape
     // emb_prefix_recall's report justifies (round-13)
@@ -619,6 +624,38 @@ object SparkEntry {
       |  FROM pqshort sh
       |  JOIN vn q ON sh.query_id = q.vec_id
       |  JOIN vn n ON sh.neighbor_id = n.vec_id)""".stripMargin
+
+  // Shared INT8 two-stage CTE chain (builds on vectorsCte) ending in
+  // `sq8ranked` (query_id, neighbor_id, cos, rk): per-dim absmax
+  // scales, deterministic floor quantization, stage-1 integer code-dot
+  // shortlist (srk <= 64), stage-2 exact full-dim rerank. Used by the
+  // ann_sq8_topk oracle (rk <= 5) and the indexed-hybrid oracle's
+  // vector leg (rk <= 20) — one text, so the leg cannot drift between
+  // them (the bm25RankedCte convention).
+  private val sq8RankedCte =
+    """sc AS MATERIALIZED (
+      |  SELECT list(CASE WHEN mx = 0 THEN 1.0 ELSE mx END ORDER BY pos) AS scl
+      |  FROM (SELECT i AS pos, MAX(abs(x.v[i])) AS mx
+      |        FROM vn x, UNNEST(range(1, len(x.v) + 1)) AS u(i)
+      |        GROUP BY i) m),
+      |qv8 AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(v) + 1), i -> floor(v[i] / scl[i] * 127.0)) AS q8
+      |  FROM vn, sc),
+      |qq8 AS (SELECT vec_id AS query_id, q8 AS qc FROM qv8 WHERE vec_id < 8),
+      |sl8 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, n.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_dot_product(n.q8, q.qc) DESC, n.vec_id) AS srk
+      |    FROM qv8 n JOIN qq8 q ON n.vec_id <> q.query_id) t WHERE srk <= 64),
+      |sq8ranked AS (
+      |  SELECT sl8.query_id, sl8.neighbor_id,
+      |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY sl8.query_id
+      |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sl8.neighbor_id) AS rk
+      |  FROM sl8 JOIN vn q ON sl8.query_id = q.vec_id
+      |           JOIN vn n ON sl8.neighbor_id = n.vec_id)""".stripMargin
 
   // Shared DuckDB CTE: double-cast vectors with precomputed norms —
   // the same fold Spark runs (sequential sum in double).
@@ -2285,6 +2322,30 @@ object SparkEntry {
          |       floor(rrf * 1000000) / 1000000 AS rrf, lex_rk, vec_rk
          |FROM r WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
+    // the fully-indexed hybrid: lexical leg identical to ann_hybrid_rrf
+    // (one bm25RankedCte text), vector leg the int8 two-stage server's
+    // deterministic shortlist+rerank (one sq8RankedCte text with
+    // ann_sq8_topk) — the oracle replays both indexed legs exactly
+    "ann_hybrid_rrf_indexed" ->
+      s"""WITH $bm25RankedCte,
+         |$vectorsCte,
+         |$sq8RankedCte,
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |         COALESCE(1.0 / (l.rk + 60), 0.0) + COALESCE(1.0 / (v.rk + 60), 0.0) AS rrf,
+         |         l.rk AS lex_rk, v.rk AS vec_rk
+         |  FROM (SELECT * FROM lexranked WHERE rk <= 20) l
+         |  FULL OUTER JOIN (SELECT query_id, neighbor_id AS doc_id, rk
+         |                   FROM sq8ranked WHERE rk <= 20) v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM fused)
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk,
+         |       floor(rrf * 1000000) / 1000000 AS rrf, lex_rk, vec_rk
+         |FROM r WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vn WHERE vec_id < 8),
@@ -2514,31 +2575,9 @@ object SparkEntry {
     // quantized relation as stage 1
     "ann_sq8_topk" ->
       s"""WITH $vectorsCte,
-         |sc AS MATERIALIZED (
-         |  SELECT list(CASE WHEN mx = 0 THEN 1.0 ELSE mx END ORDER BY pos) AS scl
-         |  FROM (SELECT i AS pos, MAX(abs(x.v[i])) AS mx
-         |        FROM vn x, UNNEST(range(1, len(x.v) + 1)) AS u(i)
-         |        GROUP BY i) m),
-         |qv AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(range(1, len(v) + 1), i -> floor(v[i] / scl[i] * 127.0)) AS q8
-         |  FROM vn, sc),
-         |qq AS (SELECT vec_id AS query_id, q8 AS qc FROM qv WHERE vec_id < 8),
-         |sl AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.query_id, n.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY list_dot_product(n.q8, q.qc) DESC, n.vec_id) AS srk
-         |    FROM qv n JOIN qq q ON n.vec_id <> q.query_id) t WHERE srk <= 64),
-         |ranked AS (
-         |  SELECT sl.query_id, sl.neighbor_id,
-         |    list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
-         |      ORDER BY list_dot_product(q.v, n.v) / (q.norm * n.norm) DESC, sl.neighbor_id) AS rk
-         |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
-         |          JOIN vn n ON sl.neighbor_id = n.vec_id)
+         |$sq8RankedCte
          |SELECT query_id, neighbor_id, rk, floor(cos * 1000000) / 1000000 AS cos
-         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+         |FROM sq8ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "emb_hard_negatives" ->
       s"""WITH $vectorsCte,
          |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm

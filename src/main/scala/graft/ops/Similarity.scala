@@ -520,7 +520,12 @@ object Similarity {
                     pool: Int = 20, k0: Int = 60): DataFrame = {
     // lexical leg off the persisted postings table — row-identical to
     // the in-plan form (BM25 twin identity, spec-proven), and the
-    // tokenize pass is the index build's cost, not this query's
+    // tokenize pass is the index build's cost, not this query's.
+    // MEMBERSHIP CONTRACT (round-16): docs ingested after the build
+    // reach this leg via IndexTables.appendToPostingsIndex — a
+    // deployment appends it in the SAME foreachBatch as the ANN
+    // appends (StreamingAnnIngestSpec's pattern), so the two legs see
+    // one corpus; append→serve identity is PostingsIndexSpec-proven
     val lex = TextAnalysis.bm25TopKIndexed(s, dir, nQueries, pool)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
     // vector leg masked at the candidate stage like every served ANN
@@ -531,6 +536,37 @@ object Similarity {
     val vec = bruteForceTopKOver(
         tombstoneCorpusMask(s, dir)(vectors(s, dir)), nQueries, pool)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk").as("vec_rk"))
+    rrfFuse(lex, vec, k, k0)
+  }
+
+  /** [[hybridRrfTopK]] with the vector leg served off the INT8
+    * two-stage index ([[sq8TopK]] — stage 1 the 64 B/vector code scan,
+    * stage 2 the full-dim rerank of a 64-deep shortlist) instead of the
+    * brute float scan (round-16 verdict #5): the 100 TB deployment
+    * shape, where BOTH hybrid legs ride persisted index tables — BM25
+    * off the bucketed postings + stat side tables, cosine off the int8
+    * code table. The fusion body is shared with the brute form, so the
+    * two can never drift on RRF semantics; the only divergence is the
+    * vector pool's membership where the int8 shortlist misses a true
+    * neighbor (recall < 1 BY DESIGN, priced in SCALECHECK alongside the
+    * other two-stage servers). Deterministic end to end — quantization,
+    * integer stage-1 order, exact rerank, integer ranks — so the
+    * declared oracle replays the indexed legs themselves, not a
+    * looser rows-only check. */
+  def hybridRrfTopKIndexed(s: SparkSession, dir: String, nQueries: Int = 8,
+                           k: Int = 5, pool: Int = 20, k0: Int = 60,
+                           shortlist: Int = 64): DataFrame = {
+    val lex = TextAnalysis.bm25TopKIndexed(s, dir, nQueries, pool)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    val vec = sq8TopK(s, dir, nQueries, pool, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk").as("vec_rk"))
+    rrfFuse(lex, vec, k, k0)
+  }
+
+  /** The shared RRF fusion body: full-outer join of two bounded
+    * (query_id, doc_id, rank) pools, one fixed-order reciprocal sum,
+    * ties on doc_id. ≤ 2·pool rows per query reach the window. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int, k0: Int): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (col("lex_rk") + lit(k0)), lit(0.0)) +

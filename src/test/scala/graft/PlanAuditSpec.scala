@@ -195,8 +195,10 @@ class PlanAuditSpec extends SparkSuite {
     // constant key (the scalar-subquery shape again — both sides of
     // every real join are equi-joins on term/doc_id)
     "text_bm25_topk", "text_bm25_indexed",
-    // the hybrid fusion carries the BM25 leg's 1-row corpus-stat join
-    "ann_hybrid_rrf",
+    // the hybrid fusions carry the BM25 leg's 1-row corpus-stat join
+    // (the indexed form reads the 1-row corp TABLE instead of the
+    // aggregate — same folded-constant-key scalar shape)
+    "ann_hybrid_rrf", "ann_hybrid_rrf_indexed",
     // same shape again: the corpus doc total joins the k-row top-bigram
     // relation on a folded constant key (the lift denominator)
     "text_collocations",

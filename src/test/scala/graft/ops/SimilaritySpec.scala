@@ -531,4 +531,37 @@ class SimilaritySpec extends SparkSuite {
     assert(gotKeys.exists(k => lex.contains(k) ^ vec.contains(k)),
       "every fused row was ranked by both sources — fusion untested")
   }
+
+  test("indexed hybrid RRF: exact fusion of the two INDEXED legs, and fused recall vs the brute fusion") {
+    assume(hasTestData)
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    val pool = 20
+    // the deployment legs: BM25 off the postings+stats tables, cosine
+    // off the int8 two-stage server
+    val lex = TextAnalysis.bm25TopKIndexed(spark, sf, 8, pool).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vec = Similarity.sq8TopK(spark, sf, 8, pool).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (lex.keySet ++ vec.keySet).groupBy(_._1).toSeq.flatMap { case (q, keys) =>
+      keys.toSeq.map { k =>
+        val s = lex.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+                vec.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+        (k._2, s)
+      }.sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex.map {
+        case ((d, _), i) => (q, d, (i + 1).toLong)
+      }
+    }.sortBy(t => (t._1, t._3))
+    val got = Similarity.hybridRrfTopKIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"indexed fusion diverged (got ${got.take(5)}, want ${want.take(5)})")
+    // fused recall vs the brute-vector fusion: the int8 shortlist may
+    // drop a true neighbor from the pool (recall < 1 BY DESIGN), but
+    // the fused top-5 membership must stay close — the number a
+    // deployment reads before swapping the brute leg for the index
+    val brute = Similarity.hybridRrfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotKeys = got.map(t => (t._1, t._2)).toSet
+    val recall = (gotKeys & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"indexed-hybrid fused recall $recall below 0.8 vs brute fusion")
+  }
 }
