@@ -41,6 +41,11 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
                       maxBodyBytes: Int = 32 * 1024 * 1024,
                       makeCatalog: (SparkSession, String) => CatalogService = LogServer.localCatalog,
                       maxStreamMs: Long = 10 * 60 * 1000L,
+                      // default caps the batch GET at 100k rows (413 +
+                      // stream=true hint past it) — a DECLARED deviation
+                      // from the reference's unbounded batch read; <= 0
+                      // means uncapped (reference-compatible). README
+                      // "Design decisions vs the reference".
                       maxNonStreamRows: Int = 100000)
     extends AutoCloseable {
 
@@ -429,12 +434,20 @@ final class LogServer(spark: SparkSession, root: String, port: Int = 0,
       // reads stream (reader.py:148-179); the chunked path has no row
       // bound (its memory is one partition via toLocalIterator, and its
       // time bound is the deadline + watchdog pair above).
+      // CONTRACT NOTE (round-16 ADVICE): the default cap is a DECLARED
+      // BEHAVIOR CHANGE vs the reference, whose batch read returns all
+      // matching rows (reader.py read); deployments that need the
+      // reference-compatible unbounded batch set maxNonStreamRows <= 0
+      // (documented in README's API-deviations table alongside the
+      // other declared deviations).
+      val capped = maxNonStreamRows > 0
       val rows = store.withReadSnapshot(c, s) {
-        engine.readLogs(c, s, start, end).limit(maxNonStreamRows + 1).collect()
+        val base = engine.readLogs(c, s, start, end)
+        (if (capped) base.limit(maxNonStreamRows + 1) else base).collect()
       }
       val tr = System.nanoTime()
       noteStage("query", tr - tq)
-      if (rows.length > maxNonStreamRows)
+      if (capped && rows.length > maxNonStreamRows)
         return error(ex, 413,
           s"Result exceeds the $maxNonStreamRows-row batch response cap; re-request with stream=true")
       val o = mapper.createObjectNode()

@@ -205,6 +205,20 @@ object CurationRun {
     * the bridge/revocation path is spec-proven on a crafted corpus).
     * Resumable exactly like [[run]] — every stage a tagged idempotent
     * append, later stages derive from committed artifacts. */
+  /** Per-stage wall-clock attribution (round-16 verdict #2): one
+    * stderr line per named stage of a lifecycle operator, so a bench
+    * or SCALECHECK run can attribute `pipe_curation_delta`'s cost
+    * (fixture ensure vs decision gates+admission vs receipt vs seal)
+    * without touching the declared result. Stderr, not the result
+    * schema — the oracle contract must not see it. */
+  private def timedStage[A](query: String, stage: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(
+      f"[stage] $query $stage%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
   private[graft] def deltaRun(s: SparkSession, dir: String, root: String,
                             priorRunId: String, runId: String, thr: Long,
                             nShards: Int, failAfterStage: Int): DataFrame = {
@@ -230,8 +244,10 @@ object CurationRun {
       .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
                      lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
         .as("message"))
-    log.appendIdempotent(msgRows("DELTA_KEEP_DROP", batchRows.unionByName(corrections)),
-      Container, runId, DeltaKeepDropTag)
+    timedStage("pipe_curation_delta", "d1_gates_admit") {
+      log.appendIdempotent(msgRows("DELTA_KEEP_DROP", batchRows.unionByName(corrections)),
+        Container, runId, DeltaKeepDropTag)
+    }
     if (failAfterStage <= 1)
       throw new IllegalStateException("injected crash after delta stage 1")
 
@@ -246,18 +262,22 @@ object CurationRun {
     val kept = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .join(keepIds, Seq("doc_id"))
       .withColumn("is_new", col("doc_id") > thr)
-    log.appendIdempotent(msgRows("SHARD",
-      Pipeline.shardManifestWithNew(kept, nShards).select(
-        concat(lit("shard="), col("shard_id"), lit(" n="), col("n_docs"),
-               lit(" tok="), col("total_tokens"), lit(" dg="), col("content_digest"),
-               lit(" new="), col("n_new")).as("message"))),
-      Container, runId, DeltaShardsTag)
+    timedStage("pipe_curation_delta", "d2_receipt") {
+      log.appendIdempotent(msgRows("SHARD",
+        Pipeline.shardManifestWithNew(kept, nShards).select(
+          concat(lit("shard="), col("shard_id"), lit(" n="), col("n_docs"),
+                 lit(" tok="), col("total_tokens"), lit(" dg="), col("content_digest"),
+                 lit(" new="), col("n_new")).as("message"))),
+        Container, runId, DeltaShardsTag)
+    }
     if (failAfterStage <= 2)
       throw new IllegalStateException("injected crash after delta stage 2")
 
     // ---- stage D3: citation, chained to the prior run's pin ---------
-    val pinned = sealChain(s, log, runId,
-      extra = Seq(s"chain prior_run=$priorRunId prior_version=$priorPinned"))
+    val pinned = timedStage("pipe_curation_delta", "d3_seal") {
+      sealChain(s, log, runId,
+        extra = Seq(s"chain prior_run=$priorRunId prior_version=$priorPinned"))
+    }
 
     log.readAt(Container, runId, pinned)
       .filter(col("level") === "SHARD")
@@ -494,12 +514,18 @@ object CurationRun {
     * replays the CURRENT corpus). (row count, max doc_id) is read
     * FRESH on every ensure — never memoized, that would recreate the
     * staleness — and changes whenever the generator re-emits the
-    * table; a mismatch lands on a new root and rebuilds. One
-    * count+max footer-cheap aggregate per ensure. */
+    * table; a mismatch lands on a new root and rebuilds. Round-16
+    * ADVICE: (count, max id) alone missed the exact staleness class the
+    * fingerprint targets — a corpus regenerated at the same path with
+    * identical shape but different TEXT — so a content-sensitive term
+    * (total text bytes) is folded in; still one cheap aggregate per
+    * ensure, and any in-place text edit that preserves total length to
+    * the byte is outside the generator's failure model. */
   private def corpusFingerprint(s: SparkSession, dir: String): String = {
     val r = Tables.documents(s, dir)
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m")).head()
-    s"${r.getLong(0)}x${r.getLong(1)}"
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m"),
+           sum(length(col("text"))).as("b")).head()
+    s"${r.getLong(0)}x${r.getLong(1)}x${r.getLong(2)}"
   }
 
   private def fixtureRoot(s: SparkSession, dir: String, flavor: String): String =
@@ -552,9 +578,12 @@ object CurationRun {
     * oracle computes the full run's receipt from the corpus
     * directly). Self-contained like the takedown wrapper. */
   def deltaRunSelfContained(s: SparkSession, dir: String): DataFrame = {
-    val (root, thr) = ensureDeltaFixture(s, dir)
-    collected(s,
-      deltaRun(s, dir, root, "run1", freshOperatorRunId(), thr, 8, Int.MaxValue))
+    val (root, thr) = timedStage("pipe_curation_delta", "fixture_ensure") {
+      ensureDeltaFixture(s, dir)
+    }
+    val receipt =
+      deltaRun(s, dir, root, "run1", freshOperatorRunId(), thr, 8, Int.MaxValue)
+    timedStage("pipe_curation_delta", "receipt_collect")(collected(s, receipt))
   }
 
   /** The declared-query wrapper (`pipe_curation_run`): a one-shot run

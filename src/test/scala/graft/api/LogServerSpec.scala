@@ -296,6 +296,33 @@ abstract class LogServerContractSpec extends SparkSuite with BeforeAndAfterAll {
     } finally capped.close()
   }
 
+  test("maxNonStreamRows <= 0 restores the reference-compatible UNCAPPED batch read (declared deviation opt-out)") {
+    val uncapped = new LogServer(spark, tempDir("server-nocap"),
+      makeTier = LogServer.tierNamed(tierName), maxNonStreamRows = 0).start()
+    try {
+      val cbase = s"http://localhost:${uncapped.boundPort}"
+      def creq(method: String, path: String, body: Option[String],
+               token: Option[String]): HttpResponse[String] = {
+        var b = HttpRequest.newBuilder(URI.create(s"$cbase$path"))
+        b = body.fold(b.method(method, BodyPublishers.noBody()))(j =>
+          b.method(method, BodyPublishers.ofString(j)).header("Content-Type", "application/json"))
+        token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), BodyHandlers.ofString())
+      }
+      val token = mapper.readTree(creq("POST", "/api/auth/login",
+        Some("""{"username":"admin","password":"admin"}"""), None).body).get("token").asText
+      creq("POST", "/api/containers", Some("""{"container_id":"nocap"}"""), Some(token))
+      creq("POST", "/api/containers/nocap/sessions", Some("""{"session_id":"s"}"""), Some(token))
+      val rows = (1 to 5).map(i =>
+        s"""{"level":"INFO","message":"r$i","timestamp":"2025-01-01T00:00:0${i - 1}Z"}""")
+      creq("POST", "/api/logs/nocap/s",
+        Some(s"""{"logs":[${rows.mkString(",")}]}"""), Some(token))
+      val got = creq("GET", "/api/logs/nocap/s", None, Some(token))
+      assert(got.statusCode === 200, s"uncapped batch read failed: ${got.body}")
+      assert(mapper.readTree(got.body).get("total_rows").asInt === 5)
+    } finally uncapped.close()
+  }
+
   test("stream cap: a response past maxStreamMs aborts TRUNCATED (no closing brace), releasing the view lock") {
     // dedicated server with a zero cap: the first loop iteration after
     // the head row trips the deadline — the body must be cut off before

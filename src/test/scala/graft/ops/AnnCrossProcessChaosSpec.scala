@@ -84,17 +84,33 @@ class AnnCrossProcessChaosSpec extends SparkSuite {
       }
     }
 
+    // an acked id still PHYSICALLY present in the current generation's
+    // table — i.e. a delete the latest snapshot did NOT fold out, so
+    // only the carry-forward / re-delivery tombstone keeps it unserved
+    def carriedNow(): Set[Long] = {
+      val g = IndexTables.annGeneration(spark, fix)
+      if (g < 1L) Set.empty
+      else ackLines().map(_._1).toSet &
+        spark.table(IndexTables.annIvfName(fix, g))
+          .select(col("n_id")).collect().map(_.getLong(0)).toSet
+    }
     try {
       // phase 1: the deleter is live and acking against generation 0
       waitFor(ackLines().size >= 3, "first 3 acks")
-      // phase 2: two rebuilds, each racing the live delete stream
-      val r1 = IndexTables.rebuildAnnIndexes(spark, fix, "chaos-rebuilder-1")
-      assert(r1.isDefined, "rebuild 1 declined (lease contended?)")
-      val after1 = ackLines().size
-      waitFor(ackLines().size >= after1 + 3, "3 acks after rebuild 1")
-      val r2 = IndexTables.rebuildAnnIndexes(spark, fix, "chaos-rebuilder-2")
-      assert(r2.isDefined, "rebuild 2 declined")
-      waitFor(ackLines().size >= after1 + 6, "3 acks after rebuild 2")
+      // phase 2: rebuilds racing the live delete stream — at least two
+      // flips, then RE-RACE (bounded) while every acked delete has
+      // serialized cleanly around the snapshots: on a fast or lightly
+      // loaded host the 250 ms-paced delete stream can miss both
+      // snapshot→flip windows, which previously failed the non-vacuity
+      // assertion spuriously (round-16 ADVICE — re-race instead).
+      var flips = 0
+      while (flips < 2 || (carriedNow().isEmpty && flips < 6)) {
+        val before = ackLines().size
+        val r = IndexTables.rebuildAnnIndexes(spark, fix, s"chaos-rebuilder-${flips + 1}")
+        assert(r.isDefined, s"rebuild ${flips + 1} declined (lease contended?)")
+        flips += 1
+        waitFor(ackLines().size >= before + 3, s"3 acks after rebuild $flips")
+      }
     } finally {
       new java.io.FileWriter(stopFile).close()
       proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
