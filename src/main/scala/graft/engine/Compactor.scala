@@ -155,6 +155,12 @@ final class Compactor(store: LogTier,
     * non-owner instance must stay at 0 sweeps. */
   private[graft] val annGcSweeps = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] val annGcDropped = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Postings-family compaction observability (round-16): compactions
+    * this instance actually RAN (lease held) and replayed rows
+    * collapsed across them; a lease-contended attempt counts toward
+    * neither — the same owner-only accounting as the ANN GC sweep. */
+  private[graft] val postingsCompactions = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val postingsRowsCollapsed = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** `annDrift`: an opt-in drift gate (round-10 verdict #3 — nothing
     * decided WHEN to rebuild an ANN generation), typically
@@ -172,7 +178,8 @@ final class Compactor(store: LogTier,
                        gcLease: Option[graft.storage.MaintenanceLease] = None,
                        annDrift: Option[() => Option[(Long, Long)]] = None,
                        annDriftEvery: Option[java.time.Duration] = None,
-                       annGc: Option[() => Option[Int]] = None): Unit =
+                       annGc: Option[() => Option[Int]] = None,
+                       postingsCompact: Option[() => Option[(Long, Long)]] = None): Unit =
     synchronized {
       if (closed || maintenance.isDefined) return
       leaseToRelease = gcLease
@@ -279,6 +286,25 @@ final class Compactor(store: LogTier,
                 sweep().foreach { dropped =>
                   annGcSweeps.incrementAndGet()
                   annGcDropped.addAndGet(dropped.toLong)
+                }
+              }
+            }
+            // Postings-family compaction (round-16): the lexical
+            // index's batch-side maintenance half — collapses
+            // at-least-once append replays and re-derives the dl/df/
+            // corp stat tables from the postings ledger — joins the
+            // same scheduled cadence as the ANN sweeps instead of
+            // being a manual call. Opt-in thunk, typically
+            // `() => IndexTables.compactPostingsIndex(spark, dir, holder)`;
+            // cross-gateway dedup is the compaction's own per-data-dir
+            // maintenance lease (shared with ANN rebuilds, so a
+            // compaction can never race an index flip): a contended
+            // attempt returns None and counts as nothing.
+            if (gcTick) postingsCompact.foreach { compact =>
+              guarded("postings compaction", "-", "-") {
+                compact().foreach { case (before, after) =>
+                  postingsCompactions.incrementAndGet()
+                  postingsRowsCollapsed.addAndGet(before - after)
                 }
               }
             }

@@ -640,9 +640,12 @@ object IndexTables {
     ensure(s, t.df, Seq("term")) {
       s.table(t.postings).groupBy(col("term")).agg(count(lit(1)).as("df"))
     }
+    // corp rolls up the (already-ensured) dl TABLE, not the postings
+    // relation — one tiny-table aggregate instead of a third
+    // corpus-sized pass at build (dl is the per-doc membership ledger,
+    // so the two derivations are identical by construction)
     ensure(s, t.corp, Seq("n")) {
-      s.table(t.postings).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+      s.table(t.dl).agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
     }
     t
   }
@@ -681,8 +684,7 @@ object IndexTables {
               posts.groupBy(col("term")).agg(count(lit(1)).as("df")),
               t.df, Seq("term"), "append")
             writeBucketed(
-              posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-                .agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
+              dlRows.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
               t.corp, Seq("n"), "append")
             Seq(t.postings, t.dl, t.df, t.corp)
               .foreach(refreshBoth(s, fresh, _))
@@ -732,9 +734,11 @@ object IndexTables {
     stagedOverwrite(s, t.df)(writeBucketed(
       posts.groupBy(col("term")).agg(count(lit(1)).as("df")),
       _, Seq("term"), "overwrite"))
+    // corp rolls up the dl derivation (not a second corpus-sized
+    // groupBy over posts) — posts is checkpointed at both call sites,
+    // so this is one in-memory aggregate
     stagedOverwrite(s, t.corp)(writeBucketed(
-      posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
       _, Seq("n"), "overwrite"))
   }
 
