@@ -482,7 +482,9 @@ object ScaleCheck {
     sb ++= "table + dl/df/corp stat side tables, from dropped state) vs probe\n"
     sb ++= "(the served bodies at the hybrid pool depth, 8 queries). Fusion\n"
     sb ++= "overhead is fused − (lex + vec legs): the RRF join/window over\n"
-    sb ++= "≤2·pool rows per query, expected near-constant at any corpus size:\n\n"
+    sb ++= "≤2·pool rows per query, expected near-constant at any corpus size\n"
+    sb ++= "(a NEGATIVE reading means the fused plan's shared scans beat the\n"
+    sb ++= "separately-timed legs' repeated fixed costs — read it as ≈0):\n\n"
     sb ++= "| stage | base s | scaled s |\n|---|---|---|\n"
     baseLex.zip(scaledLex).foreach { case ((n, b), (_, s)) =>
       sb ++= f"| $n | $b%.3f | $s%.3f |\n"

@@ -723,6 +723,30 @@ object IndexTables {
       }
     }
 
+  /** HYBRID MEMBERSHIP DRIFT audit (round-16, closing the round-15
+    * ADVICE gap: docs appended to only ONE of the hybrid's two index
+    * families skew the fusion, and nothing detected the divergence).
+    * Returns (vectorOnly, lexicalOnly): ids the served ANN frontier
+    * carries that the lexical membership (the dl table) lacks, and
+    * vice versa. Tombstoned ids are excluded from the vector side —
+    * unserved BY INTENT is not drift (the lexical analog is the
+    * takedown's synchronous postings purge, so a correctly-operated
+    * deployment holds BOTH sides at zero). Two anti-join counts over
+    * the bounded membership relations (one id row per doc, never
+    * corpus text); runs on the maintenance cadence next to the ANN
+    * drift gate, alarm on nonzero. */
+  def hybridMembershipDrift(s: SparkSession, dir: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val t = postingsIndexTables(s, dir)
+    val g = annGeneration(s, dir)
+    val vec = maskTombstonesAt(s, dir, g,
+      s.table(currentIvfTable(s, dir)).select(col("n_id").as("doc_id")).distinct(),
+      "doc_id")
+    val lex = s.table(t.dl).select(col("doc_id"))
+    (vec.join(lex, Seq("doc_id"), "left_anti").count(),
+     lex.join(vec, Seq("doc_id"), "left_anti").count())
+  }
+
   /** Staged-rewrite the three stat tables from a (checkpointed)
     * postings relation — shared by purge and compaction so the two
     * can never diverge on the stats derivation. */

@@ -116,4 +116,69 @@ class StreamingAnnIngestSpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq == servedFirst,
       "served rows changed under redelivery")
   }
+
+  test("hybrid ingest: ANN + postings appends in ONE foreachBatch keep both legs' membership in sync, and the drift audit detects a one-sided append") {
+    assume(hasTestData)
+    assume(new java.io.File(s"$sf/documents.parquet").isFile)
+    // a fixture carrying BOTH families' sources (the hybrid corpus:
+    // aligned doc_id/vec_id spaces, as the test tables guarantee)
+    val fix = tempDir("hybridstream")
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.parquet(s"$fix/embeddings.parquet")
+    Tables.documents(spark, sf).write.parquet(s"$fix/documents.parquet")
+    IndexTables.ensureIvfIndex(spark, fix)
+    IndexTables.postingsIndexTables(spark, fix)
+    assert(IndexTables.hybridMembershipDrift(spark, fix) == ((0L, 0L)),
+      "aligned fixture must start drift-free")
+
+    val hybridSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", org.apache.spark.sql.types.StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val nid = 960000001L
+    val in = tempDir("hybridstream-in")
+    Files.write(Paths.get(in, "b1.json"),
+      s"""{"doc_id":$nid,"text":"freshly streamed hybrid document","embedding":[${embOf(fix, 0L).mkString(",")}]}""".getBytes)
+
+    def drain(ckpt: String)(handle: DataFrame => Unit): Unit = {
+      val q = spark.readStream.schema(hybridSchema).json(in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) => handle(batch) }
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "stream did not drain in time")
+    }
+
+    // a MIS-WIRED deployment: only the vector family gets the append —
+    // the round-15 ADVICE staleness scenario. The audit must see it.
+    drain(tempDir("hybridstream-ckpt-a")) { batch =>
+      IndexTables.appendToIvfIndex(spark, fix,
+        batch.select(col("doc_id").as("vec_id"), col("embedding")))
+      ()
+    }
+    assert(IndexTables.hybridMembershipDrift(spark, fix) == ((1L, 0L)),
+      "drift audit missed a vector-only append")
+
+    // the CORRECT wiring: both families in one foreachBatch (fresh
+    // checkpoint redelivers the file; the IVF append's anti-join
+    // absorbs the replay, the postings append fills the lexical gap)
+    drain(tempDir("hybridstream-ckpt-b")) { batch =>
+      IndexTables.appendToIvfIndex(spark, fix,
+        batch.select(col("doc_id").as("vec_id"), col("embedding")))
+      IndexTables.appendToPostingsIndex(spark, fix,
+        batch.select(col("doc_id"), col("text")))
+      ()
+    }
+    assert(IndexTables.hybridMembershipDrift(spark, fix) == ((0L, 0L)),
+      "paired appends left the hybrid memberships diverged")
+    // both families physically carry the streamed doc
+    assert(spark.table(IndexTables.currentIvfTable(spark, fix))
+      .filter(col("n_id") === nid).count() == 1L)
+    val t = IndexTables.postingsIndexTables(spark, fix)
+    assert(spark.table(t.dl).filter(col("doc_id") === nid).count() == 1L)
+    assert(spark.table(t.postings).filter(col("doc_id") === nid).count() > 0L)
+  }
 }
