@@ -278,6 +278,13 @@ object SparkEntry {
     // the same probe off the persisted bucketed postings table (the
     // inverted-index deployment shape; twin-alias oracle)
     "text_bm25_indexed"  -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopKIndexed(s, d)),
+    // exact-adjacency phrase retrieval (round 16): each query doc's
+    // first bigram, top-5 other docs by occurrence count — verbatim
+    // word-ORDER reuse, the positional complement of n-gram Jaccard
+    "text_phrase_topk"   -> ((s: SparkSession, d: String) => TextAnalysis.phraseTopK(s, d)),
+    // the same probe off the persisted positional postings table
+    // (bucketed by term; twin-alias oracle)
+    "text_phrase_indexed" -> ((s: SparkSession, d: String) => TextAnalysis.phraseTopKIndexed(s, d)),
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // iterative merge training — oracle unrolls the 10 merge rounds
     // (see bpeTrainOracle); also verified against a sequential
@@ -987,6 +994,8 @@ object SparkEntry {
       "text_bpe_encode_table" -> "text_bpe_encode",
       // the persisted-postings BM25 probe shares the in-plan body
       "text_bm25_indexed"     -> "text_bm25_topk",
+      // the positional-postings phrase probe shares the in-plan body
+      "text_phrase_indexed"   -> "text_phrase_topk",
       // stage 1 off the persisted prefix table shares the in-plan
       // two-stage body (prefixTopKOver) and the ONE prefix derivation
       // (prefixVectors) — identical rows by construction
@@ -3044,6 +3053,36 @@ object SparkEntry {
         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, score_u,
         |       CAST(score_u AS DOUBLE) / 1000000.0 AS score
         |FROM lexranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    // exact-adjacency phrase retrieval: positions are 1-based indices
+    // over the whitespace split (empty tokens dropped, indices kept —
+    // the Spark relation's exact layout), phrases are the query docs'
+    // first two array elements, n_occ counts adjacent (l, r) hits per
+    // candidate doc, ranks tie on doc_id. Integer end to end.
+    "text_phrase_topk" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, w[i] AS term
+        |  FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)
+        |  WHERE w[i] <> ''),
+        |qp AS (
+        |  SELECT doc_id AS query_id, w[1] AS l, w[2] AS r
+        |  FROM t WHERE doc_id < 8 AND len(w) >= 2),
+        |hits AS (
+        |  SELECT q.query_id, a.doc_id, COUNT(*) AS n_occ
+        |  FROM qp q
+        |  JOIN p a ON a.term = q.l
+        |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1 AND c.term = q.r
+        |  WHERE a.doc_id <> q.query_id
+        |  GROUP BY q.query_id, a.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY n_occ DESC, doc_id) AS rk
+        |  FROM hits)
+        |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, n_occ
+        |FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_train_sampled" -> bpeTrainSampledOracle,

@@ -622,6 +622,23 @@ object IndexTables {
     s"idx_postings_df_${tag(dir)}",
     s"idx_postings_corp_${tag(dir)}")
 
+  private def positionalName(dir: String): String =
+    s"idx_postings_pos_${tag(dir)}"
+
+  /** POSITIONAL postings table — (doc_id, pos, term) bucketed by term
+    * (the phrase probe's candidate-join key): the OPTIONAL fifth
+    * member of the postings family, built on demand (phrase queries
+    * need positions; BM25 deployments that never phrase-match skip its
+    * tokens-not-docs row count). Once present it is maintained WITH
+    * the family: appends add the batch's positional rows, purge
+    * rewrites it (a takedown must leave no positional trace), and
+    * compaction collapses replayed rows — all under the same
+    * lease/lock discipline, keyed off `tableExists`. */
+  def ensurePositionalPostings(s: SparkSession, dir: String): String =
+    ensure(s, positionalName(dir), Seq("term")) {
+      TextAnalysis.positionalPostings(s, dir)
+    }
+
   /** Ensure postings + stat tables and return their names. The stats
     * build FROM THE POSTINGS TABLE (not the source dir), so a table
     * that already carries incremental segments from a previous process
@@ -677,6 +694,17 @@ object IndexTables {
         try {
           val n = posts.count()
           if (n > 0) {
+            // positional rows (when the optional table exists) commit
+            // BEFORE the dl gate: a crash between them makes a replay
+            // re-append byte-identical (doc_id, pos, term) rows —
+            // collapsed by compaction's distinct() — whereas the
+            // reverse order would leave a doc phrase-invisible forever
+            // (positions are not derivable from the tf ledger; their
+            // source of truth is the batch text, which the dl gate
+            // blocks from redelivery)
+            if (s.catalog.tableExists(positionalName(dir)))
+              writeBucketed(TextAnalysis.positionalPostingsOf(fresh),
+                positionalName(dir), Seq("term"), "append")
             val dlRows = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
             writeBucketed(dlRows, t.dl, Seq("doc_id"), "append")
             writeBucketed(posts, t.postings, Seq("term"), "append")
@@ -686,7 +714,8 @@ object IndexTables {
             writeBucketed(
               dlRows.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl")),
               t.corp, Seq("n"), "append")
-            Seq(t.postings, t.dl, t.df, t.corp)
+            (Seq(t.postings, t.dl, t.df, t.corp) ++
+              Seq(positionalName(dir)).filter(s.catalog.tableExists))
               .foreach(refreshBoth(s, fresh, _))
           }
           n
@@ -717,7 +746,19 @@ object IndexTables {
           stagedOverwrite(s, t.postings)(
             writeBucketed(deduped, _, Seq("term"), "overwrite"))
           rewritePostingsStats(s, t, deduped)
-          Seq(t.postings, t.dl, t.df, t.corp).foreach(s.catalog.refreshTable)
+          // the optional positional table took the append path's
+          // dup-on-replay crash window BY DESIGN (positions commit
+          // before the dl gate) — this distinct() is its heal
+          val posT = positionalName(dir)
+          if (s.catalog.tableExists(posT)) {
+            val posDedup = s.table(posT).distinct().localCheckpoint()
+            try stagedOverwrite(s, posT)(
+              writeBucketed(posDedup, _, Seq("term"), "overwrite"))
+            finally Tables.unpersistCheckpoint(posDedup)
+          }
+          (Seq(t.postings, t.dl, t.df, t.corp) ++
+            Seq(posT).filter(s.catalog.tableExists))
+            .foreach(s.catalog.refreshTable)
           (before, after)
         } finally Tables.unpersistCheckpoint(deduped)
       }
@@ -812,7 +853,18 @@ object IndexTables {
               stagedOverwrite(s, t.postings)(
                 writeBucketed(kept, _, Seq("term"), "overwrite"))
               rewritePostingsStats(s, t, kept)
-              Seq(t.postings, t.dl, t.df, t.corp).foreach(s.catalog.refreshTable)
+              // the optional positional table is a serving surface of
+              // the same family: a takedown must leave no positional
+              // trace either
+              val posT = positionalName(dir)
+              if (s.catalog.tableExists(posT)) {
+                val keptPos = s.table(posT).join(del, Seq("doc_id"), "left_anti")
+                stagedOverwrite(s, posT)(
+                  writeBucketed(keptPos, _, Seq("term"), "overwrite"))
+              }
+              (Seq(t.postings, t.dl, t.df, t.corp) ++
+                Seq(posT).filter(s.catalog.tableExists))
+                .foreach(s.catalog.refreshTable)
               before - s.table(t.postings).count()
             } finally Tables.unpersistCheckpoint(kept)
           } finally Tables.unpersistCheckpoint(del)

@@ -52,6 +52,9 @@ object Prebuild {
     // bucketed unigram postings + dl/df/corp stat side tables
     // (round-15/16; text_bm25_indexed, ann_hybrid_rrf)
     "idx_postings"       -> ((s, d) => { IndexTables.postingsIndexTables(s, d); () }),
+    // positional postings — the family's optional fifth table
+    // (round-16; text_phrase_indexed)
+    "idx_postings_pos"   -> ((s, d) => { IndexTables.ensurePositionalPostings(s, d); () }),
     // sample-trained full-corpus vocabulary (round-15; text_bpe_encode_sampled)
     "bpe_vocab_sampled"  -> ((s, d) => { TextAnalysis.sampledVocab(s, d, 10, 0.5); () }),
     "idx_prefix"         -> ((s, d) => { IndexTables.ensurePrefixIndex(s, d, 32); () }),

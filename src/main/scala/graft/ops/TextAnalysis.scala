@@ -233,6 +233,77 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** POSITIONAL postings — (doc_id, pos, term), pos 1-based over the
+    * whitespace-split array (empty tokens dropped, their indices kept,
+    * so positions replay identically in the DuckDB oracle). The
+    * position-bearing sibling of [[unigramPostings]]: phrase/adjacency
+    * queries need WHERE a term sits, not just how often. */
+  private[ops] def positionalPostings(s: SparkSession, dir: String): DataFrame =
+    positionalPostingsOf(Tables.documents(s, dir))
+
+  /** [[positionalPostings]] over an arbitrary (doc_id, text) relation —
+    * the incremental form the positional-index append path uses (one
+    * derivation for builds and appends, like [[unigramPostingsOf]]). */
+  private[ops] def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), (col("pos0") + lit(1)).cast("long").as("pos"), col("term"))
+
+  /** PHRASE top-k (round-16): each query doc's FIRST bigram (its first
+    * two whitespace tokens) is its phrase; for each query, the top-k
+    * OTHER docs by exact-adjacency occurrence count (ties on doc_id).
+    * The retrieval shape a dedup/contamination pipeline uses to chase
+    * verbatim n-gram reuse WITH positions — n-gram Jaccard tells you
+    * two docs share vocabulary, phrase adjacency tells you they share
+    * word ORDER. In-plan form: tokenize-with-positions per run. */
+  def phraseTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    phraseOver(s, dir, positionalPostings(s, dir), nQueries, k)
+
+  /** [[phraseTopK]] served off the PERSISTED positional postings table
+    * ([[IndexTables.ensurePositionalPostings]], bucketed by term — the
+    * probe's candidate joins land on the bucket key): the deployment
+    * shape, where the tokenize pass is the index build's cost and a
+    * probe touches only the two query-term buckets per phrase.
+    * Identical rows BY the shared body (the twin-alias contract). */
+  def phraseTopKIndexed(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    phraseOver(s, dir, s.table(IndexTables.ensurePositionalPostings(s, dir)), nQueries, k)
+
+  /** The shared phrase body. Both candidate legs join the positional
+    * relation against a BROADCAST nQueries-row phrase table on term
+    * (bucket-pruned on the indexed twin — the index side never
+    * shuffles at the scan); only term-frequency-bounded candidates
+    * reach the adjacency equi-join on (query_id, doc_id, pos+1), and
+    * ≤k rows per query survive the top-k aggregate. Self-matches are
+    * excluded (a query doc trivially contains its own first bigram). */
+  private def phraseOver(s: SparkSession, dir: String, posts: DataFrame,
+                         nQueries: Int, k: Int): DataFrame = {
+    graft.functions.TopKPairs.register(s)
+    val q = Tables.documents(s, dir).filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("query_id"), element_at(col("w"), 1).as("l"),
+              element_at(col("w"), 2).as("r"))
+    val c1 = posts.join(broadcast(q.select(col("query_id"), col("l"))),
+        posts("term") === col("l"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val c2 = posts.join(broadcast(q.select(col("query_id").as("qid2"), col("r"))),
+        posts("term") === col("r"))
+      .select(col("qid2"), col("doc_id").as("did2"), col("pos").as("pos2"))
+    val scored = c1.join(c2,
+        col("query_id") === col("qid2") && col("doc_id") === col("did2") &&
+          col("pos2") === col("pos") + lit(1))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(n_occ, doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.payload").as("doc_id"),
+              (col("pos") + 1).cast("long").as("rk"), col("e.score").as("n_occ"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def topTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.TopKPairs.register(s)
     val toks = Tables.documents(s, dir)

@@ -175,6 +175,58 @@ class PostingsIndexSpec extends SparkSuite {
       "compaction left stats diverged from the postings ledger")
   }
 
+  test("positional family: phrase twins stay identical across an incremental append, purge leaves no positional trace, compaction heals replay dups") {
+    assume(hasTestData)
+    val (dir, thr) = mkFixture()
+    IndexTables.postingsIndexTables(spark, dir)
+    // the optional fifth table joins the family BEFORE the append, so
+    // the append path must carry positional rows too
+    val posT = IndexTables.ensurePositionalPostings(spark, dir)
+    val basePos = spark.table(posT).count()
+    assert(basePos > 0)
+
+    val tail = Tables.documents(spark, sf)
+      .filter(col("doc_id") > thr).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    assert(IndexTables.appendToPostingsIndex(spark, dir, tail) > 0)
+    tail.write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(spark.table(posT).count() > basePos,
+      "append did not extend the positional table")
+
+    // twin identity over the grown corpus: the indexed probe (with its
+    // appended positional segment) must match a fresh in-plan tokenize
+    val viaIndex = TextAnalysis.phraseTopKIndexed(spark, dir).collect().map(_.toSeq)
+    val inPlan = TextAnalysis.phraseTopK(spark, dir).collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty, "vacuous: no phrase matches on the fixture")
+    assert(viaIndex.toSeq == inPlan.toSeq,
+      "indexed phrase probe diverged from in-plan after an incremental append")
+
+    // replay dup heal: a redelivered positional segment (the documented
+    // pos-before-dl crash window) collapses under compaction
+    val posClean = spark.table(posT).count()
+    spark.table(posT).filter(col("doc_id") % 3 === 0).localCheckpoint()
+      .write.mode("append").insertInto(posT)
+    spark.catalog.refreshTable(posT)
+    assert(spark.table(posT).count() > posClean)
+    assert(IndexTables.compactPostingsIndex(spark, dir, "spec-pos-compactor").isDefined)
+    assert(spark.table(posT).count() == posClean,
+      "compaction did not collapse replayed positional rows")
+
+    // purge: no positional trace of the victims, and the served phrase
+    // surface cannot reach them
+    val victims = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+    val victimSet = victims.collect().map(_.getLong(0)).toSet
+    assert(IndexTables.deleteFromPostingsIndex(spark, dir, victims) > 0)
+    assert(spark.table(posT)
+      .filter(col("doc_id").isin(victimSet.toSeq: _*)).count() == 0,
+      "purge left positional rows for removed docs")
+    val served = TextAnalysis.phraseTopKIndexed(spark, dir).collect()
+      .map(_.getLong(1)).toSet
+    assert((served & victimSet).isEmpty,
+      s"purged docs served positionally: ${(served & victimSet).take(5)}")
+  }
+
   test("maintenance loop runs postings compaction on the scheduled cadence; a non-owner instance compacts 0") {
     assume(hasTestData)
     val (dir, _) = mkFixture()
