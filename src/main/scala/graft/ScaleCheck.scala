@@ -360,14 +360,19 @@ object ScaleCheck {
       val t = ops.IndexTables.postingsIndexTables(spark, dir)
       Seq(t.postings, t.dl, t.df, t.corp)
         .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      spark.sql(s"DROP TABLE IF EXISTS ${ops.IndexTables.positionalPostingsName(dir)}")
       clean()
       val tBuild = timed { ops.IndexTables.postingsIndexTables(spark, dir) }; clean()
+      val tPosBuild = timed { ops.IndexTables.ensurePositionalPostings(spark, dir) }; clean()
       val tLex = timed { ops.TextAnalysis.bm25TopKIndexed(spark, dir, 8, 20).count() }; clean()
+      val tPhrase = timed { ops.TextAnalysis.phraseTopKIndexed(spark, dir).count() }; clean()
       val tVec = timed { ops.Similarity.sq8TopK(spark, dir, 8, 20).count() }; clean()
       val tHyb = timed { ops.Similarity.hybridRrfTopKIndexed(spark, dir).count() }; clean()
       val rows = Seq(
         ("build postings + stat tables", tBuild),
+        ("build positional postings", tPosBuild),
         ("BM25 indexed probe (pool 20)", tLex),
+        ("phrase indexed probe (top 5)", tPhrase),
         ("sq8 vector leg (pool 20)", tVec),
         ("hybrid RRF indexed (fused top-5)", tHyb),
         ("fusion overhead (fused − legs)", tHyb - tLex - tVec))

@@ -625,6 +625,11 @@ object IndexTables {
   private def positionalName(dir: String): String =
     s"idx_postings_pos_${tag(dir)}"
 
+  /** The positional table's NAME without ensuring it — for harness
+    * resets that must drop-then-rebuild (ScaleCheck) and existence
+    * checks that must not trigger a build. */
+  def positionalPostingsName(dir: String): String = positionalName(dir)
+
   /** POSITIONAL postings table — (doc_id, pos, term) bucketed by term
     * (the phrase probe's candidate-join key): the OPTIONAL fifth
     * member of the postings family, built on demand (phrase queries
