@@ -228,23 +228,30 @@ object CurationRun {
         lit(level).as("level"), col("message"))
     val priorPinned = committedPin(log, priorRunId).getOrElse(throw new IllegalStateException(
       s"prior run $priorRunId has no committed citation — complete it before the delta"))
+    // consumed twice (corrections join + the D2 keep-set override) —
+    // materialize the doc-sized decision relation once instead of
+    // re-reading and re-parsing the prior manifest per consumer
     val priorDec = log.readAt(Container, priorRunId, priorPinned)
       .filter(col("level") === "KEEP_DROP")
       .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
               regexp_extract(col("message"), "dec=(\\w+)", 1).as("prior_dec"))
+      .localCheckpoint()
 
     // ---- stage D1: batch admissions + base corrections --------------
-    val combined = Pipeline.curationDecisionsSeg(s, dir)
-    val batchRows = combined.filter(col("doc_id") > thr)
-      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
-                     lit(" dec="), col("decision")).as("message"))
-    val corrections = combined.filter(col("doc_id") <= thr)
-      .join(priorDec, Seq("doc_id"))
-      .filter(col("decision") =!= col("prior_dec"))
-      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
-                     lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
-        .as("message"))
     timedStage("pipe_curation_delta", "d1_gates_admit") {
+      // two consumers (batch slice + corrections) — one decision
+      // derivation (window + component/flag joins), not two; the eager
+      // checkpoint sits inside the stage timer so attribution holds
+      val combined = Pipeline.curationDecisionsSeg(s, dir).localCheckpoint()
+      val batchRows = combined.filter(col("doc_id") > thr)
+        .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
+                       lit(" dec="), col("decision")).as("message"))
+      val corrections = combined.filter(col("doc_id") <= thr)
+        .join(priorDec, Seq("doc_id"))
+        .filter(col("decision") =!= col("prior_dec"))
+        .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
+                       lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
+          .as("message"))
       log.appendIdempotent(msgRows("DELTA_KEEP_DROP", batchRows.unionByName(corrections)),
         Container, runId, DeltaKeepDropTag)
     }
@@ -256,6 +263,7 @@ object CurationRun {
       .filter(col("level") === "DELTA_KEEP_DROP")
       .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
               regexp_extract(col("message"), "dec=(\\w+)", 1).as("dec"))
+      .localCheckpoint() // two consumers (override anti-join + keep slice)
     val keepIds = priorDec.filter(col("prior_dec") === "keep").select(col("doc_id"))
       .join(d1, Seq("doc_id"), "left_anti")
       .unionByName(d1.filter(col("dec") === "keep").select(col("doc_id")))
@@ -333,11 +341,15 @@ object CurationRun {
         lit(level).as("level"), col("message"))
     val priorPinned = committedPin(log, priorRunId).getOrElse(throw new IllegalStateException(
       s"prior run $priorRunId has no committed citation — complete it before the takedown"))
+    // consumed three times (removals, corrections join, T2 keep set) —
+    // materialize the doc-sized relation once instead of re-reading and
+    // re-parsing the prior manifest per consumer
     val priorDec = log.readAt(Container, priorRunId, priorPinned)
       .filter(col("level") === "KEEP_DROP")
       .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
               regexp_extract(col("message"), "src=(\\w+)", 1).as("prior_src"),
               regexp_extract(col("message"), "dec=(\\w+)", 1).as("prior_dec"))
+      .localCheckpoint()
 
     // ---- stage T1: removals + survivor corrections ------------------
     val after = Pipeline.curationDecisionsExcluding(s, dir, mod)
@@ -359,6 +371,7 @@ object CurationRun {
       .filter(col("level") === "TAKEDOWN_KEEP_DROP")
       .select(regexp_extract(col("message"), "doc=(\\d+)", 1).cast("long").as("doc_id"),
               regexp_extract(col("message"), "dec=(\\w+)", 1).as("dec"))
+      .localCheckpoint() // two consumers (override anti-join + keep slice)
     val keepIds = priorDec.filter(col("prior_dec") === "keep").select(col("doc_id"))
       .join(t1, Seq("doc_id"), "left_anti")
       .unionByName(t1.filter(col("dec") === "keep").select(col("doc_id")))

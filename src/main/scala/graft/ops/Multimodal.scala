@@ -158,6 +158,13 @@ object Multimodal {
     * frequency aggregate bounded by distinct frames, one hash join back
     * — the shape that holds when frames outnumber documents 10⁴:1. */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    // Collapse the frame-occurrence stream to per-(doc, frame) counts at
+    // the FIRST map-side-combinable aggregate and materialize that small
+    // relation once: the hex+explode+md5 decode pass otherwise runs twice
+    // (document-frequency rollup + the join), and the join then moves
+    // occurrence rows instead of distinct (doc, frame) rows. Same math:
+    // n_frames = Σ cnt, df counts distinct docs per frame either way,
+    // and a frame's occurrences all share its df.
     val frames = blobs(s, dir)
       .withColumn("hh", lower(hex(col("blob"))))
       .withColumn("n_frames", expr("CAST(length(hh) div 32 AS BIGINT)"))
@@ -166,12 +173,14 @@ object Multimodal {
         explode(expr("sequence(0, CAST(n_frames - 1 AS INT))")).as("i"))
       .select(col("doc_id"),
         md5(expr("substring(hh, CAST(i AS INT) * 32 + 1, 32)")).as("fm"))
-    val dfreq = frames.distinct()
+      .groupBy(col("doc_id"), col("fm")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dfreq = frames
       .groupBy(col("fm")).agg(count(lit(1)).as("df"))
     frames.join(dfreq, Seq("fm"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_frames"))
+      .agg(sum(col("cnt")).as("n_frames"),
+           sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_dup_frames"))
       .withColumn("dup_ratio",
         Tables.trunc6(col("n_dup_frames").cast("double") / col("n_frames")))
       .orderBy(col("doc_id"))

@@ -1995,10 +1995,15 @@ object Similarity {
     // stored table (2,144 rows, checkpointed once per session/dir)
     val baseMoments = Tables.memoized(s"momentsBase$thr", s, dir)(
       momentsPlanOf(vs.filter(col("vec_id") <= thr)))
+    // covarianceFrom references its moment input three times (pair
+    // slice + both marginal joins) — materialize the 2,144-row combined
+    // relation once so the DELTA slice's moment explode (the only
+    // N-proportional leg) runs once, not three times
     val combined = baseMoments
       .unionByName(momentsPlanOf(vs.filter(col("vec_id") > thr)))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("sxy")).as("sxy"), sum(col("n")).as("n"))
+      .localCheckpoint()
     covarianceFrom(s, combined, k)
   }
 

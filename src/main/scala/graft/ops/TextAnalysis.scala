@@ -159,7 +159,11 @@ object TextAnalysis {
     * postings off the bucketed index table so the probe is a bucket-
     * local join with no tokenize pass. */
   def bm25TopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val posts = unigramPostings(s, dir)
+    // five consumers downstream (dl→corp, dfr, the query slice, the
+    // candidate join) — materialize the tokenize+tf pass once instead
+    // of re-exploding the corpus per consumer (the lmBigram pattern;
+    // the indexed twin reads the persisted table and never pays this)
+    val posts = unigramPostings(s, dir).localCheckpoint()
     val dl = posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corp = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
     val dfr = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1035,6 +1039,10 @@ object TextAnalysis {
            |  i -> CAST(conv(substr(md5(array_join(slice(w, i + 1, $n), ' ')), 1, 15), 16, 10) AS BIGINT))"""
           .stripMargin)).as("g"))
       .groupBy(col("g"), col("source")).agg(count(lit(1)).as("occ_sg"))
+      // two consumers (the per-gram rollup + the join) — materialize the
+      // vocabulary-sized (g, source, occ) relation once instead of
+      // re-exploding and re-md5-ing the corpus per consumer
+      .localCheckpoint()
     val global = perSg.groupBy(col("g")).agg(sum(col("occ_sg")).as("occ_g"))
     perSg.join(global, Seq("g"))
       .groupBy(col("source"))

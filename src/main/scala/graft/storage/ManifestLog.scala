@@ -532,7 +532,17 @@ final class ManifestLog(spark: SparkSession, root: String,
     }
     val staging = new Path(s"$root/.staging-${UUID.randomUUID()}")
     df.select("timestamp", "level", "message")
-      .coalesce(1)
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // final stage of the appended plan into one task, so a derived
+      // batch (a curation run's decision relation, a delta's correction
+      // join) computes single-threaded just to land in one staging
+      // file. The keyless repartition keeps the derivation at full
+      // parallelism and moves only the batch-sized rows through one
+      // tiny exchange; assignment is deterministic per run (sort-
+      // before-repartition, SPARK-23207) and row order inside a
+      // manifest file is not a contract (citation/shard digests are
+      // order-free, readers filter or sort).
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val st = walk(staging).headOption.getOrElse(
       throw new java.io.IOException(s"append: staging $staging produced no visible file"))
