@@ -201,8 +201,13 @@ object TextAnalysis {
                        nQueries: Int, k: Int): DataFrame = {
     graft.functions.TopKPairs.register(s)
     val corp = corpDeltas.agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+    // the query slice is a doc_id filter over a TERM-bucketed relation —
+    // a full pass of the postings — and has two consumers (the idf term
+    // set + the broadcast candidate probe): materialize the query-sized
+    // rows once so the probe pays one slice pass, not two
     val q = posts.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"))
+      .localCheckpoint()
     // idf of QUERY terms only — query-sized, broadcastable; the df sum
     // lands AFTER the join, so a delta-segmented df table merges at
     // query size (for the in-plan single-row-per-term form the sum is

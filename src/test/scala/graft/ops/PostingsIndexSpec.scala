@@ -43,17 +43,17 @@ class PostingsIndexSpec extends SparkSuite {
     val t = IndexTables.postingsIndexTables(spark, sf)
     val df = TextAnalysis.bm25TopKIndexed(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
-    // the bare postings table feeds exactly three reads — the
-    // candidate join's ONE full pass plus two `doc_id < 8` query-term
-    // slices (filter-pruned at the scan) — where before the stat
-    // tables it fed three additional FULL passes (dl ×2 via corp, df)
+    // the bare postings table feeds exactly one read — the candidate
+    // join's full pass. The `doc_id < 8` query slice is materialized
+    // once (it is a doc filter over the TERM-bucketed relation, i.e. a
+    // full pass, with two consumers: the idf term set and the broadcast
+    // probe), so it no longer appears as extra postings reads — where
+    // before the stat tables the probe paid three additional FULL
+    // passes (dl ×2 via corp, df) and before the slice checkpoint two
+    // slice passes on top of the candidates pass
     val postingsReads = s"${t.postings}\\[".r.findAllIn(plan).length
-    assert(postingsReads == 3,
-      s"expected 3 postings reads (1 full candidates pass + 2 pruned query slices), got $postingsReads:\n$plan")
-    // ...and both query slices carry the pushable doc_id bound, so only
-    // the candidate join streams the index
-    val prunedSlices = "doc_id#\\d+L < 8".r.findAllIn(plan).length
-    assert(prunedSlices >= 2, s"query-term slices lost the doc_id bound:\n$plan")
+    assert(postingsReads == 1,
+      s"expected 1 postings read (the full candidates pass; the query slice is materialized), got $postingsReads:\n$plan")
     Seq(t.dl, t.df, t.corp).foreach { st =>
       assert(plan.contains(st), s"probe plan does not read stat table $st:\n$plan")
     }
