@@ -543,11 +543,22 @@ object Pipeline {
 
   private def shardManifestBuilt(docs: DataFrame, nShards: Int,
                                  withNew: Boolean): DataFrame = {
+    // One projection carries BOTH the shard-assignment columns
+    // ([[shuffleShardsOf]]'s md5(doc_id) hash → shard/pos — same
+    // expressions, kept in lockstep) and the payload columns: the two
+    // were previously derived separately from `docs` and equi-joined
+    // back on doc_id, which re-ran the caller's keep-set derivation
+    // (a manifest-read join in every CurationRun receipt) twice and
+    // paid a join exchange for a 1:1 recombination.
     val payload =
       if (withNew) docs.select(col("doc_id"), col("is_new"), md5(col("text")).as("dg"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
       else docs.select(col("doc_id"), md5(col("text")).as("dg"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
     val aggs = Seq(
       sum(col("n_tokens")).as("total_tokens"),
       // collect_list has no deterministic order under shuffles —
@@ -556,8 +567,10 @@ object Pipeline {
         "array_join(transform(array_sort(collect_list(struct(pos, dg))), x -> x.dg), '')"))
         .as("content_digest")) ++
       (if (withNew) Seq(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")) else Seq.empty)
-    shuffleShardsOf(docs, nShards)
-      .join(payload, Seq("doc_id"))
+    payload
+      .withColumn("shard_id",
+        expr("CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT)") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), aggs: _*)
       .orderBy(col("shard_id"))
