@@ -406,6 +406,42 @@ object ScaleCheck {
     val nDocsBase = ops.Tables.documents(spark, src).count()
     val nDocsScaled = ops.Tables.documents(spark, dst).count()
 
+    // CORE-SCALING TIER (round-17 verdict #5): the sf0.1 bench cannot
+    // see parallel-efficiency regressions — every query is 0.5-3 s and
+    // fixed-overhead-bound, so 8-vs-32-core ratios sit at ≈1 from job
+    // dispatch alone. Here the measured family (plus the segmented
+    // ngram pair path, the one inverse-scaling row of r16) runs on the
+    // 10× tier at BOTH core counts, each in a FRESH session so the two
+    // sweeps are symmetric (cold memo relations, warm persisted
+    // tables): ratio = t(8 cores) / t(32 cores) — >1 means more cores
+    // help, ≈1 fixed-overhead-bound, <1 over-partitioned.
+    val CoreQueryNames = QueryNames ++ Seq("dedup_ngram_indexed", "dedup_ngram_seg")
+    def coreSweep(nCores: Int): Seq[(String, Double)] = {
+      val s = SparkSession.builder()
+        .master(s"local[$nCores]")
+        .config("spark.sql.shuffle.partitions", nCores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.local.dir", Scratch.localDir)
+        .config("spark.sql.warehouse.dir", Scratch.localDir + "/warehouse")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val r = CoreQueryNames.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(s, dst).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scalecheck] cores=$nCores%-2d $name%-24s $dt%8.3f s")
+        s.catalog.clearCache(); System.gc()
+        (name, dt)
+      }
+      s.stop()
+      r
+    }
+    spark.stop() // fresh symmetric sessions for the two core sweeps
+    val core32 = coreSweep(32)
+    val core8 = coreSweep(8)
+
     val sb = new StringBuilder
     sb ++= "# SCALECHECK — self-measured sub-quadratic growth for the heavy families\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.ScaleCheck\"` on ${java.time.LocalDate.now()}.\n"
@@ -421,6 +457,24 @@ object ScaleCheck {
     }
     val (bt, st) = (base.map(_._2).sum, scaled.map(_._2).sum)
     sb ++= f"| **total** | $bt%.3f | $st%.3f | ${st / bt}%.1f× |\n\n"
+    sb ++= "## Core scaling at the 10× tier (round-17 verdict #5)\n\n"
+    sb ++= "The measured family re-run on the SCALED tier at 32 and 8 cores,\n"
+    sb ++= "each sweep in a fresh session (cold memo relations, warm persisted\n"
+    sb ++= "tables — symmetric by construction). ratio = t(8c)/t(32c): > 1 means\n"
+    sb ++= "extra cores buy wall time, ≈ 1 fixed-overhead-bound at this size,\n"
+    sb ++= "< 1 over-partitioned (the r16 `dedup_ngram_seg` suspicion, measured\n"
+    sb ++= "here where partitions carry real data). The lifecycle runs\n"
+    sb ++= "(`pipe_curation_*`, `pipe_takedown`, `log_store_roundtrip`) are NOT\n"
+    sb ++= "in this table because they are serial BY CONTRACT — ordered manifest\n"
+    sb ++= "commits and replay-proven seals gate each stage on the previous\n"
+    sb ++= "commit, so their core-ratio is ≈1 by design, not by defect; their\n"
+    sb ++= "economics are split in the curation table below instead.\n\n"
+    sb ++= "| query | 32-core s | 8-core s | 8c/32c |\n|---|---|---|---|\n"
+    core32.zip(core8).foreach { case ((n, t32), (_, t8)) =>
+      sb ++= f"| $n | $t32%.3f | $t8%.3f | ${t8 / math.max(t32, 0.001)}%.2f× |\n"
+    }
+    val (c32t, c8t) = (core32.map(_._2).sum, core8.map(_._2).sum)
+    sb ++= f"| **total** | $c32t%.3f | $c8t%.3f | ${c8t / c32t}%.2f× |\n\n"
     sb ++= "Persisted-index economics (build once, consumers read the bucketed/\n"
     sb ++= "partitioned table — the pair-join shuffle AND sort are paid at build):\n\n"
     sb ++= "| stage | base s | scaled s | ratio |\n|---|---|---|---|\n"

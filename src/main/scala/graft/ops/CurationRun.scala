@@ -352,17 +352,19 @@ object CurationRun {
       .localCheckpoint()
 
     // ---- stage T1: removals + survivor corrections ------------------
-    val after = Pipeline.curationDecisionsExcluding(s, dir, mod)
-    val removedRows = priorDec.filter(col("doc_id") % mod === 0)
-      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("prior_src"),
-                     lit(" dec=removed was="), col("prior_dec")).as("message"))
-    val corrections = after.join(priorDec, Seq("doc_id"))
-      .filter(col("decision") =!= col("prior_dec"))
-      .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
-                     lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
-        .as("message"))
-    log.appendIdempotent(msgRows("TAKEDOWN_KEEP_DROP", removedRows.unionByName(corrections)),
-      Container, runId, TakedownKeepDropTag)
+    timedStage("pipe_takedown", "t1_gates_correct") {
+      val after = Pipeline.curationDecisionsExcluding(s, dir, mod)
+      val removedRows = priorDec.filter(col("doc_id") % mod === 0)
+        .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("prior_src"),
+                       lit(" dec=removed was="), col("prior_dec")).as("message"))
+      val corrections = after.join(priorDec, Seq("doc_id"))
+        .filter(col("decision") =!= col("prior_dec"))
+        .select(concat(lit("doc="), col("doc_id"), lit(" src="), col("source"),
+                       lit(" dec="), col("decision"), lit(" was="), col("prior_dec"))
+          .as("message"))
+      log.appendIdempotent(msgRows("TAKEDOWN_KEEP_DROP", removedRows.unionByName(corrections)),
+        Container, runId, TakedownKeepDropTag)
+    }
     if (failAfterStage <= 1)
       throw new IllegalStateException("injected crash after takedown stage 1")
 
@@ -377,18 +379,22 @@ object CurationRun {
       .unionByName(t1.filter(col("dec") === "keep").select(col("doc_id")))
     val kept = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .join(keepIds, Seq("doc_id"))
-    log.appendIdempotent(msgRows("SHARD",
-      Pipeline.shardManifestOf(kept, nShards).select(
-        concat(lit("shard="), col("shard_id"), lit(" n="), col("n_docs"),
-               lit(" tok="), col("total_tokens"), lit(" dg="), col("content_digest"))
-          .as("message"))),
-      Container, runId, TakedownShardsTag)
+    timedStage("pipe_takedown", "t2_receipt") {
+      log.appendIdempotent(msgRows("SHARD",
+        Pipeline.shardManifestOf(kept, nShards).select(
+          concat(lit("shard="), col("shard_id"), lit(" n="), col("n_docs"),
+                 lit(" tok="), col("total_tokens"), lit(" dg="), col("content_digest"))
+            .as("message"))),
+        Container, runId, TakedownShardsTag)
+    }
     if (failAfterStage <= 2)
       throw new IllegalStateException("injected crash after takedown stage 2")
 
     // ---- stage T3: citation, chained to the prior run's pin ---------
-    val pinned = sealChain(s, log, runId,
-      extra = Seq(s"chain prior_run=$priorRunId prior_version=$priorPinned removed_mod=$mod"))
+    val pinned = timedStage("pipe_takedown", "t3_seal") {
+      sealChain(s, log, runId,
+        extra = Seq(s"chain prior_run=$priorRunId prior_version=$priorPinned removed_mod=$mod"))
+    }
 
     log.readAt(Container, runId, pinned)
       .filter(col("level") === "SHARD")
@@ -580,9 +586,12 @@ object CurationRun {
     * builds the prior-run fixture; the nShards-sized receipt is
     * collected so nothing served holds the store. */
   def takedownSelfContained(s: SparkSession, dir: String): DataFrame = {
-    val root = ensureTakedownFixture(s, dir)
-    collected(s,
-      takedownRun(s, dir, root, "run1", freshOperatorRunId(), 13L, 8, Int.MaxValue))
+    val root = timedStage("pipe_takedown", "fixture_ensure") {
+      ensureTakedownFixture(s, dir)
+    }
+    val receipt =
+      takedownRun(s, dir, root, "run1", freshOperatorRunId(), 13L, 8, Int.MaxValue)
+    timedStage("pipe_takedown", "receipt_collect")(collected(s, receipt))
   }
 
   /** The declared-query wrapper (`pipe_curation_delta`): the delta

@@ -531,16 +531,32 @@ object IndexTables {
     * dir. Caller contract: the segments for `key` exist. */
   private[ops] def mergedShingleViewEnsured(s: SparkSession, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val capped = mergedShingleCappedEnsured(s, key)
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // NOT checkpointed further (round-17 negative result, measured):
+    // materializing the sized join as well — so the segmented Jaccard
+    // self-join reads one relation instead of re-running the size
+    // aggregate per side — costs MORE at sf0.1 than the duplicate
+    // derivation it removes (Prof min-of-3: 1.14 s → 2.00 s), the same
+    // trade text_phrase_topk hit in r16. The capped checkpoint already
+    // bounds the expensive leg (seg scan + anti-join) to one pass.
+    capped.join(sizes, Seq("doc_id"))
+  }
+
+  /** The capped (doc_id, s) segment relation WITHOUT the size join —
+    * split out (round-17, guide §2.4) for the frozen-admission probe,
+    * which consumed [[mergedShingleViewEnsured]] only to drop the `n`
+    * column and re-derive its own sizes: the inner size join (an N:1
+    * Catalyst cannot prune) ran twice per probe for nothing. One
+    * checkpointed pass; the sized view above builds on it unchanged. */
+  private[ops] def mergedShingleCappedEnsured(s: SparkSession, key: String): DataFrame = {
     // the df/meta tables ride seg's ensure guard; a crashed compaction
     // swap may have left either one staged — repair before reading
     Seq(segDfName(key), segMetaName(key)).foreach(repairStaged(s, _))
-    val seg = s.table(segName(key))
-    val capped = seg
+    s.table(segName(key))
       .join(org.apache.spark.sql.functions.broadcast(segmentHotSet(s, key)),
         Seq("s"), "left_anti")
       .localCheckpoint()
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    capped.join(sizes, Seq("doc_id"))
   }
 
   /** The SERVED hot-shingle set of a segment key: per-segment DFs

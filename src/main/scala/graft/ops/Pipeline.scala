@@ -1086,9 +1086,16 @@ object Pipeline {
     * per-doc rollup → one per-source rollup; at 100 TB the only
     * shuffles are on (doc_id, token) and doc_id, both well-spread. */
   /** Per-document rule flags — the unit [[gopherQuality]] aggregates and
-    * [[curationManifest]] folds into its keep/drop decision. */
+    * [[curationManifest]] folds into its keep/drop decision. MEMOIZED
+    * (round-17, guide §2.4): the flags are per-document and
+    * corpus-independent, and every decision derivation ([[decisionsFrom]]
+    * via the full/UpTo/Excluding/Seg variants — curation manifest, data
+    * cards, admit divergence, the lifecycle runs) plus [[gopherQuality]]
+    * re-ran the corpus explode + two aggregates per consumer. One
+    * materialized pass per session; the bench prices it as
+    * `build:gopher_flags`. */
   private[ops] def gopherFlags(s: SparkSession, dir: String): DataFrame =
-    gopherFlagsOf(Tables.documents(s, dir))
+    Tables.memoized("gopherFlags", s, dir) { gopherFlagsOf(Tables.documents(s, dir)) }
 
   /** The Gopher rule flags over an explicit (doc_id, source, text)
     * relation — the per-document gate is corpus-independent, so the
@@ -1144,7 +1151,15 @@ object Pipeline {
     * [[curationManifest]]'s unit, factored out so [[CurationRun]] can
     * persist the decisions themselves as the keep/drop artifact. */
   private[ops] def curationDecisions(s: SparkSession, dir: String): DataFrame =
-    decisionsFrom(s, dir, Tables.documents(s, dir), Dedup.ngramComponents(s, dir))
+    // MEMOIZED (round-17, guide §2.4): the full-corpus decision relation
+    // has ≥6 declared consumers (curation manifest, both data cards, the
+    // divergence column of both admit twins, the one-shot run and the
+    // lifecycle fixtures) and each re-derived the keeper window +
+    // flag/component joins in-plan. One materialized (doc_id, source,
+    // decision) pass per session; priced as `build:curation_decisions`.
+    Tables.memoized("curationDecisions", s, dir) {
+      decisionsFrom(s, dir, Tables.documents(s, dir), Dedup.ngramComponents(s, dir))
+    }
 
   /** [[curationDecisions]] over the BASE slice as a standalone corpus
     * (`doc_id <= thr`): digest-group minima, the component graph and
@@ -1176,8 +1191,13 @@ object Pipeline {
 
   private def decisionsFrom(s: SparkSession, dir: String,
                             documents: DataFrame, comp: DataFrame): DataFrame = {
-    val keepers = Window.partitionBy(md5(col("text")))
+    // project the digest BEFORE the keeper window: the keeper decision
+    // never needs the text back, so the window exchange moves a 32-byte
+    // digest per row instead of the document (guide §2.3; the
+    // exactKeepers/gated idiom)
+    val keepers = Window.partitionBy(col("dg"))
     val docs = documents
+      .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
       .select(col("doc_id"), col("source"),
         (col("doc_id") =!= min(col("doc_id")).over(keepers)).as("exact_dup"))
     val flags = gopherFlags(s, dir)
@@ -1286,8 +1306,10 @@ object Pipeline {
     val hot = IndexTables.segmentHotSet(s, key)
     val batchCapped = Dedup.shinglesOf(batch.select(col("doc_id"), col("text")))
       .join(broadcast(hot), Seq("s"), "left_anti")
-    val baseCapped = IndexTables.mergedShingleViewEnsured(s, key)
-      .select(col("doc_id"), col("s"))
+    // the capped split ([[IndexTables.mergedShingleCappedEnsured]]): the
+    // probe derives its own sizes, so the merged view's size join (run
+    // twice — Catalyst cannot prune an N:1 inner join) was dead weight
+    val baseCapped = IndexTables.mergedShingleCappedEnsured(s, key)
     admissionFrozenOver(batch, batchCapped, digests, baseCapped)
   }
 
@@ -1318,6 +1340,11 @@ object Pipeline {
       .withColumn("batch_keep", min(col("doc_id")).over(wDigest))
       .join(baseDigests.select(col("digest")).withColumn("in_base", lit(1L)),
         Seq("digest"), "left")
+    // NOT checkpointed (round-17 negative result, measured in the full
+    // bench): materializing batchCapped/baseCapped for their two
+    // consumers regressed both admit twins ~40-85% at sf0.1 — the
+    // eager materialization costs more than the duplicated O(batch)
+    // derivation it removes (the text_phrase_topk trade from r16).
     val bsz = baseCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val tsz = batchCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // batch→base candidates on shared informative shingles: bounded by

@@ -23,12 +23,21 @@ import org.apache.spark.sql.SparkSession
   * tables build on first ensure — both make "force" a plain call. */
 object Prebuild {
 
-  /** (name, force) — name becomes the bench row `build:<name>`. */
+  /** (name, force) — name becomes the bench row `build:<name>`.
+    * Round-17 note: a guide-§2.6 overlapped build pass (3 rows of a
+    * dependency stage in flight) was tried and REVERTED — on this
+    * single-node harness it made wall-clock worse (60 s vs ~48 s) and
+    * inflated per-row attribution 2-4×; see OPTIMIZATION_r17.md §4. */
   def builds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     // ---- text/dedup signature + pair relations (memoized) ----
     "shingles"           -> ((s, d) => { Dedup.shingles(s, d); () }),
     "shingle_pair_stats" -> ((s, d) => { Dedup.shinglePairStats(s, d); () }),
     "ngram_components"   -> ((s, d) => { Dedup.ngramComponents(s, d); () }),
+    // per-document Gopher rule flags + the full-corpus decision relation
+    // (round-17: both memoized — flags feed every decisionsFrom variant,
+    // decisions feed manifest/cards/admit-divergence/runs)
+    "gopher_flags"       -> ((s, d) => { Pipeline.gopherFlags(s, d); () }),
+    "curation_decisions" -> ((s, d) => { Pipeline.curationDecisions(s, d); () }),
     "simhash"            -> ((s, d) => { Dedup.simhashRaw(s, d); () }),
     "hamming_pairs"      -> ((s, d) => { Dedup.hammingPairs3(s, d); () }),
     "hamming_components" -> ((s, d) => { Dedup.hammingComponents(s, d); () }),

@@ -639,8 +639,52 @@ object RelationalQueries {
     * bounded-rounds pattern as the connected-components fixpoint; the
     * final depth histogram is a map-side-combining aggregate. */
   def q40RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
-    s.sql(graft.SparkEntry.oracleSql("q40_recursive_cte"))
+    // Round-17 (guide §2.4, verdict #8): the SAME recursion the oracle
+    // text declares, evaluated as an explicit per-level loop instead of
+    // through `WITH RECURSIVE`'s UnionLoop operator. The DuckDB oracle
+    // still evaluates the unchanged ANSI text; what moved is only HOW
+    // Spark executes it. Equivalence is structural — recursive UNION ALL
+    // semantics are "L0 = anchor; L(k+1) = step(Lk); result = ⋃ Lk",
+    // and the loop below computes exactly those levels:
+    //  - L0 = roots (o_orderkey < 8) at depth 0;
+    //  - L(k+1) = orders (o_orderkey >= 8) equi-joined on key-parent
+    //    = chain row of Lk, depth+1, path extended — the identical join
+    //    and arithmetic expressions as the text;
+    //  - stop when a level is empty; aggregate the union by depth.
+    // Q40EquivalenceSpec additionally proves row-identity against
+    // Spark's own evaluation of the oracle text.
+    // Why: UnionLoop re-planned a growing plan per level and re-scanned
+    // orders each round; here the iterate relation is pruned to three
+    // BIGINTs and materialized ONCE (one scan total), each frontier is
+    // checkpointed so every level's plan is one bounded equi-join (the
+    // connectedComponents fixpoint pattern), and the join carries no
+    // broadcast hint — AQE broadcasts the small frontier at test scale
+    // and degrades to a hash join at 100 TB.
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val children = orders.filter(col("o_orderkey") >= 8)
+      .withColumn("parent",
+        expr("CAST((o_orderkey - (o_orderkey % 8)) / 8 AS BIGINT)"))
+      .localCheckpoint()
+    var frontier = orders.filter(col("o_orderkey") < 8)
+      .select(col("o_orderkey"), lit(0L).as("depth"), col("cents").as("path_cents"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    while (!frontier.isEmpty) {
+      levels += frontier
+      frontier = children
+        .join(frontier.select(col("o_orderkey").as("parent"),
+          col("depth"), col("path_cents")), Seq("parent"))
+        .select(col("o_orderkey"), (col("depth") + 1L).as("depth"),
+                (col("path_cents") + col("cents")).as("path_cents"))
+        .localCheckpoint()
+    }
+    // degenerate no-anchor corpus: serve the empty frontier's shape
+    (if (levels.isEmpty) frontier else levels.reduce(_.unionByName(_)))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("path_cents")).as("total_path_cents"))
+      .orderBy(col("depth"))
   }
 
   /** Per-user inter-event gap statistics (lag-window time deltas — the

@@ -663,16 +663,41 @@ final class ManifestLog(spark: SparkSession, root: String,
     * would defeat the reproducibility contract. */
   def readAt(container: String, session: String, version: Long): DataFrame = {
     val p = new Path(manifestDir(container, session), f"v$version%020d")
-    val entries =
-      try readEntries(p)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new java.io.IOException(
-            s"snapshot v$version of $container/$session does not exist " +
-            "(never committed, or expired past the GC grace window)")
-      }
-    toDf(entries.filterNot(_.startsWith("#")), container, session)
+    // Plan cache keyed by the full (container, session, version) triple
+    // (round-17, guide §1/§5 — driver-side work): a pinned version is an
+    // immutable file set, so the PLAN is reusable by construction; the
+    // lifecycle runs re-plan the same pinned prior-run snapshot on every
+    // invocation, and the seal's replay citation re-planned the identical
+    // version twice per run. Only the unexecuted plan is cached — every
+    // execution still reads the files, so the seal's replay proof keeps
+    // reading disk. The hit path re-checks the manifest file exists, so
+    // an expired version fails as loudly as the uncached path did.
+    val key = (container, session + f"@v$version%020d")
+    val hit = readAtCache.get(key)
+    if (hit != null && fs.exists(p)) hit
+    else {
+      val entries =
+        try readEntries(p)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new java.io.IOException(
+              s"snapshot v$version of $container/$session does not exist " +
+              "(never committed, or expired past the GC grace window)")
+        }
+      val df = toDf(entries.filterNot(_.startsWith("#")), container, session)
+      readAtCache.put(key, df)
+      df
+    }
   }
+
+  /** Bounded LRU of [[readAt]] plans — see the cache note there. */
+  private val readAtCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), DataFrame](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), DataFrame]): Boolean =
+          size() > ReadCacheMax
+      })
 
   /** Every (container, session) with a manifest directory — the
     * maintenance loop's work list (one shallow listing per level,
